@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall-clock over the headline set (lower is better).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from moosestack_spark import registry
+from moosestack_spark.session import get_spark
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "agg_having",
+    "join_star_multi",
+    "join_left_lookup",
+    "join_theta",
+    "window_row_number_topk",
+    "window_running_sum",
+    "filter_in_between",
+    "sort_multikey_limit",
+    "setop_union_merge",
+    "scalar_date_bucketing",
+    "scalar_json_extract",
+    "engine_replacing_dedup",
+    "mv_incremental_daily_rollup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce_topk",
+    "text_token_stats",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    registry.load_all()
+    spark = get_spark("moosestack-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/session so per-query numbers measure the plan, not init.
+    registry.QUERIES["agg_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # Force full execution without driver-side materialization cost
+        # dominating: count() collapses to one long.
+        df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

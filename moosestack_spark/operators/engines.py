@@ -1,0 +1,166 @@
+"""MergeTree engine-semantics gate queries (SURVEY.md §1.4, FIXTURES.md).
+
+Each query synthesizes a pre-merge state deterministically from the driver
+tables (duplicates with versions, signed rows), applies the engine view from
+moosestack_spark.catalog.engine_views, and the oracle reproduces the same
+semantics in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moosestack_spark.catalog.engine_views import (
+    collapsing_resolve,
+    replacing_latest,
+    summing_rollup,
+    versioned_collapsing_resolve,
+)
+from moosestack_spark.operators._determinism import dsum
+from moosestack_spark.registry import query
+from moosestack_spark.tables import t
+
+# --------------------------------------------------------------------------
+# ReplacingMergeTree: two "inserts" of every customer (v1 with original
+# balance, v2 with doubled balance for a deterministic subset), dedup by key
+# keeping max version; v2 rows for custkey % 10 == 0 are tombstoned.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "engine_replacing_dedup",
+    oracle="""
+SELECT c_custkey, c_name, bal, ver, is_deleted FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY ver DESC) AS rn
+  FROM (
+    SELECT c_custkey, c_name, c_acctbal AS bal, 1 AS ver, 0 AS is_deleted
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal * 2 AS bal, 2 AS ver,
+           CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END AS is_deleted
+    FROM customer WHERE c_custkey % 3 = 0
+  )
+) WHERE rn = 1 AND is_deleted = 0
+""",
+)
+def engine_replacing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").alias("bal"),
+        F.lit(1).alias("ver"),
+        F.lit(0).alias("is_deleted"),
+    )
+    v2 = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") * 2).alias("bal"),
+            F.lit(2).alias("ver"),
+            F.when(F.col("c_custkey") % 10 == 0, 1).otherwise(0).alias("is_deleted"),
+        )
+    )
+    pre_merge = v1.unionByName(v2)
+    return replacing_latest(
+        pre_merge, keys=["c_custkey"], version_col="ver", is_deleted_col="is_deleted"
+    )
+
+
+# --------------------------------------------------------------------------
+# SummingMergeTree: daily (event_type, day) rollup — equal-key rows summed.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "engine_summing_rollup",
+    oracle="""
+SELECT
+  event_type,
+  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+  CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS value,
+  CAST(SUM(1) AS BIGINT) AS cnt
+FROM events
+GROUP BY event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+""",
+)
+def engine_summing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.col("value").cast("decimal(25,4)").alias("value"),
+        F.lit(1).cast("bigint").alias("cnt"),
+    )
+    out = summing_rollup(e, keys=["event_type", "day"], sum_cols=["value", "cnt"])
+    return out.withColumn("value", F.col("value").cast("double"))
+
+
+# --------------------------------------------------------------------------
+# CollapsingMergeTree: each purchase event emits +1; a deterministic subset
+# (event_id % 4 == 0) was "cancelled" by a -1 row.  Net-positive keys remain.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "engine_collapsing",
+    oracle="""
+SELECT event_id, user_id FROM (
+  SELECT event_id, user_id, SUM(sign) AS net FROM (
+    SELECT event_id, user_id, 1 AS sign FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, user_id, -1 AS sign FROM events
+    WHERE event_type = 'purchase' AND event_id % 4 = 0
+  )
+  GROUP BY event_id, user_id
+) WHERE net > 0
+""",
+)
+def engine_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    plus = e.select("event_id", "user_id", F.lit(1).alias("sign"))
+    minus = e.filter(F.col("event_id") % 4 == 0).select(
+        "event_id", "user_id", F.lit(-1).alias("sign")
+    )
+    return collapsing_resolve(
+        plus.unionByName(minus), keys=["event_id", "user_id"], sign_col="sign"
+    )
+
+
+# --------------------------------------------------------------------------
+# VersionedCollapsingMergeTree: per-order state rows at versions 1..2 with
+# cancellation of v1 when v2 exists; survivor is max un-cancelled version.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "engine_versioned_collapsing",
+    oracle="""
+SELECT o_orderkey, ver FROM (
+  SELECT o_orderkey, ver,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY ver DESC) AS rn
+  FROM (
+    SELECT o_orderkey, ver, SUM(sign) AS net FROM (
+      SELECT o_orderkey, 1 AS ver, 1 AS sign FROM orders
+      UNION ALL
+      SELECT o_orderkey, 1 AS ver, -1 AS sign FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, 2 AS ver, 1 AS sign FROM orders WHERE o_orderkey % 2 = 0
+    )
+    GROUP BY o_orderkey, ver
+  ) WHERE net > 0
+) WHERE rn = 1
+""",
+)
+def engine_versioned_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    even = o.filter(F.col("o_orderkey") % 2 == 0)
+    rows = (
+        o.select("o_orderkey", F.lit(1).alias("ver"), F.lit(1).alias("sign"))
+        .unionByName(even.select("o_orderkey", F.lit(1).alias("ver"), F.lit(-1).alias("sign")))
+        .unionByName(even.select("o_orderkey", F.lit(2).alias("ver"), F.lit(1).alias("sign")))
+    )
+    return versioned_collapsing_resolve(
+        rows, keys=["o_orderkey"], sign_col="sign", version_col="ver"
+    )

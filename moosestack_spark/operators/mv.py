@@ -1,0 +1,69 @@
+"""Materialized-view gate queries (SURVEY.md §4.2, FIXTURES.md "MV
+incremental"): a daily events rollup maintained incrementally over 3 insert
+batches must equal the recompute-from-scratch oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moosestack_spark.catalog.materialized_view import AggSpec, IncrementalAggregateView
+from moosestack_spark.registry import query
+from moosestack_spark.tables import t
+
+
+def _daily_rollup_view() -> IncrementalAggregateView:
+    # Mirrors the Bar/BarAggregated MV shape (templates/python-tests/src/
+    # views/bar_aggregated.py:16-24): count, countIf, sum, max per bucket.
+    return IncrementalAggregateView(
+        group_keys=["day", "event_type"],
+        aggs=[
+            AggSpec("total_rows", "count"),
+            AggSpec("high_value_rows", "count_if", cond=F.col("value") > 50),
+            AggSpec("total_value", "sum", expr=F.col("value")),
+            AggSpec("max_value", "max", expr=F.col("value")),
+            AggSpec("avg_value", "avg", expr=F.col("value")),
+        ],
+    )
+
+
+MV_ORACLE = """
+SELECT
+  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+  event_type,
+  COUNT(*) AS total_rows,
+  COUNT(*) FILTER (WHERE value > 50) AS high_value_rows,
+  CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value,
+  MAX(value) AS max_value,
+  CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events
+GROUP BY strftime(CAST(ts AS DATE), '%Y-%m-%d'), event_type
+"""
+
+
+@query("mv_incremental_daily_rollup", oracle=MV_ORACLE)
+def mv_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 insert batches folded incrementally == full recompute (the oracle).
+
+    Batches are split deterministically by event_id % 3, simulating three
+    separate ingest blocks hitting the MV (per-block computation, §4.2).
+    """
+    e = t(spark, sf_dir, "events").select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "event_type", "value", "event_id"
+    )
+    view = _daily_rollup_view()
+    for i in range(3):
+        block = e.filter(F.col("event_id") % 3 == i).drop("event_id")
+        view.refresh(block)
+    return view.read()
+
+
+@query("mv_populate_matches_incremental", oracle=MV_ORACLE)
+def mv_populate_matches_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial backfill path (populate == INSERT INTO target SELECT,
+    blocks.py:776-780) must produce the same view as the oracle too."""
+    e = t(spark, sf_dir, "events").select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "event_type", "value"
+    )
+    return _daily_rollup_view().populate(e).read()

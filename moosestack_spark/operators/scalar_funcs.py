@@ -1,0 +1,251 @@
+"""Scalar function surface (SURVEY.md §2.9), exercised through the
+ClickHouse-vocabulary helpers in moosestack_spark.sql.ch_functions so the
+gate proves the translation layer, not just raw Spark functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moosestack_spark.registry import query
+from moosestack_spark.sql.ch_functions import ch
+from moosestack_spark.tables import t
+
+# --------------------------------------------------------------------------
+# Date bucketing: toDate / toStartOfMonth / toStartOfWeek / toStartOfDay /
+# toStartOfHour / toDayOfMonth over orders + events timestamps
+# (helpers.ts:100-104 timeDimensions; bar_aggregated.py:16 toDayOfMonth).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_date_bucketing",
+    oracle="""
+SELECT
+  day,
+  month,
+  week_sunday,
+  day_of_month,
+  COUNT(*) AS n
+FROM (
+  SELECT
+    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+    strftime(CAST(DATE_TRUNC('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month,
+    strftime(CAST(DATE_TRUNC('week', o_orderdate + INTERVAL 1 DAY) AS DATE) - 1, '%Y-%m-%d') AS week_sunday,
+    EXTRACT(day FROM o_orderdate) AS day_of_month
+  FROM orders
+)
+GROUP BY day, month, week_sunday, day_of_month
+""",
+)
+def scalar_date_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DATE-typed outputs are surfaced as 'yyyy-MM-dd' strings: pandas has no
+    # date dtype, so a DATE column round-trips differently from DuckDB
+    # (datetime64 midnight) vs Spark (date object) — strings are unambiguous.
+    o = t(spark, sf_dir, "orders")
+    fmt = "yyyy-MM-dd"
+    return (
+        o.select(
+            F.date_format(ch.toDate("o_orderdate"), fmt).alias("day"),
+            F.date_format(ch.toStartOfMonth("o_orderdate"), fmt).alias("month"),
+            F.date_format(ch.toStartOfWeek("o_orderdate"), fmt).alias("week_sunday"),
+            ch.toDayOfMonth("o_orderdate").cast("bigint").alias("day_of_month"),
+        )
+        .groupBy("day", "month", "week_sunday", "day_of_month")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "scalar_hour_bucketing",
+    oracle="""
+SELECT
+  DATE_TRUNC('hour', ts) AS hour_bucket,
+  CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 900) AS TIMESTAMP) AS q_bucket,
+  COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def scalar_hour_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            ch.toStartOfHour("ts").alias("hour_bucket"),
+            ch.toStartOfFifteenMinutes("ts").alias("q_bucket"),
+        )
+        .groupBy("hour_bucket", "q_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# String functions: lower/concat/substring/length/splitByChar on p_name.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+SELECT
+  p_partkey,
+  LOWER(p_name) AS lower_name,
+  CONCAT(p_brand, ':', p_type) AS brand_type,
+  SUBSTRING(p_name, 1, 5) AS name_prefix,
+  LENGTH(p_name) AS name_len,
+  LEN(STRING_SPLIT(p_name, ' ')) AS n_words,
+  STRING_SPLIT(p_name, ' ')[1] AS first_word
+FROM part
+""",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    words = ch.splitByChar(" ", "p_name")
+    return p.select(
+        "p_partkey",
+        ch.lower("p_name").alias("lower_name"),
+        ch.concat("p_brand", F.lit(":"), "p_type").alias("brand_type"),
+        ch.substring("p_name", 1, 5).alias("name_prefix"),
+        ch.length("p_name").cast("bigint").alias("name_len"),
+        ch.arrayLength(words).cast("bigint").alias("n_words"),
+        ch.arrayElement(words, 1).alias("first_word"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Math: round/floor/ceil/abs/intDiv/modulo on prices & keys.  All inputs are
+# exact fixed-point values so cross-engine doubles agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+SELECT
+  o_orderkey,
+  ROUND(o_totalprice) AS price_round,
+  FLOOR(o_totalprice) AS price_floor,
+  CEIL(o_totalprice) AS price_ceil,
+  ABS(o_totalprice - 100000) AS price_dist,
+  CAST(FLOOR(o_orderkey / 100) AS BIGINT) AS key_div,
+  o_orderkey % 7 AS key_mod
+FROM orders
+""",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        ch.round("o_totalprice").cast("double").alias("price_round"),
+        ch.floor("o_totalprice").cast("double").alias("price_floor"),
+        ch.ceil("o_totalprice").cast("double").alias("price_ceil"),
+        ch.abs(F.col("o_totalprice") - 100000).alias("price_dist"),
+        ch.intDiv("o_orderkey", 100).alias("key_div"),
+        ch.modulo("o_orderkey", 7).alias("key_mod"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditionals: if / multiIf / coalesce / greatest / least.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_conditionals",
+    oracle="""
+SELECT
+  c_custkey,
+  CASE WHEN c_acctbal >= 0 THEN 'ok' ELSE 'debt' END AS standing,
+  CASE
+    WHEN c_acctbal >= 7500 THEN 'platinum'
+    WHEN c_acctbal >= 5000 THEN 'gold'
+    WHEN c_acctbal >= 0 THEN 'standard'
+    ELSE 'delinquent'
+  END AS tier,
+  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment,
+  GREATEST(c_acctbal, 0.0) AS bal_floor0,
+  LEAST(c_acctbal, 1000.0) AS bal_cap1k
+FROM customer
+""",
+)
+def scalar_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        ch.if_(bal >= 0, F.lit("ok"), F.lit("debt")).alias("standing"),
+        ch.multiIf(
+            bal >= 7500,
+            F.lit("platinum"),
+            bal >= 5000,
+            F.lit("gold"),
+            bal >= 0,
+            F.lit("standard"),
+            F.lit("delinquent"),
+        ).alias("tier"),
+        ch.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment"
+        ),
+        ch.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        ch.least(bal, F.lit(1000.0)).alias("bal_cap1k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON extraction from events.props (JSONExtract* family,
+# data_models.py:92-103 / get_json_object in Spark).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_json_extract",
+    oracle="""
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+  json_extract_string(props, '$.missing') AS missing_key
+FROM events
+""",
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        ch.JSONExtractInt("props", "k").alias("k_value"),
+        ch.JSONExtractString("props", "missing").alias("missing_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Array ops over embeddings.embedding: element_at, size, transform, forall,
+# array_contains-style exists, aggregate (arraySum).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_array_ops",
+    oracle="""
+SELECT
+  vec_id,
+  LEN(embedding) AS dim,
+  CAST(embedding[1] AS FLOAT) AS first_elem,
+  CAST(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS vec_sum,
+  LIST_BOOL_AND(LIST_TRANSFORM(embedding, x -> x IS NOT NULL)) AS all_non_null,
+  LIST_BOOL_OR(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) > 0.9)) AS any_gt_09
+FROM embeddings
+""",
+)
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        ch.arrayLength(emb).cast("bigint").alias("dim"),
+        ch.arrayElement(emb, 1).alias("first_elem"),
+        # sum in the same left-to-right order as DuckDB list_sum: both fold
+        # sequentially over the (identical) array, so doubles agree.
+        ch.arraySum(emb).alias("vec_sum"),
+        ch.arrayAll(lambda x: x.isNotNull(), emb).alias("all_non_null"),
+        ch.arrayExists(lambda x: x.cast("double") > 0.9, emb).alias("any_gt_09"),
+    )

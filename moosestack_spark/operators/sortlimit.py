@@ -1,0 +1,95 @@
+"""Sort / limit / pagination operators (SURVEY.md §2.6).
+
+Reference surface: Query().order_by/limit
+(packages/py-moose-lib/moose_lib/query_builder.py:144-186) and the TS
+limit/offset/paginate helpers with maxLimit clamping
+(ts-moose-lib/src/query-layer/sql-utils.ts:233-260; query-model.ts:783-794).
+
+Scale note: ORDER BY + LIMIT compiles to Spark's TakeOrderedAndProject — a
+per-partition top-k then a driver merge of k-row heaps, NOT a global sort.
+That is the right 100 TB plan; `df.offset(m).limit(n)` pagination extends it
+to top-(m+n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moosestack_spark.query_layer.pagination import clamp_limit, paginate
+from moosestack_spark.registry import query
+from moosestack_spark.tables import t
+
+# --------------------------------------------------------------------------
+# Multi-key ORDER BY asc/desc + LIMIT — deterministic via unique tiebreaker.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_multikey_limit",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+LIMIT 50
+""",
+)
+def sort_multikey_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy(
+            F.asc("o_orderpriority"), F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Pagination: page 2 of a 20-row page over a deterministic ordering
+# (paginate(pageSize, page) -> LIMIT pageSize OFFSET pageSize*page,
+#  sql-utils.ts:243-251).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_paginate",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey ASC
+LIMIT 20 OFFSET 40
+""",
+)
+def sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    ordered = c.select("c_custkey", "c_name", "c_acctbal").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return paginate(ordered, page_size=20, page=2)
+
+
+# --------------------------------------------------------------------------
+# maxLimit clamp: a request asking for 5000 rows is clamped to maxLimit=1000
+# (query-model.ts:789; MCP query_olap.rs:19-21 uses the same 100/1000 caps).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit_clamp",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 1000
+""",
+)
+def sort_limit_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    requested = 5000
+    n = clamp_limit(requested)  # -> 1000
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(n)
+    )

@@ -1,0 +1,185 @@
+"""Window functions (SURVEY.md §2.5).
+
+The reference exposes windows as ClickHouse SQL passthrough; the three shapes
+seen in its templates define the required surface:
+
+- ranking:  row_number() OVER (ORDER BY x DESC)
+  (templates/live-heartrate-leaderboard/app/apis/get_leaderboard.py:88)
+- analytic: lagInFrame(x, 1, default) OVER (PARTITION BY u ORDER BY ts)
+  (.../get_user_live_heart_rate_stats.py:70)
+- framed agg: sum(x) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING)
+  (.../get_user_live_heart_rate_stats.py:84)
+
+Scale note: a global ORDER BY window (no PARTITION BY) funnels all rows into
+one task; at 100 TB that shape is only valid after a selective filter or
+pre-aggregation, which is how these gate queries use it (ranking over a
+pre-aggregated / filtered set).  Per-key windows partition by the key and
+scale out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from moosestack_spark.operators._determinism import dsum, sql_dsum
+from moosestack_spark.registry import query
+from moosestack_spark.tables import t
+
+# --------------------------------------------------------------------------
+# Ranking: top-10 customers by total spend.  Aggregate first (shuffle on
+# custkey), then the global window runs over only |customers| rows.
+# row_number ties are broken deterministically by custkey.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_row_number_topk",
+    oracle=f"""
+SELECT * FROM (
+  SELECT
+    o_custkey,
+    spend,
+    ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rnk
+  FROM (
+    SELECT o_custkey, {sql_dsum('o_totalprice')} AS spend
+    FROM orders GROUP BY o_custkey
+  )
+) WHERE rnk <= 10
+""",
+)
+def window_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("spend"))
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return spend.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+# --------------------------------------------------------------------------
+# rank / dense_rank with deterministic tie handling on integer-valued data.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+SELECT
+  p_brand,
+  p_size,
+  RANK()       OVER (PARTITION BY p_brand ORDER BY p_size) AS size_rank,
+  DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS size_dense_rank
+FROM part
+WHERE p_size <= 10
+""",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    w = Window.partitionBy("p_brand").orderBy("p_size")
+    return p.select(
+        "p_brand",
+        "p_size",
+        F.rank().over(w).alias("size_rank"),
+        F.dense_rank().over(w).alias("size_dense_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytic lag with default — the lagInFrame(hr_value, 1, 0) shape, keyed per
+# user over the events stream (ts is unique per user in the test data via
+# event_id tiebreak).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_lag",
+    oracle="""
+SELECT
+  event_id,
+  user_id,
+  value,
+  LAG(value, 1, CAST(0.0 AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events
+""",
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1, 0.0).over(w).alias("prev_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Framed running aggregate: per-user running event count and running exact
+# sum (decimal internally for cross-engine determinism, surfaced as double).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+SELECT
+  event_id,
+  user_id,
+  CAST(SUM(CAST(value AS DECIMAL(25,4))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS running_value,
+  COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS running_n
+FROM events
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(25,4)")).over(w).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# first_value / last_value over a frame (CH `any`/`anyLast` analytic shape).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_first_last",
+    oracle="""
+SELECT DISTINCT
+  user_id,
+  FIRST_VALUE(event_type) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  ) AS first_event,
+  LAST_VALUE(event_type) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  ) AS last_event
+FROM events
+""",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_event"),
+        F.last("event_type").over(w).alias("last_event"),
+    ).distinct()

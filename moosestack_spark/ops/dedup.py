@@ -1,0 +1,344 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard (exact set similarity over shingles),
+MinHash+LSH (banded approximate near-dup at scale), SimHash (hamming-bucket
+near-dup).  All built from DataFrame ops; hashing via xxhash64 (JVM-side).
+
+Scale design:
+- exact dedup: one shuffle on the content hash — at 100 TB dedup by
+  fingerprint, never by raw text (hash first, compare within hash buckets);
+- n-gram Jaccard: exact but O(candidate pairs); candidates generated from a
+  shared-shingle join, so disjoint docs never pair.  Use on bounded corpora
+  or post-LSH candidate sets;
+- MinHash+LSH: the 100 TB path — k minhashes per doc, b bands -> band-hash
+  buckets -> candidate pairs only within buckets, verified with exact
+  Jaccard on the minhash signatures (and optionally on the true shingles);
+- SimHash: 64-bit sketch, near-dup = small hamming distance within prefix
+  buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moosestack_spark.registry import query
+from moosestack_spark.tables import t
+
+# --------------------------------------------------------------------------
+# shingling
+# --------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Distinct n-word shingles as an array<string> (JVM-side)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per distinct normalized text.  The groupBy runs on
+    a 64-bit hash + the text (hash prunes comparisons; text guards against
+    hash collisions at 100 TB row counts)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return (
+        df.withColumn("__norm", norm)
+        .groupBy(F.xxhash64("__norm").alias("__h"), F.col("__norm"))
+        .agg(F.min(F.col(id_col)).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__h", "__norm")
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+SELECT doc_id, dup_count FROM (
+  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+  FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  )
+  GROUP BY regexp_replace(TRIM(LOWER(text)), '\s+', ' ', 'g')
+)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with planted duplicates (every 5th doc
+    re-inserted under a shifted id); survivor = min doc_id."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_dedup(d.unionByName(dup), "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over distinct n-gram shingle sets for every candidate
+    pair (pairs sharing >= 1 shingle).  Returns (doc_a, doc_b, jaccard).
+
+    Plan shape: explode -> self-equi-join on shingle (shuffle on shingle)
+    -> per-pair intersection counts -> join per-doc set sizes.  Skew note:
+    a shingle shared by m docs contributes m^2/2 pairs — stopword-like
+    shingles must be rare at the chosen n (n>=5 words) or pre-filtered.
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS doc, shingle FROM (
+    SELECT doc_id,
+           array_to_string(toks[i : i + 4], ' ') AS shingle
+    FROM (
+      SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents
+    ), LATERAL (SELECT UNNEST(generate_series(1, GREATEST(LEN(toks) - 4, 0))) AS i)
+  )
+),
+sizes AS (SELECT doc, COUNT(*) AS set_size FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (the scale path; approximate -> rows-only driver check, but
+# pytest verifies recall against exact Jaccard on the small corpus)
+# --------------------------------------------------------------------------
+
+N_HASHES = 32
+N_BANDS = 8  # 4 rows/band; threshold ~ (1/b)^(1/r) ~ 0.59
+
+
+def _seeded_hash(seed: int):
+    # NB: closure factory, NOT a default-arg lambda — pyspark treats a
+    # 2-parameter lambda as (element, index) and would pass the array index.
+    return lambda s: F.xxhash64(s, F.lit(seed))
+
+
+def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
+    """n_hashes minhash values per doc: min over shingles of
+    xxhash64(shingle, seed_i).  Pure JVM expressions."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _seeded_hash(i)))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate generation + signature-Jaccard verification.
+
+    Shuffle profile at 100 TB: one narrow map computes signatures; explode
+    to n_bands rows/doc; shuffle on (band, band_hash) groups only docs whose
+    band collides; candidate pairs are verified by comparing the full
+    signatures (estimated Jaccard = fraction of equal minhashes).
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(word_shingles(F.col(text_col), n), n_hashes).alias("sig"),
+    ).filter(F.size("sig") > 0)
+
+    bands = sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(N_HASHES))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+@query("dedup_minhash_lsh")  # approximate: rows-only driver check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_pairs(d, "doc_id", "text", n=5, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# SimHash (64-bit, hamming near-dup)
+# --------------------------------------------------------------------------
+
+
+def simhash64(shingles: Column) -> Column:
+    """64-bit SimHash over shingle hashes: sign of per-bit vote sums.
+    Expressed as JVM array ops: for each bit, count shingles with the bit
+    set, compare against half the shingle count."""
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    n = F.size(hashes)
+
+    def bit_set(b: int):
+        # closure factory — see _seeded_hash note on 2-parameter lambdas
+        return lambda h: h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0
+
+    bits = [
+        F.when(
+            F.size(F.filter(hashes, bit_set(b))) * 2 > n,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out.bitwiseOR(bcol)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed by the 4 16-bit
+    quarters (a pair within hamming<=8 shares at least one identical
+    quarter... pigeonhole guarantees d<=3 collides; wider d is best-effort,
+    matching SimHash practice)."""
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        simhash64(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    quarters = sig.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftrightunsigned(F.col("sh"), q * 16)
+                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        .alias("qh"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("qq"),
+    ).select("doc", "sh", F.col("qq.q").alias("q"), F.col("qq.qh").alias("qh"))
+    a = quarters.alias("a")
+    b = quarters.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qh") == F.col("b.qh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+@query("dedup_simhash")  # hash-sketch based: rows-only driver check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_pairs(d, "doc_id", "text", n=5, max_hamming=8)

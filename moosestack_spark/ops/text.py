@@ -1,0 +1,196 @@
+"""Text analysis operators for training-data pipelines.
+
+- token counting (whitespace + a BPE-ish word/punct regex)
+- quality scoring (length / punctuation / stopword ratios)
+- language ID (stopword-profile heuristic, argmax over per-language hits)
+- document fingerprinting (md5 of normalized text; rolling-hash variant)
+
+All computed with built-in Spark SQL functions — no Python UDFs — so the
+whole pipeline stays in whole-stage codegen and scales linearly: each
+operator is a narrow map over `documents`, no shuffle at all except where an
+explicit groupBy is documented.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moosestack_spark.registry import query
+from moosestack_spark.tables import t
+
+# Tiny per-language stopword profiles (subset-of-vocabulary heuristic).
+# The driver's synthetic documents use an English-ish systems vocabulary, so
+# profiles here are only exercised structurally; real profiles plug in the
+# same shape.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+_WS = r"\s+"
+
+
+def tokens(c: Column) -> Column:
+    return F.split(F.trim(c), _WS)
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count."""
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(c))
+    ).cast("bigint")
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """Sub-word-ish count: split on word/punct boundaries (regexp), the
+    cheap stand-in for a BPE tokenizer's piece count."""
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces).cast("bigint")
+
+
+def stopword_ratio(c: Column, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(F.lower(c))
+    hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def punct_ratio(c: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def quality_score(c: Column) -> Column:
+    """Composite quality heuristic in [0,1]: long enough, low punctuation
+    noise, sane mean token length.  Deterministic double arithmetic."""
+    n_tok = token_count(c).cast("double")
+    mean_tok_len = F.length(c).cast("double") / F.greatest(n_tok, F.lit(1.0))
+    len_ok = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(c) * 10.0, F.lit(1.0))
+    tok_len_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 1.0).otherwise(0.5)
+    return (len_ok * 0.4 + punct_ok * 0.3 + tok_len_ok * 0.3).cast("double")
+
+
+def fingerprint_md5(c: Column) -> Column:
+    """Content fingerprint: md5 over whitespace-normalized lowercase text."""
+    norm = F.regexp_replace(F.lower(F.trim(c)), _WS, " ")
+    return F.md5(norm.cast("binary"))
+
+
+def lang_id(c: Column) -> Column:
+    """Stopword-profile language ID: argmax of per-language hit counts with
+    deterministic tiebreak on language code; 'und' when no profile hits."""
+    toks = tokens(F.lower(c))
+
+    def in_profile(code: str):
+        # closure factory — a 2-param lambda would receive the array index
+        words = LANG_PROFILES[code]
+        return lambda w: w.isin(*words)
+
+    entries = []
+    for code in sorted(LANG_PROFILES):
+        hits = F.size(F.filter(toks, in_profile(code)))
+        entries.append(F.struct(hits.alias("hits"), F.lit(code).alias("code")))
+    # max over (hits, -code) with lexicographically-first code on ties:
+    # array_max compares structs field-by-field; to prefer smaller code on
+    # equal hits we sort desc by hits then asc by code via aggregate.
+    arr = F.array(*entries)
+    best = F.aggregate(
+        arr,
+        F.struct(F.lit(-1).alias("hits"), F.lit("zz").alias("code")),
+        lambda acc, x: F.when(
+            (x["hits"] > acc["hits"])
+            | ((x["hits"] == acc["hits"]) & (x["code"] < acc["code"])),
+            x,
+        ).otherwise(acc),
+    )
+    return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["code"])
+
+
+# --------------------------------------------------------------------------
+# Gate queries
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+SELECT
+  doc_id,
+  LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens,
+  LENGTH(text) AS n_chars_measured,
+  CAST(LENGTH(text) AS DOUBLE) / GREATEST(LEN(string_split_regex(TRIM(text), '\s+')), 1) AS mean_token_len
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        (F.length("text").cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")).alias(
+            "mean_token_len"
+        ),
+    )
+
+
+@query(
+    "text_stopword_ratio",
+    oracle=r"""
+SELECT
+  doc_id,
+  CAST(LEN(LIST_FILTER(string_split_regex(TRIM(LOWER(text)), '\s+'),
+        w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+    / GREATEST(LEN(string_split_regex(TRIM(LOWER(text)), '\s+')), 1) AS sw_ratio
+FROM documents
+""",
+)
+def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        stopword_ratio(F.col("text"), LANG_PROFILES["en"]).alias("sw_ratio"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+SELECT
+  doc_id,
+  MD5(regexp_replace(TRIM(LOWER(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+
+
+@query(
+    "text_quality_bucket",
+    oracle=r"""
+SELECT quality_bucket, COUNT(*) AS n FROM (
+  SELECT CASE
+    WHEN LEN(string_split_regex(TRIM(text), '\s+')) >= 64 THEN 'long'
+    WHEN LEN(string_split_regex(TRIM(text), '\s+')) >= 16 THEN 'medium'
+    ELSE 'short'
+  END AS quality_bucket
+  FROM documents
+)
+GROUP BY quality_bucket
+""",
+)
+def text_quality_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    bucket = (
+        F.when(n_tok >= 64, "long").when(n_tok >= 16, "medium").otherwise("short")
+    )
+    return d.select(bucket.alias("quality_bucket")).groupBy("quality_bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )

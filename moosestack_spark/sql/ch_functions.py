@@ -1,0 +1,624 @@
+"""ClickHouse function vocabulary -> Spark (SURVEY.md §2.9).
+
+The reference passes SQL through to ClickHouse verbatim; its templates and
+examples establish the function vocabulary users rely on (citations:
+templates/python-tests/src/views/bar_aggregated.py:16-24,
+ts-moose-lib/src/query-layer/helpers.ts:100-104,
+py-moose-lib/moose_lib/data_models.py:92-103,
+templates/live-heartrate-leaderboard/app/apis/get_user_live_heart_rate_stats.py:70-84).
+
+Two surfaces:
+
+1. ``ch`` — a Python namespace of Column helpers (``ch.toStartOfMonth(c)``)
+   compiling to built-in pyspark.sql.functions (JVM-side, codegen'd — never
+   Python UDFs), for DataFrame-first users.
+2. ``translate_ch_sql`` — a function-name rewriter for the SQL-string
+   surface, covering the same vocabulary; unknown ClickHouse-only names fail
+   loudly rather than silently producing wrong results.
+
+Documented semantic differences from ClickHouse:
+- cityHash64 -> xxhash64: different hash VALUES (same distribution use);
+- uniq -> approx_count_distinct: different sketch, both approximate;
+- toStartOfWeek: ClickHouse defaults to Sunday (mode 0); we emulate with
+  date_trunc('week') shifted, matching mode 0.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def _c(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+class _CH:
+    """ClickHouse-named Column helpers (each maps to built-in Spark exprs)."""
+
+    # ---- date/time -------------------------------------------------------
+    @staticmethod
+    def toDate(c: ColumnOrName) -> Column:
+        return F.to_date(_c(c))
+
+    @staticmethod
+    def toDateTime(c: ColumnOrName) -> Column:
+        return _c(c).cast("timestamp")
+
+    @staticmethod
+    def toStartOfDay(c: ColumnOrName) -> Column:
+        return F.date_trunc("day", _c(c))
+
+    @staticmethod
+    def toStartOfHour(c: ColumnOrName) -> Column:
+        return F.date_trunc("hour", _c(c))
+
+    @staticmethod
+    def toStartOfMinute(c: ColumnOrName) -> Column:
+        return F.date_trunc("minute", _c(c))
+
+    @staticmethod
+    def toStartOfMonth(c: ColumnOrName) -> Column:
+        return F.to_date(F.date_trunc("month", _c(c)))
+
+    @staticmethod
+    def toStartOfYear(c: ColumnOrName) -> Column:
+        return F.to_date(F.date_trunc("year", _c(c)))
+
+    @staticmethod
+    def toStartOfWeek(c: ColumnOrName) -> Column:
+        # CH mode 0 = week starts Sunday.  Spark date_trunc('week') starts
+        # Monday, so shift by one day either side.
+        return F.to_date(F.date_sub(F.date_trunc("week", F.date_add(_c(c), 1)), 1))
+
+    @staticmethod
+    def toStartOfFifteenMinutes(c: ColumnOrName) -> Column:
+        # floor epoch seconds to 900s buckets, JVM-side arithmetic.
+        secs = F.unix_timestamp(_c(c))
+        return F.timestamp_seconds(secs - secs % 900)
+
+    @staticmethod
+    def toDayOfMonth(c: ColumnOrName) -> Column:
+        return F.dayofmonth(_c(c))
+
+    @staticmethod
+    def toDayOfWeek(c: ColumnOrName) -> Column:
+        # CH: Monday=1..Sunday=7; Spark dayofweek: Sunday=1..Saturday=7.
+        return ((F.dayofweek(_c(c)) + 5) % 7) + 1
+
+    @staticmethod
+    def toHour(c: ColumnOrName) -> Column:
+        return F.hour(_c(c))
+
+    @staticmethod
+    def toMinute(c: ColumnOrName) -> Column:
+        return F.minute(_c(c))
+
+    @staticmethod
+    def toYear(c: ColumnOrName) -> Column:
+        return F.year(_c(c))
+
+    @staticmethod
+    def toMonth(c: ColumnOrName) -> Column:
+        return F.month(_c(c))
+
+    @staticmethod
+    def now() -> Column:
+        return F.current_timestamp()
+
+    @staticmethod
+    def today() -> Column:
+        return F.current_date()
+
+    @staticmethod
+    def dateDiff(unit: str, start: ColumnOrName, end: ColumnOrName) -> Column:
+        unit = unit.strip("'\"").lower()
+        s, e = _c(start), _c(end)
+        if unit == "day":
+            return F.datediff(F.to_date(e), F.to_date(s)).cast("long")
+        if unit == "hour":
+            return ((F.unix_timestamp(e) - F.unix_timestamp(s)) / 3600).cast("long")
+        if unit == "minute":
+            return ((F.unix_timestamp(e) - F.unix_timestamp(s)) / 60).cast("long")
+        if unit == "second":
+            return (F.unix_timestamp(e) - F.unix_timestamp(s)).cast("long")
+        if unit == "month":
+            return F.months_between(F.to_date(e), F.to_date(s)).cast("long")
+        if unit == "year":
+            return (F.year(e) - F.year(s)).cast("long")
+        raise ValueError(f"dateDiff unit {unit!r} not supported")
+
+    @staticmethod
+    def addDays(c: ColumnOrName, n: int) -> Column:
+        return F.date_add(_c(c), n)
+
+    @staticmethod
+    def subtractDays(c: ColumnOrName, n: int) -> Column:
+        return F.date_sub(_c(c), n)
+
+    # ---- conversions -----------------------------------------------------
+    @staticmethod
+    def toString(c: ColumnOrName) -> Column:
+        return _c(c).cast("string")
+
+    @staticmethod
+    def toInt8(c: ColumnOrName) -> Column:
+        return _c(c).cast("tinyint")
+
+    @staticmethod
+    def toInt16(c: ColumnOrName) -> Column:
+        return _c(c).cast("smallint")
+
+    @staticmethod
+    def toInt32(c: ColumnOrName) -> Column:
+        return _c(c).cast("int")
+
+    @staticmethod
+    def toInt64(c: ColumnOrName) -> Column:
+        return _c(c).cast("bigint")
+
+    @staticmethod
+    def toFloat32(c: ColumnOrName) -> Column:
+        return _c(c).cast("float")
+
+    @staticmethod
+    def toFloat64(c: ColumnOrName) -> Column:
+        return _c(c).cast("double")
+
+    @staticmethod
+    def toFixed(c: ColumnOrName, scale: int) -> Column:
+        return F.round(_c(c), scale)
+
+    @staticmethod
+    def parseDateTimeBestEffort(c: ColumnOrName) -> Column:
+        return F.to_timestamp(_c(c))
+
+    # ---- string ----------------------------------------------------------
+    @staticmethod
+    def lower(c: ColumnOrName) -> Column:
+        return F.lower(_c(c))
+
+    @staticmethod
+    def upper(c: ColumnOrName) -> Column:
+        return F.upper(_c(c))
+
+    @staticmethod
+    def concat(*cs: ColumnOrName) -> Column:
+        return F.concat(*[_c(x) if not isinstance(x, Column) else x for x in cs])
+
+    @staticmethod
+    def substring(c: ColumnOrName, pos: int, length: int) -> Column:
+        return F.substring(_c(c), pos, length)
+
+    @staticmethod
+    def length(c: ColumnOrName) -> Column:
+        return F.length(_c(c))
+
+    @staticmethod
+    def splitByChar(sep: str, c: ColumnOrName) -> Column:
+        return F.split(_c(c), re.escape(sep), -1)
+
+    @staticmethod
+    def trim(c: ColumnOrName) -> Column:
+        return F.trim(_c(c))
+
+    @staticmethod
+    def replaceAll(c: ColumnOrName, pat: str, repl: str) -> Column:
+        return F.replace(_c(c), F.lit(pat), F.lit(repl))
+
+    @staticmethod
+    def position(haystack: ColumnOrName, needle: str) -> Column:
+        return F.instr(_c(haystack), needle)
+
+    @staticmethod
+    def startsWith(c: ColumnOrName, prefix: str) -> Column:
+        return _c(c).startswith(prefix)
+
+    @staticmethod
+    def endsWith(c: ColumnOrName, suffix: str) -> Column:
+        return _c(c).endswith(suffix)
+
+    # ---- math ------------------------------------------------------------
+    @staticmethod
+    def round(c: ColumnOrName, scale: int = 0) -> Column:
+        return F.round(_c(c), scale)
+
+    @staticmethod
+    def floor(c: ColumnOrName) -> Column:
+        return F.floor(_c(c))
+
+    @staticmethod
+    def ceil(c: ColumnOrName) -> Column:
+        return F.ceil(_c(c))
+
+    @staticmethod
+    def abs(c: ColumnOrName) -> Column:
+        return F.abs(_c(c))
+
+    @staticmethod
+    def intDiv(a: ColumnOrName, b: Any) -> Column:
+        bb = b if isinstance(b, Column) else F.lit(b)
+        return F.floor(_c(a) / bb).cast("long")
+
+    @staticmethod
+    def modulo(a: ColumnOrName, b: Any) -> Column:
+        bb = b if isinstance(b, Column) else F.lit(b)
+        return _c(a) % bb
+
+    @staticmethod
+    def sqrt(c: ColumnOrName) -> Column:
+        return F.sqrt(_c(c))
+
+    @staticmethod
+    def exp(c: ColumnOrName) -> Column:
+        return F.exp(_c(c))
+
+    @staticmethod
+    def log(c: ColumnOrName) -> Column:
+        return F.log(_c(c))
+
+    @staticmethod
+    def pow(a: ColumnOrName, b: Any) -> Column:
+        return F.pow(_c(a), b)
+
+    # ---- conditional -----------------------------------------------------
+    @staticmethod
+    def if_(cond: Column, then: Any, else_: Any) -> Column:
+        return F.when(cond, then).otherwise(else_)
+
+    @staticmethod
+    def multiIf(*args: Any) -> Column:
+        # multiIf(c1, v1, c2, v2, ..., default)
+        if len(args) < 3 or len(args) % 2 == 0:
+            raise ValueError("multiIf needs cond/value pairs plus a default")
+        out = F.when(args[0], args[1])
+        for i in range(2, len(args) - 1, 2):
+            out = out.when(args[i], args[i + 1])
+        return out.otherwise(args[-1])
+
+    @staticmethod
+    def coalesce(*cs: Any) -> Column:
+        return F.coalesce(*[_c(x) if isinstance(x, str) else x for x in cs])
+
+    @staticmethod
+    def greatest(*cs: ColumnOrName) -> Column:
+        return F.greatest(*[_c(x) for x in cs])
+
+    @staticmethod
+    def least(*cs: ColumnOrName) -> Column:
+        return F.least(*[_c(x) for x in cs])
+
+    # ---- hash ------------------------------------------------------------
+    @staticmethod
+    def cityHash64(*cs: ColumnOrName) -> Column:
+        # DIFFERENT VALUES than ClickHouse cityHash64 — same 64-bit
+        # distribution properties (documented divergence).
+        return F.xxhash64(*[_c(x) for x in cs])
+
+    @staticmethod
+    def MD5(c: ColumnOrName) -> Column:
+        return F.md5(_c(c).cast("binary"))
+
+    @staticmethod
+    def sipHash64(*cs: ColumnOrName) -> Column:
+        return F.xxhash64(*[_c(x) for x in cs])
+
+    # ---- array -----------------------------------------------------------
+    @staticmethod
+    def arrayElement(c: ColumnOrName, i: Any) -> Column:
+        return F.element_at(_c(c), i)  # 1-based, like CH
+
+    @staticmethod
+    def arrayMap(fn, c: ColumnOrName) -> Column:
+        return F.transform(_c(c), fn)
+
+    @staticmethod
+    def arrayFilter(fn, c: ColumnOrName) -> Column:
+        return F.filter(_c(c), fn)
+
+    @staticmethod
+    def arrayJoin(c: ColumnOrName) -> Column:
+        return F.explode(_c(c))
+
+    @staticmethod
+    def arrayAll(fn, c: ColumnOrName) -> Column:
+        return F.forall(_c(c), fn)
+
+    @staticmethod
+    def arrayExists(fn, c: ColumnOrName) -> Column:
+        return F.exists(_c(c), fn)
+
+    @staticmethod
+    def arraySum(c: ColumnOrName) -> Column:
+        return F.aggregate(_c(c), F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+    @staticmethod
+    def has(c: ColumnOrName, v: Any) -> Column:
+        return F.array_contains(_c(c), v)
+
+    @staticmethod
+    def arrayLength(c: ColumnOrName) -> Column:
+        return F.size(_c(c))
+
+    @staticmethod
+    def arraySort(c: ColumnOrName) -> Column:
+        return F.sort_array(_c(c))
+
+    @staticmethod
+    def arrayDistinct(c: ColumnOrName) -> Column:
+        return F.array_distinct(_c(c))
+
+    @staticmethod
+    def arraySlice(c: ColumnOrName, offset: int, length: int) -> Column:
+        return F.slice(_c(c), offset, length)
+
+    # ---- JSON ------------------------------------------------------------
+    @staticmethod
+    def JSONExtractString(c: ColumnOrName, key: str) -> Column:
+        return F.get_json_object(_c(c), f"$.{key}")
+
+    @staticmethod
+    def JSONExtractInt(c: ColumnOrName, key: str) -> Column:
+        return F.get_json_object(_c(c), f"$.{key}").cast("bigint")
+
+    @staticmethod
+    def JSONExtractFloat(c: ColumnOrName, key: str) -> Column:
+        return F.get_json_object(_c(c), f"$.{key}").cast("double")
+
+    @staticmethod
+    def JSONExtractBool(c: ColumnOrName, key: str) -> Column:
+        return F.get_json_object(_c(c), f"$.{key}").cast("boolean")
+
+    @staticmethod
+    def JSONHas(c: ColumnOrName, key: str) -> Column:
+        return F.get_json_object(_c(c), f"$.{key}").isNotNull()
+
+    @staticmethod
+    def JSONExtractKeys(c: ColumnOrName) -> Column:
+        return F.json_object_keys(_c(c))
+
+
+ch = _CH()
+
+
+# ---------------------------------------------------------------------------
+# SQL-string dialect translation (the consumption-API passthrough surface).
+# Function-NAME rewriting over the §2.9 vocabulary; structure (SELECT/JOIN/
+# WHERE/OVER) is shared ANSI syntax between ClickHouse and Spark SQL.
+# Unknown ClickHouse-only functions raise, loudly (SURVEY §7 hard part 3).
+# ---------------------------------------------------------------------------
+
+# name -> simple rename (arg-compatible)
+_RENAME = {
+    "toDate": "to_date",
+    "toDayOfMonth": "dayofmonth",
+    "toHour": "hour",
+    "toMinute": "minute",
+    "toYear": "year",
+    "toMonth": "month",
+    "now": "current_timestamp",
+    "today": "current_date",
+    "toString": "string",
+    "lower": "lower",
+    "upper": "upper",
+    "concat": "concat",
+    "substring": "substring",
+    "length": "length",
+    "trim": "trim",
+    "round": "round",
+    "floor": "floor",
+    "ceil": "ceil",
+    "abs": "abs",
+    "coalesce": "coalesce",
+    "greatest": "greatest",
+    "least": "least",
+    "if": "if",
+    "countIf": "count_if",
+    "uniq": "approx_count_distinct",
+    "argMax": "max_by",
+    "argMin": "min_by",
+    "groupArray": "collect_list",
+    "any": "first",
+    "anyLast": "last",
+    "quantile": "percentile_approx",
+    "median": "median",
+    "cityHash64": "xxhash64",
+    "sipHash64": "xxhash64",
+    "arrayJoin": "explode",
+    "has": "array_contains",
+    "lagInFrame": "lag",
+    "leadInFrame": "lead",
+    "avgIf": "avg_if",
+    "sumIf": "sum_if",
+}
+
+# name -> template with {args} placeholders
+_TEMPLATE = {
+    "uniqExact": "count(DISTINCT {0})",
+    "toStartOfDay": "date_trunc('day', {0})",
+    "toStartOfHour": "date_trunc('hour', {0})",
+    "toStartOfMinute": "date_trunc('minute', {0})",
+    "toStartOfMonth": "to_date(date_trunc('month', {0}))",
+    "toStartOfYear": "to_date(date_trunc('year', {0}))",
+    "toStartOfWeek": "to_date(date_sub(date_trunc('week', date_add({0}, 1)), 1))",
+    "toStartOfFifteenMinutes": (
+        "timestamp_seconds(unix_timestamp({0}) - unix_timestamp({0}) % 900)"
+    ),
+    "toInt8": "cast({0} as tinyint)",
+    "toInt16": "cast({0} as smallint)",
+    "toInt32": "cast({0} as int)",
+    "toInt64": "cast({0} as bigint)",
+    "toUInt32": "cast({0} as bigint)",
+    "toUInt64": "cast({0} as bigint)",
+    "toFloat32": "cast({0} as float)",
+    "toFloat64": "cast({0} as double)",
+    "toFixed": "round({0}, {1})",
+    "intDiv": "cast(floor({0} / {1}) as bigint)",
+    "modulo": "({0} % {1})",
+    "multiIf": None,  # handled specially below
+    "splitByChar": "split({1}, {0})",
+    "arrayElement": "element_at({0}, {1})",
+    "JSONExtractString": "get_json_object({0}, concat('$.', {1}))",
+    "JSONExtractInt": "cast(get_json_object({0}, concat('$.', {1})) as bigint)",
+    "JSONExtractFloat": "cast(get_json_object({0}, concat('$.', {1})) as double)",
+    "dateDiff": None,  # handled specially
+    "sumIf": None,
+    "avgIf": None,
+}
+
+_KNOWN_SPARK_PASSTHROUGH = frozenset(
+    """select from where group by order having limit offset join on as and or not
+    count sum avg min max distinct case when then else end cast between in like
+    ilike is null desc asc over partition rows range unbounded preceding
+    following current row row_number rank dense_rank lag lead first_value
+    last_value union all intersect except with""".split()
+)
+
+_FN_CALL = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Split a function arg string on top-level commas."""
+    args, depth, cur, in_str = [], 0, [], False
+    i = 0
+    while i < len(argstr):
+        chr_ = argstr[i]
+        if in_str:
+            cur.append(chr_)
+            if chr_ == "'":
+                in_str = False
+        elif chr_ == "'":
+            in_str = True
+            cur.append(chr_)
+        elif chr_ in "([":
+            depth += 1
+            cur.append(chr_)
+        elif chr_ in ")]":
+            depth -= 1
+            cur.append(chr_)
+        elif chr_ == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(chr_)
+        i += 1
+    if cur:
+        args.append("".join(cur).strip())
+    return args
+
+
+def _find_close(s: str, open_idx: int) -> int:
+    depth, in_str = 0, False
+    for i in range(open_idx, len(s)):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError(f"unbalanced parens in SQL near index {open_idx}")
+
+
+def translate_ch_sql(sql: str) -> str:
+    """Rewrite ClickHouse function names in a SQL string to Spark SQL.
+
+    Handles nested calls (recurses into arguments).  Raises on ClickHouse
+    functions outside the supported vocabulary.
+    """
+    out = []
+    i = 0
+    while True:
+        m = _FN_CALL.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        name = m.group(1)
+        open_idx = m.end() - 1
+        close_idx = _find_close(sql, open_idx)
+        inner = sql[open_idx + 1 : close_idx]
+        args = [translate_ch_sql(a) for a in _split_args(inner)] if inner.strip() else []
+        out.append(sql[i : m.start()])
+
+        if name == "multiIf":
+            if len(args) < 3 or len(args) % 2 == 0:
+                raise ValueError("multiIf needs cond/value pairs plus default")
+            parts = ["CASE"]
+            for j in range(0, len(args) - 1, 2):
+                parts.append(f"WHEN {args[j]} THEN {args[j+1]}")
+            parts.append(f"ELSE {args[-1]} END")
+            out.append(" ".join(parts))
+        elif name == "dateDiff":
+            unit = args[0].strip("'\"")
+            out.append(f"timestampdiff({unit}, {args[1]}, {args[2]})")
+        elif name == "sumIf":
+            out.append(f"sum(CASE WHEN {args[1]} THEN {args[0]} END)")
+        elif name == "avgIf":
+            out.append(f"avg(CASE WHEN {args[1]} THEN {args[0]} END)")
+        elif name in _TEMPLATE and _TEMPLATE[name] is not None:
+            out.append(_TEMPLATE[name].format(*args))
+        elif name in _RENAME:
+            out.append(f"{_RENAME[name]}({', '.join(args)})")
+        elif name.lower() in _KNOWN_SPARK_PASSTHROUGH or _is_spark_builtin(name):
+            out.append(f"{name}({', '.join(args)})")
+        else:
+            raise ValueError(
+                f"ClickHouse function {name!r} is not in the supported "
+                f"translation vocabulary (SURVEY.md §2.9); add a mapping in "
+                f"moosestack_spark/sql/ch_functions.py"
+            )
+        i = close_idx + 1
+    return "".join(out)
+
+
+_SPARK_BUILTINS_CACHE: set[str] | None = None
+
+
+def _is_spark_builtin(name: str) -> bool:
+    """Accept names Spark SQL itself knows (shared ANSI vocabulary)."""
+    global _SPARK_BUILTINS_CACHE
+    if _SPARK_BUILTINS_CACHE is None:
+        try:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                return _fallback_builtin(name)
+            _SPARK_BUILTINS_CACHE = {
+                r.function.split(".")[-1].lower()
+                for r in spark.sql("SHOW FUNCTIONS").collect()
+            }
+        except Exception:
+            return _fallback_builtin(name)
+    return name.lower() in _SPARK_BUILTINS_CACHE
+
+
+_FALLBACK_BUILTINS = frozenset(
+    """count sum avg min max count_if approx_count_distinct count_distinct
+    max_by min_by collect_list collect_set first last percentile_approx median
+    to_date to_timestamp date_trunc date_add date_sub datediff months_between
+    unix_timestamp timestamp_seconds year month dayofmonth dayofweek hour
+    minute second current_timestamp current_date lower upper concat substring
+    substr length split trim ltrim rtrim replace instr lpad rpad regexp_extract
+    regexp_replace round floor ceil abs sqrt exp log pow power greatest least
+    coalesce nullif if nvl cast string element_at explode transform filter
+    forall exists aggregate array_contains size sort_array array_distinct
+    slice get_json_object json_tuple from_json to_json json_object_keys
+    xxhash64 md5 sha1 sha2 crc32 hash row_number rank dense_rank lag lead
+    first_value last_value ntile cume_dist percent_rank when case struct
+    named_struct array map sequence""".split()
+)
+
+
+def _fallback_builtin(name: str) -> bool:
+    return name.lower() in _FALLBACK_BUILTINS
