@@ -168,21 +168,27 @@ N_HASHES = 32
 N_BANDS = 8  # 4 rows/band; threshold ~ (1/b)^(1/r) ~ 0.59
 
 
-def _seeded_hash(seed: int):
-    # NB: closure factory, NOT a default-arg lambda — pyspark treats a
-    # 2-parameter lambda as (element, index) and would pass the array index.
-    return lambda s: F.xxhash64(s, F.lit(seed))
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Per-doc minhash signature as n_hashes COLUMNS h0..h{k-1}.
 
+    Scale-correct shape: explode shingles once, then ONE hash-aggregate with
+    n_hashes `min(xxhash64(shingle, seed_i))` columns — map-side partial
+    aggregation reduces each partition to |docs|*k before the single shuffle.
 
-def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
-    """n_hashes minhash values per doc: min over shingles of
-    xxhash64(shingle, seed_i).  Pure JVM expressions."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, _seeded_hash(i)))
-            for i in range(n_hashes)
-        ]
-    )
+    (An earlier formulation built the signature as a per-row array of 32
+    `array_min(transform(...))` expressions; Catalyst's projection collapse
+    then duplicated that tree into every downstream band expression — a
+    codegen bomb that took 38s on 500 docs.  Columns after an aggregation
+    are materialized, so downstream band hashing reads cheap ints.)
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -196,38 +202,39 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Banded-LSH candidate generation + signature-Jaccard verification.
 
-    Shuffle profile at 100 TB: one narrow map computes signatures; explode
-    to n_bands rows/doc; shuffle on (band, band_hash) groups only docs whose
-    band collides; candidate pairs are verified by comparing the full
-    signatures (estimated Jaccard = fraction of equal minhashes).
+    Shuffle profile at 100 TB: shuffle#1 the shingle aggregation (above);
+    explode to n_bands rows/doc; shuffle#2 the self-join on (band,
+    band_hash) groups only docs whose band collides; signature comparison
+    is a k-term integer expression on joined columns.
     """
     rows_per_band = n_hashes // n_bands
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(word_shingles(F.col(text_col), n), n_hashes).alias("sig"),
-    ).filter(F.size("sig") > 0)
+    sig = minhash_signatures(df, id_col, text_col, n, n_hashes)
+    hcols = [f"h{i}" for i in range(n_hashes)]
 
     bands = sig.select(
         "doc",
-        "sig",
+        *hcols,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
                         ).alias("bh"),
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select("doc", *hcols, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    n_equal = sum(
+        F.when(F.col(f"a.{h}") == F.col(f"b.{h}"), 1).otherwise(0) for h in hcols
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -237,19 +244,9 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            (n_equal.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ).cast("double") / F.lit(float(N_HASHES))
-    return (
-        cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
@@ -266,28 +263,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def simhash64(shingles: Column) -> Column:
-    """64-bit SimHash over shingle hashes: sign of per-bit vote sums.
-    Expressed as JVM array ops: for each bit, count shingles with the bit
-    set, compare against half the shingle count."""
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    n = F.size(hashes)
-
-    def bit_set(b: int):
-        # closure factory — see _seeded_hash note on 2-parameter lambdas
-        return lambda h: h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0
-
-    bits = [
-        F.when(
-            F.size(F.filter(hashes, bit_set(b))) * 2 > n,
-            F.shiftleft(F.lit(1).cast("long"), b),
-        ).otherwise(F.lit(0).cast("long"))
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """64-bit SimHash per doc: sign of per-bit vote sums over shingle
+    hashes.  Same explode->aggregate shape as minhash_signatures: one
+    shuffle, 64 `sum(+-1)` aggregate columns with map-side combine, then a
+    cheap 64-term bit-assembly projection on the aggregated rows."""
+    sh = exploded_shingles(df, id_col, text_col, n).withColumn(
+        "h", F.xxhash64(F.col("shingle"))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
         for b in range(64)
     ]
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out.bitwiseOR(bcol)
-    return out
+    per_doc = sh.groupBy("doc").agg(*votes)
+    sig = None
+    for b in range(64):
+        bit = F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return per_doc.select("doc", sig.alias("sh"))
 
 
 def simhash_pairs(
@@ -297,10 +298,7 @@ def simhash_pairs(
     quarters (a pair within hamming<=8 shares at least one identical
     quarter... pigeonhole guarantees d<=3 collides; wider d is best-effort,
     matching SimHash practice)."""
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        simhash64(word_shingles(F.col(text_col), n)).alias("sh"),
-    )
+    sig = simhash_signatures(df, id_col, text_col, n)
     quarters = sig.select(
         "doc",
         "sh",
