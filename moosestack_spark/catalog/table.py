@@ -1,0 +1,338 @@
+"""OlapTable on Parquet: typed create/insert/read with the reference's
+validation strategies and engine read semantics (SURVEY.md §2.1 "Table
+insert", §1.4).
+
+Port target: packages/py-moose-lib/moose_lib/dmv2/olap_table.py —
+- InsertOptions validation strategies 'fail-fast' | 'discard' | 'isolate'
+  with allow_errors / allow_errors_ratio thresholds (:37-53)
+- array insert (:876-926), stream/iterator insert batched at 1000 (:927-986)
+- isolate = binary-split retry batching (:821-874)
+- versioned physical name {name}_{version with _} (:422-440)
+
+Spark-first storage model:
+- a table is a Parquet directory under the warehouse root; appends are new
+  files (the MergeTree append model); ORDER BY becomes sortWithinPartitions
+  on write (sorted parts -> row-group stat pruning); PARTITION BY becomes
+  partitionBy (partition pruning).
+- engine read semantics (Replacing/Summing/Collapsing dedup-on-read) are
+  applied by .read() via catalog.engine_views — deterministic, strictly
+  more consistent than ClickHouse's eventual merges.
+- at 100 TB the same layout holds: partition columns shard the scan,
+  sorted-by-key files give min/max pruning, and appends never rewrite.
+
+Validation runs through Pydantic (the model IS the schema) before rows
+reach the JVM; at cluster scale validation of large streams should go
+through the streaming path instead (foreachBatch + poison routing), which
+shares the same DLQ envelope.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import shutil
+from collections.abc import Iterable, Iterator, Sequence
+from dataclasses import dataclass, field
+from typing import Any, Generic, Optional, TypeVar
+
+from pydantic import BaseModel, ValidationError
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moosestack_spark.catalog import engine_views
+from moosestack_spark.catalog.engines import (
+    CollapsingMergeTree,
+    Engine,
+    LifeCycle,
+    OlapConfig,
+    ReplacingMergeTree,
+    SummingMergeTree,
+    VersionedCollapsingMergeTree,
+)
+from moosestack_spark.datamodel.reflection import to_columns, to_struct_type
+
+T = TypeVar("T", bound=BaseModel)
+
+STREAM_INSERT_BATCH = 1000  # olap_table.py:961
+MAX_INSERT_BLOCK = 100_000  # olap_table.py:736-739
+
+
+@dataclass
+class InsertOptions:
+    """olap_table.py:37-53."""
+
+    strategy: str = "fail-fast"  # fail-fast | discard | isolate
+    allow_errors: Optional[int] = None
+    allow_errors_ratio: Optional[float] = None
+
+    def __post_init__(self) -> None:
+        if self.strategy not in ("fail-fast", "discard", "isolate"):
+            raise ValueError(f"unknown insert strategy {self.strategy!r}")
+
+
+@dataclass
+class InsertResult:
+    inserted: int
+    failed: int
+    errors: list[str] = field(default_factory=list)
+
+
+class OlapTable(Generic[T]):
+    """Typed OLAP table (dmv2/olap_table.py:291)."""
+
+    def __init__(
+        self,
+        name: str,
+        model: type[T],
+        spark: SparkSession,
+        warehouse: str,
+        config: Optional[OlapConfig] = None,
+    ):
+        self.name = name
+        self.model = model
+        self.spark = spark
+        self.config = config or OlapConfig()
+        self.config.validate()
+        self.schema = to_struct_type(model)
+        self.columns = to_columns(model)
+        self.warehouse = warehouse
+        os.makedirs(self.path, exist_ok=True)
+
+    # -- naming ------------------------------------------------------------
+
+    @property
+    def physical_name(self) -> str:
+        """Versioned name {name}_{1_0} (olap_table.py:422-440)."""
+        if self.config.version:
+            return f"{self.name}_{self.config.version.replace('.', '_')}"
+        return self.name
+
+    @property
+    def path(self) -> str:
+        db = self.config.database or "default"
+        return os.path.join(self.warehouse, db, self.physical_name)
+
+    # -- validation --------------------------------------------------------
+
+    def _validate_rows(
+        self, rows: Sequence[dict | T], options: InsertOptions
+    ) -> tuple[list[dict], list[tuple[dict, str]]]:
+        ok: list[dict] = []
+        failed: list[tuple[dict, str]] = []
+        for r in rows:
+            if isinstance(r, BaseModel):
+                ok.append(r.model_dump())
+                continue
+            try:
+                ok.append(self.model(**r).model_dump())
+            except ValidationError as exc:
+                if options.strategy == "fail-fast":
+                    raise
+                failed.append((r, str(exc)))
+        # extra insert-time checks the Spark types can't express
+        checked: list[dict] = []
+        for row in ok:
+            err = self._range_check(row)
+            if err is None:
+                checked.append(row)
+            elif options.strategy == "fail-fast":
+                raise ValueError(err)
+            else:
+                failed.append((row, err))
+        return checked, failed
+
+    def _range_check(self, row: dict) -> Optional[str]:
+        """FixedString length + unsigned range checks (SURVEY §7 part 6)."""
+        for col in self.columns:
+            v = row.get(col.name)
+            if v is None:
+                continue
+            fixed = col.annotations.get("fixed_length")
+            if fixed is not None and len(str(v)) != fixed:
+                return f"{col.name}: FixedString({fixed}) got length {len(str(v))}"
+            ch_type = col.annotations.get("ch_type", "")
+            if ch_type.startswith("UInt") and isinstance(v, int):
+                bits = int(ch_type[4:])
+                if v < 0 or v >= (1 << bits):
+                    return f"{col.name}: {ch_type} out of range: {v}"
+            elif ch_type.startswith("Int") and isinstance(v, int):
+                bits = int(ch_type[3:])
+                lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+                if not (lo <= v <= hi):
+                    return f"{col.name}: {ch_type} out of range: {v}"
+        return None
+
+    def _check_thresholds(
+        self, n_ok: int, failures: list, options: InsertOptions
+    ) -> None:
+        n_failed = len(failures)
+        total = n_ok + n_failed
+        if options.allow_errors is not None and n_failed > options.allow_errors:
+            raise ValueError(
+                f"insert exceeded allow_errors={options.allow_errors}: "
+                f"{n_failed} failures; first: {failures[0][1] if failures else ''}"
+            )
+        if (
+            options.allow_errors_ratio is not None
+            and total > 0
+            and (n_failed / total) > options.allow_errors_ratio
+        ):
+            raise ValueError(
+                f"insert exceeded allow_errors_ratio={options.allow_errors_ratio}: "
+                f"{n_failed}/{total}"
+            )
+
+    # -- writes ------------------------------------------------------------
+
+    def _append_df(self, df: DataFrame) -> None:
+        if self.config.life_cycle == LifeCycle.EXTERNALLY_MANAGED:
+            raise PermissionError(f"{self.name} is EXTERNALLY_MANAGED (read-only)")
+        writer = df
+        if self.config.order_by_fields:
+            # sorted parts: files internally ordered by the sort key ->
+            # parquet row-group min/max stats give range-scan pruning.
+            writer = df.sortWithinPartitions(*self.config.order_by_fields)
+        out = writer.write.mode("append")
+        if self.config.partition_by:
+            out = out.partitionBy(self.config.partition_by)
+        out.parquet(self.path)
+
+    def insert(
+        self,
+        data: Sequence[dict | T] | Iterator[dict | T] | DataFrame,
+        options: Optional[InsertOptions] = None,
+    ) -> InsertResult:
+        """Insert with validation strategies (olap_table.py:988-1055).
+
+        - Sequence: validated per-row via Pydantic then appended as one block
+        - Iterator: consumed in 1000-row batches (olap_table.py:961)
+        - DataFrame: appended as-is (already-typed fast path)
+        """
+        options = options or InsertOptions()
+        if isinstance(data, DataFrame):
+            self._append_df(data)
+            return InsertResult(inserted=data.count(), failed=0)
+
+        if isinstance(data, Iterator):
+            total_ok = 0
+            all_failed: list[tuple[dict, str]] = []
+            batch: list = []
+            for item in data:
+                batch.append(item)
+                if len(batch) >= STREAM_INSERT_BATCH:
+                    r = self._insert_block(batch, options)
+                    total_ok += r.inserted
+                    all_failed.extend(zip([None] * len(r.errors), r.errors))
+                    batch = []
+            if batch:
+                r = self._insert_block(batch, options)
+                total_ok += r.inserted
+                all_failed.extend(zip([None] * len(r.errors), r.errors))
+            return InsertResult(total_ok, len(all_failed), [e for _, e in all_failed])
+
+        return self._insert_block(list(data), options)
+
+    def _insert_block(self, rows: list, options: InsertOptions) -> InsertResult:
+        if options.strategy == "isolate":
+            return self._insert_isolate(rows, options)
+        ok, failed = self._validate_rows(rows, options)
+        self._check_thresholds(len(ok), failed, options)
+        if ok:
+            df = self.spark.createDataFrame(ok, self.schema)
+            self._append_df(df)
+        return InsertResult(len(ok), len(failed), [e for _, e in failed])
+
+    def _insert_isolate(self, rows: list, options: InsertOptions) -> InsertResult:
+        """Binary-split retry (olap_table.py:821-874): try the whole block;
+        on failure split in halves recursively so every valid row lands and
+        every poison row is isolated with its own error."""
+        ok_rows: list[dict] = []
+        failures: list[tuple[Any, str]] = []
+
+        def attempt(chunk: list) -> None:
+            try:
+                validated = [
+                    r.model_dump() if isinstance(r, BaseModel) else self.model(**r).model_dump()
+                    for r in chunk
+                ]
+                for row in validated:
+                    err = self._range_check(row)
+                    if err:
+                        raise ValueError(err)
+                ok_rows.extend(validated)
+            except Exception as exc:
+                if len(chunk) == 1:
+                    failures.append((chunk[0], str(exc)))
+                else:
+                    mid = len(chunk) // 2
+                    attempt(chunk[:mid])
+                    attempt(chunk[mid:])
+
+        attempt(rows)
+        self._check_thresholds(len(ok_rows), failures, options)
+        if ok_rows:
+            self._append_df(self.spark.createDataFrame(ok_rows, self.schema))
+        return InsertResult(len(ok_rows), len(failures), [e for _, e in failures])
+
+    # -- reads -------------------------------------------------------------
+
+    def read_raw(self) -> DataFrame:
+        """Physical rows, pre-merge state included."""
+        try:
+            return self.spark.read.schema(self._storage_schema()).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], self.schema)
+
+    def _storage_schema(self):
+        return self.schema
+
+    def read(self) -> DataFrame:
+        """Engine read semantics applied (SURVEY.md §1.4)."""
+        df = self.read_raw()
+        eng = self.config.engine
+        if isinstance(eng, ReplacingMergeTree):
+            keys = self._sort_keys()
+            return engine_views.replacing_latest(
+                df, keys, version_col=eng.ver, is_deleted_col=eng.is_deleted,
+                tiebreakers=() if eng.ver else keys,
+            )
+        if isinstance(eng, SummingMergeTree):
+            keys = self._sort_keys()
+            sum_cols = list(eng.columns) or [
+                f.name
+                for f in self.schema.fields
+                if f.name not in keys and f.dataType.typeName() in
+                ("long", "integer", "short", "byte", "double", "float", "decimal")
+            ]
+            return engine_views.summing_rollup(df, keys, sum_cols)
+        if isinstance(eng, VersionedCollapsingMergeTree):
+            keys = [k for k in self._sort_keys() if k not in (eng.sign, eng.version)]
+            return engine_views.versioned_collapsing_resolve(df, keys, eng.sign, eng.version)
+        if isinstance(eng, CollapsingMergeTree):
+            keys = [k for k in self._sort_keys() if k != eng.sign]
+            return engine_views.collapsing_resolve(df, keys, eng.sign)
+        return df
+
+    def _sort_keys(self) -> list[str]:
+        if self.config.order_by_fields:
+            return list(self.config.order_by_fields)
+        return [c.name for c in self.columns if c.primary_key]
+
+    # -- maintenance (moose truncate / peek, cli/commands.rs) --------------
+
+    def truncate(self) -> None:
+        if self.config.life_cycle != LifeCycle.FULLY_MANAGED:
+            raise PermissionError(f"{self.name} life_cycle forbids truncate")
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.makedirs(self.path, exist_ok=True)
+
+    def peek(self, n: int = 10) -> list[dict]:
+        """moose peek (cli/commands.rs:104-118)."""
+        return [r.asDict(recursive=True) for r in self.read().limit(n).collect()]
+
+    def drop(self) -> None:
+        if self.config.life_cycle == LifeCycle.DELETION_PROTECTED:
+            raise PermissionError(f"{self.name} is DELETION_PROTECTED")
+        shutil.rmtree(self.path, ignore_errors=True)

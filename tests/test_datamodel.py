@@ -1,0 +1,172 @@
+"""Schema-reflection tests mirroring the reference's model zoo
+(templates/python-tests/src/ingest/models.py:80-220 BasicTypes /
+SimpleArrays / NestedObjects / ArraysOfObjects / DeeplyNestedArrays and
+packages/py-moose-lib/tests/test_moose_model.py / test_fixedstring.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+from enum import Enum
+from typing import Any, Literal, Optional
+
+import pytest
+from pydantic import BaseModel
+from pyspark.sql import types as st
+
+from moosestack_spark.datamodel import (
+    FixedString,
+    Int8,
+    Int32,
+    Key,
+    UInt16,
+    UInt64,
+    Float32,
+    clickhouse_datetime64,
+    clickhouse_decimal,
+    to_columns,
+    to_struct_type,
+)
+from typing import Annotated
+
+
+class Baz(str, Enum):
+    QUX = "QUX"
+    QUUX = "QUUX"
+
+
+class Bar(BaseModel):
+    """The reference's minimum end-to-end model (models.py:52-58)."""
+
+    primary_key: Key[str]
+    utc_timestamp: dt.datetime
+    baz: Baz
+    has_text: bool
+    text_length: int
+
+
+class BasicTypes(BaseModel):
+    id: Key[str]
+    timestamp: dt.datetime
+    string_field: str
+    number_field: float
+    boolean_field: bool
+    optional_string: Optional[str] = None
+    nullable_number: Optional[float] = None
+
+
+class Coordinates(BaseModel):
+    lat: float
+    lng: float
+
+
+class Address(BaseModel):
+    street: str
+    city: str
+    coordinates: Coordinates
+
+
+class NestedObjects(BaseModel):
+    id: Key[str]
+    address: Address
+    tags: list[str]
+
+
+class DeeplyNested(BaseModel):
+    id: Key[str]
+    matrix_2d: list[list[float]]
+    matrix_3d: list[list[list[float]]]
+
+
+class SizedTypes(BaseModel):
+    i8: Int8
+    i32: Int32
+    u16: UInt16
+    u64: UInt64
+    f32: Float32
+    dec: clickhouse_decimal(10, 2)
+    dt64: clickhouse_datetime64(6)
+    fs: Annotated[str, FixedString(4)]
+    card: Literal["a", "b"]
+    js: Any = None
+
+
+def test_bar_struct():
+    s = to_struct_type(Bar)
+    assert [f.name for f in s.fields] == [
+        "primary_key",
+        "utc_timestamp",
+        "baz",
+        "has_text",
+        "text_length",
+    ]
+    assert isinstance(s["primary_key"].dataType, st.StringType)
+    assert s["primary_key"].metadata.get("primary_key") is True
+    assert isinstance(s["utc_timestamp"].dataType, st.TimestampType)
+    assert isinstance(s["baz"].dataType, st.StringType)
+    assert s["baz"].metadata["enum_values"] == ["QUX", "QUUX"]
+    assert isinstance(s["text_length"].dataType, st.LongType)  # int -> Int64
+
+
+def test_optional_is_nullable():
+    s = to_struct_type(BasicTypes)
+    assert not s["string_field"].nullable
+    assert s["optional_string"].nullable
+    assert s["nullable_number"].nullable
+
+
+def test_nested_structs():
+    s = to_struct_type(NestedObjects)
+    addr = s["address"].dataType
+    assert isinstance(addr, st.StructType)
+    assert isinstance(addr["coordinates"].dataType, st.StructType)
+    assert isinstance(addr["coordinates"].dataType["lat"].dataType, st.DoubleType)
+    assert isinstance(s["tags"].dataType, st.ArrayType)
+
+
+def test_deep_matrices():
+    s = to_struct_type(DeeplyNested)
+    m3 = s["matrix_3d"].dataType
+    assert m3.simpleString() == "array<array<array<double>>>"
+
+
+def test_sized_types_widening_and_metadata():
+    s = to_struct_type(SizedTypes)
+    assert isinstance(s["i8"].dataType, st.ByteType)
+    assert isinstance(s["i32"].dataType, st.IntegerType)
+    # unsigned widened to next signed size; original type recorded
+    assert isinstance(s["u16"].dataType, st.IntegerType)
+    assert s["u16"].metadata["ch_type"] == "UInt16"
+    assert isinstance(s["u64"].dataType, st.LongType)
+    assert s["u64"].metadata["ch_type"] == "UInt64"
+    assert isinstance(s["f32"].dataType, st.FloatType)
+    assert s["dec"].dataType.simpleString() == "decimal(10,2)"
+    assert isinstance(s["dt64"].dataType, st.TimestampType)
+    assert s["fs"].metadata["fixed_length"] == 4
+    assert s["card"].metadata["low_cardinality"] is True
+    assert s["js"].metadata["ch_type"] == "Json"
+    assert isinstance(s["js"].dataType, st.StringType)
+
+
+def test_columns_record_fields():
+    cols = {c.name: c for c in to_columns(Bar)}
+    assert cols["primary_key"].primary_key
+    assert not cols["has_text"].primary_key
+    assert cols["text_length"].required
+
+
+def test_roundtrip_through_spark(spark):
+    s = to_struct_type(BasicTypes)
+    rows = [
+        {
+            "id": "a",
+            "timestamp": dt.datetime(2024, 1, 1),
+            "string_field": "x",
+            "number_field": 1.5,
+            "boolean_field": True,
+            "optional_string": None,
+            "nullable_number": 2.5,
+        }
+    ]
+    df = spark.createDataFrame(rows, s)
+    back = df.collect()[0]
+    assert back.id == "a" and back.optional_string is None and back.nullable_number == 2.5

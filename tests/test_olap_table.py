@@ -1,0 +1,197 @@
+"""OlapTable tests mirroring the reference's insertable-validation /
+olap-table-versioning / collapsing-merge-tree e2e coverage
+(packages/ts-moose-lib/tests/insertable-validation.test.ts,
+test_olap_table_versioning.py, framework-cli-e2e collapsing tests)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pydantic import BaseModel
+
+from moosestack_spark.catalog.engines import (
+    Buffer,
+    CollapsingMergeTree,
+    LifeCycle,
+    Merge,
+    OlapConfig,
+    ReplacingMergeTree,
+    SummingMergeTree,
+)
+from moosestack_spark.catalog.table import InsertOptions, OlapTable
+from moosestack_spark.datamodel import Key, UInt8
+
+
+class Event(BaseModel):
+    id: Key[int]
+    kind: str
+    amount: float
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def test_insert_and_read_back(spark, warehouse):
+    t = OlapTable("events", Event, spark, warehouse)
+    res = t.insert([{"id": 1, "kind": "a", "amount": 1.5}, {"id": 2, "kind": "b", "amount": 2.5}])
+    assert res.inserted == 2 and res.failed == 0
+    rows = {r.id: r for r in t.read().collect()}
+    assert rows[1].amount == 1.5 and rows[2].kind == "b"
+
+
+def test_fail_fast_raises(spark, warehouse):
+    t = OlapTable("ff", Event, spark, warehouse)
+    with pytest.raises(Exception):
+        t.insert([{"id": 1, "kind": "a", "amount": 1.0}, {"id": "nope", "kind": 1, "amount": "x"}])
+    assert t.read().count() == 0  # nothing landed
+
+
+def test_discard_strategy(spark, warehouse):
+    t = OlapTable("disc", Event, spark, warehouse)
+    res = t.insert(
+        [{"id": 1, "kind": "a", "amount": 1.0}, {"id": "bad", "kind": "b", "amount": None}],
+        InsertOptions(strategy="discard"),
+    )
+    assert res.inserted == 1 and res.failed == 1
+    assert t.read().count() == 1
+
+
+def test_isolate_strategy_isolates_poison(spark, warehouse):
+    t = OlapTable("iso", Event, spark, warehouse)
+    rows = [{"id": i, "kind": "k", "amount": float(i)} for i in range(10)]
+    rows[3] = {"id": "poison", "kind": "k", "amount": 0.0}
+    rows[7] = {"id": "poison2", "kind": None, "amount": 0.0}
+    res = t.insert(rows, InsertOptions(strategy="isolate"))
+    assert res.inserted == 8 and res.failed == 2
+    assert t.read().count() == 8
+    assert len(res.errors) == 2
+
+
+def test_error_thresholds(spark, warehouse):
+    t = OlapTable("thr", Event, spark, warehouse)
+    bad = [{"id": "x", "kind": "k", "amount": 0.0}] * 3
+    good = [{"id": 1, "kind": "k", "amount": 1.0}]
+    with pytest.raises(ValueError, match="allow_errors"):
+        t.insert(good + bad, InsertOptions(strategy="discard", allow_errors=2))
+    with pytest.raises(ValueError, match="allow_errors_ratio"):
+        t.insert(good + bad, InsertOptions(strategy="discard", allow_errors_ratio=0.5))
+    # within thresholds -> lands
+    res = t.insert(good + bad[:1], InsertOptions(strategy="discard", allow_errors=1))
+    assert res.inserted == 1
+
+
+def test_iterator_insert_batches(spark, warehouse):
+    t = OlapTable("it", Event, spark, warehouse)
+    res = t.insert(iter({"id": i, "kind": "k", "amount": 0.5} for i in range(2500)))
+    assert res.inserted == 2500
+    assert t.read().count() == 2500
+
+
+def test_unsigned_range_check(spark, warehouse):
+    class M(BaseModel):
+        id: Key[int]
+        small: UInt8
+
+    t = OlapTable("rng", M, spark, warehouse)
+    res = t.insert(
+        [{"id": 1, "small": 200}, {"id": 2, "small": 300}, {"id": 3, "small": -1}],
+        InsertOptions(strategy="discard"),
+    )
+    assert res.inserted == 1 and res.failed == 2
+
+
+def test_versioned_physical_name(spark, warehouse):
+    t = OlapTable("users", Event, spark, warehouse, OlapConfig(version="1.2"))
+    assert t.physical_name == "users_1_2"
+    t.insert([{"id": 1, "kind": "a", "amount": 1.0}])
+    assert "users_1_2" in t.path
+
+
+def test_replacing_engine_read(spark, warehouse):
+    class Versioned(BaseModel):
+        id: Key[int]
+        val: str
+        ver: int
+
+    t = OlapTable(
+        "repl",
+        Versioned,
+        spark,
+        warehouse,
+        OlapConfig(order_by_fields=["id"], engine=ReplacingMergeTree(ver="ver")),
+    )
+    t.insert([{"id": 1, "val": "old", "ver": 1}, {"id": 2, "val": "keep", "ver": 1}])
+    t.insert([{"id": 1, "val": "new", "ver": 2}])
+    rows = {r.id: r.val for r in t.read().collect()}
+    assert rows == {1: "new", 2: "keep"}
+    assert t.read_raw().count() == 3  # pre-merge state preserved
+
+
+def test_summing_engine_read(spark, warehouse):
+    class Counter(BaseModel):
+        key: Key[str]
+        hits: int
+
+    t = OlapTable(
+        "sums",
+        Counter,
+        spark,
+        warehouse,
+        OlapConfig(order_by_fields=["key"], engine=SummingMergeTree(columns=("hits",))),
+    )
+    t.insert([{"key": "a", "hits": 1}, {"key": "b", "hits": 5}])
+    t.insert([{"key": "a", "hits": 2}])
+    rows = {r.key: r.hits for r in t.read().collect()}
+    assert rows == {"a": 3, "b": 5}
+
+
+def test_collapsing_engine_read(spark, warehouse):
+    class Signed(BaseModel):
+        id: Key[int]
+        sign: int
+
+    t = OlapTable(
+        "coll",
+        Signed,
+        spark,
+        warehouse,
+        OlapConfig(order_by_fields=["id"], engine=CollapsingMergeTree(sign="sign")),
+    )
+    t.insert([{"id": 1, "sign": 1}, {"id": 2, "sign": 1}, {"id": 1, "sign": -1}])
+    assert [r.id for r in t.read().collect()] == [2]
+
+
+def test_engine_capability_validation():
+    with pytest.raises(ValueError, match="ORDER BY"):
+        OlapConfig(order_by_fields=["x"], engine=Buffer()).validate()
+    with pytest.raises(ValueError, match="PARTITION BY"):
+        OlapConfig(partition_by="d", engine=Merge()).validate()
+    with pytest.raises(ValueError, match="exclusive"):
+        OlapConfig(order_by_fields=["a"], order_by_expression="(a)").validate()
+
+
+def test_life_cycle_protection(spark, warehouse):
+    t = OlapTable(
+        "prot", Event, spark, warehouse, OlapConfig(life_cycle=LifeCycle.DELETION_PROTECTED)
+    )
+    t.insert([{"id": 1, "kind": "a", "amount": 1.0}])
+    with pytest.raises(PermissionError):
+        t.drop()
+    with pytest.raises(PermissionError):
+        t.truncate()
+    ext = OlapTable(
+        "ext", Event, spark, warehouse, OlapConfig(life_cycle=LifeCycle.EXTERNALLY_MANAGED)
+    )
+    with pytest.raises(PermissionError):
+        ext.insert([{"id": 1, "kind": "a", "amount": 1.0}])
+
+
+def test_truncate_and_peek(spark, warehouse):
+    t = OlapTable("pk", Event, spark, warehouse)
+    t.insert([{"id": i, "kind": "k", "amount": 1.0} for i in range(5)])
+    assert len(t.peek(3)) == 3
+    t.truncate()
+    assert t.read().count() == 0
