@@ -1,0 +1,81 @@
+"""Consumption API layer: typed query endpoints (SURVEY.md §3.3).
+
+Port target: packages/py-moose-lib/moose_lib/dmv2/consumption.py:62 (Api[T,U])
+and ts-moose-lib/src/consumption-apis + runner.ts:249-255 — the user function
+is invoked as fn(params, utils) where utils carries the sql client.
+
+Spark mapping: a registered Python function (params: pydantic model) ->
+DataFrame; execution is spark.sql / DataFrame ops; the HTTP front is out of
+scope (any ASGI wrapper can serve `.call(...)`), the semantics live here:
+param validation, registry + versioning, result shaping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Generic, Optional, TypeVar
+
+from pydantic import BaseModel
+from pyspark.sql import DataFrame, SparkSession
+
+TParams = TypeVar("TParams", bound=BaseModel)
+
+_API_REGISTRY: dict[tuple[str, Optional[str]], "Api"] = {}
+
+
+@dataclass
+class ApiUtils:
+    """The utils object handed to handlers (runner.ts:249-255)."""
+
+    spark: SparkSession
+
+    def sql(self, *pieces: Any) -> DataFrame:
+        from moosestack_spark.sql.template import run, sql
+
+        return run(self.spark, sql(*pieces))
+
+
+class Api(Generic[TParams]):
+    """Api[T, U]: params model + handler returning a DataFrame.
+
+    Handlers receive validated params (Pydantic — same validation the
+    reference gets from its param model) and ApiUtils.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        params_model: type[TParams],
+        handler: Callable[[TParams, ApiUtils], DataFrame],
+        version: Optional[str] = None,
+    ):
+        self.name = name
+        self.params_model = params_model
+        self.handler = handler
+        self.version = version
+        key = (name, version)
+        if key in _API_REGISTRY:
+            raise ValueError(f"api {name!r} version {version!r} already registered")
+        _API_REGISTRY[key] = self
+
+    def call(self, spark: SparkSession, **raw_params: Any) -> DataFrame:
+        params = self.params_model(**raw_params)  # validation boundary
+        return self.handler(params, ApiUtils(spark))
+
+    def call_json(self, spark: SparkSession, **raw_params: Any) -> list[dict]:
+        """The HTTP-response shape (rows as dicts)."""
+        return [r.asDict(recursive=True) for r in self.call(spark, **raw_params).collect()]
+
+
+def get_api(name: str, version: Optional[str] = None) -> Api:
+    """Route/version resolution (runner.ts:163-237): exact version match,
+    else the unversioned registration."""
+    if (name, version) in _API_REGISTRY:
+        return _API_REGISTRY[(name, version)]
+    if version is not None and (name, None) in _API_REGISTRY:
+        return _API_REGISTRY[(name, None)]
+    raise KeyError(f"no api {name!r} (version {version!r})")
+
+
+def clear_apis() -> None:
+    _API_REGISTRY.clear()

@@ -47,6 +47,7 @@ def load_all() -> None:
         joins,
         mv,
         scalar_funcs,
+        semantic,
         setops,
         sortlimit,
         streaming_ops,

@@ -1,0 +1,54 @@
+"""Workflow/Task/ETL tests (reference: dmv2/workflow.py retry/DAG semantics,
+etlPipeline.ts batching)."""
+
+from __future__ import annotations
+
+import pytest
+
+from moosestack_spark.workflow import ETLPipeline, Task, TaskFailed, Workflow
+
+
+def test_task_retries_then_succeeds():
+    calls = {"n": 0}
+
+    def flaky(_):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert Task("t", flaky, retries=3).execute() == "ok"
+    assert calls["n"] == 3
+
+
+def test_task_exhausts_retries():
+    def always_fails(_):
+        raise RuntimeError("boom")
+
+    with pytest.raises(TaskFailed, match="boom"):
+        Task("t", always_fails, retries=2).execute()
+
+
+def test_on_complete_dag_passes_results():
+    seen = []
+    leaf = Task("leaf", lambda v: seen.append(v))
+    mid = Task("mid", lambda v: v * 2, on_complete=[leaf])
+    root = Task("root", lambda v: v + 1, on_complete=[mid])
+    Workflow("w", root).run(10)
+    assert seen == [22]
+
+
+def test_etl_batching_and_zero_or_many():
+    loads: list[list[int]] = []
+    pipeline = ETLPipeline(
+        extract=lambda: range(10),
+        transform=lambda x: None if x % 3 == 0 else ([x, x] if x % 3 == 1 else x),
+        load=loads.append,
+        batch_size=4,
+    )
+    n = pipeline.run()
+    flat = [x for b in loads for x in b]
+    # 0,3,6,9 dropped; 1,4,7 doubled; 2,5,8 kept
+    assert sorted(flat) == sorted([1, 1, 4, 4, 7, 7, 2, 5, 8])
+    assert n == len(flat)
+    assert all(len(b) <= 4 for b in loads)
