@@ -1,0 +1,262 @@
+"""Migration planner: infrastructure-map diff -> ordered DDL operations
+(SURVEY.md §2.11, §3.1 — the reference's real "physical plan").
+
+Port targets in /root/reference/apps/framework-cli/src/:
+- framework/core/infrastructure_map.rs:539 (InfrastructureMap IR),
+  :262-356 (ColumnChange / TableChange enums incl. SettingsChanged)
+- framework/core/plan.rs:714-760 (plan_changes: previous-state + reality
+  check -> diff)
+- olap/diff_strategy.rs:54-76 (ALTER vs DROP+CREATE decision: ORDER BY /
+  engine / PK changes force recreate)
+- olap/ddl_ordering.rs:36-60 (AtomicOlapOperation toposorted over data
+  dependency edges: an MV depends on its source and target tables)
+
+Spark mapping: state is a JSON snapshot of the deployed map (the reference
+keeps it in Redis `_MOOSE_STATE`, state_storage.rs:138) plus the reality of
+the warehouse directory; operations execute against OlapTable storage
+(parquet dirs + schema evolution).  A single process — the reference's
+three process boundaries collapse to function calls.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    name: str
+    type: str  # spark simpleString
+    nullable: bool = False
+
+
+@dataclass
+class TableSpec:
+    name: str
+    columns: list[ColumnSpec]
+    order_by: tuple[str, ...] = ()
+    partition_by: Optional[str] = None
+    engine: str = "MergeTree"
+    settings: dict = field(default_factory=dict)
+    version: Optional[str] = None
+
+
+@dataclass
+class ViewSpec:
+    name: str
+    select: str
+    depends_on: tuple[str, ...] = ()
+
+
+@dataclass
+class MaterializedViewSpec:
+    name: str
+    select: str
+    source_tables: tuple[str, ...]
+    target_table: str
+
+
+@dataclass
+class InfraMap:
+    """The IR (infrastructure_map.rs:539-598, reduced to the OLAP half)."""
+
+    tables: dict[str, TableSpec] = field(default_factory=dict)
+    views: dict[str, ViewSpec] = field(default_factory=dict)
+    materialized_views: dict[str, MaterializedViewSpec] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        def enc(o):
+            if isinstance(o, (TableSpec, ViewSpec, MaterializedViewSpec, ColumnSpec)):
+                return o.__dict__
+            if isinstance(o, tuple):
+                return list(o)
+            raise TypeError(o)
+
+        return json.dumps(self.__dict__, default=enc, indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(text: str) -> "InfraMap":
+        raw = json.loads(text)
+        return InfraMap(
+            tables={
+                k: TableSpec(
+                    name=v["name"],
+                    columns=[ColumnSpec(**c) for c in v["columns"]],
+                    order_by=tuple(v.get("order_by", ())),
+                    partition_by=v.get("partition_by"),
+                    engine=v.get("engine", "MergeTree"),
+                    settings=v.get("settings", {}),
+                    version=v.get("version"),
+                )
+                for k, v in raw.get("tables", {}).items()
+            },
+            views={
+                k: ViewSpec(v["name"], v["select"], tuple(v.get("depends_on", ())))
+                for k, v in raw.get("views", {}).items()
+            },
+            materialized_views={
+                k: MaterializedViewSpec(
+                    v["name"], v["select"], tuple(v["source_tables"]), v["target_table"]
+                )
+                for k, v in raw.get("materialized_views", {}).items()
+            },
+        )
+
+
+# -- change model (infrastructure_map.rs:262-419) ---------------------------
+
+
+@dataclass(frozen=True)
+class Op:
+    kind: str  # create_table | drop_table | add_column | drop_column |
+    # modify_column | modify_settings | recreate_table | create_view |
+    # drop_view | update_view | create_mv | drop_mv | populate_mv
+    target: str
+    detail: str = ""
+
+
+def diff_tables(cur: Optional[TableSpec], tgt: Optional[TableSpec]) -> list[Op]:
+    """ALTER vs DROP+CREATE decision (diff_strategy.rs:54-76)."""
+    if cur is None and tgt is None:
+        return []
+    if cur is None:
+        ops = [Op("create_table", tgt.name)]
+        return ops
+    if tgt is None:
+        return [Op("drop_table", cur.name)]
+
+    # ORDER BY / engine / partition change forces recreate (diff_strategy.rs:63)
+    if (
+        tuple(cur.order_by) != tuple(tgt.order_by)
+        or cur.engine != tgt.engine
+        or cur.partition_by != tgt.partition_by
+    ):
+        return [Op("recreate_table", tgt.name, "order_by/engine/partitioning changed")]
+
+    ops: list[Op] = []
+    cur_cols = {c.name: c for c in cur.columns}
+    tgt_cols = {c.name: c for c in tgt.columns}
+    for name in tgt_cols:
+        if name not in cur_cols:
+            ops.append(Op("add_column", tgt.name, name))
+        elif (cur_cols[name].type, cur_cols[name].nullable) != (
+            tgt_cols[name].type,
+            tgt_cols[name].nullable,
+        ):
+            ops.append(
+                Op("modify_column", tgt.name, f"{name}: {cur_cols[name].type}->{tgt_cols[name].type}")
+            )
+    for name in cur_cols:
+        if name not in tgt_cols:
+            ops.append(Op("drop_column", tgt.name, name))
+    if cur.settings != tgt.settings:
+        # settings-only ALTER (TableChange::SettingsChanged :323)
+        ops.append(Op("modify_settings", tgt.name))
+    return ops
+
+
+def plan_changes(current: InfraMap, target: InfraMap) -> list[Op]:
+    """Diff + dependency-ordered op list (plan.rs:714-760 + ddl_ordering.rs).
+
+    Ordering rules: drops of dependents (MVs/views) before their tables;
+    creates of tables before dependents; populate_mv after both the MV's
+    sources and target exist.
+    """
+    ops: list[Op] = []
+    for name in set(current.tables) | set(target.tables):
+        ops.extend(diff_tables(current.tables.get(name), target.tables.get(name)))
+    for name in set(current.views) | set(target.views):
+        c, t = current.views.get(name), target.views.get(name)
+        if c is None:
+            ops.append(Op("create_view", name))
+        elif t is None:
+            ops.append(Op("drop_view", name))
+        elif c.select.strip() != t.select.strip():
+            # SQL normalized comparison (plan.rs:728-737 formats both sides;
+            # we compare whitespace-trimmed text)
+            ops.append(Op("update_view", name))
+    for name in set(current.materialized_views) | set(target.materialized_views):
+        c, t = current.materialized_views.get(name), target.materialized_views.get(name)
+        if c is None:
+            ops.append(Op("create_mv", name))
+            ops.append(Op("populate_mv", name))
+        elif t is None:
+            ops.append(Op("drop_mv", name))
+        elif c.select.strip() != t.select.strip() or c.target_table != t.target_table:
+            ops.append(Op("drop_mv", name))
+            ops.append(Op("create_mv", name))
+            ops.append(Op("populate_mv", name))
+
+    return order_ops(ops, target, current)
+
+
+_PRIORITY = {
+    "drop_mv": 0,
+    "drop_view": 1,
+    "drop_table": 2,
+    "create_table": 3,
+    "recreate_table": 3,
+    "add_column": 4,
+    "modify_column": 4,
+    "drop_column": 4,
+    "modify_settings": 4,
+    "create_view": 5,
+    "create_mv": 6,
+    "populate_mv": 7,
+}
+
+
+def order_ops(ops: list[Op], target: InfraMap, current: InfraMap) -> list[Op]:
+    """Toposort over data-dependency edges (ddl_ordering.rs petgraph sort):
+    MV nodes depend on their source/target table nodes; within the same
+    dependency rank, drops precede creates (the _PRIORITY lattice)."""
+    graph: dict[Op, set[Op]] = {op: set() for op in ops}
+    by_target: dict[str, list[Op]] = {}
+    for op in ops:
+        by_target.setdefault(op.target, []).append(op)
+
+    for op in ops:
+        if op.kind in ("create_mv", "populate_mv"):
+            mv = target.materialized_views.get(op.target)
+            if mv:
+                for dep_table in (*mv.source_tables, mv.target_table):
+                    for dep_op in by_target.get(dep_table, []):
+                        if dep_op.kind in ("create_table", "recreate_table", "add_column"):
+                            graph[op].add(dep_op)
+        if op.kind == "populate_mv":
+            for dep_op in by_target.get(op.target, []):
+                if dep_op.kind == "create_mv":
+                    graph[op].add(dep_op)
+        if op.kind == "drop_table":
+            # dependent MV drops first
+            for mv_name, mv in current.materialized_views.items():
+                if op.target in (*mv.source_tables, mv.target_table):
+                    for dep_op in by_target.get(mv_name, []):
+                        if dep_op.kind == "drop_mv":
+                            graph[op].add(dep_op)
+
+    ts = TopologicalSorter(graph)
+    ordered = list(ts.static_order())
+    # stable secondary ordering by priority for ops with no edges
+    return sorted(ordered, key=lambda o: (_PRIORITY.get(o.kind, 9), ordered.index(o)))
+
+
+# -- state storage (_MOOSE_STATE, state_storage.rs:65-138) ------------------
+
+
+def save_state(warehouse: str, m: InfraMap) -> None:
+    os.makedirs(warehouse, exist_ok=True)
+    with open(os.path.join(warehouse, "_state.json"), "w") as f:
+        f.write(m.to_json())
+
+
+def load_state(warehouse: str) -> InfraMap:
+    p = os.path.join(warehouse, "_state.json")
+    if not os.path.exists(p):
+        return InfraMap()
+    with open(p) as f:
+        return InfraMap.from_json(f.read())
