@@ -240,3 +240,41 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# quantile / quantileExact — the CH `quantile(level)(x)` family
+# (SURVEY.md §2.9 agg vocabulary).  Spark: `percentile` (exact, linear
+# interpolation — same estimator as DuckDB's quantile_cont).  At 100 TB the
+# exact form needs a per-group sort of the value column; the engine also
+# exposes `percentile_approx` (t-digest, single-pass mergeable sketch) as the
+# scale path — the gate pins the exact variant because sketches are
+# engine-specific.  Quartile levels on integral values interpolate on an
+# exact 0.25 binary grid, so both engines produce bit-identical doubles.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_quantile",
+    oracle="""
+SELECT
+  l_returnflag,
+  quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25_qty,
+  quantile_cont(CAST(l_quantity AS DOUBLE), 0.50) AS median_qty,
+  quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75_qty,
+  MIN(l_quantity) AS min_qty,
+  MAX(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.25)).alias("p25_qty"),
+        F.percentile(q, F.lit(0.50)).alias("median_qty"),
+        F.percentile(q, F.lit(0.75)).alias("p75_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )

@@ -340,3 +340,68 @@ def simhash_pairs(
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash_pairs(d, "doc_id", "text", n=5, max_hamming=8)
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (exact)
+# --------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """All id pairs whose embedding cosine similarity >= threshold.
+
+    Exact variant: self-join on id_a < id_b with a sequential double fold per
+    pair (JVM-side F.aggregate/zip_with — no Python UDF).  At 100 TB the
+    quadratic pair space is pruned by the LSH sign-bucket candidate pass
+    (ops/similarity.py lsh_bucket) followed by this exact cosine verify on
+    candidates only — the classic two-phase near-dup shape; the gate pins the
+    exact phase.  Norms are precomputed per row BEFORE the join so each is
+    computed once, not once per pair.
+    """
+    from moosestack_spark.ops.similarity import _dot
+
+    e = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn(
+        "__n",
+        F.sqrt(F.aggregate(F.col("__v"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate embedding pairs at cosine >= 0.35 (ids only in the
+    gate output: pair membership is FP-stable, the raw similarity's last ulp
+    is engine-internal)."""
+    e = t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, "vec_id", "embedding", threshold=0.35)

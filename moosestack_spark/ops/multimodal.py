@@ -185,3 +185,64 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Gate queries (rows-only: binary decode kernels are stubbed, so there is no
+# SQL-expressible oracle — the driver records the weaker rows/schema check;
+# tests/test_multimodal.py asserts kernel determinism + plumbing).
+# --------------------------------------------------------------------------
+
+
+def media_from_documents(spark, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from the documents corpus: payload
+    bytes are the sha2 digest chain of the text (64 bytes), metadata typed by
+    doc_id.  Pure projection — distributed, no driver-side row building."""
+    from moosestack_spark.tables import t as _t
+
+    d = _t(spark, sf_dir, "documents")
+    payload = F.unhex(
+        F.concat(F.sha2(F.col("text"), 256), F.sha2(F.concat(F.col("text"), F.lit("x")), 256))
+    )
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    meta = F.struct(
+        mtype.alias("media_type"),
+        F.when(mtype == "image", F.lit(640)).cast("int").alias("width"),
+        F.when(mtype == "image", F.lit(480)).cast("int").alias("height"),
+        F.when(mtype == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
+        F.when(mtype == "video", (F.lit(2000) + F.col("doc_id") % 1000))
+        .cast("long")
+        .alias("duration_ms"),
+        F.lit("fake").alias("codec"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload"), meta.alias("meta")
+    )
+
+
+def _register_gate_queries() -> None:
+    from moosestack_spark.registry import query
+
+    @query("multimodal_image_features")  # stubbed decode: rows-only check
+    def multimodal_image_features(spark, sf_dir: str) -> DataFrame:
+        media = media_from_documents(spark, sf_dir)
+        imgs = media.filter(F.col("meta.media_type") == "image")
+        feats = extract_image_features(imgs)
+        return feats.select(
+            "media_id",
+            "n_bytes",
+            F.size("features").alias("n_features"),
+            F.round(F.element_at("features", 1), 6).alias("f0"),
+        )
+
+    @query("multimodal_frame_sample")  # stubbed frame extraction: rows-only
+    def multimodal_frame_sample(spark, sf_dir: str) -> DataFrame:
+        media = media_from_documents(spark, sf_dir)
+        vids = media.filter(F.col("meta.media_type") == "video")
+        return sample_video_frames(vids, every_ms=500)
+
+
+_register_gate_queries()

@@ -190,3 +190,184 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"), "embedding")
     cs = e.select(F.col("vec_id").alias("c_id"), "embedding")
     return lsh_topk(qs, cs, dim=dim, k=10).select("q_id", "c_id", "rnk")
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: coarse quantization into cells, probe nearest cells only.
+# Deterministic stand-in for k-means centroids in this container: the first
+# K vectors by id are the centroids (real deployments plug trained centroids
+# into the same operator).  The correctness gate runs the FULL pipeline
+# against a SQL oracle expressing identical semantics.
+# --------------------------------------------------------------------------
+
+
+def _cos_to_literal(vec: Column, vnorm: Column, cvec: list[float], cnorm: float) -> Column:
+    """cosine(row_vector, constant centroid) — scan-side, codegen'd."""
+    dot = F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(c)) for c in cvec]),
+            lambda x, w: x.cast("double") * w,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return dot / (vnorm * F.lit(float(cnorm)))
+
+
+def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
+               vec: str = "__v", vnorm: str = "__n") -> DataFrame:
+    """Assign each row to its nearest centroid (max cosine, tiebreak on the
+    smaller centroid id) via an argmax FOLD over centroid literals — a pure
+    projection on the scan, NO shuffle.  This is the 100 TB shape: the
+    quadratic row x centroid work stays map-side; only downstream cell joins
+    shuffle, and they shuffle ids + cell, never raw vectors x K."""
+    import math
+
+    entries = []
+    for cid, cvec in centroids:
+        cn = math.sqrt(sum(float(x) * float(x) for x in cvec))
+        cos = _cos_to_literal(F.col(vec), F.col(vnorm), cvec, cn)
+        entries.append(F.struct(cos.alias("cos"), F.lit(cid).alias("cid")))
+    best = F.aggregate(
+        F.array(*entries),
+        F.struct(F.lit(float("-inf")).alias("cos"), F.lit(-1).alias("cid")),
+        lambda acc, x: F.when(
+            (x["cos"] > acc["cos"])
+            | ((x["cos"] == acc["cos"]) & (x["cid"] < acc["cid"])),
+            x,
+        ).otherwise(acc),
+    )
+    return df.withColumn("__cell", best["cid"])
+
+
+def ivf_topk(
+    queries_df: DataFrame,
+    candidates_df: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    query_id: str = "q_id",
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the nprobe nearest cells per query, exact cosine
+    re-rank within probed cells.  Centroids = first n_cells candidate
+    vectors by id (deterministic; swap in trained centroids at deploy)."""
+    spark = candidates_df.sparkSession
+    prep = lambda d, idc: (
+        d.select(
+            F.col(idc),
+            F.col(vec).cast("array<double>").alias("__v"),
+        ).withColumn(
+            "__n",
+            F.sqrt(F.aggregate(F.col("__v"), F.lit(0.0), lambda a, x: a + x * x)),
+        )
+    )
+    c = prep(candidates_df, cand_id)
+    q = prep(queries_df, query_id)
+    # centroid list: bounded tiny (n_cells rows) — the collect IS the
+    # broadcast; everything downstream treats them as plan literals.
+    cent = sorted(
+        (r[0], list(r[1]))
+        for r in c.orderBy(cand_id).limit(n_cells).select(cand_id, "__v").collect()
+    )
+    assigned = ivf_assign(c, cent)  # (c_id, __v, __n, __cell) — no shuffle
+
+    # probe ranking: queries x n_cells is |Q|*K rows — tiny by construction
+    import math
+    probe_rows = []
+    for cid, cvec in cent:
+        cn = math.sqrt(sum(x * x for x in cvec))
+        probe_rows.append(
+            F.struct(
+                _cos_to_literal(F.col("__v"), F.col("__n"), cvec, cn).alias("cos"),
+                F.lit(cid).alias("cid"),
+            )
+        )
+    probed = q.withColumn("__cell", F.explode(F.slice(
+        F.transform(
+            F.array_sort(
+                F.array(*probe_rows),
+                lambda a, b: F.when(a["cos"] > b["cos"], -1)
+                .when(a["cos"] < b["cos"], 1)
+                .when(a["cid"] < b["cid"], -1)
+                .when(a["cid"] > b["cid"], 1)
+                .otherwise(0),
+            ),
+            lambda s: s["cid"],
+        ), 1, nprobe)))
+
+    pairs = F.broadcast(
+        probed.select(query_id, F.col("__v").alias("__qv"), F.col("__n").alias("__qn"), "__cell")
+    ).join(assigned, "__cell").filter(F.col(query_id) != F.col(cand_id))
+    scored = pairs.withColumn(
+        "cos_sim",
+        F.aggregate(
+            F.zip_with(F.col("__qv"), F.col("__v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / (F.col("__qn") * F.col("__n")),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, cand_id, "rnk")
+    )
+
+
+@query(
+    "similarity_ivf",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e
+), cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT a.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.v, c.cv) / (a.nrm * c.cnrm) DESC, c.cid ASC
+           ) AS rn
+    FROM n a, cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT q_id, cid FROM (
+    SELECT q.vec_id AS q_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm) DESC, c.cid ASC
+           ) AS rn
+    FROM n q, cent c WHERE q.vec_id < 8
+  ) WHERE rn <= 4
+), cands AS (
+  SELECT p.q_id, a.vec_id AS c_id
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  WHERE a.vec_id <> p.q_id
+)
+SELECT q_id, c_id, rnk FROM (
+  SELECT cd.q_id, cd.c_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY cd.q_id
+           ORDER BY list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm) DESC, cd.c_id ASC
+         ) AS rnk
+  FROM cands cd
+  JOIN n qn ON qn.vec_id = cd.q_id
+  JOIN n cn ON cn.vec_id = cd.c_id
+) WHERE rnk <= 5
+""",
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over embeddings: 16 cells, probe 4, top-5 per query for 8
+    probe vectors.  The oracle replays identical semantics (same centroid
+    choice, same cosine, same tiebreaks) so ids + ranks hash-match."""
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"), "embedding")
+    cs = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return ivf_topk(qs, cs, n_cells=16, nprobe=4, k=5)

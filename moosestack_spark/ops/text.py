@@ -194,3 +194,39 @@ def text_quality_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(bucket.alias("quality_bucket")).groupBy("quality_bucket").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "text_lang_id",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang AS lang_actual,
+         string_split_regex(TRIM(LOWER(text)), '\s+') AS tk
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang_actual,
+    len(list_filter(tk, x -> x IN ('the','a','of','and','to')))    AS h_en,
+    len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS h_de,
+    len(list_filter(tk, x -> x IN ('le','la','les','et','est')))    AS h_fr,
+    len(list_filter(tk, x -> x IN ('el','la','los','y','es')))      AS h_es
+  FROM toks
+)
+SELECT doc_id, lang_actual,
+  CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) <= 0 THEN 'und'
+       WHEN h_de = GREATEST(h_en, h_de, h_fr, h_es) THEN 'de'
+       WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es) THEN 'en'
+       WHEN h_es = GREATEST(h_en, h_de, h_fr, h_es) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM hits
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language ID (stopword-profile argmax, deterministic
+    alphabetical tiebreak — the oracle's CASE order de<en<es<fr mirrors it).
+    Narrow map, no shuffle; at 100 TB this is a pure scan-side projection."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )

@@ -55,6 +55,7 @@ def load_all() -> None:
     )
     from moosestack_spark.ops import (  # noqa: F401
         dedup,
+        multimodal,
         similarity,
         text,
     )
