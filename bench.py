@@ -38,9 +38,14 @@ HEADLINE = [
     "mv_incremental_daily_rollup",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "similarity_bruteforce_topk",
+    "similarity_ivf",
     "text_token_stats",
     "text_fingerprint",
+    "text_lang_id",
+    "agg_quantile",
+    "streaming_windowed_agg",
 ]
 
 

@@ -16,12 +16,14 @@ The transform under test (expression flavor — JVM-side):
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from moosestack_spark.operators._determinism import dsum, sql_dsum
 from moosestack_spark.registry import query
 from moosestack_spark.streaming.runner import run_file_stream
 from moosestack_spark.streaming.stream import ExpressionTransform, Stream
@@ -149,3 +151,246 @@ def streaming_dlq_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Event-time windowed aggregation with watermark (append mode) — the Spark
+# capability the reference lacks (SURVEY.md §2.8: its transforms are
+# stateless; aggregation state lives in ClickHouse MVs).  We expose it as a
+# first-class streaming operator: watermarked tumbling windows emitted to an
+# append sink exactly once per closed window.
+#
+# Determinism contract for the gate: with Trigger.AvailableNow the final
+# watermark is max(event_time) - delay, so exactly the windows with
+# window_end <= max(ts) - 1h are emitted; the oracle applies the same cutoff.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_windowed_agg",
+    oracle=f"""
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type, value, ts
+  FROM events
+)
+SELECT
+  strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  COUNT(*) AS n,
+  {sql_dsum('value')} AS sum_value
+FROM e
+WHERE window_start + INTERVAL 1 HOUR <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+GROUP BY window_start, event_type
+""",
+)
+def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows over the events stream with a
+    1-hour watermark, append-mode parquet sink: each window row is written
+    exactly once, when the watermark passes its end — the incremental-MV
+    shape for time-series rollups at 100 TB (state scales with open windows,
+    not with history)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="msk_wagg_src_")
+    out_dir = tempfile.mkdtemp(prefix="msk_wagg_out_")
+    ckpt = tempfile.mkdtemp(prefix="msk_wagg_ckpt_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    try:
+        stream = (
+            spark.readStream.schema(events_schema)
+            .parquet(src_dir)
+            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).localCheckpoint()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Session windows (gap-based) — stateful merge of event-time sessions.
+# Oracle: classic island detection (new session when the gap to the previous
+# event is >= 6h; session end = last event + gap), identical to Spark's
+# half-open [start, last+gap) session semantics.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+""",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (6h) per user over the events stream.
+    Complete-mode memory sink for the bounded gate replay; the production
+    path is append + watermark to a table sink (state per OPEN session —
+    bounded by active users, not history — the scalable shape)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="msk_sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="msk_sess_ckpt_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    sink_name = f"msk_sessions_{abs(hash(src_dir)) % 10**9}"
+    try:
+        stream = (
+            spark.readStream.schema(events_schema)
+            .parquet(src_dir)
+            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+            .groupBy(F.session_window("ts", "6 hours"), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                    "session_start"
+                ),
+                F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                    "session_end"
+                ),
+                "n_events",
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(sink_name).localCheckpoint()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState.  The escape hatch for
+# stateful semantics Spark's built-in windows can't express (reference has
+# no equivalent — its shared state is a Redis cache, stream.py §2.8).
+# Pattern: per-key GroupState holding a small fixed-size accumulator,
+# Arrow-batched updates, update-mode emission.  State size scales with
+# distinct keys, not history — the 100 TB-safe shape.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_stateful_user_stats",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime stats maintained in GroupState across micro-batches
+    (count + first/last event time), emitted in update mode.  The bounded
+    replay collapses to one batch, so the update stream's last emission per
+    user equals the batch aggregate — which is what the oracle checks."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="msk_state_src_")
+    ckpt = tempfile.mkdtemp(prefix="msk_state_ckpt_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    sink_name = f"msk_user_stats_{abs(hash(src_dir)) % 10**9}"
+
+    out_schema = (
+        "user_id bigint, n_events bigint, first_ts string, last_ts string"
+    )
+    state_schema = "n bigint, mn long, mx long"
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, mn, mx = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            micros = pdf["ts"].astype("int64") // 1000  # nanos -> micros
+            n += len(pdf)
+            lo, hi = int(micros.min()), int(micros.max())
+            mn = lo if mn is None or lo < mn else mn
+            mx = hi if mx is None or hi > mx else mx
+        state.update((n, mn, mx))
+        fmt = lambda us: pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S.%f")
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "first_ts": [fmt(mn)],
+                "last_ts": [fmt(mx)],
+            }
+        )
+
+    try:
+        stream = (
+            spark.readStream.schema(events_schema)
+            .parquet(src_dir)
+            .select("user_id", "ts")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(sink_name).localCheckpoint()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

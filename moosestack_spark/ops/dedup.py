@@ -352,36 +352,65 @@ def embedding_cosine_pairs(
     id_col: str,
     vec_col: str,
     threshold: float,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All id pairs whose embedding cosine similarity >= threshold.
+    """All id pairs whose embedding cosine similarity >= threshold (exact).
 
-    Exact variant: self-join on id_a < id_b with a sequential double fold per
-    pair (JVM-side F.aggregate/zip_with — no Python UDF).  At 100 TB the
-    quadratic pair space is pruned by the LSH sign-bucket candidate pass
-    (ops/similarity.py lsh_bucket) followed by this exact cosine verify on
-    candidates only — the classic two-phase near-dup shape; the gate pins the
-    exact phase.  Norms are precomputed per row BEFORE the join so each is
-    computed once, not once per pair.
+    Blocked-GEMM shape: rows are hashed into n_blocks; every unordered block
+    pair (p, q) is cogrouped and scored with one vectorized float64 matrix
+    multiply (Arrow-batched applyInPandas — ~1000x the throughput of a
+    per-pair expression fold).  Each unordered row pair lands in exactly one
+    block pair, so no dedup pass is needed.  The all-pairs space is
+    inherently O(n^2): at 100 TB row counts the LSH sign-bucket candidate
+    pass (ops/similarity.py lsh_bucket) prunes candidates first and this
+    exact kernel verifies survivors; the gate pins the exact kernel.
     """
-    from moosestack_spark.ops.similarity import _dot
+    import numpy as np
+    import pandas as pd
 
     e = df.select(
-        F.col(id_col),
+        F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn(
-        "__n",
-        F.sqrt(F.aggregate(F.col("__v"), F.lit(0.0), lambda a, x: a + x * x)),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__b"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = _dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .withColumn("__cos", cos)
-        .filter(F.col("__cos") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+    # A row in block b is the LEFT side of block pairs (b, q>=b) and the
+    # RIGHT side of block pairs (p<=b, b).
+    left = e.select(
+        "__id", "__v", F.col("__b").alias("kp"), F.explode(
+            F.sequence(F.col("__b"), F.lit(n_blocks - 1))
+        ).alias("kq"),
+    )
+    # distinct right-side names: a self-cogroup shares lineage, and
+    # same-named attributes on both sides get conflated/pruned by the
+    # analyzer (observed: right pdf arrives with only the key columns)
+    right = e.select(
+        F.col("__id").alias("__rid"), F.col("__v").alias("__rv"), F.explode(
+            F.sequence(F.lit(0), F.col("__b"))
+        ).alias("kp"), F.col("__b").alias("kq"),
+    )
+
+    def score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        same_block = lpdf["kp"].iat[0] == lpdf["kq"].iat[0] if len(lpdf) else False
+        vl = np.vstack(lpdf["__v"].to_numpy()).astype(np.float64)
+        vr = np.vstack(rpdf["__rv"].to_numpy()).astype(np.float64)
+        nl = np.linalg.norm(vl, axis=1)
+        nr = np.linalg.norm(vr, axis=1)
+        c = (vl @ vr.T) / np.outer(nl, nr)
+        il, ir = np.nonzero(c >= threshold)
+        ida = lpdf["__id"].to_numpy()[il]
+        idb = rpdf["__rid"].to_numpy()[ir]
+        keep = ida < idb if same_block else ida != idb
+        ida, idb = ida[keep], idb[keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ida, idb), "id_b": np.maximum(ida, idb)}
         )
+
+    return (
+        left.groupBy("kp", "kq")
+        .cogroup(right.groupBy("kp", "kq"))
+        .applyInPandas(score, schema="id_a long, id_b long")
     )
 
 

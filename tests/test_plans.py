@@ -1,0 +1,107 @@
+"""Physical-plan shape regression tests.
+
+Correctness says what a query returns; these tests pin HOW it executes —
+the properties that decide whether the same plan survives a 100x scale-up:
+
+- predicate pushdown + column pruning reach the parquet scan
+  (PushedFilters / ReadSchema in the formatted plan);
+- dimension joins broadcast (no shuffle of the fact side);
+- aggregations are two-phase (map-side partial before the exchange);
+- narrow text/scan ops have NO exchange at all;
+- whole-stage codegen covers the hot expressions.
+
+A refactor that silently turns a broadcast join into a sort-merge join or
+drops a pushed filter still returns the right rows at sf0.001 — only these
+assertions catch it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from moosestack_spark import registry
+
+registry.load_all()
+
+
+def _explain(df, mode: str) -> str:
+    jqe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    m = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return jqe.explainString(m)
+
+
+def formatted_plan(df) -> str:
+    return _explain(df, "formatted")
+
+
+def plan_tree(p: str) -> str:
+    """Just the operator tree (formatted mode repeats each node in the
+    detail section below — counting on the full text double-counts)."""
+    return p.split("\n\n", 1)[0]
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    def get(name: str) -> str:
+        return formatted_plan(registry.QUERIES[name](spark, sf_dir))
+
+    return get
+
+
+def test_pricing_summary_pushdown_and_partial_agg(plans):
+    p = plans("agg_pricing_summary")
+    # shipdate predicate reaches the parquet reader
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1][:300]
+    # only the referenced columns are read
+    read = p.split("ReadSchema", 1)[1][:400]
+    assert "l_comment" not in read
+    # two-phase aggregation: partial_ functions before the exchange
+    assert "partial_sum" in p or "partial_count" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    p = plans("filter_in_between")
+    assert "PushedFilters" in p
+    pushed = p.split("PushedFilters", 1)[1][:400]
+    assert "GreaterThanOrEqual" in pushed or "In(" in pushed or "LessThanOrEqual" in pushed
+
+
+def test_star_join_broadcasts_dimensions(plans):
+    p = plans("join_star_multi")
+    assert "BroadcastHashJoin" in p
+    # the fact table must not be sort-merge-joined against a dimension
+    assert "SortMergeJoin" not in p
+
+
+def test_lookup_join_broadcasts(plans):
+    p = plans("join_left_lookup")
+    assert "BroadcastHashJoin" in p
+
+
+def test_text_ops_have_no_exchange(plans):
+    # narrow per-row ops: any Exchange is a regression
+    for name in ("text_token_stats", "text_fingerprint", "text_lang_id"):
+        p = plans(name)
+        assert "Exchange" not in p, f"{name} plan gained a shuffle"
+
+
+def test_token_stats_is_codegened(spark, sf_dir):
+    # simple mode marks codegen'd operators with '*'; the token-stats
+    # projection must stay inside a WholeStageCodegen span
+    df = registry.QUERIES["text_token_stats"](spark, sf_dir)
+    assert "*(1)" in _explain(df, "simple")
+
+
+def test_exact_dedup_single_shuffle(plans):
+    p = plans("dedup_exact")
+    # one shuffle for the groupBy (plus nothing else): union + hash agg
+    assert plan_tree(p).count("Exchange") == 1
+    assert "partial_min" in p or "partial_count" in p
+
+
+def test_window_topk_single_shuffle(plans):
+    p = plans("window_row_number_topk")
+    assert plan_tree(p).count("Exchange") <= 2  # partition-by shuffle
+    assert "RunningWindowFunction" in p or "Window" in p
