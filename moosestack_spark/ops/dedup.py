@@ -182,10 +182,22 @@ def minhash_signatures(
     then duplicated that tree into every downstream band expression — a
     codegen bomb that took 38s on 500 docs.  Columns after an aggregation
     are materialized, so downstream band hashing reads cheap ints.)
+
+    Hash-family shape: each shingle string is hashed ONCE to a 64-bit base;
+    the k independent permutations re-hash that 8-byte base with seed i.
+    Re-hashing the full string k times measured ~6s for 5000 docs at sf0.1 —
+    the string hashing was the whole pipeline cost; 8-byte re-hashes cut the
+    warm end-to-end time ~25% and the win grows with k.  (A "hash tokens
+    once, combine n token-hashes per shingle" variant is 4x WORSE: the
+    token-hash array expression gets inlined by projection collapse into all
+    n element_at references — O(tokens^2) work per doc.  Expression trees
+    referenced k times must be cheap leaves, not transforms.)
     """
-    sh = exploded_shingles(df, id_col, text_col, n)
+    sh = exploded_shingles(df, id_col, text_col, n).select(
+        "doc", F.xxhash64("shingle").alias("__sh64")
+    )
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("__sh64"), F.lit(i))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     return sh.groupBy("doc").agg(*aggs)

@@ -201,44 +201,81 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _cos_to_literal(vec: Column, vnorm: Column, cvec: list[float], cnorm: float) -> Column:
-    """cosine(row_vector, constant centroid) — scan-side, codegen'd."""
-    dot = F.aggregate(
-        F.zip_with(
-            vec,
-            F.array(*[F.lit(float(c)) for c in cvec]),
-            lambda x, w: x.cast("double") * w,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return dot / (vnorm * F.lit(float(cnorm)))
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec: str = "__v",
+    out_col: str = "__cell",
+) -> DataFrame:
+    """Assign each row to its nearest centroid (max cosine; exact ties break
+    to the smaller centroid id — centroids are sorted by id and numpy argmax
+    returns the FIRST maximum).  One vectorized float64 GEMM per Arrow batch
+    via mapInPandas: a pure scan-side projection, NO shuffle — the row x
+    centroid work scales linearly with executors and the centroid matrix
+    rides along as a task closure (it is small by construction)."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    out_schema = StructType(df.schema.fields + [StructField(out_col, IntegerType())])
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                out[out_col] = pd.Series([], dtype="int32")
+                yield out
+                continue
+            V = np.vstack(pdf[vec].to_numpy()).astype(np.float64)
+            cos = (V @ C.T) / np.outer(np.linalg.norm(V, axis=1), cn)
+            out[out_col] = cids[cos.argmax(axis=1)].astype("int32")
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
 
 
-def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
-               vec: str = "__v", vnorm: str = "__n") -> DataFrame:
-    """Assign each row to its nearest centroid (max cosine, tiebreak on the
-    smaller centroid id) via an argmax FOLD over centroid literals — a pure
-    projection on the scan, NO shuffle.  This is the 100 TB shape: the
-    quadratic row x centroid work stays map-side; only downstream cell joins
-    shuffle, and they shuffle ids + cell, never raw vectors x K."""
-    import math
+def _ivf_probe(
+    qdf: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    vec: str = "__qv",
+    out_col: str = "__cell",
+) -> DataFrame:
+    """nprobe nearest cells per query (cosine desc, centroid id asc on exact
+    ties — stable argsort over id-sorted centroids).  Emits one row per
+    (query, probed cell)."""
+    import numpy as np
 
-    entries = []
-    for cid, cvec in centroids:
-        cn = math.sqrt(sum(float(x) * float(x) for x in cvec))
-        cos = _cos_to_literal(F.col(vec), F.col(vnorm), cvec, cn)
-        entries.append(F.struct(cos.alias("cos"), F.lit(cid).alias("cid")))
-    best = F.aggregate(
-        F.array(*entries),
-        F.struct(F.lit(float("-inf")).alias("cos"), F.lit(-1).alias("cid")),
-        lambda acc, x: F.when(
-            (x["cos"] > acc["cos"])
-            | ((x["cos"] == acc["cos"]) & (x["cid"] < acc["cid"])),
-            x,
-        ).otherwise(acc),
-    )
-    return df.withColumn("__cell", best["cid"])
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    out_schema = StructType(qdf.schema.fields + [StructField(out_col, IntegerType())])
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf.copy()
+                out[out_col] = pd.Series([], dtype="int32")
+                yield out
+                continue
+            V = np.vstack(pdf[vec].to_numpy()).astype(np.float64)
+            cos = (V @ C.T) / np.outer(np.linalg.norm(V, axis=1), cn)
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            idx = np.repeat(np.arange(len(pdf)), top.shape[1])
+            out = pdf.iloc[idx].reset_index(drop=True)
+            out[out_col] = cids[top.ravel()].astype("int32")
+            yield out
+
+    return qdf.mapInPandas(kernel, out_schema)
 
 
 def ivf_topk(
@@ -253,63 +290,60 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF ANN: probe the nprobe nearest cells per query, exact cosine
     re-rank within probed cells.  Centroids = first n_cells candidate
-    vectors by id (deterministic; swap in trained centroids at deploy)."""
-    spark = candidates_df.sparkSession
-    prep = lambda d, idc: (
-        d.select(
-            F.col(idc),
-            F.col(vec).cast("array<double>").alias("__v"),
-        ).withColumn(
-            "__n",
-            F.sqrt(F.aggregate(F.col("__v"), F.lit(0.0), lambda a, x: a + x * x)),
-        )
+    vectors by id (deterministic; swap in trained centroids at deploy).
+
+    Plan shape at scale: centroid assignment and probing are shuffle-free
+    GEMM projections; the only wide ops are the broadcast of (queries x
+    nprobe) probe rows against cell-partitioned candidates and the final
+    per-query top-k window over |probed cells| candidates — never the full
+    candidate set."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    c = candidates_df.select(
+        F.col(cand_id), F.col(vec).cast("array<double>").alias("__v")
     )
-    c = prep(candidates_df, cand_id)
-    q = prep(queries_df, query_id)
+    q = queries_df.select(
+        F.col(query_id), F.col(vec).cast("array<double>").alias("__qv")
+    )
     # centroid list: bounded tiny (n_cells rows) — the collect IS the
-    # broadcast; everything downstream treats them as plan literals.
-    cent = sorted(
-        (r[0], list(r[1]))
-        for r in c.orderBy(cand_id).limit(n_cells).select(cand_id, "__v").collect()
-    )
-    assigned = ivf_assign(c, cent)  # (c_id, __v, __n, __cell) — no shuffle
+    # broadcast; downstream kernels carry it as a task closure.
+    cent = sorted((r[0], list(r[1])) for r in c.orderBy(cand_id).limit(n_cells).collect())
 
-    # probe ranking: queries x n_cells is |Q|*K rows — tiny by construction
-    import math
-    probe_rows = []
-    for cid, cvec in cent:
-        cn = math.sqrt(sum(x * x for x in cvec))
-        probe_rows.append(
-            F.struct(
-                _cos_to_literal(F.col("__v"), F.col("__n"), cvec, cn).alias("cos"),
-                F.lit(cid).alias("cid"),
+    assigned = ivf_assign(c, cent, vec="__v")
+    probed = _ivf_probe(q, cent, nprobe, vec="__qv")
+
+    pairs = F.broadcast(probed).join(assigned, "__cell").filter(
+        F.col(query_id) != F.col(cand_id)
+    )
+
+    pair_schema = StructType(
+        [
+            pairs.schema[query_id],
+            pairs.schema[cand_id],
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def pair_cos(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {query_id: [], cand_id: [], "cos_sim": []}
+                )
+                continue
+            Q = np.vstack(pdf["__qv"].to_numpy()).astype(np.float64)
+            V = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            dots = np.einsum("ij,ij->i", Q, V)
+            cos = dots / (np.linalg.norm(Q, axis=1) * np.linalg.norm(V, axis=1))
+            yield pd.DataFrame(
+                {query_id: pdf[query_id], cand_id: pdf[cand_id], "cos_sim": cos}
             )
-        )
-    probed = q.withColumn("__cell", F.explode(F.slice(
-        F.transform(
-            F.array_sort(
-                F.array(*probe_rows),
-                lambda a, b: F.when(a["cos"] > b["cos"], -1)
-                .when(a["cos"] < b["cos"], 1)
-                .when(a["cid"] < b["cid"], -1)
-                .when(a["cid"] > b["cid"], 1)
-                .otherwise(0),
-            ),
-            lambda s: s["cid"],
-        ), 1, nprobe)))
 
-    pairs = F.broadcast(
-        probed.select(query_id, F.col("__v").alias("__qv"), F.col("__n").alias("__qn"), "__cell")
-    ).join(assigned, "__cell").filter(F.col(query_id) != F.col(cand_id))
-    scored = pairs.withColumn(
-        "cos_sim",
-        F.aggregate(
-            F.zip_with(F.col("__qv"), F.col("__v"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        / (F.col("__qn") * F.col("__n")),
-    )
+    scored = pairs.mapInPandas(pair_cos, pair_schema)
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
