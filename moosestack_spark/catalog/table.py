@@ -33,6 +33,7 @@ import math
 import os
 import re
 import shutil
+from datetime import datetime, timedelta, timezone
 from collections.abc import Iterable, Iterator, Sequence
 from dataclasses import dataclass, field
 from typing import Any, Generic, Optional, TypeVar
@@ -336,3 +337,49 @@ class OlapTable(Generic[T]):
         if self.config.life_cycle == LifeCycle.DELETION_PROTECTED:
             raise PermissionError(f"{self.name} is DELETION_PROTECTED")
         shutil.rmtree(self.path, ignore_errors=True)
+
+    def apply_ttl(self, now: Optional[datetime] = None) -> int:
+        """Retention job for the table TTL (ClickHouseTTL data_models.py:70-72;
+        TtlChanged infrastructure_map.rs:334-340).  CH deletes expired rows at
+        merge time; here it is an explicit scheduled job — a filtered rewrite
+        keeping rows within the window.  Returns the number of rows deleted.
+
+        TTL grammar (the subset the reference's templates use):
+        ``<ts_column> + INTERVAL <n> <unit>`` — a row expires when
+        ts + interval <= now.  At scale: run per partition and skip
+        partitions whose max(ts) is inside the window (partition pruning
+        makes the rewrite touch only expiring partitions).
+        """
+        if not self.config.ttl:
+            return 0
+        m = re.match(
+            r"^\s*(\w+)\s*\+\s*INTERVAL\s+(\d+)\s+(\w+)\s*$",
+            self.config.ttl,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"unsupported TTL expression: {self.config.ttl!r}")
+        ts_col, n, unit = m.group(1), int(m.group(2)), m.group(3).upper()
+        seconds = {
+            "SECOND": 1,
+            "MINUTE": 60,
+            "HOUR": 3600,
+            "DAY": 86400,
+            "WEEK": 604800,
+        }
+        if unit not in seconds:
+            raise ValueError(f"unsupported TTL unit {unit!r}")
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        cutoff = now - timedelta(seconds=n * seconds[unit])
+
+        df = self.read_raw()
+        total = df.count()
+        kept = df.filter(F.col(ts_col) > F.lit(cutoff))
+        n_kept = kept.count()
+        if n_kept == total:
+            return 0
+        tmp = self.path + ".__ttl_tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.rename(tmp, self.path)
+        return total - n_kept

@@ -178,3 +178,180 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(with_orders, without)], "with_orders bigint, without_orders bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join — NOT in Spark's join vocabulary (and only reachable via raw
+# SQL in the reference).  Composition of existing ops: tag both sides, union
+# on the `by` keys, one window pass carrying the latest right-side value
+# forward.  ONE shuffle on the by-keys, state per partition is a single
+# carried value — at 100 TB this beats a range join (no pair explosion) and
+# beats merge_asof-style applyInPandas (no Python in the hot path).
+# --------------------------------------------------------------------------
+
+from pyspark.sql import Window as _W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join with exact matches: for every left row, attach
+    `value_cols` from the latest right row with right.on <= left.on within
+    the same `by` group (NULL when no prior right row exists).
+
+    Equal-`on` ties: right rows sort BEFORE left rows (exact match wins);
+    among equal-`on` right rows the largest `tiebreak` value wins
+    (deterministic).
+    """
+    lcols = left.columns
+    tb = [tiebreak] if tiebreak else []
+    l = left.withColumn("__is_right", F.lit(0))
+    for v in value_cols:
+        l = l.withColumn(f"__rv_{v}", F.lit(None).cast(right.schema[v].dataType))
+    for c in tb:
+        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r = right.select(
+        *by,
+        F.col(on),
+        *tb,
+        *[F.col(v).alias(f"__rv_{v}") for v in value_cols],
+        F.lit(1).alias("__is_right"),
+    )
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    ucols = [*lcols, *tb, "__is_right", *[f"__rv_{v}" for v in value_cols]]
+    u = l.select(*ucols).unionByName(r.select(*ucols))
+    order = [F.col(on).asc(), F.col("__is_right").desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc_nulls_first())
+    w = (
+        _W.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    out = u
+    for v in value_cols:
+        out = out.withColumn(
+            f"asof_{v}", F.last(f"__rv_{v}", ignorenulls=True).over(w)
+        )
+    return out.filter(F.col("__is_right") == 0).select(
+        *lcols, *[f"asof_{v}" for v in value_cols]
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE) AS rv, 0 AS is_right
+  FROM events WHERE event_type <> 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, value AS rv, 1 AS is_right
+  FROM events WHERE event_type = 'purchase'
+), scanned AS (
+  SELECT user_id, ts, event_id, is_right,
+         LAST_VALUE(rv IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts ASC, is_right DESC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS asof_value
+  FROM u
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       asof_value
+FROM scanned WHERE is_right = 0
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every non-purchase event annotated with the user's most recent
+    purchase value as of the event time (cites the operator gap: reference
+    §2.3 has no as-of joins; DataFrame API has none either)."""
+    e = t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", F.col("event_id").alias("__tb")
+    )
+    out = asof_join(
+        left, right, on="ts", by=["user_id"], value_cols=["value"], tiebreak="__tb"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.col("asof_value").alias("asof_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Range (interval-containment) join — bucketized to an equi-join.  A naive
+# value BETWEEN lo AND hi join is a BroadcastNestedLoopJoin (O(n*m) compares
+# per partition); decomposing each interval into the fixed-step buckets it
+# covers turns it into a hash equi-join on the bucket id + a residual exact
+# filter — the shape that scales when the dim side is too big to broadcast.
+# --------------------------------------------------------------------------
+
+
+def range_join_buckets(
+    fact: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    step: float,
+) -> DataFrame:
+    """Join fact rows to interval rows with lo <= value < hi via a
+    bucket-exploded equi-join on floor(value/step)."""
+    r = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / step).cast("long"),
+                F.floor(F.col(hi_col) / step).cast("long"),
+            )
+        ),
+    )
+    f = fact.withColumn("__bucket", F.floor(F.col(value_col) / step).cast("long"))
+    return f.join(r, "__bucket").filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    ).drop("__bucket")
+
+
+_RANGE_ROWS = [
+    ("tiny", 0.0, 50.0),
+    ("small", 50.0, 120.0),
+    ("mid", 120.0, 200.0),
+    ("large", 200.0, 300.0),
+    ("xl", 300.0, 420.0),
+    ("huge", 420.0, 550.0),
+]
+
+_RANGE_VALUES_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _RANGE_ROWS)
+
+
+@query(
+    "join_range_buckets",
+    oracle=f"""
+WITH ranges(label, lo, hi) AS (VALUES {_RANGE_VALUES_SQL})
+SELECT label, COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events e JOIN ranges r ON e.value >= r.lo AND e.value < r.hi
+GROUP BY label
+""",
+)
+def join_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events bucketed into value intervals via the bucketized range join,
+    aggregated per interval label."""
+    e = t(spark, sf_dir, "events").select("event_id", "value")
+    ranges = spark.createDataFrame(_RANGE_ROWS, "label string, lo double, hi double")
+    joined = range_join_buckets(e, ranges, "value", "lo", "hi", step=60.0)
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    )

@@ -195,3 +195,40 @@ def test_truncate_and_peek(spark, warehouse):
     assert len(t.peek(3)) == 3
     t.truncate()
     assert t.read().count() == 0
+
+
+
+class Reading(BaseModel):
+    sensor: str
+    ts: dt.datetime
+    v: float
+
+
+def test_apply_ttl_deletes_expired_rows(spark, warehouse):
+    tbl = OlapTable(
+        "readings", Reading, spark, warehouse, OlapConfig(ttl="ts + INTERVAL 7 DAY")
+    )
+    tbl.insert(
+        [
+            {"sensor": "a", "ts": dt.datetime(2024, 1, 1), "v": 1.0},  # expired
+            {"sensor": "a", "ts": dt.datetime(2024, 1, 9), "v": 2.0},  # kept
+            {"sensor": "b", "ts": dt.datetime(2024, 1, 3, 12), "v": 3.0},  # expired
+            {"sensor": "b", "ts": dt.datetime(2024, 1, 10), "v": 4.0},  # kept
+        ]
+    )
+    deleted = tbl.apply_ttl(now=dt.datetime(2024, 1, 10, 12))
+    assert deleted == 2
+    assert sorted(r["v"] for r in tbl.peek(10)) == [2.0, 4.0]
+    # idempotent second run
+    assert tbl.apply_ttl(now=dt.datetime(2024, 1, 10, 12)) == 0
+
+
+class Stamped(BaseModel):
+    ts: dt.datetime
+
+
+def test_apply_ttl_rejects_unknown_grammar(spark, warehouse):
+    tbl = OlapTable("m", Stamped, spark, warehouse, OlapConfig(ttl="toDate(ts) + 1"))
+    tbl.insert([{"ts": dt.datetime(2024, 1, 1)}])
+    with pytest.raises(ValueError):
+        tbl.apply_ttl()
