@@ -36,6 +36,9 @@ HEADLINE = [
     "scalar_json_extract",
     "engine_replacing_dedup",
     "mv_incremental_daily_rollup",
+    "mv_hypertable_rollup",
+    "join_asof",
+    "join_range_buckets",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",

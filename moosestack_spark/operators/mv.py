@@ -67,3 +67,68 @@ def mv_populate_matches_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "event_type", "value"
     )
     return _daily_rollup_view().populate(e).read()
+
+
+# --------------------------------------------------------------------------
+# Hypertable-style multi-granularity rollup: a continuous-aggregate ladder
+# where each coarser level is derived ONLY from the next finer level's
+# partial states — never from raw rows (count/sum/min/max compose; avg =
+# sum/count pair).  At 100 TB this is the difference between re-scanning a
+# fact table per granularity and an O(|hour rows|) re-aggregation: the day
+# level reads 24x fewer rows than raw, month reads ~30x fewer than day.
+# The gate proves partial-state composition: day-from-hour must hash-match
+# a day-from-raw oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mv_hypertable_rollup",
+    oracle="""
+SELECT
+  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+  event_type,
+  COUNT(*) AS total_rows,
+  CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value,
+  MAX(value) AS max_value,
+  CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events
+GROUP BY strftime(CAST(ts AS DATE), '%Y-%m-%d'), event_type
+""",
+)
+def mv_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day level computed strictly from hour-level partials (sum of counts,
+    sum of decimal sums, max of maxes; avg finalized as sum/count at the
+    day level — a single IEEE divide over exact decimal inputs)."""
+    e = t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        "event_type",
+        F.col("value").cast("decimal(25,4)").alias("v_dec"),
+        "value",
+    )
+    hour = e.groupBy("hour_ts", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_dec").alias("s_dec"),
+        F.max("value").alias("mx"),
+    )
+    day = (
+        hour.groupBy(
+            F.date_format(F.to_date("hour_ts"), "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum("n").alias("total_rows"),
+            F.sum("s_dec").alias("s_dec_day"),
+            F.max("mx").alias("max_value"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "total_rows",
+            F.col("s_dec_day").cast("double").alias("total_value"),
+            "max_value",
+            (F.col("s_dec_day").cast("double") / F.col("total_rows")).alias(
+                "avg_value"
+            ),
+        )
+    )
+    return day

@@ -249,3 +249,69 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch.arrayAll(lambda x: x.isNotNull(), emb).alias("all_non_null"),
         ch.arrayExists(lambda x: x.cast("double") > 0.9, emb).alias("any_gt_09"),
     )
+
+
+# --------------------------------------------------------------------------
+# conversions (§2.9 row "conversions": toString toInt32 toFixed
+# parseDateTime*) — exercised through the ch namespace so the CH-name layer
+# itself is under the gate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_conversions",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(l_orderkey AS VARCHAR) AS orderkey_str,
+  CAST(FLOOR(l_quantity) AS INTEGER) AS qty_int,
+  ROUND(l_quantity, 1) AS qty_fixed,
+  strftime(CAST(strptime(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'),
+                '%Y-%m-%d %H:%M:%S') AS TIMESTAMP),
+           '%Y-%m-%d %H:%M:%S') AS reparsed_ts
+FROM lineitem
+""",
+)
+def scalar_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toString / toInt32 / toFixed / parseDateTimeBestEffort round-trip.
+    (toInt32 truncates toward zero like CH; the oracle spells FLOOR because
+    DuckDB's double->int cast rounds — identical on these integral values.
+    toFixed rounds a FIXED-POINT source, never a computed double.)"""
+    li = t(spark, sf_dir, "lineitem")
+    ts_str = F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ch.toString("l_orderkey").alias("orderkey_str"),
+        ch.toInt32("l_quantity").alias("qty_int"),
+        ch.toFixed("l_quantity", 1).alias("qty_fixed"),
+        F.date_format(ch.parseDateTimeBestEffort(ts_str), "yyyy-MM-dd HH:mm:ss").alias(
+            "reparsed_ts"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# hash functions (§2.9 row "hash").  md5 is bit-identical across engines and
+# carries the oracle; cityHash64 -> xxhash64 intentionally produces
+# DIFFERENT values than ClickHouse (documented in ch_functions) so it stays
+# out of the hash-compare and is covered by rows-only + unit tests.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_hash_md5",
+    oracle="""
+SELECT c_custkey, md5(c_name) AS name_md5,
+       md5(CAST(c_custkey AS VARCHAR)) AS key_md5
+FROM customer
+""",
+)
+def scalar_hash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.md5(F.col("c_custkey").cast("string").cast("binary")).alias("key_md5"),
+    )

@@ -187,3 +187,29 @@ def query_builder_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .df()
     )
+
+
+# --------------------------------------------------------------------------
+# Guarded read-only SQL (MCP query_olap, mcp/tools/query_olap.rs:19-80):
+# statement whitelist + auto-LIMIT (default 100, max 1000).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sql_guarded_limit",
+    oracle="""
+SELECT l_orderkey, l_linenumber FROM lineitem
+ORDER BY l_orderkey, l_linenumber LIMIT 100
+""",
+)
+def sql_guarded_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_olap applies the default LIMIT 100 cap to an uncapped SELECT;
+    the ORDER BY makes the capped prefix deterministic for the gate."""
+    from moosestack_spark.sql.guarded import query_olap
+
+    register_views(spark, sf_dir)
+    return query_olap(
+        spark,
+        "SELECT l_orderkey, l_linenumber FROM lineitem "
+        "ORDER BY l_orderkey, l_linenumber",
+    )
