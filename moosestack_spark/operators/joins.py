@@ -350,7 +350,11 @@ def join_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events bucketed into value intervals via the bucketized range join,
     aggregated per interval label."""
     e = t(spark, sf_dir, "events").select("event_id", "value")
-    ranges = spark.createDataFrame(_RANGE_ROWS, "label string, lo double, hi double")
+    # VALUES literal, not createDataFrame: the python-RDD path would cost a
+    # serialization job + an extra broadcast job (~2s cold) for 6 rows
+    ranges = spark.sql(
+        f"SELECT * FROM (VALUES {_RANGE_VALUES_SQL}) AS t(label, lo, hi)"
+    )
     joined = range_join_buckets(e, ranges, "value", "lo", "hi", step=60.0)
     return joined.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")

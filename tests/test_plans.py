@@ -105,3 +105,16 @@ def test_window_topk_single_shuffle(plans):
     p = plans("window_row_number_topk")
     assert plan_tree(p).count("Exchange") <= 2  # partition-by shuffle
     assert "RunningWindowFunction" in p or "Window" in p
+
+
+def test_asof_join_single_shuffle(plans):
+    # union + one window pass: exactly one Exchange (the by-key partition)
+    p = plans("join_asof")
+    assert plan_tree(p).count("Exchange") == 1
+    assert "Window" in p
+
+
+def test_range_join_broadcasts_interval_side(plans):
+    p = plans("join_range_buckets")
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p  # bucketization must avoid BNLJ
