@@ -118,6 +118,37 @@ class Merge(Engine):
 
 
 @dataclass(frozen=True)
+class Kafka(Engine):
+    """blocks.py:482-508 — table engine reading a topic; maps to the Kafka
+    Structured-Streaming source (streaming-only: batch read is an error,
+    mirroring how the CH engine is consumed via MVs)."""
+
+    name: str = "Kafka"
+    broker_list: str = ""
+    topic_list: str = ""
+    group_name: str = ""
+    format: str = "JSONEachRow"
+    allows_order_by: bool = False
+    allows_partition_by: bool = False
+    allows_sample_by: bool = False
+    read_only: bool = True
+
+
+@dataclass(frozen=True)
+class IcebergS3(Engine):
+    """blocks.py:425-478 (read-only) — query Iceberg snapshots through the
+    native Spark Iceberg catalog (needs the iceberg-spark runtime on the
+    cluster classpath)."""
+
+    name: str = "IcebergS3"
+    table: str = ""
+    read_only: bool = True
+    allows_order_by: bool = False
+    allows_partition_by: bool = False
+    allows_sample_by: bool = False
+
+
+@dataclass(frozen=True)
 class Buffer(Engine):
     """blocks.py:351-390 — RAM buffer; micro-batch trigger tuning, no-op."""
 

@@ -46,9 +46,14 @@ from moosestack_spark.catalog import engine_views
 from moosestack_spark.catalog.engines import (
     CollapsingMergeTree,
     Engine,
+    IcebergS3,
+    Kafka,
     LifeCycle,
+    Merge,
     OlapConfig,
     ReplacingMergeTree,
+    S3,
+    S3Queue,
     SummingMergeTree,
     VersionedCollapsingMergeTree,
 )
@@ -190,6 +195,17 @@ class OlapTable(Generic[T]):
     def _append_df(self, df: DataFrame) -> None:
         if self.config.life_cycle == LifeCycle.EXTERNALLY_MANAGED:
             raise PermissionError(f"{self.name} is EXTERNALLY_MANAGED (read-only)")
+        eng = self.config.engine
+        if getattr(eng, "read_only", False) or isinstance(eng, S3Queue):
+            raise PermissionError(
+                f"{self.name}: engine {eng.name} is read-only / consume-only"
+            )
+        if isinstance(eng, S3):
+            # direct-path engine: rows land at the external location
+            # (s3a:// on a cluster; any hadoop-fs path locally) in the
+            # engine's format (blocks.py:318-347)
+            df.write.mode("append").format(eng.format).save(eng.path)
+            return
         writer = df
         if self.config.order_by_fields:
             # sorted parts: files internally ordered by the sort key ->
@@ -281,10 +297,78 @@ class OlapTable(Generic[T]):
 
     def read_raw(self) -> DataFrame:
         """Physical rows, pre-merge state included."""
+        eng = self.config.engine
+        if isinstance(eng, (S3, S3Queue)):
+            # S3: direct path read; S3Queue batch read = current backlog
+            # (the streaming consume path is stream_reader())
+            return (
+                self.spark.read.schema(self._storage_schema())
+                .format(eng.format)
+                .load(eng.path)
+            )
+        if isinstance(eng, Merge):
+            return self._merge_union(eng)
+        if isinstance(eng, IcebergS3):
+            return self.spark.read.format("iceberg").load(eng.table)
+        if isinstance(eng, Kafka):
+            raise PermissionError(
+                f"{self.name}: Kafka engine tables are streaming-only — "
+                "use stream_reader()"
+            )
         try:
             return self.spark.read.schema(self._storage_schema()).parquet(self.path)
         except Exception:
             return self.spark.createDataFrame([], self.schema)
+
+    def _merge_union(self, eng: Merge) -> DataFrame:
+        """Merge engine (blocks.py:512-533): unionByName over warehouse
+        tables whose physical name matches the regex; columns missing from a
+        member surface as NULLs (allowMissingColumns)."""
+        db_dir = os.path.join(self.warehouse, self.config.database or "default")
+        pat = re.compile(eng.table_regex)
+        out: Optional[DataFrame] = None
+        for name in sorted(os.listdir(db_dir)) if os.path.isdir(db_dir) else []:
+            tdir = os.path.join(db_dir, name)
+            if name == self.physical_name or not os.path.isdir(tdir):
+                continue
+            if not pat.fullmatch(name):
+                continue
+            try:
+                member = self.spark.read.parquet(tdir)
+            except Exception:
+                continue
+            out = member if out is None else out.unionByName(
+                member, allowMissingColumns=True
+            )
+        if out is None:
+            return self.spark.createDataFrame([], self.schema)
+        return out
+
+    def stream_reader(self):
+        """Streaming source for queue/topic engines:
+
+        - S3Queue (blocks.py:290-314): file-stream over the path — with a
+          checkpoint this is exactly-once per file, the same guarantee the
+          CH engine documents;
+        - Kafka (blocks.py:482-508): kafka source (needs the
+          spark-sql-kafka connector on the cluster classpath).
+        """
+        eng = self.config.engine
+        if isinstance(eng, S3Queue):
+            return (
+                self.spark.readStream.schema(self._storage_schema())
+                .format(eng.format)
+                .load(eng.path)
+            )
+        if isinstance(eng, Kafka):
+            return (
+                self.spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", eng.broker_list)
+                .option("subscribe", eng.topic_list)
+                .option("kafka.group.id", eng.group_name)
+                .load()
+            )
+        raise TypeError(f"engine {eng.name} is not a streaming source")
 
     def _storage_schema(self):
         return self.schema

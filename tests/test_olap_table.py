@@ -232,3 +232,92 @@ def test_apply_ttl_rejects_unknown_grammar(spark, warehouse):
     tbl.insert([{"ts": dt.datetime(2024, 1, 1)}])
     with pytest.raises(ValueError):
         tbl.apply_ttl()
+
+
+class Point(BaseModel):
+    id: Key[int]
+    v: float
+
+
+def test_s3_engine_reads_and_writes_external_path(spark, warehouse, tmp_path):
+    from moosestack_spark.catalog.engines import S3
+
+    ext = str(tmp_path / "ext_bucket")
+    t = OlapTable(
+        "ext", Point, spark, warehouse, OlapConfig(engine=S3(path=ext))
+    )
+    t.insert([{"id": 1, "v": 1.0}, {"id": 2, "v": 2.0}])
+    assert sorted(r["v"] for r in t.peek(10)) == [1.0, 2.0]
+    # rows physically live at the external path, not under the warehouse
+    assert spark.read.parquet(ext).count() == 2
+
+
+def test_merge_engine_unions_matching_tables(spark, warehouse):
+    from moosestack_spark.catalog.engines import Merge
+
+    a = OlapTable("metrics_a", Point, spark, warehouse)
+    b = OlapTable("metrics_b", Point, spark, warehouse)
+    other = OlapTable("events_x", Point, spark, warehouse)
+    a.insert([{"id": 1, "v": 1.0}])
+    b.insert([{"id": 2, "v": 2.0}])
+    other.insert([{"id": 3, "v": 3.0}])
+    m = OlapTable(
+        "all_metrics",
+        Point,
+        spark,
+        warehouse,
+        OlapConfig(engine=Merge(table_regex="metrics_.*")),
+    )
+    assert sorted(r["v"] for r in m.peek(10)) == [1.0, 2.0]
+    with pytest.raises(PermissionError):
+        m.insert([{"id": 9, "v": 9.0}])
+
+
+def test_s3queue_streams_files_exactly_once(spark, warehouse, tmp_path):
+    from moosestack_spark.catalog.engines import S3, S3Queue
+
+    qdir = str(tmp_path / "queue")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    feeder = OlapTable("feed", Point, spark, warehouse, OlapConfig(engine=S3(path=qdir)))
+    feeder.insert([{"id": 1, "v": 10.0}])
+    q = OlapTable(
+        "queue", Point, spark, warehouse, OlapConfig(engine=S3Queue(path=qdir))
+    )
+    with pytest.raises(PermissionError):
+        q.insert([{"id": 5, "v": 5.0}])
+    stream = q.stream_reader()
+    job = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    job.awaitTermination()
+    assert spark.read.parquet(sink).count() == 1
+    # second run with the same checkpoint: no reprocessing (exactly-once)
+    job2 = (
+        q.stream_reader()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    job2.awaitTermination()
+    assert spark.read.parquet(sink).count() == 1
+
+
+def test_kafka_engine_batch_read_is_error(spark, warehouse):
+    from moosestack_spark.catalog.engines import Kafka
+
+    k = OlapTable(
+        "topic",
+        Point,
+        spark,
+        warehouse,
+        OlapConfig(engine=Kafka(broker_list="b:9092", topic_list="t")),
+    )
+    with pytest.raises(PermissionError):
+        k.read()
