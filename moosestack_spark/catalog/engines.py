@@ -178,11 +178,17 @@ class TableIndex:
 
 @dataclass
 class TableProjection:
-    """OlapConfig.TableProjection (olap_table.py:176-180).  Faithful
-    projections = secondary sorted copy; deferred — recorded for parity."""
+    """OlapConfig.TableProjection (olap_table.py:176-180).
+
+    Faithful ClickHouse semantics: an alternate physical ordering of the
+    same rows, maintained on insert, consulted at read time when a query's
+    predicate matches the projection's sort key better than the base
+    order.  `order_by` is the projection's sort key; `select` (optional
+    raw-SQL parity field) records the original CH projection text."""
 
     name: str
-    select: str
+    order_by: Sequence[str] = ()
+    select: str = ""
 
 
 @dataclass

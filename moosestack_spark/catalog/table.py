@@ -215,6 +215,8 @@ class OlapTable(Generic[T]):
         if self.config.partition_by:
             out = out.partitionBy(self.config.partition_by)
         out.parquet(self.path)
+        if self.config.projections:
+            self._write_projections(df)
 
     def insert(
         self,
@@ -412,6 +414,8 @@ class OlapTable(Generic[T]):
             raise PermissionError(f"{self.name} life_cycle forbids truncate")
         shutil.rmtree(self.path, ignore_errors=True)
         os.makedirs(self.path, exist_ok=True)
+        for proj in self.config.projections:
+            shutil.rmtree(self._projection_path(proj.name), ignore_errors=True)
 
     def peek(self, n: int = 10) -> list[dict]:
         """moose peek (cli/commands.rs:104-118)."""
@@ -421,6 +425,86 @@ class OlapTable(Generic[T]):
         if self.config.life_cycle == LifeCycle.DELETION_PROTECTED:
             raise PermissionError(f"{self.name} is DELETION_PROTECTED")
         shutil.rmtree(self.path, ignore_errors=True)
+
+    # -- projections (OlapConfig.TableProjection, olap_table.py:176-180) ---
+
+    def _projection_path(self, name: str) -> str:
+        # sibling dir (suffix, not child) so base parquet reads never see it
+        return self.path + f"__proj_{name}"
+
+    def _write_projections(self, df: DataFrame) -> None:
+        for proj in self.config.projections:
+            out = df
+            if proj.order_by:
+                out = df.sortWithinPartitions(*proj.order_by)
+            out.write.mode("append").parquet(self._projection_path(proj.name))
+
+    def read_for_predicate(self, *filter_cols: str) -> DataFrame:
+        """Route a read to the physical copy whose sort key serves the
+        predicate columns best (CH picks projections the same way): the
+        copy with the longest sort-key prefix contained in filter_cols;
+        ties/none -> base table.  Row-group min/max stats on the matching
+        copy then prune the scan."""
+        want = set(filter_cols)
+
+        def prefix_len(keys: Sequence[str]) -> int:
+            n = 0
+            for k in keys:
+                if k in want:
+                    n += 1
+                else:
+                    break
+            return n
+
+        best_df = self.read()
+        best_score = prefix_len(self._sort_keys())
+        for proj in self.config.projections:
+            score = prefix_len(list(proj.order_by))
+            if score > best_score and os.path.isdir(self._projection_path(proj.name)):
+                try:
+                    cand = self.spark.read.schema(self._storage_schema()).parquet(
+                        self._projection_path(proj.name)
+                    )
+                except Exception:
+                    continue
+                best_df, best_score = cand, score
+        return best_df
+
+    def optimize(self, target_files: Optional[int] = None) -> int:
+        """Compaction — the explicit counterpart of MergeTree background
+        merges (CH merges small parts into sorted bigger ones continuously;
+        here OPTIMIZE is a scheduled job, like `OPTIMIZE TABLE ... FINAL`).
+
+        Rewrites the table into `target_files` files, each internally sorted
+        by the ORDER BY key, so parquet row-group min/max stats prune range
+        scans; partitioned tables keep their partitioning.  Returns the
+        file count after compaction.  At 100 TB run per partition (only
+        partitions with small-file buildup), never table-wide.
+        """
+        df = self.read_raw()
+        n_rows = df.count()
+        if target_files is None:
+            # ~128MB-file heuristic is meaningless on toy data; default to
+            # one file per shuffle partition bounded by row count
+            target_files = max(1, min(8, n_rows // 10_000 or 1))
+        keys = self._sort_keys()
+        if keys:
+            out = df.repartitionByRange(target_files, *keys).sortWithinPartitions(*keys)
+        else:
+            out = df.coalesce(target_files)
+        tmp = self.path + ".__optimize_tmp"
+        writer = out.write.mode("overwrite")
+        if self.config.partition_by:
+            writer = writer.partitionBy(self.config.partition_by)
+        writer.parquet(tmp)
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.rename(tmp, self.path)
+        return sum(
+            1
+            for root, _, files in os.walk(self.path)
+            for f in files
+            if f.endswith(".parquet")
+        )
 
     def apply_ttl(self, now: Optional[datetime] = None) -> int:
         """Retention job for the table TTL (ClickHouseTTL data_models.py:70-72;

@@ -49,6 +49,7 @@ def load_all() -> None:
         scalar_funcs,
         semantic,
         setops,
+        skew,
         sortlimit,
         streaming_ops,
         windows,

@@ -321,3 +321,68 @@ def test_kafka_engine_batch_read_is_error(spark, warehouse):
     )
     with pytest.raises(PermissionError):
         k.read()
+
+
+def test_optimize_compacts_and_sorts(spark, warehouse):
+    import os
+
+    t = OlapTable(
+        "compact_me", Point, spark, warehouse, OlapConfig(order_by_fields=["id"])
+    )
+    # 6 separate appends -> many small files
+    for i in range(6):
+        t.insert([{"id": 100 - 10 * i - j, "v": float(i)} for j in range(3)])
+    files_before = sum(
+        1 for _, _, fs in os.walk(t.path) for f in fs if f.endswith(".parquet")
+    )
+    assert files_before >= 6
+    rows_before = sorted(r["id"] for r in t.read().collect())
+    n_after = t.optimize(target_files=2)
+    assert n_after <= 2 < files_before
+    assert sorted(r["id"] for r in t.read().collect()) == rows_before
+    # each surviving file is internally sorted by the ORDER BY key
+    for root, _, fs in os.walk(t.path):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            ids = [
+                r["id"]
+                for r in spark.read.parquet(os.path.join(root, f)).collect()
+            ]
+            assert ids == sorted(ids)
+
+
+def test_projection_maintained_and_routed(spark, warehouse):
+    import os
+
+    from moosestack_spark.catalog.engines import TableProjection
+
+    class Hit(BaseModel):
+        user: Key[int]
+        url: str
+        n: int
+
+    t = OlapTable(
+        "hits",
+        Hit,
+        spark,
+        warehouse,
+        OlapConfig(
+            order_by_fields=["user"],
+            projections=[TableProjection(name="by_url", order_by=("url",))],
+        ),
+    )
+    t.insert([{"user": i % 7, "url": f"/p/{i % 5}", "n": i} for i in range(40)])
+    # projection dir exists as a sibling and holds the same row count
+    proj_dir = t._projection_path("by_url")
+    assert os.path.isdir(proj_dir)
+    assert spark.read.parquet(proj_dir).count() == 40
+    # predicate on url routes to the projection; on user stays on base
+    routed = t.read_for_predicate("url")
+    assert routed.count() == 40
+    assert sorted(r["n"] for r in routed.collect()) == list(range(40))
+    base = t.read_for_predicate("user")
+    assert base.count() == 40
+    # truncate clears both copies
+    t.truncate()
+    assert t.read_for_predicate("url").count() == 0
