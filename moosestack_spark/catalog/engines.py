@@ -192,6 +192,16 @@ class TableProjection:
 
 
 @dataclass
+class SeedFilter:
+    """OlapConfig.seed_filter (olap_table.py:183-189): per-table WHERE +
+    LIMIT applied when seeding from a remote/source table (`moose seed`,
+    cli/commands.rs:498-512)."""
+
+    where: Optional[str] = None
+    limit: Optional[int] = None
+
+
+@dataclass
 class OlapConfig:
     """dmv2/olap_table.py:120-189."""
 
@@ -207,6 +217,7 @@ class OlapConfig:
     indexes: list[TableIndex] = field(default_factory=list)
     projections: list[TableProjection] = field(default_factory=list)
     database: Optional[str] = None
+    seed_filter: Optional[SeedFilter] = None
     life_cycle: LifeCycle = LifeCycle.FULLY_MANAGED
 
     def validate(self) -> None:

@@ -426,6 +426,24 @@ class OlapTable(Generic[T]):
             raise PermissionError(f"{self.name} is DELETION_PROTECTED")
         shutil.rmtree(self.path, ignore_errors=True)
 
+    def seed_from(self, source: DataFrame) -> int:
+        """`moose seed` (cli/commands.rs:498-512): copy rows from a source
+        DataFrame (remote catalog table, another environment's export, ...)
+        applying the table's seed_filter WHERE + LIMIT.  Returns rows
+        seeded.  The filter is pushed into the source scan by Catalyst —
+        a seed of a 100 TB source with a selective WHERE reads only the
+        matching splits."""
+        sf = self.config.seed_filter
+        df = source
+        if sf and sf.where:
+            df = df.filter(sf.where)
+        if sf and sf.limit is not None:
+            df = df.limit(sf.limit)
+        df = df.select(*[f.name for f in self.schema.fields])
+        n = df.count()
+        self._append_df(df)
+        return n
+
     # -- projections (OlapConfig.TableProjection, olap_table.py:176-180) ---
 
     def _projection_path(self, name: str) -> str:

@@ -315,3 +315,31 @@ def scalar_hash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
         F.md5(F.col("c_custkey").cast("string").cast("binary")).alias("key_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dynamic JSON via Spark 4 VariantType (SURVEY.md §1.3 "Json (dynamic)"):
+# parse once into the binary variant encoding, then typed path extraction —
+# the scale-correct shape for JSON columns (parse_json runs once per row at
+# scan; every downstream variant_get reads the binary encoding instead of
+# re-parsing text, unlike repeated get_json_object calls).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_json_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_path
+FROM events
+""",
+)
+def scalar_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_path"),
+    )

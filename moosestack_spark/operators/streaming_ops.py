@@ -394,3 +394,56 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Multi-route fan-out (set_multi_transform / routed(), py stream.py:233-268):
+# one routing expression sends each record to one of several destination
+# streams; unrouted records drop.  The gate replays the routed stream and
+# returns the union of all destinations tagged with their route.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_multi_route",
+    oracle="""
+SELECT 'purchases' AS destination, event_id, value FROM events
+WHERE event_type = 'purchase'
+UNION ALL
+SELECT 'clicks' AS destination, event_id, value FROM events
+WHERE event_type = 'click'
+""",
+)
+def streaming_multi_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def route():
+        return (
+            F.when(F.col("event_type") == "purchase", F.lit("purchases"))
+            .when(F.col("event_type") == "click", F.lit("clicks"))
+            .otherwise(F.lit(None))
+        )
+
+    stream = Stream(name="events").set_multi_transform(
+        route, ["purchases", "clicks"]
+    )
+    out_dir = tempfile.mkdtemp(prefix="msk_route_out_")
+    try:
+        paths = run_file_stream(
+            spark,
+            source_path=f"{sf_dir}/events.parquet",
+            source_schema=events_schema,
+            stream=stream,
+            out_dir=out_dir,
+        )
+        frames = []
+        for dest in ("purchases", "clicks"):
+            frames.append(
+                spark.read.parquet(paths[dest]).select(
+                    F.lit(dest).alias("destination"), "event_id", "value"
+                )
+            )
+        return frames[0].unionByName(frames[1]).localCheckpoint()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

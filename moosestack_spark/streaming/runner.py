@@ -51,7 +51,10 @@ def run_file_stream(
     )
 
     paths: dict[str, str] = {}
-    for dest in stream.transforms:
+    destinations = list(stream.transforms) + [
+        d for d in stream.route_destinations if d not in stream.transforms
+    ]
+    for dest in destinations:
         paths[dest] = os.path.join(out_dir, dest)
         paths[f"{dest}__dlq"] = os.path.join(out_dir, f"{dest}__dlq")
 

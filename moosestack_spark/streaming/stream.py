@@ -163,6 +163,9 @@ class Stream:
     schema: Optional[StructType] = None
     transforms: dict[str, list[Transform]] = field(default_factory=dict)
     consumers: list[Callable[[DataFrame], None]] = field(default_factory=list)
+    # multi-route fan-out (set_multi_transform / routed(), stream.py:233-268)
+    route_expr: Optional[Callable[[], "Column"]] = None
+    route_destinations: tuple = ()
 
     def add_transform(self, destination: str, transform: Transform) -> "Stream":
         self.transforms.setdefault(destination, []).append(transform)
@@ -172,22 +175,43 @@ class Stream:
         self.consumers.append(fn)
         return self
 
+    def set_multi_transform(
+        self, route: Callable[[], "Column"], destinations: Sequence[str]
+    ) -> "Stream":
+        """One routing expression fans each record out to a destination
+        stream (py stream.py:233-268 set_multi_transform/routed).  The
+        routing column names the destination per row; a NULL route drops
+        the record.  Each destination may additionally carry its own
+        add_transform chain.  One scan of the batch; the per-destination
+        filters are pushdown-friendly predicates on the routing value."""
+        self.route_expr = route
+        self.route_destinations = tuple(destinations)
+        return self
+
     def process_batch(self, df: DataFrame) -> dict[str, TransformResult]:
         """Run every transform edge over one (micro-)batch; returns per-
         destination results.  Consumers see the raw batch (runner.ts:386)."""
         for consume in self.consumers:
             consume(df)
+        inputs: dict[str, DataFrame] = {}
+        if self.route_expr is not None:
+            routed = df.withColumn("__route", self.route_expr())
+            for dest in self.route_destinations:
+                inputs[dest] = routed.filter(F.col("__route") == dest).drop("__route")
+        for dest in self.transforms:
+            inputs.setdefault(dest, df)
         out: dict[str, TransformResult] = {}
-        for dest, chain in self.transforms.items():
-            cur = df
+        for dest, cur in inputs.items():
             dlqs: list[DataFrame] = []
-            for tr in chain:
+            for tr in self.transforms.get(dest, []):
                 res = tr.run(cur)
                 cur = res.output
                 dlqs.append(res.dlq)
-            dlq = dlqs[0]
-            for d in dlqs[1:]:
-                dlq = dlq.unionByName(d)
+            dlq = None
+            for d in dlqs:
+                if d is None:
+                    continue
+                dlq = d if dlq is None else dlq.unionByName(d)
             out[dest] = TransformResult(output=cur, dlq=dlq)
         return out
 

@@ -386,3 +386,21 @@ def test_projection_maintained_and_routed(spark, warehouse):
     # truncate clears both copies
     t.truncate()
     assert t.read_for_predicate("url").count() == 0
+
+
+def test_seed_from_applies_where_and_limit(spark, warehouse):
+    from moosestack_spark.catalog.engines import SeedFilter
+
+    src = spark.range(100).selectExpr(
+        "CAST(id AS INT) AS id", "'x' AS kind", "CAST(id AS DOUBLE) AS amount"
+    )
+    t = OlapTable(
+        "seeded",
+        Event,
+        spark,
+        warehouse,
+        OlapConfig(seed_filter=SeedFilter(where="amount >= 90", limit=5)),
+    )
+    assert t.seed_from(src) == 5
+    vals = sorted(r["amount"] for r in t.peek(20))
+    assert len(vals) == 5 and all(v >= 90 for v in vals)
