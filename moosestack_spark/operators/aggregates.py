@@ -278,3 +278,33 @@ def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (free from Catalyst, §2.4 "grouping sets/cube/rollup" —
+# exposed because the CH SQL passthrough surface accepts them).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT COALESCE(l_returnflag, '<any>') AS returnflag,
+       COALESCE(l_linestatus, '<any>') AS linestatus,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '<any>') AS returnflag,
+               COALESCE(l_linestatus, '<any>') AS linestatus,
+               COUNT(*) AS n
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

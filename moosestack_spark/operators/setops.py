@@ -83,3 +83,20 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = cn.intersect(sn).select(F.lit("both").alias("kind"), "nationkey")
     conly = cn.subtract(sn).select(F.lit("customer_only").alias("kind"), "nationkey")
     return both.unionByName(conly)
+
+
+@query(
+    "setop_all_variants",
+    oracle="""
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+INTERSECT ALL
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+""",
+)
+def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL preserves multiplicity (min of the two sides' counts) —
+    DataFrame intersectAll; EXCEPT ALL is the exceptAll sibling."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return a.intersectAll(r)

@@ -447,3 +447,98 @@ def streaming_multi_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         return frames[0].unionByName(frames[1]).localCheckpoint()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# ETL extract/transform/load (ts dmv2/sdk/etlPipeline.ts:24-77) — the
+# client-side batched path; gate replays supplier through it.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "etl_extract_transform_load",
+    oracle="""
+SELECT s_suppkey, UPPER(s_name) AS name_upper, s_acctbal
+FROM supplier WHERE s_acctbal >= 0
+""",
+)
+def etl_extract_transform_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier rows -> batched iterator (batch 20) -> ZeroOrMany transform
+    (drop negative balances, uppercase the name) -> loaded rows surfaced."""
+    from moosestack_spark.pipeline import ETLPipeline
+
+    src = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    loaded: list[dict] = []
+
+    def extract():
+        for r in src.toLocalIterator():
+            yield r.asDict()
+
+    def transform(rec: dict):
+        if rec["s_acctbal"] < 0:
+            return None
+        return {
+            "s_suppkey": rec["s_suppkey"],
+            "name_upper": rec["s_name"].upper(),
+            "s_acctbal": rec["s_acctbal"],
+        }
+
+    ETLPipeline(extract, transform, loaded.extend).run()
+    return spark.createDataFrame(
+        loaded, "s_suppkey bigint, name_upper string, s_acctbal double"
+    )
+
+
+# --------------------------------------------------------------------------
+# DLQ recovery (stream.py:451 as_typed()): parse original_record back into
+# the typed schema and re-process.  Gate: every poison record must be
+# recoverable from the DLQ byte-for-byte on its typed fields.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_dlq_recovery",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+   OR json_extract_string(props, '$.k') IS NULL
+""",
+)
+def streaming_dlq_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from moosestack_spark.streaming.stream import dlq_as_typed
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = Stream(name="events").add_transform("processed", _transform())
+    out_dir = tempfile.mkdtemp(prefix="msk_dlqrec_out_")
+    try:
+        paths = run_file_stream(
+            spark,
+            source_path=f"{sf_dir}/events.parquet",
+            source_schema=events_schema,
+            stream=stream,
+            out_dir=out_dir,
+        )
+        dlq = spark.read.parquet(paths["processed__dlq"])
+        typed = dlq_as_typed(
+            dlq,
+            StructType(
+                [
+                    StructField("event_id", LongType()),
+                    StructField("user_id", LongType()),
+                    StructField("event_type", StringType()),
+                    StructField("value", DoubleType()),
+                ]
+            ),
+        )
+        return typed.localCheckpoint()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

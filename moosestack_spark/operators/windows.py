@@ -183,3 +183,39 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").over(w).alias("first_event"),
         F.last("event_type").over(w).alias("last_event"),
     ).distinct()
+
+
+# --------------------------------------------------------------------------
+# Full analytic/distribution window family (§2.5: lag/lead/first/last
+# already covered; ntile/percent_rank/cume_dist round out the vocabulary a
+# CH SQL passthrough user would send).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_lead_distribution",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       LEAD(o_totalprice, 1) OVER w AS next_price,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 8) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 8) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+""",
+)
+def window_lead_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead + ntile + percent_rank + cume_dist in one per-customer pass —
+    a single window shuffle serves all four (ROUND(…,8) pins the ratio
+    columns: both engines compute (rank-1)/(n-1) with identical integer
+    inputs, the round only guards display formatting)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+    )

@@ -102,3 +102,62 @@ class IngestPipeline(Generic[T]):
             return self.spark.read.schema(DLQ_SCHEMA).parquet(self.dlq_path)
         except Exception:
             return self.spark.createDataFrame([], DLQ_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# ETLPipeline (ts dmv2/sdk/etlPipeline.ts:24-77): batched extract ->
+# transform -> load.
+# --------------------------------------------------------------------------
+
+ETL_BATCH_SIZE = 20  # etlPipeline.ts DEFAULT_BATCH_SIZE
+
+
+class ETLPipeline:
+    """extract (iterable/iterator of records, consumed in batches of 20) ->
+    transform (record -> record | list[record] | None, the same ZeroOrMany
+    contract as stream transforms) -> load (an OlapTable or a callable).
+
+    The reference runs this client-side inside a workflow task; it is the
+    small-data/control-plane path.  Bulk ETL at 100 TB goes through the
+    DataFrame/streaming operators instead — this object exists for parity
+    with the reference's surface (and for seeding/config flows where a
+    driver-side iterator is the honest shape).
+    """
+
+    def __init__(self, extract, transform, load, batch_size: int = ETL_BATCH_SIZE):
+        self.extract = extract
+        self.transform = transform
+        self.load = load
+        self.batch_size = batch_size
+
+    def run(self) -> dict:
+        it = iter(self.extract() if callable(self.extract) else self.extract)
+        n_in = n_out = n_batches = 0
+        batch: list = []
+
+        def flush(rows: list) -> None:
+            nonlocal n_out, n_batches
+            if not rows:
+                return
+            out: list = []
+            for r in rows:
+                res = self.transform(r)
+                if res is None:
+                    continue
+                out.extend(res if isinstance(res, list) else [res])
+            if out:
+                if isinstance(self.load, OlapTable):
+                    self.load.insert(out)
+                else:
+                    self.load(out)
+                n_out += len(out)
+            n_batches += 1
+
+        for rec in it:
+            n_in += 1
+            batch.append(rec)
+            if len(batch) >= self.batch_size:
+                flush(batch)
+                batch = []
+        flush(batch)
+        return {"extracted": n_in, "loaded": n_out, "batches": n_batches}
