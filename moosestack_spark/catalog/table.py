@@ -524,6 +524,55 @@ class OlapTable(Generic[T]):
             if f.endswith(".parquet")
         )
 
+    _TTL_RE = r"^\s*(\w+)\s*\+\s*INTERVAL\s+(\d+)\s+(\w+)\s*$"
+    _TTL_SECONDS = {
+        "SECOND": 1,
+        "MINUTE": 60,
+        "HOUR": 3600,
+        "DAY": 86400,
+        "WEEK": 604800,
+    }
+
+    def _ttl_cutoff(self, expr: str, now: datetime) -> tuple[str, datetime]:
+        m = re.match(self._TTL_RE, expr, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported TTL expression: {expr!r}")
+        ts_col, n, unit = m.group(1), int(m.group(2)), m.group(3).upper()
+        if unit not in self._TTL_SECONDS:
+            raise ValueError(f"unsupported TTL unit {unit!r}")
+        return ts_col, now - timedelta(seconds=n * self._TTL_SECONDS[unit])
+
+    def apply_column_ttl(self, now: Optional[datetime] = None) -> dict[str, int]:
+        """Column-level TTL (ClickHouseTTL annotation, data_models.py:70-72):
+        when a column's TTL expression passes, its value resets (NULL here;
+        CH resets to the column default).  Returns {column: values_cleared}.
+        One rewrite covers all expired columns; at scale run per partition
+        like apply_ttl."""
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        ttl_cols = [c for c in self.columns if c.ttl]
+        if not ttl_cols:
+            return {}
+        df = self.read_raw()
+        cleared: dict[str, int] = {}
+        out = df
+        for c in ttl_cols:
+            ts_col, cutoff = self._ttl_cutoff(c.ttl, now)
+            expired = (F.col(ts_col) <= F.lit(cutoff)) & F.col(c.name).isNotNull()
+            cleared[c.name] = df.filter(expired).count()
+            out = out.withColumn(
+                c.name,
+                F.when(F.col(ts_col) <= F.lit(cutoff), F.lit(None)).otherwise(
+                    F.col(c.name)
+                ),
+            )
+        if not any(cleared.values()):
+            return cleared
+        tmp = self.path + ".__colttl_tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.rename(tmp, self.path)
+        return cleared
+
     def apply_ttl(self, now: Optional[datetime] = None) -> int:
         """Retention job for the table TTL (ClickHouseTTL data_models.py:70-72;
         TtlChanged infrastructure_map.rs:334-340).  CH deletes expired rows at
@@ -538,25 +587,8 @@ class OlapTable(Generic[T]):
         """
         if not self.config.ttl:
             return 0
-        m = re.match(
-            r"^\s*(\w+)\s*\+\s*INTERVAL\s+(\d+)\s+(\w+)\s*$",
-            self.config.ttl,
-            re.IGNORECASE,
-        )
-        if not m:
-            raise ValueError(f"unsupported TTL expression: {self.config.ttl!r}")
-        ts_col, n, unit = m.group(1), int(m.group(2)), m.group(3).upper()
-        seconds = {
-            "SECOND": 1,
-            "MINUTE": 60,
-            "HOUR": 3600,
-            "DAY": 86400,
-            "WEEK": 604800,
-        }
-        if unit not in seconds:
-            raise ValueError(f"unsupported TTL unit {unit!r}")
         now = now or datetime.now(timezone.utc).replace(tzinfo=None)
-        cutoff = now - timedelta(seconds=n * seconds[unit])
+        ts_col, cutoff = self._ttl_cutoff(self.config.ttl, now)
 
         df = self.read_raw()
         total = df.count()

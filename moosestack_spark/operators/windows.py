@@ -219,3 +219,34 @@ def window_lead_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 8).alias("cume"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) OVER (
+         PARTITION BY l_returnflag ORDER BY l_quantity
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_price
+FROM lineitem
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (peer rows included — rows with equal ordering value get
+    the same running total, unlike ROWS).  Exact decimal accumulation keeps
+    the running sums engine-identical regardless of within-peer order."""
+    li = t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_extendedprice").cast("decimal(25,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_price"),
+    )

@@ -6,6 +6,7 @@ test_olap_table_versioning.py, framework-cli-e2e collapsing tests)."""
 from __future__ import annotations
 
 import datetime as dt
+from typing import Annotated, Optional
 
 import pytest
 from pydantic import BaseModel
@@ -20,7 +21,7 @@ from moosestack_spark.catalog.engines import (
     SummingMergeTree,
 )
 from moosestack_spark.catalog.table import InsertOptions, OlapTable
-from moosestack_spark.datamodel import Key, UInt8
+from moosestack_spark.datamodel import ClickHouseTTL, Key, UInt8
 
 
 class Event(BaseModel):
@@ -404,3 +405,46 @@ def test_seed_from_applies_where_and_limit(spark, warehouse):
     assert t.seed_from(src) == 5
     vals = sorted(r["amount"] for r in t.peek(20))
     assert len(vals) == 5 and all(v >= 90 for v in vals)
+
+
+class Daily(BaseModel):
+    d: str
+    v: float
+
+
+def test_partition_by_prunes_scan(spark, warehouse):
+    t = OlapTable(
+        "daily", Daily, spark, warehouse, OlapConfig(partition_by="d")
+    )
+    t.insert([{"d": f"2024-01-{dd:02d}", "v": float(i)} for dd in (1, 2, 3) for i in range(4)])
+    df = t.read().filter("d = '2024-01-02'")
+    assert df.count() == 4
+    # the partition filter must reach the scan (PartitionFilters, not a
+    # post-scan Filter) — the property that shards a 100 TB table read
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "2024-01-02" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+class SessionRow(BaseModel):
+    sid: Key[int]
+    ts: dt.datetime
+    # PII-ish column expires after 1 day; row itself is kept
+    client_ip: Annotated[Optional[str], ClickHouseTTL("ts + INTERVAL 1 DAY")] = None
+
+
+def test_apply_column_ttl_nulls_expired_values(spark, warehouse):
+    t = OlapTable("sessions", SessionRow, spark, warehouse)
+    t.insert(
+        [
+            {"sid": 1, "ts": dt.datetime(2024, 1, 1), "client_ip": "10.0.0.1"},
+            {"sid": 2, "ts": dt.datetime(2024, 1, 5), "client_ip": "10.0.0.2"},
+        ]
+    )
+    cleared = t.apply_column_ttl(now=dt.datetime(2024, 1, 5, 6))
+    assert cleared == {"client_ip": 1}
+    rows = {r["sid"]: r["client_ip"] for r in t.peek(10)}
+    assert rows == {1: None, 2: "10.0.0.2"}
+    # rows survive; only the expired column value is reset
+    assert t.read().count() == 2
+    assert t.apply_column_ttl(now=dt.datetime(2024, 1, 5, 6)) == {"client_ip": 0}
