@@ -25,6 +25,19 @@ from pyspark.sql import functions as F
 from moosestack_spark.registry import query
 from moosestack_spark.tables import t
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Fan a 1-task local scan out across cores before a CPU-heavy
+    projection.  The driver test files are single parquet row groups, so
+    the scan cannot split; on a real lake this repartition is unnecessary
+    (the scan arrives in many splits) but harmless — it becomes the
+    pipeline's first shuffle, hashed on doc id.  The partition count is
+    EXPLICIT because an unnumbered repartition-by-column is an AQE
+    coalescing target: 5000 small rows collapse right back to one
+    partition and the spread never happens."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
+
+
 # --------------------------------------------------------------------------
 # shingling
 # --------------------------------------------------------------------------
@@ -103,7 +116,7 @@ def ngram_jaccard_pairs(
     a shingle shared by m docs contributes m^2/2 pairs — stopword-like
     shingles must be rare at the chosen n (n>=5 words) or pre-filtered.
     """
-    sh = exploded_shingles(df, id_col, text_col, n)
+    sh = exploded_shingles(_spread(df, id_col), id_col, text_col, n)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -193,9 +206,14 @@ def minhash_signatures(
     n element_at references — O(tokens^2) work per doc.  Expression trees
     referenced k times must be cheap leaves, not transforms.)
     """
-    sh = exploded_shingles(df, id_col, text_col, n).select(
-        "doc", F.xxhash64("shingle").alias("__sh64")
-    )
+    # The local test file is a single parquet row group -> a 1-task scan;
+    # the shingle build + hashing is the expensive projection, so spread it
+    # across cores first.  (On a real lake the scan arrives already split;
+    # the repartition then just becomes the first shuffle of the pipeline,
+    # hashed on doc id so the later groupBy("doc") can reuse co-location.)
+    sh = exploded_shingles(
+        _spread(df, id_col), id_col, text_col, n
+    ).select("doc", F.xxhash64("shingle").alias("__sh64"))
     aggs = [
         F.min(F.xxhash64(F.col("__sh64"), F.lit(i))).alias(f"h{i}")
         for i in range(n_hashes)
@@ -241,6 +259,13 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc", *hcols, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
+    # materialize the signature+band table once: the self-join otherwise
+    # re-executes the whole upstream pipeline for EACH side (no exchange
+    # reuse across the broadcast boundary).  |docs| x (k+2) ints is small
+    # by construction — at 100 TB this is the "persist the signature
+    # table" step every LSH pipeline has.
+    bands = bands.localCheckpoint(eager=True)
+
     a = bands.alias("a")
     b = bands.alias("b")
     n_equal = sum(
@@ -282,9 +307,11 @@ def simhash_signatures(
     hashes.  Same explode->aggregate shape as minhash_signatures: one
     shuffle, 64 `sum(+-1)` aggregate columns with map-side combine, then a
     cheap 64-term bit-assembly projection on the aggregated rows."""
-    sh = exploded_shingles(df, id_col, text_col, n).withColumn(
-        "h", F.xxhash64(F.col("shingle"))
-    )
+    # spread the 1-task local scan before the expensive shingle projection
+    # (see minhash_signatures note)
+    sh = exploded_shingles(
+        _spread(df, id_col), id_col, text_col, n
+    ).withColumn("h", F.xxhash64(F.col("shingle")))
     votes = [
         F.sum(
             F.when(
@@ -328,6 +355,8 @@ def simhash_pairs(
             )
         ).alias("qq"),
     ).select("doc", "sh", F.col("qq.q").alias("q"), F.col("qq.qh").alias("qh"))
+    # materialize once before the self-join (see minhash_lsh_pairs note)
+    quarters = quarters.localCheckpoint(eager=True)
     a = quarters.alias("a")
     b = quarters.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
