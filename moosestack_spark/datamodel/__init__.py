@@ -8,6 +8,12 @@ from moosestack_spark.datamodel.types import (  # noqa: F401
     ClickHouseCodec,
     ClickHouseMaterialized,
     ClickHouseTTL,
+    LineString,
+    MultiLineString,
+    MultiPolygon,
+    Point,
+    Polygon,
+    Ring,
     ClickhouseDefault,
     FixedString,
     Float32,

@@ -191,7 +191,23 @@ def _py_type_to_spark(tp: Any, annotations: dict) -> tuple[st.DataType, bool]:
         raise TypeError(f"Literal values must be all-str or all-int: {values}")
 
     # containers
-    if origin in (list, tuple):
+    if origin is tuple:
+        args = [a for a in get_args(tp) if a is not Ellipsis]
+        if not args:
+            args = [Any]
+        if len(set(args)) == 1:
+            # homogeneous tuple == fixed-length array; the geometry aliases
+            # (Point/Ring/Polygon/MultiPolygon, data_models.py:197-202)
+            # land here as nested float arrays — no native geo type
+            elem_type, elem_nullable = _py_type_to_spark(args[0], {})
+            return st.ArrayType(elem_type, elem_nullable), False
+        # heterogeneous tuple -> CH Tuple == struct with positional fields
+        fields = []
+        for i, a in enumerate(args):
+            ft, fn = _py_type_to_spark(a, {})
+            fields.append(st.StructField(f"_{i + 1}", ft, fn))
+        return st.StructType(fields), False
+    if origin is list:
         (elem,) = get_args(tp) or (Any,)
         sub_ann: dict = {}
         elem_type, elem_nullable = _py_type_to_spark(elem, sub_ann)

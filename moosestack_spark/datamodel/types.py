@@ -204,6 +204,12 @@ __all__ = [
     "ClickHouseMaterialized",
     "ClickHouseAlias",
     "ClickHouseTTL",
+    "Point",
+    "Ring",
+    "LineString",
+    "MultiLineString",
+    "Polygon",
+    "MultiPolygon",
     "ClickHouseCodec",
     "AggregateFunction",
     "SimpleAggregateFunction",
@@ -214,3 +220,18 @@ __all__ = [
     "Literal",
     "Union",
 ]
+
+
+# --------------------------------------------------------------------------
+# Geometry aliases (data_models.py:197-202, validation :428-457): ClickHouse
+# geo types are plain nested Float64 containers; Spark has no native geo
+# type so they reflect to nested array<double> (a homogeneous tuple maps to
+# a fixed-length array).
+# --------------------------------------------------------------------------
+
+Point = tuple[float, float]
+Ring = list[Point]
+LineString = list[Point]
+MultiLineString = list[LineString]
+Polygon = list[Ring]
+MultiPolygon = list[Polygon]

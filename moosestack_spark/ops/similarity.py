@@ -287,6 +287,7 @@ def ivf_topk(
     query_id: str = "q_id",
     cand_id: str = "c_id",
     vec: str = "embedding",
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the nprobe nearest cells per query, exact cosine
     re-rank within probed cells.  Centroids = first n_cells candidate
@@ -308,8 +309,15 @@ def ivf_topk(
         F.col(query_id), F.col(vec).cast("array<double>").alias("__qv")
     )
     # centroid list: bounded tiny (n_cells rows) — the collect IS the
-    # broadcast; downstream kernels carry it as a task closure.
-    cent = sorted((r[0], list(r[1])) for r in c.orderBy(cand_id).limit(n_cells).collect())
+    # broadcast; downstream kernels carry it as a task closure.  Injected
+    # centroids (ivf_train_centroids) take precedence over the
+    # deterministic first-K fallback.
+    if centroids is not None:
+        cent = sorted((int(cid), list(cv)) for cid, cv in centroids)
+    else:
+        cent = sorted(
+            (r[0], list(r[1])) for r in c.orderBy(cand_id).limit(n_cells).collect()
+        )
 
     assigned = ivf_assign(c, cent, vec="__v")
     probed = _ivf_probe(q, cent, nprobe, vec="__qv")
@@ -405,3 +413,30 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"), "embedding")
     cs = e.select(F.col("vec_id").alias("c_id"), "embedding")
     return ivf_topk(qs, cs, n_cells=16, nprobe=4, k=5)
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    vec: str = "embedding",
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> list[tuple[int, list[float]]]:
+    """Train IVF coarse centroids with MLlib KMeans (seeded — deterministic
+    for a fixed input).  Returns [(cid, center)] sorted by cid, the shape
+    ivf_topk/ivf_assign consume.  At 100 TB: train on a sample
+    (df.sample），not the full corpus — centroid quality converges long
+    before full-data passes pay off."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # spherical k-means: train on L2-normalized vectors so euclidean
+    # centroids align with the COSINE assignment ivf_assign performs
+    # (euclidean on the unit sphere is monotone in cosine; unnormalized
+    # training centers near the data mean rank cosines arbitrarily)
+    v = F.col(vec).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(v, lambda x: x / nrm)
+    data = df.select(array_to_vector(unit).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(data)
+    return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]

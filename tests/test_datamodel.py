@@ -170,3 +170,31 @@ def test_roundtrip_through_spark(spark):
     df = spark.createDataFrame(rows, s)
     back = df.collect()[0]
     assert back.id == "a" and back.optional_string is None and back.nullable_number == 2.5
+
+
+
+from moosestack_spark.datamodel import MultiPolygon, Point, Polygon, Ring  # noqa: E402
+
+
+class GeoModel(BaseModel):
+    p: Point
+    ring: Ring
+    poly: Polygon
+    mp: MultiPolygon
+
+
+def test_geometry_aliases_reflect_to_nested_arrays():
+    schema = to_struct_type(GeoModel)
+    assert schema["p"].dataType.simpleString() == "array<double>"
+    assert schema["ring"].dataType.simpleString() == "array<array<double>>"
+    assert schema["poly"].dataType.simpleString() == "array<array<array<double>>>"
+    assert schema["mp"].dataType.simpleString() == "array<array<array<array<double>>>>"
+
+
+class PairModel(BaseModel):
+    pair: tuple[str, int]
+
+
+def test_heterogeneous_tuple_reflects_to_struct():
+    schema = to_struct_type(PairModel)
+    assert schema["pair"].dataType.simpleString() == "struct<_1:string,_2:bigint>"
