@@ -192,6 +192,27 @@ class OlapTable(Generic[T]):
 
     # -- writes ------------------------------------------------------------
 
+    # CH codec -> parquet compression (ClickHouseCodec data_models.py:75-77;
+    # parquet has no per-column codecs in the Spark writer, so the first
+    # recognized column codec — or a table-level settings["compression"] —
+    # selects the file codec; delta/double-delta style encodings are
+    # already what parquet's encodings do automatically)
+    _CODEC_MAP = {"ZSTD": "zstd", "LZ4": "lz4", "LZ4HC": "lz4", "GZIP": "gzip",
+                  "SNAPPY": "snappy", "NONE": "none", "UNCOMPRESSED": "none"}
+
+    def _parquet_compression(self) -> Optional[str]:
+        explicit = self.config.settings.get("compression")
+        if explicit:
+            return self._CODEC_MAP.get(str(explicit).upper(), str(explicit).lower())
+        for c in self.columns:
+            codec = c.annotations.get("_codec") or c.codec
+            if not codec:
+                continue
+            base = str(codec).split("(")[0].strip().upper()
+            if base in self._CODEC_MAP:
+                return self._CODEC_MAP[base]
+        return None
+
     def _append_df(self, df: DataFrame) -> None:
         if self.config.life_cycle == LifeCycle.EXTERNALLY_MANAGED:
             raise PermissionError(f"{self.name} is EXTERNALLY_MANAGED (read-only)")
@@ -212,6 +233,9 @@ class OlapTable(Generic[T]):
             # parquet row-group min/max stats give range-scan pruning.
             writer = df.sortWithinPartitions(*self.config.order_by_fields)
         out = writer.write.mode("append")
+        codec = self._parquet_compression()
+        if codec:
+            out = out.option("compression", codec)
         if self.config.partition_by:
             out = out.partitionBy(self.config.partition_by)
         out.parquet(self.path)
@@ -260,7 +284,12 @@ class OlapTable(Generic[T]):
         self._check_thresholds(len(ok), failed, options)
         if ok:
             df = self.spark.createDataFrame(ok, self.schema)
-            self._append_df(df)
+            # one part file per ~MAX_INSERT_BLOCK rows, like a MergeTree
+            # insert writing one part per block — without this, a 1-row
+            # insert fans out into a file per default partition (32 mostly
+            # empty files per append: the small-files explosion)
+            n_files = max(1, math.ceil(len(ok) / MAX_INSERT_BLOCK))
+            self._append_df(df.coalesce(n_files))
         return InsertResult(len(ok), len(failed), [e for _, e in failed])
 
     def _insert_isolate(self, rows: list, options: InsertOptions) -> InsertResult:

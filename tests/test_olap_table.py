@@ -21,7 +21,7 @@ from moosestack_spark.catalog.engines import (
     SummingMergeTree,
 )
 from moosestack_spark.catalog.table import InsertOptions, OlapTable
-from moosestack_spark.datamodel import ClickHouseTTL, Key, UInt8
+from moosestack_spark.datamodel import ClickHouseCodec, ClickHouseTTL, Key, UInt8
 
 
 class Event(BaseModel):
@@ -448,3 +448,50 @@ def test_apply_column_ttl_nulls_expired_values(spark, warehouse):
     # rows survive; only the expired column value is reset
     assert t.read().count() == 2
     assert t.apply_column_ttl(now=dt.datetime(2024, 1, 5, 6)) == {"client_ip": 0}
+
+
+class Compressed(BaseModel):
+    id: Key[int]
+    payload: Annotated[str, ClickHouseCodec("ZSTD(3)")]
+
+
+def test_codec_maps_to_parquet_compression(spark, warehouse):
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = OlapTable("comp", Compressed, spark, warehouse)
+    t.insert([{"id": i, "payload": "x" * 100} for i in range(50)])
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(t.path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert files
+    metas = [pq.ParquetFile(f).metadata for f in files]
+    meta = next(m for m in metas if m.num_rows > 0)
+    codecs = {meta.row_group(0).column(i).compression for i in range(meta.num_columns)}
+    assert codecs == {"ZSTD"}
+    assert sorted(r["id"] for r in t.peek(100)) == list(range(50))
+
+
+def test_settings_compression_overrides(spark, warehouse):
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = OlapTable(
+        "comp2", Point, spark, warehouse, OlapConfig(settings={"compression": "gzip"})
+    )
+    t.insert([{"id": 1, "v": 1.0}])
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(t.path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    meta = next(
+        m for m in (pq.ParquetFile(f).metadata for f in files) if m.num_rows > 0
+    )
+    assert meta.row_group(0).column(0).compression == "GZIP"
