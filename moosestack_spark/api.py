@@ -25,9 +25,11 @@ _API_REGISTRY: dict[tuple[str, Optional[str]], "Api"] = {}
 
 @dataclass
 class ApiUtils:
-    """The utils object handed to handlers (runner.ts:249-255)."""
+    """The utils object handed to handlers (runner.ts:249-255): Spark handle,
+    sql tag, and the request JWT claims."""
 
     spark: SparkSession
+    jwt: Optional[dict] = None
 
     def sql(self, *pieces: Any) -> DataFrame:
         from moosestack_spark.sql.template import run, sql
@@ -58,13 +60,40 @@ class Api(Generic[TParams]):
             raise ValueError(f"api {name!r} version {version!r} already registered")
         _API_REGISTRY[key] = self
 
-    def call(self, spark: SparkSession, **raw_params: Any) -> DataFrame:
-        params = self.params_model(**raw_params)  # validation boundary
-        return self.handler(params, ApiUtils(spark))
+    def call(
+        self,
+        spark: SparkSession,
+        jwt: Optional[dict] = None,
+        **raw_params: Any,
+    ) -> DataFrame:
+        # JWT[T]-annotated params come ONLY from the verified token
+        # (data_models.py:27, :321-324): a caller-supplied query param can
+        # never spoof them — the claim value always overwrites.
+        from moosestack_spark.datamodel.reflection import to_columns
 
-    def call_json(self, spark: SparkSession, **raw_params: Any) -> list[dict]:
+        for col in to_columns(self.params_model):
+            if not col.annotations.get("jwt"):
+                continue
+            if jwt is None or col.name not in jwt:
+                raise PermissionError(
+                    f"api {self.name!r}: param {col.name!r} is JWT-injected "
+                    "but the request carries no such claim"
+                )
+            raw_params[col.name] = jwt[col.name]
+        params = self.params_model(**raw_params)  # validation boundary
+        return self.handler(params, ApiUtils(spark, jwt=jwt))
+
+    def call_json(
+        self,
+        spark: SparkSession,
+        jwt: Optional[dict] = None,
+        **raw_params: Any,
+    ) -> list[dict]:
         """The HTTP-response shape (rows as dicts)."""
-        return [r.asDict(recursive=True) for r in self.call(spark, **raw_params).collect()]
+        return [
+            r.asDict(recursive=True)
+            for r in self.call(spark, jwt=jwt, **raw_params).collect()
+        ]
 
 
 def get_api(name: str, version: Optional[str] = None) -> Api:

@@ -22,6 +22,7 @@ from moosestack_spark.datamodel.types import (  # noqa: F401
     Int16,
     Int32,
     Int64,
+    JWT,
     Key,
     LowCardinality,
     SimpleAggregateFunction,

@@ -222,3 +222,26 @@ def dlq_as_typed(dlq_df: DataFrame, schema: StructType) -> DataFrame:
     return dlq_df.select(
         F.from_json(F.col("original_record"), schema).alias("r")
     ).select("r.*")
+
+
+# --------------------------------------------------------------------------
+# Confluent schema-registry wire format (runner.ts:274-281; py
+# stream.py:387-418): 0x00 magic byte + 4-byte big-endian schema id + JSON
+# payload.  Kafka `value` columns pass through strip_sr_envelope before
+# from_json; non-enveloped messages are returned unchanged.
+# --------------------------------------------------------------------------
+
+_MAX_BYTES = 2_147_483_647
+
+
+def strip_sr_envelope(value: Column) -> Column:
+    """Payload bytes with the 5-byte Confluent header removed (when present)."""
+    is_sr = (F.length(value) >= 5) & (F.substring(value, 1, 1) == F.lit(bytes([0])))
+    return F.when(is_sr, F.substring(value, 6, _MAX_BYTES)).otherwise(value)
+
+
+def sr_schema_id(value: Column) -> Column:
+    """The 4-byte big-endian schema id, NULL for non-enveloped messages."""
+    is_sr = (F.length(value) >= 5) & (F.substring(value, 1, 1) == F.lit(bytes([0])))
+    sid = F.conv(F.hex(F.substring(value, 2, 4)), 16, 10).cast("long")
+    return F.when(is_sr, sid)

@@ -1,0 +1,71 @@
+"""Confluent wire-format handling (runner.ts:274-281)."""
+
+from __future__ import annotations
+
+import json
+import struct
+
+from pyspark.sql import functions as F
+
+from moosestack_spark.streaming.stream import sr_schema_id, strip_sr_envelope
+
+
+def test_strip_and_schema_id(spark):
+    payload = json.dumps({"a": 1}).encode()
+    enveloped = b"\x00" + struct.pack(">I", 4242) + payload
+    bare = payload
+    short = b"\x00\x01"  # too short to be an envelope
+    df = spark.createDataFrame(
+        [(1, enveloped), (2, bare), (3, short)], "id int, value binary"
+    )
+    out = df.select(
+        "id",
+        strip_sr_envelope(F.col("value")).alias("payload"),
+        sr_schema_id(F.col("value")).alias("sid"),
+    ).collect()
+    rows = {r.id: r for r in out}
+    assert bytes(rows[1].payload) == payload and rows[1].sid == 4242
+    assert bytes(rows[2].payload) == bare and rows[2].sid is None
+    assert bytes(rows[3].payload) == short and rows[3].sid is None
+    # stripped payload parses as the original JSON
+    parsed = (
+        df.filter("id = 1")
+        .select(
+            F.get_json_object(
+                strip_sr_envelope(F.col("value")).cast("string"), "$.a"
+            ).alias("a")
+        )
+        .collect()[0]
+    )
+    assert parsed.a == "1"
+
+
+from pydantic import BaseModel  # noqa: E402
+
+from moosestack_spark.api import Api, clear_apis  # noqa: E402
+from moosestack_spark.datamodel import JWT  # noqa: E402
+
+
+class MeParams(BaseModel):
+    user_id: JWT[int]
+    limit: int = 10
+
+
+def test_jwt_param_injection(spark):
+    clear_apis()
+
+    def handler(p, utils):
+        return utils.spark.sql(f"SELECT {p.user_id} AS uid, {p.limit} AS lim")
+
+    api = Api("me", MeParams, handler)
+    row = api.call(spark, jwt={"user_id": 7}, limit=3).collect()[0]
+    assert (row.uid, row.lim) == (7, 3)
+    # spoof attempt via query param is overwritten by the claim
+    row = api.call(spark, jwt={"user_id": 7}, user_id=999, limit=3).collect()[0]
+    assert row.uid == 7
+    # no token -> rejected
+    import pytest as _pytest
+
+    with _pytest.raises(PermissionError):
+        api.call(spark, limit=3)
+    clear_apis()
