@@ -153,6 +153,29 @@ def streaming_dlq_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+class _stream_state_partitions:
+    """Scoped shuffle-partition override for stateful streaming queries.
+
+    A streaming aggregation creates one state store per shuffle partition;
+    the bounded gate replays hold a few thousand windows/sessions, where 32
+    stores are pure per-batch overhead (measured 4.6s -> 1.9s at 8 for the
+    windowed agg).  At 100 TB you size this UP to the state volume instead
+    — the knob is per-query, which is exactly what this context manager
+    expresses.  (Set at query START: the checkpoint pins it afterwards.)
+    """
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 # --------------------------------------------------------------------------
 # Event-time windowed aggregation with watermark (append mode) — the Spark
 # capability the reference lacks (SURVEY.md §2.8: its transforms are
@@ -199,6 +222,8 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(src_dir, "events.parquet"),
     )
     try:
+        stack = _stream_state_partitions(spark)
+        stack.__enter__()
         stream = (
             spark.readStream.schema(events_schema)
             .parquet(src_dir)
@@ -224,6 +249,7 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        stack.__exit__()
         return spark.read.parquet(out_dir).localCheckpoint()
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
@@ -277,6 +303,8 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink_name = f"msk_sessions_{abs(hash(src_dir)) % 10**9}"
     try:
+        stack = _stream_state_partitions(spark)
+        stack.__enter__()
         stream = (
             spark.readStream.schema(events_schema)
             .parquet(src_dir)
@@ -302,6 +330,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        stack.__exit__()
         return spark.table(sink_name).localCheckpoint()
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
@@ -373,6 +402,8 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     try:
+        stack = _stream_state_partitions(spark)
+        stack.__enter__()
         stream = (
             spark.readStream.schema(events_schema)
             .parquet(src_dir)
@@ -390,6 +421,7 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             .start()
         )
         q.awaitTermination()
+        stack.__exit__()
         return spark.table(sink_name).localCheckpoint()
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
