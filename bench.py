@@ -48,6 +48,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_lang_id",
     "agg_quantile",
+    "sql_ch_dialect_translated",
     "streaming_windowed_agg",
 ]
 

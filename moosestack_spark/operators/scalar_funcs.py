@@ -343,3 +343,49 @@ def scalar_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "bigint").alias("k"),
         F.try_variant_get(v, "$.missing", "bigint").alias("missing_path"),
     )
+
+
+# --------------------------------------------------------------------------
+# CH-dialect SQL surface end-to-end (SURVEY.md §2.9 + §7 "hard part 3"):
+# a user's ClickHouse-flavored SQL string runs through translate_ch_sql and
+# executes on Spark.  This gates the TRANSLATOR itself — the unit tests
+# check string rewrites; this checks the rewritten SQL computes the right
+# answer.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sql_ch_dialect_translated",
+    oracle="""
+SELECT
+  strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_start,
+  event_type,
+  COUNT(*) AS n,
+  COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50) AS k_hi,
+  COUNT(DISTINCT user_id) AS users,
+  MAX_BY(event_id, ts) AS last_event_id,
+  CAST(FLOOR(MAX(value) / 100) AS BIGINT) AS max_bucket
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+""",
+)
+def sql_ch_dialect_translated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-vocabulary SQL (toStartOfDay, countIf, JSONExtractInt,
+    uniqExact, argMax, intDiv) translated and executed by Spark."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    ch_sql = """
+    SELECT
+      date_format(toStartOfDay(ts), 'yyyy-MM-dd HH:mm:ss') AS day_start,
+      event_type,
+      count(*) AS n,
+      countIf(JSONExtractInt(props, 'k') >= 50) AS k_hi,
+      uniqExact(user_id) AS users,
+      argMax(event_id, ts) AS last_event_id,
+      intDiv(max(value), 100) AS max_bucket
+    FROM events
+    GROUP BY toStartOfDay(ts), event_type
+    """
+    return spark.sql(translate_ch_sql(ch_sql))

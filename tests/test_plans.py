@@ -118,3 +118,19 @@ def test_range_join_broadcasts_interval_side(plans):
     p = plans("join_range_buckets")
     assert "BroadcastHashJoin" in p
     assert "NestedLoop" not in p  # bucketization must avoid BNLJ
+
+
+def test_plan_audit_no_unexplained_flags(spark, sf_dir):
+    """Every gate query's physical plan is free of scale red flags
+    (cartesian products, unreviewed nested-loop or sort-merge joins) —
+    scripts/plan_audit.py with its reviewed-exception list."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts", "plan_audit.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.audit(sf_dir) == 0
