@@ -1,0 +1,134 @@
+"""Property-based differential tests (hypothesis) for engine read
+semantics — the dedup/rollup/collapse views that stand in for ClickHouse
+merge behavior (SURVEY.md §1.4).
+
+Random row multisets, split across random insert batches, must read back
+exactly what an independent pure-Python evaluator computes.  Batch split
+invariance is the key property: CH merges are order-dependent and eventual;
+our read views must be total-input functions (same answer however the rows
+arrived).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from moosestack_spark.catalog.engine_views import (
+    collapsing_resolve,
+    replacing_latest,
+    summing_rollup,
+)
+
+PROP_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# rows: (key, ver, is_deleted, val)
+replacing_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),
+        st.integers(0, 8),
+        st.integers(0, 1),
+        st.integers(-100, 100),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _mk_df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+@given(rows=replacing_rows)
+@PROP_SETTINGS
+def test_replacing_latest_matches_reference(spark, rows):
+    df = _mk_df(spark, rows, "k int, ver int, deleted int, val int")
+    got = {
+        (r.k, r.ver, r.val)
+        for r in replacing_latest(
+            df, ["k"], version_col="ver", is_deleted_col="deleted",
+            tiebreakers=["val"],
+        ).collect()
+    }
+    # reference: survivor per key = max (ver, val); dropped if deleted
+    best: dict[int, tuple] = {}
+    for k, ver, deleted, val in rows:
+        cur = best.get(k)
+        if cur is None or (ver, val) > (cur[0], cur[1]):
+            best[k] = (ver, val, deleted)
+    expected = {
+        (k, ver, val) for k, (ver, val, deleted) in best.items() if deleted == 0
+    }
+    assert got == expected
+
+
+summing_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(-50, 50), st.integers(-50, 50)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=summing_rows)
+@PROP_SETTINGS
+def test_summing_rollup_matches_reference(spark, rows):
+    df = _mk_df(spark, rows, "k int, a int, b int")
+    got = {(r.k, r.a, r.b) for r in summing_rollup(df, ["k"], ["a", "b"]).collect()}
+    agg: dict[int, list] = {}
+    for k, a, b in rows:
+        agg.setdefault(k, [0, 0])
+        agg[k][0] += a
+        agg[k][1] += b
+    expected = {(k, a, b) for k, (a, b) in agg.items()}
+    assert got == expected
+
+
+collapsing_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.sampled_from([1, -1]), st.integers(0, 20)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=collapsing_rows)
+@PROP_SETTINGS
+def test_collapsing_resolve_matches_reference(spark, rows):
+    df = _mk_df(spark, rows, "k int, sign int, val int")
+    out = collapsing_resolve(df, ["k"], "sign")
+    got = {(r.k,) for r in out.select("k").distinct().collect()}
+    # reference: a key survives when its sign-sum > 0 (uncancelled inserts)
+    sums: dict[int, int] = {}
+    for k, sign, _ in rows:
+        sums[k] = sums.get(k, 0) + sign
+    expected = {(k,) for k, s in sums.items() if s > 0}
+    assert got == expected
+
+
+@given(
+    rows=replacing_rows,
+    split=st.integers(1, 4),
+)
+@PROP_SETTINGS
+def test_replacing_is_batch_split_invariant(spark, rows, split):
+    """However rows are partitioned into insert batches, the read view is
+    identical — the property CH's eventual merges do NOT have."""
+    df_all = _mk_df(spark, rows, "k int, ver int, deleted int, val int")
+    parts = [rows[i::split] for i in range(split) if rows[i::split]]
+    df_split = None
+    for p in parts:
+        d = _mk_df(spark, p, "k int, ver int, deleted int, val int")
+        df_split = d if df_split is None else df_split.unionByName(d)
+    read = lambda d: {
+        (r.k, r.ver, r.val)
+        for r in replacing_latest(
+            d, ["k"], version_col="ver", is_deleted_col="deleted",
+            tiebreakers=["val"],
+        ).collect()
+    }
+    assert read(df_all) == read(df_split)
