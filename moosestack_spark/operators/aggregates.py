@@ -308,3 +308,21 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+# --------------------------------------------------------------------------
+# uniq (approximate count-distinct, §2.9): HLL++ sketch — the single-pass
+# mergeable path for 100 TB cardinalities.  Engine-specific sketch values
+# can't hash-match DuckDB, so the gate records the rows-only check; the
+# pytest asserts the estimate lands within HLL's documented error band of
+# the exact count (which IS gated, agg_count_distinct).
+# --------------------------------------------------------------------------
+
+
+@query("agg_uniq_approx")  # sketch-based: rows-only driver check
+def agg_uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("uniq_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

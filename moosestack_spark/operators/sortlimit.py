@@ -93,3 +93,25 @@ def sort_limit_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
         .limit(n)
     )
+
+
+# --------------------------------------------------------------------------
+# SAMPLE BY (OlapConfig.sample_by_expression, olap_table.py:154): CH samples
+# deterministically by hashing the sample key; Spark's TABLESAMPLE/df.sample
+# is seeded-random per split.  We expose BOTH: seeded df.sample (plan-level
+# sampling, split-dependent) and the CH-faithful hash-mod filter (row-
+# deterministic, engine-independent — what you want for repeatable dev
+# queries over 100 TB).  The gate pins the hash-mod flavor via xxhash64
+# (rows-only: DuckDB has no matching 64-bit hash).
+# --------------------------------------------------------------------------
+
+
+@query("sample_hash_mod")  # hash-based sample: rows-only driver check
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample of orders by key hash + the sampled
+    aggregate (the moose `SAMPLE 0.1` usage shape)."""
+    o = t(spark, sf_dir, "orders")
+    sampled = o.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(10)) == 0)
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
