@@ -198,3 +198,96 @@ class PairModel(BaseModel):
 def test_heterogeneous_tuple_reflects_to_struct():
     schema = to_struct_type(PairModel)
     assert schema["pair"].dataType.simpleString() == "struct<_1:string,_2:bigint>"
+
+
+# ---------------------------------------------------------------------------
+# Exhaustive type-zoo round trip, mirroring the reference's fixture apps
+# (templates/python-tests/src/ingest/models.py:80-220: BasicTypes,
+# SimpleArrays, NestedObjects, ArraysOfObjects, MixedComplexTypes).
+# Model -> StructType -> Spark rows -> parquet -> read -> identical values.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+import enum
+from decimal import Decimal as _Dec
+
+from moosestack_spark.datamodel import (
+    Int8,
+    UInt16,
+    clickhouse_decimal,
+)
+
+
+class Color(enum.Enum):
+    RED = "red"
+    BLUE = "blue"
+
+
+class Inner(BaseModel):
+    a: int
+    b: str
+
+
+class ZooModel(BaseModel):
+    s: str
+    i8: Int8
+    u16: UInt16
+    f: float
+    flag: bool
+    when: _dt.datetime
+    day: _dt.date
+    dec: clickhouse_decimal(10, 2)
+    color: Color
+    tags: list[str]
+    matrix: list[list[float]]
+    kv: dict[str, int]
+    nested: Inner
+    nested_arr: list[Inner]
+    blob: bytes
+    point: Point
+    maybe: Optional[str] = None
+
+
+def test_type_zoo_roundtrip_through_parquet(spark, tmp_path):
+    schema = to_struct_type(ZooModel)
+    row = ZooModel(
+        s="x",
+        i8=-5,
+        u16=60000,
+        f=1.25,
+        flag=True,
+        when=_dt.datetime(2024, 3, 1, 12, 30, 45, 123456),
+        day=_dt.date(2024, 3, 1),
+        dec=_Dec("12345.67"),
+        color=Color.BLUE,
+        tags=["a", "b"],
+        matrix=[[1.0, 2.0], [3.0]],
+        kv={"k1": 1, "k2": 2},
+        nested=Inner(a=1, b="in"),
+        nested_arr=[Inner(a=2, b="x"), Inner(a=3, b="y")],
+        blob=b"\x00\x01\xff",
+        point=(1.5, -2.5),
+        maybe=None,
+    )
+    d = row.model_dump()
+    d["color"] = row.color.value  # enums store their value (§1.3)
+    df = spark.createDataFrame([d], schema)
+    path = str(tmp_path / "zoo")
+    df.write.parquet(path)
+    back = spark.read.schema(schema).parquet(path).collect()[0]
+    assert back.s == "x" and back.i8 == -5 and back.u16 == 60000
+    assert back.f == 1.25 and back.flag is True
+    assert back.when == _dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    assert back.day == _dt.date(2024, 3, 1)
+    assert back.dec == _Dec("12345.67")
+    assert back.color == "blue"
+    assert back.tags == ["a", "b"] and back.matrix == [[1.0, 2.0], [3.0]]
+    assert back.kv == {"k1": 1, "k2": 2}
+    assert back.nested.a == 1 and [r.a for r in back.nested_arr] == [2, 3]
+    assert bytes(back.blob) == b"\x00\x01\xff"
+    assert list(back.point) == [1.5, -2.5]
+    assert back.maybe is None
+    # metadata carries the CH types for faithful round-trip (SURVEY §7.6)
+    assert schema["i8"].metadata.get("ch_type") == "Int8"
+    assert schema["u16"].metadata.get("ch_type") == "UInt16"
+    assert schema["dec"].metadata.get("ch_type") == "Decimal(10,2)"

@@ -69,3 +69,34 @@ def test_jwt_param_injection(spark):
     with _pytest.raises(PermissionError):
         api.call(spark, limit=3)
     clear_apis()
+
+
+class VParams(BaseModel):
+    n: int = 1
+
+
+def test_api_version_resolution(spark):
+    """Route/version resolution (runner.ts:163-237): exact version wins,
+    unversioned registration is the fallback, unknown version without a
+    fallback raises."""
+    clear_apis()
+
+    def mk(tag):
+        return lambda p, u: u.spark.sql(f"SELECT '{tag}' AS v")
+
+    from moosestack_spark.api import get_api
+
+    Api("q", VParams, mk("unversioned"))
+    Api("q", VParams, mk("v2"), version="2.0")
+
+    assert get_api("q", "2.0").call(spark).collect()[0].v == "v2"
+    assert get_api("q", None).call(spark).collect()[0].v == "unversioned"
+    # unknown version falls back to the unversioned registration
+    assert get_api("q", "9.9").call(spark).collect()[0].v == "unversioned"
+
+    import pytest as _pytest
+
+    Api("only_versioned", VParams, mk("v1"), version="1.0")
+    with _pytest.raises(KeyError):
+        get_api("only_versioned", "3.0")
+    clear_apis()
