@@ -15,6 +15,7 @@ already distributed; the orchestration itself is control-plane only.
 
 from __future__ import annotations
 
+import datetime as dt
 import time
 from collections.abc import Callable, Iterable, Iterator
 from dataclasses import dataclass, field
@@ -83,35 +84,57 @@ class Workflow:
         return result
 
 
-@dataclass
-class ETLPipeline:
-    """etlPipeline.ts:55-77: extract (iterable) -> transform (1->0..n) ->
-    load, consumed in batches of `batch_size`."""
+# ETLPipeline lives in moosestack_spark.pipeline (the canonical port of
+# etlPipeline.ts batched extract->transform->load); re-exported here because
+# the reference declares ETL pipelines alongside workflows.
+from moosestack_spark.pipeline import ETLPipeline  # noqa: E402,F401
 
-    extract: Callable[[], Iterable[Any]]
-    transform: Callable[[Any], Any]  # returns item | list | None
-    load: Callable[[list[Any]], None]
-    batch_size: int = ETL_DEFAULT_BATCH
 
-    def run(self) -> int:
-        loaded = 0
-        batch: list[Any] = []
+def cron_next_after(schedule: str, after: "dt.datetime") -> "dt.datetime":
+    """Next fire time of a 5-field cron (minute hour dom month dow) strictly
+    after `after`.  Supports *, lists, ranges, and */step — the subset the
+    reference's Temporal schedules use (workflow.py:56 `schedule`).
+    Pure computation: the driver (or an external scheduler) decides when to
+    call Workflow.run(); nothing here sleeps or spawns threads."""
 
-        def flush() -> None:
-            nonlocal loaded, batch
-            if batch:
-                self.load(batch)
-                loaded += len(batch)
-                batch = []
+    def parse(field: str, lo: int, hi: int) -> set[int]:
+        out: set[int] = set()
+        for part in field.split(","):
+            step = 1
+            if "/" in part:
+                part, step_s = part.split("/", 1)
+                step = int(step_s)
+            if part in ("*", ""):
+                rng = range(lo, hi + 1)
+            elif "-" in part:
+                a, b = part.split("-", 1)
+                rng = range(int(a), int(b) + 1)
+            else:
+                rng = range(int(part), int(part) + 1)
+            out.update(v for v in rng if (v - lo) % step == 0)
+        if not out:
+            raise ValueError(f"empty cron field {field!r}")
+        return out
 
-        for item in self.extract():
-            out = self.transform(item)
-            if out is None:
-                continue
-            items = out if isinstance(out, (list, tuple)) else [out]
-            for o in items:
-                batch.append(o)
-                if len(batch) >= self.batch_size:
-                    flush()
-        flush()
-        return loaded
+    fields = schedule.split()
+    if len(fields) != 5:
+        raise ValueError(f"need 5 cron fields, got {schedule!r}")
+    minutes = parse(fields[0], 0, 59)
+    hours = parse(fields[1], 0, 23)
+    doms = parse(fields[2], 1, 31)
+    months = parse(fields[3], 1, 12)
+    dows = parse(fields[4], 0, 6)  # 0=Sunday (cron convention)
+
+    t = (after + dt.timedelta(minutes=1)).replace(second=0, microsecond=0)
+    for _ in range(366 * 24 * 60):
+        cron_dow = (t.weekday() + 1) % 7  # python Mon=0 -> cron Sun=0
+        if (
+            t.minute in minutes
+            and t.hour in hours
+            and t.day in doms
+            and t.month in months
+            and cron_dow in dows
+        ):
+            return t
+        t += dt.timedelta(minutes=1)
+    raise ValueError(f"cron {schedule!r} never fires within a year")

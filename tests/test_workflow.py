@@ -46,9 +46,31 @@ def test_etl_batching_and_zero_or_many():
         load=loads.append,
         batch_size=4,
     )
-    n = pipeline.run()
+    stats = pipeline.run()
     flat = [x for b in loads for x in b]
     # 0,3,6,9 dropped; 1,4,7 doubled; 2,5,8 kept
     assert sorted(flat) == sorted([1, 1, 4, 4, 7, 7, 2, 5, 8])
-    assert n == len(flat)
-    assert all(len(b) <= 4 for b in loads)
+    assert stats["extracted"] == 10 and stats["loaded"] == len(flat)
+    # one load per extract batch (batches of 4 extracted items; fan-out can
+    # make an output batch larger — reference semantics etlPipeline.ts:24)
+    assert len(loads) == 3
+
+
+def test_cron_next_after():
+    import datetime as dt
+
+    from moosestack_spark.workflow import cron_next_after
+
+    base = dt.datetime(2024, 3, 1, 10, 30)
+    # every 15 minutes
+    assert cron_next_after("*/15 * * * *", base) == dt.datetime(2024, 3, 1, 10, 45)
+    # daily at 02:00
+    assert cron_next_after("0 2 * * *", base) == dt.datetime(2024, 3, 2, 2, 0)
+    # Mondays at 09:00 (2024-03-01 is a Friday -> next Monday is 03-04)
+    assert cron_next_after("0 9 * * 1", base) == dt.datetime(2024, 3, 4, 9, 0)
+    # first of month
+    assert cron_next_after("0 0 1 * *", base) == dt.datetime(2024, 4, 1, 0, 0)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        cron_next_after("* * * *", base)
