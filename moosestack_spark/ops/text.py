@@ -230,3 +230,58 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("lang_actual"),
         lang_id(F.col("text")).alias("lang_pred"),
     )
+
+
+# Rolling-hash fingerprint: portable across engines because every step is
+# exact 64-bit integer arithmetic — token value from code points (no string
+# hash function shared by Spark and DuckDB exists), then a seeded
+# polynomial fold mod 2^31-1.  acc < 2^31 and value < 2^25 keep acc*31+v
+# far from 64-bit overflow (ANSI mode would throw; nothing wraps).
+_RH_MOD = 2_147_483_647  # 2^31 - 1
+
+
+def rolling_fingerprint(c: Column) -> Column:
+    toks = F.filter(tokens(F.lower(c)), lambda w: F.length(w) > 0)
+    vals = F.transform(
+        toks,
+        lambda w: (
+            F.ascii(w).cast("bigint") * 65536
+            + F.ascii(F.reverse(w)).cast("bigint") * 256
+            + F.length(w).cast("bigint") % 256
+        ),
+    )
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: (acc * 31 + v) % _RH_MOD,
+    )
+
+
+@query(
+    "text_rolling_fingerprint",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'),
+                     w -> LENGTH(w) > 0) AS tk
+  FROM documents
+), vals AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(tk, w ->
+           CAST(ascii(w) AS BIGINT) * 65536
+           + CAST(ascii(reverse(w)) AS BIGINT) * 256
+           + CAST(LENGTH(w) AS BIGINT) % 256) AS vs
+  FROM toks
+)
+SELECT doc_id,
+       list_reduce(list_concat([CAST(0 AS BIGINT)], vs),
+                   (a, b) -> (a * 31 + b) % 2147483647) AS fp
+FROM vals
+""",
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling fingerprint per document (content-defined
+    identity that, unlike the md5 fingerprint, supports incremental
+    extension and window-based chunking at 100 TB)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp"))
