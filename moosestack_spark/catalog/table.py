@@ -232,6 +232,14 @@ class OlapTable(Generic[T]):
             # sorted parts: files internally ordered by the sort key ->
             # parquet row-group min/max stats give range-scan pruning.
             writer = df.sortWithinPartitions(*self.config.order_by_fields)
+        elif self.config.order_by_expression:
+            # expression flavor (olap_table.py:151-155): e.g. "toDate(ts), id"
+            exprs = [
+                F.expr(e.strip())
+                for e in self.config.order_by_expression.split(",")
+                if e.strip()
+            ]
+            writer = df.sortWithinPartitions(*exprs)
         out = writer.write.mode("append")
         codec = self._parquet_compression()
         if codec:

@@ -375,7 +375,7 @@ def sql_ch_dialect_translated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moosestack_spark.sql.ch_functions import translate_ch_sql
     from moosestack_spark.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=["events"])
     ch_sql = """
     SELECT
       date_format(toStartOfDay(ts), 'yyyy-MM-dd HH:mm:ss') AS day_start,

@@ -207,7 +207,7 @@ def sql_guarded_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ORDER BY makes the capped prefix deterministic for the gate."""
     from moosestack_spark.sql.guarded import query_olap
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=["lineitem"])
     return query_olap(
         spark,
         "SELECT l_orderkey, l_linenumber FROM lineitem "

@@ -8,6 +8,8 @@ is exactly the plan shape we want at 100 TB (verify with
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,7 +57,11 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view (for the spark.sql surface)."""
-    for name in TABLE_NAMES:
+def register_views(
+    spark: SparkSession, sf_dir: str, only: Sequence[str] | None = None
+) -> None:
+    """Register tables as temp views (for the spark.sql surface).  Pass
+    `only` to register just the tables a query touches — registering all 10
+    costs a schema read per table per call."""
+    for name in only if only is not None else TABLE_NAMES:
         t(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -495,3 +495,26 @@ def test_settings_compression_overrides(spark, warehouse):
         m for m in (pq.ParquetFile(f).metadata for f in files) if m.num_rows > 0
     )
     assert meta.row_group(0).column(0).compression == "GZIP"
+
+
+def test_order_by_expression_sorts_parts(spark, warehouse):
+    import os
+
+    t = OlapTable(
+        "expr_sorted",
+        Point,
+        spark,
+        warehouse,
+        OlapConfig(order_by_expression="abs(v), id"),
+    )
+    t.insert([{"id": i, "v": float((-1) ** i * (50 - i))} for i in range(50)])
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(t.path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    for f in files:
+        rows = spark.read.parquet(f).collect()
+        keys = [(abs(r.v), r.id) for r in rows]
+        assert keys == sorted(keys)
