@@ -1,5 +1,8 @@
 """Deduplication operators for training-data pipelines.
 
+Beyond-reference operator family (no moosestack counterpart) — SURVEY.md §8
+maps each gate query here to its check type.
+
 Exact (hash-groupBy), n-gram Jaccard (exact set similarity over shingles),
 MinHash+LSH (banded approximate near-dup at scale), SimHash (hamming-bucket
 near-dup).  All built from DataFrame ops; hashing via xxhash64 (JVM-side).

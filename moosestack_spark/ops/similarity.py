@@ -1,5 +1,8 @@
 """Similarity search over embedding columns (array<float>).
 
+Beyond-reference operator family (no moosestack counterpart) — SURVEY.md §8
+maps each gate query here to its check type.
+
 - brute-force cosine top-k: the exactness baseline.  Expressed with
   F.aggregate / F.zip_with — JVM-side fold, no Python UDF; per (query,
   candidate) pair one sequential dot product, then per-query top-k via a

@@ -1,5 +1,8 @@
 """Text analysis operators for training-data pipelines.
 
+Beyond-reference operator family (no moosestack counterpart) — SURVEY.md §8
+maps each gate query here to its check type.
+
 - token counting (whitespace + a BPE-ish word/punct regex)
 - quality scoring (length / punctuation / stopword ratios)
 - language ID (stopword-profile heuristic, argmax over per-language hits)
