@@ -114,6 +114,45 @@ def extract_image_features(
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
 
+def extract_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """binary audio -> waveform-feature vector (stub kernel) + duration
+    passthrough, Arrow-batched.  Same no-bytes-past-this-operator contract
+    as the image path."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("features", ArrayType(DoubleType(), False), False),
+            StructField("sample_rate", IntegerType(), True),
+            StructField("duration_ms", LongType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": [
+                        _decode_audio_bytes(bytes(p), strict) for p in pdf[payload_col]
+                    ],
+                    "sample_rate": pdf["sample_rate"],
+                    "duration_ms": pdf["duration_ms"],
+                }
+            )
+
+    return df.select(
+        id_col,
+        payload_col,
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    ).mapInPandas(kernel, out_schema)
+
+
 def resize_images(
     df: DataFrame,
     target_w: int,
@@ -243,6 +282,18 @@ def _register_gate_queries() -> None:
         media = media_from_documents(spark, sf_dir)
         vids = media.filter(F.col("meta.media_type") == "video")
         return sample_video_frames(vids, every_ms=500)
+
+    @query("multimodal_audio_features")  # stubbed decode: rows-only check
+    def multimodal_audio_features(spark, sf_dir: str) -> DataFrame:
+        media = media_from_documents(spark, sf_dir)
+        auds = media.filter(F.col("meta.media_type") == "audio")
+        feats = extract_audio_features(auds)
+        return feats.select(
+            "media_id",
+            F.size("features").alias("n_features"),
+            F.round(F.element_at("features", 1), 6).alias("f0"),
+            "sample_rate",
+        )
 
 
 _register_gate_queries()
