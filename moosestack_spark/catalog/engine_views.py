@@ -71,14 +71,32 @@ def collapsing_resolve(
 
     Pairs of (+1, -1) rows with the same key cancel; a key whose signs sum to
     +1 keeps its +1 state row, 0 means fully cancelled.  Without a version
-    column CH keeps the LAST +1 row; deterministic emulation keeps keys with
-    sum(sign) > 0 and exposes the net sign.
+    column CH keeps the LAST +1 row (insert order — unobservable in
+    Parquet); the deterministic emulation keeps keys with sum(sign) > 0 and
+    attaches the struct-max +1 payload row (content-ordered survivor), with
+    sign surfaced as +1.
     """
-    return (
+    payload = [c for c in df.columns if c not in keys and c != sign_col]
+    survivors = (
         df.groupBy(*[F.col(k) for k in keys])
         .agg(F.sum(F.col(sign_col)).alias("__net"))
         .filter(F.col("__net") > 0)
         .drop("__net")
+    )
+    if not payload:
+        return survivors.withColumn(sign_col, F.lit(1))
+    latest = (
+        df.filter(F.col(sign_col) == 1)
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(F.max(F.struct(*[F.col(c) for c in payload])).alias("__p"))
+    )
+    return (
+        survivors.join(latest, list(keys), "inner")
+        .select(
+            *[F.col(k) for k in keys],
+            F.lit(1).alias(sign_col),
+            *[F.col(f"__p.{c}").alias(c) for c in payload],
+        )
     )
 
 
@@ -88,16 +106,35 @@ def versioned_collapsing_resolve(
     """VersionedCollapsingMergeTree (blocks.py:101-116): the survivor is the
     +1 row with the max version whose cancellation (-1 at same version) has
     not arrived."""
+    payload = [
+        c for c in df.columns if c not in keys and c not in (sign_col, version_col)
+    ]
     per_version = (
         df.groupBy(*[F.col(k) for k in keys], F.col(version_col))
         .agg(F.sum(F.col(sign_col)).alias("__net"))
         .filter(F.col("__net") > 0)
     )
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(version_col).desc())
-    return (
+    winners = (
         per_version.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__net")
+    )
+    if not payload:
+        return winners.withColumn(sign_col, F.lit(1))
+    latest = (
+        df.filter(F.col(sign_col) == 1)
+        .groupBy(*[F.col(k) for k in keys], F.col(version_col))
+        .agg(F.max(F.struct(*[F.col(c) for c in payload])).alias("__p"))
+    )
+    return (
+        winners.join(latest, [*keys, version_col], "inner")
+        .select(
+            *[F.col(k) for k in keys],
+            F.col(version_col),
+            F.lit(1).alias(sign_col),
+            *[F.col(f"__p.{c}").alias(c) for c in payload],
+        )
     )
 
 

@@ -414,13 +414,20 @@ class OlapTable(Generic[T]):
 
     def read(self) -> DataFrame:
         """Engine read semantics applied (SURVEY.md §1.4)."""
-        df = self.read_raw()
+        return self._with_engine_semantics(self.read_raw())
+
+    def _with_engine_semantics(self, df: DataFrame) -> DataFrame:
         eng = self.config.engine
         if isinstance(eng, ReplacingMergeTree):
             keys = self._sort_keys()
+            # no version column: tiebreak on the PAYLOAD columns (content-
+            # ordered survivor).  Tiebreaking on the partition keys
+            # themselves is a no-op ordering — every row in the window has
+            # identical values there, so the survivor would be arbitrary.
+            payload = sorted(c for c in df.columns if c not in keys)
             return engine_views.replacing_latest(
                 df, keys, version_col=eng.ver, is_deleted_col=eng.is_deleted,
-                tiebreakers=() if eng.ver else keys,
+                tiebreakers=() if eng.ver else (payload or keys),
             )
         if isinstance(eng, SummingMergeTree):
             keys = self._sort_keys()
@@ -522,8 +529,22 @@ class OlapTable(Generic[T]):
                     )
                 except Exception:
                     continue
-                best_df, best_score = cand, score
+                # projections hold the same raw rows — the engine read
+                # semantics (dedup/rollup/collapse) apply to them too, or
+                # the two physical copies would answer differently
+                best_df, best_score = self._with_engine_semantics(cand), score
         return best_df
+
+    def _rebuild_projections(self) -> None:
+        """Re-derive every projection from the (rewritten) base — TTL and
+        OPTIMIZE rewrite the base files; stale projections would resurrect
+        deleted rows."""
+        if not self.config.projections:
+            return
+        base = self.read_raw()
+        for proj in self.config.projections:
+            shutil.rmtree(self._projection_path(proj.name), ignore_errors=True)
+        self._write_projections(base)
 
     def optimize(self, target_files: Optional[int] = None) -> int:
         """Compaction — the explicit counterpart of MergeTree background
@@ -554,6 +575,7 @@ class OlapTable(Generic[T]):
         writer.parquet(tmp)
         shutil.rmtree(self.path, ignore_errors=True)
         os.rename(tmp, self.path)
+        self._rebuild_projections()
         return sum(
             1
             for root, _, files in os.walk(self.path)
@@ -608,6 +630,7 @@ class OlapTable(Generic[T]):
         out.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(self.path, ignore_errors=True)
         os.rename(tmp, self.path)
+        self._rebuild_projections()
         return cleared
 
     def apply_ttl(self, now: Optional[datetime] = None) -> int:
@@ -629,7 +652,10 @@ class OlapTable(Generic[T]):
 
         df = self.read_raw()
         total = df.count()
-        kept = df.filter(F.col(ts_col) > F.lit(cutoff))
+        # NULL TTL timestamps never expire (CH semantics: a NULL TTL
+        # expression row is kept) — a bare > predicate would silently
+        # delete them
+        kept = df.filter(F.col(ts_col).isNull() | (F.col(ts_col) > F.lit(cutoff)))
         n_kept = kept.count()
         if n_kept == total:
             return 0
@@ -637,4 +663,5 @@ class OlapTable(Generic[T]):
         kept.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(self.path, ignore_errors=True)
         os.rename(tmp, self.path)
+        self._rebuild_projections()
         return total - n_kept

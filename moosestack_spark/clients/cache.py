@@ -46,7 +46,9 @@ class MooseCache:
         os.replace(tmp, self.path)
 
     def set(self, key: str, value: Any, ttl_seconds: Optional[float] = _DEFAULT_TTL) -> None:
-        exp = time.monotonic() + ttl_seconds if ttl_seconds is not None else None
+        # wall-clock deadlines, NOT time.monotonic(): the file persists
+        # across processes/reboots and monotonic origins do not
+        exp = time.time() + ttl_seconds if ttl_seconds is not None else None
         with self._lock:
             self._store[self._k(key)] = (value, exp)
             self._persist()
@@ -57,7 +59,7 @@ class MooseCache:
             if item is None:
                 return default
             value, exp = item
-            if exp is not None and time.monotonic() > exp:
+            if exp is not None and time.time() > exp:
                 del self._store[self._k(key)]
                 self._persist()
                 return default
@@ -72,7 +74,7 @@ class MooseCache:
 
     def keys(self) -> list[str]:
         with self._lock:
-            now = time.monotonic()
+            now = time.time()
             return [
                 k[len(self.prefix) + 1 :]
                 for k, (_, exp) in self._store.items()

@@ -128,26 +128,31 @@ def _py_type_to_spark(tp: Any, annotations: dict) -> tuple[st.DataType, bool]:
         tp = tp.__origin__
         origin = get_origin(tp)
 
+    # Collect EVERY marker before returning: a type-sizing marker must not
+    # short-circuit past a Key/Default/TTL/Codec marker that follows it in
+    # the Annotated metadata (Key[Int64] carries both; returning on the
+    # sized-int marker silently dropped primary_key — and with it the
+    # Replacing engine's sort keys).
+    sized_dtype = None
     for m in metadata:
         if isinstance(m, _SizedInt):
             annotations["ch_type"] = ("Int" if m.signed else "UInt") + str(m.bits)
-            dtype = _SIGNED[m.bits] if m.signed else _UNSIGNED_WIDEN[m.bits]
-            return dtype, False
+            sized_dtype = _SIGNED[m.bits] if m.signed else _UNSIGNED_WIDEN[m.bits]
         if isinstance(m, _SizedFloat):
             annotations["ch_type"] = f"Float{m.bits}"
-            return (st.FloatType() if m.bits == 32 else st.DoubleType()), False
+            sized_dtype = st.FloatType() if m.bits == 32 else st.DoubleType()
         if isinstance(m, _DecimalMarker):
             annotations["ch_type"] = f"Decimal({m.precision},{m.scale})"
-            return st.DecimalType(m.precision, m.scale), False
+            sized_dtype = st.DecimalType(m.precision, m.scale)
         if isinstance(m, _DateTime64Marker):
             annotations["ch_type"] = f"DateTime64({m.precision})"
             if m.precision > 6:
                 annotations["truncated_to_micros"] = True
-            return st.TimestampType(), False
+            sized_dtype = st.TimestampType()
         if isinstance(m, FixedString):
             annotations["ch_type"] = f"FixedString({m.length})"
             annotations["fixed_length"] = m.length
-            return st.StringType(), False
+            sized_dtype = st.StringType()
         if isinstance(m, _KeyMarker):
             annotations["_primary_key"] = True
         if isinstance(m, _LowCardinalityMarker):
@@ -169,6 +174,8 @@ def _py_type_to_spark(tp: Any, annotations: dict) -> tuple[st.DataType, bool]:
             annotations["simple_aggregate_function"] = m.function
         if isinstance(m, JWTMarker):
             annotations["jwt"] = True
+    if sized_dtype is not None:
+        return sized_dtype, False
 
     # Optional[T] / Union[T, None] -> nullable (data_models.py:327-332)
     if origin is Union:

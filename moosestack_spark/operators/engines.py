@@ -106,7 +106,7 @@ def engine_summing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "engine_collapsing",
     oracle="""
-SELECT event_id, user_id FROM (
+SELECT event_id, user_id, 1 AS sign FROM (
   SELECT event_id, user_id, SUM(sign) AS net FROM (
     SELECT event_id, user_id, 1 AS sign FROM events WHERE event_type = 'purchase'
     UNION ALL
@@ -137,7 +137,7 @@ def engine_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "engine_versioned_collapsing",
     oracle="""
-SELECT o_orderkey, ver FROM (
+SELECT o_orderkey, ver, 1 AS sign FROM (
   SELECT o_orderkey, ver,
          ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY ver DESC) AS rn
   FROM (

@@ -142,10 +142,24 @@ class QueryModel:
 
         detail_mode = bool(request.columns) and not request.metrics
 
-        # referenced join tables
-        used_exprs: list[ExprLike] = [
-            self.dimensions[d] for d in request.dimensions
-        ] + [self.columns[c] for c in request.columns]
+        # referenced join tables — filters count too: a WHERE on a
+        # join-backed dimension that is not in the SELECT still needs its
+        # join in the frame (otherwise the predicate references an unjoined
+        # table and analysis fails)
+        used_exprs: list[ExprLike] = (
+            [self.dimensions[d] for d in request.dimensions]
+            + [self.columns[c] for c in request.columns]
+            + [
+                self.dimensions[f[0]]
+                for f in request.filters
+                if f[0] in self.dimensions
+            ]
+            + [
+                self.columns[f[0]]
+                for f in request.filters
+                if f[0] in self.columns
+            ]
+        )
         frame = self._base_frame(self._joins_needed(used_exprs))
 
         # split filters into WHERE (non-metric) and HAVING (metric alias)

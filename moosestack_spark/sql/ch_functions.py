@@ -461,7 +461,10 @@ _TEMPLATE = {
     "intDiv": "cast(floor({0} / {1}) as bigint)",
     "modulo": "({0} % {1})",
     "multiIf": None,  # handled specially below
-    "splitByChar": "split({1}, {0})",
+    # the separator is a REGEX to Spark's split — wrap it in \\Q...\\E
+    # (java.util.regex literal quoting) so '.' or '|' split on the literal
+    # character, matching CH splitByChar semantics
+    "splitByChar": "split({1}, concat('\\\\Q', {0}, '\\\\E'))",
     "arrayElement": "element_at({0}, {1})",
     "JSONExtractString": "get_json_object({0}, concat('$.', {1}))",
     "JSONExtractInt": "cast(get_json_object({0}, concat('$.', {1})) as bigint)",

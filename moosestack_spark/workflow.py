@@ -45,18 +45,22 @@ class Task:
             start = time.monotonic()
             try:
                 result = self.run(input_value)
-                if (
-                    self.timeout_seconds is not None
-                    and time.monotonic() - start > self.timeout_seconds
-                ):
-                    raise TaskFailed(
-                        f"task {self.name} exceeded timeout {self.timeout_seconds}s"
-                    )
-                break
             except Exception as exc:
                 attempt += 1
                 if attempt > self.retries:
                     raise TaskFailed(f"task {self.name} failed: {exc}") from exc
+                continue
+            # the timeout verdict is OUTSIDE the retry loop: the body
+            # SUCCEEDED (its side effects happened) — re-running a slow
+            # success would duplicate work; post-hoc timeout is terminal
+            if (
+                self.timeout_seconds is not None
+                and time.monotonic() - start > self.timeout_seconds
+            ):
+                raise TaskFailed(
+                    f"task {self.name} exceeded timeout {self.timeout_seconds}s"
+                )
+            break
         for nxt in self.on_complete:
             nxt.execute(result)
         return result

@@ -1,0 +1,154 @@
+"""Regressions for the round-1 code-review findings — each test encodes a
+confirmed failure scenario that the fix must keep dead."""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Annotated, Optional
+
+import pytest
+from pydantic import BaseModel
+from pyspark.sql import functions as F
+
+from moosestack_spark.catalog.engine_views import collapsing_resolve
+from moosestack_spark.catalog.engines import OlapConfig, ReplacingMergeTree
+from moosestack_spark.catalog.table import OlapTable
+from moosestack_spark.datamodel import Int64, Key
+from moosestack_spark.ops.dedup import word_shingles
+
+
+def test_short_documents_do_not_crash_shingling(spark):
+    """sequence(1, 0) counts DOWN in Spark; slice(start=0) aborted the job
+    for any doc with fewer than n words."""
+    df = spark.createDataFrame(
+        [("",), ("one",), ("one two three",), ("a b c d e f",)], "text string"
+    )
+    out = [r.sh for r in df.select(word_shingles(F.col("text"), 5).alias("sh")).collect()]
+    assert out[:3] == [[], [], []]
+    assert out[3] == ["a b c d e", "b c d e f"]
+
+
+class KeyedSized(BaseModel):
+    id: Key[Int64]
+    payload: str
+
+
+def test_key_marker_survives_sized_type(spark, tmp_path):
+    """Key[Int64] lost primary_key (marker loop returned early on the sized
+    marker) -> ReplacingMergeTree had no sort keys -> read() deduped the
+    whole table to one arbitrary row."""
+    from moosestack_spark.datamodel.reflection import to_columns
+
+    cols = {c.name: c for c in to_columns(KeyedSized)}
+    assert cols["id"].primary_key is True
+    t = OlapTable(
+        "keyed", KeyedSized, spark, str(tmp_path),
+        OlapConfig(engine=ReplacingMergeTree()),
+    )
+    t.insert([{"id": 1, "payload": "a"}, {"id": 2, "payload": "b"}])
+    assert t.read().count() == 2  # distinct keys survive
+
+
+def test_replacing_without_ver_is_deterministic(spark, tmp_path):
+    """No version column: the survivor must be content-ordered (payload
+    tiebreak), not whichever row a shuffle emits first."""
+    t = OlapTable(
+        "nv", KeyedSized, spark, str(tmp_path),
+        OlapConfig(engine=ReplacingMergeTree()),
+    )
+    t.insert([{"id": 1, "payload": "aaa"}])
+    t.insert([{"id": 1, "payload": "zzz"}])
+    results = {t.read().collect()[0].payload for _ in range(3)}
+    assert results == {"zzz"}  # max payload, every time
+
+
+class Reading2(BaseModel):
+    sensor: str
+    ts: Optional[dt.datetime] = None
+    v: float
+
+
+def test_ttl_keeps_null_timestamp_rows(spark, tmp_path):
+    """Rows whose TTL timestamp is NULL never expire (a bare > predicate
+    silently deleted them)."""
+    t = OlapTable(
+        "r2", Reading2, spark, str(tmp_path),
+        OlapConfig(ttl="ts + INTERVAL 7 DAY"),
+    )
+    t.insert(
+        [
+            {"sensor": "old", "ts": dt.datetime(2024, 1, 1), "v": 1.0},
+            {"sensor": "null", "ts": None, "v": 2.0},
+            {"sensor": "new", "ts": dt.datetime(2024, 1, 9), "v": 3.0},
+        ]
+    )
+    deleted = t.apply_ttl(now=dt.datetime(2024, 1, 10))
+    assert deleted == 1
+    assert sorted(r["sensor"] for r in t.peek(10)) == ["new", "null"]
+
+
+def test_collapsing_resolve_keeps_payload_columns(spark):
+    """The collapse view must return the surviving state row's data
+    columns, not just the keys."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, 100.0, "open"),
+            (1, -1, 100.0, "open"),
+            (1, 1, 150.0, "closed"),
+            (2, 1, 50.0, "open"),
+            (2, -1, 50.0, "open"),
+        ],
+        "id int, sign int, amount double, status string",
+    )
+    rows = collapsing_resolve(df, ["id"], "sign").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id, r.sign, r.amount, r.status) == (1, 1, 150.0, "closed")
+
+
+def test_task_timeout_does_not_retry_succeeded_body():
+    """A slow SUCCESS must not re-run the side-effecting body."""
+    from moosestack_spark.workflow import Task, TaskFailed
+
+    calls = []
+
+    def body(_):
+        calls.append(1)
+        import time as _t
+
+        _t.sleep(0.05)
+        return "ok"
+
+    task = Task("slow", body, retries=3, timeout_seconds=0.01)
+    with pytest.raises(TaskFailed, match="timeout"):
+        task.execute()
+    assert len(calls) == 1  # exactly one execution
+
+
+def test_query_model_joins_filter_only_dimensions(spark):
+    """A WHERE filter on a join-backed dimension not in the SELECT must
+    still pull in the join."""
+    from moosestack_spark.query_layer.model import (
+        Join,
+        JoinColumn,
+        QueryModel,
+        QueryRequest,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 20, 200.0), (3, 10, 50.0)],
+        "oid int, cid int, rev double",
+    )
+    cust = spark.createDataFrame([(10, "A"), (20, "B")], "cid int, seg string")
+    qm = QueryModel(
+        source=orders,
+        dimensions={"oid": "oid", "segment": JoinColumn("cust", "seg")},
+        metrics={"rev": F.sum("rev")},
+        joins={"cust": Join(table=cust, left_key="cid", right_key="cid")},
+    )
+    rows = qm.query(
+        QueryRequest(
+            dimensions=["oid"], metrics=["rev"], filters=[("segment", "eq", "A")]
+        )
+    ).collect()
+    assert sorted((r.oid, r.rev) for r in rows) == [(1, 100.0), (3, 50.0)]
