@@ -23,6 +23,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _orderable(dtype) -> bool:
+    """Whether Spark can sort / struct-compare this type (maps cannot be
+    ordered or grouped; arrays/structs are orderable iff their element and
+    field types are)."""
+    from pyspark.sql import types as st
+
+    if isinstance(dtype, st.MapType):
+        return False
+    if isinstance(dtype, st.ArrayType):
+        return _orderable(dtype.elementType)
+    if isinstance(dtype, st.StructType):
+        return all(_orderable(f.dataType) for f in dtype.fields)
+    return True
+
+
+def split_orderable(df: DataFrame, cols: Sequence[str]) -> tuple[list, list]:
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    ordp = [c for c in cols if _orderable(dtypes[c])]
+    unord = [c for c in cols if not _orderable(dtypes[c])]
+    return ordp, unord
+
+
 def replacing_latest(
     df: DataFrame,
     keys: Sequence[str],
@@ -42,6 +64,10 @@ def replacing_latest(
         order.append(F.col(version_col).desc())
     for tb in tiebreakers:
         order.append(F.col(tb).desc())
+    if is_deleted_col and not version_col:
+        # content ties between a live row and its tombstone resolve to the
+        # LIVE row (ascending: 0 before 1)
+        order.append(F.col(is_deleted_col).asc())
     if not order:
         raise ValueError(
             "replacing_latest needs version_col or tiebreakers for a "
@@ -69,33 +95,49 @@ def collapsing_resolve(
 ) -> DataFrame:
     """CollapsingMergeTree(sign) read view (blocks.py:86-97).
 
-    Pairs of (+1, -1) rows with the same key cancel; a key whose signs sum to
-    +1 keeps its +1 state row, 0 means fully cancelled.  Without a version
-    column CH keeps the LAST +1 row (insert order — unobservable in
-    Parquet); the deterministic emulation keeps keys with sum(sign) > 0 and
-    attaches the struct-max +1 payload row (content-ordered survivor), with
-    sign surfaced as +1.
+    A -1 row cancels the state row it COPIES (the CH contract: cancel rows
+    carry the cancelled row's values), so cancellation nets sign per
+    full-row identity — keys + payload content — not per key.  Keys keep
+    the content-max among their UNCANCELLED state rows, surfaced with
+    sign=+1.  Map-typed payload participates in the identity via its JSON
+    text (maps cannot be grouped or ordered in Spark) and rides along the
+    winning row.
     """
     payload = [c for c in df.columns if c not in keys and c != sign_col]
-    survivors = (
-        df.groupBy(*[F.col(k) for k in keys])
-        .agg(F.sum(F.col(sign_col)).alias("__net"))
-        .filter(F.col("__net") > 0)
-        .drop("__net")
-    )
     if not payload:
-        return survivors.withColumn(sign_col, F.lit(1))
-    latest = (
-        df.filter(F.col(sign_col) == 1)
-        .groupBy(*[F.col(k) for k in keys])
-        .agg(F.max(F.struct(*[F.col(c) for c in payload])).alias("__p"))
+        return (
+            df.groupBy(*[F.col(k) for k in keys])
+            .agg(F.sum(F.col(sign_col)).alias("__net"))
+            .filter(F.col("__net") > 0)
+            .drop("__net")
+            .withColumn(sign_col, F.lit(1))
+        )
+    ordp, unord = split_orderable(df, payload)
+    work = df
+    jcols = []
+    for c in unord:
+        jc = f"__j_{c}"
+        work = work.withColumn(jc, F.to_json(F.col(c)))
+        jcols.append(jc)
+    ident = [*keys, *ordp, *jcols]
+    per_row = (
+        work.groupBy(*[F.col(c) for c in ident])
+        .agg(
+            F.sum(F.col(sign_col)).alias("__net"),
+            *[F.first(F.col(c)).alias(c) for c in unord],
+        )
+        .filter(F.col("__net") > 0)
     )
+    order = [F.col(c).desc() for c in ordp] + [F.col(c).desc() for c in jcols]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
     return (
-        survivors.join(latest, list(keys), "inner")
+        per_row.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
         .select(
             *[F.col(k) for k in keys],
             F.lit(1).alias(sign_col),
-            *[F.col(f"__p.{c}").alias(c) for c in payload],
+            *[F.col(c) for c in ordp],
+            *[F.col(c) for c in unord],
         )
     )
 
@@ -103,37 +145,42 @@ def collapsing_resolve(
 def versioned_collapsing_resolve(
     df: DataFrame, keys: Sequence[str], sign_col: str, version_col: str
 ) -> DataFrame:
-    """VersionedCollapsingMergeTree (blocks.py:101-116): the survivor is the
-    +1 row with the max version whose cancellation (-1 at same version) has
-    not arrived."""
+    """VersionedCollapsingMergeTree (blocks.py:101-116): cancellation nets
+    sign per (keys, version, payload content); the survivor is the
+    uncancelled row with the max version (content tiebreak within a
+    version), surfaced with sign=+1."""
     payload = [
         c for c in df.columns if c not in keys and c not in (sign_col, version_col)
     ]
-    per_version = (
-        df.groupBy(*[F.col(k) for k in keys], F.col(version_col))
-        .agg(F.sum(F.col(sign_col)).alias("__net"))
+    ordp, unord = split_orderable(df, payload)
+    work = df
+    jcols = []
+    for c in unord:
+        jc = f"__j_{c}"
+        work = work.withColumn(jc, F.to_json(F.col(c)))
+        jcols.append(jc)
+    ident = [*keys, version_col, *ordp, *jcols]
+    per_row = (
+        work.groupBy(*[F.col(c) for c in ident])
+        .agg(
+            F.sum(F.col(sign_col)).alias("__net"),
+            *[F.first(F.col(c)).alias(c) for c in unord],
+        )
         .filter(F.col("__net") > 0)
     )
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(version_col).desc())
-    winners = (
-        per_version.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__net")
-    )
-    if not payload:
-        return winners.withColumn(sign_col, F.lit(1))
-    latest = (
-        df.filter(F.col(sign_col) == 1)
-        .groupBy(*[F.col(k) for k in keys], F.col(version_col))
-        .agg(F.max(F.struct(*[F.col(c) for c in payload])).alias("__p"))
-    )
+    order = [F.col(version_col).desc()] + [F.col(c).desc() for c in ordp] + [
+        F.col(c).desc() for c in jcols
+    ]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
     return (
-        winners.join(latest, [*keys, version_col], "inner")
+        per_row.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
         .select(
             *[F.col(k) for k in keys],
             F.col(version_col),
             F.lit(1).alias(sign_col),
-            *[F.col(f"__p.{c}").alias(c) for c in payload],
+            *[F.col(c) for c in ordp],
+            *[F.col(c) for c in unord],
         )
     )
 

@@ -421,13 +421,20 @@ class OlapTable(Generic[T]):
         if isinstance(eng, ReplacingMergeTree):
             keys = self._sort_keys()
             # no version column: tiebreak on the PAYLOAD columns (content-
-            # ordered survivor).  Tiebreaking on the partition keys
-            # themselves is a no-op ordering — every row in the window has
-            # identical values there, so the survivor would be arbitrary.
-            payload = sorted(c for c in df.columns if c not in keys)
+            # ordered survivor).  Constraints that matter:
+            # - not the partition keys (identical per window -> arbitrary);
+            # - not is_deleted (a tombstone winning purely because 1 > 0
+            #   would erase keys with live rows);
+            # - orderable types only (maps cannot be sorted).
+            # Ties on the whole orderable payload fall to is_deleted ASC:
+            # the live row wins over an otherwise-identical tombstone.
+            excluded = {*keys, eng.ver, eng.is_deleted} - {None}
+            candidates = sorted(c for c in df.columns if c not in excluded)
+            ordp, _ = engine_views.split_orderable(df, candidates)
+            tiebreakers = ordp or keys
             return engine_views.replacing_latest(
                 df, keys, version_col=eng.ver, is_deleted_col=eng.is_deleted,
-                tiebreakers=() if eng.ver else (payload or keys),
+                tiebreakers=() if eng.ver else tiebreakers,
             )
         if isinstance(eng, SummingMergeTree):
             keys = self._sort_keys()

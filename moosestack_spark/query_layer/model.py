@@ -152,12 +152,12 @@ class QueryModel:
             + [
                 self.dimensions[f[0]]
                 for f in request.filters
-                if f[0] in self.dimensions
+                if f[0] in self.dimensions and f[0] not in self.metrics
             ]
             + [
                 self.columns[f[0]]
                 for f in request.filters
-                if f[0] in self.columns
+                if f[0] in self.columns and f[0] not in self.metrics
             ]
         )
         frame = self._base_frame(self._joins_needed(used_exprs))

@@ -101,12 +101,18 @@ collapsing_rows = st.lists(
 def test_collapsing_resolve_matches_reference(spark, rows):
     df = _mk_df(spark, rows, "k int, sign int, val int")
     out = collapsing_resolve(df, ["k"], "sign")
-    got = {(r.k,) for r in out.select("k").distinct().collect()}
-    # reference: a key survives when its sign-sum > 0 (uncancelled inserts)
-    sums: dict[int, int] = {}
-    for k, sign, _ in rows:
-        sums[k] = sums.get(k, 0) + sign
-    expected = {(k,) for k, s in sums.items() if s > 0}
+    got = {(r.k, r.val) for r in out.collect()}
+    # reference: a -1 cancels the state row it COPIES (the CH user
+    # contract), so cancellation nets per (key, content); a key keeps the
+    # max-content row among its uncancelled states
+    net: dict[tuple, int] = {}
+    for k, sign, val in rows:
+        net[(k, val)] = net.get((k, val), 0) + sign
+    survivors: dict[int, int] = {}
+    for (k, val), s in net.items():
+        if s > 0 and (k not in survivors or val > survivors[k]):
+            survivors[k] = val
+    expected = {(k, v) for k, v in survivors.items()}
     assert got == expected
 
 

@@ -106,6 +106,37 @@ def test_collapsing_resolve_keeps_payload_columns(spark):
     assert (r.id, r.sign, r.amount, r.status) == (1, 1, 150.0, "closed")
 
 
+def test_collapsing_cancelled_max_row_does_not_resurrect(spark):
+    """A -1 row cancels the state row it copies; when the CANCELLED row is
+    the content-max, the survivor must be the remaining uncancelled row —
+    a key-level struct-max would resurrect the cancelled state."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, 150.0),   # state, later cancelled
+            (1, -1, 150.0),  # its cancel (copies the values)
+            (1, 1, 100.0),   # the live state
+        ],
+        "id int, sign int, amount double",
+    )
+    rows = collapsing_resolve(df, ["id"], "sign").collect()
+    assert [(r.id, r.amount) for r in rows] == [(1, 100.0)]
+
+
+def test_collapsing_supports_map_payload(spark):
+    """Map columns cannot be grouped or ordered — the view must still
+    resolve tables containing them (identity via JSON text)."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, {"a": 1}),
+            (1, -1, {"a": 1}),
+            (1, 1, {"b": 2}),
+        ],
+        "id int, sign int, props map<string,int>",
+    )
+    rows = collapsing_resolve(df, ["id"], "sign").collect()
+    assert len(rows) == 1 and rows[0].props == {"b": 2}
+
+
 def test_task_timeout_does_not_retry_succeeded_body():
     """A slow SUCCESS must not re-run the side-effecting body."""
     from moosestack_spark.workflow import Task, TaskFailed
@@ -152,3 +183,42 @@ def test_query_model_joins_filter_only_dimensions(spark):
         )
     ).collect()
     assert sorted((r.oid, r.rev) for r in rows) == [(1, 100.0), (3, 50.0)]
+
+
+class MappyModel(BaseModel):
+    id: Key[Int64]
+    props: dict[str, int]
+
+
+def test_replacing_read_survives_map_columns(spark, tmp_path):
+    """Map payload cannot be window-ordered; the tiebreak must skip it
+    rather than crash the read."""
+    t = OlapTable(
+        "mappy", MappyModel, spark, str(tmp_path),
+        OlapConfig(engine=ReplacingMergeTree()),
+    )
+    t.insert([{"id": 1, "props": {"a": 1}}, {"id": 2, "props": {"b": 2}}])
+    assert t.read().count() == 2
+
+
+class Tombstoned(BaseModel):
+    id: Key[Int64]
+    payload: str
+    is_deleted: int = 0
+
+
+def test_tombstone_does_not_erase_live_row_on_content_tie(spark, tmp_path):
+    """is_deleted must not act as a DESC tiebreaker: a live row and its
+    otherwise-identical tombstone resolve to the live row."""
+    t = OlapTable(
+        "tomb", Tombstoned, spark, str(tmp_path),
+        OlapConfig(engine=ReplacingMergeTree(is_deleted="is_deleted")),
+    )
+    t.insert(
+        [
+            {"id": 1, "payload": "x", "is_deleted": 1},
+            {"id": 1, "payload": "x", "is_deleted": 0},
+        ]
+    )
+    rows = t.read().collect()
+    assert [(r.id, r.payload) for r in rows] == [(1, "x")]
