@@ -221,9 +221,9 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.abspath(f"{sf_dir}/events.parquet"),
         os.path.join(src_dir, "events.parquet"),
     )
+    stack = _stream_state_partitions(spark)
+    stack.__enter__()
     try:
-        stack = _stream_state_partitions(spark)
-        stack.__enter__()
         stream = (
             spark.readStream.schema(events_schema)
             .parquet(src_dir)
@@ -249,9 +249,9 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        stack.__exit__()
         return spark.read.parquet(out_dir).localCheckpoint()
     finally:
+        stack.__exit__()
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -302,9 +302,9 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(src_dir, "events.parquet"),
     )
     sink_name = f"msk_sessions_{abs(hash(src_dir)) % 10**9}"
+    stack = _stream_state_partitions(spark)
+    stack.__enter__()
     try:
-        stack = _stream_state_partitions(spark)
-        stack.__enter__()
         stream = (
             spark.readStream.schema(events_schema)
             .parquet(src_dir)
@@ -330,9 +330,9 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        stack.__exit__()
         return spark.table(sink_name).localCheckpoint()
     finally:
+        stack.__exit__()
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -401,9 +401,9 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             }
         )
 
+    stack = _stream_state_partitions(spark)
+    stack.__enter__()
     try:
-        stack = _stream_state_partitions(spark)
-        stack.__enter__()
         stream = (
             spark.readStream.schema(events_schema)
             .parquet(src_dir)
@@ -421,9 +421,9 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             .start()
         )
         q.awaitTermination()
-        stack.__exit__()
         return spark.table(sink_name).localCheckpoint()
     finally:
+        stack.__exit__()
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
