@@ -138,3 +138,55 @@ def test_replacing_is_batch_split_invariant(spark, rows, split):
         ).collect()
     }
     assert read(df_all) == read(df_split)
+
+
+# ---------------------------------------------------------------------------
+# Blocked-GEMM embedding dedup: pair-space completeness.  The block-pair
+# cogroup must surface every qualifying unordered pair exactly once — a
+# wrong block-pair enumeration silently loses (or duplicates) pairs.
+# ---------------------------------------------------------------------------
+
+emb_rows = st.lists(
+    st.tuples(
+        st.integers(0, 30),
+        st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+    ),
+    min_size=2,
+    max_size=18,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=emb_rows, threshold=st.sampled_from([-1.0, 0.0, 0.5, 0.9]))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_embedding_pairs_complete_and_unique(spark, rows, threshold):
+    import math
+
+    from moosestack_spark.ops.dedup import embedding_cosine_pairs
+
+    # drop zero vectors (cosine undefined -> NaN never passes >=)
+    rows = [(i, v) for i, v in rows if any(v)]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vid long, emb array<float>"
+    )
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(df, "vid", "emb", threshold, n_blocks=3).collect()
+    )
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    expected = sorted(
+        (min(i, j), max(i, j))
+        for k, (i, a) in enumerate(rows)
+        for j, b in rows[k + 1:]
+        if cos(a, b) >= threshold
+    )
+    assert got == expected  # every pair once, none lost, none duplicated
