@@ -39,6 +39,8 @@ HEADLINE = [
     "mv_hypertable_rollup",
     "join_asof",
     "join_range_buckets",
+    "analytics_shipping_priority",
+    "analytics_local_supplier_volume",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",

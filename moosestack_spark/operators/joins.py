@@ -359,3 +359,100 @@ def join_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
     )
+
+
+# --------------------------------------------------------------------------
+# Classic analytics shapes (raw-SQL passthrough territory in the reference;
+# first-class here): TPC-H Q3/Q5-style multi-join aggregations over the
+# full star schema.  Plan shape: fact scan with pushed date filters,
+# broadcast dimension joins, single agg shuffle, top-k sort.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "analytics_shipping_priority",
+    oracle="""
+SELECT
+  l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue by order, top 10."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(8,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "analytics_local_supplier_volume",
+    oracle="""
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def analytics_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where supplier and customer share a nation,
+    per Asian nation.  Six-table join; every dimension side broadcasts."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(8,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
