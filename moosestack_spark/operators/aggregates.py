@@ -170,16 +170,20 @@ def agg_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   n_regionkey,
-  LIST(n_name ORDER BY n_name) AS nations,
+  ARRAY_TO_STRING(LIST(n_name ORDER BY n_name), ',') AS nations,
   COUNT(*) AS n
 FROM nation
 GROUP BY n_regionkey
 """,
 )
 def agg_group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The array itself is joined into a scalar string for the gate: the
+    # driver's canonicalizer hashes columns via pandas factorize, which
+    # cannot hash list-typed cells (r1 failure: "unhashable type: 'list'").
+    # The sorted collect_list semantics are unchanged.
     n = t(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -38,6 +38,63 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# The driver's CORRECTNESS run checks the first 50 registered queries per
+# round.  Round 1 covered registry positions 0-49; the names below are the
+# queries that have NOT yet received a hard driver-correctness row (plus
+# agg_group_array, which errored in r1 on an array-typed output, and the
+# queries newly added this round).  They are promoted to the front of the
+# registry so round 2's window covers them; rotate again next round until
+# every query has had a green row.
+_WINDOW_PRIORITY = [
+    # r1 positions 50-88, never driver-checked
+    "setop_intersect_except",
+    "setop_all_variants",
+    "agg_salted_skew",
+    "sort_multikey_limit",
+    "sort_paginate",
+    "sort_limit_clamp",
+    "sample_hash_mod",
+    "streaming_zero_or_many_transform",
+    "streaming_dlq_envelope",
+    "streaming_windowed_agg",
+    "streaming_session_window",
+    "streaming_stateful_user_stats",
+    "streaming_multi_route",
+    "etl_extract_transform_load",
+    "streaming_dlq_recovery",
+    "window_row_number_topk",
+    "window_rank_dense",
+    "window_lag",
+    "window_running_sum",
+    "window_first_last",
+    "window_lead_distribution",
+    "window_range_frame",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "multimodal_image_features",
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "similarity_bruteforce_topk",
+    "similarity_lsh_bucketed",
+    "similarity_ivf",
+    "text_token_stats",
+    "text_stopword_ratio",
+    "text_fingerprint",
+    "text_quality_bucket",
+    "text_lang_id",
+    "text_rolling_fingerprint",
+    # errored in r1 (driver canonicalizer vs array column) — re-check fixed form
+    "agg_group_array",
+    # new queries this round
+    "dedup_embedding_cosine_pruned",
+    "agg_uniq_exact",
+    "streaming_topic_sync",
+]
+
+
 def load_all() -> None:
     """Import every operator module (side effect: registration)."""
     from moosestack_spark.operators import (  # noqa: F401
@@ -60,3 +117,11 @@ def load_all() -> None:
         similarity,
         text,
     )
+
+    # Reorder the registry so the driver's 50-query correctness window covers
+    # the queries that most need a hard row this round (see _WINDOW_PRIORITY).
+    prioritized = [n for n in _WINDOW_PRIORITY if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(prioritized)]
+    reordered = {n: QUERIES[n] for n in [*prioritized, *rest]}
+    QUERIES.clear()
+    QUERIES.update(reordered)
