@@ -64,9 +64,11 @@ def replacing_latest(
         order.append(F.col(version_col).desc())
     for tb in tiebreakers:
         order.append(F.col(tb).desc())
-    if is_deleted_col and not version_col:
-        # content ties between a live row and its tombstone resolve to the
-        # LIVE row (ascending: 0 before 1)
+    if is_deleted_col:
+        # A version tie between a live row and its tombstone must resolve
+        # deterministically to the LIVE row (ascending: 0 before 1);
+        # otherwise the trailing is_deleted filter silently drops the key
+        # whenever the tombstone happens to win the tie.
         order.append(F.col(is_deleted_col).asc())
     if not order:
         raise ValueError(

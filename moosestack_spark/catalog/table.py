@@ -491,6 +491,10 @@ class OlapTable(Generic[T]):
         if sf and sf.limit is not None:
             df = df.limit(sf.limit)
         df = df.select(*[f.name for f in self.schema.fields])
+        # Materialize once: count() and _append_df() as independent jobs over
+        # a lazy source can observe different rows (LIMIT without ordering,
+        # nondeterministic sources), making the returned count unreliable.
+        df = df.localCheckpoint(eager=True)
         n = df.count()
         self._append_df(df)
         return n
@@ -633,11 +637,7 @@ class OlapTable(Generic[T]):
             )
         if not any(cleared.values()):
             return cleared
-        tmp = self.path + ".__colttl_tmp"
-        out.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.path, ignore_errors=True)
-        os.rename(tmp, self.path)
-        self._rebuild_projections()
+        self._rewrite_base(out, ".__colttl_tmp")
         return cleared
 
     def apply_ttl(self, now: Optional[datetime] = None) -> int:
@@ -666,9 +666,21 @@ class OlapTable(Generic[T]):
         n_kept = kept.count()
         if n_kept == total:
             return 0
-        tmp = self.path + ".__ttl_tmp"
-        kept.write.mode("overwrite").parquet(tmp)
+        self._rewrite_base(kept, ".__ttl_tmp")
+        return total - n_kept
+
+    def _rewrite_base(self, df: DataFrame, tmp_suffix: str) -> None:
+        """Atomically replace the base files with ``df``, preserving the
+        table's partition layout.  TTL rewrites previously wrote flat files;
+        on a partitioned table the next _append_df then writes key=value
+        subdirs and reads of the mixed layout silently drop the partitioned
+        rows — every base rewrite must go through the same partitionBy as
+        _append_df/optimize."""
+        tmp = self.path + tmp_suffix
+        writer = df.write.mode("overwrite")
+        if self.config.partition_by:
+            writer = writer.partitionBy(self.config.partition_by)
+        writer.parquet(tmp)
         shutil.rmtree(self.path, ignore_errors=True)
         os.rename(tmp, self.path)
         self._rebuild_projections()
-        return total - n_kept

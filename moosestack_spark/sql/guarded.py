@@ -30,8 +30,42 @@ def _first_keyword(text: str) -> str:
     return m.group(1).upper() if m else ""
 
 
-def validate_read_only(sql_text: str) -> str:
-    """Return the normalized statement or raise PermissionError."""
+def _strip_explain(text: str) -> str:
+    return re.sub(
+        r"^\s*EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+|CODEGEN\s+|COST\s+)?",
+        "",
+        text,
+        flags=re.IGNORECASE,
+    )
+
+
+def _assert_parses_as_query(spark: SparkSession, text: str) -> None:
+    """Grammar-level read-only check via ParserInterface.parseQuery.
+
+    The first-keyword whitelist alone is bypassable: Spark's grammar allows a
+    CTE list before DML (``ctes? dmlStatementNoWith``), so
+    ``WITH t AS (SELECT 1) INSERT INTO dest SELECT * FROM t`` starts with the
+    whitelisted WITH yet executes an INSERT.  ``parseQuery`` (public parser
+    API since Spark 3.3) accepts only the query production and throws a
+    ParseException for INSERT/UPDATE/DELETE/MERGE in any position, matching
+    the reference's sqlparser statement-type validation (query_olap.rs:19-80).
+    """
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    try:
+        parser.parseQuery(text)
+    except Exception as exc:  # py4j wraps ParseException
+        raise PermissionError(
+            f"statement does not parse as a read-only query: {exc}"
+        ) from None
+
+
+def validate_read_only(sql_text: str, spark: Optional[SparkSession] = None) -> str:
+    """Return the normalized statement or raise PermissionError.
+
+    With ``spark`` supplied, row-returning statements are additionally
+    grammar-checked with ``parseQuery`` (see _assert_parses_as_query); without
+    it only the textual checks run.
+    """
     text = sql_text.strip()
     while text.endswith(";"):
         text = text[:-1].rstrip()
@@ -44,16 +78,14 @@ def validate_read_only(sql_text: str) -> str:
             f"read-only statements only: {_READ_STARTERS}"
         )
     if kw == "EXPLAIN":
-        # strip EXPLAIN [EXTENDED|FORMATTED|CODEGEN|COST] and re-check
-        inner = re.sub(
-            r"^\s*EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+|CODEGEN\s+|COST\s+)?",
-            "",
-            text,
-            flags=re.IGNORECASE,
-        )
+        inner = _strip_explain(text)
         inner_kw = _first_keyword(inner)
         if inner_kw not in _READ_STARTERS:
             raise PermissionError(f"EXPLAIN over {inner_kw!r} is not allowed")
+        if spark is not None and inner_kw in _ROW_RETURNING:
+            _assert_parses_as_query(spark, inner)
+    elif spark is not None and kw in _ROW_RETURNING:
+        _assert_parses_as_query(spark, text)
     return text
 
 
@@ -61,7 +93,7 @@ def query_olap(
     spark: SparkSession, sql_text: str, limit: Optional[int] = None
 ) -> DataFrame:
     """Execute a read-only statement with the reference's row cap."""
-    text = validate_read_only(sql_text)
+    text = validate_read_only(sql_text, spark)
     df = spark.sql(text)
     if _first_keyword(text) in _ROW_RETURNING:
         eff = min(limit if limit is not None else DEFAULT_LIMIT, MAX_LIMIT)

@@ -115,10 +115,16 @@ def cron_next_after(schedule: str, after: "dt.datetime") -> "dt.datetime":
                 rng = range(int(a), int(b) + 1)
             else:
                 rng = range(int(part), int(part) + 1)
-            out.update(v for v in rng if (v - lo) % step == 0)
+            # steps count from the range's own start (vixie: "10-20/5" is
+            # 10,15,20), not from the field minimum
+            out.update(v for v in rng if (v - rng.start) % step == 0)
         if not out:
             raise ValueError(f"empty cron field {field!r}")
         return out
+
+    def unrestricted(field: str) -> bool:
+        # "*" and "*/step" leave the field unrestricted for the dom/dow rule
+        return field.split("/", 1)[0] in ("*", "")
 
     fields = schedule.split()
     if len(fields) != 5:
@@ -128,16 +134,24 @@ def cron_next_after(schedule: str, after: "dt.datetime") -> "dt.datetime":
     doms = parse(fields[2], 1, 31)
     months = parse(fields[3], 1, 12)
     dows = parse(fields[4], 0, 6)  # 0=Sunday (cron convention)
+    # vixie-cron day rule (also what Temporal implements): when BOTH dom and
+    # dow are restricted the day matches if EITHER matches ("0 0 1 * 1" =
+    # the 1st of the month PLUS every Monday); when at most one is
+    # restricted, both sets apply conjunctively (the unrestricted one is
+    # all-days so the AND is vacuous for it).
+    day_is_or = not unrestricted(fields[2]) and not unrestricted(fields[4])
 
     t = (after + dt.timedelta(minutes=1)).replace(second=0, microsecond=0)
     for _ in range(366 * 24 * 60):
         cron_dow = (t.weekday() + 1) % 7  # python Mon=0 -> cron Sun=0
+        dom_ok = t.day in doms
+        dow_ok = cron_dow in dows
+        day_ok = (dom_ok or dow_ok) if day_is_or else (dom_ok and dow_ok)
         if (
             t.minute in minutes
             and t.hour in hours
-            and t.day in doms
+            and day_ok
             and t.month in months
-            and cron_dow in dows
         ):
             return t
         t += dt.timedelta(minutes=1)

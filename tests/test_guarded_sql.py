@@ -58,3 +58,31 @@ def test_with_cte_allowed(spark):
 def test_explain_and_show_allowed(spark):
     assert query_olap(spark, "EXPLAIN SELECT 1").count() >= 1
     assert query_olap(spark, "SHOW TABLES").count() >= 0
+
+
+@pytest.mark.parametrize(
+    "stmt",
+    [
+        # Spark's grammar allows a CTE list before DML ("ctes?
+        # dmlStatementNoWith") — the first-keyword whitelist alone would let
+        # these execute eagerly via spark.sql
+        "WITH t AS (SELECT 1 AS a) INSERT INTO lineitem SELECT a FROM t",
+        "WITH t AS (SELECT 1 AS a) UPDATE lineitem SET l_quantity = 0",
+        "WITH t AS (SELECT 1 AS a) DELETE FROM lineitem",
+        "WITH t AS (SELECT 1 AS a) "
+        "MERGE INTO lineitem USING t ON 1=1 WHEN MATCHED THEN DELETE",
+        "EXPLAIN WITH t AS (SELECT 1 AS a) INSERT INTO lineitem SELECT a FROM t",
+    ],
+)
+def test_rejects_cte_fronted_dml(spark, stmt):
+    with pytest.raises(PermissionError):
+        query_olap(spark, stmt)
+
+
+def test_parse_query_guard_keeps_valid_ctes(spark):
+    # the grammar check must not over-reject real WITH..SELECT
+    df = query_olap(
+        spark,
+        "WITH t AS (SELECT l_orderkey FROM lineitem LIMIT 5) SELECT * FROM t",
+    )
+    assert df.count() == 5

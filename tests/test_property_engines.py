@@ -56,14 +56,17 @@ def test_replacing_latest_matches_reference(spark, rows):
             tiebreakers=["val"],
         ).collect()
     }
-    # reference: survivor per key = max (ver, val); dropped if deleted
+    # reference: survivor per key = max (ver, val); a full (ver, val) tie
+    # between a live row and its tombstone resolves to the LIVE row
+    # (deterministic tombstone tiebreak); dropped if the survivor is deleted
     best: dict[int, tuple] = {}
     for k, ver, deleted, val in rows:
+        cand = (ver, val, -deleted)
         cur = best.get(k)
-        if cur is None or (ver, val) > (cur[0], cur[1]):
-            best[k] = (ver, val, deleted)
+        if cur is None or cand > cur:
+            best[k] = cand
     expected = {
-        (k, ver, val) for k, (ver, val, deleted) in best.items() if deleted == 0
+        (k, ver, val) for k, (ver, val, negdel) in best.items() if negdel == 0
     }
     assert got == expected
 

@@ -14,6 +14,7 @@ from moosestack_spark.catalog.engine_views import collapsing_resolve
 from moosestack_spark.catalog.engines import OlapConfig, ReplacingMergeTree
 from moosestack_spark.catalog.table import OlapTable
 from moosestack_spark.datamodel import Int64, Key
+from moosestack_spark.datamodel.types import ClickHouseTTL
 from moosestack_spark.ops.dedup import word_shingles
 
 
@@ -222,3 +223,89 @@ def test_tombstone_does_not_erase_live_row_on_content_tie(spark, tmp_path):
     )
     rows = t.read().collect()
     assert [(r.id, r.payload) for r in rows] == [(1, "x")]
+
+
+class VersionedTomb(BaseModel):
+    id: Key[Int64]
+    payload: str
+    ver: int
+    is_deleted: int = 0
+
+
+def test_version_tie_with_tombstone_keeps_live_row(spark, tmp_path):
+    """With BOTH ver and is_deleted set, a version tie between a live row and
+    its tombstone must resolve to the live row deterministically — before the
+    fix the window ordered by ver only, and when the tombstone happened to
+    win the trailing is_deleted filter silently dropped the key."""
+    t = OlapTable(
+        "vtomb", VersionedTomb, spark, str(tmp_path),
+        OlapConfig(engine=ReplacingMergeTree(ver="ver", is_deleted="is_deleted")),
+    )
+    t.insert(
+        [
+            {"id": 1, "payload": "x", "ver": 5, "is_deleted": 1},
+            {"id": 1, "payload": "x", "ver": 5, "is_deleted": 0},
+            # higher version tombstone genuinely deletes
+            {"id": 2, "payload": "y", "ver": 3, "is_deleted": 0},
+            {"id": 2, "payload": "y", "ver": 4, "is_deleted": 1},
+        ]
+    )
+    rows = t.read().collect()
+    assert [(r.id, r.payload) for r in rows] == [(1, "x")]
+
+
+class PartedReading(BaseModel):
+    sensor: str
+    day: str
+    ts: dt.datetime
+    v: float
+
+
+def test_apply_ttl_preserves_partition_layout(spark, tmp_path):
+    """TTL rewrite on a partitioned table must keep the key=value directory
+    layout: a flat rewrite followed by a partitioned append produced a mixed
+    layout whose reads silently dropped the partitioned rows."""
+    t = OlapTable(
+        "pttl", PartedReading, spark, str(tmp_path),
+        OlapConfig(partition_by="day", ttl="ts + INTERVAL 7 DAY"),
+    )
+    t.insert(
+        [
+            {"sensor": "a", "day": "2024-01-01", "ts": dt.datetime(2024, 1, 1), "v": 1.0},
+            {"sensor": "a", "day": "2024-01-09", "ts": dt.datetime(2024, 1, 9), "v": 2.0},
+        ]
+    )
+    assert t.apply_ttl(now=dt.datetime(2024, 1, 10, 12)) == 1
+    # appending after the rewrite must not create a mixed flat/partitioned layout
+    t.insert(
+        [{"sensor": "b", "day": "2024-01-10", "ts": dt.datetime(2024, 1, 10), "v": 3.0}]
+    )
+    assert sorted(r.v for r in t.read().collect()) == [2.0, 3.0]
+
+
+class ColTtlParted(BaseModel):
+    sensor: str
+    day: str
+    ts: dt.datetime
+    note: Annotated[Optional[str], ClickHouseTTL("ts + INTERVAL 7 DAY")] = None
+
+
+def test_apply_column_ttl_preserves_partition_layout(spark, tmp_path):
+    t = OlapTable(
+        "cttl", ColTtlParted, spark, str(tmp_path), OlapConfig(partition_by="day")
+    )
+    t.insert(
+        [
+            {"sensor": "a", "day": "2024-01-01", "ts": dt.datetime(2024, 1, 1), "note": "old"},
+            {"sensor": "a", "day": "2024-01-09", "ts": dt.datetime(2024, 1, 9), "note": "new"},
+        ]
+    )
+    cleared = t.apply_column_ttl(now=dt.datetime(2024, 1, 10, 12))
+    assert cleared == {"note": 1}
+    t.insert(
+        [{"sensor": "b", "day": "2024-01-10", "ts": dt.datetime(2024, 1, 10), "note": "x"}]
+    )
+    got = sorted((r.day, r.note) for r in t.read().collect())
+    assert got == [
+        ("2024-01-01", None), ("2024-01-09", "new"), ("2024-01-10", "x"),
+    ]

@@ -74,3 +74,35 @@ def test_cron_next_after():
 
     with _p.raises(ValueError):
         cron_next_after("* * * *", base)
+
+
+def test_cron_vixie_dom_dow_or_rule():
+    import datetime as dt
+
+    from moosestack_spark.workflow import cron_next_after
+
+    # both dom and dow restricted -> fires when EITHER matches (vixie rule):
+    # "0 0 1 * 1" = 1st of month PLUS every Monday.  2024-03-01 is a Friday;
+    # the next Monday (03-04) comes before the next 1st (04-01).
+    base = dt.datetime(2024, 3, 1, 10, 30)
+    assert cron_next_after("0 0 1 * 1", base) == dt.datetime(2024, 3, 4, 0, 0)
+    # only dow restricted -> plain AND semantics unchanged
+    assert cron_next_after("0 0 * * 1", base) == dt.datetime(2024, 3, 4, 0, 0)
+    # only dom restricted -> plain AND semantics unchanged
+    assert cron_next_after("0 0 2 * *", base) == dt.datetime(2024, 3, 2, 0, 0)
+
+
+def test_cron_range_step_counts_from_range_start():
+    import datetime as dt
+
+    from moosestack_spark.workflow import cron_next_after
+
+    # dom "10-20/5" = {10, 15, 20} (steps from the range start, not the
+    # field minimum which would give {11, 16})
+    base = dt.datetime(2024, 3, 1, 0, 0)
+    t1 = cron_next_after("0 0 10-20/5 * *", base)
+    assert t1 == dt.datetime(2024, 3, 10, 0, 0)
+    t2 = cron_next_after("0 0 10-20/5 * *", t1)
+    assert t2 == dt.datetime(2024, 3, 15, 0, 0)
+    t3 = cron_next_after("0 0 10-20/5 * *", t2)
+    assert t3 == dt.datetime(2024, 3, 20, 0, 0)
