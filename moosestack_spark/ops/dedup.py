@@ -113,18 +113,51 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.5
-) -> DataFrame:
-    """Exact Jaccard over distinct n-gram shingle sets for every candidate
-    pair (pairs sharing >= 1 shingle).  Returns (doc_a, doc_b, jaccard).
+MAX_SHINGLE_DF = 100
 
-    Plan shape: explode -> self-equi-join on shingle (shuffle on shingle)
-    -> per-pair intersection counts -> join per-doc set sizes.  Skew note:
-    a shingle shared by m docs contributes m^2/2 pairs — stopword-like
-    shingles must be rare at the chosen n (n>=5 words) or pre-filtered.
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Jaccard over distinct n-gram shingle sets for every candidate
+    pair (pairs sharing >= 1 surviving shingle).  Returns
+    (doc_a, doc_b, jaccard).
+
+    Plan shape: explode -> document-frequency prune -> self-equi-join on
+    shingle (shuffle on shingle) -> per-pair intersection counts -> join
+    per-doc set sizes.
+
+    Skew/scale: a shingle shared by m docs contributes m^2/2 join pairs, so
+    one boilerplate shingle (license header, template line) in 10^6 docs
+    would emit 5*10^11 pairs from a single key.  The standard mitigation is
+    a document-frequency cap: shingles with df > max_shingle_df carry no
+    near-dup signal (they are corpus-wide boilerplate) and are dropped
+    BEFORE the self-join, bounding any key's pair fan-out at
+    max_shingle_df^2/2.  Jaccard is then computed over the pruned shingle
+    universe (both intersections and set sizes — consistent semantics,
+    mirrored exactly in the oracle).  The df computation is a window count
+    over the same shingle partitioning the self-join shuffles on.
     """
+    from pyspark.sql import Window
+
     sh = exploded_shingles(_spread(df, id_col), id_col, text_col, n)
+    if max_shingle_df is not None:
+        sh = (
+            sh.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
+    # the pruned shingle table feeds three consumers (sizes + both self-join
+    # sides); materialize it once instead of re-running explode + window per
+    # consumer (exchange reuse does not cross self-join sides)
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -151,7 +184,7 @@ def ngram_jaccard_pairs(
 @query(
     "dedup_ngram_jaccard",
     oracle=r"""
-WITH sh AS (
+WITH sh_all AS (
   SELECT DISTINCT doc_id AS doc, shingle FROM (
     SELECT doc_id,
            array_to_string(toks[i : i + 4], ' ') AS shingle
@@ -160,6 +193,12 @@ WITH sh AS (
       FROM documents
     ), LATERAL (SELECT UNNEST(generate_series(1, GREATEST(LEN(toks) - 4, 0))) AS i)
   )
+),
+sh AS (
+  SELECT doc, shingle FROM (
+    SELECT doc, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM sh_all
+  ) WHERE df <= 100
 ),
 sizes AS (SELECT doc, COUNT(*) AS set_size FROM sh GROUP BY doc),
 inter AS (
@@ -480,6 +519,156 @@ WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate embedding pairs at cosine >= 0.35 (ids only in the
     gate output: pair membership is FP-stable, the raw similarity's last ulp
-    is engine-internal)."""
+    is engine-internal).
+
+    This is the exact all-pairs VERIFY kernel — O(n^2) by definition.  The
+    100 TB production path is dedup_embedding_cosine_pruned below, which
+    generates candidates with banded hyperplane LSH and only runs the exact
+    cosine on colliding pairs."""
     e = t(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(e, "vec_id", "embedding", threshold=0.35)
+
+
+# --------------------------------------------------------------------------
+# LSH-pruned embedding near-dup: the at-scale composition.  Banded
+# random-hyperplane signatures generate candidates (docs colliding in >= 1
+# band), the exact JVM-side cosine verifies survivors.  The oracle replays
+# the IDENTICAL banded prune (same deterministic plane coefficients), so the
+# gate hash-matches exactly — the approximation is in recall vs the all-pairs
+# kernel, never in what either engine computes.
+# --------------------------------------------------------------------------
+
+PRUNE_DIM = 64  # embeddings table vec dim (TESTDATA.md)
+PRUNE_PLANES_PER_BAND = 4
+PRUNE_BANDS = 8
+
+
+def embedding_cosine_pairs_pruned(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    planes_per_band: int = PRUNE_PLANES_PER_BAND,
+    n_bands: int = PRUNE_BANDS,
+) -> DataFrame:
+    """LSH-prune -> exact-verify near-dup pairs (id_a < id_b).
+
+    Plan shape at 100 TB: the banded signature is a scan-side JVM projection
+    (no shuffle, no Python); explode to n_bands rows/doc; ONE shuffle on
+    (band, bucket) for the self-equi-join — only docs colliding in a band
+    ever pair, so the all-pairs O(n^2) stage of embedding_cosine_pairs is
+    gone; dropDuplicates + the exact cosine run on candidates only.
+    Candidate fan-out per bucket is bounded by bucket occupancy the same way
+    minhash_lsh_pairs bounds it; more planes_per_band = stronger pruning,
+    more bands = higher recall (1-(1-p^r)^b with p = 1 - theta/pi).
+    """
+    from moosestack_spark.ops.similarity import _plane_coeffs, cosine
+
+    e = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+
+    def band_bucket(b: int) -> Column:
+        bucket = F.lit(0)
+        for r in range(planes_per_band):
+            plane = b * planes_per_band + r
+            coeffs = _plane_coeffs(dim, plane)
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("__v"),
+                    F.array(*[F.lit(c) for c in coeffs]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << r)).otherwise(F.lit(0))
+        return bucket
+
+    bands = e.select(
+        "__id",
+        "__v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_bucket(b).alias("bucket")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "__v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # materialize the signature table once before the self-join (exchange is
+    # not reused across a self-join's two sides; see minhash_lsh_pairs)
+    bands = bands.localCheckpoint(eager=True)
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(cosine(F.col("__va"), F.col("__vb")) >= threshold).select(
+        "id_a", "id_b"
+    )
+
+
+def _pruned_oracle() -> str:
+    """DuckDB SQL replaying the banded prune with the same plane literals."""
+    from moosestack_spark.ops.similarity import _plane_coeffs
+
+    band_exprs = []
+    for b in range(PRUNE_BANDS):
+        bits = []
+        for r in range(PRUNE_PLANES_PER_BAND):
+            coeffs = _plane_coeffs(PRUNE_DIM, b * PRUNE_PLANES_PER_BAND + r)
+            lits = ", ".join(repr(c) for c in coeffs)
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+                f"THEN {1 << r} ELSE 0 END)"
+            )
+        band_exprs.append(" + ".join(bits) + f" AS b{b}")
+    bucket_sql = ",\n         ".join(band_exprs)
+    collide = " OR ".join(f"a.b{b} = b.b{b}" for b in range(PRUNE_BANDS))
+    return f"""
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), sig AS (
+  SELECT vec_id, v,
+         {bucket_sql}
+  FROM e
+), cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({collide})
+)
+SELECT id_a, id_b FROM cand
+WHERE list_dot_product(va, vb)
+      / (SQRT(list_dot_product(va, va)) * SQRT(list_dot_product(vb, vb))) >= 0.35
+"""
+
+
+@query("dedup_embedding_cosine_pruned", oracle=_pruned_oracle())
+def dedup_embedding_cosine_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB embedding-dedup path: banded-LSH candidate generation
+    composed in front of the exact cosine verify (threshold 0.35, 8 bands x
+    4 planes ~ 0.71 per-pair candidate recall at cos 0.35; recall rises
+    steeply with similarity — 0.97 at cos 0.6).  The oracle replays the
+    same prune, so ids hash-match exactly."""
+    e = t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs_pruned(
+        e, "vec_id", "embedding", threshold=0.35, dim=PRUNE_DIM
+    )

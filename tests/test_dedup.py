@@ -1,0 +1,76 @@
+"""Dedup operator unit tests: shingle-df skew pruning and the LSH-pruned
+embedding pipeline (subset + recall vs the exact all-pairs kernel)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from moosestack_spark.ops.dedup import (
+    embedding_cosine_pairs,
+    embedding_cosine_pairs_pruned,
+    ngram_jaccard_pairs,
+)
+
+
+def test_shingle_df_cap_kills_boilerplate_pair_blowup(spark):
+    """A shingle shared by m docs emits m^2/2 join pairs; with the df cap the
+    planted boilerplate shingle is dropped BEFORE the self-join and the pair
+    count collapses from O(m^2) to 0."""
+    m = 40
+    boiler = "this document is provided under the standard license terms"
+    rows = [(i, f"{boiler} unique tail {i} " + " ".join(f"w{i}_{j}" for j in range(6)))
+            for i in range(m)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=5, threshold=0.01, max_shingle_df=None
+    )
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=5, threshold=0.01, max_shingle_df=m - 1
+    )
+    n_uncapped = uncapped.count()
+    n_capped = capped.count()
+    # every doc pair shares the boilerplate 5-grams -> full m^2/2 blow-up
+    assert n_uncapped == m * (m - 1) // 2
+    # the capped run drops the df=m shingles; the unique tails share nothing
+    assert n_capped == 0
+
+
+def test_df_cap_keeps_genuine_near_dups(spark):
+    """The cap must only drop corpus-wide boilerplate — a genuinely repeated
+    document (df=2 shingles) still pairs."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, text), (2, text)] + [
+        (10 + i, " ".join(f"x{i}_{j}" for j in range(10))) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ngram_jaccard_pairs(df, "doc_id", "text", n=5, threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+    assert got[0].jaccard == 1.0
+
+
+def test_pruned_embedding_pairs_subset_of_exact_with_recall(spark, sf_dir):
+    """LSH-prune -> exact-verify returns a subset of the exact all-pairs
+    result (the verify stage guarantees no false positives); banded recall
+    at 8 bands x 4 planes must be well above the analytic floor."""
+    from moosestack_spark.tables import t
+
+    e = t(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            e, "vec_id", "embedding", threshold=0.35
+        ).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs_pruned(
+            e, "vec_id", "embedding", threshold=0.35, dim=64
+        ).collect()
+    }
+    assert pruned <= exact
+    if exact:
+        recall = len(pruned) / len(exact)
+        # analytic per-pair recall at cos=0.35 is ~0.71 and rises with
+        # similarity; demand a conservative floor
+        assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} pairs"
