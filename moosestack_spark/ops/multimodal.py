@@ -5,13 +5,13 @@ for 100 TB media corpora).
 Representation: a media column is `binary` payload + a metadata struct
 {media_type, width, height, sample_rate, duration_ms, codec}.  All
 decode / feature-extract / resize / frame-sample operators are Pandas UDFs
-over mapInPandas — Arrow-batched, schema-stable, partition-parallel.  The
-actual byte decoding needs image/audio libs not present in this container,
-so the decode kernel is STUBBED behind `_decode_image_bytes` /
-`_decode_audio_bytes`: deterministic fakes keyed on the payload hash, with
-NotImplementedError raised when `strict=True`.  The Spark-side plumbing —
-schemas, batch iteration, UDF signatures, partitioning — is real and
-tested (tests/test_multimodal.py).
+over mapInPandas — Arrow-batched, schema-stable, partition-parallel.
+
+Decode is REAL for the uncompressed container formats a pure-numpy sandbox
+can handle: BMP (24-bit BI_RGB), PPM (P6) and WAV (PCM16, stdlib `wave`).
+Compressed formats (JPEG/PNG/MP3/MP4) still raise NotImplementedError —
+that boundary is honest: they need PIL/ffmpeg, absent in this container;
+swapping the sniffer's branch for a PIL call is the only change needed.
 
 Scale notes: media payloads dominate row size, so operators (a) never
 shuffle raw bytes (feature extraction projects bytes away before any wide
@@ -24,14 +24,16 @@ bytes downstream.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
-from typing import Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -61,96 +63,220 @@ MEDIA_SCHEMA = StructType(
 )
 
 
-def _decode_image_bytes(payload: bytes, strict: bool = False) -> list[float]:
-    """STUB decode kernel.  Real implementation: PIL/opencv decode ->
-    normalized pixel tensor.  Deterministic fake: 8 floats derived from the
-    payload digest (stable across runs/engines)."""
+# --------------------------------------------------------------------------
+# pure-numpy codecs: BMP 24-bit / PPM P6 / WAV PCM16
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> 24-bit uncompressed BMP (BI_RGB, bottom-up rows,
+    4-byte row padding, BGR byte order on disk)."""
+    h, w, c = pixels.shape
+    assert c == 3, "RGB pixel array required"
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    # BGR, bottom-up
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    return header + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP -> HxWx3 uint8 RGB (handles bottom-up and
+    top-down row orders)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB supported (bpp={bpp})")
+    h = abs(h_signed)
+    row_size = (w * 3 + 3) & ~3
+    raw = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=pixel_off)
+    rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, whitespace-separated width height maxval, single ws, raster
+    parts: list[bytes] = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment to EOL
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        parts.append(data[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = int(parts[0]), int(parts[1]), int(parts[2])
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPMs supported")
+    return (
+        np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            raise NotImplementedError("only mono PCM16 WAV supported")
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    return np.frombuffer(frames, dtype="<i2").copy(), rate
+
+
+def decode_image(payload: bytes, strict: bool = True) -> np.ndarray | None:
+    """Sniff + decode an image payload to HxWx3 uint8 RGB.
+
+    BMP and PPM decode for real (pure numpy).  Compressed formats raise
+    NotImplementedError under strict (they need PIL/opencv — absent here);
+    non-strict returns None so callers can emit null features."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     if strict:
         raise NotImplementedError(
-            "image decoding requires PIL/opencv (not in this container); "
-            "the Spark plumbing around this kernel is real"
+            "compressed image formats (JPEG/PNG/...) require PIL/opencv; "
+            "BMP and PPM decode natively"
         )
-    digest = hashlib.sha256(payload).digest()
-    return [b / 255.0 for b in digest[:8]]
+    return None
 
 
-def _decode_audio_bytes(payload: bytes, strict: bool = False) -> list[float]:
-    """STUB audio decode (real: soundfile/librosa -> waveform)."""
-    if strict:
-        raise NotImplementedError("audio decoding requires an audio lib")
-    digest = hashlib.sha256(payload).digest()
-    return [(b - 128) / 128.0 for b in digest[8:16]]
+# --------------------------------------------------------------------------
+# feature extraction / resize / frame sampling (Arrow-batched)
+# --------------------------------------------------------------------------
+
+IMG_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
 
 
 def extract_image_features(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
-    strict: bool = False,
+    strict: bool = True,
 ) -> DataFrame:
-    """binary -> fixed-width feature vector via Arrow-batched mapInPandas.
+    """binary -> per-channel stats via real decode, Arrow-batched.
 
+    Channel means are exact-integer-sum / count (pixel sums stay far below
+    2^53, so the double result is engine-reproducible bit-for-bit).
     Output drops the payload column — bytes never cross a shuffle."""
-    out_schema = StructType(
-        [
-            StructField(id_col, LongType(), False),
-            StructField("features", ArrayType(DoubleType(), False), False),
-            StructField("n_bytes", LongType(), False),
-        ]
-    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "features": [
-                        _decode_image_bytes(bytes(p), strict) for p in pdf[payload_col]
-                    ],
-                    "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
-                }
-            )
+            out = {k: [] for k in ("media_id", "width", "height", "mean_r", "mean_g", "mean_b", "n_bytes")}
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                px = decode_image(b, strict=strict)
+                out["media_id"].append(mid)
+                out["n_bytes"].append(len(b))
+                if px is None:
+                    for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+                        out[k].append(None)
+                    continue
+                h, w, _ = px.shape
+                n = h * w
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(float(sums[0]) / n)
+                out["mean_g"].append(float(sums[1]) / n)
+                out["mean_b"].append(float(sums[2]) / n)
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+    return df.select(id_col, payload_col).mapInPandas(kernel, IMG_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("mean_amp", DoubleType(), True),
+        StructField("peak_amp", IntegerType(), True),
+    ]
+)
 
 
 def extract_audio_features(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
-    strict: bool = False,
+    strict: bool = True,
 ) -> DataFrame:
-    """binary audio -> waveform-feature vector (stub kernel) + duration
-    passthrough, Arrow-batched.  Same no-bytes-past-this-operator contract
-    as the image path."""
-    out_schema = StructType(
-        [
-            StructField(id_col, LongType(), False),
-            StructField("features", ArrayType(DoubleType(), False), False),
-            StructField("sample_rate", IntegerType(), True),
-            StructField("duration_ms", LongType(), True),
-        ]
-    )
+    """binary WAV -> waveform stats via real PCM16 decode, Arrow-batched.
+    Same no-bytes-past-this-operator contract as the image path."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "features": [
-                        _decode_audio_bytes(bytes(p), strict) for p in pdf[payload_col]
-                    ],
-                    "sample_rate": pdf["sample_rate"],
-                    "duration_ms": pdf["duration_ms"],
-                }
-            )
+            out = {k: [] for k in ("media_id", "sample_rate", "n_samples", "mean_amp", "peak_amp")}
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                out["media_id"].append(mid)
+                if b[:4] != b"RIFF":
+                    if strict:
+                        raise NotImplementedError(
+                            "compressed audio (MP3/AAC/...) requires an audio "
+                            "lib; PCM16 WAV decodes natively"
+                        )
+                    for k in ("sample_rate", "n_samples", "mean_amp", "peak_amp"):
+                        out[k].append(None)
+                    continue
+                samples, rate = decode_wav_pcm16(b)
+                n = len(samples)
+                s64 = samples.astype(np.int64)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["mean_amp"].append(float(s64.sum()) / n if n else None)
+                out["peak_amp"].append(int(np.abs(s64).max()) if n else None)
+            yield pd.DataFrame(out)
 
-    return df.select(
-        id_col,
-        payload_col,
-        F.col("meta.sample_rate").alias("sample_rate"),
-        F.col("meta.duration_ms").alias("duration_ms"),
-    ).mapInPandas(kernel, out_schema)
+    return df.select(id_col, payload_col).mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
 
 
 def resize_images(
@@ -158,23 +284,30 @@ def resize_images(
     target_w: int,
     target_h: int,
     payload_col: str = "payload",
-    strict: bool = False,
+    id_col: str = "media_id",
 ) -> DataFrame:
-    """Stub resize: passthrough payload + updated meta dims (real kernel
-    swaps in a PIL resize).  Keeps schema/meta handling honest."""
-    if strict:
-        raise NotImplementedError("resize requires an image lib")
-    return df.withColumn(
-        "meta",
-        F.struct(
-            F.col("meta.media_type").alias("media_type"),
-            F.lit(target_w).alias("width"),
-            F.lit(target_h).alias("height"),
-            F.col("meta.sample_rate").alias("sample_rate"),
-            F.col("meta.duration_ms").alias("duration_ms"),
-            F.col("meta.codec").alias("codec"),
-        ),
-    )
+    """REAL nearest-neighbor resize: decode BMP/PPM -> index-sample the
+    pixel grid -> re-encode BMP, with the meta struct updated to the new
+    dimensions.  Arrow-batched; each partition resizes independently."""
+    schema = df.schema
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p in pdf[payload_col]:
+                px = decode_image(bytes(p), strict=True)
+                h, w, _ = px.shape
+                yi = (np.arange(target_h) * h) // target_h
+                xi = (np.arange(target_w) * w) // target_w
+                payloads.append(encode_bmp(px[yi][:, xi]))
+            out = pdf.copy()
+            out[payload_col] = payloads
+            out["meta"] = [
+                {**m, "width": target_w, "height": target_h} for m in pdf["meta"]
+            ]
+            yield out
+
+    return df.mapInPandas(kernel, schema)
 
 
 def sample_video_frames(
@@ -185,8 +318,9 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame sampling: one output row per sampled timestamp.  The frame
     payload extraction is stubbed (deterministic slice of the source
-    payload); the explode shape — project, generate timestamps, explode,
-    THEN attach frame bytes — is the real 100 TB pattern."""
+    payload — real video decode needs ffmpeg bindings); the explode shape —
+    project, generate timestamps, explode, THEN attach frame bytes — is the
+    real 100 TB pattern."""
     if strict:
         raise NotImplementedError("frame extraction requires ffmpeg bindings")
     ts = F.sequence(
@@ -205,95 +339,180 @@ def sample_video_frames(
 
 
 def make_fake_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table for tests (payload = hash bytes)."""
+    """Deterministic synthetic media table for tests: REAL BMP payloads for
+    images, REAL PCM16 WAVs for audio, digest bytes for video (video decode
+    stays stubbed)."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(str(i).encode()).digest() * 4
-        rows.append(
-            (
-                i,
-                payload,
-                {
-                    "media_type": ["image", "audio", "video"][i % 3],
-                    "width": 640 if i % 3 == 0 else None,
-                    "height": 480 if i % 3 == 0 else None,
-                    "sample_rate": 16000 if i % 3 == 1 else None,
-                    "duration_ms": 2000 + i if i % 3 == 2 else None,
-                    "codec": "fake",
-                },
-            )
-        )
+        mt = ["image", "audio", "video"][i % 3]
+        if mt == "image":
+            px = gradient_pixels(i, 8, 6)
+            payload = encode_bmp(px)
+            meta = {"media_type": mt, "width": 8, "height": 6,
+                    "sample_rate": None, "duration_ms": None, "codec": "bmp"}
+        elif mt == "audio":
+            payload = encode_wav_pcm16(sawtooth_samples(i, 64), 16000)
+            meta = {"media_type": mt, "width": None, "height": None,
+                    "sample_rate": 16000, "duration_ms": None, "codec": "pcm16"}
+        else:
+            payload = hashlib.sha256(str(i).encode()).digest() * 4
+            meta = {"media_type": mt, "width": None, "height": None,
+                    "sample_rate": None, "duration_ms": 2000 + i, "codec": "fake"}
+        rows.append((i, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 # --------------------------------------------------------------------------
-# Gate queries (rows-only: binary decode kernels are stubbed, so there is no
-# SQL-expressible oracle — the driver records the weaker rows/schema check;
-# tests/test_multimodal.py asserts kernel determinism + plumbing).
+# deterministic synthetic content (shared between the Spark encode kernels
+# and the SQL oracles, which replay the same integer arithmetic)
 # --------------------------------------------------------------------------
+
+IMG_W, IMG_H = 32, 16
+WAV_N, WAV_RATE = 256, 16000
+
+
+def gradient_pixels(media_id: int, w: int, h: int) -> np.ndarray:
+    """RGB gradient keyed on the id: r=(id+x+y)%256, g=(id*3+x)%256,
+    b=(id*5+y)%256 — closed-form replayable in SQL."""
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[..., 0] = (media_id + x + y) % 256
+    px[..., 1] = (media_id * 3 + x) % 256
+    px[..., 2] = (media_id * 5 + y) % 256
+    return px
+
+
+def sawtooth_samples(media_id: int, n: int) -> np.ndarray:
+    """PCM16 sawtooth keyed on the id: s(t) = ((id*13 + t*7) % 4096) - 2048."""
+    t = np.arange(n, dtype=np.int64)
+    return (((media_id * 13 + t * 7) % 4096) - 2048).astype(np.int16)
 
 
 def media_from_documents(spark, sf_dir: str) -> DataFrame:
-    """Deterministic media table derived from the documents corpus: payload
-    bytes are the sha2 digest chain of the text (64 bytes), metadata typed by
-    doc_id.  Pure projection — distributed, no driver-side row building."""
+    """Deterministic media table derived from the documents corpus: REAL
+    encoded payloads (BMP gradient for image docs, PCM16 WAV sawtooth for
+    audio docs, digest bytes for video docs).  Encoding runs as an
+    Arrow-batched kernel — distributed, no driver-side row building."""
     from moosestack_spark.tables import t as _t
 
-    d = _t(spark, sf_dir, "documents")
-    payload = F.unhex(
-        F.concat(F.sha2(F.col("text"), 256), F.sha2(F.concat(F.col("text"), F.lit("x")), 256))
-    )
-    mtype = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
-    )
-    meta = F.struct(
-        mtype.alias("media_type"),
-        F.when(mtype == "image", F.lit(640)).cast("int").alias("width"),
-        F.when(mtype == "image", F.lit(480)).cast("int").alias("height"),
-        F.when(mtype == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
-        F.when(mtype == "video", (F.lit(2000) + F.col("doc_id") % 1000))
-        .cast("long")
-        .alias("duration_ms"),
-        F.lit("fake").alias("codec"),
-    )
-    return d.select(
-        F.col("doc_id").alias("media_id"), payload.alias("payload"), meta.alias("meta")
-    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "meta": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                mt = ["image", "audio", "video"][did % 3]
+                if mt == "image":
+                    payload = encode_bmp(gradient_pixels(did, IMG_W, IMG_H))
+                    meta = {"media_type": mt, "width": IMG_W, "height": IMG_H,
+                            "sample_rate": None, "duration_ms": None, "codec": "bmp"}
+                elif mt == "audio":
+                    payload = encode_wav_pcm16(sawtooth_samples(did, WAV_N), WAV_RATE)
+                    meta = {"media_type": mt, "width": None, "height": None,
+                            "sample_rate": WAV_RATE, "duration_ms": None,
+                            "codec": "pcm16"}
+                else:
+                    h1 = hashlib.sha256(text.encode()).hexdigest()
+                    h2 = hashlib.sha256((text + "x").encode()).hexdigest()
+                    payload = bytes.fromhex(h1 + h2)
+                    meta = {"media_type": mt, "width": None, "height": None,
+                            "sample_rate": None,
+                            "duration_ms": 2000 + did % 1000, "codec": "fake"}
+                out["media_id"].append(did)
+                out["payload"].append(payload)
+                out["meta"].append(meta)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Gate queries.  Image and audio features are ORACLED: the payloads are real
+# encoded bytes, the kernels really decode them, and the DuckDB oracle
+# replays the generator arithmetic (exact integer sums -> reproducible
+# doubles).  Frame sampling is oracled through the sha256/base64 chain.
+# --------------------------------------------------------------------------
 
 
 def _register_gate_queries() -> None:
     from moosestack_spark.registry import query
 
-    @query("multimodal_image_features")  # stubbed decode: rows-only check
+    @query(
+        "multimodal_image_features",
+        oracle=f"""
+WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+grid AS (
+  SELECT x.x, y.y
+  FROM (SELECT UNNEST(generate_series(0, {IMG_W - 1})) AS x) x
+  CROSS JOIN (SELECT UNNEST(generate_series(0, {IMG_H - 1})) AS y) y
+)
+SELECT doc_id AS media_id,
+       {IMG_W} AS width, {IMG_H} AS height,
+       CAST(CAST(SUM((doc_id + x + y) % 256) AS BIGINT) AS DOUBLE) / {IMG_W * IMG_H} AS mean_r,
+       CAST(CAST(SUM((doc_id * 3 + x) % 256) AS BIGINT) AS DOUBLE) / {IMG_W * IMG_H} AS mean_g,
+       CAST(CAST(SUM((doc_id * 5 + y) % 256) AS BIGINT) AS DOUBLE) / {IMG_W * IMG_H} AS mean_b
+FROM img CROSS JOIN grid
+GROUP BY doc_id
+""",
+    )
     def multimodal_image_features(spark, sf_dir: str) -> DataFrame:
+        """Real BMP roundtrip: encode gradient pixels -> binary payload ->
+        decode -> channel means.  The oracle replays the gradient arithmetic
+        (exact integer sums), so a decode bug of even one pixel fails the
+        hash."""
         media = media_from_documents(spark, sf_dir)
         imgs = media.filter(F.col("meta.media_type") == "image")
-        feats = extract_image_features(imgs)
-        return feats.select(
-            "media_id",
-            "n_bytes",
-            F.size("features").alias("n_features"),
-            F.round(F.element_at("features", 1), 6).alias("f0"),
+        return extract_image_features(imgs).select(
+            "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
         )
 
-    @query("multimodal_frame_sample")  # stubbed frame extraction: rows-only
+    @query(
+        "multimodal_audio_features",
+        oracle=f"""
+WITH aud AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+ts AS (SELECT UNNEST(generate_series(0, {WAV_N - 1})) AS t)
+SELECT doc_id AS media_id,
+       {WAV_RATE} AS sample_rate,
+       CAST({WAV_N} AS BIGINT) AS n_samples,
+       CAST(CAST(SUM((doc_id * 13 + t * 7) % 4096 - 2048) AS BIGINT) AS DOUBLE) / {WAV_N} AS mean_amp,
+       CAST(MAX(ABS((doc_id * 13 + t * 7) % 4096 - 2048)) AS INTEGER) AS peak_amp
+FROM aud CROSS JOIN ts
+GROUP BY doc_id
+""",
+    )
+    def multimodal_audio_features(spark, sf_dir: str) -> DataFrame:
+        """Real WAV roundtrip: PCM16 sawtooth -> RIFF container -> stdlib
+        wave decode -> amplitude stats, oracle-replayed."""
+        media = media_from_documents(spark, sf_dir)
+        auds = media.filter(F.col("meta.media_type") == "audio")
+        return extract_audio_features(auds).select(
+            "media_id", "sample_rate", "n_samples", "mean_amp", "peak_amp"
+        )
+
+    @query(
+        "multimodal_frame_sample",
+        oracle="""
+WITH vid AS (
+  SELECT doc_id,
+         to_base64(CAST(unhex(sha256(text) || sha256(text || 'x')) AS BLOB)) AS b64,
+         2000 + doc_id % 1000 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id AS media_id, frame_ms,
+       SUBSTRING(b64, CAST(frame_ms % 16 + 1 AS INTEGER), 16) AS frame_stub
+FROM vid, LATERAL (
+  SELECT UNNEST(generate_series(0, CAST(duration_ms AS BIGINT) - 1, 500)) AS frame_ms
+)
+""",
+    )
     def multimodal_frame_sample(spark, sf_dir: str) -> DataFrame:
+        """Timestamp-explode frame sampling over video payloads (frame bytes
+        stubbed as a deterministic base64 slice — replayed by the oracle, so
+        the explode cardinality and slicing are hash-checked)."""
         media = media_from_documents(spark, sf_dir)
         vids = media.filter(F.col("meta.media_type") == "video")
         return sample_video_frames(vids, every_ms=500)
-
-    @query("multimodal_audio_features")  # stubbed decode: rows-only check
-    def multimodal_audio_features(spark, sf_dir: str) -> DataFrame:
-        media = media_from_documents(spark, sf_dir)
-        auds = media.filter(F.col("meta.media_type") == "audio")
-        feats = extract_audio_features(auds)
-        return feats.select(
-            "media_id",
-            F.size("features").alias("n_features"),
-            F.round(F.element_at("features", 1), 6).alias("f0"),
-            "sample_rate",
-        )
 
 
 _register_gate_queries()

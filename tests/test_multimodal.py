@@ -1,47 +1,102 @@
-"""Multimodal plumbing tests: schemas, Arrow batch shapes, UDF signatures,
-cardinality — with the decode kernels stubbed (see ops/multimodal.py)."""
+"""Multimodal tests: real BMP/PPM/WAV codec roundtrips, Arrow plumbing,
+strict-mode boundaries for compressed formats."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from moosestack_spark.ops.multimodal import (
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    decode_wav_pcm16,
+    encode_bmp,
+    encode_ppm,
+    encode_wav_pcm16,
+    extract_audio_features,
     extract_image_features,
+    gradient_pixels,
     make_fake_media,
     resize_images,
     sample_video_frames,
+    sawtooth_samples,
 )
 
 
-def test_feature_extraction_schema_and_determinism(spark):
-    media = make_fake_media(spark, 32)
-    feats = extract_image_features(media)
-    assert feats.schema.simpleString() == (
-        "struct<media_id:bigint,features:array<double>,n_bytes:bigint>"
-    )
-    rows = {r.media_id: r for r in feats.collect()}
-    assert len(rows) == 32
-    assert all(len(r.features) == 8 for r in rows.values())
-    assert all(r.n_bytes == 128 for r in rows.values())
-    # deterministic across runs
-    again = {r.media_id: r.features for r in extract_image_features(media).collect()}
-    assert again == {k: r.features for k, r in rows.items()}
+def test_bmp_roundtrip_exact():
+    px = gradient_pixels(7, 13, 5)  # odd width exercises row padding
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
 
 
-def test_strict_mode_raises(spark):
-    media = make_fake_media(spark, 2)
+def test_ppm_roundtrip_exact():
+    px = gradient_pixels(3, 9, 4)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+
+
+def test_wav_roundtrip_exact():
+    s = sawtooth_samples(11, 128)
+    out, rate = decode_wav_pcm16(encode_wav_pcm16(s, 22050))
+    assert rate == 22050
+    assert np.array_equal(out, s)
+
+
+def test_decode_image_sniffs_format():
+    px = gradient_pixels(1, 4, 4)
+    assert np.array_equal(decode_image(encode_bmp(px)), px)
+    assert np.array_equal(decode_image(encode_ppm(px)), px)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....", strict=True)
+    assert decode_image(b"\x89PNG\r\n\x1a\n....", strict=False) is None
+
+
+def test_feature_extraction_matches_pixels(spark):
+    media = make_fake_media(spark, 30)
+    imgs = media.filter("meta.media_type = 'image'")
+    feats = {r.media_id: r for r in extract_image_features(imgs).collect()}
+    assert len(feats) == 10
+    for mid, r in feats.items():
+        px = gradient_pixels(mid, 8, 6).reshape(-1, 3).astype(np.int64)
+        assert (r.width, r.height) == (8, 6)
+        assert r.mean_r == float(px[:, 0].sum()) / 48
+        assert r.mean_g == float(px[:, 1].sum()) / 48
+        assert r.mean_b == float(px[:, 2].sum()) / 48
+
+
+def test_audio_feature_extraction_matches_samples(spark):
+    media = make_fake_media(spark, 30)
+    auds = media.filter("meta.media_type = 'audio'")
+    feats = {r.media_id: r for r in extract_audio_features(auds).collect()}
+    assert len(feats) == 10
+    for mid, r in feats.items():
+        s = sawtooth_samples(mid, 64).astype(np.int64)
+        assert r.sample_rate == 16000
+        assert r.n_samples == 64
+        assert r.mean_amp == float(s.sum()) / 64
+        assert r.peak_amp == int(np.abs(s).max())
+
+
+def test_strict_mode_raises_on_undecodable(spark):
+    media = make_fake_media(spark, 30)
+    vids = media.filter("meta.media_type = 'video'")  # digest payloads
     with pytest.raises(Exception):  # NotImplementedError inside the executor
-        extract_image_features(media, strict=True).collect()
+        extract_image_features(vids, strict=True).collect()
+    # non-strict: null features, ids preserved
+    rows = extract_image_features(vids, strict=False).collect()
+    assert len(rows) == 10
+    assert all(r.width is None and r.mean_r is None for r in rows)
 
 
-def test_resize_updates_meta_only(spark):
-    media = make_fake_media(spark, 6)
-    out = resize_images(media, 224, 224)
-    rows = out.collect()
-    assert all(r.meta.width == 224 and r.meta.height == 224 for r in rows)
-    # payload untouched
-    orig = {r.media_id: r.payload for r in media.collect()}
-    assert all(bytes(r.payload) == bytes(orig[r.media_id]) for r in rows)
+def test_resize_really_resizes(spark):
+    media = make_fake_media(spark, 9).filter("meta.media_type = 'image'")
+    out = resize_images(media, 4, 3)
+    for r in out.collect():
+        px = decode_bmp(bytes(r.payload))
+        assert px.shape == (3, 4, 3)
+        assert (r.meta.width, r.meta.height) == (4, 3)
+        # nearest-neighbor: pixel (0,0) survives
+        src = gradient_pixels(r.media_id, 8, 6)
+        assert np.array_equal(px[0, 0], src[0, 0])
 
 
 def test_frame_sampling_cardinality(spark):
