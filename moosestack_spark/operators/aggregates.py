@@ -330,3 +330,20 @@ def agg_uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("uniq_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+@query(
+    "agg_uniq_exact",
+    oracle="""
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_uniq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic half of the uniq pair, split out so it gets a hard
+    oracle row (the sketch estimate in agg_uniq_approx stays rows-only with
+    an rsd-band pytest — engine-specific HLL values can't hash-match)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )

@@ -574,3 +574,68 @@ def streaming_dlq_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         return typed.localCheckpoint()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Topic->topic version-migration sync (topic_sync_process.rs:103-138;
+# kafka_clickhouse_sync.rs sync_kafka_to_kafka): the v1->v2 bridge forwards
+# every record, dropping a removed column (props), defaulting a new one
+# (schema_version), and casting the rest onto the v2 schema.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_topic_sync",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       CAST(value AS DOUBLE) AS value,
+       CAST(2 AS INTEGER) AS schema_version
+FROM events
+""",
+)
+def streaming_topic_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events v1 replayed through the version bridge into the v2 sink; the
+    sink read back must equal the conformed batch projection."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from moosestack_spark.streaming.topic_sync import (
+        TopicToTopicSync,
+        run_file_topic_sync,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    source_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    v2 = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("schema_version", IntegerType()),
+        ]
+    )
+    sync = TopicToTopicSync(
+        source="events_1_0",
+        target="events_2_0",
+        target_schema=v2,
+        defaults={"schema_version": 2},
+    )
+    out_dir = tempfile.mkdtemp(prefix="msk_topic_sync_")
+    try:
+        path = run_file_topic_sync(
+            spark,
+            source_path=f"{sf_dir}/events.parquet",
+            source_schema=source_schema,
+            sync=sync,
+            out_dir=out_dir,
+        )
+        return spark.read.parquet(path).localCheckpoint()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
