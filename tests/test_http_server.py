@@ -1,0 +1,206 @@
+"""HTTP front e2e: POST /ingest/{model} -> table rows + DLQ; GET /api/{name}
+-> JSON matching Api.call; auth (API key + HS256 JWT), body limit, version
+routing."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+from pydantic import BaseModel, Field
+
+from moosestack_spark.api import Api, clear_apis
+from moosestack_spark.http_server import (
+    JwtConfig,
+    MooseHttpServer,
+    decode_jwt_hs256,
+    encode_jwt_hs256,
+)
+from moosestack_spark.pipeline import IngestPipeline
+
+
+class Event(BaseModel):
+    id: int
+    kind: str
+    amount: float = Field(ge=0)
+
+
+class TopParams(BaseModel):
+    limit: int = Field(default=3, ge=1, le=100)
+
+
+def _post(url, payload, token=None, raw=None):
+    body = raw if raw is not None else json.dumps(payload).encode()
+    req = urllib.request.Request(url, data=body, method="POST")
+    req.add_header("Content-Type", "application/json")
+    if token:
+        req.add_header("Authorization", f"Bearer {token}")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as exc:
+        return exc.code, json.loads(exc.read())
+
+
+def _get(url, token=None):
+    req = urllib.request.Request(url)
+    if token:
+        req.add_header("Authorization", f"Bearer {token}")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as exc:
+        return exc.code, json.loads(exc.read())
+
+
+@pytest.fixture
+def server(spark, tmp_path):
+    clear_apis()
+    pipe = IngestPipeline("events_http", Event, spark, str(tmp_path))
+
+    def top_handler(params, utils):
+        df = pipe.table.read()
+        return (
+            df.orderBy(df.amount.desc(), df.id.asc()).limit(params.limit).select("id", "amount")
+        )
+
+    Api("top_events", TopParams, top_handler)
+    srv = MooseHttpServer(spark, api_key="sekrit")
+    srv.add_pipeline(pipe)
+    port = srv.start()
+    yield srv, pipe, f"http://127.0.0.1:{port}"
+    srv.stop()
+    clear_apis()
+
+
+def test_ingest_roundtrip_with_dlq(server):
+    srv, pipe, base = server
+    records = [
+        {"id": 1, "kind": "a", "amount": 5.0},
+        {"id": 2, "kind": "b", "amount": 7.5},
+        {"id": 3, "kind": "c", "amount": -1.0},  # fails ge=0 -> DLQ
+    ]
+    code, out = _post(f"{base}/ingest/events_http", records, token="sekrit")
+    assert code == 200
+    assert out == {"inserted": 2, "dead_lettered": 1}
+    assert pipe.table.read().count() == 2
+    assert pipe.read_dlq().count() == 1
+    # single-object body allowed (reference parses object-or-array)
+    code, out = _post(
+        f"{base}/ingest/events_http", {"id": 4, "kind": "d", "amount": 1.0},
+        token="sekrit",
+    )
+    assert (code, out["inserted"]) == (200, 1)
+
+
+def test_api_get_matches_call_json(server, spark):
+    srv, pipe, base = server
+    pipe.ingest([{"id": i, "kind": "k", "amount": float(i)} for i in range(10)])
+    code, rows = _get(f"{base}/api/top_events?limit=4", token="sekrit")
+    assert code == 200
+    from moosestack_spark.api import get_api
+
+    assert rows == get_api("top_events").call_json(spark, limit=4)
+    assert [r["id"] for r in rows] == [9, 8, 7, 6]
+
+
+def test_auth_and_errors(server):
+    srv, pipe, base = server
+    code, _ = _post(f"{base}/ingest/events_http", [], token=None)
+    assert code == 401
+    code, _ = _post(f"{base}/ingest/events_http", [], token="wrong")
+    assert code == 401
+    code, _ = _get(f"{base}/api/top_events", token=None)
+    assert code == 401
+    code, _ = _get(f"{base}/api/nope", token="sekrit")
+    assert code == 404
+    code, _ = _post(f"{base}/ingest/nope", [], token="sekrit")
+    assert code == 404
+    code, _ = _get(f"{base}/api/top_events?limit=9999", token="sekrit")
+    assert code == 400  # pydantic le=100
+    code, _ = _post(
+        f"{base}/ingest/events_http", None, token="sekrit", raw=b"{not json"
+    )
+    assert code == 400
+
+
+def test_body_size_limit(spark, tmp_path):
+    clear_apis()
+    pipe = IngestPipeline("small_http", Event, spark, str(tmp_path))
+    srv = MooseHttpServer(spark, max_body_bytes=64)
+    srv.add_pipeline(pipe)
+    port = srv.start()
+    try:
+        big = [{"id": i, "kind": "x" * 30, "amount": 1.0} for i in range(10)]
+        code, out = _post(f"http://127.0.0.1:{port}/ingest/small_http", big)
+        assert code == 413
+    finally:
+        srv.stop()
+
+
+def test_version_routing_latest(spark, tmp_path):
+    clear_apis()
+    v1 = IngestPipeline("ver_http", Event, spark, str(tmp_path / "v1"))
+    v2 = IngestPipeline("ver_http", Event, spark, str(tmp_path / "v2"))
+    srv = MooseHttpServer(spark)
+    srv.add_pipeline(v1, version="0.9")
+    srv.add_pipeline(v2, version="0.10")  # numeric-aware: 0.10 > 0.9
+    port = srv.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        code, _ = _post(f"{base}/ingest/ver_http", [{"id": 1, "kind": "a", "amount": 1.0}])
+        assert code == 200
+        assert v2.table.read().count() == 1  # latest version served
+        assert v1.table.read().count() == 0
+        code, _ = _post(
+            f"{base}/ingest/ver_http/0.9", [{"id": 2, "kind": "b", "amount": 2.0}]
+        )
+        assert code == 200
+        assert v1.table.read().count() == 1
+    finally:
+        srv.stop()
+
+
+def test_jwt_auth_and_claims():
+    cfg = JwtConfig(secret="s3", issuer="iss1", audience="aud1")
+    good = encode_jwt_hs256(
+        {"iss": "iss1", "aud": "aud1", "exp": time.time() + 60, "user": "u1"}, "s3"
+    )
+    assert decode_jwt_hs256(good, cfg)["user"] == "u1"
+    # wrong secret / issuer / audience / expired all rejected
+    assert decode_jwt_hs256(good, JwtConfig("other", "iss1", "aud1")) is None
+    bad_iss = encode_jwt_hs256({"iss": "x", "aud": "aud1", "exp": time.time() + 60}, "s3")
+    assert decode_jwt_hs256(bad_iss, cfg) is None
+    expired = encode_jwt_hs256({"iss": "iss1", "aud": "aud1", "exp": time.time() - 1}, "s3")
+    assert decode_jwt_hs256(expired, cfg) is None
+
+
+def test_jwt_server_injects_claims(spark, tmp_path):
+    clear_apis()
+
+    class WhoParams(BaseModel):
+        pass
+
+    def who(params, utils):
+        return spark.createDataFrame([(utils.jwt["user"],)], "user string")
+
+    Api("whoami", WhoParams, who)
+    srv = MooseHttpServer(
+        spark, jwt_config=JwtConfig(secret="k", issuer="i", audience="a")
+    )
+    port = srv.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        token = encode_jwt_hs256(
+            {"iss": "i", "aud": "a", "exp": time.time() + 60, "user": "alice"}, "k"
+        )
+        code, rows = _get(f"{base}/api/whoami", token=token)
+        assert (code, rows) == (200, [{"user": "alice"}])
+        code, _ = _get(f"{base}/api/whoami", token="garbage")
+        assert code == 401
+    finally:
+        srv.stop()
+        clear_apis()
