@@ -260,3 +260,131 @@ def load_state(warehouse: str) -> InfraMap:
         return InfraMap()
     with open(p) as f:
         return InfraMap.from_json(f.read())
+
+
+# -- reality check (infra_reality_checker.rs:57-186) ------------------------
+
+
+@dataclass
+class InfraDiscrepancies:
+    """What the warehouse actually contains vs the saved map
+    (infra_reality_checker.rs InfraDiscrepancies, reduced to the OLAP
+    half this planner models)."""
+
+    unmapped_tables: list = field(default_factory=list)  # [TableSpec] on disk only
+    missing_tables: list = field(default_factory=list)  # [str] in state only
+    mismatched_tables: list = field(default_factory=list)  # [Op] column drift
+
+    def is_empty(self) -> bool:
+        return not (
+            self.unmapped_tables or self.missing_tables or self.mismatched_tables
+        )
+
+
+def _observe_table(spark, path: str, name: str) -> Optional[TableSpec]:
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:
+        return None
+    return TableSpec(
+        name=name,
+        columns=[
+            ColumnSpec(f.name, f.dataType.simpleString(), f.nullable)
+            for f in schema.fields
+        ],
+    )
+
+
+def check_reality(
+    spark, warehouse: str, saved: InfraMap, database: str = "default"
+) -> InfraDiscrepancies:
+    """Compare the saved map against the actual warehouse contents: parquet
+    directories + their file schemas (the reference queries ClickHouse
+    system tables; here the lake directory IS the system catalog).
+
+    Caveat: for partitioned tables the partition column's type is re-inferred
+    from directory names on read — keep partition columns string-typed (as
+    OlapTable writes them) or the inference may report a spurious type
+    mismatch."""
+    out = InfraDiscrepancies()
+    db_dir = os.path.join(warehouse, database)
+    on_disk: dict[str, str] = {}
+    if os.path.isdir(db_dir):
+        for entry in sorted(os.listdir(db_dir)):
+            p = os.path.join(db_dir, entry)
+            # skip infra siblings: projections (table__proj_x), DLQs
+            # (name__dlq) — they belong to their base table's lifecycle
+            if not os.path.isdir(p) or "__" in entry:
+                continue
+            on_disk[entry] = p
+
+    for name, path in on_disk.items():
+        observed = _observe_table(spark, path, name)
+        if observed is None:
+            continue
+        if name not in saved.tables:
+            out.unmapped_tables.append(observed)
+            continue
+        cur = saved.tables[name]
+        drift = diff_tables(cur, _with_observed_columns(cur, observed))
+        out.mismatched_tables.extend(drift)
+    for name in saved.tables:
+        if name not in on_disk:
+            out.missing_tables.append(name)
+    return out
+
+
+def _with_observed_columns(saved_spec: TableSpec, observed: TableSpec) -> TableSpec:
+    """The observable reality: parquet schemas expose columns; ORDER BY /
+    engine / settings live only in state (as in ClickHouse they live in
+    system.tables, which parquet has no counterpart for) — keep the saved
+    values so only genuine column drift is reported."""
+    return TableSpec(
+        name=saved_spec.name,
+        columns=observed.columns,
+        order_by=saved_spec.order_by,
+        partition_by=saved_spec.partition_by,
+        engine=saved_spec.engine,
+        settings=saved_spec.settings,
+        version=saved_spec.version,
+    )
+
+
+def reconcile(saved: InfraMap, disc: InfraDiscrepancies) -> InfraMap:
+    """Fold the observed reality into the saved map, producing the TRUE
+    current state to diff against (plan.rs:714-760 runs exactly this
+    reality-corrected plan).  Externally-dropped tables disappear and
+    external tables appear here; externally-mutated columns are re-observed
+    by plan_against_reality (the drift ops in ``disc`` are descriptive)."""
+    tables = dict(saved.tables)
+    for name in disc.missing_tables:
+        tables.pop(name, None)
+    for spec in disc.unmapped_tables:
+        tables[spec.name] = spec
+    return InfraMap(
+        tables=tables, views=dict(saved.views),
+        materialized_views=dict(saved.materialized_views),
+    )
+
+
+def plan_against_reality(
+    spark, warehouse: str, saved: InfraMap, target: InfraMap,
+    database: str = "default",
+) -> tuple[list[Op], InfraDiscrepancies]:
+    """The reality-checked plan: observe the warehouse, fold drift into the
+    current map, then diff against the target.  Returns (ops, discrepancies)
+    so callers can surface drift separately from intent changes."""
+    disc = check_reality(spark, warehouse, saved, database)
+    current = reconcile(saved, disc)
+    # column drift must use OBSERVED columns, not saved ones: re-observe
+    # every mismatched table so the diff runs against reality
+    for op in disc.mismatched_tables:
+        name = op.target
+        path = os.path.join(warehouse, database, name)
+        if name in current.tables and os.path.isdir(path):
+            observed = _observe_table(spark, path, name)
+            if observed is not None:
+                current.tables[name] = _with_observed_columns(
+                    current.tables[name], observed
+                )
+    return plan_changes(current, target), disc

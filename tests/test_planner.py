@@ -108,3 +108,85 @@ def test_state_roundtrip(tmp_path):
     assert back.materialized_views["mv"].source_tables == ("a",)
     assert plan_changes(back, m) == []  # no drift
     assert load_state(str(tmp_path / "missing")).tables == {}
+
+
+# -- reality check (infra_reality_checker.rs) --------------------------------
+
+
+def _spec_of(tbl):
+    """Planner spec for an OlapTable's storage schema."""
+    return TableSpec(
+        name=tbl.physical_name,
+        columns=[
+            ColumnSpec(f.name, f.dataType.simpleString(), f.nullable)
+            for f in tbl.read_raw().schema.fields
+        ],
+    )
+
+
+def test_reality_check_detects_external_mutation(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from pydantic import BaseModel
+
+    from moosestack_spark.catalog.planner import (
+        check_reality,
+        plan_against_reality,
+    )
+    from moosestack_spark.catalog.table import OlapTable
+
+    class M(BaseModel):
+        id: int
+        v: float
+
+    wh = str(tmp_path)
+    tbl = OlapTable("m", M, spark, wh)
+    tbl.insert([{"id": 1, "v": 1.0}])
+    saved = InfraMap(tables={"m": _spec_of(tbl)})
+    target = InfraMap(tables={"m": _spec_of(tbl)})
+
+    # in-sync: no discrepancies, empty plan
+    disc = check_reality(spark, wh, saved)
+    assert disc.is_empty()
+    ops, disc = plan_against_reality(spark, wh, saved, target)
+    assert ops == [] and disc.is_empty()
+
+    # external mutation: someone rewrote the table dropping a column
+    mutated = spark.read.parquet(tbl.path).drop("v")
+    mutated.write.mode("overwrite").parquet(str(tmp_path / "rewrite"))
+    import shutil as _sh
+
+    _sh.rmtree(tbl.path)
+    _sh.move(str(tmp_path / "rewrite"), tbl.path)
+
+    disc = check_reality(spark, wh, saved)
+    assert [op.kind for op in disc.mismatched_tables] == ["drop_column"]
+    # the reality-checked plan restores the target column — the saved-state
+    #-only diff would have produced NO ops (saved == target)
+    ops, _ = plan_against_reality(spark, wh, saved, target)
+    assert [(o.kind, o.detail) for o in ops] == [("add_column", "v")]
+
+
+def test_reality_check_unmapped_and_missing(spark, tmp_path):
+    from pydantic import BaseModel
+
+    from moosestack_spark.catalog.planner import check_reality, reconcile
+    from moosestack_spark.catalog.table import OlapTable
+
+    class M(BaseModel):
+        id: int
+
+    wh = str(tmp_path)
+    tbl = OlapTable("real_tbl", M, spark, wh)
+    tbl.insert([{"id": 1}])
+    ghost = TableSpec(name="ghost", columns=[ColumnSpec("id", "bigint", True)])
+    saved = InfraMap(tables={"ghost": ghost})
+
+    disc = check_reality(spark, wh, saved)
+    assert disc.missing_tables == ["ghost"]
+    assert [t.name for t in disc.unmapped_tables] == ["real_tbl"]
+
+    current = reconcile(saved, disc)
+    assert set(current.tables) == {"real_tbl"}
+    # dropping the unmapped external table is now plannable
+    ops = plan_changes(current, InfraMap())
+    assert [o.kind for o in ops] == ["drop_table"]
