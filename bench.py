@@ -64,6 +64,14 @@ def main() -> None:
 
     # Warm the JVM/session so per-query numbers measure the plan, not init.
     registry.QUERIES["agg_pricing_summary"](spark, sf_dir).count()
+    # Warm the Structured-Streaming machinery too (micro-batch engine, state
+    # store and sink classes JIT on first use — ~2s of fixed cost that would
+    # otherwise land on the first streaming query's measurement).  The warmup
+    # runs a minimal availableNow file-stream at the smallest SF.
+    try:
+        registry.QUERIES["streaming_topic_sync"](spark, "/root/testdata/sf0.001").count()
+    except Exception:
+        pass  # warmup is best-effort; the measured query still runs cold
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -32,6 +32,12 @@ class ColumnSpec:
     name: str
     type: str  # spark simpleString
     nullable: bool = False
+    # enum-typed columns carry their member mapping so the diff can apply
+    # ClickHouse enum-equivalence (diff_strategy.rs enums_are_equivalent):
+    # a TS/py string enum and its stored int-mapped form must NOT register
+    # as a modify.  members: sequence of (member_name, value) pairs.
+    enum_name: Optional[str] = None
+    enum_members: Optional[tuple] = None
 
 
 @dataclass
@@ -117,7 +123,73 @@ class Op:
     # drop_view | update_view | create_mv | drop_mv | populate_mv
     target: str
     detail: str = ""
+    # add_column position (infrastructure_map.rs ColumnChange::Added
+    # position_after): the name of the column this one lands AFTER in the
+    # target layout; None = FIRST.
+    position_after: Optional[str] = None
 
+
+
+
+def enums_are_equivalent(
+    actual_members,
+    target_members,
+    actual_name: Optional[str] = None,
+    target_name: Optional[str] = None,
+) -> bool:
+    """ClickHouse enum equivalence (diff_strategy.rs enums_are_equivalent).
+
+    A source-language string enum (TEXT = 'text') round-trips through the
+    warehouse as an int-mapped enum ('text' = 1); comparing those naively
+    registers a spurious modify.  Rules: member comparison is
+    order-insensitive; counts must match; a target string value may match
+    either an actual string member of the same name (both source-side) or
+    an actual member NAMED that string value (the warehouse int mapping);
+    two source-side string enums with different type names differ."""
+    actual = [tuple(m) for m in actual_members]
+    target = [tuple(m) for m in target_members]
+    if actual == target and (
+        actual_name is None or target_name is None or actual_name == target_name
+    ):
+        return True
+    if len(actual) != len(target):
+        return False
+    a_has_str = any(isinstance(v, str) for _, v in actual)
+    t_has_str = any(isinstance(v, str) for _, v in target)
+    if (
+        a_has_str
+        and t_has_str
+        and actual_name is not None
+        and target_name is not None
+        and actual_name != target_name
+    ):
+        return False
+    a_by_name = {n: v for n, v in actual}
+    for t_name, t_val in target:
+        if isinstance(t_val, str):
+            if t_name in a_by_name and isinstance(a_by_name[t_name], str):
+                if a_by_name[t_name] != t_val:
+                    return False
+            elif t_val in a_by_name and isinstance(a_by_name[t_val], int):
+                continue  # warehouse form: member named by the string value
+            else:
+                return False
+        else:
+            if a_by_name.get(t_name) != t_val:
+                return False
+    return True
+
+
+def column_changed(cur: ColumnSpec, tgt: ColumnSpec) -> bool:
+    """Modify detection with enum awareness: equivalent enums are never a
+    modify even when the storage type string differs."""
+    if cur.enum_members is not None and tgt.enum_members is not None:
+        if enums_are_equivalent(
+            cur.enum_members, tgt.enum_members, cur.enum_name, tgt.enum_name
+        ):
+            return cur.nullable != tgt.nullable
+        return True
+    return (cur.type, cur.nullable) != (tgt.type, tgt.nullable)
 
 def diff_tables(cur: Optional[TableSpec], tgt: Optional[TableSpec]) -> list[Op]:
     """ALTER vs DROP+CREATE decision (diff_strategy.rs:54-76)."""
@@ -140,15 +212,23 @@ def diff_tables(cur: Optional[TableSpec], tgt: Optional[TableSpec]) -> list[Op]:
     ops: list[Op] = []
     cur_cols = {c.name: c for c in cur.columns}
     tgt_cols = {c.name: c for c in tgt.columns}
-    for name in tgt_cols:
+    for i, tcol in enumerate(tgt.columns):
+        name = tcol.name
         if name not in cur_cols:
-            ops.append(Op("add_column", tgt.name, name))
-        elif (cur_cols[name].type, cur_cols[name].nullable) != (
-            tgt_cols[name].type,
-            tgt_cols[name].nullable,
-        ):
+            # position captured from the target layout (ColumnChange::Added
+            # position_after, infrastructure_map.rs:3722): ADD COLUMN ...
+            # AFTER <prev> / FIRST
             ops.append(
-                Op("modify_column", tgt.name, f"{name}: {cur_cols[name].type}->{tgt_cols[name].type}")
+                Op(
+                    "add_column",
+                    tgt.name,
+                    name,
+                    position_after=None if i == 0 else tgt.columns[i - 1].name,
+                )
+            )
+        elif column_changed(cur_cols[name], tcol):
+            ops.append(
+                Op("modify_column", tgt.name, f"{name}: {cur_cols[name].type}->{tcol.type}")
             )
     for name in cur_cols:
         if name not in tgt_cols:

@@ -245,3 +245,14 @@ def sr_schema_id(value: Column) -> Column:
     is_sr = (F.length(value) >= 5) & (F.substring(value, 1, 1) == F.lit(bytes([0])))
     sid = F.conv(F.hex(F.substring(value, 2, 4)), 16, 10).cast("long")
     return F.when(is_sr, sid)
+
+
+def add_sr_envelope(value: Column, schema_id: int) -> Column:
+    """Producer-side Confluent wire format (py stream.py:387-418 serializes
+    outbound records the same way the consume path strips them): 0x00 magic
+    byte + 4-byte big-endian schema id prepended to the payload bytes.
+    Pure JVM expression — composes into any writeStream projection."""
+    if not (0 <= schema_id <= 0xFFFFFFFF):
+        raise ValueError(f"schema_id {schema_id} out of uint32 range")
+    header = bytes([0]) + schema_id.to_bytes(4, "big")
+    return F.concat(F.lit(header), value.cast("binary"))

@@ -190,3 +190,58 @@ def test_reality_check_unmapped_and_missing(spark, tmp_path):
     # dropping the unmapped external table is now plannable
     ops = plan_changes(current, InfraMap())
     assert [o.kind for o in ops] == ["drop_table"]
+
+
+# -- column position + enum equivalence (infrastructure_map.rs:3703-3727;
+#    diff_strategy.rs enums_are_equivalent) ---------------------------------
+
+
+def test_add_column_carries_position():
+    cur = _t("t", [("a", "int", False), ("c", "int", False)])
+    tgt = _t(
+        "t",
+        [("first", "int", False), ("a", "int", False), ("b", "int", False), ("c", "int", False)],
+    )
+    ops = diff_tables(cur, tgt)
+    by_detail = {o.detail: o for o in ops if o.kind == "add_column"}
+    assert by_detail["first"].position_after is None  # FIRST
+    assert by_detail["b"].position_after == "a"
+
+
+def test_enum_equivalence_rules():
+    from moosestack_spark.catalog.planner import enums_are_equivalent
+
+    # source string enum vs its warehouse int-mapped form: equivalent
+    ts = [("TEXT", "text"), ("NUM", "num")]
+    ch = [("text", 1), ("num", 2)]
+    assert enums_are_equivalent(ch, ts)
+    # order-insensitive
+    assert enums_are_equivalent([("num", 2), ("text", 1)], ts)
+    # same-form same-members
+    assert enums_are_equivalent(ts, list(ts))
+    # differing values / counts / names
+    assert not enums_are_equivalent([("text", 1)], ts)
+    assert not enums_are_equivalent([("other", 1), ("num", 2)], ts)
+    # both source-side with different enum type names
+    assert not enums_are_equivalent(ts, list(ts), "EnumA", "EnumB")
+    assert enums_are_equivalent(ts, list(ts), "EnumA", "EnumA")
+
+
+def test_enum_equivalent_columns_do_not_modify():
+    from moosestack_spark.catalog.planner import ColumnSpec as CS
+
+    cur = TableSpec(
+        "t",
+        [CS("kind", "tinyint", False, enum_name="Baz", enum_members=(("text", 1), ("num", 2)))],
+    )
+    tgt = TableSpec(
+        "t",
+        [CS("kind", "string", False, enum_name="Baz", enum_members=(("TEXT", "text"), ("NUM", "num")))],
+    )
+    assert diff_tables(cur, tgt) == []
+    # genuinely different enum -> modify
+    tgt2 = TableSpec(
+        "t",
+        [CS("kind", "string", False, enum_name="Baz", enum_members=(("TEXT", "text"), ("BOOL", "bool")))],
+    )
+    assert [o.kind for o in diff_tables(cur, tgt2)] == ["modify_column"]

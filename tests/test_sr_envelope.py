@@ -7,7 +7,11 @@ import struct
 
 from pyspark.sql import functions as F
 
-from moosestack_spark.streaming.stream import sr_schema_id, strip_sr_envelope
+from moosestack_spark.streaming.stream import (
+    add_sr_envelope,
+    sr_schema_id,
+    strip_sr_envelope,
+)
 
 
 def test_strip_and_schema_id(spark):
@@ -100,3 +104,28 @@ def test_api_version_resolution(spark):
     with _pytest.raises(KeyError):
         get_api("only_versioned", "3.0")
     clear_apis()
+
+
+def test_produce_consume_envelope_roundtrip(spark):
+    """Producer-side envelope (add_sr_envelope) roundtrips through the
+    consume-side strip + schema-id extraction."""
+    df = spark.createDataFrame(
+        [(b'{"a": 1}',), (b'{"a": 2}',)], "payload binary"
+    )
+    enveloped = df.select(
+        add_sr_envelope(F.col("payload"), schema_id=1234).alias("value")
+    )
+    back = enveloped.select(
+        strip_sr_envelope(F.col("value")).alias("payload"),
+        sr_schema_id(F.col("value")).alias("sid"),
+    ).collect()
+    assert [bytes(r.payload) for r in back] == [b'{"a": 1}', b'{"a": 2}']
+    assert [r.sid for r in back] == [1234, 1234]
+    # wire bytes: 0x00 magic + big-endian id
+    raw = bytes(enveloped.collect()[0].value)
+    assert raw[0] == 0 and int.from_bytes(raw[1:5], "big") == 1234
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        add_sr_envelope(F.col("payload"), schema_id=-1)
