@@ -165,18 +165,25 @@ def enums_are_equivalent(
     ):
         return False
     a_by_name = {n: v for n, v in actual}
+    consumed: set = set()  # bijection: each actual member matches once
     for t_name, t_val in target:
         if isinstance(t_val, str):
             if t_name in a_by_name and isinstance(a_by_name[t_name], str):
-                if a_by_name[t_name] != t_val:
+                if a_by_name[t_name] != t_val or t_name in consumed:
                     return False
-            elif t_val in a_by_name and isinstance(a_by_name[t_val], int):
-                continue  # warehouse form: member named by the string value
+                consumed.add(t_name)
+            elif (
+                t_val in a_by_name
+                and isinstance(a_by_name[t_val], int)
+                and t_val not in consumed
+            ):
+                consumed.add(t_val)  # warehouse form: named by string value
             else:
                 return False
         else:
-            if a_by_name.get(t_name) != t_val:
+            if a_by_name.get(t_name) != t_val or t_name in consumed:
                 return False
+            consumed.add(t_name)
     return True
 
 
@@ -362,10 +369,18 @@ class InfraDiscrepancies:
 
 
 def _observe_table(spark, path: str, name: str) -> Optional[TableSpec]:
+    # Partition-dir values must come back as the strings OlapTable wrote,
+    # not re-inferred DATE/INT types — inference would report spurious
+    # column drift on every partitioned table.
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
     try:
         schema = spark.read.parquet(path).schema
     except Exception:
         return None
+    finally:
+        spark.conf.set(conf_key, prev)
     return TableSpec(
         name=name,
         columns=[
@@ -381,11 +396,8 @@ def check_reality(
     """Compare the saved map against the actual warehouse contents: parquet
     directories + their file schemas (the reference queries ClickHouse
     system tables; here the lake directory IS the system catalog).
-
-    Caveat: for partitioned tables the partition column's type is re-inferred
-    from directory names on read — keep partition columns string-typed (as
-    OlapTable writes them) or the inference may report a spurious type
-    mismatch."""
+    Partition-column type inference is disabled for the observe read so
+    partitioned tables don't report spurious type drift."""
     out = InfraDiscrepancies()
     db_dir = os.path.join(warehouse, database)
     on_disk: dict[str, str] = {}
@@ -393,8 +405,16 @@ def check_reality(
         for entry in sorted(os.listdir(db_dir)):
             p = os.path.join(db_dir, entry)
             # skip infra siblings: projections (table__proj_x), DLQs
-            # (name__dlq) — they belong to their base table's lifecycle
-            if not os.path.isdir(p) or "__" in entry:
+            # (name__dlq), rewrite temps (name.__*_tmp) — they belong to
+            # their base table's lifecycle.  Match the exact sibling
+            # patterns: a user table legitimately named "a__b" must NOT
+            # be filtered out (it would be falsely re-created).
+            is_sibling = (
+                "__proj_" in entry
+                or entry.endswith("__dlq")
+                or (".__" in entry and entry.endswith("_tmp"))
+            )
+            if not os.path.isdir(p) or is_sibling:
                 continue
             on_disk[entry] = p
 
@@ -457,9 +477,8 @@ def plan_against_reality(
     disc = check_reality(spark, warehouse, saved, database)
     current = reconcile(saved, disc)
     # column drift must use OBSERVED columns, not saved ones: re-observe
-    # every mismatched table so the diff runs against reality
-    for op in disc.mismatched_tables:
-        name = op.target
+    # each drifted table ONCE (k drift ops on one table = one schema read)
+    for name in {op.target for op in disc.mismatched_tables}:
         path = os.path.join(warehouse, database, name)
         if name in current.tables and os.path.isdir(path):
             observed = _observe_table(spark, path, name)

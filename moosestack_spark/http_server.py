@@ -42,6 +42,27 @@ from urllib.parse import parse_qsl, urlsplit
 DEFAULT_MAX_BODY = 10 * 1024 * 1024  # local_webserver.rs default_max_request_body_size
 
 
+def salvage_json_objects(text: str) -> list[dict]:
+    """Recover complete JSON objects from an unparseable body
+    (local_webserver.rs handle_json_array_body: a whole-body parse failure
+    salvages individual objects into the DLQ rather than dropping them)."""
+    decoder = json.JSONDecoder()
+    out: list[dict] = []
+    i = 0
+    while True:
+        i = text.find("{", i)
+        if i == -1:
+            return out
+        try:
+            obj, end = decoder.raw_decode(text, i)
+        except json.JSONDecodeError:
+            i += 1
+            continue
+        if isinstance(obj, dict):
+            out.append(obj)
+        i = end
+
+
 @dataclass
 class JwtConfig:
     """HS256 JWT validation config (iss/aud/exp are REQUIRED claims, as in
@@ -126,10 +147,15 @@ class MooseHttpServer:
         if (name, version) in self._pipelines:
             return self._pipelines[(name, version)]
         if version is None:
-            # version-less path -> latest registered version
+            # version-less path -> latest registered version.  Key each
+            # segment as (kind, value) so "9" and "9b" order without the
+            # int-vs-str TypeError a mixed list key would raise.
             versions = sorted(
                 (v for (n, v) in self._pipelines if n == name and v is not None),
-                key=lambda v: [int(p) if p.isdigit() else p for p in v.split(".")],
+                key=lambda v: [
+                    (0, int(p), "") if p.isdigit() else (1, 0, p)
+                    for p in v.split(".")
+                ],
             )
             if versions:
                 return self._pipelines[(name, versions[-1])]
@@ -145,7 +171,13 @@ class MooseHttpServer:
             claims = decode_jwt_hs256(token, self.jwt_config) if token else None
             return claims is not None, claims
         if self.api_key is not None:
-            ok = token is not None and hmac.compare_digest(token, self.api_key)
+            # compare bytes: compare_digest on str raises TypeError for
+            # non-ASCII tokens (headers decode latin-1), which would crash
+            # the request instead of returning 401
+            ok = token is not None and hmac.compare_digest(
+                token.encode("utf-8", "surrogateescape"),
+                self.api_key.encode("utf-8", "surrogateescape"),
+            )
             return ok, None
         return True, None
 
@@ -167,6 +199,18 @@ class MooseHttpServer:
                 self.wfile.write(body)
 
             def do_POST(self) -> None:
+                # every failure must terminate in an HTTP reply — an
+                # uncaught exception here drops the connection with no
+                # status, which clients see as an empty reply
+                try:
+                    self._do_post_inner()
+                except Exception as exc:
+                    try:
+                        self._reply(500, {"error": str(exc)})
+                    except Exception:
+                        pass
+
+            def _do_post_inner(self) -> None:
                 parts = [p for p in urlsplit(self.path).path.split("/") if p]
                 if len(parts) not in (2, 3) or parts[0] != "ingest":
                     self._reply(404, {"error": "not found"})
@@ -181,7 +225,11 @@ class MooseHttpServer:
                 if pipeline is None:
                     self._reply(404, {"error": f"no ingest route {name!r}"})
                     return
-                length = int(self.headers.get("Content-Length") or 0)
+                try:
+                    length = int(self.headers.get("Content-Length") or 0)
+                except ValueError:
+                    self._reply(400, {"error": "invalid Content-Length"})
+                    return
                 if length > server.max_body_bytes:
                     self._reply(
                         413,
@@ -194,8 +242,23 @@ class MooseHttpServer:
                 body = self.rfile.read(length)
                 try:
                     payload = json.loads(body)
-                except json.JSONDecodeError:
-                    self._reply(400, {"error": "invalid JSON body"})
+                except (json.JSONDecodeError, UnicodeDecodeError):
+                    # whole-body parse failure: salvage complete objects
+                    # into the DLQ (handle_json_array_body semantics)
+                    salvaged = salvage_json_objects(
+                        body.decode("utf-8", "replace")
+                    )
+                    n = 0
+                    if salvaged and hasattr(pipeline, "dead_letter"):
+                        n = pipeline.dead_letter(
+                            salvaged,
+                            error_message="whole-body JSON parse failure",
+                            error_type="ParseError",
+                        )
+                    self._reply(
+                        400,
+                        {"error": "invalid JSON body", "dead_lettered": n},
+                    )
                     return
                 if isinstance(payload, dict):
                     records = [payload]
@@ -207,10 +270,26 @@ class MooseHttpServer:
                 else:
                     self._reply(400, {"error": "body must be object or array"})
                     return
-                result = pipeline.ingest(records)
+                try:
+                    result = pipeline.ingest(records)
+                except PermissionError as exc:
+                    self._reply(403, {"error": str(exc)})
+                    return
+                except Exception as exc:  # fail-fast insert error etc.
+                    self._reply(500, {"error": str(exc)})
+                    return
                 self._reply(200, result)
 
             def do_GET(self) -> None:
+                try:
+                    self._do_get_inner()
+                except Exception as exc:
+                    try:
+                        self._reply(500, {"error": str(exc)})
+                    except Exception:
+                        pass
+
+            def _do_get_inner(self) -> None:
                 from moosestack_spark.api import get_api
 
                 url = urlsplit(self.path)

@@ -182,6 +182,16 @@ def decode_image(payload: bytes, strict: bool = True) -> np.ndarray | None:
 # feature extraction / resize / frame sampling (Arrow-batched)
 # --------------------------------------------------------------------------
 
+def _with_id_field(df: DataFrame, id_col: str, schema: StructType) -> StructType:
+    """Schema with the caller's id column (name AND type from the input df)
+    in place of the default first field — extract_*_features(id_col=...)
+    must not silently rename the id."""
+    id_type = df.schema[id_col].dataType
+    return StructType(
+        [StructField(id_col, id_type, False), *schema.fields[1:]]
+    )
+
+
 IMG_FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -209,11 +219,11 @@ def extract_image_features(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("media_id", "width", "height", "mean_r", "mean_g", "mean_b", "n_bytes")}
+            out = {k: [] for k in (id_col, "width", "height", "mean_r", "mean_g", "mean_b", "n_bytes")}
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(p)
                 px = decode_image(b, strict=strict)
-                out["media_id"].append(mid)
+                out[id_col].append(mid)
                 out["n_bytes"].append(len(b))
                 if px is None:
                     for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
@@ -229,7 +239,9 @@ def extract_image_features(
                 out["mean_b"].append(float(sums[2]) / n)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, IMG_FEATURES_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, _with_id_field(df, id_col, IMG_FEATURES_SCHEMA)
+    )
 
 
 AUDIO_FEATURES_SCHEMA = StructType(
@@ -254,10 +266,10 @@ def extract_audio_features(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("media_id", "sample_rate", "n_samples", "mean_amp", "peak_amp")}
+            out = {k: [] for k in (id_col, "sample_rate", "n_samples", "mean_amp", "peak_amp")}
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(p)
-                out["media_id"].append(mid)
+                out[id_col].append(mid)
                 if b[:4] != b"RIFF":
                     if strict:
                         raise NotImplementedError(
@@ -276,7 +288,9 @@ def extract_audio_features(
                 out["peak_amp"].append(int(np.abs(s64).max()) if n else None)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, _with_id_field(df, id_col, AUDIO_FEATURES_SCHEMA)
+    )
 
 
 def resize_images(

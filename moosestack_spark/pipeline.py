@@ -95,6 +95,34 @@ class IngestPipeline(Generic[T]):
             )
         return {"inserted": len(ok), "dead_lettered": len(dead)}
 
+    def dead_letter(
+        self,
+        records: Sequence[dict],
+        error_message: str,
+        error_type: str = "ParseError",
+        source: str = "api",
+    ) -> int:
+        """Route raw records straight to the DLQ (the whole-body-parse-failure
+        salvage path of local_webserver.rs handle_json_array_body: records
+        recovered from an unparseable body are never silently dropped)."""
+        if not self.dlq_path or not records:
+            return 0
+        now = datetime.now(timezone.utc)
+        dead = [
+            {
+                "original_record": json.dumps(rec, default=str),
+                "error_message": error_message,
+                "error_type": error_type,
+                "failed_at": now,
+                "source": source,
+            }
+            for rec in records
+        ]
+        self.spark.createDataFrame(dead, DLQ_SCHEMA).write.mode("append").parquet(
+            self.dlq_path
+        )
+        return len(dead)
+
     def read_dlq(self) -> DataFrame:
         if not self.dlq_path:
             raise PermissionError(f"pipeline {self.name} has no DLQ")

@@ -204,3 +204,64 @@ def test_jwt_server_injects_claims(spark, tmp_path):
     finally:
         srv.stop()
         clear_apis()
+
+
+def test_post_errors_get_http_replies(spark, tmp_path):
+    """Review r2: failures inside do_POST must produce HTTP replies, not
+    dropped connections (unwrapped ingest, bad Content-Length, mixed
+    version segments, non-ASCII api key)."""
+    clear_apis()
+    from moosestack_spark.pipeline import IngestPipelineConfig
+
+    no_api = IngestPipeline(
+        "noapi_http", Event, spark, str(tmp_path / "na"),
+        config=IngestPipelineConfig(ingest_api=False),
+    )
+    srv = MooseHttpServer(spark, api_key="sekrit")
+    srv.add_pipeline(no_api)
+    # mixed numeric/non-numeric version segments must not TypeError on sort
+    v_a = IngestPipeline("mix_http", Event, spark, str(tmp_path / "a"))
+    v_b = IngestPipeline("mix_http", Event, spark, str(tmp_path / "b"))
+    srv.add_pipeline(v_a, version="0.9")
+    srv.add_pipeline(v_b, version="0.9b")
+    port = srv.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        rec = [{"id": 1, "kind": "a", "amount": 1.0}]
+        # ingest_api disabled -> 403 JSON, not a dropped connection
+        code, body = _post(f"{base}/ingest/noapi_http", rec, token="sekrit")
+        assert code == 403 and "no ingest api" in body["error"]
+        # version-less route over mixed segments -> resolves, no TypeError
+        code, _ = _post(f"{base}/ingest/mix_http", rec, token="sekrit")
+        assert code == 200
+        # non-ASCII bearer token -> clean 401, not TypeError
+        code, body = _post(f"{base}/ingest/mix_http", rec, token="sékret")
+        assert code == 401
+        # bad Content-Length -> 400
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port)
+        conn.putrequest("POST", "/ingest/mix_http")
+        conn.putheader("Authorization", "Bearer sekrit")
+        conn.putheader("Content-Length", "notanumber")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        conn.close()
+    finally:
+        srv.stop()
+        clear_apis()
+
+
+def test_parse_failure_salvages_objects_to_dlq(server):
+    """local_webserver.rs handle_json_array_body: whole-body parse failure
+    salvages complete JSON objects into the DLQ."""
+    srv, pipe, base = server
+    raw = b'[{"id": 1, "kind": "a"}, {"id": 2, broken'
+    code, body = _post(f"{base}/ingest/events_http", None, token="sekrit", raw=raw)
+    assert code == 400
+    assert body["dead_lettered"] == 1
+    dlq = pipe.read_dlq().collect()
+    assert len(dlq) == 1
+    assert json.loads(dlq[0].original_record) == {"id": 1, "kind": "a"}
+    assert dlq[0].error_type == "ParseError"

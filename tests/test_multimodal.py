@@ -112,3 +112,22 @@ def test_frame_sampling_cardinality(spark):
         expected = len(range(0, durations[vid], 500))
         assert n == expected
     assert frames.columns == ["media_id", "frame_ms", "frame_stub"]
+
+
+def test_feature_extraction_honors_id_col(spark):
+    """Review r2: id_col must flow through to the output schema (was
+    hardcoded to media_id, silently renaming the caller's id column)."""
+    media = make_fake_media(spark, 12)
+    imgs = media.filter("meta.media_type = 'image'").withColumnRenamed(
+        "media_id", "doc_id"
+    )
+    feats = extract_image_features(imgs, id_col="doc_id")
+    assert feats.schema.fieldNames()[0] == "doc_id"
+    rows = feats.select("doc_id", "width").collect()
+    assert len(rows) == 4 and all(r.width == 8 for r in rows)
+    auds = media.filter("meta.media_type = 'audio'").withColumnRenamed(
+        "media_id", "clip_id"
+    )
+    afeats = extract_audio_features(auds, id_col="clip_id")
+    assert afeats.schema.fieldNames()[0] == "clip_id"
+    assert afeats.select("clip_id").count() == 4

@@ -245,3 +245,61 @@ def test_enum_equivalent_columns_do_not_modify():
         [CS("kind", "string", False, enum_name="Baz", enum_members=(("TEXT", "text"), ("BOOL", "bool")))],
     )
     assert [o.kind for o in diff_tables(cur, tgt2)] == ["modify_column"]
+
+
+def test_reality_check_partitioned_table_no_false_drift(spark, tmp_path):
+    """Review r2: partition-dir type inference (day="2024-01-01" -> DATE)
+    must not report spurious column drift on a partitioned table."""
+    from pydantic import BaseModel
+
+    from moosestack_spark.catalog.engines import OlapConfig
+    from moosestack_spark.catalog.planner import check_reality
+    from moosestack_spark.catalog.table import OlapTable
+
+    class M(BaseModel):
+        id: int
+        day: str
+
+    wh = str(tmp_path)
+    tbl = OlapTable("part_m", M, spark, wh, OlapConfig(partition_by="day"))
+    tbl.insert([{"id": 1, "day": "2024-01-01"}, {"id": 2, "day": "2024-01-02"}])
+    spec = _spec_of(tbl)
+    spec.partition_by = "day"
+    disc = check_reality(spark, wh, InfraMap(tables={"part_m": spec}))
+    assert disc.is_empty(), [
+        (o.kind, o.target, o.detail) for o in disc.mismatched_tables
+    ]
+
+
+def test_reality_check_double_underscore_table_not_missing(spark, tmp_path):
+    """Review r2: a user table legitimately named with "__" must not be
+    filtered as an infra sibling (was falsely re-created)."""
+    from pydantic import BaseModel
+
+    from moosestack_spark.catalog.planner import check_reality
+    from moosestack_spark.catalog.table import OlapTable
+
+    class M(BaseModel):
+        id: int
+
+    wh = str(tmp_path)
+    tbl = OlapTable("user__events", M, spark, wh)
+    tbl.insert([{"id": 1}])
+    saved = InfraMap(tables={"user__events": _spec_of(tbl)})
+    disc = check_reality(spark, wh, saved)
+    assert disc.missing_tables == []
+    assert disc.is_empty()
+
+
+def test_enum_equivalence_requires_bijection():
+    """Review r2: two target members matching the SAME actual member must
+    not pass (non-bijective match hid real enum drift)."""
+    from moosestack_spark.catalog.planner import enums_are_equivalent
+
+    assert not enums_are_equivalent(
+        [("x", 1), ("y", 2)], [("A", "x"), ("B", "x")]
+    )
+    # honest warehouse-form match still passes
+    assert enums_are_equivalent(
+        [("x", 1), ("y", 2)], [("A", "x"), ("B", "y")]
+    )
