@@ -288,3 +288,128 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     extension and window-based chunking at 100 TB)."""
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# C4-style quality filter (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning" §2.2 public heuristics, adapted to signals the
+# synthetic corpus exercises): keep a doc iff it is long enough, lexically
+# diverse, and its words are plausibly shaped.  Pure JVM expressions — a
+# narrow map, zero exchange, linear at 100 TB.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_c4_quality_filter",
+    oracle=r"""
+WITH s AS (
+  SELECT
+    doc_id,
+    text,
+    string_split_regex(TRIM(text), '\s+') AS w,
+    LENGTH(regexp_replace(text, '\s+', '', 'g')) AS n_nonws
+  FROM documents
+)
+SELECT
+  doc_id,
+  LEN(w) AS n_words,
+  CAST(LEN(list_distinct(w)) AS DOUBLE) / GREATEST(LEN(w), 1) AS uniq_ratio,
+  CAST(n_nonws AS DOUBLE) / GREATEST(LEN(w), 1) AS mean_word_len,
+  (LEN(w) >= 20
+   AND CAST(LEN(list_distinct(w)) AS DOUBLE) / GREATEST(LEN(w), 1) >= 0.25
+   AND CAST(n_nonws AS DOUBLE) / GREATEST(LEN(w), 1) BETWEEN 2 AND 12
+   AND NOT contains(LOWER(text), 'lorem ipsum')
+   AND NOT contains(text, '{')) AS keep
+FROM s
+""",
+)
+def text_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    ).cast("double")
+    mean_word_len = F.length(
+        F.regexp_replace("text", r"\s+", "")
+    ).cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    keep = (
+        (n_words >= 20)
+        & (uniq_ratio >= 0.25)
+        & mean_word_len.between(2, 12)
+        & ~F.lower(F.col("text")).contains("lorem ipsum")
+        & ~F.col("text").contains("{")
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        uniq_ratio.alias("uniq_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        keep.alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction.  The synthetic corpus carries no PII, so the gate query
+# first APPENDS deterministic doc-derived PII (email / IPv4 / phone built
+# from doc_id — the oracle replays the same construction), then redacts.
+# Patterns stay in the Java-regex ∩ RE2 dialect intersection so Spark and
+# DuckDB agree byte-for-byte.  Narrow map, zero exchange.
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b555-\d{4}\b"
+
+
+def redact_pii(c: Column) -> Column:
+    """email -> <EMAIL>, IPv4 -> <IP>, 555-exchange phone -> <PHONE>.
+    Order matters: emails first (an IP-like domain must not be half-eaten
+    by the IP pass)."""
+    out = F.regexp_replace(c, _PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, _PII_IPV4, "<IP>")
+    return F.regexp_replace(out, _PII_PHONE, "<PHONE>")
+
+
+@query(
+    "text_pii_redact",
+    oracle=r"""
+WITH aug AS (
+  SELECT
+    doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com from 10.' || CAST(doc_id % 250 AS VARCHAR)
+         || '.0.1 call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      AS augmented
+  FROM documents
+)
+SELECT
+  doc_id,
+  LEN(regexp_extract_all(augmented, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+  LEN(regexp_extract_all(augmented, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+  LEN(regexp_extract_all(augmented, '\b555-\d{4}\b')) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(augmented,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        '\b555-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".0.1 call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.md5(redact_pii(aug)).alias("redacted_md5"),
+    )

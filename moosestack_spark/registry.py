@@ -92,6 +92,9 @@ _WINDOW_PRIORITY = [
     "dedup_embedding_cosine_pruned",
     "agg_uniq_exact",
     "streaming_topic_sync",
+    "text_c4_quality_filter",
+    "text_pii_redact",
+    "decontam_ngram_overlap",
 ]
 
 
@@ -112,6 +115,7 @@ def load_all() -> None:
         windows,
     )
     from moosestack_spark.ops import (  # noqa: F401
+        decontaminate,
         dedup,
         multimodal,
         similarity,

@@ -1,0 +1,46 @@
+"""Unit tests for the C4 filter / PII redaction / decontamination ops."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from moosestack_spark.ops.decontaminate import contaminated_docs, word_ngrams
+from moosestack_spark.ops.text import redact_pii
+
+
+def test_word_ngrams_short_doc_is_empty(spark):
+    df = spark.createDataFrame(
+        [("a b", 1), ("a b c d", 2), ("", 3)], "text string, id int"
+    ).select("id", word_ngrams(F.col("text"), 3).alias("g"))
+    got = {r.id: r.g for r in df.collect()}
+    assert got[1] == []  # 2 words < n=3: guarded (sequence(1,0) counts DOWN)
+    assert got[2] == ["a b c", "b c d"]
+    assert got[3] == []
+
+
+def test_redact_pii_order_and_patterns(spark):
+    text = "mail bob.s@mail10.1.2.3.com ip 192.168.0.1 call 555-0134 x"
+    row = spark.range(1).select(
+        redact_pii(F.lit(text)).alias("r")
+    ).first()
+    # email with an IP-like domain is eaten whole by the EMAIL pass first
+    assert row.r == "mail <EMAIL> ip <IP> call <PHONE> x"
+
+
+def test_contaminated_docs_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # shares "alpha beta gamma"
+            (2, "zeta eta theta iota"),         # no overlap
+            (3, "x alpha beta gamma y"),        # shares the same 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "alpha beta gamma epsilon")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n_contaminated
+        for r in contaminated_docs(docs, bench, n=3).collect()
+    }
+    assert got == {1: 1, 3: 1}
