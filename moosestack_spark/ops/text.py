@@ -413,3 +413,119 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(aug, F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
         F.md5(redact_pii(aug)).alias("redacted_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+# Models" table A1 public heuristics): fraction of duplicate lines and
+# fraction of characters inside duplicate lines, per document.  High values
+# mark boilerplate/spam for removal.  Narrow map, zero exchange.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_repetition_signals",
+    oracle=r"""
+WITH s AS (
+  SELECT
+    doc_id,
+    string_split(regexp_replace(text, '((\w+ ){2})', '\1|', 'g'), '|') AS lines
+  FROM documents
+),
+x AS (
+  SELECT
+    doc_id,
+    LEN(lines) AS n_lines,
+    LEN(list_distinct(lines)) AS n_uniq,
+    LENGTH(array_to_string(lines, '')) AS n_chars_all,
+    LENGTH(array_to_string(list_distinct(lines), '')) AS n_chars_uniq
+  FROM s
+)
+SELECT
+  doc_id,
+  CAST(n_lines - n_uniq AS DOUBLE) / GREATEST(n_lines, 1) AS dup_line_frac,
+  CAST(n_chars_all - n_chars_uniq AS DOUBLE) / GREATEST(n_chars_all, 1) AS dup_char_frac,
+  (CAST(n_lines - n_uniq AS DOUBLE) / GREATEST(n_lines, 1)) <= 0.30 AS keep
+FROM x
+""",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-'line' fraction per doc (Gopher repetition rules).  The
+    synthetic corpus has no newlines, so a 'line' is a 2-word chunk —
+    real corpora pass the natural split('\\n').  Both engines segment with
+    the identical regex so results hash-match."""
+    d = t(spark, sf_dir, "documents")
+    lines = F.split(
+        F.regexp_replace("text", r"((\w+ ){2})", r"$1|"), r"\|", -1
+    )
+    # DuckDB backrefs use \1; Spark uses $1 — same captured text.
+    n_lines = F.size(lines)
+    uniq = F.array_distinct(lines)
+    n_uniq = F.size(uniq)
+    chars_all = F.length(F.array_join(lines, ""))
+    chars_uniq = F.length(F.array_join(uniq, ""))
+    dup_line_frac = (n_lines - n_uniq).cast("double") / F.greatest(
+        n_lines, F.lit(1)
+    ).cast("double")
+    dup_char_frac = (chars_all - chars_uniq).cast("double") / F.greatest(
+        chars_all, F.lit(1)
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_char_frac"),
+        (dup_line_frac <= 0.30).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split: hash-mod assignment so the split is
+# stable across runs, engines, and re-partitioning — the property a 100 TB
+# pipeline needs (no sampling state, no ordering dependence).  Zero
+# exchange except the final per-split count.
+# --------------------------------------------------------------------------
+
+
+def split_assign(c: Column, val_pct: int = 5, test_pct: int = 5) -> Column:
+    """'train' / 'val' / 'test' from a stable 64-bit hash of the id."""
+    bucket = F.pmod(F.xxhash64(c), F.lit(100))
+    return (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
+@query(
+    "text_train_val_test_split",
+    oracle=r"""
+WITH a AS (
+  SELECT CASE
+    WHEN ((doc_id % 4294967296) * 2654435761) % 4294967296 % 100 < 5 THEN 'val'
+    WHEN ((doc_id % 4294967296) * 2654435761) % 4294967296 % 100 < 10 THEN 'test'
+    ELSE 'train'
+  END AS split
+  FROM documents
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY split
+""",
+)
+def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split sizes.  The gate uses a Knuth
+    multiplicative hash (portable integer arithmetic both engines compute
+    identically); the library path `split_assign` uses xxhash64, which has
+    no DuckDB twin — its run-to-run/partitioning stability is pytest-pinned
+    instead."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(4294967296)) * F.lit(2654435761),
+        F.lit(4294967296),
+    ) % 100
+    split = (
+        F.when(bucket < 5, F.lit("val"))
+        .when(bucket < 10, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return d.select(split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")
+    )

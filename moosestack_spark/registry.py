@@ -95,6 +95,8 @@ _WINDOW_PRIORITY = [
     "text_c4_quality_filter",
     "text_pii_redact",
     "decontam_ngram_overlap",
+    "text_repetition_signals",
+    "text_train_val_test_split",
 ]
 
 

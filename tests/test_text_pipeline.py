@@ -44,3 +44,20 @@ def test_contaminated_docs_semantics(spark):
         for r in contaminated_docs(docs, bench, n=3).collect()
     }
     assert got == {1: 1, 3: 1}
+
+
+def test_split_assign_stable_under_repartition(spark):
+    from moosestack_spark.ops.text import split_assign
+
+    df = spark.range(0, 2000).select(F.col("id"))
+    a = {r.id: r.s for r in df.select("id", split_assign(F.col("id")).alias("s")).collect()}
+    b = {
+        r.id: r.s
+        for r in df.repartition(13, "id")
+        .select("id", split_assign(F.col("id")).alias("s"))
+        .collect()
+    }
+    assert a == b  # assignment is a pure function of the id, not of layout
+    frac_val = sum(1 for v in a.values() if v == "val") / len(a)
+    frac_test = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.02 < frac_val < 0.09 and 0.02 < frac_test < 0.09
