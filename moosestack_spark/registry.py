@@ -97,6 +97,7 @@ _WINDOW_PRIORITY = [
     "decontam_ngram_overlap",
     "text_repetition_signals",
     "text_train_val_test_split",
+    "join_bucketed_colocated",
 ]
 
 
@@ -104,6 +105,7 @@ def load_all() -> None:
     """Import every operator module (side effect: registration)."""
     from moosestack_spark.operators import (  # noqa: F401
         aggregates,
+        bucketed,
         engines,
         filters,
         joins,
