@@ -69,7 +69,10 @@ def main() -> None:
     # otherwise land on the first streaming query's measurement).  The warmup
     # runs a minimal availableNow file-stream at the smallest SF.
     try:
-        registry.QUERIES["streaming_topic_sync"](spark, "/root/testdata/sf0.001").count()
+        # windowed agg exercises the STATEFUL paths (state store provider,
+        # watermark tracking) that topic-sync's stateless passthrough never
+        # touches — warm the one whose machinery the measured query needs
+        registry.QUERIES["streaming_windowed_agg"](spark, "/root/testdata/sf0.001").count()
     except Exception:
         pass  # warmup is best-effort; the measured query still runs cold
 
