@@ -639,3 +639,67 @@ def streaming_topic_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(path).localCheckpoint()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Streaming exact dedup: dropDuplicatesWithinWatermark — the ingestion-time
+# dedup a 100 TB pipeline wants (state bounded by the watermark horizon,
+# not by history; an at-least-once Kafka source becomes effectively-once).
+# The gate plants duplicates by listing the source file TWICE in the stream
+# directory; identical rows share an event time, so they are always inside
+# each other's watermark and the bounded replay equals a global DISTINCT.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_dedup_exact",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct
+FROM (
+  SELECT DISTINCT event_id, user_id, event_type, ts
+  FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+)
+GROUP BY event_type
+""",
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="msk_sdedup_src_")
+    out_dir = tempfile.mkdtemp(prefix="msk_sdedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="msk_sdedup_ckpt_")
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    # the same file twice = planted exact duplicates in the stream
+    os.symlink(src, os.path.join(src_dir, "events_a.parquet"))
+    os.symlink(src, os.path.join(src_dir, "events_b.parquet"))
+    stack = _stream_state_partitions(spark)
+    stack.__enter__()
+    try:
+        deduped = (
+            spark.readStream.schema(events_schema)
+            .parquet(src_dir)
+            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id", "user_id", "event_type", "ts"])
+            .select("event_id", "user_id", "event_type", "ts")
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(out_dir)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_distinct"))
+            .localCheckpoint()
+        )
+    finally:
+        stack.__exit__()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -98,6 +98,7 @@ _WINDOW_PRIORITY = [
     "text_repetition_signals",
     "text_train_val_test_split",
     "join_bucketed_colocated",
+    "streaming_dedup_exact",
 ]
 
 
