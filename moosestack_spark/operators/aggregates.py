@@ -347,3 +347,64 @@ def agg_uniq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts")
     )
+
+
+# --------------------------------------------------------------------------
+# topK heavy hitters (CH topK(k)(col), aggregate-functions/reference).  The
+# reference's topK is approximate (filtered space-saving); we compute the
+# EXACT top-k with a deterministic tiebreak (count desc, value asc), which
+# is a two-shuffle plan — (group, value) counts w/ map-side combine, then a
+# per-group window over the distinct-value space (|values|, not |rows|).
+# At 100 TB with unbounded cardinality you'd swap in a sketch; for typed
+# dimension columns (the CH use case) the distinct space is small and exact
+# wins.  Output is array_join'd: the driver canonicalizer can't hash arrays.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_top_k",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_partkey, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_partkey
+), r AS (
+  SELECT l_returnflag, l_partkey,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, l_partkey ASC) AS rk
+  FROM c
+)
+SELECT l_returnflag,
+       array_to_string(LIST(l_partkey ORDER BY rk), ',') AS top_parts
+FROM r WHERE rk <= 3 GROUP BY l_returnflag
+""",
+)
+def agg_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return top_k(li, "l_returnflag", "l_partkey", 3).select(
+        "l_returnflag",
+        F.array_join(
+            F.transform("top_values", lambda v: v.cast("string")), ","
+        ).alias("top_parts"),
+    )
+
+
+def top_k(df: DataFrame, group_col: str, value_col: str, k: int) -> DataFrame:
+    """Exact heavy hitters per group: array of the k most frequent values
+    (count desc, value asc tiebreak) as `top_values`."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__cnt").desc(), F.col(value_col).asc()
+    )
+    ranked = counts.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    )
+    return ranked.groupBy(group_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__rk"), F.col(value_col)))
+        ).alias("__s")
+    ).select(
+        group_col,
+        F.transform(F.col("__s"), lambda s: s[value_col]).alias("top_values"),
+    )
