@@ -1,0 +1,124 @@
+"""windowFunnel: ClickHouse's product-analytics funnel aggregate.
+
+Reference surface: ClickHouse `windowFunnel(window)(ts, cond1, cond2, ...)`
+(parametric-functions reference; moosestack users reach it through raw CH
+SQL).  Semantics implemented here — documented precisely because engines
+differ on edge rules: per user, funnel_level is the longest prefix of the
+step conditions matchable by events with STRICTLY increasing timestamps
+where every step lands within `window` of the CHAIN'S FIRST event.
+
+Spark-first design: no per-user Python state machine — each funnel level is
+a semi-joinable existence question, so the whole aggregate is a cascade of
+range joins on (user_id, ts-bounds).  Scale shape at 100 TB:
+
+- each step frame is a pushed-down filtered scan of events (filter lands in
+  the parquet scan, ReadSchema = 2 columns);
+- joins shuffle on user_id only; per-user row groups are small, and the
+  range predicate prunes pairs inside each group — no quadratic blowup
+  unless one user has pathological event counts (then AQE skew-split or a
+  per-user event cap applies);
+- level membership dedups BEFORE the next join (distinct user chains, not
+  event pairs, flow upward), so intermediate cardinality is bounded by
+  |users|, shrinking monotonically with level.
+
+A step-k chain needs the step-(k-1) chain's start AND previous timestamps,
+so intermediates carry (user_id, start_ts, prev_ts) deduped per level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moosestack_spark.registry import query
+from moosestack_spark.tables import t
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: list[Column],
+    window_expr: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(user_id, funnel_level) for every user with at least one step-1
+    event.  `steps` are boolean Columns over the events frame; window_expr
+    is a SQL interval, e.g. "INTERVAL 12 HOURS"."""
+    w = F.expr(window_expr)
+    # step frames: minimal columns, filter pushed into the scan
+    frames = [
+        events.filter(cond).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        for cond in steps
+    ]
+    # chains[k] = distinct (u, start, prev) witnesses for a (k+1)-step chain
+    chain = frames[0].select("u", F.col("t").alias("start"), F.col("t").alias("prev")).distinct()
+    levels = [chain.select("u").distinct().withColumn("lvl", F.lit(1))]
+    for k in range(1, len(frames)):
+        nxt = frames[k].select(F.col("u").alias("u2"), F.col("t").alias("t2"))
+        chain = (
+            chain.join(
+                nxt,
+                (F.col("u") == F.col("u2"))
+                & (F.col("t2") > F.col("prev"))
+                & (F.col("t2") <= F.col("start") + w),
+            )
+            .select("u", "start", F.col("t2").alias("prev"))
+            .distinct()
+        )
+        levels.append(chain.select("u").distinct().withColumn("lvl", F.lit(k + 1)))
+    all_levels = levels[0]
+    for lv in levels[1:]:
+        all_levels = all_levels.unionByName(lv)
+    return (
+        all_levels.groupBy("u")
+        .agg(F.max("lvl").alias("funnel_level"))
+        .select(F.col("u").alias(user_col), "funnel_level")
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+ch2 AS (
+  SELECT DISTINCT v.user_id, v.ts AS start, c.ts AS prev
+  FROM v JOIN c ON c.user_id = v.user_id
+   AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR
+),
+ch3 AS (
+  SELECT DISTINCT ch2.user_id
+  FROM ch2 JOIN p ON p.user_id = ch2.user_id
+   AND p.ts > ch2.prev AND p.ts <= ch2.start + INTERVAL 12 HOUR
+),
+lv AS (
+  SELECT user_id, 1 AS lvl FROM (SELECT DISTINCT user_id FROM v)
+  UNION ALL
+  SELECT DISTINCT user_id, 2 AS lvl FROM ch2
+  UNION ALL
+  SELECT user_id, 3 AS lvl FROM ch3
+),
+ul AS (SELECT user_id, MAX(lvl) AS funnel_level FROM lv GROUP BY user_id)
+SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ul GROUP BY funnel_level
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase within 12 hours of the first view; output
+    is the funnel histogram (level -> user count)."""
+    e = t(spark, sf_dir, "events")
+    per_user = window_funnel(
+        e,
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        "INTERVAL 12 HOURS",
+    )
+    return per_user.groupBy("funnel_level").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -109,6 +109,7 @@ def load_all() -> None:
         bucketed,
         engines,
         filters,
+        funnel,
         joins,
         mv,
         scalar_funcs,

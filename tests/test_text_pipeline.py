@@ -61,3 +61,49 @@ def test_split_assign_stable_under_repartition(spark):
     frac_val = sum(1 for v in a.values() if v == "val") / len(a)
     frac_test = sum(1 for v in a.values() if v == "test") / len(a)
     assert 0.02 < frac_val < 0.09 and 0.02 < frac_test < 0.09
+
+
+def test_window_funnel_semantics(spark):
+    """Chain must be strictly increasing and inside the window OF THE
+    CHAIN'S FIRST event; a later restart can still complete the funnel."""
+    from datetime import datetime
+
+    from moosestack_spark.operators.funnel import window_funnel
+
+    rows = [
+        # u1: view -> click -> purchase inside 1h of the view => 3
+        (1, "view", datetime(2024, 1, 1, 10, 0)),
+        (1, "click", datetime(2024, 1, 1, 10, 20)),
+        (1, "purchase", datetime(2024, 1, 1, 10, 40)),
+        # u2: purchase OUTSIDE 1h of first view, but a SECOND view restarts
+        # the chain and completes in time => 3
+        (2, "view", datetime(2024, 1, 1, 9, 0)),
+        (2, "click", datetime(2024, 1, 1, 9, 30)),
+        (2, "view", datetime(2024, 1, 1, 11, 0)),
+        (2, "click", datetime(2024, 1, 1, 11, 10)),
+        (2, "purchase", datetime(2024, 1, 1, 11, 20)),
+        # u3: click BEFORE view never counts; no chain past level 1
+        (3, "click", datetime(2024, 1, 1, 8, 0)),
+        (3, "view", datetime(2024, 1, 1, 8, 30)),
+        (3, "purchase", datetime(2024, 1, 1, 8, 40)),
+        # u4: purchase at exactly view+window is INSIDE (<=) => 3
+        (4, "view", datetime(2024, 1, 1, 12, 0)),
+        (4, "click", datetime(2024, 1, 1, 12, 30)),
+        (4, "purchase", datetime(2024, 1, 1, 13, 0)),
+        # u5: no view at all -> absent from output
+        (5, "click", datetime(2024, 1, 1, 12, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r.user_id: r.funnel_level
+        for r in window_funnel(
+            df,
+            [
+                F.col("event_type") == "view",
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+            ],
+            "INTERVAL 1 HOUR",
+        ).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 1, 4: 3}
