@@ -122,3 +122,72 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.groupBy("funnel_level").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# --------------------------------------------------------------------------
+# retention (CH parametric aggregate): per-user condition flags where every
+# later flag is AND-ed with the first (cohort-membership) condition, then
+# summed.  One groupBy over events — conditional aggregation only, no
+# joins: the single-shuffle shape that stays flat at 100 TB.
+# --------------------------------------------------------------------------
+
+
+def retention_counts(
+    events: DataFrame, conds: list[Column], user_col: str = "user_id"
+) -> DataFrame:
+    """One row: r0 = users matching conds[0]; rk = users matching BOTH
+    conds[0] and conds[k] (CH retention semantics)."""
+    per_user = events.groupBy(user_col).agg(
+        *[F.max(c.cast("int")).alias(f"c{i}") for i, c in enumerate(conds)]
+    )
+    aggs = [F.sum("c0").cast("bigint").alias("r0")]
+    for i in range(1, len(conds)):
+        aggs.append(
+            F.sum((F.col("c0") == 1).cast("int") * F.col(f"c{i}"))
+            .cast("bigint")
+            .alias(f"r{i}")
+        )
+    return per_user.agg(*aggs)
+
+
+@query(
+    "retention_weekly",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'signup'
+          AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+         THEN 1 ELSE 0 END) AS c0,
+    MAX(CASE WHEN ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+         THEN 1 ELSE 0 END) AS c1,
+    MAX(CASE WHEN ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+         THEN 1 ELSE 0 END) AS c2,
+    MAX(CASE WHEN ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29'
+         THEN 1 ELSE 0 END) AS c3
+  FROM events GROUP BY user_id
+)
+SELECT
+  CAST(SUM(c0) AS BIGINT) AS r0,
+  CAST(SUM(c0 * c1) AS BIGINT) AS r1,
+  CAST(SUM(c0 * c2) AS BIGINT) AS r2,
+  CAST(SUM(c0 * c3) AS BIGINT) AS r3
+FROM per_user
+""",
+)
+def retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort = users who signed up in week 1 of 2024-01; rk = of those,
+    how many were active in week k+1."""
+    e = t(spark, sf_dir, "events")
+
+    def in_week(k: int) -> Column:
+        lo = F.lit(f"2024-01-{1 + 7 * k:02d}").cast("timestamp")
+        hi = F.lit(f"2024-01-{8 + 7 * k:02d}").cast("timestamp")
+        return (F.col("ts") >= lo) & (F.col("ts") < hi)
+
+    conds = [
+        (F.col("event_type") == "signup") & in_week(0),
+        in_week(1),
+        in_week(2),
+        in_week(3),
+    ]
+    return retention_counts(e, conds)
