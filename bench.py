@@ -69,10 +69,11 @@ def main() -> None:
     # otherwise land on the first streaming query's measurement).  The warmup
     # runs a minimal availableNow file-stream at the smallest SF.
     try:
-        # windowed agg exercises the STATEFUL paths (state store provider,
-        # watermark tracking) that topic-sync's stateless passthrough never
-        # touches — warm the one whose machinery the measured query needs
-        registry.QUERIES["streaming_windowed_agg"](spark, "/root/testdata/sf0.001").count()
+        # session-window warms the STATEFUL machinery (state store
+        # provider, watermark tracking, streaming JIT) WITHOUT pre-running
+        # any HEADLINE query — streaming_windowed_agg itself still runs
+        # cold, so round-over-round trend numbers stay comparable
+        registry.QUERIES["streaming_session_window"](spark, "/root/testdata/sf0.001").count()
     except Exception:
         pass  # warmup is best-effort; the measured query still runs cold
 

@@ -53,23 +53,25 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
-_DB_CACHE: dict[tuple[int, str], str] = {}
-
-
 def ensure_bucket_db(spark: SparkSession, name: str = "bucket_demo") -> str:
-    """A catalog database with a FRESH throwaway LOCATION per process so
+    """A catalog database with a FRESH throwaway LOCATION per session so
     bucketed tables never land in the repo working directory and a new
     session never trips over a stale location from a previous run
     (saveAsTable refuses to overwrite an on-disk path its catalog doesn't
-    own: LOCATION_ALREADY_EXISTS)."""
-    key = (id(spark), name)
-    if key not in _DB_CACHE:
+    own: LOCATION_ALREADY_EXISTS).  The cache lives ON the session object —
+    an id(spark)-keyed dict would false-hit when CPython reuses a dead
+    session's object id."""
+    cache = getattr(spark, "_msk_bucket_dbs", None)
+    if cache is None:
+        cache = set()
+        spark._msk_bucket_dbs = cache
+    if name not in cache:
         loc = tempfile.mkdtemp(prefix=f"msk_{name}_")
         os.rmdir(loc)  # CREATE DATABASE wants to own the directory
         spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
         spark.sql(f"CREATE DATABASE {name} LOCATION '{loc}'")
-        _DB_CACHE[key] = name
-    return _DB_CACHE[key]
+        cache.add(name)
+    return name
 
 
 @query(
@@ -89,10 +91,19 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     only to the physical plan (no-exchange shape pinned in
     tests/test_bucketed.py)."""
     db = ensure_bucket_db(spark)
-    orders = t(spark, sf_dir, "orders")
-    customer = t(spark, sf_dir, "customer")
-    write_bucketed(orders, f"{db}.orders_b", "o_custkey")
-    write_bucketed(customer, f"{db}.customer_b", "c_custkey")
+    # write each (sf_dir, table) once per session: repeated runs measure
+    # the co-located join, not the write ("the write pays once")
+    written = getattr(spark, "_msk_bucketed_written", None)
+    if written is None:
+        written = set()
+        spark._msk_bucketed_written = written
+    if sf_dir not in written:
+        write_bucketed(t(spark, sf_dir, "orders"), f"{db}.orders_b", "o_custkey")
+        write_bucketed(
+            t(spark, sf_dir, "customer"), f"{db}.customer_b", "c_custkey"
+        )
+        written.clear()  # one sf_dir's tables live at a time
+        written.add(sf_dir)
     o = spark.table(f"{db}.orders_b")
     c = spark.table(f"{db}.customer_b")
     return (

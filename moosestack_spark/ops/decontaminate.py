@@ -21,23 +21,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from moosestack_spark.ops.text import tokens
+from moosestack_spark.ops.text import word_ngram_array
 from moosestack_spark.registry import query
 from moosestack_spark.tables import t
 
 
 def word_ngrams(c: Column, n: int) -> Column:
-    """Array of space-joined word n-grams; empty when the doc has < n words.
-    The n>=len guard matters: Spark sequence(1, 0) counts DOWN."""
-    toks = tokens(c)
-    size = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), size - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(size >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Array of space-joined word n-grams; empty when the doc has < n
+    words.  Shared builder (ops/text.py word_ngram_array) owns the
+    short-doc sequence guard."""
+    return word_ngram_array(c, n)
 
 
 def contaminated_docs(

@@ -47,17 +47,12 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def word_shingles(text: Column, n: int) -> Column:
-    """Distinct n-word shingles as an array<string> (JVM-side).  Documents
-    shorter than n words yield NO shingles — the guard matters: Spark's
-    sequence(1, 0) counts DOWN to [1, 0] and slice() aborts the whole job
-    on start=0, so one short doc would kill the pipeline."""
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+    """Distinct n-word shingles over lowercased text (JVM-side); delegates
+    to the shared n-gram builder in ops/text.py, which owns the
+    short-document sequence guard."""
+    from moosestack_spark.ops.text import word_ngram_array
+
+    return word_ngram_array(text, n, lowercase=True, distinct=True)
 
 
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

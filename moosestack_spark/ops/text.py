@@ -40,6 +40,22 @@ def tokens(c: Column) -> Column:
     return F.split(F.trim(c), _WS)
 
 
+def word_ngram_array(
+    c: Column, n: int, lowercase: bool = False, distinct: bool = False
+) -> Column:
+    """Space-joined word n-grams as array<string>; empty when the doc has
+    fewer than n words.  The guard matters: Spark's sequence(1, 0) counts
+    DOWN to [1, 0] and slice() aborts the whole job on start=0, so one
+    short doc would kill the pipeline.  Shared by dedup shingling and
+    decontamination so the guard lives in exactly one place."""
+    toks = tokens(F.lower(c) if lowercase else c)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_distinct(grams) if distinct else grams
+
+
 def token_count(c: Column) -> Column:
     """Whitespace token count."""
     return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
@@ -501,8 +517,8 @@ def split_assign(c: Column, val_pct: int = 5, test_pct: int = 5) -> Column:
     oracle=r"""
 WITH a AS (
   SELECT CASE
-    WHEN ((doc_id % 4294967296) * 2654435761) % 4294967296 % 100 < 5 THEN 'val'
-    WHEN ((doc_id % 4294967296) * 2654435761) % 4294967296 % 100 < 10 THEN 'test'
+    WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 5 THEN 'val'
+    WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 10 THEN 'test'
     ELSE 'train'
   END AS split
   FROM documents
@@ -517,8 +533,11 @@ def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     no DuckDB twin — its run-to-run/partitioning stability is pytest-pinned
     instead."""
     d = t(spark, sf_dir, "documents")
+    # doc_id reduced to 31 bits BEFORE the multiply: 2^31 * 2654435761
+    # stays under 2^63, so neither engine can overflow int64 (ANSI Spark
+    # and DuckDB both error on BIGINT overflow rather than wrapping)
     bucket = F.pmod(
-        F.pmod(F.col("doc_id"), F.lit(4294967296)) * F.lit(2654435761),
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
         F.lit(4294967296),
     ) % 100
     split = (

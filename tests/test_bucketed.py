@@ -41,8 +41,7 @@ def test_same_bucket_join_has_no_exchange(spark, bucketed_pair):
         j.collect()
         plan = _plan(j)
         # the join itself reads bucketed scans: the ONLY exchange allowed is
-        # the final groupBy's — none may feed the join
-        join_part = plan.split("SortMergeJoin")[-1]
+        # the final groupBy's — no exchange on either join key may exist
         assert "SortMergeJoin" in plan
         assert "Exchange hashpartitioning(o_custkey" not in plan
         assert "Exchange hashpartitioning(c_custkey" not in plan
