@@ -77,17 +77,21 @@ def main() -> None:
     except Exception:
         pass  # warmup is best-effort; the measured query still runs cold
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # Force full execution without driver-side materialization cost
-        # dominating: count() collapses to one long.
-        df.count()
-        timings[name] = round(time.perf_counter() - start, 3)
+        try:
+            df = fn(spark, sf_dir)
+            # Force full execution without driver-side materialization cost
+            # dominating: count() collapses to one long.
+            df.count()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # one broken query must never zero the run
+            print(f"BENCH-ERROR {name}: {exc!r}"[:500], file=sys.stderr)
+            timings[name] = None
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if v is not None), 3)
     print(
         json.dumps(
             {

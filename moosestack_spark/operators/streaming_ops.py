@@ -27,7 +27,7 @@ from moosestack_spark.operators._determinism import dsum, sql_dsum
 from moosestack_spark.registry import query
 from moosestack_spark.streaming.runner import run_file_stream
 from moosestack_spark.streaming.stream import ExpressionTransform, Stream
-from moosestack_spark.tables import t
+from moosestack_spark.tables import normalize_event_ts, t
 
 def _poison():
     # Column exprs need an active session — built lazily per query run.
@@ -225,9 +225,7 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack.__enter__()
     try:
         stream = (
-            spark.readStream.schema(events_schema)
-            .parquet(src_dir)
-            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+            normalize_event_ts(spark.readStream.schema(events_schema).parquet(src_dir))
             .withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
             .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
@@ -306,9 +304,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack.__enter__()
     try:
         stream = (
-            spark.readStream.schema(events_schema)
-            .parquet(src_dir)
-            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+            normalize_event_ts(spark.readStream.schema(events_schema).parquet(src_dir))
             .groupBy(F.session_window("ts", "6 hours"), F.col("user_id"))
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select(
@@ -676,9 +672,7 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack.__enter__()
     try:
         deduped = (
-            spark.readStream.schema(events_schema)
-            .parquet(src_dir)
-            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+            normalize_event_ts(spark.readStream.schema(events_schema).parquet(src_dir))
             .withWatermark("ts", "1 hour")
             .dropDuplicatesWithinWatermark(["event_id", "user_id", "event_type", "ts"])
             .select("event_id", "user_id", "event_type", "ts")

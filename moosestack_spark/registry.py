@@ -39,69 +39,67 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 # The driver's CORRECTNESS run checks the first 50 registered queries per
-# round.  Round 1 covered registry positions 0-49; the names below are the
-# queries that have NOT yet received a hard driver-correctness row (plus
-# agg_group_array, which errored in r1 on an array-typed output, and most
-# queries newly added this round).  They are promoted to the front of the
-# registry so round 2's window covers them.  The list is EXACTLY 50 long —
-# the three newest round-2 queries (agg_top_k, funnel_view_click_purchase,
-# retention_weekly) deliberately wait outside for the round-3 rotation,
-# along with the ~45 r1-green queries; rotate next round until every query
-# has had a green row.
+# round.  Rounds 1+2 between them gave 96 of the 102 queries a driver row.
+# Round 3's window: the 3 queries never yet checked, the 3 streaming queries
+# that ERR'd in r2 on the events.ts layout drift (fixed via
+# tables.normalize_event_ts — re-check), any queries newly added this round,
+# then backfill with r1-green queries for drift re-confirmation (the r2
+# testdata regeneration proved the environment can shift under the repo).
 _WINDOW_PRIORITY = [
-    # r1 positions 50-88, never driver-checked
-    "setop_intersect_except",
-    "setop_all_variants",
-    "agg_salted_skew",
-    "sort_multikey_limit",
-    "sort_paginate",
-    "sort_limit_clamp",
-    "sample_hash_mod",
-    "streaming_zero_or_many_transform",
-    "streaming_dlq_envelope",
+    # never driver-checked (held out of the r2 window by design)
+    "agg_top_k",
+    "funnel_view_click_purchase",
+    "retention_weekly",
+    # ERR'd in r2 (events.ts timestamp[us] vs nanos-long) — fixed, re-check
     "streaming_windowed_agg",
     "streaming_session_window",
-    "streaming_stateful_user_stats",
-    "streaming_multi_route",
-    "etl_extract_transform_load",
-    "streaming_dlq_recovery",
-    "window_row_number_topk",
-    "window_rank_dense",
-    "window_lag",
-    "window_running_sum",
-    "window_first_last",
-    "window_lead_distribution",
-    "window_range_frame",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "multimodal_image_features",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "similarity_bruteforce_topk",
-    "similarity_lsh_bucketed",
-    "similarity_ivf",
-    "text_token_stats",
-    "text_stopword_ratio",
-    "text_fingerprint",
-    "text_quality_bucket",
-    "text_lang_id",
-    "text_rolling_fingerprint",
-    # errored in r1 (driver canonicalizer vs array column) — re-check fixed form
-    "agg_group_array",
-    # new queries this round
-    "dedup_embedding_cosine_pruned",
-    "agg_uniq_exact",
-    "streaming_topic_sync",
-    "text_c4_quality_filter",
-    "text_pii_redact",
-    "decontam_ngram_overlap",
-    "text_repetition_signals",
-    "text_train_val_test_split",
-    "join_bucketed_colocated",
     "streaming_dedup_exact",
+    # --- new round-3 queries get inserted here as they land ---
+    # backfill: r1-green queries, re-confirmed against the regenerated testdata
+    "agg_pricing_summary",
+    "agg_count_if",
+    "agg_count_distinct",
+    "agg_arg_max",
+    "agg_having",
+    "agg_rollup",
+    "agg_quantile",
+    "agg_grouping_sets",
+    "engine_replacing_dedup",
+    "engine_summing_rollup",
+    "engine_collapsing",
+    "engine_versioned_collapsing",
+    "filter_comparisons",
+    "filter_in_between",
+    "filter_like",
+    "filter_null_checks",
+    "filter_semantics_skip_and_empty_in",
+    "filter_empty_in_is_false",
+    "join_left_lookup",
+    "join_star_multi",
+    "join_theta",
+    "join_full_outer",
+    "join_semi_anti",
+    "join_asof",
+    "join_range_buckets",
+    "analytics_shipping_priority",
+    "analytics_local_supplier_volume",
+    "mv_incremental_daily_rollup",
+    "mv_populate_matches_incremental",
+    "mv_hypertable_rollup",
+    "scalar_date_bucketing",
+    "scalar_hour_bucketing",
+    "scalar_string_funcs",
+    "scalar_math_funcs",
+    "scalar_conditionals",
+    "scalar_json_extract",
+    "scalar_array_ops",
+    "scalar_conversions",
+    "scalar_hash_md5",
+    "scalar_json_variant",
+    "sql_ch_dialect_translated",
+    "semantic_dims_metrics_groupby",
+    "semantic_join_dimension_having",
+    "semantic_detail_mode",
 ]
 
 

@@ -42,19 +42,31 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _read_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet — Spark has no nanosecond
-    timestamp type.  Read nanos as long (legacy conf) and floor-truncate to
-    microseconds, matching DuckDB's ns->us truncation so both engines see
-    identical timestamp values."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to a microsecond timestamp whatever the storage
+    layout.  The driver has shipped events.parquet in two layouts so far:
+    TIMESTAMP(NANOS) (read as int64 via the nanosAsLong legacy conf — needs a
+    ns->us floor-truncate matching DuckDB) and TIMESTAMP(MICROS) (read as
+    timestamp_ntz — already what we want).  Branch on the OBSERVED schema so
+    either layout works; callers set the nanosAsLong conf *before* building
+    `df` so the nanos layout doesn't error at scan time.  Works on both batch
+    and streaming DataFrames (pure projection, analysis-time only)."""
     ts_type = dict(df.dtypes).get("ts")
     if ts_type in ("bigint", "long"):
-        df = df.withColumn(
+        return df.withColumn(
             "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
         )
+    if ts_type == "timestamp_ntz":
+        # Watermarks/windows require TIMESTAMP (with-tz).  Session tz is
+        # pinned to UTC (session.py:30) so the cast preserves wall-clock
+        # values and date_format output stays identical to the NTZ batch path.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(spark.read.parquet(path))
 
 
 def register_views(
