@@ -352,12 +352,18 @@ def agg_uniq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # topK heavy hitters (CH topK(k)(col), aggregate-functions/reference).  The
 # reference's topK is approximate (filtered space-saving); we compute the
-# EXACT top-k with a deterministic tiebreak (count desc, value asc), which
-# is a two-shuffle plan — (group, value) counts w/ map-side combine, then a
-# per-group window over the distinct-value space (|values|, not |rows|).
-# At 100 TB with unbounded cardinality you'd swap in a sketch; for typed
-# dimension columns (the CH use case) the distinct space is small and exact
-# wins.  Output is array_join'd: the driver canonicalizer can't hash arrays.
+# EXACT top-k with a deterministic tiebreak (count desc, value asc).
+# Plan shape: (group, value) counts with map-side combine, then a
+# PARTITION-LOCAL top-k (window over (group, partition_id) — every cell is
+# one partition's slice of one group's values, so no single sort ever sees
+# a group's full distinct space), then the global per-group window over at
+# most k rows per group per upstream partition.  Exactness: the order
+# (count desc, value asc) is total, and a global top-k element beats all
+# but < k elements in ANY subset containing it — so global winners are
+# always local winners and the pre-prune loses nothing.  This is what keeps
+# unbounded-cardinality value columns from serializing one group's entire
+# distinct space through a single per-group sort at 100 TB.
+# Output is array_join'd: the driver canonicalizer can't hash arrays.
 # --------------------------------------------------------------------------
 
 
@@ -390,14 +396,22 @@ def agg_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def top_k(df: DataFrame, group_col: str, value_col: str, k: int) -> DataFrame:
     """Exact heavy hitters per group: array of the k most frequent values
-    (count desc, value asc tiebreak) as `top_values`."""
+    (count desc, value asc tiebreak) as `top_values`.  Two-stage window:
+    partition-local top-k bounds the global per-group sort at k rows per
+    upstream partition (see module comment for the exactness argument)."""
     from pyspark.sql import Window
 
     counts = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    w = Window.partitionBy(group_col).orderBy(
-        F.col("__cnt").desc(), F.col(value_col).asc()
+    order = [F.col("__cnt").desc(), F.col(value_col).asc()]
+    local = Window.partitionBy(group_col, "__pid").orderBy(*order)
+    pruned = (
+        counts.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrk", F.row_number().over(local))
+        .filter(F.col("__lrk") <= k)
+        .drop("__pid", "__lrk")
     )
-    ranked = counts.withColumn("__rk", F.row_number().over(w)).filter(
+    w = Window.partitionBy(group_col).orderBy(*order)
+    ranked = pruned.withColumn("__rk", F.row_number().over(w)).filter(
         F.col("__rk") <= k
     )
     return ranked.groupBy(group_col).agg(

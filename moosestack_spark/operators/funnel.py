@@ -14,15 +14,16 @@ range joins on (user_id, ts-bounds).  Scale shape at 100 TB:
 - each step frame is a pushed-down filtered scan of events (filter lands in
   the parquet scan, ReadSchema = 2 columns);
 - joins shuffle on user_id only; per-user row groups are small, and the
-  range predicate prunes pairs inside each group — no quadratic blowup
-  unless one user has pathological event counts (then AQE skew-split or a
-  per-user event cap applies);
-- level membership dedups BEFORE the next join (distinct user chains, not
-  event pairs, flow upward), so intermediate cardinality is bounded by
-  |users|, shrinking monotonically with level.
+  range predicate prunes pairs inside each group;
+- after each level only the EARLIEST continuation per (user, start) is
+  kept: min(prev) imposes the weakest `t2 > prev` constraint on the next
+  step, so greedy is exact for chain existence.  This collapses the
+  per-level intermediate to at most one row per (user, start) — a bot user
+  with V views and C clicks contributes ≤ V rows at every level, never the
+  V×C witness product a plain distinct would keep.
 
 A step-k chain needs the step-(k-1) chain's start AND previous timestamps,
-so intermediates carry (user_id, start_ts, prev_ts) deduped per level.
+so intermediates carry (user_id, start_ts, min prev_ts) per level.
 """
 
 from __future__ import annotations
@@ -32,6 +33,26 @@ from pyspark.sql import functions as F
 
 from moosestack_spark.registry import query
 from moosestack_spark.tables import t
+
+
+def _advance_level(chain: DataFrame, nxt: DataFrame, w: Column) -> DataFrame:
+    """Extend every (u, start, prev) chain witness by one funnel step,
+    keeping only the earliest continuation per (u, start).  min(prev) is
+    exact for chain EXISTENCE: among witnesses sharing a start, the smallest
+    prev admits a superset of possible next events, so any chain extendable
+    from some witness is extendable from the min-prev one.  Bounds the
+    intermediate at one row per (user, start) regardless of per-user event
+    skew (tested with a 1k-view/1k-click bot in test_funnel.py)."""
+    return (
+        chain.join(
+            nxt,
+            (F.col("u") == F.col("u2"))
+            & (F.col("t2") > F.col("prev"))
+            & (F.col("t2") <= F.col("start") + w),
+        )
+        .groupBy("u", "start")
+        .agg(F.min("t2").alias("prev"))
+    )
 
 
 def window_funnel(
@@ -52,21 +73,12 @@ def window_funnel(
         )
         for cond in steps
     ]
-    # chains[k] = distinct (u, start, prev) witnesses for a (k+1)-step chain
+    # chains[k] = (u, start, min prev) — one row per (user, start) witness
     chain = frames[0].select("u", F.col("t").alias("start"), F.col("t").alias("prev")).distinct()
     levels = [chain.select("u").distinct().withColumn("lvl", F.lit(1))]
     for k in range(1, len(frames)):
         nxt = frames[k].select(F.col("u").alias("u2"), F.col("t").alias("t2"))
-        chain = (
-            chain.join(
-                nxt,
-                (F.col("u") == F.col("u2"))
-                & (F.col("t2") > F.col("prev"))
-                & (F.col("t2") <= F.col("start") + w),
-            )
-            .select("u", "start", F.col("t2").alias("prev"))
-            .distinct()
-        )
+        chain = _advance_level(chain, nxt, w)
         levels.append(chain.select("u").distinct().withColumn("lvl", F.lit(k + 1)))
     all_levels = levels[0]
     for lv in levels[1:]:
@@ -85,9 +97,10 @@ WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
 c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
 p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
 ch2 AS (
-  SELECT DISTINCT v.user_id, v.ts AS start, c.ts AS prev
+  SELECT v.user_id, v.ts AS start, MIN(c.ts) AS prev
   FROM v JOIN c ON c.user_id = v.user_id
    AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR
+  GROUP BY v.user_id, v.ts
 ),
 ch3 AS (
   SELECT DISTINCT ch2.user_id

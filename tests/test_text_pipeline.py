@@ -107,3 +107,46 @@ def test_window_funnel_semantics(spark):
         ).collect()
     }
     assert got == {1: 3, 2: 3, 3: 1, 4: 3}
+
+
+def test_window_funnel_bot_skew_bounded(spark):
+    """A bot user with 1k views and 1k clicks inside one window must not
+    blow the level-2 intermediate up to the 10^6 (view, click) witness
+    product — _advance_level keeps min(prev) per (user, start), so the
+    intermediate stays at <= one row per view, and the funnel level is
+    still exact."""
+    from datetime import datetime, timedelta
+
+    from moosestack_spark.operators.funnel import _advance_level, window_funnel
+
+    t0 = datetime(2024, 1, 1, 0, 0)
+    rows = [(1, "view", t0 + timedelta(seconds=2 * i)) for i in range(1000)]
+    rows += [(1, "click", t0 + timedelta(seconds=2 * i + 1)) for i in range(1000)]
+    rows.append((1, "purchase", t0 + timedelta(seconds=2001)))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    views = df.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("t")
+    )
+    clicks = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("t2")
+    )
+    chain = views.select(
+        "u", F.col("t").alias("start"), F.col("t").alias("prev")
+    ).distinct()
+    lvl2 = _advance_level(chain, clicks, F.expr("INTERVAL 12 HOURS"))
+    assert lvl2.count() == 1000  # one row per view start, not 1000*1000
+
+    got = {
+        r.user_id: r.funnel_level
+        for r in window_funnel(
+            df,
+            [
+                F.col("event_type") == "view",
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+            ],
+            "INTERVAL 12 HOURS",
+        ).collect()
+    }
+    assert got == {1: 3}
