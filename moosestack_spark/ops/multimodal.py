@@ -7,11 +7,13 @@ Representation: a media column is `binary` payload + a metadata struct
 decode / feature-extract / resize / frame-sample operators are Pandas UDFs
 over mapInPandas — Arrow-batched, schema-stable, partition-parallel.
 
-Decode is REAL for the uncompressed container formats a pure-numpy sandbox
-can handle: BMP (24-bit BI_RGB), PPM (P6) and WAV (PCM16, stdlib `wave`).
-Compressed formats (JPEG/PNG/MP3/MP4) still raise NotImplementedError —
-that boundary is honest: they need PIL/ffmpeg, absent in this container;
-swapping the sniffer's branch for a PIL call is the only change needed.
+Decode is REAL for BMP (24-bit BI_RGB), PPM (P6), WAV (PCM16, stdlib
+`wave`) and — as of round 3 — baseline JPEG (pure-numpy Huffman + IDCT
+decoder, ops/jpeg.py; the one format real training corpora actually use).
+Remaining compressed formats (PNG/MP3/MP4, progressive JPEG) raise
+NotImplementedError — that boundary is honest: they need zlib-bitstream/
+ffmpeg work, and swapping the sniffer's branch for a real call is the only
+change needed.
 
 Scale notes: media payloads dominate row size, so operators (a) never
 shuffle raw bytes (feature extraction projects bytes away before any wide
@@ -170,10 +172,14 @@ def decode_image(payload: bytes, strict: bool = True) -> np.ndarray | None:
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:2] == b"\xff\xd8":
+        from moosestack_spark.ops.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if strict:
         raise NotImplementedError(
-            "compressed image formats (JPEG/PNG/...) require PIL/opencv; "
-            "BMP and PPM decode natively"
+            "PNG and other compressed formats require a zlib-bitstream "
+            "decoder; BMP, PPM and baseline JPEG decode natively"
         )
     return None
 
@@ -502,6 +508,67 @@ GROUP BY doc_id
         auds = media.filter(F.col("meta.media_type") == "audio")
         return extract_audio_features(auds).select(
             "media_id", "sample_rate", "n_samples", "mean_amp", "peak_amp"
+        )
+
+    @query(
+        "multimodal_jpeg_features",
+        oracle=f"""
+WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+tiles AS (
+  SELECT tx.tx, ty.ty
+  FROM (SELECT UNNEST(generate_series(0, {IMG_W // 8 - 1})) AS tx) tx
+  CROSS JOIN (SELECT UNNEST(generate_series(0, {IMG_H // 8 - 1})) AS ty) ty
+)
+SELECT doc_id AS media_id,
+       {IMG_W} AS width, {IMG_H} AS height,
+       CAST(CAST(SUM((doc_id * 7 + tx * 13 + ty * 31) % 256) AS BIGINT) AS DOUBLE)
+         / {(IMG_W // 8) * (IMG_H // 8)} AS mean_r
+FROM img CROSS JOIN tiles
+GROUP BY doc_id
+""",
+    )
+    def multimodal_jpeg_features(spark, sf_dir: str) -> DataFrame:
+        """REAL JPEG roundtrip through the pure-numpy baseline codec
+        (ops/jpeg.py): grayscale images built from 8x8 constant tiles keyed
+        on doc_id are Huffman+DCT encoded, then decoded by the general
+        baseline decoder inside the Arrow kernel.  With a unit DC quant
+        step a constant block's DCT roundtrip is bit-exact (DC = 8*(v-128),
+        AC = 0), so the decoded channel mean is SQL-replayable: mean over
+        the tile-value grid.  One wrong Huffman bit or IDCT coefficient
+        fails the hash."""
+        from moosestack_spark.ops.jpeg import encode_jpeg
+        from moosestack_spark.tables import t as _t
+
+        d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") % 3 == 0
+        )
+
+        def enc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            tx = np.arange(IMG_W // 8)
+            ty = np.arange(IMG_H // 8)
+            for pdf in batches:
+                out = {"media_id": [], "payload": []}
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    tiles = (did * 7 + tx[None, :] * 13 + ty[:, None] * 31) % 256
+                    img = np.repeat(
+                        np.repeat(tiles.astype(np.uint8), 8, axis=0), 8, axis=1
+                    )
+                    out["media_id"].append(did)
+                    out["payload"].append(encode_jpeg(img))
+                yield pd.DataFrame(out)
+
+        jpegs = d.mapInPandas(
+            enc_kernel,
+            StructType(
+                [
+                    StructField("media_id", LongType(), False),
+                    StructField("payload", BinaryType(), False),
+                ]
+            ),
+        )
+        return extract_image_features(jpegs).select(
+            "media_id", "width", "height", "mean_r"
         )
 
     @query(

@@ -54,7 +54,8 @@ _WINDOW_PRIORITY = [
     "streaming_windowed_agg",
     "streaming_session_window",
     "streaming_dedup_exact",
-    # --- new round-3 queries get inserted here as they land ---
+    # --- new round-3 queries ---
+    "multimodal_jpeg_features",
     # backfill: r1-green queries, re-confirmed against the regenerated testdata
     "agg_pricing_summary",
     "agg_count_if",
@@ -99,7 +100,6 @@ _WINDOW_PRIORITY = [
     "sql_ch_dialect_translated",
     "semantic_dims_metrics_groupby",
     "semantic_join_dimension_having",
-    "semantic_detail_mode",
 ]
 
 

@@ -131,3 +131,70 @@ def test_feature_extraction_honors_id_col(spark):
     afeats = extract_audio_features(auds, id_col="clip_id")
     assert afeats.schema.fieldNames()[0] == "clip_id"
     assert afeats.select("clip_id").count() == 4
+
+
+# --------------------------------------------------------------------------
+# baseline JPEG codec (ops/jpeg.py)
+# --------------------------------------------------------------------------
+
+
+def test_jpeg_constant_tiles_roundtrip_exact():
+    """8x8-constant-tile grayscale with a unit DC quant step roundtrips
+    bit-exactly (DC-only blocks; the property the oracle-gated query
+    relies on)."""
+    import numpy as np
+
+    from moosestack_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(42)
+    tiles = rng.integers(0, 256, (3, 5), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == (24, 40, 3)
+    assert np.array_equal(dec[..., 0], img)
+    assert np.array_equal(dec[..., 0], dec[..., 1])
+
+
+def test_jpeg_general_roundtrip_bounded():
+    """Arbitrary content through the full Huffman+DCT path stays within a
+    small error bound at the near-lossless table, for grayscale, color and
+    non-multiple-of-8 dimensions."""
+    import numpy as np
+
+    from moosestack_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:29, 0:45]
+    gray = ((x * 7 + y * 11) % 256).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(gray))[..., 0].astype(int)
+    assert got.shape == (29, 45)
+    assert np.abs(got - gray.astype(int)).max() <= 8
+
+    rgb = np.stack(
+        [(x * 2 + y) % 256, (x + y * 3) % 256, (x * 5 + y * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    got3 = decode_jpeg(encode_jpeg(rgb)).astype(int)
+    assert np.abs(got3 - rgb.astype(int)).max() <= 8  # YCbCr roundtrip loss
+
+
+def test_jpeg_rejects_non_baseline():
+    import numpy as np
+    import pytest as _pytest
+
+    from moosestack_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+
+
+def test_decode_image_sniffs_jpeg():
+    import numpy as np
+
+    from moosestack_spark.ops.jpeg import encode_jpeg
+    from moosestack_spark.ops.multimodal import decode_image
+
+    img = np.full((8, 16), 200, dtype=np.uint8)
+    px = decode_image(encode_jpeg(img))
+    assert px.shape == (8, 16, 3) and int(px[0, 0, 0]) == 200
