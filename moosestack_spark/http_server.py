@@ -65,32 +65,54 @@ def salvage_json_objects(text: str) -> list[dict]:
 
 @dataclass
 class JwtConfig:
-    """HS256 JWT validation config (iss/aud/exp are REQUIRED claims, as in
-    utilities/auth.rs create_validation)."""
+    """JWT validation config (iss/aud/exp are REQUIRED claims, as in
+    utilities/auth.rs create_validation).  Exactly one of `secret` (HS256)
+    or `public_key_pem` (RS256 — the reference's algorithm, verified in
+    pure Python via rsa_verify.py) must be set; the token's header alg
+    must match the configured mode, so an attacker can't downgrade an
+    RS256 deployment to HS256-with-the-PEM-as-secret."""
 
-    secret: str
     issuer: str
     audience: str
+    secret: Optional[str] = None
+    public_key_pem: Optional[str] = None
+
+    def __post_init__(self) -> None:
+        if (self.secret is None) == (self.public_key_pem is None):
+            raise ValueError("set exactly one of secret / public_key_pem")
 
 
 def _b64url_decode(seg: str) -> bytes:
     return base64.urlsafe_b64decode(seg + "=" * (-len(seg) % 4))
 
 
-def decode_jwt_hs256(token: str, config: JwtConfig) -> Optional[dict]:
-    """Validate signature + iss/aud/exp; return the claims dict or None."""
+def decode_jwt(token: str, config: JwtConfig) -> Optional[dict]:
+    """Validate signature (HS256 or RS256 per config) + iss/aud/exp;
+    return the claims dict or None."""
     try:
         header_b64, payload_b64, sig_b64 = token.split(".")
         header = json.loads(_b64url_decode(header_b64))
-        if header.get("alg") != "HS256":
-            return None
-        expected = hmac.new(
-            config.secret.encode(),
-            f"{header_b64}.{payload_b64}".encode(),
-            hashlib.sha256,
-        ).digest()
-        if not hmac.compare_digest(expected, _b64url_decode(sig_b64)):
-            return None
+        signing_input = f"{header_b64}.{payload_b64}".encode()
+        sig = _b64url_decode(sig_b64)
+        if config.secret is not None:
+            if header.get("alg") != "HS256":
+                return None
+            expected = hmac.new(
+                config.secret.encode(), signing_input, hashlib.sha256
+            ).digest()
+            if not hmac.compare_digest(expected, sig):
+                return None
+        else:
+            if header.get("alg") != "RS256":
+                return None
+            from moosestack_spark.rsa_verify import (
+                parse_rsa_public_key_pem,
+                rsa_verify_pkcs1_sha256,
+            )
+
+            n, e = parse_rsa_public_key_pem(config.public_key_pem)
+            if not rsa_verify_pkcs1_sha256(signing_input, sig, n, e):
+                return None
         claims = json.loads(_b64url_decode(payload_b64))
         if claims.get("iss") != config.issuer:
             return None
@@ -104,6 +126,10 @@ def decode_jwt_hs256(token: str, config: JwtConfig) -> Optional[dict]:
         return claims
     except Exception:
         return None
+
+
+# Back-compat alias (HS256 was the only mode before RS256 support landed).
+decode_jwt_hs256 = decode_jwt
 
 
 def encode_jwt_hs256(claims: dict, secret: str) -> str:
@@ -131,11 +157,25 @@ class MooseHttpServer:
         api_key: Optional[str] = None,
         jwt_config: Optional[JwtConfig] = None,
         max_body_bytes: int = DEFAULT_MAX_BODY,
+        max_concurrent_requests: Optional[int] = None,
     ):
+        """max_concurrent_requests bounds in-flight request handling (the
+        reference runs one consumption worker per core,
+        consumption-apis/runner.ts:449-504; for a Spark backend the
+        equivalent is a bounded admission gate on the shared driver —
+        concurrent requests run as parallel Spark jobs, and beyond the
+        bound the server sheds load with 503 instead of queueing
+        unboundedly).  Default: os.cpu_count(), matching the reference's
+        per-core sizing."""
+        import os as _os
+
         self.spark = spark
         self.api_key = api_key
         self.jwt_config = jwt_config
         self.max_body_bytes = max_body_bytes
+        self._slots = threading.Semaphore(
+            max_concurrent_requests or _os.cpu_count() or 4
+        )
         self._pipelines: dict[tuple[str, Optional[str]], object] = {}
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
@@ -168,7 +208,7 @@ class MooseHttpServer:
         auth = headers.get("Authorization", "")
         token = auth[len("Bearer ") :] if auth.startswith("Bearer ") else None
         if self.jwt_config is not None:
-            claims = decode_jwt_hs256(token, self.jwt_config) if token else None
+            claims = decode_jwt(token, self.jwt_config) if token else None
             return claims is not None, claims
         if self.api_key is not None:
             # compare bytes: compare_digest on str raises TypeError for
@@ -198,17 +238,28 @@ class MooseHttpServer:
                 self.end_headers()
                 self.wfile.write(body)
 
-            def do_POST(self) -> None:
+            def _with_slot(self, inner) -> None:
                 # every failure must terminate in an HTTP reply — an
                 # uncaught exception here drops the connection with no
                 # status, which clients see as an empty reply
+                if not server._slots.acquire(blocking=False):
+                    try:
+                        self._reply(503, {"error": "server at capacity"})
+                    except Exception:
+                        pass
+                    return
                 try:
-                    self._do_post_inner()
+                    inner()
                 except Exception as exc:
                     try:
                         self._reply(500, {"error": str(exc)})
                     except Exception:
                         pass
+                finally:
+                    server._slots.release()
+
+            def do_POST(self) -> None:
+                self._with_slot(self._do_post_inner)
 
             def _do_post_inner(self) -> None:
                 parts = [p for p in urlsplit(self.path).path.split("/") if p]
@@ -281,13 +332,7 @@ class MooseHttpServer:
                 self._reply(200, result)
 
             def do_GET(self) -> None:
-                try:
-                    self._do_get_inner()
-                except Exception as exc:
-                    try:
-                        self._reply(500, {"error": str(exc)})
-                    except Exception:
-                        pass
+                self._with_slot(self._do_get_inner)
 
             def _do_get_inner(self) -> None:
                 from moosestack_spark.api import get_api

@@ -171,7 +171,10 @@ def test_jwt_auth_and_claims():
     )
     assert decode_jwt_hs256(good, cfg)["user"] == "u1"
     # wrong secret / issuer / audience / expired all rejected
-    assert decode_jwt_hs256(good, JwtConfig("other", "iss1", "aud1")) is None
+    assert (
+        decode_jwt_hs256(good, JwtConfig(secret="other", issuer="iss1", audience="aud1"))
+        is None
+    )
     bad_iss = encode_jwt_hs256({"iss": "x", "aud": "aud1", "exp": time.time() + 60}, "s3")
     assert decode_jwt_hs256(bad_iss, cfg) is None
     expired = encode_jwt_hs256({"iss": "iss1", "aud": "aud1", "exp": time.time() - 1}, "s3")
@@ -265,3 +268,187 @@ def test_parse_failure_salvages_objects_to_dlq(server):
     assert len(dlq) == 1
     assert json.loads(dlq[0].original_record) == {"id": 1, "kind": "a"}
     assert dlq[0].error_type == "ParseError"
+
+
+# --------------------------------------------------------------------------
+# RS256 JWT (rsa_verify.py) and bounded-concurrency admission
+# --------------------------------------------------------------------------
+
+
+def _tiny_rsa_keypair():
+    """Deterministic 1024-bit RSA keypair for tests (Miller-Rabin primes
+    from a seeded PRNG; fine for test vectors, never for production)."""
+    import random
+
+    rng = random.Random(20240813)
+
+    def is_prime(n):
+        if n % 2 == 0:
+            return False
+        d, r = n - 1, 0
+        while d % 2 == 0:
+            d //= 2
+            r += 1
+        for _ in range(24):
+            a = rng.randrange(2, n - 1)
+            x = pow(a, d, n)
+            if x in (1, n - 1):
+                continue
+            for _ in range(r - 1):
+                x = pow(x, 2, n)
+                if x == n - 1:
+                    break
+            else:
+                return False
+        return True
+
+    def gen_prime(bits):
+        while True:
+            p = rng.getrandbits(bits) | (1 << (bits - 1)) | 1
+            if is_prime(p):
+                return p
+
+    p, q = gen_prime(512), gen_prime(512)
+    n, e = p * q, 65537
+    d = pow(e, -1, (p - 1) * (q - 1))
+    return n, e, d
+
+
+def _rsa_pem(n, e):
+    """(n, e) -> SubjectPublicKeyInfo PEM (mirrors the parser's format)."""
+    import base64 as b64
+
+    def der_int(v):
+        b = v.to_bytes((v.bit_length() + 7) // 8, "big")
+        if b[0] & 0x80:
+            b = b"\x00" + b
+        return bytes([0x02]) + der_len(len(b)) + b
+
+    def der_len(n_):
+        if n_ < 0x80:
+            return bytes([n_])
+        b = n_.to_bytes((n_.bit_length() + 7) // 8, "big")
+        return bytes([0x80 | len(b)]) + b
+
+    def der_seq(body):
+        return bytes([0x30]) + der_len(len(body)) + body
+
+    rsa_pub = der_seq(der_int(n) + der_int(e))
+    alg = der_seq(
+        bytes.fromhex("06092a864886f70d010101") + b"\x05\x00"
+    )
+    bitstr = bytes([0x03]) + (lambda b: (
+        bytes([len(b) + 1]) if len(b) + 1 < 0x80
+        else bytes([0x80 | len((len(b) + 1).to_bytes(2, "big").lstrip(b"\x00"))])
+        + (len(b) + 1).to_bytes(2, "big").lstrip(b"\x00")
+    ))(rsa_pub) + b"\x00" + rsa_pub
+    spki = der_seq(alg + bitstr)
+    body = b64.b64encode(spki).decode()
+    lines = [body[i : i + 64] for i in range(0, len(body), 64)]
+    return "-----BEGIN PUBLIC KEY-----\n" + "\n".join(lines) + "\n-----END PUBLIC KEY-----\n"
+
+
+def _encode_jwt_rs256(claims, n, d):
+    import base64 as b64
+    import hashlib
+    import json as _json
+
+    def enc(obj):
+        return b64.urlsafe_b64encode(
+            _json.dumps(obj, separators=(",", ":")).encode()
+        ).rstrip(b"=").decode()
+
+    head, payload = enc({"alg": "RS256", "typ": "JWT"}), enc(claims)
+    msg = f"{head}.{payload}".encode()
+    digest_info = bytes.fromhex("3031300d060960864801650304020105000420")
+    t = digest_info + hashlib.sha256(msg).digest()
+    k = (n.bit_length() + 7) // 8
+    em = b"\x00\x01" + b"\xff" * (k - len(t) - 3) + b"\x00" + t
+    sig = pow(int.from_bytes(em, "big"), d, n).to_bytes(k, "big")
+    return f"{head}.{payload}." + b64.urlsafe_b64encode(sig).rstrip(b"=").decode()
+
+
+def test_rs256_jwt_validation():
+    from moosestack_spark.http_server import decode_jwt
+    from moosestack_spark.rsa_verify import parse_rsa_public_key_pem
+
+    n, e, d = _tiny_rsa_keypair()
+    pem = _rsa_pem(n, e)
+    assert parse_rsa_public_key_pem(pem) == (n, e)
+
+    cfg = JwtConfig(public_key_pem=pem, issuer="iss1", audience="aud1")
+    good = _encode_jwt_rs256(
+        {"iss": "iss1", "aud": "aud1", "exp": time.time() + 60, "user": "bob"}, n, d
+    )
+    assert decode_jwt(good, cfg)["user"] == "bob"
+
+    # tampered payload fails signature check
+    h, p, s = good.split(".")
+    import base64 as b64
+
+    tampered_payload = b64.urlsafe_b64encode(
+        b64.urlsafe_b64decode(p + "=" * (-len(p) % 4)).replace(b"bob", b"eve")
+    ).rstrip(b"=").decode()
+    assert decode_jwt(f"{h}.{tampered_payload}.{s}", cfg) is None
+
+    # alg-downgrade: HS256 token signed with the PEM as secret is rejected
+    hs = encode_jwt_hs256(
+        {"iss": "iss1", "aud": "aud1", "exp": time.time() + 60}, pem
+    )
+    assert decode_jwt(hs, cfg) is None
+
+    # corrupted signature
+    bad_sig = good[:-6] + ("AAAAAA" if not good.endswith("AAAAAA") else "BBBBBB")
+    assert decode_jwt(bad_sig, cfg) is None
+
+    # config constructor: both or neither mode is an error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        JwtConfig(issuer="i", audience="a")
+    with _pytest.raises(ValueError):
+        JwtConfig(issuer="i", audience="a", secret="s", public_key_pem=pem)
+
+
+def test_server_sheds_load_at_capacity(spark, tmp_path):
+    """With max_concurrent_requests=1 and a slow handler occupying the
+    slot, a second request gets 503 instead of queueing."""
+    import threading as _threading
+    import urllib.request
+
+    clear_apis()
+
+    release = _threading.Event()
+    entered = _threading.Event()
+
+    class SlowParams(BaseModel):
+        pass
+
+    def slow(params, utils):
+        entered.set()
+        release.wait(timeout=10)
+        return spark.createDataFrame([(1,)], "x int")
+
+    Api("slow_api", SlowParams, slow)
+    srv = MooseHttpServer(spark, max_concurrent_requests=1)
+    port = srv.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        results = {}
+
+        def first():
+            code, rows = _get(f"{base}/api/slow_api")
+            results["first"] = code
+
+        t = _threading.Thread(target=first)
+        t.start()
+        assert entered.wait(timeout=10)
+        code, body = _get(f"{base}/api/slow_api")
+        assert code == 503
+        release.set()
+        t.join(timeout=10)
+        assert results["first"] == 200
+    finally:
+        release.set()
+        srv.stop()
+        clear_apis()
