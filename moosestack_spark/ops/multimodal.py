@@ -9,11 +9,12 @@ over mapInPandas — Arrow-batched, schema-stable, partition-parallel.
 
 Decode is REAL for BMP (24-bit BI_RGB), PPM (P6), WAV (PCM16, stdlib
 `wave`) and — as of round 3 — baseline JPEG (pure-numpy Huffman + IDCT
-decoder, ops/jpeg.py; the one format real training corpora actually use).
-Remaining compressed formats (PNG/MP3/MP4, progressive JPEG) raise
-NotImplementedError — that boundary is honest: they need zlib-bitstream/
-ffmpeg work, and swapping the sniffer's branch for a real call is the only
-change needed.
+decoder, ops/jpeg.py) and PNG (stdlib-zlib inflate + vectorized
+unfiltering, ops/png.py: 1-16 bit, gray/RGB/palette/alpha) — the formats
+real training corpora actually contain.  Remaining formats (GIF/WebP,
+MP3/MP4, progressive JPEG, Adam7 PNG) raise NotImplementedError — that
+boundary is honest, and swapping the sniffer's branch for a real call is
+the only change needed.
 
 Scale notes: media payloads dominate row size, so operators (a) never
 shuffle raw bytes (feature extraction projects bytes away before any wide
@@ -176,10 +177,14 @@ def decode_image(payload: bytes, strict: bool = True) -> np.ndarray | None:
         from moosestack_spark.ops.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from moosestack_spark.ops.png import decode_png
+
+        return decode_png(payload)
     if strict:
         raise NotImplementedError(
-            "PNG and other compressed formats require a zlib-bitstream "
-            "decoder; BMP, PPM and baseline JPEG decode natively"
+            "unrecognized image format (GIF/WebP/TIFF/...); BMP, PPM, "
+            "baseline JPEG and PNG decode natively"
         )
     return None
 
@@ -569,6 +574,64 @@ GROUP BY doc_id
         )
         return extract_image_features(jpegs).select(
             "media_id", "width", "height", "mean_r"
+        )
+
+    @query(
+        "multimodal_png_features",
+        oracle=f"""
+WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+grid AS (
+  SELECT x.x, y.y
+  FROM (SELECT UNNEST(generate_series(0, {IMG_W - 1})) AS x) x
+  CROSS JOIN (SELECT UNNEST(generate_series(0, {IMG_H - 1})) AS y) y
+)
+SELECT doc_id AS media_id,
+       {IMG_W} AS width, {IMG_H} AS height,
+       CAST(CAST(SUM((doc_id * 11 + x * 3 + y) % 256) AS BIGINT) AS DOUBLE) / {IMG_W * IMG_H} AS mean_r,
+       CAST(CAST(SUM((doc_id + x * 5 + y * 7) % 256) AS BIGINT) AS DOUBLE) / {IMG_W * IMG_H} AS mean_g,
+       CAST(CAST(SUM((doc_id * 13 + x + y * 3) % 256) AS BIGINT) AS DOUBLE) / {IMG_W * IMG_H} AS mean_b
+FROM img CROSS JOIN grid
+GROUP BY doc_id
+""",
+    )
+    def multimodal_png_features(spark, sf_dir: str) -> DataFrame:
+        """REAL PNG roundtrip (ops/png.py: DEFLATE via stdlib zlib +
+        scanline unfiltering).  PNG is lossless, so arbitrary planted RGB
+        gradients decode bit-exactly and the oracle replays the generator
+        arithmetic — any bug in chunk walking, inflate framing, filter
+        reconstruction or channel order fails the hash."""
+        from moosestack_spark.ops.png import encode_png
+        from moosestack_spark.tables import t as _t
+
+        d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") % 3 == 0
+        )
+
+        def enc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            y, x = np.mgrid[0:IMG_H, 0:IMG_W]
+            for pdf in batches:
+                out = {"media_id": [], "payload": []}
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    px = np.empty((IMG_H, IMG_W, 3), dtype=np.uint8)
+                    px[..., 0] = (did * 11 + x * 3 + y) % 256
+                    px[..., 1] = (did + x * 5 + y * 7) % 256
+                    px[..., 2] = (did * 13 + x + y * 3) % 256
+                    out["media_id"].append(did)
+                    out["payload"].append(encode_png(px))
+                yield pd.DataFrame(out)
+
+        pngs = d.mapInPandas(
+            enc_kernel,
+            StructType(
+                [
+                    StructField("media_id", LongType(), False),
+                    StructField("payload", BinaryType(), False),
+                ]
+            ),
+        )
+        return extract_image_features(pngs).select(
+            "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
         )
 
     @query(

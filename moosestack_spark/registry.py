@@ -56,6 +56,7 @@ _WINDOW_PRIORITY = [
     "streaming_dedup_exact",
     # --- new round-3 queries ---
     "multimodal_jpeg_features",
+    "multimodal_png_features",
     # backfill: r1-green queries, re-confirmed against the regenerated testdata
     "agg_pricing_summary",
     "agg_count_if",
@@ -99,7 +100,6 @@ _WINDOW_PRIORITY = [
     "scalar_json_variant",
     "sql_ch_dialect_translated",
     "semantic_dims_metrics_groupby",
-    "semantic_join_dimension_having",
 ]
 
 

@@ -198,3 +198,151 @@ def test_decode_image_sniffs_jpeg():
     img = np.full((8, 16), 200, dtype=np.uint8)
     px = decode_image(encode_jpeg(img))
     assert px.shape == (8, 16, 3) and int(px[0, 0, 0]) == 200
+
+
+# --------------------------------------------------------------------------
+# PNG codec (ops/png.py)
+# --------------------------------------------------------------------------
+
+
+def test_png_lossless_roundtrip():
+    import numpy as np
+
+    from moosestack_spark.ops.png import decode_png, encode_png
+
+    y, x = np.mgrid[0:23, 0:37]
+    gray = ((x * 7 + y * 11) % 256).astype(np.uint8)
+    got = decode_png(encode_png(gray))
+    assert got.shape == (23, 37, 3)
+    assert np.array_equal(got[..., 0], gray)
+
+    rgb = np.stack(
+        [(x * 2 + y) % 256, (x + y * 3) % 256, (x * 5) % 256], axis=-1
+    ).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+
+
+def test_png_all_filters_and_exotic_layouts():
+    """Decode PNGs built by hand with every scanline filter, a palette,
+    RGBA-over-white compositing and 16-bit samples — paths the encoder
+    itself never emits."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from moosestack_spark.ops.png import PNG_MAGIC, _chunk, decode_png
+
+    h, w, bpp = 5, 8, 3
+    px = ((np.arange(h)[:, None] * 13 + np.arange(w * 3)[None, :] * 7) % 256).astype(
+        np.uint8
+    )
+    scan = bytearray()
+    prev = np.zeros(w * 3, np.int64)
+    for yy in range(h):
+        f = yy % 5
+        line = px[yy].astype(np.int64)
+        enc = np.zeros(w * 3, np.int64)
+        for xx in range(w * 3):
+            a = line[xx - bpp] if xx >= bpp else 0
+            b = prev[xx]
+            c = prev[xx - bpp] if xx >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[xx] = (line[xx] - pred) & 0xFF
+        scan.append(f)
+        scan += bytes(enc.astype(np.uint8))
+        prev = line
+    data = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), px.reshape(h, w, 3))
+
+    # palette
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], np.uint8)
+    idx = (np.arange(h)[:, None] + np.arange(w)[None, :]) % 4
+    scan2 = bytearray()
+    for yy in range(h):
+        scan2.append(0)
+        scan2 += bytes(idx[yy].astype(np.uint8))
+    data2 = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(bytes(scan2)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data2), pal[idx])
+
+    # RGBA composited over white: (100*128 + 255*127 + 127)//255 == 177
+    rgba = np.zeros((2, 2, 4), np.uint8)
+    rgba[..., :3] = 100
+    rgba[..., 3] = 128
+    scan3 = bytearray()
+    for yy in range(2):
+        scan3.append(0)
+        scan3 += bytes(rgba[yy].reshape(-1))
+    data3 = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(bytes(scan3)))
+        + _chunk(b"IEND", b"")
+    )
+    assert int(decode_png(data3)[0, 0, 0]) == 177
+
+    # 16-bit grayscale scales to the high byte
+    g16 = (np.arange(12, dtype=np.uint16).reshape(3, 4) * 5000)
+    scan4 = bytearray()
+    for yy in range(3):
+        scan4.append(0)
+        scan4 += g16[yy].astype(">u2").tobytes()
+    data4 = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 16, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(bytes(scan4)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data4)[..., 0], (g16 >> 8).astype(np.uint8))
+
+
+def test_png_rejects_interlaced():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from moosestack_spark.ops.png import PNG_MAGIC, _chunk, decode_png
+
+    data = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(b"\x00ab\x00cd"))
+        + _chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_png(data)
+
+
+def test_decode_image_sniffs_png():
+    import numpy as np
+
+    from moosestack_spark.ops.multimodal import decode_image
+    from moosestack_spark.ops.png import encode_png
+
+    img = np.full((8, 16), 123, dtype=np.uint8)
+    px = decode_image(encode_png(img))
+    assert px.shape == (8, 16, 3) and int(px[0, 0, 0]) == 123
