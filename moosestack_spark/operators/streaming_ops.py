@@ -638,6 +638,102 @@ def streaming_topic_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Stream-stream interval join: clicks joined to subsequent purchases by the
+# same user within 1 hour, both sides watermarked.  The enrichment shape a
+# 100 TB event pipeline needs (attribution, sessionized conversion): state
+# on each side is bounded by watermark + join interval, not by history —
+# Spark buffers only rows whose event time is still joinable.  An INNER
+# interval join emits exactly the batch-join pairs on a bounded replay, so
+# the oracle is the plain SQL interval join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_stream_join",
+    oracle=f"""
+WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.user_id, c.event_id, p.value
+  FROM c JOIN p ON p.user_id = c.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_attributed,
+       {sql_dsum('value')} AS attributed_value
+FROM j GROUP BY user_id
+""",
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two watermarked streams (clicks, purchases) interval-joined on
+    (user_id, purchase within [click, click+1h]); joined pairs land in an
+    append parquet sink, then the gate aggregates attribution per user."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="msk_ssj_src_")
+    out_dir = tempfile.mkdtemp(prefix="msk_ssj_out_")
+    ckpt = tempfile.mkdtemp(prefix="msk_ssj_ckpt_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    stack = _stream_state_partitions(spark)
+    stack.__enter__()
+    try:
+        src = normalize_event_ts(
+            spark.readStream.schema(events_schema).parquet(src_dir)
+        )
+        clicks = (
+            src.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_event_id"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            src.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("value").alias("p_value"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        ).select("c_user", "c_event_id", "p_value")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(out_dir)
+            .groupBy(F.col("c_user").alias("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_attributed"),
+                dsum("p_value").alias("attributed_value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        stack.__exit__()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # Streaming exact dedup: dropDuplicatesWithinWatermark — the ingestion-time
 # dedup a 100 TB pipeline wants (state bounded by the watermark horizon,
 # not by history; an at-least-once Kafka source becomes effectively-once).

@@ -443,3 +443,105 @@ def ivf_train_centroids(
     data = df.select(array_to_vector(unit).alias("features"))
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(data)
     return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+
+# --------------------------------------------------------------------------
+# int8 quantization + quantized ANN — the memory lever for 100 TB vector
+# search: symmetric per-vector int8 cuts the candidate corpus 4x before an
+# index is built, and integer dot products are exact (no FP accumulation
+# order to worry about), so the quantized top-k is bit-deterministic and
+# fully oracle-replayable.
+# --------------------------------------------------------------------------
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8: q_i = round(x_i * 127 / max|x|) (zero
+    vector -> zeros).  Pure JVM exprs (transform/array_max), no UDF."""
+    maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    return F.when(
+        maxabs == 0.0, F.transform(vec, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            vec, lambda x: F.round(x.cast("double") * 127.0 / maxabs).cast("int")
+        )
+    )
+
+
+def quantized_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int8-quantized vectors (bigint)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(
+    queries_df: DataFrame,
+    candidates_df: DataFrame,
+    k: int = 5,
+    query_id: str = "q_id",
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Top-k by integer dot product over int8-quantized vectors: broadcast
+    the (small) quantized query set, scan candidates quantizing inline, one
+    window per query for the top-k.  Same no-candidate-shuffle shape as
+    brute_force_topk but on 1/4 the bytes and exact integer compares."""
+    qs = F.broadcast(
+        queries_df.select(query_id, quantize_int8(F.col(vec)).alias("__qv"))
+    )
+    cs = candidates_df.select(cand_id, quantize_int8(F.col(vec)).alias("__cv"))
+    scored = qs.crossJoin(cs).select(
+        query_id,
+        cand_id,
+        quantized_dot(F.col("__qv"), F.col("__cv")).alias("qdot"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("qdot").desc(), F.col(cand_id).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, cand_id, "qdot", "rnk")
+    )
+
+
+@query(
+    "similarity_quantized_topk",
+    oracle="""
+WITH q8 AS (
+  SELECT vec_id,
+         CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT))
+         END AS qv
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS maxabs
+    FROM embeddings
+  )
+), scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS qdot
+  FROM q8 q JOIN q8 c ON q.vec_id < 8
+), ranked AS (
+  SELECT q_id, c_id, qdot,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qdot DESC, c_id ASC) AS rnk
+  FROM scored
+)
+SELECT q_id, c_id, qdot, CAST(rnk AS INTEGER) AS rnk FROM ranked WHERE rnk <= 5
+""",
+)
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized ANN: top-5 per probe vector by exact integer dot
+    product.  Quantization (round half away from zero in both engines) and
+    the integer dot are bit-deterministic, so this is a hard hash gate on
+    the whole quantize->score->rank path."""
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cs = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    out = quantized_topk(qs, cs, k=5)
+    return out.withColumn("rnk", F.col("rnk").cast("int"))

@@ -57,6 +57,8 @@ _WINDOW_PRIORITY = [
     # --- new round-3 queries ---
     "multimodal_jpeg_features",
     "multimodal_png_features",
+    "streaming_stream_join",
+    "similarity_quantized_topk",
     # backfill: r1-green queries, re-confirmed against the regenerated testdata
     "agg_pricing_summary",
     "agg_count_if",
@@ -98,8 +100,6 @@ _WINDOW_PRIORITY = [
     "scalar_conversions",
     "scalar_hash_md5",
     "scalar_json_variant",
-    "sql_ch_dialect_translated",
-    "semantic_dims_metrics_groupby",
 ]
 
 

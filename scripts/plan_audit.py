@@ -34,6 +34,7 @@ ALLOWED = {
     # deliberate cross join of an 8-row broadcast query set against the
     # candidate scan: BroadcastNestedLoopJoin IS the broadcast-side plan
     "similarity_bruteforce_topk": {"BNLJ"},
+    "similarity_quantized_topk": {"BNLJ"},
 }
 
 
