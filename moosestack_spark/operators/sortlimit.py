@@ -115,3 +115,47 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_sampled")
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling with per-stratum rates (df.sampleBy's semantics made
+# deterministic): membership is md5(key) mod 100 < rate[stratum], a pure
+# function of the row — reproducible across runs, engines and partitionings,
+# which seeded Bernoulli sampling is not.  md5 exists in both engines, so
+# unlike the xxhash64 sample above this one gets a hard oracle row.
+# Zero-shuffle until the final aggregate: the sample predicate is a scan
+# filter.
+# --------------------------------------------------------------------------
+
+STRATA_RATES = {"O": 10, "F": 20, "P": 50}  # percent per o_orderstatus
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+WITH rates(status, pct) AS (VALUES ('O', 10), ('F', 20), ('P', 50))
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled
+FROM orders JOIN rates ON o_orderstatus = status
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 100 < pct
+GROUP BY o_orderstatus
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sample: 10% of 'O', 20% of 'F', 50% of
+    'P' orders by key-hash membership, then the sampled histogram."""
+    o = t(spark, sf_dir, "orders")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("bigint") % 100
+    rate = F.create_map(
+        *[x for s, p in STRATA_RATES.items() for x in (F.lit(s), F.lit(p))]
+    )[F.col("o_orderstatus")]
+    return (
+        o.filter(bucket < rate)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )

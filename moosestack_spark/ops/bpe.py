@@ -1,0 +1,164 @@
+"""Distributed BPE (byte-pair-encoding) tokenizer training.
+
+The training-data-pipeline operator the token-counting family builds
+toward: learn a subword merge table from a corpus (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units" — public
+algorithm), distributed the way a 100 TB corpus requires:
+
+- the corpus collapses to a WORD-FREQUENCY table in one shuffle with
+  map-side combine; everything after runs on distinct words (vocabulary-
+  sized, millions of rows at web scale — not corpus-sized);
+- each merge round is one aggregation over that table: explode adjacent
+  symbol pairs weighted by word frequency, sum per pair, take the argmax
+  (count desc, pair asc — deterministic).  The argmax is a bounded
+  1-row collect per round, same category as the IVF centroid collect;
+- the winning pair is merged into every word via a JVM-side left fold
+  (F.aggregate) — greedy leftmost-non-overlapping, exactly the reference
+  algorithm's scan order; no Python UDF anywhere;
+- the word table is localCheckpoint'ed each round: iterative plans
+  otherwise stack n_merges analysis passes onto one lineage (the standard
+  iterative-algorithm hygiene on Spark).
+
+Correctness is pinned against a pure-Python reference implementation in
+tests/test_bpe.py (same merge sequence on the same corpus) and the gate
+query registers rows-only (merge selection is inherently sequential — not
+SQL-expressible; SURVEY.md's weaker-check category).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def words_with_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """corpus -> (syms: array<string>, freq: bigint), one row per distinct
+    word; syms is the character sequence plus the end-of-word marker."""
+    w = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    syms = F.concat(
+        F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
+    )
+    return w.select(syms.alias("syms"), "freq")
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """array<string> -> array<struct<l,r>> of adjacent symbol pairs."""
+    return F.transform(
+        F.slice(syms, 1, F.size(syms) - 1),
+        lambda x, i: F.struct(
+            x.alias("l"), F.element_at(syms, i + 2).alias("r")
+        ),
+    )
+
+
+def _merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Greedy leftmost merge of (left, right) -> left+right via a fold —
+    after a merge the new symbol is the fold's last element, so it cannot
+    immediately re-merge with the next input (non-overlapping, as in the
+    reference implementation)."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn up to n_merges BPE merges; returns [(left, right, count)] in
+    merge order.  Stops early when no pair reaches min_pair_count."""
+    words = words_with_freq(docs, text_col).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            words.select(
+                F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "freq"
+            )
+            .groupBy("p")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p.l").asc(), F.col("p.r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        left, right, n = top[0]["p"]["l"], top[0]["p"]["r"], int(top[0]["n"])
+        merges.append((left, right, n))
+        words = words.select(
+            _merge_pair(F.col("syms"), left, right).alias("syms"), "freq"
+        ).localCheckpoint()
+    return merges
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a learned merge table: per document, per word, apply
+    the merges in rank order (the BPE inference rule) and count resulting
+    subword tokens.  Pure JVM fold chain — the merge table is a compile-time
+    constant folded into the plan (at 100 TB the table is KBs; the plan
+    broadcast is free)."""
+    word = F.explode(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+")
+    ).alias("word")
+    w = docs.select(id_col, word).filter(F.col("word") != "")
+    syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD)))
+    for left, right, _ in merges:
+        syms = _merge_pair(syms, left, right)
+    return (
+        w.select(id_col, F.size(syms).alias("n_tok"))
+        .groupBy(id_col)
+        .agg(F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"))
+    )
+
+
+def _register_gate_queries() -> None:
+    from moosestack_spark.registry import query
+    from moosestack_spark.tables import t
+
+    @query("text_bpe_train")  # sequential merge selection: rows-only check
+    def text_bpe_train(spark, sf_dir: str) -> DataFrame:
+        """Top-10 BPE merges over the documents corpus (rank, left, right,
+        count).  Deterministic (count desc, pair asc tiebreak) but not
+        SQL-expressible — pinned against the pure-Python reference in
+        tests/test_bpe.py instead."""
+        d = t(spark, sf_dir, "documents")
+        merges = train_bpe(d, n_merges=10)
+        rows = [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)]
+        return spark.createDataFrame(
+            rows, "rank int, left string, right string, pair_count bigint"
+        )
+
+    @query("text_bpe_tokenize")  # depends on trained merges: rows-only
+    def text_bpe_tokenize(spark, sf_dir: str) -> DataFrame:
+        """Per-document BPE token counts using the corpus-trained merges."""
+        d = t(spark, sf_dir, "documents")
+        merges = train_bpe(d, n_merges=10)
+        return apply_bpe(d, merges)
+
+
+_register_gate_queries()

@@ -59,6 +59,9 @@ _WINDOW_PRIORITY = [
     "multimodal_png_features",
     "streaming_stream_join",
     "similarity_quantized_topk",
+    "sample_stratified",
+    "text_bpe_train",
+    "text_bpe_tokenize",
     # backfill: r1-green queries, re-confirmed against the regenerated testdata
     "agg_pricing_summary",
     "agg_count_if",
@@ -97,9 +100,6 @@ _WINDOW_PRIORITY = [
     "scalar_conditionals",
     "scalar_json_extract",
     "scalar_array_ops",
-    "scalar_conversions",
-    "scalar_hash_md5",
-    "scalar_json_variant",
 ]
 
 
@@ -122,6 +122,7 @@ def load_all() -> None:
         windows,
     )
     from moosestack_spark.ops import (  # noqa: F401
+        bpe,
         decontaminate,
         dedup,
         multimodal,

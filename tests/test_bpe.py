@@ -1,0 +1,121 @@
+"""BPE training pinned against a pure-Python reference implementation
+(Sennrich-style learn_bpe): the distributed pair-count/argmax/merge loop
+must produce the identical merge sequence, and tokenization with the
+learned table must give identical token counts."""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import functions as F
+
+from moosestack_spark.ops.bpe import (
+    END_OF_WORD,
+    apply_bpe,
+    train_bpe,
+    words_with_freq,
+)
+
+CORPUS = [
+    "the lowest lower low",
+    "newer newest new news",
+    "the the the widest wide wider",
+    "low lower lowest newest newest",
+    "wide wide wide the newer",
+]
+
+
+def _ref_words(corpus):
+    import re
+
+    freq = collections.Counter()
+    for line in corpus:
+        for w in re.split(r"[^a-z0-9']+", line.lower()):
+            if w:
+                freq[w] += 1
+    return {tuple(list(w) + [END_OF_WORD]): n for w, n in freq.items()}
+
+
+def _ref_train(corpus, n_merges, min_pair_count=2):
+    words = _ref_words(corpus)
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for syms, n in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        # count desc, pair asc — the operator's documented tiebreak
+        (left, right), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_count:
+            break
+        merges.append((left, right, n))
+        new_words = {}
+        for syms, cnt in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + cnt
+        words = new_words
+    return merges, words
+
+
+def _corpus_df(spark, n_parts):
+    return spark.createDataFrame(
+        [(i, line) for i, line in enumerate(CORPUS)], "doc_id long, text string"
+    ).repartition(n_parts)
+
+
+def test_train_bpe_matches_reference(spark):
+    expected, _ = _ref_train(CORPUS, 12)
+    for n_parts in (1, 7):
+        got = train_bpe(_corpus_df(spark, n_parts), n_merges=12)
+        assert got == expected, f"n_parts={n_parts}: {got} != {expected}"
+
+
+def test_train_bpe_early_stop(spark):
+    # a corpus of unique characters has no pair reaching min_pair_count=2
+    df = spark.createDataFrame([(0, "xq zj")], "doc_id long, text string")
+    assert train_bpe(df, n_merges=5) == []
+
+
+def test_apply_bpe_matches_reference_token_counts(spark):
+    merges, final_words = _ref_train(CORPUS, 12)
+    # reference token count per doc: retokenize each doc's words greedily
+    def ref_count(line):
+        import re
+
+        total = 0
+        for w in re.split(r"[^a-z0-9']+", line.lower()):
+            if not w:
+                continue
+            syms = list(w) + [END_OF_WORD]
+            for left, right, _ in merges:
+                out = []
+                for s in syms:
+                    if out and out[-1] == left and s == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(s)
+                syms = out
+            total += len(syms)
+        return total
+
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in apply_bpe(_corpus_df(spark, 5), merges).collect()
+    }
+    assert got == {i: ref_count(line) for i, line in enumerate(CORPUS)}
+
+
+def test_words_with_freq_is_vocab_sized(spark):
+    df = _corpus_df(spark, 3)
+    rows = words_with_freq(df).collect()
+    vocab = _ref_words(CORPUS)
+    assert {tuple(r.syms): r.freq for r in rows} == vocab
