@@ -163,6 +163,86 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(frames, dtype="<i2").copy(), rate
 
 
+# --------------------------------------------------------------------------
+# MP4/ISO-BMFF container metadata (real box walk — no ffmpeg needed for
+# this part; only frame DECODE stays stubbed).  Covers the standard layout:
+# ftyp + moov{mvhd, trak{tkhd}}; 32- and 64-bit box sizes; mvhd/tkhd v0+v1.
+# --------------------------------------------------------------------------
+
+
+def encode_minimal_mp4(
+    duration_ms: int, width: int, height: int, timescale: int = 1000
+) -> bytes:
+    """Planting helper: a structurally-valid ftyp+moov (no mdat — metadata
+    only, which is all the parser reads)."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    dur = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
+        + struct.pack(">iH2x8x36x28x", 0x00010000, 0x0100)
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3xIII4xI8xHHH2x", 7, 0, 0, 1, dur, 0, 0, 0)
+        + b"\x00" * 36  # matrix
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    trak = box(b"trak", tkhd)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov
+
+
+def parse_mp4_metadata(data: bytes) -> dict:
+    """Walk the box tree and return {duration_ms, width, height, n_tracks}.
+    Raises ValueError for non-MP4 payloads (no ftyp/moov)."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (missing ftyp)")
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size = struct.unpack_from(">I", data, pos)[0]
+            btype = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                size = struct.unpack_from(">Q", data, pos + 8)[0]
+                body = pos + 16
+            elif size == 0:  # to end of enclosing box
+                size = hi - pos
+            yield btype, body, pos + size
+            pos += size
+
+    out = {"duration_ms": None, "width": None, "height": None, "n_tracks": 0}
+    for btype, body, end in walk(0, len(data)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in walk(body, end):
+            if ctype == b"mvhd":
+                version = data[cbody]
+                if version == 1:
+                    timescale, dur = struct.unpack_from(">IQ", data, cbody + 20)
+                else:
+                    timescale, dur = struct.unpack_from(">II", data, cbody + 12)
+                out["duration_ms"] = dur * 1000 // max(timescale, 1)
+            elif ctype == b"trak":
+                out["n_tracks"] += 1
+                for ttype, tbody, _ in walk(cbody, cend):
+                    if ttype == b"tkhd" and out["width"] is None:
+                        version = data[tbody]
+                        off = tbody + (88 if version == 1 else 76)
+                        w, h = struct.unpack_from(">II", data, off)
+                        out["width"], out["height"] = w >> 16, h >> 16
+    if out["duration_ms"] is None:
+        raise ValueError("no moov/mvhd box found")
+    return out
+
+
 def decode_image(payload: bytes, strict: bool = True) -> np.ndarray | None:
     """Sniff + decode an image payload to HxWx3 uint8 RGB.
 
@@ -632,6 +712,63 @@ GROUP BY doc_id
         )
         return extract_image_features(pngs).select(
             "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+        )
+
+    @query(
+        "multimodal_mp4_metadata",
+        oracle="""
+SELECT doc_id AS media_id,
+       CAST(2000 + doc_id % 1000 AS BIGINT) AS duration_ms,
+       CAST(320 + doc_id % 16 AS INTEGER) AS width,
+       CAST(240 + doc_id % 9 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_tracks
+FROM documents WHERE doc_id % 3 = 2
+""",
+    )
+    def multimodal_mp4_metadata(spark, sf_dir: str) -> DataFrame:
+        """REAL ISO-BMFF box-tree parsing: structurally-valid MP4s (ftyp +
+        moov{mvhd, trak{tkhd}}) are planted per video doc and the kernel
+        walks the box tree for duration/dimensions/track count — the
+        metadata half of video handling that needs no ffmpeg (frame decode
+        stays honestly stubbed in sample_video_frames).  The oracle replays
+        the planting arithmetic, so box offsets and fixed-point width
+        parsing are hash-checked."""
+        from moosestack_spark.tables import t as _t
+
+        d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") % 3 == 2
+        )
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {
+                    "media_id": [], "duration_ms": [], "width": [],
+                    "height": [], "n_tracks": [],
+                }
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    payload = encode_minimal_mp4(
+                        2000 + did % 1000, 320 + did % 16, 240 + did % 9
+                    )
+                    meta = parse_mp4_metadata(payload)
+                    out["media_id"].append(did)
+                    out["duration_ms"].append(meta["duration_ms"])
+                    out["width"].append(meta["width"])
+                    out["height"].append(meta["height"])
+                    out["n_tracks"].append(meta["n_tracks"])
+                yield pd.DataFrame(out)
+
+        return d.mapInPandas(
+            kernel,
+            StructType(
+                [
+                    StructField("media_id", LongType(), False),
+                    StructField("duration_ms", LongType(), False),
+                    StructField("width", IntegerType(), False),
+                    StructField("height", IntegerType(), False),
+                    StructField("n_tracks", IntegerType(), False),
+                ]
+            ),
         )
 
     @query(

@@ -346,3 +346,32 @@ def test_decode_image_sniffs_png():
     img = np.full((8, 16), 123, dtype=np.uint8)
     px = decode_image(encode_png(img))
     assert px.shape == (8, 16, 3) and int(px[0, 0, 0]) == 123
+
+
+def test_mp4_metadata_parse():
+    import struct
+
+    import pytest as _pytest
+
+    from moosestack_spark.ops.multimodal import (
+        encode_minimal_mp4,
+        parse_mp4_metadata,
+    )
+
+    for dur, w, h in ((2000, 320, 240), (987654, 1920, 1080), (1, 16, 9)):
+        meta = parse_mp4_metadata(encode_minimal_mp4(dur, w, h))
+        assert meta == {
+            "duration_ms": dur, "width": w, "height": h, "n_tracks": 1
+        }
+
+    with _pytest.raises(ValueError):
+        parse_mp4_metadata(b"\x00" * 20)
+
+    # mvhd v1 (64-bit times) — a layout the planting encoder never emits
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    ts, dur = 90000, 12345678901
+    mvhd1 = box(b"mvhd", struct.pack(">B3xQQIQ", 1, 0, 0, ts, dur) + b"\x00" * 80)
+    data = box(b"ftyp", b"isom" + struct.pack(">I", 512)) + box(b"moov", mvhd1)
+    assert parse_mp4_metadata(data)["duration_ms"] == dur * 1000 // ts
