@@ -163,6 +163,74 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(frames, dtype="<i2").copy(), rate
 
 
+# G.711 companding (public ITU-T standard): exact integer expansion tables.
+def _mulaw_table() -> np.ndarray:
+    u = np.arange(256, dtype=np.int64) ^ 0xFF  # spec: complement first
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _alaw_table() -> np.ndarray:
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    exp = (a >> 4) & 0x07
+    man = a & 0x0F
+    t = np.where(exp == 0, (man << 4) + 8, ((man << 4) + 0x108) << (exp - 1))
+    # A-law sign bit SET means positive (opposite of mu-law) — g711.c:
+    # return (a_val & SIGN_BIT) ? t : -t
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_MULAW = _mulaw_table()
+_ALAW = _alaw_table()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """General mono WAV decode -> (int16 samples, rate).  Handles PCM16
+    (format 1) plus G.711 mu-law (7) and A-law (6) companding — the
+    telephony encodings real speech corpora contain.  Manual RIFF walk:
+    the stdlib wave module rejects compressed format codes."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    payload = None
+    while pos + 8 <= len(data):
+        ctype = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if ctype == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif ctype == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or payload is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate = fmt[0], fmt[1], fmt[2]
+    if channels != 1:
+        raise NotImplementedError("only mono WAV supported")
+    if audio_format == 1 and fmt[5] == 16:
+        return np.frombuffer(payload, dtype="<i2").copy(), rate
+    if audio_format == 7:
+        return _MULAW[np.frombuffer(payload, dtype=np.uint8)], rate
+    if audio_format == 6:
+        return _ALAW[np.frombuffer(payload, dtype=np.uint8)], rate
+    raise NotImplementedError(f"WAV format code {audio_format} not supported")
+
+
+def encode_wav_g711(samples_u8: np.ndarray, sample_rate: int, law: str) -> bytes:
+    """Planting helper: raw companded bytes -> RIFF container with format
+    code 7 (mu-law) or 6 (A-law)."""
+    code = 7 if law == "mulaw" else 6
+    body = samples_u8.astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", code, 1, sample_rate, sample_rate, 1, 8)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
 # --------------------------------------------------------------------------
 # MP4/ISO-BMFF container metadata (real box walk — no ffmpeg needed for
 # this part; only frame DECODE stays stubbed).  Covers the standard layout:
@@ -249,18 +317,25 @@ def decode_image(payload: bytes, strict: bool = True) -> np.ndarray | None:
     BMP and PPM decode for real (pure numpy).  Compressed formats raise
     NotImplementedError under strict (they need PIL/opencv — absent here);
     non-strict returns None so callers can emit null features."""
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
-    if payload[:2] == b"P6":
-        return decode_ppm(payload)
-    if payload[:2] == b"\xff\xd8":
-        from moosestack_spark.ops.jpeg import decode_jpeg
+    try:
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:2] == b"P6":
+            return decode_ppm(payload)
+        if payload[:2] == b"\xff\xd8":
+            from moosestack_spark.ops.jpeg import decode_jpeg
 
-        return decode_jpeg(payload)
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        from moosestack_spark.ops.png import decode_png
+            return decode_jpeg(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            from moosestack_spark.ops.png import decode_png
 
-        return decode_png(payload)
+            return decode_png(payload)
+    except Exception:
+        # corrupt payload of a known format: propagate under strict,
+        # null-feature under non-strict (the pipeline-filter contract)
+        if strict:
+            raise
+        return None
     if strict:
         raise NotImplementedError(
             "unrecognized image format (GIF/WebP/TIFF/...); BMP, PPM, "
@@ -365,12 +440,13 @@ def extract_audio_features(
                     if strict:
                         raise NotImplementedError(
                             "compressed audio (MP3/AAC/...) requires an audio "
-                            "lib; PCM16 WAV decodes natively"
+                            "lib; PCM16 and G.711 mu-law/A-law WAV decode "
+                            "natively"
                         )
                     for k in ("sample_rate", "n_samples", "mean_amp", "peak_amp"):
                         out[k].append(None)
                     continue
-                samples, rate = decode_wav_pcm16(b)
+                samples, rate = decode_wav(b)
                 n = len(samples)
                 s64 = samples.astype(np.int64)
                 out["sample_rate"].append(rate)
@@ -712,6 +788,68 @@ GROUP BY doc_id
         )
         return extract_image_features(pngs).select(
             "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+        )
+
+    @query(
+        "multimodal_mulaw_audio",
+        oracle=f"""
+WITH aud AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+ts AS (SELECT UNNEST(generate_series(0, {WAV_N - 1})) AS t),
+dec AS (
+  SELECT doc_id, c,
+         CASE WHEN c >= 128 THEN 132 - tt ELSE tt - 132 END AS sample
+  FROM (
+    SELECT doc_id,
+           xor((doc_id * 17 + t * 11) % 256, 255) AS c,
+           (((xor((doc_id * 17 + t * 11) % 256, 255) % 16) * 8 + 132)
+             << ((xor((doc_id * 17 + t * 11) % 256, 255) // 16) % 8)) AS tt
+    FROM aud CROSS JOIN ts
+  )
+)
+SELECT doc_id AS media_id,
+       CAST({WAV_N} AS BIGINT) AS n_samples,
+       CAST(CAST(SUM(sample) AS BIGINT) AS DOUBLE) / {WAV_N} AS mean_amp,
+       CAST(MAX(ABS(sample)) AS INTEGER) AS peak_amp
+FROM dec GROUP BY doc_id
+""",
+    )
+    def multimodal_mulaw_audio(spark, sf_dir: str) -> DataFrame:
+        """REAL G.711 mu-law expansion: companded bytes keyed on doc_id in
+        a format-7 RIFF container, decoded through the integer expansion
+        table and oracle-replayed bit-for-bit (the ITU-T formula is exact
+        integer arithmetic, so SQL reproduces every sample)."""
+        from moosestack_spark.tables import t as _t
+
+        d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") % 3 == 1
+        )
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            tt = np.arange(WAV_N, dtype=np.int64)
+            for pdf in batches:
+                out = {"media_id": [], "n_samples": [], "mean_amp": [], "peak_amp": []}
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    raw = ((did * 17 + tt * 11) % 256).astype(np.uint8)
+                    payload = encode_wav_g711(raw, WAV_RATE, "mulaw")
+                    samples, _rate = decode_wav(payload)
+                    s64 = samples.astype(np.int64)
+                    out["media_id"].append(did)
+                    out["n_samples"].append(WAV_N)
+                    out["mean_amp"].append(float(s64.sum()) / WAV_N)
+                    out["peak_amp"].append(int(np.abs(s64).max()))
+                yield pd.DataFrame(out)
+
+        return d.mapInPandas(
+            kernel,
+            StructType(
+                [
+                    StructField("media_id", LongType(), False),
+                    StructField("n_samples", LongType(), False),
+                    StructField("mean_amp", DoubleType(), False),
+                    StructField("peak_amp", IntegerType(), False),
+                ]
+            ),
         )
 
     @query(

@@ -1,0 +1,74 @@
+"""Property-based codec tests (hypothesis): the JPEG/PNG/MP4 coders must
+hold their contracts on arbitrary inputs, not just the hand-picked cases.
+
+- PNG: lossless roundtrip for ANY uint8 image (gray + RGB, odd dims).
+- JPEG: constant-tile images roundtrip EXACTLY (the oracle-gated
+  property); arbitrary images roundtrip within the near-lossless bound.
+- MP4: metadata roundtrip for any (duration, w, h) in the sane range.
+
+Pure numpy/stdlib — no SparkSession, so these run in milliseconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from moosestack_spark.ops.jpeg import decode_jpeg, encode_jpeg
+from moosestack_spark.ops.multimodal import encode_minimal_mp4, parse_mp4_metadata
+from moosestack_spark.ops.png import decode_png, encode_png
+
+dims = st.integers(min_value=1, max_value=40)
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(0, 2**32 - 1), gray=st.booleans())
+def test_png_roundtrip_any_image(h, w, seed, gray):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    got = decode_png(encode_png(img))
+    assert got.shape == (h, w, 3)
+    if gray:
+        assert np.array_equal(got[..., 0], img)
+        assert np.array_equal(got[..., 0], got[..., 2])
+    else:
+        assert np.array_equal(got, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    th=st.integers(1, 4),
+    tw=st.integers(1, 5),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_jpeg_constant_tiles_exact_any_values(th, tw, seed):
+    rng = np.random.default_rng(seed)
+    tiles = rng.integers(0, 256, (th, tw), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    got = decode_jpeg(encode_jpeg(img))
+    assert np.array_equal(got[..., 0], img)
+
+
+@settings(max_examples=15, deadline=None)
+@given(h=st.integers(1, 32), w=st.integers(1, 32), seed=st.integers(0, 2**32 - 1))
+def test_jpeg_arbitrary_image_bounded_error(h, w, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(img))[..., 0].astype(int)
+    # worst-case random noise stresses every AC category; the near-lossless
+    # table (DC step 1, AC step 2) bounds reconstruction error tightly
+    assert got.shape == (h, w)
+    assert np.abs(got - img.astype(int)).max() <= 16
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    dur=st.integers(1, 10**9),
+    w=st.integers(1, 8192),
+    h=st.integers(1, 8192),
+)
+def test_mp4_metadata_roundtrip_any(dur, w, h):
+    meta = parse_mp4_metadata(encode_minimal_mp4(dur, w, h))
+    assert meta == {"duration_ms": dur, "width": w, "height": h, "n_tracks": 1}

@@ -46,6 +46,10 @@ def test_decode_image_sniffs_format():
     assert np.array_equal(decode_image(encode_bmp(px)), px)
     assert np.array_equal(decode_image(encode_ppm(px)), px)
     with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a....", strict=True)  # GIF: honestly unsupported
+    assert decode_image(b"GIF89a....", strict=False) is None
+    # corrupt payload of a KNOWN format: raises under strict, None otherwise
+    with pytest.raises(Exception):
         decode_image(b"\x89PNG\r\n\x1a\n....", strict=True)
     assert decode_image(b"\x89PNG\r\n\x1a\n....", strict=False) is None
 
@@ -375,3 +379,39 @@ def test_mp4_metadata_parse():
     mvhd1 = box(b"mvhd", struct.pack(">B3xQQIQ", 1, 0, 0, ts, dur) + b"\x00" * 80)
     data = box(b"ftyp", b"isom" + struct.pack(">I", 512)) + box(b"moov", mvhd1)
     assert parse_mp4_metadata(data)["duration_ms"] == dur * 1000 // ts
+
+
+def test_g711_decode_known_values():
+    """mu-law/A-law expansion pinned to ITU-T reference points and
+    roundtripped through the RIFF container."""
+    import numpy as np
+
+    from moosestack_spark.ops.multimodal import (
+        _ALAW,
+        _MULAW,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    # canonical expansion points (Sun g711.c reference table scale):
+    assert int(_MULAW[0xFF]) == 0          # quietest positive
+    assert int(_MULAW[0x7F]) == 0          # quietest negative (-0)
+    assert int(_MULAW[0x00]) == -32124     # loudest negative
+    assert int(_MULAW[0x80]) == 32124      # loudest positive
+    assert int(_ALAW[0x55]) == -8          # A-law quietest negative
+    assert int(_ALAW[0xD5]) == 8           # A-law quietest positive
+    assert int(_ALAW[0xAA]) == 32256       # A-law loudest positive
+    assert int(_ALAW[0x2A]) == -32256      # A-law loudest negative
+
+    raw = np.arange(256, dtype=np.uint8)
+    s_mu, rate = decode_wav(encode_wav_g711(raw, 8000, "mulaw"))
+    assert rate == 8000 and np.array_equal(s_mu, _MULAW[raw])
+    s_a, _ = decode_wav(encode_wav_g711(raw, 8000, "alaw"))
+    assert np.array_equal(s_a, _ALAW[raw])
+
+    # PCM16 path unchanged through the general decoder
+    from moosestack_spark.ops.multimodal import encode_wav_pcm16
+
+    pcm = encode_wav_pcm16(np.array([0, 100, -100], dtype=np.int16), 16000)
+    s, r = decode_wav(pcm)
+    assert r == 16000 and list(s) == [0, 100, -100]
