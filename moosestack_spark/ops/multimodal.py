@@ -330,6 +330,10 @@ def decode_image(payload: bytes, strict: bool = True) -> np.ndarray | None:
             from moosestack_spark.ops.png import decode_png
 
             return decode_png(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from moosestack_spark.ops.gif import decode_gif
+
+            return decode_gif(payload)
     except Exception:
         # corrupt payload of a known format: propagate under strict,
         # null-feature under non-strict (the pipeline-filter contract)
@@ -338,8 +342,8 @@ def decode_image(payload: bytes, strict: bool = True) -> np.ndarray | None:
         return None
     if strict:
         raise NotImplementedError(
-            "unrecognized image format (GIF/WebP/TIFF/...); BMP, PPM, "
-            "baseline JPEG and PNG decode natively"
+            "unrecognized image format (WebP/TIFF/AVIF/...); BMP, PPM, "
+            "baseline JPEG, PNG and GIF decode natively"
         )
     return None
 
@@ -787,6 +791,68 @@ GROUP BY doc_id
             ),
         )
         return extract_image_features(pngs).select(
+            "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+        )
+
+    @query(
+        "multimodal_gif_features",
+        oracle=f"""
+WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+grid AS (
+  SELECT x.x, y.y
+  FROM (SELECT UNNEST(generate_series(0, {IMG_W - 1})) AS x) x
+  CROSS JOIN (SELECT UNNEST(generate_series(0, {IMG_H - 1})) AS y) y
+),
+px AS (
+  SELECT doc_id, (doc_id + x * 3 + y * 5) % 16 AS i FROM img CROSS JOIN grid
+)
+SELECT doc_id AS media_id,
+       {IMG_W} AS width, {IMG_H} AS height,
+       CAST(CAST(SUM((i * 37 + 11) % 256) AS BIGINT) AS DOUBLE) / {IMG_W * IMG_H} AS mean_r,
+       CAST(CAST(SUM((i * 59 + 3) % 256) AS BIGINT) AS DOUBLE) / {IMG_W * IMG_H} AS mean_g,
+       CAST(CAST(SUM((i * 83 + 7) % 256) AS BIGINT) AS DOUBLE) / {IMG_W * IMG_H} AS mean_b
+FROM px GROUP BY doc_id
+""",
+    )
+    def multimodal_gif_features(spark, sf_dir: str) -> DataFrame:
+        """REAL GIF roundtrip (ops/gif.py: LZW + palette): planted
+        16-color palette GIFs decode through the LZW stream and palette
+        lookup; GIF is lossless so the oracle replays the palette/index
+        arithmetic exactly."""
+        from moosestack_spark.ops.gif import encode_gif
+        from moosestack_spark.tables import t as _t
+
+        d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") % 3 == 0
+        )
+        pal_idx = np.arange(16, dtype=np.int64)
+        palette = np.stack(
+            [(pal_idx * 37 + 11) % 256, (pal_idx * 59 + 3) % 256,
+             (pal_idx * 83 + 7) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+
+        def enc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            y, x = np.mgrid[0:IMG_H, 0:IMG_W]
+            for pdf in batches:
+                out = {"media_id": [], "payload": []}
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    idx = ((did + x * 3 + y * 5) % 16).astype(np.int32)
+                    out["media_id"].append(did)
+                    out["payload"].append(encode_gif(idx, palette))
+                yield pd.DataFrame(out)
+
+        gifs = d.mapInPandas(
+            enc_kernel,
+            StructType(
+                [
+                    StructField("media_id", LongType(), False),
+                    StructField("payload", BinaryType(), False),
+                ]
+            ),
+        )
+        return extract_image_features(gifs).select(
             "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
         )
 

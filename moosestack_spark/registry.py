@@ -64,6 +64,7 @@ _WINDOW_PRIORITY = [
     "text_bpe_tokenize",
     "multimodal_mp4_metadata",
     "multimodal_mulaw_audio",
+    "multimodal_gif_features",
     # backfill: r1-green queries, re-confirmed against the regenerated testdata
     "agg_pricing_summary",
     "agg_count_if",
@@ -99,7 +100,6 @@ _WINDOW_PRIORITY = [
     "scalar_hour_bucketing",
     "scalar_string_funcs",
     "scalar_math_funcs",
-    "scalar_conditionals",
 ]
 
 

@@ -46,12 +46,13 @@ def test_decode_image_sniffs_format():
     assert np.array_equal(decode_image(encode_bmp(px)), px)
     assert np.array_equal(decode_image(encode_ppm(px)), px)
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a....", strict=True)  # GIF: honestly unsupported
-    assert decode_image(b"GIF89a....", strict=False) is None
+        decode_image(b"II*\x00....", strict=True)  # TIFF: honestly unsupported
+    assert decode_image(b"II*\x00....", strict=False) is None
     # corrupt payload of a KNOWN format: raises under strict, None otherwise
-    with pytest.raises(Exception):
-        decode_image(b"\x89PNG\r\n\x1a\n....", strict=True)
-    assert decode_image(b"\x89PNG\r\n\x1a\n....", strict=False) is None
+    for junk in (b"\x89PNG\r\n\x1a\n....", b"GIF89a...."):
+        with pytest.raises(Exception):
+            decode_image(junk, strict=True)
+        assert decode_image(junk, strict=False) is None
 
 
 def test_feature_extraction_matches_pixels(spark):
@@ -415,3 +416,121 @@ def test_g711_decode_known_values():
     pcm = encode_wav_pcm16(np.array([0, 100, -100], dtype=np.int16), 16000)
     s, r = decode_wav(pcm)
     assert r == 16000 and list(s) == [0, 100, -100]
+
+
+# --------------------------------------------------------------------------
+# GIF codec (ops/gif.py)
+# --------------------------------------------------------------------------
+
+
+def _lzw_compress_real(indices, min_code_size):
+    """Spec-faithful GIF LZW compressor with table growth — exercises the
+    decoder's dynamic-table path, which the clear-per-pixel planting
+    encoder deliberately avoids."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, size):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, code_size)
+    prev = b""
+    for v in indices:
+        cur = prev + bytes([int(v)])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], code_size)
+        table[cur] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = bytes([int(v)])
+    if prev:
+        emit(table[prev], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _wrap_gif(w, h, ct, stream, min_code_size, interlaced=False):
+    import struct as _s
+
+    depth = max(2, (len(ct) - 1).bit_length())
+    full = np.zeros((1 << depth, 3), np.uint8)
+    full[: len(ct)] = ct
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += full.tobytes()
+    out += b"\x2c" + _s.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+    out += bytes([min_code_size])
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_real_lzw_with_table_growth():
+    from moosestack_spark.ops.gif import decode_gif
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    # repetitive content so LZW actually builds long table entries
+    idx = (np.arange(40 * 30).reshape(30, 40) // 7 % 16).astype(np.int32)
+    stream = _lzw_compress_real(idx.reshape(-1), 4)
+    data = _wrap_gif(40, 30, pal, stream, 4)
+    assert np.array_equal(decode_gif(data), pal[idx])
+
+
+def test_gif_interlaced():
+    from moosestack_spark.ops.gif import decode_gif
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    h, w = 11, 6
+    idx = ((np.arange(h)[:, None] + np.arange(w)[None, :]) % 4).astype(np.int32)
+    # interlace: rows stored in 4-pass order
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    stored = idx[order]
+    stream = _lzw_compress_real(stored.reshape(-1), 2)
+    data = _wrap_gif(w, h, pal, stream, 2, interlaced=True)
+    assert np.array_equal(decode_gif(data), pal[idx])
+
+
+def test_gif_transparency_composites_white():
+    from moosestack_spark.ops.gif import decode_gif, encode_gif
+
+    pal = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    idx = np.array([[0, 1], [1, 0]], np.int32)
+    data = bytearray(encode_gif(idx, pal))
+    # inject a graphic-control extension marking index 0 transparent,
+    # right before the image descriptor
+    desc = data.index(b"\x2c")
+    gce = b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+    data[desc:desc] = gce
+    out = decode_gif(bytes(data))
+    assert list(out[0, 0]) == [255, 255, 255]  # transparent -> white
+    assert list(out[0, 1]) == [200, 100, 50]
+
+
+def test_decode_image_sniffs_gif():
+    from moosestack_spark.ops.gif import encode_gif
+    from moosestack_spark.ops.multimodal import decode_image
+
+    pal = np.array([[5, 6, 7]], np.uint8)
+    idx = np.zeros((3, 4), np.int32)
+    px = decode_image(encode_gif(idx, pal))
+    assert px.shape == (3, 4, 3) and list(px[0, 0]) == [5, 6, 7]
