@@ -164,3 +164,62 @@ def engine_versioned_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return versioned_collapsing_resolve(
         rows, keys=["o_orderkey"], sign_col="sign", version_col="ver"
     )
+
+
+# --------------------------------------------------------------------------
+# Source-format roundtrip (S3 table formats, catalog/engines.py:92-130): the
+# reference's S3/S3Queue tables read CSV and JSONEachRow, not just parquet.
+# This gate writes the supplier table out in both formats and reads it back
+# through the same spark.read.format(...) path S3-engine tables use; the
+# oracle aggregates the original table, so any serialization drift (header
+# handling, type inference, decimal formatting) breaks the hash.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_csv_jsonl_roundtrip",
+    oracle="""
+SELECT 'csv' AS fmt,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM supplier
+UNION ALL
+SELECT 'jsonl' AS fmt,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM supplier
+""",
+)
+def source_csv_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    src = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.col("s_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    schema = "s_suppkey bigint, s_name string, bal decimal(18,2)"
+    csv_dir = tempfile.mkdtemp(prefix="msk_src_csv_")
+    jsonl_dir = tempfile.mkdtemp(prefix="msk_src_jsonl_")
+    try:
+        src.write.mode("overwrite").option("header", True).csv(csv_dir)
+        src.write.mode("overwrite").json(jsonl_dir)  # JSONEachRow layout
+        frames = []
+        for fmt, path in (("csv", csv_dir), ("jsonl", jsonl_dir)):
+            reader = spark.read.schema(schema)
+            back = (
+                reader.option("header", True).csv(path)
+                if fmt == "csv"
+                else reader.json(path)
+            )
+            frames.append(
+                back.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("bal").cast("double").alias("total_bal"),
+                ).select(F.lit(fmt).alias("fmt"), "n", "total_bal")
+            )
+        return frames[0].unionByName(frames[1]).localCheckpoint()
+    finally:
+        shutil.rmtree(csv_dir, ignore_errors=True)
+        shutil.rmtree(jsonl_dir, ignore_errors=True)

@@ -65,6 +65,7 @@ _WINDOW_PRIORITY = [
     "multimodal_mp4_metadata",
     "multimodal_mulaw_audio",
     "multimodal_gif_features",
+    "source_csv_jsonl_roundtrip",
     # backfill: r1-green queries, re-confirmed against the regenerated testdata
     "agg_pricing_summary",
     "agg_count_if",
@@ -99,7 +100,6 @@ _WINDOW_PRIORITY = [
     "scalar_date_bucketing",
     "scalar_hour_bucketing",
     "scalar_string_funcs",
-    "scalar_math_funcs",
 ]
 
 
