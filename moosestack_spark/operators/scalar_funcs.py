@@ -389,3 +389,54 @@ def sql_ch_dialect_translated(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY toStartOfDay(ts), event_type
     """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_extended",
+    oracle="""
+SELECT
+  CAST(strftime(ts, '%Y%m') AS INTEGER) AS yyyymm,
+  CAST(CASE WHEN dayofweek(ts) = 0 THEN 7 ELSE dayofweek(ts) END AS BIGINT) AS dow,
+  CAST(quarter(ts) AS BIGINT) AS q,
+  COALESCE(NULLIF(event_type, 'error'), 'ok') AS et,
+  CAST(POSITION('a' IN event_type) AS BIGINT) AS pos_a,
+  CASE WHEN event_type LIKE 'p%' THEN 1 ELSE 0 END AS starts_p,
+  LPAD(event_type, 10, '_') AS padded,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2, 3, 4, 5, 6, 7
+""",
+)
+def sql_ch_dialect_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 translator additions exercised end-to-end: toYYYYMM,
+    toDayOfWeek (Monday=1 remap), toQuarter, ifNull/nullIf, position
+    (swapped-arg locate), startsWith, leftPad.  DuckDB's dayofweek is
+    Sunday=0, so the oracle applies the same Monday=1 convention."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["events"])
+    ch_sql = """
+    SELECT
+      toYYYYMM(ts) AS yyyymm,
+      toDayOfWeek(ts) AS dow,
+      toQuarter(ts) AS q,
+      ifNull(nullIf(event_type, 'error'), 'ok') AS et,
+      position(event_type, 'a') AS pos_a,
+      if(startsWith(event_type, 'p'), 1, 0) AS starts_p,
+      leftPad(event_type, 10, '_') AS padded,
+      count(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """
+    out = spark.sql(translate_ch_sql(ch_sql))
+    return out.select(
+        "yyyymm",
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("q").cast("bigint").alias("q"),
+        "et",
+        F.col("pos_a").cast("bigint").alias("pos_a"),
+        "starts_p",
+        "padded",
+        "n",
+    )

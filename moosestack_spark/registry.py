@@ -66,6 +66,7 @@ _WINDOW_PRIORITY = [
     "multimodal_mulaw_audio",
     "multimodal_gif_features",
     "source_csv_jsonl_roundtrip",
+    "sql_ch_dialect_extended",
     # backfill: r1-green queries, re-confirmed against the regenerated testdata
     "agg_pricing_summary",
     "agg_count_if",
@@ -99,7 +100,6 @@ _WINDOW_PRIORITY = [
     "mv_hypertable_rollup",
     "scalar_date_bucketing",
     "scalar_hour_bucketing",
-    "scalar_string_funcs",
 ]
 
 

@@ -435,6 +435,17 @@ _RENAME = {
     "leadInFrame": "lead",
     "avgIf": "avg_if",
     "sumIf": "sum_if",
+    "ifNull": "nvl",
+    "nullIf": "nullif",
+    "startsWith": "startswith",
+    "endsWith": "endswith",
+    "toQuarter": "quarter",
+    "toUnixTimestamp": "unix_timestamp",
+    "addDays": "date_add",
+    "subtractDays": "date_sub",
+    "leftPad": "lpad",
+    "rightPad": "rpad",
+    "trimBoth": "trim",
 }
 
 # name -> template with {args} placeholders
@@ -472,6 +483,12 @@ _TEMPLATE = {
     "dateDiff": None,  # handled specially
     "sumIf": None,
     "avgIf": None,
+    # CH position(haystack, needle) is 1-based with swapped args vs locate
+    "position": "locate({1}, {0})",
+    "toYYYYMM": "cast(date_format({0}, 'yyyyMM') as int)",
+    "toYYYYMMDD": "cast(date_format({0}, 'yyyyMMdd') as int)",
+    # CH toDayOfWeek: Monday=1..Sunday=7; Spark dayofweek: Sunday=1..Saturday=7
+    "toDayOfWeek": "((dayofweek({0}) + 5) % 7 + 1)",
 }
 
 _KNOWN_SPARK_PASSTHROUGH = frozenset(

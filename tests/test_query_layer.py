@@ -111,6 +111,27 @@ def test_translate_multiif():
     assert out == "SELECT CASE WHEN a > 1 THEN 'x' WHEN b > 2 THEN 'y' ELSE 'z' END FROM t"
 
 
+def test_translate_r3_additions():
+    out = translate_ch_sql(
+        "SELECT toYYYYMM(ts), toDayOfWeek(ts), position(s, 'a'), "
+        "ifNull(nullIf(x, 0), -1), leftPad(s, 5, '_') FROM t"
+    )
+    assert "date_format(ts, 'yyyyMM')" in out
+    assert "dayofweek(ts)" in out
+    assert "locate('a', s)" in out  # CH arg order swapped to Spark's
+    assert "nvl(nullif(x, 0), -1)" in out
+    assert "lpad(s, 5, '_')" in out
+
+
+def test_translate_day_of_week_convention(spark):
+    # 2024-01-01 is a Monday: CH toDayOfWeek = 1
+    spark.sql("SELECT timestamp'2024-01-01 10:00:00' AS ts").createOrReplaceTempView("dowt")
+    q = translate_ch_sql("SELECT toDayOfWeek(ts) AS d FROM dowt")
+    assert spark.sql(q).collect()[0].d == 1
+    spark.sql("SELECT timestamp'2024-01-07 10:00:00' AS ts").createOrReplaceTempView("dowt")
+    assert spark.sql(translate_ch_sql("SELECT toDayOfWeek(ts) AS d FROM dowt")).collect()[0].d == 7
+
+
 def test_translate_unknown_raises():
     with pytest.raises(ValueError, match="not in the supported"):
         translate_ch_sql("SELECT arrayZip(a, b) FROM t")
