@@ -67,6 +67,8 @@ _WINDOW_PRIORITY = [
     "multimodal_gif_features",
     "source_csv_jsonl_roundtrip",
     "sql_ch_dialect_extended",
+    "text_chunk_overlap",
+    "text_pack_sequences",
     # backfill: r1-green queries, re-confirmed against the regenerated testdata
     "agg_pricing_summary",
     "agg_count_if",
@@ -98,8 +100,6 @@ _WINDOW_PRIORITY = [
     "mv_incremental_daily_rollup",
     "mv_populate_matches_incremental",
     "mv_hypertable_rollup",
-    "scalar_date_bucketing",
-    "scalar_hour_bucketing",
 ]
 
 
@@ -123,6 +123,7 @@ def load_all() -> None:
     )
     from moosestack_spark.ops import (  # noqa: F401
         bpe,
+        chunking,
         decontaminate,
         dedup,
         multimodal,
