@@ -433,16 +433,37 @@ def _dht_segment(tc: int, th: int, bits, huffval) -> bytes:
     return struct.pack(">H", 2 + len(body)) + body
 
 
+def _pad_block(plane: np.ndarray, ys: int, xs: int) -> np.ndarray:
+    """8x8 block at (ys, xs) with edge replication into padding."""
+    h, w = plane.shape
+    blk = np.full((8, 8), 128.0)
+    tile = plane[ys : min(ys + 8, h), xs : min(xs + 8, w)]
+    if tile.size == 0:
+        return blk
+    blk[: tile.shape[0], : tile.shape[1]] = tile
+    if tile.shape[0] < 8:
+        blk[tile.shape[0] :, :] = blk[tile.shape[0] - 1, :]
+    if tile.shape[1] < 8:
+        blk[:, tile.shape[1] :] = blk[:, tile.shape[1] - 1 : tile.shape[1]]
+    return blk
+
+
 def encode_jpeg(
-    pixels: np.ndarray, quant: np.ndarray = Q_NEAR_LOSSLESS
+    pixels: np.ndarray,
+    quant: np.ndarray = Q_NEAR_LOSSLESS,
+    subsample: bool = False,
 ) -> bytes:
-    """HxW (grayscale) or HxWx3 (RGB, encoded 4:4:4) uint8 -> baseline JPEG.
-    `quant` is the 64-entry zigzag-order quantization table (same table for
-    luma and chroma; default near-lossless)."""
+    """HxW (grayscale) or HxWx3 (RGB) uint8 -> baseline JPEG.  Color is
+    4:4:4 by default; `subsample=True` emits 4:2:0 (2x2 luma sampling,
+    chroma averaged over 2x2 — the layout libjpeg produces by default,
+    used to exercise the decoder's interleaved-MCU walk).  `quant` is the
+    64-entry zigzag-order quantization table (shared by luma and chroma;
+    default near-lossless)."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     if gray:
         planes = [pixels.astype(np.float64)]
+        subsample = False
     else:
         p = pixels.astype(np.float64)
         r, g, b = p[..., 0], p[..., 1], p[..., 2]
@@ -450,13 +471,30 @@ def encode_jpeg(
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [np.clip(np.round(c), 0, 255) for c in (y, cb, cr)]
+        if subsample:
+            # chroma = mean over 2x2 (pad odd dims by edge replication)
+            def down(c: np.ndarray) -> np.ndarray:
+                ph, pw = (h + 1) & ~1, (w + 1) & ~1
+                full = np.empty((ph, pw))
+                full[:h, :w] = c
+                if ph > h:
+                    full[h:, :w] = c[h - 1 : h, :]
+                if pw > w:
+                    full[:, w:] = full[:, w - 1 : w]
+                return np.round(
+                    (full[0::2, 0::2] + full[0::2, 1::2]
+                     + full[1::2, 0::2] + full[1::2, 1::2]) / 4.0
+                )
+
+            planes = [planes[0], down(planes[1]), down(planes[2])]
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xdb" + _dqt_segment(0, quant)
     ncomp = 1 if gray else 3
     sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    luma_hv = 0x22 if subsample else 0x11
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0])  # 1x1 sampling, quant table 0
+        sof += bytes([c + 1, luma_hv if c == 0 else 0x11, 0])
     out += b"\xff\xc0" + sof
     out += b"\xff\xc4" + _dht_segment(0, 0, *_STD_DC_LUMA)
     out += b"\xff\xc4" + _dht_segment(1, 0, *_STD_AC_LUMA)
@@ -475,21 +513,35 @@ def encode_jpeg(
     ac_c = _build_huffman_encode(*_STD_AC_CHROMA)
     writer = _BitWriter()
     preds = [[0] for _ in range(ncomp)]
-    by, bx = -(-h // 8), -(-w // 8)
-    for my in range(by):
-        for mx in range(bx):
-            for ci, plane in enumerate(planes):
-                blk = np.full((8, 8), 128.0)
-                ys, xs = my * 8, mx * 8
-                tile = plane[ys : min(ys + 8, h), xs : min(xs + 8, w)]
-                blk[: tile.shape[0], : tile.shape[1]] = tile
-                # replicate edges into the padding (keeps ACs small)
-                if tile.shape[0] < 8:
-                    blk[tile.shape[0] :, :] = blk[tile.shape[0] - 1, :]
-                if tile.shape[1] < 8:
-                    blk[:, tile.shape[1] :] = blk[:, tile.shape[1] - 1 : tile.shape[1]]
-                dc_e, ac_e = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-                _encode_block(writer, blk, quant, preds[ci], dc_e, ac_e)
+    if not subsample:
+        by, bx = -(-h // 8), -(-w // 8)
+        for my in range(by):
+            for mx in range(bx):
+                for ci, plane in enumerate(planes):
+                    dc_e, ac_e = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                    _encode_block(
+                        writer, _pad_block(plane, my * 8, mx * 8),
+                        quant, preds[ci], dc_e, ac_e,
+                    )
+    else:
+        # 4:2:0 MCU = 16x16 px: 4 Y blocks (2x2) then 1 Cb, 1 Cr
+        mcus_y, mcus_x = -(-h // 16), -(-w // 16)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by_ in range(2):
+                    for bx_ in range(2):
+                        _encode_block(
+                            writer,
+                            _pad_block(
+                                planes[0], (my * 2 + by_) * 8, (mx * 2 + bx_) * 8
+                            ),
+                            quant, preds[0], dc_l, ac_l,
+                        )
+                for ci in (1, 2):
+                    _encode_block(
+                        writer, _pad_block(planes[ci], my * 8, mx * 8),
+                        quant, preds[ci], dc_c, ac_c,
+                    )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -534,3 +534,26 @@ def test_decode_image_sniffs_gif():
     idx = np.zeros((3, 4), np.int32)
     px = decode_image(encode_gif(idx, pal))
     assert px.shape == (3, 4, 3) and list(px[0, 0]) == [5, 6, 7]
+
+
+def test_jpeg_420_subsampled_decode():
+    """4:2:0 encoding (2x2 luma sampling, interleaved MCUs — the libjpeg
+    default layout) exercises the decoder's multi-block MCU walk and
+    chroma upsampling; smooth content bounds the subsampling loss."""
+    import numpy as np
+
+    from moosestack_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:37, 0:53]  # odd dims: partial MCUs on both edges
+    rgb = (
+        np.stack([50 + x, 30 + y * 2, 100 + (x + y) // 2], axis=-1)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    dec = decode_jpeg(encode_jpeg(rgb, subsample=True)).astype(int)
+    assert dec.shape == rgb.shape
+    assert np.abs(dec - rgb.astype(int)).max() <= 8
+
+    const = np.full((32, 32, 3), (90, 140, 200), dtype=np.uint8)
+    dec2 = decode_jpeg(encode_jpeg(const, subsample=True)).astype(int)
+    assert np.abs(dec2 - const.astype(int)).max() <= 2
