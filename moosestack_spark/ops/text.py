@@ -548,3 +548,54 @@ def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(split.alias("split")).groupBy("split").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source document caps: the web-pipeline rule that no single domain may
+# dominate the corpus.  Deterministic survivor set (first K by doc_id per
+# source); the count shuffle and the cap window share one partitioning on
+# source, so this is a single exchange at any scale.  Skewed sources (one
+# domain with billions of docs) are exactly the case the cap EXISTS for —
+# the window sorts only within a source, and if even that is too large the
+# top-k partial-prune pattern from operators/aggregates.top_k applies.
+# --------------------------------------------------------------------------
+
+
+def cap_per_source(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most `cap` docs per source (lowest ids survive), plus the
+    source's pre-cap count for reporting."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(F.col(id_col).asc())
+    wc = Window.partitionBy(source_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("n_source_docs", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+@query(
+    "text_domain_cap",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_source_docs
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_source_docs AS BIGINT) AS n_source_docs
+FROM ranked WHERE rk <= 10
+""",
+)
+def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at 10 documents (deterministic survivors by
+    doc_id) — the anti-domination filter of web-scale corpus curation."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_source(d, cap=10)

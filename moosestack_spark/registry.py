@@ -69,6 +69,7 @@ _WINDOW_PRIORITY = [
     "sql_ch_dialect_extended",
     "text_chunk_overlap",
     "text_pack_sequences",
+    "text_domain_cap",
     # backfill: r1-green queries, re-confirmed against the regenerated testdata
     "agg_pricing_summary",
     "agg_count_if",
@@ -99,7 +100,6 @@ _WINDOW_PRIORITY = [
     "analytics_local_supplier_volume",
     "mv_incremental_daily_rollup",
     "mv_populate_matches_incremental",
-    "mv_hypertable_rollup",
 ]
 
 
