@@ -70,6 +70,7 @@ _WINDOW_PRIORITY = [
     "text_chunk_overlap",
     "text_pack_sequences",
     "text_domain_cap",
+    "embedding_pca_project",
     # backfill: r1-green queries, re-confirmed against the regenerated testdata
     "agg_pricing_summary",
     "agg_count_if",
@@ -99,7 +100,6 @@ _WINDOW_PRIORITY = [
     "analytics_shipping_priority",
     "analytics_local_supplier_volume",
     "mv_incremental_daily_rollup",
-    "mv_populate_matches_incremental",
 ]
 
 
@@ -126,6 +126,7 @@ def load_all() -> None:
         chunking,
         decontaminate,
         dedup,
+        embedding,
         multimodal,
         similarity,
         text,
