@@ -667,3 +667,144 @@ def dedup_embedding_cosine_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
     return embedding_cosine_pairs_pruned(
         e, "vec_id", "embedding", threshold=0.35, dim=PRUNE_DIM
     )
+
+
+# --------------------------------------------------------------------------
+# Substring-level dedup: longest shared token run between document pairs
+# (the exact-substring approach of "Deduplicating Training Data Makes
+# Language Models Better" re-expressed relationally).  Doc-level dedup
+# misses partially-copied text; this finds it:
+#
+# 1. positional k-grams per doc (JVM slice/posexplode, md5'd so the join
+#    key is fixed-width — md5 exists in both engines, so the ORACLE can
+#    replay the exact pipeline);
+# 2. document-frequency cap on gram hashes before the self-join (same
+#    boilerplate-shingle guard as ngram_jaccard — a gram in m docs would
+#    otherwise contribute m^2/2 pairs);
+# 3. self-join on gram hash (doc_a < doc_b) -> matched position pairs;
+# 4. maximal runs via DIAGONAL ISLANDS: matches on one shared substring
+#    satisfy pos_a - pos_b = const, with consecutive pos_a; so group by
+#    (a, b, diag) and split islands with the pos_a - row_number() trick —
+#    run length in tokens = consecutive-k-gram count + k - 1.  Window
+#    partitions by pair+diagonal, so skew is bounded by the df cap.
+# --------------------------------------------------------------------------
+
+
+def shared_token_runs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_run: int = 15,
+    max_gram_df: int = 50,
+) -> DataFrame:
+    """(doc_a, doc_b, longest_run): maximal shared consecutive-token run
+    per pair, for pairs sharing at least one run of >= min_run tokens."""
+    from pyspark.sql import Window
+
+    from moosestack_spark.ops.text import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ").cast("binary"))
+    )
+    g = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(grams).alias("pos", "gh")
+    )
+    rare = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_gram_df)
+        .select("gh")
+    )
+    g = g.join(rare, "gh")
+    pairs = (
+        g.alias("x")
+        .join(g.alias("y"), "gh")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.pos").alias("pa"),
+            F.col("y.pos").alias("pb"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a", "doc_b", F.col("pa") - F.col("pb")).orderBy(
+        F.col("pa").asc()
+    )
+    runs = (
+        pairs.withColumn("__isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", F.col("pa") - F.col("pb"), "__isl")
+        .agg((F.count(F.lit(1)) + (k - 1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(F.max("run_len").cast("bigint").alias("longest_run"))
+        .filter(F.col("longest_run") >= min_run)
+    )
+
+
+@query(
+    "dedup_substring_runs",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           string_split(regexp_replace(TRIM(text), '\s+', ' ', 'g'), ' ')[1:40],
+           ' ') AS text
+  FROM documents WHERE doc_id % 5 = 0
+), toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(TRIM(LOWER(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM corpus
+), grams AS (
+  SELECT doc_id AS doc, CAST(i AS INTEGER) AS pos,
+         md5(array_to_string(w[CAST(i AS BIGINT):CAST(i + 9 AS BIGINT)], ' ')) AS gh
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, CAST(len(w) - 9 AS BIGINT))) AS i
+  )
+  WHERE len(w) >= 10
+), rare AS (
+  SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) <= 50
+), g AS (
+  SELECT grams.* FROM grams JOIN rare USING (gh)
+), pairs AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b, x.pos AS pa, y.pos AS pb
+  FROM g x JOIN g y ON x.gh = y.gh AND x.doc < y.doc
+), isl AS (
+  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa ASC) AS island
+  FROM pairs
+), runs AS (
+  SELECT doc_a, doc_b, COUNT(*) + 9 AS run_len
+  FROM isl GROUP BY doc_a, doc_b, diag, island
+)
+SELECT doc_a, doc_b, CAST(MAX(run_len) AS BIGINT) AS longest_run
+FROM runs GROUP BY doc_a, doc_b
+HAVING MAX(run_len) >= 15
+""",
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup over a corpus with planted partial copies: every
+    5th doc's first 40 tokens re-inserted as a new doc.  Finds the full
+    copies' maximal runs AND any organic overlap, hash-checked."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    prefix40 = F.array_join(
+        F.slice(
+            F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " "),
+            1,
+            40,
+        ),
+        " ",
+    )
+    planted = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), prefix40.alias("text")
+    )
+    return shared_token_runs(d.unionByName(planted))

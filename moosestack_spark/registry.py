@@ -71,6 +71,7 @@ _WINDOW_PRIORITY = [
     "text_pack_sequences",
     "text_domain_cap",
     "embedding_pca_project",
+    "dedup_substring_runs",
     # backfill: r1-green queries, re-confirmed against the regenerated testdata
     "agg_pricing_summary",
     "agg_count_if",
@@ -99,7 +100,6 @@ _WINDOW_PRIORITY = [
     "join_range_buckets",
     "analytics_shipping_priority",
     "analytics_local_supplier_volume",
-    "mv_incremental_daily_rollup",
 ]
 
 
