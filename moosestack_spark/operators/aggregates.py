@@ -422,3 +422,84 @@ def top_k(df: DataFrame, group_col: str, value_col: str, k: int) -> DataFrame:
         group_col,
         F.transform(F.col("__s"), lambda s: s[value_col]).alias("top_values"),
     )
+
+
+# --------------------------------------------------------------------------
+# uniqUpTo(N) (CH aggregate-functions/uniqupto): exact distinct count if
+# <= N, else N+1 ("more than N").  The CH use case is cheap cardinality
+# triage; LEAST(countDistinct, N+1) preserves the contract exactly.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_uniq_up_to",
+    oracle="""
+SELECT l_returnflag,
+       CAST(LEAST(COUNT(DISTINCT l_suppkey), 51) AS BIGINT) AS supp_up_to_50,
+       CAST(LEAST(COUNT(DISTINCT l_linenumber), 5) AS BIGINT) AS line_up_to_4
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.least(F.countDistinct("l_suppkey"), F.lit(51))
+        .cast("bigint")
+        .alias("supp_up_to_50"),
+        F.least(F.countDistinct("l_linenumber"), F.lit(5))
+        .cast("bigint")
+        .alias("line_up_to_4"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quantileExactWeighted (CH): smallest x whose cumulative weight reaches
+# q of the total — exact, no interpolation, so it hash-gates cleanly.
+# Implemented with an integer comparison (2*cum >= total for q=0.5) to
+# keep float arithmetic out of the decision entirely.  One shuffle for the
+# per-group window + one for the final min.
+# --------------------------------------------------------------------------
+
+
+def quantile_exact_weighted_median(
+    df: DataFrame, group_col: str, value_col: str, weight_col: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(group_col)
+    cum = df.withColumn("__cw", F.sum(weight_col).over(w)).withColumn(
+        "__tw", F.sum(weight_col).over(wt)
+    )
+    return (
+        cum.filter(2 * F.col("__cw") >= F.col("__tw"))
+        .groupBy(group_col)
+        .agg(F.min(value_col).alias("weighted_median"))
+    )
+
+
+@query(
+    "agg_quantile_weighted",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_quantity,
+         SUM(l_linenumber) OVER (PARTITION BY l_returnflag ORDER BY l_quantity ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(l_linenumber) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag, MIN(l_quantity) AS weighted_median
+FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag
+""",
+)
+def agg_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of l_quantity weighted by l_linenumber per
+    return flag (CH quantileExactWeighted(0.5) semantics)."""
+    li = t(spark, sf_dir, "lineitem")
+    return quantile_exact_weighted_median(
+        li, "l_returnflag", "l_quantity", "l_linenumber"
+    )

@@ -72,6 +72,8 @@ _WINDOW_PRIORITY = [
     "text_domain_cap",
     "embedding_pca_project",
     "dedup_substring_runs",
+    "agg_uniq_up_to",
+    "agg_quantile_weighted",
     # backfill: r1-green queries, re-confirmed against the regenerated testdata
     "agg_pricing_summary",
     "agg_count_if",
@@ -98,8 +100,6 @@ _WINDOW_PRIORITY = [
     "join_semi_anti",
     "join_asof",
     "join_range_buckets",
-    "analytics_shipping_priority",
-    "analytics_local_supplier_volume",
 ]
 
 
