@@ -204,3 +204,74 @@ def retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_week(3),
     ]
     return retention_counts(e, conds)
+
+
+# --------------------------------------------------------------------------
+# sequenceMatch (CH parametric-functions sequenceMatch('(?1)(?2)...')):
+# does a strictly-increasing-timestamp chain of the step conditions exist
+# per user, with NO window bound (the windowed variant is window_funnel
+# above).  Greedy earliest-completion is exact for existence, so the whole
+# aggregate is a fold of (filter -> join on user -> min) steps — each step
+# one shuffle on user_id, intermediates one row per user, monotonically
+# shrinking.  No per-user state machine, no witness products.
+# --------------------------------------------------------------------------
+
+
+def sequence_match(
+    events: DataFrame,
+    steps: list[Column],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Users whose event stream contains a strictly-increasing chain
+    matching all step conditions (one row per matched user)."""
+    cur = (
+        events.filter(steps[0])
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ts_col).alias("t"))
+    )
+    for cond in steps[1:]:
+        nxt = events.filter(cond).select(
+            F.col(user_col).alias("u2"), F.col(ts_col).alias("t2")
+        )
+        cur = (
+            nxt.join(cur, (F.col("u2") == F.col("u")) & (F.col("t2") > F.col("t")))
+            .groupBy("u")
+            .agg(F.min("t2").alias("t"))
+        )
+    return cur.select(F.col("u").alias(user_col))
+
+
+@query(
+    "agg_sequence_match",
+    oracle="""
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+e1 AS (SELECT user_id, MIN(ts) AS t FROM v GROUP BY user_id),
+e2 AS (
+  SELECT c.user_id, MIN(c.ts) AS t
+  FROM c JOIN e1 ON c.user_id = e1.user_id AND c.ts > e1.t
+  GROUP BY c.user_id
+),
+e3 AS (
+  SELECT DISTINCT p.user_id
+  FROM p JOIN e2 ON p.user_id = e2.user_id AND p.ts > e2.t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_matched FROM e3
+""",
+)
+def agg_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count of users with a view -> click -> purchase chain anywhere in
+    their history (unwindowed sequenceMatch); the oracle replays the same
+    greedy earliest-chain construction."""
+    e = t(spark, sf_dir, "events")
+    matched = sequence_match(
+        e,
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+    )
+    return matched.agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
