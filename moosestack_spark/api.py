@@ -108,3 +108,49 @@ def get_api(name: str, version: Optional[str] = None) -> Api:
 
 def clear_apis() -> None:
     _API_REGISTRY.clear()
+
+
+def openapi_spec(title: str = "moosestack-spark", version: str = "1.0.0") -> dict:
+    """OpenAPI 3.1 document over the registered consumption APIs (the
+    reference generates one via `moose dev`'s openapi.yaml emitter,
+    apps/framework-cli openapi.rs).  Each Api becomes GET
+    /api/{name}[/{version}] with its pydantic params as query parameters
+    (schemas via model_json_schema — same JSON-Schema dialect OpenAPI 3.1
+    uses natively)."""
+    paths: dict = {}
+    for (name, ver), api in sorted(
+        _API_REGISTRY.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")
+    ):
+        schema = api.params_model.model_json_schema()
+        required = set(schema.get("required", []))
+        params = [
+            {
+                "name": pname,
+                "in": "query",
+                "required": pname in required,
+                "schema": {
+                    k: v for k, v in pschema.items() if k not in ("title",)
+                },
+            }
+            for pname, pschema in schema.get("properties", {}).items()
+        ]
+        route = f"/api/{name}" if ver is None else f"/api/{name}/{ver}"
+        paths[route] = {
+            "get": {
+                "operationId": name if ver is None else f"{name}_{ver}",
+                "parameters": params,
+                "responses": {
+                    "200": {
+                        "description": "query result rows",
+                        "content": {"application/json": {"schema": {"type": "array"}}},
+                    },
+                    "400": {"description": "parameter validation failure"},
+                    "401": {"description": "unauthorized"},
+                },
+            }
+        }
+    return {
+        "openapi": "3.1.0",
+        "info": {"title": title, "version": version},
+        "paths": paths,
+    }

@@ -335,10 +335,19 @@ class MooseHttpServer:
                 self._with_slot(self._do_get_inner)
 
             def _do_get_inner(self) -> None:
-                from moosestack_spark.api import get_api
+                from moosestack_spark.api import get_api, openapi_spec
 
                 url = urlsplit(self.path)
                 parts = [p for p in url.path.split("/") if p]
+                if parts == ["openapi.json"]:
+                    # spec of the registered consumption APIs (the
+                    # reference's moose-dev openapi.yaml, served live)
+                    ok, _claims = server._authorize(self.headers)
+                    if not ok:
+                        self._reply(401, {"error": "unauthorized"})
+                        return
+                    self._reply(200, openapi_spec())
+                    return
                 if len(parts) not in (2, 3) or parts[0] != "api":
                     self._reply(404, {"error": "not found"})
                     return

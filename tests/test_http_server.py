@@ -452,3 +452,38 @@ def test_server_sheds_load_at_capacity(spark, tmp_path):
         release.set()
         srv.stop()
         clear_apis()
+
+
+def test_openapi_spec_served(spark):
+    """GET /openapi.json describes the registered APIs with their pydantic
+    param schemas (the reference's moose-dev openapi.yaml served live)."""
+    clear_apis()
+
+    class SpecParams(BaseModel):
+        limit: int = Field(default=3, ge=1, le=100)
+        q: str = Field(default="")
+
+    def handler(params, utils):
+        return spark.createDataFrame([(1,)], "x int")
+
+    Api("spec_demo", SpecParams, handler)
+    Api("spec_demo_v2", SpecParams, handler, version="2.0")
+    srv = MooseHttpServer(spark, api_key="k1")
+    port = srv.start()
+    try:
+        code, spec = _get(f"http://127.0.0.1:{port}/openapi.json", token="k1")
+        assert code == 200
+        assert spec["openapi"].startswith("3.1")
+        routes = set(spec["paths"])
+        assert {"/api/spec_demo", "/api/spec_demo_v2/2.0"} <= routes
+        params = {
+            p["name"]: p for p in spec["paths"]["/api/spec_demo"]["get"]["parameters"]
+        }
+        assert params["limit"]["schema"]["maximum"] == 100
+        assert params["limit"]["required"] is False
+        # auth applies to the spec route too
+        code, _ = _get(f"http://127.0.0.1:{port}/openapi.json", token="nope")
+        assert code == 401
+    finally:
+        srv.stop()
+        clear_apis()
