@@ -74,6 +74,7 @@ _WINDOW_PRIORITY = [
     "dedup_substring_runs",
     "agg_uniq_up_to",
     "agg_quantile_weighted",
+    "agg_sequence_match",
     # backfill: r1-green queries, re-confirmed against the regenerated testdata
     "agg_pricing_summary",
     "agg_count_if",
@@ -99,7 +100,6 @@ _WINDOW_PRIORITY = [
     "join_full_outer",
     "join_semi_anti",
     "join_asof",
-    "join_range_buckets",
 ]
 
 
