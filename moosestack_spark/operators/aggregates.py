@@ -503,3 +503,95 @@ def agg_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_exact_weighted_median(
         li, "l_returnflag", "l_quantity", "l_linenumber"
     )
+
+
+# --------------------------------------------------------------------------
+# topKWeighted (CH): heavy hitters ranked by a summed weight instead of a
+# row count.  Same two-stage partition-local prune as top_k — the order
+# (weight desc, value asc) is total, so global winners are local winners.
+# avgWeighted (CH): sum(w*x)/sum(w), computed in exact decimal so the
+# division happens once on engine-identical operands.
+# --------------------------------------------------------------------------
+
+
+def top_k_weighted(
+    df: DataFrame, group_col: str, value_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Top-k values per group by total weight (weight desc, value asc)."""
+    from pyspark.sql import Window
+
+    sums = df.groupBy(group_col, value_col).agg(
+        F.sum(F.col(weight_col).cast("decimal(25,4)")).alias("__w")
+    )
+    order = [F.col("__w").desc(), F.col(value_col).asc()]
+    local = Window.partitionBy(group_col, "__pid").orderBy(*order)
+    pruned = (
+        sums.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrk", F.row_number().over(local))
+        .filter(F.col("__lrk") <= k)
+        .drop("__pid", "__lrk")
+    )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        pruned.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .groupBy(group_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__rk"), F.col(value_col)))
+                    ),
+                    lambda s: s[value_col].cast("string"),
+                ),
+                ",",
+            ).alias("top_values")
+        )
+    )
+
+
+@query(
+    "agg_top_k_weighted",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(25,4))) AS w
+  FROM lineitem GROUP BY l_returnflag, l_suppkey
+), r AS (
+  SELECT l_returnflag, l_suppkey,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY w DESC, l_suppkey ASC) AS rk
+  FROM s
+)
+SELECT l_returnflag,
+       array_to_string(LIST(l_suppkey ORDER BY rk), ',') AS top_values
+FROM r WHERE rk <= 3 GROUP BY l_returnflag
+""",
+)
+def agg_top_k_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers per return flag by total shipped quantity
+    (CH topKWeighted semantics, exact decimal weights)."""
+    li = t(spark, sf_dir, "lineitem")
+    return top_k_weighted(li, "l_returnflag", "l_suppkey", "l_quantity", 3)
+
+
+@query(
+    "agg_avg_weighted",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE)
+       / CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS avg_price_weighted
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_avg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag (CH avgWeighted).
+    Both sums are exact decimals cast to double individually, then ONE
+    IEEE division — decimal/decimal division would round at an
+    engine-specific result scale and break the hash."""
+    li = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(8,2)")
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(price * qty).cast("double") / F.sum(qty).cast("double"))
+        .alias("avg_price_weighted")
+    )

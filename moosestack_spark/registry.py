@@ -75,6 +75,8 @@ _WINDOW_PRIORITY = [
     "agg_uniq_up_to",
     "agg_quantile_weighted",
     "agg_sequence_match",
+    "agg_top_k_weighted",
+    "agg_avg_weighted",
     # backfill: r1-green queries, re-confirmed against the regenerated testdata
     "agg_pricing_summary",
     "agg_count_if",
@@ -98,8 +100,6 @@ _WINDOW_PRIORITY = [
     "join_star_multi",
     "join_theta",
     "join_full_outer",
-    "join_semi_anti",
-    "join_asof",
 ]
 
 
