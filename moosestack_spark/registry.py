@@ -107,6 +107,7 @@ def load_all() -> None:
     """Import every operator module (side effect: registration)."""
     from moosestack_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         bucketed,
         engines,
         filters,
