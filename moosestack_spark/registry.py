@@ -113,6 +113,7 @@ def load_all() -> None:
         filters,
         funnel,
         joins,
+        map_aggs,
         mv,
         scalar_funcs,
         semantic,
