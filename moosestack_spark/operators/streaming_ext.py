@@ -1,0 +1,191 @@
+"""Streaming operators, part 2: hopping windows + foreachBatch upsert sink.
+
+Extends operators/streaming_ops.py (same scaffolding: events replayed as a
+bounded file stream, Trigger.AvailableNow, deterministic append/emit
+contract) with
+
+- hopping (sliding) event-time windows — every event contributes to
+  length/slide windows; state per open window only, so a 2h/1h hop doubles
+  state vs tumbling, independent of history size;
+- a foreachBatch upsert sink: per micro-batch MERGE into a keyed table
+  keeping the latest row per key — the Spark expression of the reference's
+  stream→ReplacingMergeTree sync (apps/framework-cli sync writes + CH engine
+  dedup on merge; here the merge is explicit per batch, which is exactly how
+  Delta/Iceberg MERGE sinks are driven in production Spark).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from moosestack_spark.operators._determinism import dsum, sql_dsum
+from moosestack_spark.operators.streaming_ops import _stream_state_partitions
+from moosestack_spark.registry import query
+from moosestack_spark.tables import normalize_event_ts
+
+
+@query(
+    "streaming_hopping_agg",
+    oracle=f"""
+WITH starts AS (
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value, ts
+  FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) AS ws, event_type, value, ts FROM events
+)
+SELECT
+  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  COUNT(*) AS n,
+  {sql_dsum('value')} AS sum_value
+FROM starts
+WHERE ws + INTERVAL 2 HOUR <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+GROUP BY ws, event_type
+""",
+)
+def streaming_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows hopping every 1 hour with a 1-hour watermark: each
+    event lands in exactly two windows (epoch-aligned starts trunc(ts,h) and
+    trunc(ts,h)-1h), each window row is appended exactly once when the
+    watermark passes its end.  The oracle replays the same two-starts
+    expansion and the availableNow emission cutoff (window_end <= max(ts) -
+    delay)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="msk_hop_src_")
+    out_dir = tempfile.mkdtemp(prefix="msk_hop_out_")
+    ckpt = tempfile.mkdtemp(prefix="msk_hop_ckpt_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    scope = _stream_state_partitions(spark)
+    scope.__enter__()
+    try:
+        stream = (
+            normalize_event_ts(spark.readStream.schema(events_schema).parquet(src_dir))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "2 hours", "1 hour"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).localCheckpoint()
+    finally:
+        scope.__exit__()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def upsert_batch(table_dir: str, key_cols: list[str], order_cols: list[str]):
+    """Build a foreachBatch callback MERGEing each micro-batch into a keyed
+    parquet table: per key keep the single row that sorts first by
+    ``order_cols`` (descending) — latest-wins upsert.  The merge reads the
+    current table, unions the batch, re-ranks, and atomically replaces the
+    table (write-new + swap).  At scale the same callback body targets a
+    Delta/Iceberg MERGE INTO (per-key shuffle bounded by |batch| + matched
+    keys, not table history)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rank_w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        current_dir = os.path.join(table_dir, "current")
+        merged = batch_df
+        if os.path.exists(current_dir):
+            merged = batch_df.unionByName(spark.read.parquet(current_dir))
+        winners = (
+            merged.withColumn("__rn", F.row_number().over(rank_w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            # materialize BEFORE the swap: the plan reads the files the swap
+            # replaces
+            .localCheckpoint()
+        )
+        next_dir = os.path.join(table_dir, f"next_{batch_id}")
+        winners.write.mode("overwrite").parquet(next_dir)
+        old = os.path.join(table_dir, f"old_{batch_id}")
+        if os.path.exists(current_dir):
+            os.rename(current_dir, old)
+        os.rename(next_dir, current_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return _apply
+
+
+@query(
+    "streaming_upsert_latest",
+    oracle="""
+SELECT user_id, event_type AS last_event_type,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+  value AS last_value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream→table upsert sync: foreachBatch merges each micro-batch into a
+    per-user latest-event table (latest ts, event_id tiebreak — the same
+    total order the Replacing engine view uses).  Final table state must
+    equal the batch 'latest row per user' query."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="msk_ups_src_")
+    table_dir = tempfile.mkdtemp(prefix="msk_ups_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="msk_ups_ckpt_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    scope = _stream_state_partitions(spark)
+    scope.__enter__()
+    try:
+        stream = normalize_event_ts(
+            spark.readStream.schema(events_schema).parquet(src_dir)
+        ).select("event_id", "ts", "user_id", "event_type", "value")
+        q = (
+            stream.writeStream.foreachBatch(
+                upsert_batch(table_dir, ["user_id"], ["ts", "event_id"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(os.path.join(table_dir, "current"))
+        return final.select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        ).localCheckpoint()
+    finally:
+        scope.__exit__()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(table_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

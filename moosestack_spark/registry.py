@@ -120,6 +120,7 @@ def load_all() -> None:
         setops,
         skew,
         sortlimit,
+        streaming_ext,
         streaming_ops,
         windows,
     )
