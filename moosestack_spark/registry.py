@@ -127,6 +127,7 @@ def load_all() -> None:
     from moosestack_spark.ops import (  # noqa: F401
         bpe,
         chunking,
+        corpus,
         decontaminate,
         dedup,
         embedding,
