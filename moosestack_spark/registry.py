@@ -39,22 +39,30 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 # The driver's CORRECTNESS run checks the first 50 registered queries per
-# round.  Rounds 1+2 between them gave 96 of the 102 queries a driver row.
-# Round 3's window: the 3 queries never yet checked, the 3 streaming queries
-# that ERR'd in r2 on the events.ts layout drift (fixed via
-# tables.normalize_event_ts — re-check), any queries newly added this round,
-# then backfill with r1-green queries for drift re-confirmation (the r2
-# testdata regeneration proved the environment can shift under the repo).
+# round.  Round 4's window: every query new THIS round first, then the
+# round-3-new queries (CORRECTNESS_r03 was never observed in the repo, so
+# treat their driver rows as unconfirmed and re-front them), then the
+# r2-pending trio + the r2-ERR'd streaming trio, then backfill with
+# r1-green queries for drift re-confirmation.
 _WINDOW_PRIORITY = [
-    # never driver-checked (held out of the r2 window by design)
-    "agg_top_k",
-    "funnel_view_click_purchase",
-    "retention_weekly",
-    # ERR'd in r2 (events.ts timestamp[us] vs nanos-long) — fixed, re-check
-    "streaming_windowed_agg",
-    "streaming_session_window",
-    "streaming_dedup_exact",
-    # --- new round-3 queries ---
+    # --- new round-4 queries ---
+    "analytics_volume_shipping",
+    "analytics_market_share",
+    "analytics_returned_items",
+    "analytics_promo_revenue",
+    "analytics_large_orders",
+    "analytics_supplier_variety",
+    "analytics_idle_customers",
+    "agg_sum_map",
+    "agg_min_max_map",
+    "streaming_hopping_agg",
+    "streaming_upsert_latest",
+    "corpus_mix_weights",
+    "text_bigram_rarity",
+    "text_keywords_tfdf",
+    "text_top_ngrams",
+    "dedup_semantic_cluster",
+    # --- round-3 queries (r3 correctness artifact never landed — re-check) ---
     "multimodal_jpeg_features",
     "multimodal_png_features",
     "streaming_stream_join",
@@ -77,29 +85,20 @@ _WINDOW_PRIORITY = [
     "agg_sequence_match",
     "agg_top_k_weighted",
     "agg_avg_weighted",
+    # never confirmed by a recorded driver row (held out of r1/r2 windows)
+    "agg_top_k",
+    "funnel_view_click_purchase",
+    "retention_weekly",
+    "streaming_windowed_agg",
+    "streaming_session_window",
+    "streaming_dedup_exact",
     # backfill: r1-green queries, re-confirmed against the regenerated testdata
     "agg_pricing_summary",
-    "agg_count_if",
     "agg_count_distinct",
-    "agg_arg_max",
-    "agg_having",
-    "agg_rollup",
-    "agg_quantile",
-    "agg_grouping_sets",
-    "engine_replacing_dedup",
-    "engine_summing_rollup",
-    "engine_collapsing",
-    "engine_versioned_collapsing",
-    "filter_comparisons",
-    "filter_in_between",
-    "filter_like",
-    "filter_null_checks",
-    "filter_semantics_skip_and_empty_in",
-    "filter_empty_in_is_false",
-    "join_left_lookup",
     "join_star_multi",
-    "join_theta",
-    "join_full_outer",
+    "engine_replacing_dedup",
+    "window_row_number_topk",
+    "dedup_exact",
 ]
 
 
