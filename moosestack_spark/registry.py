@@ -131,6 +131,7 @@ def load_all() -> None:
         dedup,
         embedding,
         multimodal,
+        multimodal_ext,
         similarity,
         text,
     )
