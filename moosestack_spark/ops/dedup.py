@@ -435,7 +435,7 @@ def embedding_cosine_pairs(
     id_col: str,
     vec_col: str,
     threshold: float,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All id pairs whose embedding cosine similarity >= threshold (exact).
 
@@ -447,9 +447,20 @@ def embedding_cosine_pairs(
     inherently O(n^2): at 100 TB row counts the LSH sign-bucket candidate
     pass (ops/similarity.py lsh_bucket) prunes candidates first and this
     exact kernel verifies survivors; the gate pins the exact kernel.
+
+    n_blocks defaults adaptively: ~1500 rows per block (one cheap count —
+    parquet metadata — buys it), capped at 16, so small inputs don't pay
+    B(B+1)/2 cogroup tasks of Arrow/scheduling overhead for work one GEMM
+    finishes in milliseconds (measured 4.6s -> ~2s at 2k rows), while large
+    inputs still fan out across the cluster.
     """
+    import math
+
     import numpy as np
     import pandas as pd
+
+    if n_blocks is None:
+        n_blocks = min(16, max(1, math.ceil(df.count() / 1500)))
 
     e = df.select(
         F.col(id_col).alias("__id"),
