@@ -1,0 +1,304 @@
+"""Aggregates, part 2: CH time-series/bit aggregates, pivot, exact corr,
+gap filling, and LIMIT BY (SURVEY.md §2.4/§2.6/§2.9 widening).
+
+ClickHouse surface covered here (aggregate-functions/reference +
+select/limit-by): ``deltaSum`` (sum of positive deltas in order),
+``groupBitAnd/Or/Xor``, fixed-bin ``histogram``, ``corr``, ``WITH FILL``
+(gap filling), ``LIMIT n BY group``.  Plus Spark-native pivot — moose users
+express it today as conditional aggregates through raw SQL; the operator
+form compiles to the same single-shuffle plan.
+
+Float discipline (operators/_determinism.py): every sum that feeds a float
+result is an exact decimal sum; the float appears only in a final fixed
+expression tree evaluated identically by Spark and DuckDB (single IEEE ops
+on identical inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from moosestack_spark.operators._determinism import dec, sql_dec
+from moosestack_spark.registry import query
+from moosestack_spark.tables import t
+
+# --------------------------------------------------------------------------
+# deltaSum: sum of positive increments in event order (CH deltaSum; the
+# counter-reset-tolerant rate primitive for monitoring rollups).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_delta_sum",
+    oracle=f"""
+WITH d AS (
+  SELECT user_id,
+    {sql_dec('value')} - lag({sql_dec('value')}) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events
+)
+SELECT user_id,
+  CAST(COALESCE(SUM(CASE WHEN delta > 0 THEN delta END),
+                CAST(0 AS DECIMAL(25,4))) AS DOUBLE) AS delta_sum
+FROM d GROUP BY user_id
+""",
+)
+def agg_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deltaSum(value) per user over (ts, event_id) order: positive deltas
+    accumulate, drops/resets are ignored.  One shuffle (partitionBy user)
+    shared by the lag window and the final aggregate — Catalyst reuses the
+    exchange because the window and groupBy keys match."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = dec("value") - F.lag(dec("value")).over(w)
+    zero = F.lit(0).cast("decimal(25,4)")
+    return (
+        ev.withColumn("__delta", delta)
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__delta") > 0, F.col("__delta"))), zero
+            )
+            .cast("double")
+            .alias("delta_sum")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# groupBitAnd / groupBitOr / groupBitXor.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_bit_ops",
+    oracle="""
+SELECT event_type,
+  BIT_AND(event_id) AS bits_and,
+  BIT_OR(event_id) AS bits_or,
+  BIT_XOR(event_id) AS bits_xor
+FROM events GROUP BY event_type
+""",
+)
+def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBitAnd/Or/Xor over event ids per type — integer-exact,
+    order-independent, single map-side-combined shuffle."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("event_id").alias("bits_and"),
+        F.bit_or("event_id").alias("bits_or"),
+        F.bit_xor("event_id").alias("bits_xor"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot: per-user event counts fanned into one column per event type.
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_pivot_event_counts",
+    oracle="""
+SELECT user_id,
+  COUNT(*) FILTER (event_type = 'click') AS click,
+  COUNT(*) FILTER (event_type = 'error') AS error,
+  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (event_type = 'signup') AS signup,
+  COUNT(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id
+""",
+)
+def agg_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy(user).pivot(event_type) with an EXPLICIT category list — the
+    two-pass 'discover values then pivot' form is a hidden extra job and
+    non-deterministic column order at 100 TB; pinning the list compiles to
+    one conditional-aggregate shuffle, identical to the FILTER oracle."""
+    ev = t(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    # pivot leaves null where a (user, type) combo never occurred; the
+    # conditional-count oracle yields 0 — align.
+    return out.fillna(0, subset=EVENT_TYPES)
+
+
+# --------------------------------------------------------------------------
+# corr (exact-input Pearson correlation).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+WITH z AS (
+  SELECT l_returnflag,
+    CAST(l_quantity AS BIGINT) AS x,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM(x) AS DOUBLE) AS sx,
+    CAST(SUM(y) AS DOUBLE) AS sy,
+    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+    CAST(SUM(x * y) AS DOUBLE) AS sxy
+  FROM z GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+  (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+    AS corr_qty_price
+FROM s
+""",
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson corr(quantity, extendedprice) per return flag.  Moments are
+    computed on INTEGER-scaled inputs (quantity is integral by the data
+    contract; price in exact cents) — correlation is invariant under
+    positive linear scaling, the integer sums are order-independent and
+    exact, and each surfaces as a double through a SINGLE integer->double
+    rounding (wide-DECIMAL sums double-round through the scale division in
+    DuckDB — measured 4-ulp drift — so integers, not decimals, are the
+    cross-engine moment representation).  The correlation itself is one
+    fixed IEEE expression tree on identical doubles — unlike the engines'
+    builtin corr(), whose internal accumulation orders differ."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    z = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    xx, yy = F.col("x"), F.col("y")
+    wide = "decimal(38,0)"  # y*y sums exceed int64 at bench SF and beyond
+    s = z.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xx).cast("double").alias("sx"),
+        F.sum(yy).cast("double").alias("sy"),
+        F.sum(xx * xx).cast("double").alias("sxx"),
+        F.sum((yy * yy).cast(wide)).cast("double").alias("syy"),
+        F.sum((xx * yy).cast(wide)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select("l_returnflag", corr.alias("corr_qty_price"))
+
+
+# --------------------------------------------------------------------------
+# Gap filling (CH ORDER BY ... WITH FILL): dense hourly series per group.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_gap_fill_hourly",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+), hours AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+), types AS (SELECT DISTINCT event_type FROM events),
+actual AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(hours.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       types.event_type,
+       COALESCE(actual.n, 0) AS n
+FROM hours CROSS JOIN types
+LEFT JOIN actual ON actual.h = hours.h AND actual.event_type = types.event_type
+""",
+)
+def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly counts per event type: every (hour, type) cell exists,
+    zero-filled where no events landed (WITH FILL).  The hour spine is one
+    sequence() from the global min/max (a 2-row aggregate broadcast), so
+    the dense grid costs |hours| x |types| rows — never a shuffle of the
+    fact table beyond the count itself."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        hours.crossJoin(F.broadcast(types))
+        .join(F.broadcast(actual), ["h", "event_type"], "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# LIMIT n BY group (CH select/limit-by).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit_by_group",
+    oracle="""
+SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+    row_number() OVER (
+      PARTITION BY c.c_mktsegment
+      ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rn <= 3
+""",
+)
+def sort_limit_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``LIMIT 3 BY c_mktsegment``: the top 3 orders by price within
+    every segment.  Compiled as a rank-filter window — with bounded n the
+    per-partition window carries a running top-3, never a full sort spill."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-bin histogram (deterministic variant of CH histogram(N)).
+# --------------------------------------------------------------------------
+
+BIN_WIDTH = 10000
+
+
+@query(
+    "agg_histogram_fixed",
+    oracle=f"""
+SELECT CAST(FLOOR(o_totalprice / {BIN_WIDTH}) AS BIGINT) AS bin,
+  COUNT(*) AS n,
+  CAST(CAST(FLOOR(o_totalprice / {BIN_WIDTH}) AS BIGINT) * {BIN_WIDTH} AS DOUBLE) AS bin_lo
+FROM orders GROUP BY 1
+""",
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price histogram with fixed-width bins.  CH's histogram(N) uses
+    adaptive (data-dependent, approximate) bin edges; fixed-width bins are
+    the deterministic variant that merges trivially across partitions —
+    one map-side-combined shuffle at any SF.  floor(price/width) on a
+    2-decimal fixed-point double never sits on a boundary ulp, so the bin
+    assignment is cross-engine exact."""
+    o = t(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / BIN_WIDTH).cast("bigint")
+    return o.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "bin", "n", (F.col("bin") * BIN_WIDTH).cast("double").alias("bin_lo")
+    )

@@ -62,6 +62,15 @@ _WINDOW_PRIORITY = [
     "text_keywords_tfdf",
     "text_top_ngrams",
     "dedup_semantic_cluster",
+    "multimodal_resize_features",
+    "multimodal_audio_frames",
+    "agg_delta_sum",
+    "agg_bit_ops",
+    "agg_pivot_event_counts",
+    "agg_corr_exact",
+    "ts_gap_fill_hourly",
+    "sort_limit_by_group",
+    "agg_histogram_fixed",
     # --- round-3 queries (r3 correctness artifact never landed — re-check) ---
     "multimodal_jpeg_features",
     "multimodal_png_features",
@@ -75,9 +84,6 @@ _WINDOW_PRIORITY = [
     "multimodal_gif_features",
     "source_csv_jsonl_roundtrip",
     "sql_ch_dialect_extended",
-    "text_chunk_overlap",
-    "text_pack_sequences",
-    "text_domain_cap",
     "embedding_pca_project",
     "dedup_substring_runs",
     "agg_uniq_up_to",
@@ -85,20 +91,27 @@ _WINDOW_PRIORITY = [
     "agg_sequence_match",
     "agg_top_k_weighted",
     "agg_avg_weighted",
-    # never confirmed by a recorded driver row (held out of r1/r2 windows)
+    # no recorded green driver row yet: the r2-pending trio and the
+    # r2-ERR'd streaming trio
     "agg_top_k",
     "funnel_view_click_purchase",
     "retention_weekly",
     "streaming_windowed_agg",
     "streaming_session_window",
     "streaming_dedup_exact",
-    # backfill: r1-green queries, re-confirmed against the regenerated testdata
-    "agg_pricing_summary",
-    "agg_count_distinct",
-    "join_star_multi",
-    "engine_replacing_dedup",
-    "window_row_number_topk",
-    "dedup_exact",
+]
+
+# The explicit rotation backlog, pinned to positions 51+: oracled queries
+# without a recorded green row that did not fit this round's 50 slots.
+# These three are the least environment-sensitive of the unconfirmed set
+# (pure-JVM text transforms, additionally pinned by the sf0.01 oracle
+# pytest suite every round) — first into next round's window.  The
+# registry-window meta-test enforces that ONLY names listed here may lack
+# both a green row and a window slot.
+_AFTER_WINDOW = [
+    "text_chunk_overlap",
+    "text_pack_sequences",
+    "text_domain_cap",
 ]
 
 
@@ -106,6 +119,7 @@ def load_all() -> None:
     """Import every operator module (side effect: registration)."""
     from moosestack_spark.operators import (  # noqa: F401
         aggregates,
+        aggregates_ext,
         analytics,
         bucketed,
         engines,
@@ -138,7 +152,7 @@ def load_all() -> None:
 
     # Reorder the registry so the driver's 50-query correctness window covers
     # the queries that most need a hard row this round (see _WINDOW_PRIORITY).
-    prioritized = [n for n in _WINDOW_PRIORITY if n in QUERIES]
+    prioritized = [n for n in [*_WINDOW_PRIORITY, *_AFTER_WINDOW] if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(prioritized)]
     reordered = {n: QUERIES[n] for n in [*prioritized, *rest]}
     QUERIES.clear()
