@@ -302,3 +302,38 @@ def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "bin", "n", (F.col("bin") * BIN_WIDTH).cast("double").alias("bin_lo")
     )
+
+
+# --------------------------------------------------------------------------
+# WITH TOTALS (CH select/group-by modifier): the grouped rows plus one
+# all-group totals row.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_with_totals",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, '<totals>') AS returnflag,
+  COUNT(*) AS n,
+  {sql_dec('l_quantity').join(['CAST(SUM(', ') AS DOUBLE) AS sum_qty'])}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag)
+""",
+)
+def agg_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``GROUP BY ... WITH TOTALS``: per-flag rows plus a totals row.
+    Compiled as ROLLUP — Spark computes the totals from the partial
+    aggregates in the same shuffle, not a second scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<totals>")).alias("returnflag"),
+            "n",
+            "sum_qty",
+        )
+    )

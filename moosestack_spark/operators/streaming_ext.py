@@ -189,3 +189,85 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(table_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
+    "streaming_enrich_static",
+    oracle="""
+SELECT c.c_mktsegment AS segment, e.event_type,
+  COUNT(*) AS n
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+""",
+)
+def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joined per micro-batch
+    to a STATIC dimension (customer), then aggregated via foreachBatch
+    accumulation.  This is the reference's stream transform + lookup-table
+    pattern (a transform calling a CH dimension lookup); in Spark the
+    static side broadcasts into every micro-batch — no stream-side state,
+    no watermark needed, and dimension updates between batches are picked
+    up automatically.  The aggregate accumulates across batches through a
+    latest-wins upsert on the group key (count monotonicity makes
+    last-write-wins correct under availableNow replay)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    src_dir = tempfile.mkdtemp(prefix="msk_enr_src_")
+    table_dir = tempfile.mkdtemp(prefix="msk_enr_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="msk_enr_ckpt_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    scope = _stream_state_partitions(spark)
+    scope.__enter__()
+    try:
+        enriched = (
+            spark.readStream.schema(events_schema)
+            .parquet(src_dir)
+            .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+            .select("segment", "event_type")
+        )
+
+        def accumulate(batch_df: DataFrame, batch_id: int) -> None:
+            sp = batch_df.sparkSession
+            counts = batch_df.groupBy("segment", "event_type").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            current_dir = os.path.join(table_dir, "current")
+            if os.path.exists(current_dir):
+                prev = sp.read.parquet(current_dir)
+                counts = (
+                    counts.unionByName(prev)
+                    .groupBy("segment", "event_type")
+                    .agg(F.sum("n").cast("bigint").alias("n"))
+                )
+            merged = counts.localCheckpoint()
+            next_dir = os.path.join(table_dir, f"next_{batch_id}")
+            merged.write.mode("overwrite").parquet(next_dir)
+            old = os.path.join(table_dir, f"old_{batch_id}")
+            if os.path.exists(current_dir):
+                os.rename(current_dir, old)
+            os.rename(next_dir, current_dir)
+            shutil.rmtree(old, ignore_errors=True)
+
+        q = (
+            enriched.writeStream.foreachBatch(accumulate)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(os.path.join(table_dir, "current"))
+            .localCheckpoint()
+        )
+    finally:
+        scope.__exit__()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(table_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

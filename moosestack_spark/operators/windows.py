@@ -250,3 +250,102 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Moving average (bounded ROWS frame): the time-series smoothing shape.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+SELECT user_id, event_id,
+  CAST(SUM(CAST(value AS DECIMAL(25,4))) OVER w AS DOUBLE)
+    / COUNT(*) OVER w AS moving_avg
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-point trailing moving average of event values per user.  The ROWS
+    frame keeps per-row state bounded (4 values) whatever the partition
+    size; exact decimal sum / window count -> one IEEE division, so short
+    leading windows (1-3 rows) are exact too."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    avg = F.sum(F.col("value").cast("decimal(25,4)")).over(w).cast(
+        "double"
+    ) / F.count(F.lit(1)).over(w)
+    return ev.select("user_id", "event_id", avg.alias("moving_avg"))
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization (gap islands): assign session ids + per-session
+# stats in one pass — the batch counterpart of streaming_session_window.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sessionize_batch",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id,
+    SUM(is_start) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM marked
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+  COUNT(*) AS n_events,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us
+FROM numbered GROUP BY user_id, session_no
+""",
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: a session breaks after 30 idle
+    minutes; sessions are numbered per user in time order and aggregated to
+    (count, start, duration).  Classic two-window islands plan — both
+    windows and the final groupBy share the user_id exchange, so the whole
+    operator is ONE shuffle at any scale."""
+    ev = t(spark, sf_dir, "events")
+    order = ["ts", "event_id"]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    # exact microsecond gap comparison: second-truncating casts shift
+    # gaps whose fractional parts straddle a second boundary
+    is_start = (prev_us.isNull() | (us - prev_us > 30 * 60 * 1_000_000)).cast(
+        "int"
+    )
+    run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("__start", is_start)
+        .withColumn("session_no", F.sum("__start").over(run).cast("bigint"))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+            .cast("bigint")
+            .alias("duration_us"),
+        )
+    )

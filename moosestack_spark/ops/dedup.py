@@ -819,3 +819,65 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), prefix40.alias("text")
     )
     return shared_token_runs(d.unionByName(planted))
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: dedup a NEW batch against an existing (already-deduped)
+# corpus without rescanning corpus content — the day-2 shape of every
+# production dedup pipeline (the corpus only ships its hash set).
+# --------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(
+    corpus: DataFrame, batch: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Rows of ``batch`` that are novel: not an exact (normalized) dup of
+    any corpus row, and the min-id survivor within the batch itself.
+
+    Scale shape: the corpus side is reduced to DISTINCT 64-bit hashes + the
+    normalized text (collision guard) BEFORE the join — the anti join
+    shuffles |corpus-distinct| hashes once, never full documents, and in a
+    day-2 pipeline that hash projection is a materialized table that never
+    gets rescanned."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    corpus_keys = (
+        corpus.select(norm.alias("__norm"))
+        .distinct()
+        .select(F.xxhash64("__norm").alias("__h"), "__norm")
+    )
+    b = batch.withColumn("__norm", norm).withColumn("__h", F.xxhash64("__norm"))
+    survivors = (
+        b.groupBy("__h", "__norm")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("batch_dups"))
+    )
+    return (
+        survivors.join(corpus_keys, ["__h", "__norm"], "left_anti")
+        .select(id_col, "batch_dups")
+    )
+
+
+@query(
+    "dedup_incremental_exact",
+    oracle=r"""
+WITH batch AS (
+  SELECT doc_id, regexp_replace(TRIM(LOWER(text)), '\s+', ' ', 'g') AS norm
+  FROM documents WHERE doc_id % 7 = 3
+), corpus AS (
+  SELECT DISTINCT regexp_replace(TRIM(LOWER(text)), '\s+', ' ', 'g') AS norm
+  FROM documents WHERE doc_id % 7 <> 3
+), surv AS (
+  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS batch_dups, norm
+  FROM batch GROUP BY norm
+)
+SELECT doc_id, batch_dups FROM surv
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.norm = surv.norm)
+""",
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: docs with id%7==3 arrive as the new batch,
+    the rest are the standing corpus; novel batch docs survive.  The
+    corpus participates only as distinct hash keys."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 7 == 3)
+    corpus = d.filter(F.col("doc_id") % 7 != 3)
+    return incremental_exact_dedup(corpus, batch, "doc_id", "text")

@@ -112,6 +112,12 @@ _AFTER_WINDOW = [
     "text_chunk_overlap",
     "text_pack_sequences",
     "text_domain_cap",
+    # late round-4 additions that didn't fit the full window
+    "window_moving_avg",
+    "sessionize_batch",
+    "agg_with_totals",
+    "streaming_enrich_static",
+    "dedup_incremental_exact",
 ]
 
 
