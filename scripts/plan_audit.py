@@ -35,6 +35,13 @@ ALLOWED = {
     # candidate scan: BroadcastNestedLoopJoin IS the broadcast-side plan
     "similarity_bruteforce_topk": {"BNLJ"},
     "similarity_quantized_topk": {"BNLJ"},
+    # scalar-subquery shape: a ONE-row aggregate (the avg-balance
+    # threshold) broadcast-crossed into customer — the broadcast side is a
+    # single row at any SF
+    "analytics_idle_customers": {"BNLJ"},
+    # WITH FILL spine: dense hour grid x 5-row distinct event types, both
+    # sides tiny by construction (bounded by time range, not data volume)
+    "ts_gap_fill_hourly": {"BNLJ"},
 }
 
 
