@@ -337,3 +337,126 @@ def agg_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# simpleLinearRegression + stddevPop from the same exact integer moments
+# as agg_corr_exact (CH simpleLinearRegression / stddevPop / varPop).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_linreg_exact",
+    oracle="""
+WITH z AS (
+  SELECT l_returnflag,
+    CAST(l_quantity AS BIGINT) AS x,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM(x) AS DOUBLE) AS sx,
+    CAST(SUM(y) AS DOUBLE) AS sy,
+    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+    CAST(SUM(x * y) AS DOUBLE) AS sxy
+  FROM z GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_cents_per_unit,
+  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept_cents,
+  SQRT((n * sxx - sx * sx) / n) / n AS stddev_x_over_n
+FROM s
+""",
+)
+def agg_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH simpleLinearRegression(x, y) + stddevPop(x) per return flag, on
+    integer-scaled inputs (price in cents), from exact integer moment sums —
+    the same cross-engine-moment pattern as agg_corr_exact.  Every float op
+    after the sums is a fixed expression tree both engines evaluate
+    identically.  (stddev surfaced as stddev/n purely to keep the magnitude
+    in a band where the shared division tree is the last op — the point is
+    the exact-moment plumbing, not the units.)"""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    z = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    xx, yy = F.col("x"), F.col("y")
+    wide = "decimal(38,0)"
+    s = z.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xx).cast("double").alias("sx"),
+        F.sum(yy).cast("double").alias("sy"),
+        F.sum(xx * xx).cast("double").alias("sxx"),
+        F.sum((xx * yy).cast(wide)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    stddev_over_n = F.sqrt((n * sxx - sx * sx) / n) / n
+    return s.select(
+        "l_returnflag",
+        slope.alias("slope_cents_per_unit"),
+        intercept.alias("intercept_cents"),
+        stddev_over_n.alias("stddev_x_over_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# groupUniqArray (CH): distinct values per group as a sorted joined string
+# (arrays can't be driver-hashed).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_group_uniq_array",
+    oracle="""
+SELECT l_returnflag,
+  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+  COUNT(DISTINCT l_linestatus) AS n_statuses
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_group_uniq_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupUniqArray(l_linestatus) per return flag: collect_set -> sorted
+    join.  collect_set partial-aggregates map-side, so the exchange carries
+    per-partition distinct sets — bounded by value cardinality, not rows."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+    )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (wide -> long), the inverse of agg_pivot_event_counts.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_unpivot_stack",
+    oracle="""
+SELECT o_orderkey, metric, val FROM (
+  SELECT o_orderkey, 'totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS val
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS val
+  FROM orders
+)
+""",
+)
+def agg_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT two order measures into (metric, val) long form via stack()
+    — a zero-shuffle generator projection (each input row emits its metric
+    rows in place; the plan is scan -> generate, no exchange)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', CAST(o_totalprice AS DOUBLE), "
+            "'custkey', CAST(o_custkey AS DOUBLE))"
+        ).alias("metric", "val"),
+    )

@@ -349,3 +349,41 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("duration_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IGNORE NULLS navigation: last known value per row (the gap-carry shape).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_last_value_ignore_nulls",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+  FROM events
+)
+SELECT user_id, event_id,
+  LAST_VALUE(purchase_value IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+FROM v
+""",
+)
+def window_last_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carry the most recent purchase value forward over non-purchase rows
+    (LAST_VALUE ... IGNORE NULLS — the standard gap-fill/forward-fill
+    navigation).  Same single user_id exchange as every per-user window."""
+    ev = t(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )

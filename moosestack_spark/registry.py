@@ -118,6 +118,10 @@ _AFTER_WINDOW = [
     "agg_with_totals",
     "streaming_enrich_static",
     "dedup_incremental_exact",
+    "agg_linreg_exact",
+    "agg_group_uniq_array",
+    "agg_unpivot_stack",
+    "window_last_value_ignore_nulls",
 ]
 
 
