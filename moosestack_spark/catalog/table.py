@@ -669,6 +669,54 @@ class OlapTable(Generic[T]):
         self._rewrite_base(kept, ".__ttl_tmp")
         return total - n_kept
 
+    def delete_where(self, predicate: str) -> int:
+        """``ALTER TABLE ... DELETE WHERE <predicate>`` (the CH mutation the
+        reference issues for data corrections; SQL passthrough surface —
+        apps/framework-cli ddl plans treat mutations as data ops, not schema
+        diffs).  Deletes rows where the predicate is TRUE; FALSE and NULL
+        rows are kept (CH mutation semantics).  Returns rows deleted.
+
+        Scale shape: on a partitioned table only the partitions containing
+        matching rows are rewritten (Spark dynamic partition overwrite —
+        the direct analogue of CH mutating only parts that contain matching
+        rows); untouched partitions are never read or written.  Partitions
+        whose rows are ALL deleted are dropped explicitly (dynamic
+        overwrite leaves a partition untouched when the frame contains no
+        rows for it)."""
+        pred = F.expr(predicate)
+        df = self.read_raw()
+        n_del = df.filter(pred).count()
+        if n_del == 0:
+            return 0
+        keep = ~F.coalesce(pred, F.lit(False))
+        pb = self.config.partition_by
+        if not pb:
+            self._rewrite_base(df.filter(keep), ".__del_tmp")
+            return n_del
+        affected = [r[0] for r in df.filter(pred).select(pb).distinct().collect()]
+        kept_affected = df.filter(F.col(pb).isin(affected)).filter(keep)
+        survivors = {r[0] for r in kept_affected.select(pb).distinct().collect()}
+        prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            if survivors:
+                (
+                    kept_affected.localCheckpoint()  # plan reads files the write replaces
+                    .write.mode("overwrite")
+                    .partitionBy(pb)
+                    .parquet(self.path)
+                )
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        for val in set(affected) - survivors:
+            shutil.rmtree(
+                os.path.join(self.path, f"{pb}={val}"), ignore_errors=True
+            )
+        self._rebuild_projections()
+        return n_del
+
     def _rewrite_base(self, df: DataFrame, tmp_suffix: str) -> None:
         """Atomically replace the base files with ``df``, preserving the
         table's partition layout.  TTL rewrites previously wrote flat files;

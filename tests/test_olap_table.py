@@ -518,3 +518,58 @@ def test_order_by_expression_sorts_parts(spark, warehouse):
         rows = spark.read.parquet(f).collect()
         keys = [(abs(r.v), r.id) for r in rows]
         assert keys == sorted(keys)
+
+
+def test_delete_where_unpartitioned(spark, warehouse):
+    t = OlapTable("delu", Event, spark, warehouse)
+    t.insert([{"id": i, "kind": "a" if i % 2 else "b", "amount": float(i)} for i in range(10)])
+    n = t.delete_where("kind = 'a'")
+    assert n == 5
+    assert sorted(r.id for r in t.read().collect()) == [0, 2, 4, 6, 8]
+    assert t.delete_where("kind = 'zzz'") == 0
+
+
+def test_delete_where_null_predicate_rows_kept(spark, warehouse):
+    class M(BaseModel):
+        id: Key[int]
+        tag: Optional[str] = None
+
+    t = OlapTable("deln", M, spark, warehouse)
+    t.insert([{"id": 1, "tag": "x"}, {"id": 2, "tag": None}, {"id": 3, "tag": "y"}])
+    # predicate is NULL for row 2 -> kept (CH mutation semantics)
+    assert t.delete_where("tag = 'x'") == 1
+    assert sorted(r.id for r in t.read().collect()) == [2, 3]
+
+
+def test_delete_where_partitioned_prunes(spark, warehouse):
+    import os
+
+    class P(BaseModel):
+        id: Key[int]
+        d: str
+        amount: float
+
+    t = OlapTable(
+        "delp", P, spark, warehouse, OlapConfig(partition_by="d")
+    )
+    t.insert(
+        [{"id": i, "d": f"d{i % 3}", "amount": float(i)} for i in range(12)]
+    )
+    parts_before = {
+        p: os.path.getmtime(os.path.join(t.path, p))
+        for p in os.listdir(t.path)
+        if p.startswith("d=")
+    }
+    # delete everything in partition d0 and one row of d1
+    n = t.delete_where("d = 'd0' OR id = 1")
+    assert n == 5
+    left = sorted(r.id for r in t.read().collect())
+    assert left == [2, 4, 5, 7, 8, 10, 11]
+    parts_after = {
+        p: os.path.getmtime(os.path.join(t.path, p))
+        for p in os.listdir(t.path)
+        if p.startswith("d=")
+    }
+    # fully-deleted partition dropped; untouched partition files not rewritten
+    assert "d=d0" not in parts_after
+    assert parts_after["d=d2"] == parts_before["d=d2"]
