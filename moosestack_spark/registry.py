@@ -122,6 +122,19 @@ _AFTER_WINDOW = [
     "agg_group_uniq_array",
     "agg_unpivot_stack",
     "window_last_value_ignore_nulls",
+    # round-5 additions: the remaining TPC-H shapes (Q2/Q4/Q9/Q11/Q12/Q13/
+    # Q15/Q17/Q19/Q20/Q21 adaptations, operators/analytics3.py)
+    "analytics_min_cost_supplier",
+    "analytics_priority_exists",
+    "analytics_nation_profit",
+    "analytics_important_parts",
+    "analytics_priority_class",
+    "analytics_customer_distribution",
+    "analytics_top_supplier",
+    "analytics_small_quantity_revenue",
+    "analytics_disjunctive_predicates",
+    "analytics_excess_suppliers",
+    "analytics_waiting_suppliers",
 ]
 
 
@@ -131,6 +144,7 @@ def load_all() -> None:
         aggregates,
         aggregates_ext,
         analytics,
+        analytics3,
         bucketed,
         engines,
         filters,

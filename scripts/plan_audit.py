@@ -42,6 +42,11 @@ ALLOWED = {
     # WITH FILL spine: dense hour grid x 5-row distinct event types, both
     # sides tiny by construction (bounded by time range, not data volume)
     "ts_gap_fill_hourly": {"BNLJ"},
+    # TPC-H Q11 shape: the global-total threshold is a ONE-row aggregate
+    # broadcast-crossed onto the per-part aggregate
+    "analytics_important_parts": {"BNLJ"},
+    # TPC-H Q15 shape: scalar MAX(total_rev) — same one-row broadcast cross
+    "analytics_top_supplier": {"BNLJ"},
 }
 
 
