@@ -1,0 +1,149 @@
+"""Connected-components duplicate clustering.
+
+Near-dup pair generators (ops/dedup.py) emit EDGES: (doc_a, doc_b) with
+similarity above threshold.  Training-data curation needs the transitive
+closure — if A~B and B~C, all three are one duplicate cluster even when
+A and C don't pair directly — so the keep/drop decision is made once per
+component, not once per pair.  Beyond-reference operator family (SURVEY.md
+§8); the reference's dedup story is ClickHouse ReplacingMergeTree (exact
+key dedup only — packages/py-moose-lib/moose_lib/blocks.py engine configs).
+
+Algorithm: iterative min-label propagation.  Every vertex starts labeled
+with its own id; each round every vertex takes the min label over itself and
+its neighbors; fixpoint = components labeled by their min member.
+
+Scale design (100 TB):
+- each round is two shuffles (edge⋈label join on src, then min-agg on dst)
+  over the EDGE list, which for near-dup graphs is orders of magnitude
+  smaller than the corpus (only docs with at least one near-dup appear);
+- rounds needed = graph diameter; duplicate clusters are near-cliques
+  (diameter 2-3), so convergence is fast.  A pathological chain corpus
+  would need the large-star/small-star variant (Kiveris et al., "Connected
+  Components in MapReduce and Beyond") — same join primitive, fewer rounds;
+- lineage is truncated every round with localCheckpoint, otherwise the
+  iterated plan tree grows exponentially and analysis time dominates;
+- convergence is detected from the label-sum (strictly decreasing until
+  fixpoint), one scalar agg per round instead of an extra diff join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from moosestack_spark.registry import query
+from moosestack_spark.tables import t
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Label each vertex of the undirected graph `edges` with the minimum
+    vertex id of its connected component.  Returns (v, cluster_id).
+
+    `edges` may be directed input — it is symmetrized here, so callers pass
+    each pair once.
+    """
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.v)
+            .groupBy(F.col("dst").alias("nv"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.v == F.col("nv"), "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("v", F.col("lbl").alias("cluster_id"))
+
+
+# Shared with the dedup_ngram_jaccard oracle (ops/dedup.py) — the pair CTE
+# must stay textually in sync so both gates see the same edge set.
+_PAIR_CTES = r"""
+sh_all AS (
+  SELECT DISTINCT doc_id AS doc, shingle FROM (
+    SELECT doc_id,
+           array_to_string(toks[i : i + 4], ' ') AS shingle
+    FROM (
+      SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents
+    ), LATERAL (SELECT UNNEST(generate_series(1, GREATEST(LEN(toks) - 4, 0))) AS i)
+  )
+),
+sh AS (
+  SELECT doc, shingle FROM (
+    SELECT doc, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM sh_all
+  ) WHERE df <= 100
+),
+sizes AS (SELECT doc, COUNT(*) AS set_size FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5
+)
+"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE {_PAIR_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+reach AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT e.dst AS v, reach.r AS r FROM reach JOIN edges e ON e.src = reach.v
+)
+SELECT v AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY v
+""",
+)
+def dedup_connected_components(spark, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters over the exact n-gram Jaccard pair
+    graph (threshold 0.5): every doc with at least one near-dup, labeled by
+    the min doc_id of its cluster.  The DuckDB oracle computes the same
+    closure with a recursive CTE — a rare case where an iterative Spark
+    algorithm still gets a hard value-hash gate."""
+    from moosestack_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.5)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("v").alias("doc_id"), "cluster_id")

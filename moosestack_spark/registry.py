@@ -135,6 +135,7 @@ _AFTER_WINDOW = [
     "analytics_disjunctive_predicates",
     "analytics_excess_suppliers",
     "analytics_waiting_suppliers",
+    "dedup_connected_components",
 ]
 
 
@@ -164,6 +165,7 @@ def load_all() -> None:
     from moosestack_spark.ops import (  # noqa: F401
         bpe,
         chunking,
+        components,
         corpus,
         decontaminate,
         dedup,
