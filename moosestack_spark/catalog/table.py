@@ -717,6 +717,75 @@ class OlapTable(Generic[T]):
         self._rebuild_projections()
         return n_del
 
+    def update_where(self, assignments: dict[str, str], predicate: str) -> int:
+        """``ALTER TABLE ... UPDATE col = expr WHERE <predicate>`` (the other
+        CH mutation; same SQL passthrough surface as delete_where).  Rewrites
+        matching rows with the assignment expressions; FALSE/NULL-predicate
+        rows are untouched.  Assignment expressions may reference any column
+        of the row (CH mutation semantics) and are cast back to the column's
+        declared type so the table schema never drifts.  Key columns
+        (partition / order-by) cannot be updated — CH rejects mutations on
+        key columns, and allowing a partition-column update would silently
+        move rows between partitions mid-rewrite.  Returns rows updated.
+
+        Scale shape mirrors delete_where: on a partitioned table only the
+        partitions containing matching rows are rewritten via dynamic
+        partition overwrite; since UPDATE never removes rows and key columns
+        are immutable, no partition can become empty or change its key."""
+        if not assignments:
+            return 0
+        key_cols = set(self.config.order_by_fields or ())
+        if self.config.partition_by:
+            key_cols.add(self.config.partition_by)
+        banned = key_cols & set(assignments)
+        if banned:
+            raise ValueError(f"cannot UPDATE key column(s): {sorted(banned)}")
+        df = self.read_raw()
+        unknown = set(assignments) - set(df.columns)
+        if unknown:
+            raise ValueError(f"unknown column(s) in UPDATE: {sorted(unknown)}")
+        pred = F.expr(predicate)
+        n_upd = df.filter(pred).count()
+        if n_upd == 0:
+            return 0
+        cond = F.coalesce(pred, F.lit(False))
+        types = dict(df.dtypes)
+
+        def _apply(frame: DataFrame) -> DataFrame:
+            cols = []
+            for c in frame.columns:
+                if c in assignments:
+                    cols.append(
+                        F.when(cond, F.expr(assignments[c]).cast(types[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                else:
+                    cols.append(F.col(c))
+            return frame.select(*cols)
+
+        pb = self.config.partition_by
+        if not pb:
+            self._rewrite_base(_apply(df), ".__upd_tmp")
+            return n_upd
+        affected = [r[0] for r in df.filter(pred).select(pb).distinct().collect()]
+        updated_affected = _apply(df.filter(F.col(pb).isin(affected)))
+        prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                updated_affected.localCheckpoint()  # plan reads files the write replaces
+                .write.mode("overwrite")
+                .partitionBy(pb)
+                .parquet(self.path)
+            )
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        self._rebuild_projections()
+        return n_upd
+
     def _rewrite_base(self, df: DataFrame, tmp_suffix: str) -> None:
         """Atomically replace the base files with ``df``, preserving the
         table's partition layout.  TTL rewrites previously wrote flat files;

@@ -573,3 +573,87 @@ def test_delete_where_partitioned_prunes(spark, warehouse):
     # fully-deleted partition dropped; untouched partition files not rewritten
     assert "d=d0" not in parts_after
     assert parts_after["d=d2"] == parts_before["d=d2"]
+
+
+def test_update_where_unpartitioned(spark, warehouse):
+    t = OlapTable("updu", Event, spark, warehouse)
+    t.insert([{"id": i, "kind": "a" if i % 2 else "b", "amount": float(i)} for i in range(6)])
+    n = t.update_where({"amount": "amount * 10"}, "kind = 'a'")
+    assert n == 3
+    got = {r.id: r.amount for r in t.read().collect()}
+    assert got == {0: 0.0, 1: 10.0, 2: 2.0, 3: 30.0, 4: 4.0, 5: 50.0}
+    # no-match predicate is a no-op
+    assert t.update_where({"amount": "0"}, "kind = 'zzz'") == 0
+
+
+def test_update_where_null_predicate_rows_untouched(spark, warehouse):
+    class M(BaseModel):
+        id: Key[int]
+        tag: Optional[str] = None
+        score: float = 0.0
+
+    t = OlapTable("updn", M, spark, warehouse)
+    t.insert([
+        {"id": 1, "tag": "x", "score": 1.0},
+        {"id": 2, "tag": None, "score": 2.0},
+        {"id": 3, "tag": "y", "score": 3.0},
+    ])
+    assert t.update_where({"score": "score + 100"}, "tag = 'x'") == 1
+    got = {r.id: r.score for r in t.read().collect()}
+    assert got == {1: 101.0, 2: 2.0, 3: 3.0}
+
+
+def test_update_where_rejects_key_and_unknown_columns(spark, warehouse):
+    class P(BaseModel):
+        id: Key[int]
+        d: str
+        amount: float
+
+    t = OlapTable("updk", P, spark, warehouse, OlapConfig(partition_by="d", order_by_fields=["id"]))
+    t.insert([{"id": 1, "d": "d0", "amount": 1.0}])
+    with pytest.raises(ValueError, match="key column"):
+        t.update_where({"d": "'d9'"}, "id = 1")
+    with pytest.raises(ValueError, match="key column"):
+        t.update_where({"id": "id + 1"}, "id = 1")
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where({"nope": "1"}, "id = 1")
+
+
+def test_update_where_partitioned_prunes(spark, warehouse):
+    import os
+
+    class P(BaseModel):
+        id: Key[int]
+        d: str
+        amount: float
+
+    t = OlapTable("updp", P, spark, warehouse, OlapConfig(partition_by="d"))
+    t.insert([{"id": i, "d": f"d{i % 3}", "amount": float(i)} for i in range(12)])
+    parts_before = {
+        p: os.path.getmtime(os.path.join(t.path, p))
+        for p in os.listdir(t.path)
+        if p.startswith("d=")
+    }
+    n = t.update_where({"amount": "amount + 0.5"}, "d = 'd0'")
+    assert n == 4
+    got = {r.id: r.amount for r in t.read().collect()}
+    assert got[0] == 0.5 and got[3] == 3.5 and got[6] == 6.5 and got[9] == 9.5
+    assert got[1] == 1.0 and got[2] == 2.0
+    parts_after = {
+        p: os.path.getmtime(os.path.join(t.path, p))
+        for p in os.listdir(t.path)
+        if p.startswith("d=")
+    }
+    # untouched partitions not rewritten
+    assert parts_after["d=d1"] == parts_before["d=d1"]
+    assert parts_after["d=d2"] == parts_before["d=d2"]
+
+
+def test_update_where_casts_to_declared_type(spark, warehouse):
+    t = OlapTable("updc", Event, spark, warehouse)
+    t.insert([{"id": 1, "kind": "a", "amount": 2.0}])
+    # integer-valued expression cast back to double keeps the schema stable
+    before = dict(t.read().dtypes)
+    t.update_where({"amount": "7"}, "id = 1")
+    assert dict(t.read().dtypes) == before
+    assert t.read().collect()[0].amount == 7.0
