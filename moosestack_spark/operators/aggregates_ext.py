@@ -460,3 +460,72 @@ def agg_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'custkey', CAST(o_custkey AS DOUBLE))"
         ).alias("metric", "val"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gap filling with INTERPOLATE (CH ORDER BY ... WITH FILL INTERPOLATE):
+# filled rows carry the previous present value forward.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_gap_fill_interpolate",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+), hours AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+), types AS (SELECT DISTINCT event_type FROM events),
+actual AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       CAST(COALESCE(LAST_VALUE(n IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS n_filled,
+       (n IS NULL) AS is_filled
+FROM (
+  SELECT hours.h AS h, types.event_type AS event_type, actual.n AS n
+  FROM hours CROSS JOIN types
+  LEFT JOIN actual ON actual.h = hours.h AND actual.event_type = types.event_type
+)
+""",
+)
+def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``ORDER BY h WITH FILL ... INTERPOLATE (n AS n)``: the dense spine
+    of ts_gap_fill_hourly, but filled cells CARRY the previous present value
+    forward (CH INTERPOLATE evaluates its expression on the prior row; the
+    identity expr is last-observation-carried-forward).  Leading gaps before
+    the first observation fall back to 0.  One ignore-nulls window per type
+    over the dense grid — the grid is |hours| x |types|, never fact-table
+    sized, so the window sort is trivially small at any SF."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grid = hours.crossJoin(F.broadcast(types)).join(
+        F.broadcast(actual), ["h", "event_type"], "left"
+    )
+    return grid.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        F.coalesce(F.last("n", ignorenulls=True).over(w), F.lit(0)).alias(
+            "n_filled"
+        ),
+        F.col("n").isNull().alias("is_filled"),
+    )

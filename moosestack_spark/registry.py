@@ -136,6 +136,7 @@ _AFTER_WINDOW = [
     "analytics_excess_suppliers",
     "analytics_waiting_suppliers",
     "dedup_connected_components",
+    "ts_gap_fill_interpolate",
 ]
 
 

@@ -42,6 +42,8 @@ ALLOWED = {
     # WITH FILL spine: dense hour grid x 5-row distinct event types, both
     # sides tiny by construction (bounded by time range, not data volume)
     "ts_gap_fill_hourly": {"BNLJ"},
+    # same spine shape, carry-forward variant
+    "ts_gap_fill_interpolate": {"BNLJ"},
     # TPC-H Q11 shape: the global-total threshold is a ONE-row aggregate
     # broadcast-crossed onto the per-part aggregate
     "analytics_important_parts": {"BNLJ"},
