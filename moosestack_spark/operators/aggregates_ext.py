@@ -529,3 +529,28 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n").isNull().alias("is_filled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate quantiles (CH quantileTDigest / quantilesGK).  Sketch output
+# -> rows-only driver check; the rank-error bound is pytest-pinned.
+# --------------------------------------------------------------------------
+
+
+@query("agg_quantile_approx")  # sketch-based: rows-only driver check
+def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch, JVM-side, mergeable
+    partials) next to the exact values — the CH quantileTDigest usage shape.
+    At 100 TB the sketch is THE quantile path: bounded memory per group,
+    single shuffle of sketch partials, no full sort.  accuracy=10000 bounds
+    rank error at 1/10000; tests/test_approx_sketches.py asserts the band
+    against the exact percentile."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("approx_pcts"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+        ).alias("exact_pcts"),
+    )

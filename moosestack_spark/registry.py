@@ -137,6 +137,7 @@ _AFTER_WINDOW = [
     "analytics_waiting_suppliers",
     "dedup_connected_components",
     "ts_gap_fill_interpolate",
+    "agg_quantile_approx",
 ]
 
 

@@ -31,3 +31,18 @@ def test_hash_sample_fraction_close_to_nominal(spark, sf_dir):
         r.n_sampled for r in registry.QUERIES["sample_hash_mod"](spark, sf_dir).collect()
     )
     assert again == sampled
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    rows = registry.QUERIES["agg_quantile_approx"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for approx, exact in zip(r.approx_pcts, r.exact_pcts):
+            # GK accuracy=10000 -> rank error 1e-4; translate to a loose
+            # value band (1% relative) for the smooth price distribution
+            assert abs(approx - exact) / max(abs(exact), 1e-9) <= 0.01, (
+                r.l_returnflag, approx, exact
+            )
+    # deterministic across reruns (same data, same sketch parameters)
+    again = registry.QUERIES["agg_quantile_approx"](spark, sf_dir).collect()
+    assert sorted(map(str, again)) == sorted(map(str, rows))
