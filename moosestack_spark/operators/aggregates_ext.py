@@ -554,3 +554,94 @@ def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
         ).alias("exact_pcts"),
     )
+
+
+# --------------------------------------------------------------------------
+# CH aggregate-function combinators: -If and -Array
+# (sumIf/avgIf/minIf/maxIf/countIf; sumArray/minArray/maxArray/avgArray —
+# ClickHouse docs/aggregate-functions/combinators).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_if_combinators",
+    oracle="""
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS count_if,
+  CAST(SUM(CASE WHEN l_quantity > 25
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+    AS sum_if,
+  CAST(SUM(CASE WHEN l_quantity > 25
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+    / SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS avg_if,
+  MIN(CASE WHEN l_quantity > 25 THEN l_extendedprice END) AS min_if,
+  MAX(CASE WHEN l_quantity > 25 THEN l_extendedprice END) AS max_if
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_if_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The -If combinator family in one shuffle: every conditional aggregate
+    is a CASE projection folded into the same hash aggregate (CH compiles
+    xxIf identically).  sum/avg run in exact decimal (determinism rules);
+    min/max of raw doubles are order-independent as-is."""
+    li = t(spark, sf_dir, "lineitem")
+    cond = F.col("l_quantity") > 25
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    sum_dec = F.sum(F.when(cond, price_dec))
+    n_if = F.sum(F.when(cond, 1).otherwise(0))
+    return li.groupBy("l_returnflag").agg(
+        n_if.cast("bigint").alias("count_if"),
+        sum_dec.cast("double").alias("sum_if"),
+        (sum_dec.cast("double") / n_if).alias("avg_if"),
+        F.min(F.when(cond, F.col("l_extendedprice"))).alias("min_if"),
+        F.max(F.when(cond, F.col("l_extendedprice"))).alias("max_if"),
+    )
+
+
+@query(
+    "agg_array_combinators",
+    oracle="""
+SELECT label,
+  CAST(SUM(list_aggregate(list_transform(embedding,
+        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)), 'sum'))
+       AS BIGINT) AS sum_array,
+  CAST(MIN(list_aggregate(list_transform(embedding,
+        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)), 'min'))
+       AS BIGINT) AS min_elem,
+  CAST(MAX(list_aggregate(list_transform(embedding,
+        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)), 'max'))
+       AS BIGINT) AS max_elem,
+  CAST(SUM(LEN(embedding)) AS BIGINT) AS n_elems
+FROM embeddings
+GROUP BY label
+""",
+)
+def agg_array_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The -Array combinator family (sumArray/minArray/maxArray) over the
+    embedding column: per-row array reduction with higher-order functions
+    (JVM-side, zero shuffle), then the ordinary group aggregate.  Elements
+    are quantized to integers (floor(x*1000) — float32->double is exact, so
+    both engines floor the same double) to keep the sums order-independent.
+    Single-parameter lambdas only: a 2-parameter lambda passed to
+    F.transform receives the array INDEX as its second argument."""
+    e = t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+    )
+    row = e.select(
+        "label",
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).alias("row_sum"),
+        F.array_min(q).alias("row_min"),
+        F.array_max(q).alias("row_max"),
+        F.size("embedding").alias("row_n"),
+    )
+    return row.groupBy("label").agg(
+        F.sum("row_sum").cast("bigint").alias("sum_array"),
+        F.min("row_min").cast("bigint").alias("min_elem"),
+        F.max("row_max").cast("bigint").alias("max_elem"),
+        F.sum("row_n").cast("bigint").alias("n_elems"),
+    )

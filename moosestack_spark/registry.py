@@ -138,6 +138,8 @@ _AFTER_WINDOW = [
     "dedup_connected_components",
     "ts_gap_fill_interpolate",
     "agg_quantile_approx",
+    "agg_if_combinators",
+    "agg_array_combinators",
 ]
 
 
