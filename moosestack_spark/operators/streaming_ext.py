@@ -271,3 +271,70 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(table_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
+    "streaming_cdc_apply",
+    oracle="""
+SELECT user_id, event_type AS last_op,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS op_ts,
+  value AS op_value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+""",
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: an insert/update/delete change stream merged into keyed
+    table state — the core job of the reference's Kafka→ClickHouse sync
+    (infrastructure/processes/kafka_clickhouse_sync.rs) landing into
+    ReplacingMergeTree(ver, is_deleted).  'error' events act as deletes.
+
+    Tombstone discipline: the physical state KEEPS the latest op per key
+    even when it is a delete (exactly CH's is_deleted row), so a
+    late-arriving older upsert in a later micro-batch cannot resurrect a
+    deleted key — the tombstone outranks it in the (ts, event_id) order.
+    Only the read view filters tombstones.  State size is bounded by live
+    keys + deleted keys, compacted to one row per key every merge."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="msk_cdc_src_")
+    table_dir = tempfile.mkdtemp(prefix="msk_cdc_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="msk_cdc_ckpt_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    scope = _stream_state_partitions(spark)
+    scope.__enter__()
+    try:
+        stream = normalize_event_ts(
+            spark.readStream.schema(events_schema).parquet(src_dir)
+        ).select("event_id", "ts", "user_id", "event_type", "value")
+        q = (
+            stream.writeStream.foreachBatch(
+                upsert_batch(table_dir, ["user_id"], ["ts", "event_id"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state = spark.read.parquet(os.path.join(table_dir, "current"))
+        return (
+            state.filter(F.col("event_type") != "error")  # tombstones hidden
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_op"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("op_ts"),
+                F.col("value").alias("op_value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        scope.__exit__()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(table_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -140,6 +140,7 @@ _AFTER_WINDOW = [
     "agg_quantile_approx",
     "agg_if_combinators",
     "agg_array_combinators",
+    "streaming_cdc_apply",
 ]
 
 
