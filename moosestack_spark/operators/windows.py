@@ -387,3 +387,32 @@ def window_last_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFram
         "event_id",
         F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       NTH_VALUE(o_totalprice, 2) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS second_price
+FROM orders
+""",
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTH_VALUE with an explicit running frame (NULL until the partition
+    has seen n rows) — the frame is spelled out because the ANSI default
+    (RANGE ... CURRENT ROW) and engine defaults differ in peer handling;
+    pinning ROWS makes both engines see identical frames."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )

@@ -141,6 +141,7 @@ _AFTER_WINDOW = [
     "agg_if_combinators",
     "agg_array_combinators",
     "streaming_cdc_apply",
+    "window_nth_value",
 ]
 
 
