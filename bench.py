@@ -54,6 +54,28 @@ HEADLINE = [
     "streaming_windowed_agg",
 ]
 
+# Measured after the frozen HEADLINE set; reported as extra_queries and NOT
+# included in `value` (see run_suite call sites).
+EXTRA = [
+    "analytics_min_cost_supplier",
+    "analytics_priority_exists",
+    "analytics_nation_profit",
+    "analytics_important_parts",
+    "analytics_customer_distribution",
+    "analytics_top_supplier",
+    "analytics_small_quantity_revenue",
+    "analytics_disjunctive_predicates",
+    "analytics_excess_suppliers",
+    "analytics_waiting_suppliers",
+    "dedup_connected_components",
+    "ts_gap_fill_interpolate",
+    "agg_if_combinators",
+    "agg_array_combinators",
+    "streaming_cdc_apply",
+    "funnel_view_click_purchase",
+    "retention_weekly",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,19 +110,27 @@ def main() -> None:
     except Exception:
         pass
 
-    timings: dict[str, float | None] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        start = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            # Force full execution without driver-side materialization cost
-            # dominating: count() collapses to one long.
-            df.count()
-            timings[name] = round(time.perf_counter() - start, 3)
-        except Exception as exc:  # one broken query must never zero the run
-            print(f"BENCH-ERROR {name}: {exc!r}"[:500], file=sys.stderr)
-            timings[name] = None
+    def run_suite(names: list[str]) -> dict[str, float | None]:
+        out: dict[str, float | None] = {}
+        for name in names:
+            fn = registry.QUERIES[name]
+            start = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                # Force full execution without driver-side materialization
+                # cost dominating: count() collapses to one long.
+                df.count()
+                out[name] = round(time.perf_counter() - start, 3)
+            except Exception as exc:  # one broken query must never zero the run
+                print(f"BENCH-ERROR {name}: {exc!r}"[:500], file=sys.stderr)
+                out[name] = None
+        return out
+
+    timings = run_suite(HEADLINE)
+    # Newer operators measured OUTSIDE the headline total: the HEADLINE list
+    # and its `value` stay frozen for round-over-round comparability, while
+    # extra_queries still gives per-round perf evidence for recent work.
+    extras = run_suite(EXTRA)
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(
@@ -110,6 +140,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extras,
                 "sf": sf,
             }
         )

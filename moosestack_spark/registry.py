@@ -39,11 +39,11 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 # The driver's CORRECTNESS run checks the first 50 registered queries per
-# round.  Round 4's window: every query new THIS round first, then the
-# round-3-new queries (CORRECTNESS_r03 was never observed in the repo, so
-# treat their driver rows as unconfirmed and re-front them), then the
-# r2-pending trio + the r2-ERR'd streaming trio, then backfill with
-# r1-green queries for drift re-confirmation.
+# round.  Current window: every query without a recorded green driver row,
+# newest work first (the driver's round counter restarted at r3, so the
+# rounds-3/4 work below has never been gate-checked), then the r2-pending
+# trio + the r2-ERR'd streaming trio.  Queries that don't fit the 50 slots
+# queue in _AFTER_WINDOW for the next rotation.
 _WINDOW_PRIORITY = [
     # --- new round-4 queries ---
     "analytics_volume_shipping",
