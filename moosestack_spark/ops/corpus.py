@@ -345,3 +345,113 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs kernel are pytest-pinned in test_corpus.py."""
     e = t(spark, sf_dir, "embeddings")
     return semantic_dedup_pairs(e, "vec_id", "embedding").orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation pipeline: the flagship composition query.
+# --------------------------------------------------------------------------
+
+
+def _pipeline_oracle() -> str:
+    from moosestack_spark.ops.components import _PAIR_CTES
+
+    pair_ctes = _PAIR_CTES.replace("FROM documents", "FROM uniq")
+    return rf"""
+WITH RECURSIVE kept AS (
+  SELECT doc_id, text, n_chars FROM documents
+  WHERE lang = 'en' AND n_chars BETWEEN 100 AND 500
+),
+uniq AS (
+  SELECT doc_id, text, n_chars FROM (
+    SELECT doc_id, text, n_chars, row_number() OVER (
+      PARTITION BY regexp_replace(TRIM(LOWER(text)), '\s+', ' ', 'g')
+      ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+{pair_ctes},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+reach AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT e.dst AS v, reach.r AS r FROM reach JOIN edges e ON e.src = reach.v
+),
+comp AS (SELECT v, MIN(r) AS cluster FROM reach GROUP BY v),
+final AS (
+  SELECT * FROM uniq
+  WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> cluster)
+),
+labeled AS (
+  SELECT CASE
+    WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 5 THEN 'val'
+    WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 10 THEN 'test'
+    ELSE 'train'
+  END AS split, n_chars
+  FROM final
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM labeled GROUP BY split
+"""
+
+
+@query("corpus_curation_pipeline", oracle=_pipeline_oracle())
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composed plan: language filter ->
+    length/quality gate -> exact dedup (normalized text, min-id survivor) ->
+    near-dup pruning (n-gram Jaccard pairs -> connected components, keep the
+    cluster minimum) -> deterministic 90/5/5 split, reporting per-split doc
+    and char totals.
+
+    This is the query a training-data team actually ships; each stage is the
+    already-gated operator (dedup_exact / dedup_ngram_jaccard /
+    dedup_connected_components / text_train_val_test_split) composed in one
+    lineage.  Scale shape: the filters run scan-side; exact dedup is one
+    hash shuffle; the pair/CC subgraph runs on the FILTERED survivor corpus
+    (each stage shrinks the next stage's input — the pipeline ordering IS
+    the optimization); the split/rollup is a final tiny aggregate."""
+    from moosestack_spark.ops.components import connected_components
+    from moosestack_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    kept = d.filter(
+        (F.col("lang") == "en") & F.col("n_chars").between(100, 500)
+    ).select("doc_id", "text", "n_chars")
+    w = Window.partitionBy("__norm").orderBy("doc_id")
+    uniq = (
+        kept.withColumn(
+            "__norm",
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "text", "n_chars")
+    )
+    pairs = ngram_jaccard_pairs(uniq, "doc_id", "text", n=5, threshold=0.5)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    non_canonical = cc.filter(F.col("v") != F.col("cluster_id")).select("v")
+    final = uniq.join(
+        F.broadcast(non_canonical), uniq.doc_id == F.col("v"), "left_anti"
+    )
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    ) % 100
+    split = (
+        F.when(bucket < 5, F.lit("val"))
+        .when(bucket < 10, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        final.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

@@ -142,6 +142,7 @@ _AFTER_WINDOW = [
     "agg_array_combinators",
     "streaming_cdc_apply",
     "window_nth_value",
+    "corpus_curation_pipeline",
 ]
 
 
