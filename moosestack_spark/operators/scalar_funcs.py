@@ -440,3 +440,43 @@ def sql_ch_dialect_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         "padded",
         "n",
     )
+
+
+@query(
+    "sql_ch_dialect_url",
+    oracle="""
+SELECT source || '.example.com' AS host,
+       'https' AS proto,
+       'com' AS tld,
+       '/docs/' || CAST(doc_id AS VARCHAR) AS url_path,
+       lang AS lang_param,
+       'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+         AS no_query
+FROM documents
+""",
+)
+def sql_ch_dialect_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH URL-function family (domain/protocol/topLevelDomain/path/
+    extractURLParameter/cutQueryString) translated end-to-end over synthetic
+    well-formed URLs.  The oracle states the EXPECTED semantics directly
+    from the URL's construction parts — an independent check, not a DuckDB
+    reimplementation of parse_url."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["documents"])
+    ch_sql = """
+    SELECT
+      domain(url) AS host,
+      protocol(url) AS proto,
+      topLevelDomain(url) AS tld,
+      path(url) AS url_path,
+      extractURLParameter(url, 'lang') AS lang_param,
+      cutQueryString(url) AS no_query
+    FROM (
+      SELECT concat('https://', source, '.example.com/docs/',
+                    toString(doc_id), '?lang=', lang) AS url
+      FROM documents
+    )
+    """
+    return spark.sql(translate_ch_sql(ch_sql))

@@ -143,6 +143,7 @@ _AFTER_WINDOW = [
     "streaming_cdc_apply",
     "window_nth_value",
     "corpus_curation_pipeline",
+    "sql_ch_dialect_url",
 ]
 
 

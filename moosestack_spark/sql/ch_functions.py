@@ -489,6 +489,16 @@ _TEMPLATE = {
     "toYYYYMMDD": "cast(date_format({0}, 'yyyyMMdd') as int)",
     # CH toDayOfWeek: Monday=1..Sunday=7; Spark dayofweek: Sunday=1..Saturday=7
     "toDayOfWeek": "((dayofweek({0}) + 5) % 7 + 1)",
+    # URL family (CH functions/url-functions) via Spark's parse_url (JVM,
+    # java.net.URI-based — CH tolerates malformed URLs more loosely; this
+    # vocabulary targets well-formed URLs, NULL otherwise)
+    "protocol": "parse_url({0}, 'PROTOCOL')",
+    "domain": "parse_url({0}, 'HOST')",
+    "path": "parse_url({0}, 'PATH')",
+    "queryString": "parse_url({0}, 'QUERY')",
+    "extractURLParameter": "parse_url({0}, 'QUERY', {1})",
+    "cutQueryString": "regexp_replace({0}, '\\\\?.*$', '')",
+    "topLevelDomain": "regexp_extract(parse_url({0}, 'HOST'), '\\\\.([^.]+)$', 1)",
 }
 
 _KNOWN_SPARK_PASSTHROUGH = frozenset(
