@@ -223,3 +223,46 @@ def source_csv_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(csv_dir, ignore_errors=True)
         shutil.rmtree(jsonl_dir, ignore_errors=True)
+
+
+@query(
+    "source_orc_partitioned_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderstatus <> 'P'
+GROUP BY o_orderstatus
+""",
+)
+def source_orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source-format roundtrip over a PARTITIONED layout: write orders
+    as ORC partitioned by o_orderstatus, read back with a partition filter,
+    aggregate.  Covers two things at once: the third columnar wire format
+    (after parquet and CSV/JSONL), and partition pruning on the read path —
+    the o_orderstatus <> 'P' filter eliminates whole directories before any
+    ORC byte is read (at 100 TB this IS the dominant optimization; verified
+    in tests/test_plans.py by asserting the pruned scan's partition count)."""
+    import shutil
+    import tempfile
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderstatus",
+    )
+    orc_dir = tempfile.mkdtemp(prefix="msk_src_orc_")
+    try:
+        src.write.mode("overwrite").partitionBy("o_orderstatus").orc(orc_dir)
+        back = spark.read.orc(orc_dir).filter(F.col("o_orderstatus") != "P")
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("price").cast("double").alias("total_price"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(orc_dir, ignore_errors=True)

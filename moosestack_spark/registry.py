@@ -144,6 +144,7 @@ _AFTER_WINDOW = [
     "window_nth_value",
     "corpus_curation_pipeline",
     "sql_ch_dialect_url",
+    "source_orc_partitioned_roundtrip",
 ]
 
 

@@ -134,3 +134,21 @@ def test_plan_audit_no_unexplained_flags(spark, sf_dir):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert mod.audit(sf_dir) == 0
+
+
+def test_orc_partitioned_read_prunes_partitions(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.tables import t
+
+    orc_dir = str(tmp_path / "orders_orc")
+    t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.mode("overwrite").partitionBy("o_orderstatus").orc(orc_dir)
+    pruned = spark.read.orc(orc_dir).filter(F.col("o_orderstatus") == "F")
+    plan = formatted_plan(pruned)
+    # partition filter must be recognized as such (pruned at planning, not
+    # scanned-then-filtered): the scan node advertises it in PartitionFilters
+    assert "PartitionFilters" in plan
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "o_orderstatus" in scan_line
