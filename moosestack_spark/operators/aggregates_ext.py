@@ -645,3 +645,65 @@ def agg_array_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("row_max").cast("bigint").alias("max_elem"),
         F.sum("row_n").cast("bigint").alias("n_elems"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact second/third moments: varPop / stddevPop / skewPop (CH
+# aggregate-functions/reference).  Built from exact integer power sums so
+# the final value is one fixed IEEE expression on identical inputs — the
+# engines' builtin var_pop/skewness use different streaming accumulations
+# and would never hash-match.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_moments_exact",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+    CAST(SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS s3
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+  (s2 / n) - (s1 / n) * (s1 / n) AS var_pop,
+  SQRT((s2 / n) - (s1 / n) * (s1 / n)) AS stddev_pop,
+  ((s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+    / (SQRT((s2 / n) - (s1 / n) * (s1 / n))
+       * SQRT((s2 / n) - (s1 / n) * (s1 / n))
+       * SQRT((s2 / n) - (s1 / n) * (s1 / n))) AS skew_pop
+FROM s
+""",
+)
+def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """varPop/stddevPop/skewPop per return flag from exact integer power
+    sums (l_quantity is integral: s1/s2 fit int64 at any realistic SF, s3
+    is widened to decimal(38,0)).  Both engines then evaluate the SAME
+    arithmetic tree on the SAME doubles — sqrt and power(x, 3) are exactly
+    rounded/composed identically, so even the skewness hash-matches."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum((q * q * q).cast("decimal(38,0)")).cast("double").alias("s3"),
+    )
+    n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
+    m = s1 / n
+    var = (s2 / n) - m * m
+    sd = F.sqrt(var)
+    # sd*sd*sd, NOT pow(sd, 3): Java Math.pow and C libm pow disagree in the
+    # last ulp; three explicit multiplies are bit-identical across engines
+    skew = ((s3 / n) - F.lit(3) * m * (s2 / n) + F.lit(2) * m * m * m) / (
+        sd * sd * sd
+    )
+    return s.select(
+        "l_returnflag",
+        var.alias("var_pop"),
+        sd.alias("stddev_pop"),
+        skew.alias("skew_pop"),
+    )

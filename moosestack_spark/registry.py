@@ -145,6 +145,7 @@ _AFTER_WINDOW = [
     "corpus_curation_pipeline",
     "sql_ch_dialect_url",
     "source_orc_partitioned_roundtrip",
+    "agg_moments_exact",
 ]
 
 
