@@ -147,3 +147,82 @@ def dedup_connected_components(spark, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.5)
     cc = connected_components(pairs, "doc_a", "doc_b")
     return cc.select(F.col("v").alias("doc_id"), "cluster_id")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC\'14) — the scale
+    path when cluster graphs may have LONG CHAINS: converges in O(log n)
+    rounds where min-label propagation needs O(diameter).
+
+    Each round REPLACES the edge set:
+    - large-star: for every node u (full symmetric neighborhood), every
+      strictly-larger neighbor re-attaches to min(N(u) ∪ {u});
+    - small-star: for every node u with smaller neighbors, u and all its
+      smaller neighbors re-attach to min(N⁻(u)).
+    Edges only ever move toward smaller ids; the fixpoint is the star
+    forest (v -> component-min).  Per round: two groupBy shuffles over the
+    edge list — same primitive cost as one label-propagation round, but
+    exponentially fewer rounds on chains.
+
+    Returns (v, cluster_id) with semantics identical to
+    connected_components (equivalence property-pinned in
+    tests/test_components.py on chains, cycles and random graphs).
+    """
+
+    def symmetrize(e: DataFrame) -> DataFrame:
+        return (
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        raw.select("u")
+        .union(raw.select(F.col("v").alias("u")))
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = symmetrize(raw).localCheckpoint()
+    for _ in range(max_rounds):
+        start = sym
+        # ---- large-star
+        lm = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(lm, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        sym = symmetrize(large).localCheckpoint()
+        # ---- small-star
+        smaller = sym.filter(F.col("v") < F.col("u"))
+        sm = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            smaller.join(sm, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(sm.select("u", F.col("m").alias("v")))
+        )
+        sym = symmetrize(small).localCheckpoint()
+        # fixpoint = the edge set survived a FULL round unchanged (comparing
+        # mid-round states can coincide transiently before convergence)
+        if (
+            sym.count() == start.count()
+            and sym.exceptAll(start).count() == 0
+        ):
+            break
+    # star forest: every non-root points at its root = min smaller neighbor
+    comp = (
+        sym.filter(F.col("v") < F.col("u"))
+        .groupBy(F.col("u").alias("v"))
+        .agg(F.min(F.col("v")).alias("cluster_id"))
+    )
+    roots = nodes.join(
+        comp.select(F.col("v").alias("cv")), nodes.u == F.col("cv"), "left_anti"
+    ).select(F.col("u").alias("v"), F.col("u").alias("cluster_id"))
+    return comp.unionByName(roots)

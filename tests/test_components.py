@@ -30,3 +30,38 @@ def test_cycle_and_cross_edges(spark):
     got = _cc(spark, edges)
     assert set(got.values()) == {1}
     assert len(got) == 6
+
+
+def _cc_star(spark, edges):
+    from moosestack_spark.ops.components import connected_components_star
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = connected_components_star(df).collect()
+    return {r["v"]: r["cluster_id"] for r in rows}
+
+
+def test_star_matches_propagation_on_chain(spark):
+    edges = [(i, i + 1) for i in range(1, 20)]  # 19-edge chain, diameter 19
+    assert _cc_star(spark, edges) == _cc(spark, edges)
+
+
+def test_star_matches_propagation_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30
+        edges = [
+            (rng.randrange(1, n), rng.randrange(1, n)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        got_star = _cc_star(spark, edges)
+        got_prop = _cc(spark, edges)
+        assert got_star == got_prop, f"trial {trial}"
+
+
+def test_star_disjoint_and_cycles(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (3, 7), (7, 8), (8, 9), (9, 7), (20, 21)]
+    got = _cc_star(spark, edges)
+    assert {v for v, c in got.items() if c == 1} == {1, 2, 3, 7, 8, 9}
+    assert {v for v, c in got.items() if c == 20} == {20, 21}
