@@ -291,6 +291,88 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    tolerance_seconds: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join with a MAX-GAP tolerance: the matched right row
+    must lie within `tolerance_seconds` before the left row, else NULL
+    (pandas merge_asof(tolerance=...) / QuestDB ASOF ... TOLERANCE).  Built
+    on asof_join by carrying the matched right timestamp as an extra value
+    column and gating every asof value on the observed gap — still one
+    union + one window pass, no extra shuffle."""
+    right2 = right.withColumn("__rt", F.col(on))
+    out = asof_join(left, right2, on, by, [*value_cols, "__rt"], tiebreak)
+    within = (
+        F.unix_micros(F.col(on)) - F.unix_micros(F.col("asof___rt"))
+    ) <= tolerance_seconds * 1_000_000
+    for v in value_cols:
+        out = out.withColumn(f"asof_{v}", F.when(within, F.col(f"asof_{v}")))
+    return out.drop("asof___rt")
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE) AS rv,
+         CAST(NULL AS TIMESTAMP) AS rts, 0 AS is_right
+  FROM events WHERE event_type <> 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, value AS rv, ts AS rts, 1 AS is_right
+  FROM events WHERE event_type = 'purchase'
+), scanned AS (
+  SELECT user_id, ts, event_id, is_right,
+         LAST_VALUE(rv IGNORE NULLS) OVER w AS asof_value,
+         LAST_VALUE(rts IGNORE NULLS) OVER w AS asof_ts
+  FROM u
+  WINDOW w AS (
+    PARTITION BY user_id
+    ORDER BY ts ASC, is_right DESC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       CASE WHEN ts - asof_ts <= INTERVAL 1 HOUR THEN asof_value END
+         AS asof_value
+FROM scanned WHERE is_right = 0
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_asof with a 1-hour staleness bound: a purchase older than an
+    hour no longer annotates the event.  The tolerance is evaluated on the
+    already-joined row (integer microsecond compare), so the plan is
+    byte-identical to join_asof plus one projection."""
+    e = t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", F.col("event_id").alias("__tb")
+    )
+    out = asof_join_tolerance(
+        left,
+        right,
+        on="ts",
+        by=["user_id"],
+        value_cols=["value"],
+        tolerance_seconds=3600,
+        tiebreak="__tb",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.col("asof_value").alias("asof_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Range (interval-containment) join — bucketized to an equi-join.  A naive
 # value BETWEEN lo AND hi join is a BroadcastNestedLoopJoin (O(n*m) compares

@@ -146,6 +146,7 @@ _AFTER_WINDOW = [
     "sql_ch_dialect_url",
     "source_orc_partitioned_roundtrip",
     "agg_moments_exact",
+    "join_asof_tolerance",
 ]
 
 
