@@ -480,3 +480,53 @@ def sql_ch_dialect_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_arrays",
+    oracle="""
+SELECT o_orderkey,
+       list_value(1, 2, 3) AS positions,
+       list_value(c, b, a) AS rev,
+       list_value(a, a + b, a + b + c) AS cumsum,
+       CAST(a + b + c AS BIGINT) AS total,
+       list_value(CAST(0 AS BIGINT), b - a, c - b) AS diffs,
+       CAST(a AS VARCHAR) || '-' || CAST(b AS VARCHAR) || '-'
+         || CAST(c AS VARCHAR) AS joined
+FROM (
+  SELECT o_orderkey,
+         CAST(o_orderkey % 10 AS BIGINT) AS a,
+         CAST(o_orderkey % 7 AS BIGINT) AS b,
+         CAST(o_orderkey % 3 AS BIGINT) AS c
+  FROM orders
+)
+""",
+)
+def sql_ch_dialect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH array-function family (arrayEnumerate/arrayReverse/
+    arrayCumSum/arraySum/arrayDifference/arrayStringConcat) translated
+    end-to-end over constructed 3-element arrays.  The oracle spells the
+    EXPECTED outputs directly from the construction scalars (a, b, c) — an
+    independent semantic check, not a DuckDB re-implementation."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+    SELECT
+      o_orderkey,
+      arrayEnumerate(arr) AS positions,
+      arrayReverse(arr) AS rev,
+      arrayCumSum(arr) AS cumsum,
+      arraySum(arr) AS total,
+      arrayDifference(arr) AS diffs,
+      arrayStringConcat(arr, '-') AS joined
+    FROM (
+      SELECT o_orderkey,
+             array(CAST(o_orderkey % 10 AS BIGINT),
+                   CAST(o_orderkey % 7 AS BIGINT),
+                   CAST(o_orderkey % 3 AS BIGINT)) AS arr
+      FROM orders
+    )
+    """
+    return spark.sql(translate_ch_sql(ch_sql))

@@ -147,6 +147,7 @@ _AFTER_WINDOW = [
     "source_orc_partitioned_roundtrip",
     "agg_moments_exact",
     "join_asof_tolerance",
+    "sql_ch_dialect_arrays",
 ]
 
 

@@ -499,6 +499,25 @@ _TEMPLATE = {
     "extractURLParameter": "parse_url({0}, 'QUERY', {1})",
     "cutQueryString": "regexp_replace({0}, '\\\\?.*$', '')",
     "topLevelDomain": "regexp_extract(parse_url({0}, 'HOST'), '\\\\.([^.]+)$', 1)",
+    # array vocabulary (CH functions/array-functions).  Higher-order SQL
+    # lambdas run JVM-side; the 0-based transform index i maps CH's 1-based
+    # positions; CASE guards keep element_at inside valid 1-based bounds
+    # under ANSI mode.
+    "arrayEnumerate": "transform({0}, (x, i) -> i + 1)",
+    "arrayReverse": "reverse({0})",
+    "arraySlice": "slice({0}, {1}, {2})",
+    "arrayStringConcat": "array_join({0}, {1})",
+    "arraySum": "aggregate({0}, 0L, (a, b) -> a + b)",
+    "arraySort": "array_sort({0})",
+    "arrayDistinct": "array_distinct({0})",
+    "arrayCumSum": (
+        "transform({0}, (x, i) -> "
+        "aggregate(slice({0}, 1, i + 1), 0L, (a, b) -> a + b))"
+    ),
+    "arrayDifference": (
+        "transform({0}, (x, i) -> "
+        "CASE WHEN i = 0 THEN 0L ELSE x - element_at({0}, i) END)"
+    ),
 }
 
 _KNOWN_SPARK_PASSTHROUGH = frozenset(
