@@ -148,6 +148,9 @@ _AFTER_WINDOW = [
     "agg_moments_exact",
     "join_asof_tolerance",
     "sql_ch_dialect_arrays",
+    # round-3 continuous-build additions (this session)
+    "dedup_cross_doc_lines",
+    "dedup_cross_doc_lines_clean",
 ]
 
 
@@ -182,6 +185,7 @@ def load_all() -> None:
         decontaminate,
         dedup,
         embedding,
+        linedup,
         multimodal,
         multimodal_ext,
         similarity,
