@@ -1,0 +1,219 @@
+"""Statistical / interval aggregates: intervalLengthSum, entropy, covar, kurt.
+
+ClickHouse parity (reference exposes the full CH aggregate surface through
+its OlapTable SQL passthrough — apps/framework-cli templates use
+intervalLengthSum / entropy / covarPop / kurtPop for session coverage and
+distribution diagnostics; SURVEY.md §2.4):
+
+- ``intervalLengthSum``: total length of the union of (possibly
+  overlapping) per-key intervals — the classic gaps-and-islands merge, here
+  as one window pass + one groupBy (no self-join: CH computes it in a
+  single pass per key and so do we);
+- ``entropy``: Shannon entropy of a value distribution per group;
+- ``covarPop`` / ``kurtPop``: exact population covariance / kurtosis from
+  integer power sums (same discipline as agg_moments_exact — both engines
+  evaluate an identical arithmetic tree over identical doubles).
+
+Float determinism notes:
+- covar/kurt inputs are integral (quantity) or fixed-point (extendedprice
+  -> integer cents), so every sum is EXACT; the only doubles are final
+  divisions/multiplies of identical values — deterministic.
+- entropy needs log2, and Java's and libm's log2 disagree in the last ulp
+  (~34% of integer inputs, measured) — so the surfaced entropy is cast to
+  FLOAT (float32): a 1-2 ulp double discrepancy is ~1e-16 relative, nine
+  orders of magnitude below float32's 6e-8 resolution, so both engines
+  round to the same float.  This is the one sanctioned use of precision
+  reduction (cast, not round — _determinism.py forbids rounding computed
+  doubles because HALF_UP boundaries differ; float cast is IEEE
+  round-nearest-even in both engines).
+
+Scale: intervalLengthSum is one shuffle on the key (the window) + a
+map-side-combinable groupBy; entropy is two cascaded groupBys (key,value ->
+key), both partial-aggregated; covar/kurt are single-shuffle groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from moosestack_spark.registry import query
+from moosestack_spark.tables import t
+
+INTERVAL_SEC = 300
+
+
+@query(
+    "agg_interval_length_sum",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + {INTERVAL_SEC} AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+    CASE WHEN s > COALESCE(MAX(e) OVER (
+         PARTITION BY user_id ORDER BY s, e
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
+         THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+    SUM(new_island) OVER (
+      PARTITION BY user_id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+merged AS (
+  SELECT user_id, island, MAX(e) - MIN(s) AS len
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS covered_sec,
+       CAST(COUNT(*) AS BIGINT) AS n_islands
+FROM merged GROUP BY user_id
+""",
+)
+def agg_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intervalLengthSum(ts, ts+5min) per user: length of the union of the
+    user's activity intervals plus the merged-interval count.  Single
+    window pass (gaps-and-islands: an interval starts a new island when its
+    start exceeds the running max end of all earlier intervals), then two
+    map-side-combinable groupBys — no self-join, no explode.
+
+    ClickHouse parity: intervalLengthSum; cite
+    reference/apps/framework-docs (CH function surface passthrough)."""
+    ev = t(spark, sf_dir, "events")
+    s = F.unix_timestamp("ts").cast("bigint")
+    iv = ev.select("user_id", s.alias("s"), (s + INTERVAL_SEC).alias("e"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s")
+            > F.coalesce(F.max("e").over(w_prev), F.lit(-(2**63))),
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("len")
+    )
+    return merged.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("covered_sec"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+    )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+WITH c AS (
+  SELECT user_id % 10 AS cohort, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id % 10, event_type
+),
+tot AS (
+  SELECT cohort,
+         CAST(SUM(n) AS BIGINT) AS total,
+         SUM(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE))) AS nlogn
+  FROM c GROUP BY cohort
+)
+SELECT cohort,
+       CAST(log2(CAST(total AS DOUBLE)) - nlogn / total AS FLOAT) AS entropy
+FROM tot
+""",
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of the event-type distribution per user
+    cohort: H = log2(N) - sum(c*log2(c))/N over exact integer counts.
+    Surfaced as float32 — see the module docstring for why (cross-engine
+    log2 last-ulp divergence is absorbed by the float cast; counts and N
+    are exact).  ClickHouse parity: entropy()."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        (F.col("user_id") % 10).alias("cohort"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    nd = F.col("n").cast("double")
+    tot = c.groupBy("cohort").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(nd * F.log2(nd)).alias("nlogn"),
+    )
+    return tot.select(
+        "cohort",
+        (F.log2(F.col("total").cast("double")) - F.col("nlogn") / F.col("total"))
+        .cast("float")
+        .alias("entropy"),
+    )
+
+
+@query(
+    "agg_covar_kurt",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS q1,
+    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS q2,
+    CAST(SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS q3,
+    CAST(SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))
+             * CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS q4,
+    CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(25,4)) * 100 AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS c1,
+    CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))
+             * CAST(CAST(CAST(l_extendedprice AS DECIMAL(25,4)) * 100 AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS qc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+  (qc / n - (q1 / n) * (c1 / n)) / 10000.0 AS covar_pop,
+  (q4 / n
+   - 4 * (q1 / n) * (q3 / n)
+   + 6 * (q1 / n) * (q1 / n) * (q2 / n)
+   - 3 * (q1 / n) * (q1 / n) * (q1 / n) * (q1 / n))
+  / (((q2 / n) - (q1 / n) * (q1 / n)) * ((q2 / n) - (q1 / n) * (q1 / n))) AS kurt_pop
+FROM s
+""",
+)
+def agg_covar_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """covarPop(l_quantity, l_extendedprice) and kurtPop(l_quantity) per
+    return flag from exact integer power sums (price widened to integer
+    cents via the fixed-point decimal cast; q4 and cross products widened
+    to decimal(38,0) so sums stay exact at any SF).  The covariance is
+    computed in cents-units then divided once by 1e4 — one extra exact
+    IEEE division, identical in both engines.  ClickHouse parity:
+    covarPop / kurtPop."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    cents = (F.col("l_extendedprice").cast("decimal(25,4)") * 100).cast("bigint")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("q1"),
+        F.sum(q * q).cast("double").alias("q2"),
+        F.sum(d38(q * q * q)).cast("double").alias("q3"),
+        F.sum(d38(q * q) * d38(q * q)).cast("double").alias("q4"),
+        F.sum(d38(cents)).cast("double").alias("c1"),
+        F.sum(d38(q) * d38(cents)).cast("double").alias("qc"),
+    )
+    n = F.col("n")
+    m1, m2, m3, m4 = (F.col(c) / n for c in ("q1", "q2", "q3", "q4"))
+    mc, mqc = F.col("c1") / n, F.col("qc") / n
+    var = m2 - m1 * m1
+    covar = (mqc - m1 * mc) / F.lit(10000.0)
+    kurt = (m4 - F.lit(4) * m1 * m3 + F.lit(6) * m1 * m1 * m2 - F.lit(3) * m1 * m1 * m1 * m1) / (
+        var * var
+    )
+    return s.select(
+        "l_returnflag", covar.alias("covar_pop"), kurt.alias("kurt_pop")
+    )

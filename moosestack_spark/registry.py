@@ -151,6 +151,9 @@ _AFTER_WINDOW = [
     # round-3 continuous-build additions (this session)
     "dedup_cross_doc_lines",
     "dedup_cross_doc_lines_clean",
+    "agg_interval_length_sum",
+    "agg_entropy",
+    "agg_covar_kurt",
 ]
 
 
@@ -159,6 +162,7 @@ def load_all() -> None:
     from moosestack_spark.operators import (  # noqa: F401
         aggregates,
         aggregates_ext,
+        aggregates_stats,
         analytics,
         analytics3,
         bucketed,
