@@ -154,6 +154,9 @@ _AFTER_WINDOW = [
     "agg_interval_length_sum",
     "agg_entropy",
     "agg_covar_kurt",
+    "sort_limit_by_offset",
+    "sort_distinct_on",
+    "join_dict_get",
 ]
 
 
@@ -166,6 +169,7 @@ def load_all() -> None:
         analytics,
         analytics3,
         bucketed,
+        chsql_ext,
         engines,
         filters,
         funnel,
