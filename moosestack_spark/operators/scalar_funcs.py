@@ -530,3 +530,60 @@ def sql_ch_dialect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_encoding",
+    oracle="""
+SELECT o_orderkey,
+       CAST(a AS VARCHAR) || '.' || CAST(b AS VARCHAR) || '.'
+         || CAST(c AS VARCHAR) || '.' || CAST(d AS VARCHAR) AS ip_str,
+       CAST(a * 16777216 + b * 65536 + c * 256 + d AS BIGINT) AS ip_num,
+       to_base64(encode(tag)) AS b64,
+       tag AS b64_rt,
+       hex(tag) AS hx,
+       tag AS hx_rt
+FROM (
+  SELECT o_orderkey,
+         CAST(o_orderkey % 256 AS BIGINT) AS a,
+         CAST((o_orderkey * 7) % 256 AS BIGINT) AS b,
+         CAST((o_orderkey * 13) % 256 AS BIGINT) AS c,
+         CAST((o_orderkey * 29) % 256 AS BIGINT) AS d,
+         'k' || CAST(o_orderkey % 1000 AS VARCHAR) AS tag
+  FROM orders
+)
+""",
+)
+def sql_ch_dialect_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH encoding + IP-address families (base64Encode/base64Decode/
+    hex/unhex/IPv4NumToString/IPv4StringToNum) translated end-to-end.
+    IPv4 values are built from four known byte scalars, so the oracle
+    states the expected dotted-quad and packed integer directly from the
+    construction parts; base64/hex round-trips must return the original
+    tag.  All templates compile to built-in JVM exprs (bit shifts, array
+    fold) — no UDF."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+    SELECT
+      o_orderkey,
+      IPv4NumToString(a * 16777216 + b * 65536 + c * 256 + d) AS ip_str,
+      IPv4StringToNum(concat(toString(a), '.', toString(b), '.',
+                             toString(c), '.', toString(d))) AS ip_num,
+      base64Encode(tag) AS b64,
+      base64Decode(base64Encode(tag)) AS b64_rt,
+      hex(tag) AS hx,
+      unhex(hex(tag)) AS hx_rt
+    FROM (
+      SELECT o_orderkey,
+             CAST(o_orderkey % 256 AS BIGINT) AS a,
+             CAST((o_orderkey * 7) % 256 AS BIGINT) AS b,
+             CAST((o_orderkey * 13) % 256 AS BIGINT) AS c,
+             CAST((o_orderkey * 29) % 256 AS BIGINT) AS d,
+             concat('k', toString(o_orderkey % 1000)) AS tag
+      FROM orders
+    )
+    """
+    return spark.sql(translate_ch_sql(ch_sql))

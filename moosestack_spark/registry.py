@@ -157,6 +157,7 @@ _AFTER_WINDOW = [
     "sort_limit_by_offset",
     "sort_distinct_on",
     "join_dict_get",
+    "sql_ch_dialect_encoding",
 ]
 
 

@@ -518,6 +518,27 @@ _TEMPLATE = {
         "transform({0}, (x, i) -> "
         "CASE WHEN i = 0 THEN 0L ELSE x - element_at({0}, i) END)"
     ),
+    # encoding family (CH functions/encoding-functions).  CH base64Decode /
+    # unhex return String; Spark's unbase64/unhex return BINARY, so cast
+    # back.  hex() of a string hex-dumps its UTF-8 bytes, uppercase, in
+    # both engines.
+    "base64Encode": "base64({0})",
+    "base64Decode": "cast(unbase64({0}) as string)",
+    "hex": "hex({0})",
+    "unhex": "cast(unhex({0}) as string)",
+    # IP address family (CH functions/ip-address-functions).  IPv4 numbers
+    # are plain UInt32 big-endian byte packs — pure integer/bit exprs, no
+    # UDF.  Parens around {0} because the arg may be any expression.
+    "IPv4NumToString": (
+        "concat(cast(shiftright(({0}), 24) & 255 as string), '.', "
+        "cast(shiftright(({0}), 16) & 255 as string), '.', "
+        "cast(shiftright(({0}), 8) & 255 as string), '.', "
+        "cast(({0}) & 255 as string))"
+    ),
+    "IPv4StringToNum": (
+        "aggregate(transform(split({0}, '\\\\.'), x -> cast(x as bigint)), "
+        "0L, (a, b) -> a * 256 + b)"
+    ),
 }
 
 _KNOWN_SPARK_PASSTHROUGH = frozenset(
