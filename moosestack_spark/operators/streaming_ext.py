@@ -338,3 +338,111 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(table_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join: clicks with no purchase within 1h
+# surface with a NULL match — but only once the watermark has passed the
+# click's last joinable instant (until then the match could still arrive).
+# State on both sides stays bounded by watermark + interval exactly as in
+# the inner join; the outer row is emitted at state eviction time.  On an
+# availableNow bounded replay the final watermark is
+# min(max(click ts), max(purchase ts)) - 1h delay, so clicks whose joinable
+# window [ts, ts+1h] is not fully below that watermark at end-of-stream
+# remain in state and never surface a NULL row — the oracle states that
+# cutoff explicitly.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_stream_join_outer",
+    oracle="""
+WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+         - INTERVAL 1 HOUR AS w
+),
+j AS (
+  SELECT c.user_id, c.event_id, c.ts AS c_ts, p.value
+  FROM c LEFT JOIN p ON p.user_id = c.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(value) AS BIGINT) AS n_matched
+FROM j, wm
+WHERE j.value IS NOT NULL OR j.c_ts + INTERVAL 1 HOUR < wm.w
+GROUP BY user_id
+""",
+)
+def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer watermarked interval join (clicks LEFT JOIN purchases by
+    the same user within [click, click+1h]): matched pairs emit as they
+    join; a NULL-padded row emits when the watermark proves no match can
+    arrive.  Gate aggregates per user the total emitted rows and how many
+    actually matched — pinning both the join semantics and the
+    watermark-gated outer emission."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="msk_ssjo_src_")
+    out_dir = tempfile.mkdtemp(prefix="msk_ssjo_out_")
+    ckpt = tempfile.mkdtemp(prefix="msk_ssjo_ckpt_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    scope = _stream_state_partitions(spark)
+    scope.__enter__()
+    try:
+        src = normalize_event_ts(
+            spark.readStream.schema(events_schema).parquet(src_dir)
+        )
+        clicks = (
+            src.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_event_id"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            src.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("value").alias("p_value"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftOuter",
+        ).select("c_user", "c_event_id", "p_value")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(out_dir)
+            .groupBy(F.col("c_user").alias("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("p_value").alias("n_matched"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        scope.__exit__()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

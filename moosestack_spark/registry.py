@@ -158,6 +158,7 @@ _AFTER_WINDOW = [
     "sort_distinct_on",
     "join_dict_get",
     "sql_ch_dialect_encoding",
+    "streaming_stream_join_outer",
 ]
 
 
