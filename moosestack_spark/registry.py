@@ -159,6 +159,9 @@ _AFTER_WINDOW = [
     "join_dict_get",
     "sql_ch_dialect_encoding",
     "streaming_stream_join_outer",
+    "multimodal_image_dhash",
+    "dedup_image_dhash_pairs",
+    "agg_lttb_downsample",
 ]
 
 
@@ -172,6 +175,7 @@ def load_all() -> None:
         analytics3,
         bucketed,
         chsql_ext,
+        downsample,
         engines,
         filters,
         funnel,
@@ -198,6 +202,7 @@ def load_all() -> None:
         linedup,
         multimodal,
         multimodal_ext,
+        phash,
         similarity,
         text,
     )
