@@ -126,3 +126,50 @@ def join_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("r_name"), F.lit("UNKNOWN")).alias("region_name"),
         )
     )
+
+
+@query(
+    "join_paste_positional",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_totalprice,
+    row_number() OVER (ORDER BY o_orderkey) AS rn
+  FROM orders WHERE o_orderkey <= 1000
+),
+c AS (
+  SELECT c_custkey, c_acctbal,
+    row_number() OVER (ORDER BY c_custkey) AS rn
+  FROM customer WHERE c_custkey <= 1000
+)
+SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_acctbal
+FROM o JOIN c ON o.rn = c.rn
+""",
+)
+def join_paste_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``PASTE JOIN``: zip two result sets row-by-row in their output
+    order (inner on row position; the shorter side truncates).  CH defines
+    it only for deterministic per-block order, so the Spark expression
+    makes the order EXPLICIT: rank each side by its own sort key with a
+    row_number window, then equi-join on the rank.
+
+    Scale note: PASTE JOIN is a single-node construct in CH; the honest
+    distributed spelling is exactly this rank-join (two single-shuffle
+    windows + one equi-join), or zipWithIndex on already-co-sorted
+    bucketed tables when the order is the storage order."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1000)
+        .select("c_custkey", "c_acctbal")
+    )
+    wo = Window.orderBy("o_orderkey")
+    wc = Window.orderBy("c_custkey")
+    o_r = o.withColumn("rn", F.row_number().over(wo))
+    c_r = c.withColumn("rn", F.row_number().over(wc))
+    return o_r.join(c_r, "rn").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_acctbal"
+    )

@@ -587,3 +587,57 @@ def sql_ch_dialect_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_vectors",
+    oracle="""
+SELECT o_orderkey,
+       ((0 + a * b) + b * c) + c * a AS dot,
+       ((0 + a) + b) + c AS l1,
+       sqrt(((0 + a * a) + b * b) + c * c) AS l2,
+       greatest(a, b, c) AS linf,
+       1 - (((0 + a * b) + b * c) + c * a)
+         / (sqrt(((0 + a * a) + b * b) + c * c)
+            * sqrt(((0 + b * b) + c * c) + a * a)) AS cos_dist
+FROM (
+  SELECT o_orderkey,
+         CAST(o_orderkey % 10 + 1 AS DOUBLE) AS a,
+         CAST(o_orderkey % 7 + 1 AS DOUBLE) AS b,
+         CAST(o_orderkey % 3 + 1 AS DOUBLE) AS c
+  FROM orders
+)
+""",
+)
+def sql_ch_dialect_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH vector/distance family (dotProduct, L1Norm, L2Norm, LinfNorm,
+    cosineDistance) translated end-to-end over constructed positive
+    integer-valued 3-vectors [a,b,c] and [b,c,a].  The oracle spells the
+    expected values with the SAME left-fold association the array
+    aggregate uses; all intermediate sums/products are exact small
+    integers in double, so sqrt/divide see identical operands in both
+    engines and even the cosine distance hash-matches."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+    SELECT
+      o_orderkey,
+      dotProduct(v, w) AS dot,
+      L1Norm(v) AS l1,
+      L2Norm(v) AS l2,
+      LinfNorm(v) AS linf,
+      cosineDistance(v, w) AS cos_dist
+    FROM (
+      SELECT o_orderkey,
+             array(CAST(o_orderkey % 10 + 1 AS DOUBLE),
+                   CAST(o_orderkey % 7 + 1 AS DOUBLE),
+                   CAST(o_orderkey % 3 + 1 AS DOUBLE)) AS v,
+             array(CAST(o_orderkey % 7 + 1 AS DOUBLE),
+                   CAST(o_orderkey % 3 + 1 AS DOUBLE),
+                   CAST(o_orderkey % 10 + 1 AS DOUBLE)) AS w
+      FROM orders
+    )
+    """
+    return spark.sql(translate_ch_sql(ch_sql))

@@ -162,6 +162,9 @@ _AFTER_WINDOW = [
     "multimodal_image_dhash",
     "dedup_image_dhash_pairs",
     "agg_lttb_downsample",
+    "text_unigram_logprob",
+    "join_paste_positional",
+    "sql_ch_dialect_vectors",
 ]
 
 
@@ -200,6 +203,7 @@ def load_all() -> None:
         dedup,
         embedding,
         linedup,
+        lm_score,
         multimodal,
         multimodal_ext,
         phash,

@@ -539,6 +539,22 @@ _TEMPLATE = {
         "aggregate(transform(split({0}, '\\\\.'), x -> cast(x as bigint)), "
         "0L, (a, b) -> a * 256 + b)"
     ),
+    # vector / distance family (CH functions/distance-functions) — array
+    # folds, all JVM-side.  Fold order is the array order (left fold), the
+    # same association a sequential implementation uses.
+    "dotProduct": (
+        "aggregate(zip_with({0}, {1}, (x, y) -> x * y), "
+        "cast(0 as double), (a, b) -> a + b)"
+    ),
+    "L1Norm": "aggregate({0}, cast(0 as double), (a, x) -> a + abs(x))",
+    "L2Norm": "sqrt(aggregate({0}, cast(0 as double), (a, x) -> a + x * x))",
+    "LinfNorm": "array_max(transform({0}, x -> abs(x)))",
+    "cosineDistance": (
+        "(1 - aggregate(zip_with({0}, {1}, (x, y) -> x * y), "
+        "cast(0 as double), (a, b) -> a + b) "
+        "/ (sqrt(aggregate({0}, cast(0 as double), (a, x) -> a + x * x)) "
+        "* sqrt(aggregate({1}, cast(0 as double), (a, x) -> a + x * x))))"
+    ),
 }
 
 _KNOWN_SPARK_PASSTHROUGH = frozenset(
