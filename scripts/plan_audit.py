@@ -49,6 +49,9 @@ ALLOWED = {
     "analytics_important_parts": {"BNLJ"},
     # TPC-H Q15 shape: scalar MAX(total_rev) — same one-row broadcast cross
     "analytics_top_supplier": {"BNLJ"},
+    # unigram-LM normalizer: the total-token count is a ONE-row aggregate
+    # broadcast-crossed onto the per-doc scores (ops/lm_score.py:71)
+    "text_unigram_logprob": {"BNLJ"},
 }
 
 
