@@ -74,6 +74,10 @@ EXTRA = [
     "streaming_cdc_apply",
     "funnel_view_click_purchase",
     "retention_weekly",
+    "sql_ch_dialect_geo",
+    "sql_ch_dialect_rounding",
+    "sql_ch_dialect_search",
+    "agg_bitmap_cardinalities",
 ]
 
 

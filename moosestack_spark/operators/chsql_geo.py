@@ -1,0 +1,269 @@
+"""ClickHouse dialect families: geo, rounding/ISO-calendar, string search,
+bitmap set-algebra.
+
+Reference parity: the moose SQL surface passes ClickHouse SQL through
+verbatim (reference packages/ts-moose-lib sqlHelpers.ts template ->
+ClickHouse; SURVEY.md §2.9 establishes the function-vocabulary contract).
+These gate queries exercise the translator's newest families end-to-end
+over driver tables, each with a value-hash DuckDB oracle:
+
+- geo: geohashEncode + decode roundtrip, greatCircleDistance,
+  pointInPolygon — all generated cross-engine SQL arithmetic (sql/geo.py
+  documents the bit-exactness argument per function);
+- rounding: roundBankers / roundToExp2 / roundDuration / roundAge +
+  toISOWeek / toISOYear / monthName;
+- search: position / positionCaseInsensitive / countSubstrings /
+  multiSearchAny / multiSearchFirstIndex;
+- bitmap: groupBitmap and the bitmapAnd/Or/Xor/AndnotCardinality
+  set-algebra, re-expressed scale-first (see agg_bitmap_cardinalities).
+
+Scale: every scalar family is per-row JVM arithmetic inside whole-stage
+codegen (zero exchanges beyond the final agg); the bitmap query is two
+hash aggregations with map-side partial reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moosestack_spark.registry import query
+from moosestack_spark.sql.geo import (
+    geohash_decode_sql,
+    geohash_encode_sql,
+    great_circle_distance_sql,
+    point_in_polygon_sql,
+)
+from moosestack_spark.tables import t
+
+# fixed test polygon (integer vertices — exact cross-product arithmetic)
+_POLY = [(2, 1), (15, 3), (18, 12), (9, 16), (1, 9)]
+
+# deterministic synthetic coordinates from o_orderkey: every op below is a
+# correctly-rounded IEEE double op, so Spark and DuckDB compute identical
+# binary values (see sql/geo.py module docstring)
+_LON = "(CAST(o_orderkey % 3600 AS DOUBLE) / 10.0 - 180.0 + 0.05)"
+_LAT = "(CAST(o_orderkey % 1700 AS DOUBLE) / 10.0 - 85.0 + 0.05)"
+
+
+def _geo_sql(engine: str) -> str:
+    gh_enc = geohash_encode_sql("lon", "lat", engine)
+    gh_lon = geohash_decode_sql("gh", "lon", engine)
+    gh_lat = geohash_decode_sql("gh", "lat", engine)
+    dist = great_circle_distance_sql("lon", "lat", "2.3522", "48.8566")
+    pip = point_in_polygon_sql(
+        "(o_orderkey % 21)", "(o_orderkey % 18)", _POLY
+    )
+    return f"""
+WITH pts AS (
+  SELECT o_orderkey, {_LON} AS lon, {_LAT} AS lat
+  FROM orders WHERE o_orderkey % 7 = 0
+), enc AS (
+  SELECT o_orderkey, lon, lat, {gh_enc} AS gh FROM pts
+)
+SELECT o_orderkey,
+       gh,
+       {gh_lon} AS cell_lon,
+       {gh_lat} AS cell_lat,
+       CAST({dist} AS FLOAT) AS dist_to_paris_m,
+       {pip} AS in_poly
+FROM enc
+"""
+
+
+@query("sql_ch_dialect_geo", oracle=_geo_sql("duckdb"))
+def sql_ch_dialect_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo family over synthetic per-order coordinates: 6-char geohash,
+    decoded cell center (exact dyadic arithmetic — hash-stable doubles),
+    great-circle distance to Paris (FLOAT per the transcendental
+    determinism policy), and integer ray-cast point-in-polygon.  The Spark
+    side runs the SAME generated arithmetic through the translator's
+    geohashEncode/greatCircleDistance vocabulary."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    dist_ch = "greatCircleDistance(lon, lat, 2.3522, 48.8566)"
+    pip = point_in_polygon_sql("(o_orderkey % 21)", "(o_orderkey % 18)", _POLY)
+    ch_sql = f"""
+WITH pts AS (
+  SELECT o_orderkey, {_LON} AS lon, {_LAT} AS lat
+  FROM orders WHERE o_orderkey % 7 = 0
+), enc AS (
+  SELECT o_orderkey, lon, lat, geohashEncode(lon, lat) AS gh FROM pts
+)
+SELECT o_orderkey,
+       gh,
+       {geohash_decode_sql("gh", "lon", "spark")} AS cell_lon,
+       {geohash_decode_sql("gh", "lat", "spark")} AS cell_lat,
+       CAST({dist_ch} AS FLOAT) AS dist_to_paris_m,
+       {pip} AS in_poly
+FROM enc
+"""
+    return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_rounding",
+    oracle="""
+SELECT o_orderkey,
+       round_even(q, 0) AS bankers0,
+       round_even(q, 1) AS bankers1,
+       CASE WHEN v < 1 THEN 0
+            ELSE CAST(power(2, length(bin(CAST(v AS BIGINT))) - 1) AS BIGINT)
+       END AS exp2,
+       CASE WHEN d < 1 THEN 0
+            WHEN d < 10 THEN 1 WHEN d < 30 THEN 10 WHEN d < 60 THEN 30
+            WHEN d < 120 THEN 60 WHEN d < 180 THEN 120 WHEN d < 240 THEN 180
+            WHEN d < 300 THEN 240 WHEN d < 600 THEN 300
+            WHEN d < 1200 THEN 600 WHEN d < 1800 THEN 1200
+            WHEN d < 3600 THEN 1800 WHEN d < 7200 THEN 3600
+            WHEN d < 18000 THEN 7200 WHEN d < 36000 THEN 18000
+            ELSE 36000 END AS dur,
+       CASE WHEN a < 1 THEN 0 WHEN a < 18 THEN 17 WHEN a < 25 THEN 18
+            WHEN a < 35 THEN 25 WHEN a < 45 THEN 35 WHEN a < 55 THEN 45
+            ELSE 55 END AS age_bucket,
+       weekofyear(o_orderdate) AS iso_week,
+       isoyear(o_orderdate) AS iso_year,
+       monthname(o_orderdate) AS month_name
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         CAST(o_orderkey % 1000 AS DOUBLE) / 4 AS q,
+         o_orderkey % 100 AS v,
+         o_orderkey % 40000 AS d,
+         o_orderkey % 100 AS a
+  FROM orders
+)
+""",
+)
+def sql_ch_dialect_rounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding + ISO-calendar family translated end-to-end.  Banker's
+    rounding runs on exact quarter values (k/4 — dyadic, so the tie
+    detection is identical in both engines); roundToExp2 / roundDuration /
+    roundAge are exact integer ladders; ISO week/year and month names
+    agree between Spark's ISO weekofyear/YEAROFWEEK and DuckDB's
+    weekofyear/isoyear."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       roundBankers(q, 0) AS bankers0,
+       roundBankers(q, 1) AS bankers1,
+       roundToExp2(v) AS exp2,
+       roundDuration(d) AS dur,
+       roundAge(a) AS age_bucket,
+       toISOWeek(o_orderdate) AS iso_week,
+       toISOYear(o_orderdate) AS iso_year,
+       monthName(o_orderdate) AS month_name
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         CAST(o_orderkey % 1000 AS DOUBLE) / 4 AS q,
+         o_orderkey % 100 AS v,
+         o_orderkey % 40000 AS d,
+         o_orderkey % 100 AS a
+  FROM orders
+)
+"""
+    return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_search",
+    oracle="""
+SELECT p_partkey,
+       strpos(p_name, 'red') AS pos_red,
+       strpos(lower(p_name), lower('RED')) AS pos_red_ci,
+       CAST((length(p_name) - length(replace(p_name, 'a', '')))
+            / length('a') AS BIGINT) AS n_a,
+       (strpos(p_name, 'red') > 0 OR strpos(p_name, 'blue') > 0) AS any_color,
+       CASE
+         WHEN strpos(p_name, 'red') > 0
+          AND (strpos(p_name, 'blue') = 0
+               OR strpos(p_name, 'red') <= strpos(p_name, 'blue'))
+           THEN 1
+         WHEN strpos(p_name, 'blue') > 0
+          AND (strpos(p_name, 'red') = 0
+               OR strpos(p_name, 'blue') < strpos(p_name, 'red'))
+           THEN 2
+         ELSE 0
+       END AS first_color_idx
+FROM part
+""",
+)
+def sql_ch_dialect_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-search family over part names: position,
+    positionCaseInsensitive, countSubstrings, multiSearchAny and
+    multiSearchFirstIndex (leftmost-occurrence semantics — the oracle
+    spells the same argmin-by-position rule with CASE)."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["part"])
+    ch_sql = """
+SELECT p_partkey,
+       position(p_name, 'red') AS pos_red,
+       positionCaseInsensitive(p_name, 'RED') AS pos_red_ci,
+       countSubstrings(p_name, 'a') AS n_a,
+       multiSearchAny(p_name, 'red', 'blue') AS any_color,
+       multiSearchFirstIndex(p_name, 'red', 'blue') AS first_color_idx
+FROM part
+"""
+    return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "agg_bitmap_cardinalities",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+  FROM events GROUP BY user_id
+)
+SELECT CAST(SUM(in_a) AS BIGINT) AS card_a,
+       CAST(SUM(in_b) AS BIGINT) AS card_b,
+       CAST(SUM(in_a * in_b) AS BIGINT) AS card_and,
+       CAST(SUM(CASE WHEN in_a = 1 OR in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS card_or,
+       CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS card_andnot,
+       CAST(SUM(CASE WHEN in_a <> in_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS card_xor
+FROM per_user
+""",
+)
+def agg_bitmap_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH bitmap set algebra (bitmapAndCardinality / OrCardinality /
+    XorCardinality / AndnotCardinality over groupBitmapState('click') vs
+    ('purchase') user segments) re-expressed WITHOUT materializing bitmap
+    objects: one groupBy(user) computing membership flags, one global sum.
+    This is the scale-first spelling — both aggregations get map-side
+    partial reduction, state is O(users) spread across partitions, and no
+    operator ever holds a whole segment in memory (a CH bitmap or a
+    collect_set spelling would).  Roaring-style compressed bitmaps only
+    beat it when segments are reused across many queries — that variant is
+    a persisted per-segment table of sorted id runs, same flag-join shape."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "in_b"
+        ),
+    )
+    return per_user.agg(
+        F.sum("in_a").cast("bigint").alias("card_a"),
+        F.sum("in_b").cast("bigint").alias("card_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("card_and"),
+        F.sum(
+            F.when((F.col("in_a") == 1) | (F.col("in_b") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("card_or"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b")))
+        .cast("bigint")
+        .alias("card_andnot"),
+        F.sum(F.when(F.col("in_a") != F.col("in_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("card_xor"),
+    )

@@ -165,6 +165,10 @@ _AFTER_WINDOW = [
     "text_unigram_logprob",
     "join_paste_positional",
     "sql_ch_dialect_vectors",
+    "sql_ch_dialect_geo",
+    "sql_ch_dialect_rounding",
+    "sql_ch_dialect_search",
+    "agg_bitmap_cardinalities",
 ]
 
 
@@ -178,6 +182,7 @@ def load_all() -> None:
         analytics3,
         bucketed,
         chsql_ext,
+        chsql_geo,
         downsample,
         engines,
         filters,

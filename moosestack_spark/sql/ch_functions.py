@@ -555,7 +555,68 @@ _TEMPLATE = {
         "/ (sqrt(aggregate({0}, cast(0 as double), (a, x) -> a + x * x)) "
         "* sqrt(aggregate({1}, cast(0 as double), (a, x) -> a + x * x))))"
     ),
+    # rounding family (CH functions/rounding-functions).  roundBankers maps
+    # to Spark's bround (half-to-even); roundToExp2 extracts the highest
+    # set bit via the binary-string length (exact for BIGINT — log2+floor
+    # would be off-by-one at last-ulp boundaries); roundDuration/roundAge
+    # are CH's fixed bucket ladders spelled as CASE.
+    "roundBankers": "bround({0}, {1})",
+    "roundToExp2": (
+        "(CASE WHEN ({0}) < 1 THEN 0 ELSE "
+        "CAST(power(2, length(conv(CAST({0} AS BIGINT), 10, 2)) - 1) AS BIGINT) "
+        "END)"
+    ),
+    "roundDuration": (
+        "(CASE WHEN ({0}) < 1 THEN 0"
+        " WHEN ({0}) < 10 THEN 1 WHEN ({0}) < 30 THEN 10"
+        " WHEN ({0}) < 60 THEN 30 WHEN ({0}) < 120 THEN 60"
+        " WHEN ({0}) < 180 THEN 120 WHEN ({0}) < 240 THEN 180"
+        " WHEN ({0}) < 300 THEN 240 WHEN ({0}) < 600 THEN 300"
+        " WHEN ({0}) < 1200 THEN 600 WHEN ({0}) < 1800 THEN 1200"
+        " WHEN ({0}) < 3600 THEN 1800 WHEN ({0}) < 7200 THEN 3600"
+        " WHEN ({0}) < 18000 THEN 7200 WHEN ({0}) < 36000 THEN 18000"
+        " ELSE 36000 END)"
+    ),
+    "roundAge": (
+        "(CASE WHEN ({0}) < 1 THEN 0 WHEN ({0}) < 18 THEN 17"
+        " WHEN ({0}) < 25 THEN 18 WHEN ({0}) < 35 THEN 25"
+        " WHEN ({0}) < 45 THEN 35 WHEN ({0}) < 55 THEN 45"
+        " ELSE 55 END)"
+    ),
+    # ISO calendar + name helpers (CH functions/date-time-functions).
+    # Spark weekofyear IS the ISO week; YEAROFWEEK the ISO week-year.
+    "toISOWeek": "weekofyear({0})",
+    "toISOYear": "extract(YEAROFWEEK FROM {0})",
+    "monthName": "date_format({0}, 'MMMM')",
+    # string-search family (CH functions/string-search-functions)
+    "positionCaseInsensitive": "locate(lower({1}), lower({0}))",
+    "countSubstrings": (
+        "CAST((length({0}) - length(replace({0}, {1}, ''))) / length({1}) "
+        "AS BIGINT)"
+    ),
+    # bitmap cardinality (CH groupBitmap over a UInt column) — the exact
+    # distinct count; set-algebra cardinalities (bitmapAndCardinality etc.)
+    # are re-expressed as conditional aggregation, see
+    # operators/chsql_geo.py agg_bitmap_cardinalities
+    "groupBitmap": "count(DISTINCT {0})",
 }
+
+# geo family (CH functions/geo/*): generated cross-engine SQL arithmetic —
+# see sql/geo.py for the exactness argument.  geoDistance (WGS84-adjusted in
+# CH) is mapped to the same mean-radius great circle: the reference surface
+# passes SQL through to CH, and callers needing ellipsoid precision are
+# outside this vocabulary (documented approximation, <0.6% delta).
+from moosestack_spark.sql import geo as _geo  # noqa: E402
+
+_TEMPLATE.update(
+    {
+        "greatCircleDistance": _geo.great_circle_distance_sql(
+            "{0}", "{1}", "{2}", "{3}"
+        ),
+        "geoDistance": _geo.great_circle_distance_sql("{0}", "{1}", "{2}", "{3}"),
+        "geohashEncode": _geo.geohash_encode_sql("{0}", "{1}", "spark"),
+    }
+)
 
 _KNOWN_SPARK_PASSTHROUGH = frozenset(
     """select from where group by order having limit offset join on as and or not
@@ -649,6 +710,30 @@ def translate_ch_sql(sql: str) -> str:
             out.append(f"timestampdiff({unit}, {args[1]}, {args[2]})")
         elif name == "sumIf":
             out.append(f"sum(CASE WHEN {args[1]} THEN {args[0]} END)")
+        elif name in ("multiSearchAny", "multiSearchFirstIndex"):
+            # variadic: (haystack, needle1, needle2, ...).  CH also accepts
+            # an array literal second arg; the varargs spelling is the
+            # supported form here.
+            if len(args) < 2:
+                raise ValueError(f"{name} needs a haystack and 1+ needles")
+            hay, needles = args[0], args[1:]
+            if name == "multiSearchAny":
+                out.append(
+                    "(" + " OR ".join(f"locate({n}, {hay}) > 0" for n in needles) + ")"
+                )
+            else:
+                # CH: 1-based index of the needle whose match is LEFTMOST in
+                # the haystack (not first in argument order), 0 if none;
+                # ties broken by argument order via strict < in the fold
+                structs = ", ".join(
+                    f"named_struct('p', locate({n}, {hay}), 'i', {j + 1})"
+                    for j, n in enumerate(needles)
+                )
+                out.append(
+                    f"aggregate(array({structs}), "
+                    f"named_struct('p', 2147483647, 'i', 0), "
+                    f"(acc, s) -> IF(s.p > 0 AND s.p < acc.p, s, acc)).i"
+                )
         elif name == "avgIf":
             out.append(f"avg(CASE WHEN {args[1]} THEN {args[0]} END)")
         elif name in _TEMPLATE and _TEMPLATE[name] is not None:
