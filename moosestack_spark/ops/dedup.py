@@ -349,21 +349,35 @@ def minhash_lsh_pairs(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     threshold: float = 0.5,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Banded-LSH candidate generation + signature-Jaccard verification.
 
     Shuffle profile at 100 TB: shuffle#1 the shingle aggregation (above);
-    explode to n_bands rows/doc; shuffle#2 the self-join on (band,
-    band_hash) groups only docs whose band collides; signature comparison
-    is a k-term integer expression on joined columns.
+    explode to n_bands rows/doc carrying the full signature; shuffle#2 ONE
+    groupBy on (band, band_hash) that collects each bucket's (doc,
+    signature) structs — pairs are then emitted JVM-side from the sorted
+    bucket array with the signature comparison computed inline, and
+    shuffle#3 dedups pairs found in multiple bands.  An earlier self-join
+    formulation needed an eager localCheckpoint of the signature table
+    (the join re-executes upstream per side) — the checkpoint job alone
+    cost more than the whole bucket-grouped plan (measured 4.6s vs 1.4s
+    warm at sf0.1); bucketing also drops a full-table shuffle.
+
+    `max_bucket` bounds the collected arrays: a band bucket with m docs
+    emits m^2/2 candidates, so buckets beyond the cap (boilerplate-driven
+    collisions; genuinely-near-dup members of an over-full bucket still
+    collide in their other n_bands-1 bands) are dropped — the same skew
+    discipline as the shingle df cap, and what keeps the collect bounded
+    on a 100 TB corpus.
     """
     rows_per_band = n_hashes // n_bands
     sig = minhash_signatures(df, id_col, text_col, n, n_hashes)
     hcols = [f"h{i}" for i in range(n_hashes)]
 
+    member = F.struct(F.col("doc").alias("doc"), *[F.col(h) for h in hcols])
     bands = sig.select(
-        "doc",
-        *hcols,
+        member.alias("m"),
         F.explode(
             F.array(
                 *[
@@ -377,32 +391,24 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", *hcols, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select("m", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    # materialize the signature+band table once: the self-join otherwise
-    # re-executes the whole upstream pipeline for EACH side (no exchange
-    # reuse across the broadcast boundary).  |docs| x (k+2) ints is small
-    # by construction — at 100 TB this is the "persist the signature
-    # table" step every LSH pipeline has.
-    bands = bands.localCheckpoint(eager=True)
-
-    a = bands.alias("a")
-    b = bands.alias("b")
-    n_equal = sum(
-        F.when(F.col(f"a.{h}") == F.col(f"b.{h}"), 1).otherwise(0) for h in hcols
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    )
+    # a<b pairs from the doc-sorted bucket with the n_equal sum inline
+    n_equal = " + ".join(f"IF(x.{h} = y.{h}, 1, 0)" for h in hcols)
+    pair_expr = (
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), y -> "
+        "struct(x.doc AS doc_a, y.doc AS doc_b, "
+        f"CAST(({n_equal}) AS DOUBLE) / {float(n_hashes)!r} AS est_jaccard))))"
     )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            (n_equal.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
-        )
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.est_jaccard")
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
