@@ -78,6 +78,7 @@ EXTRA = [
     "sql_ch_dialect_rounding",
     "sql_ch_dialect_search",
     "agg_bitmap_cardinalities",
+    "text_hashed_classifier",
 ]
 
 

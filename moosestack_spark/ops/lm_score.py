@@ -81,3 +81,101 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored
+
+# --------------------------------------------------------------------------
+# fastText-style hashed linear classifier (inference)
+# --------------------------------------------------------------------------
+
+# feature-hashing dimensionality and the deterministic "trained" weight
+# table: weight(b) = ((b * KNUTH) % 1000 - 500) / 1024.  The /1024 makes
+# every weight a dyadic rational, so per-document weight SUMS are exact and
+# accumulation-order-independent — the whole score pipeline is integer
+# arithmetic until the final sigmoid (surfaced as FLOAT per the
+# transcendental determinism policy).
+_HASH_DIM = 1024
+_KNUTH = 2654435761
+
+# polynomial rolling hash over character codes, mod a Mersenne-ish prime —
+# spelled with the same left fold in Spark (aggregate) and DuckDB
+# (list_reduce over a 0-prepended list)
+_SPARK_TOK_HASH = (
+    "aggregate(transform(split(tok, ''), c -> cast(ascii(c) as bigint)), "
+    "0L, (a, b) -> (a * 31 + b) % 2147483647)"
+)
+_DUCK_TOK_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split_regex(tok, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 2147483647)"
+)
+
+
+@query(
+    "text_hashed_classifier",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(trim(lower(text)), '\s+'),
+                        tok -> (({_DUCK_TOK_HASH} % {_HASH_DIM})
+                                * {_KNUTH}) % 1000 - 500) AS ws
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ws),
+                          (a, b) -> a + b) AS BIGINT) AS wsum
+  FROM tok
+)
+SELECT doc_id, n_tokens,
+       CAST(1 / (1 + exp(-(CAST(wsum AS DOUBLE) / ({_HASH_DIM}.0 * n_tokens))))
+            AS FLOAT) AS score,
+       (CAST(wsum AS DOUBLE) >= 0) AS keep
+FROM scored
+""",
+)
+def text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed bag-of-words linear classifier INFERENCE over
+    documents: tokens feature-hash into 1024 buckets (character-level
+    polynomial hash — the same fold runs in both engines), each bucket
+    carries a fixed weight, the mean-pooled activation goes through a
+    sigmoid, and `keep` thresholds at 0.5 (decided on the EXACT integer
+    weight sum, not the float score).  This is the quality-classifier
+    stage of CCNet/fastText-filter pipelines with the trained weight table
+    replaced by a deterministic function of the bucket index — swapping in
+    real weights is a broadcast 1024-float array, same plan.
+
+    Scale: pure JVM expression pipeline — tokenize, per-token hash fold,
+    integer sum — zero exchanges, no UDF; the weight "lookup" is
+    arithmetic, so nothing ships to executors at all.
+    """
+    d = t(spark, sf_dir, "documents")
+    ws = F.expr(
+        f"transform(split(trim(lower(text)), '\\\\s+'), "
+        f"tok -> (({_SPARK_TOK_HASH} % {_HASH_DIM}) * {_KNUTH}) % 1000 - 500)"
+    )
+    return (
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").cast("bigint").alias("n_tokens"),
+            F.expr("aggregate(ws, 0L, (a, b) -> a + b)").alias("wsum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(
+                            F.col("wsum").cast("double")
+                            / (F.lit(float(_HASH_DIM)) * F.col("n_tokens"))
+                        )
+                    )
+                )
+            )
+            .cast("float")
+            .alias("score"),
+            (F.col("wsum").cast("double") >= 0).alias("keep"),
+        )
+    )

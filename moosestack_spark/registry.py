@@ -169,6 +169,7 @@ _AFTER_WINDOW = [
     "sql_ch_dialect_rounding",
     "sql_ch_dialect_search",
     "agg_bitmap_cardinalities",
+    "text_hashed_classifier",
 ]
 
 
