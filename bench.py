@@ -79,6 +79,7 @@ EXTRA = [
     "sql_ch_dialect_search",
     "agg_bitmap_cardinalities",
     "text_hashed_classifier",
+    "agg_hll_deterministic",
 ]
 
 

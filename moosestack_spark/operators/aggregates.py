@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from moosestack_spark.operators._determinism import davg, dsum, sql_davg, sql_dsum
 from moosestack_spark.registry import query
-from moosestack_spark.tables import t
+from moosestack_spark.tables import register_views, t
 
 # --------------------------------------------------------------------------
 # Flagship: TPC-H Q1-shaped pricing summary over lineitem.
@@ -330,6 +330,100 @@ def agg_uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("uniq_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic HyperLogLog with a HARD oracle.  agg_uniq_approx above is
+# rows-only because Spark's internal HLL++ hash can't be replayed in
+# DuckDB; this variant builds the sketch from first principles with a
+# cross-engine multiplicative hash, so every register — and therefore the
+# estimate — hash-matches.  Flajolet et al. 2007 (the m=1024 alpha
+# constant and the small-range linear-counting correction).
+# --------------------------------------------------------------------------
+
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P  # 1024 registers
+_HLL_WBITS = 22  # 32-bit hash minus p index bits
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+def _hll_sql(engine: str) -> str:
+    """Shared HLL query text; only the int-division / xor / bit-length
+    tokens differ.  The hash is the murmur3 fmix32 avalanche finalizer —
+    a multiplicative-only hash left lattice artifacts on sequential keys
+    (34% estimate bias measured); fmix32 lands within the 1.04/sqrt(m)
+    band.  The 32x32-bit multiplies are split into 16-bit halves so no
+    intermediate exceeds 2^49 (DuckDB raises on signed-64 overflow)."""
+    div = "DIV" if engine == "spark" else "//"
+    bitlen = (
+        "length(conv(CAST(w AS BIGINT), 10, 2))"
+        if engine == "spark"
+        else "length(bin(CAST(w AS BIGINT)))"
+    )
+    xor = (lambda a, b: f"({a} ^ {b})") if engine == "spark" else (
+        lambda a, b: f"xor({a}, {b})"
+    )
+
+    def mul32(h: str, c: int) -> str:
+        return (
+            f"(((({h}) % 65536) * {c} + (((({h}) {div} 65536) * {c}) % 65536)"
+            f" * 65536) % 4294967296)"
+        )
+
+    return f"""
+WITH x AS (
+  SELECT l_returnflag,
+         (CAST(l_partkey AS BIGINT) * 2654435761) % 4294967296 AS h0
+  FROM lineitem
+),
+s1 AS (SELECT l_returnflag, {xor("h0", f"h0 {div} 65536")} AS h1 FROM x),
+s2 AS (SELECT l_returnflag, {mul32("h1", 0x85EBCA6B)} AS h2 FROM s1),
+s3 AS (SELECT l_returnflag, {xor("h2", f"h2 {div} 8192")} AS h3 FROM s2),
+s4 AS (SELECT l_returnflag, {mul32("h3", 0xC2B2AE35)} AS h4 FROM s3),
+h AS (SELECT l_returnflag, {xor("h4", f"h4 {div} 65536")} AS h32 FROM s4),
+reg AS (
+  SELECT l_returnflag,
+         h32 % {_HLL_M} AS idx,
+         MAX(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - {bitlen} END) AS m_j
+  FROM (SELECT l_returnflag, h32, h32 {div} {_HLL_M} AS w FROM h)
+  GROUP BY l_returnflag, h32 % {_HLL_M}
+), sketch AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS used_registers,
+         SUM(power(2.0, -m_j)) AS den_used
+  FROM reg GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       used_registers,
+       CAST(CASE
+         WHEN CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+              / (den_used + ({_HLL_M} - used_registers)) <= 2.5 * {_HLL_M}
+          AND used_registers < {_HLL_M}
+           THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                              / ({_HLL_M} - used_registers))
+         ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+              / (den_used + ({_HLL_M} - used_registers))
+       END AS FLOAT) AS hll_estimate
+FROM sketch
+"""
+
+
+@query("agg_hll_deterministic", oracle=_hll_sql("duckdb"))
+def agg_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principles HyperLogLog (p=10) per returnflag with a HARD
+    value-hash oracle: the 32-bit multiplicative hash, register index, and
+    rank are exact integer arithmetic in both engines; register maxima and
+    the 2^-M sum are exact dyadic rationals (order-independent); only the
+    final alpha/ln arithmetic is floating — surfaced as FLOAT.
+
+    This is also the distributed-sketch PLAN template: groupBy(group, idx)
+    max(rank) then groupBy(group) — both exchanges map-side combined,
+    per-group state bounded at m registers regardless of cardinality, and
+    the same max-merge works across partitions, nodes, or incremental
+    batches (the CH uniqState/uniqMerge contract, §2.4)."""
+    register_views(spark, sf_dir, only=["lineitem"])
+    return spark.sql(_hll_sql("spark"))
 
 
 @query(

@@ -170,6 +170,7 @@ _AFTER_WINDOW = [
     "sql_ch_dialect_search",
     "agg_bitmap_cardinalities",
     "text_hashed_classifier",
+    "agg_hll_deterministic",
 ]
 
 

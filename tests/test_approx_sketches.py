@@ -46,3 +46,46 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
     # deterministic across reruns (same data, same sketch parameters)
     again = registry.QUERIES["agg_quantile_approx"](spark, sf_dir).collect()
     assert sorted(map(str, again)) == sorted(map(str, rows))
+
+
+def test_hll_deterministic_estimate_within_band(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.tables import t
+
+    rows = {
+        r.l_returnflag: r
+        for r in registry.QUERIES["agg_hll_deterministic"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for flag, r in rows.items():
+        # m=1024 -> 1.04/sqrt(m) ~ 3.25% standard error; linear-counting
+        # regime at high load factors is noisier — allow 3 sigma
+        assert abs(r.hll_estimate - exact[flag]) / exact[flag] <= 0.10, (
+            flag, r.hll_estimate, exact[flag]
+        )
+        assert 0 < r.used_registers <= 1024
+
+
+def test_hll_murmur_finalizer_avalanche_on_sequential_keys(spark):
+    """The multiplicative-only hash left a 34% lattice bias on sequential
+    ids (measured); pin that the fmix32 spelling stays in-band on exactly
+    that adversarial input shape."""
+    from moosestack_spark.operators.aggregates import _hll_sql
+
+    n = 50_000
+    spark.range(n).selectExpr(
+        "'X' AS l_returnflag", "id AS l_partkey"
+    ).createOrReplaceTempView("lineitem")
+    try:
+        est = spark.sql(_hll_sql("spark")).collect()[0].hll_estimate
+        assert abs(est - n) / n <= 0.10, est
+    finally:
+        spark.catalog.dropTempView("lineitem")
