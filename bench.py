@@ -80,6 +80,7 @@ EXTRA = [
     "agg_bitmap_cardinalities",
     "text_hashed_classifier",
     "agg_hll_deterministic",
+    "streaming_hll_distinct",
 ]
 
 

@@ -347,6 +347,64 @@ _HLL_WBITS = 22  # 32-bit hash minus p index bits
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
 
 
+def hll_idx_rank_expr(key_sql: str) -> str:
+    """Spark SQL expression mapping a non-negative integer key to
+    struct(idx, rank) for the deterministic HLL (same fmix32 finalizer as
+    _hll_sql).  Every intermediate is bound ONCE through a single-element
+    transform (the SQL let-binding) — a withColumn chain would be collapsed
+    by the optimizer and the xor/mul steps reference their input 2-3 times
+    each, so inlining grows the expression exponentially."""
+
+    def bind(val: str, var: str, body: str) -> str:
+        return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+
+    def mul32(h: str, c: int) -> str:
+        return (
+            f"(((({h}) % 65536) * {c} + (((({h}) DIV 65536) * {c}) % 65536)"
+            f" * 65536) % 4294967296)"
+        )
+
+    h0 = f"(CAST({key_sql} AS BIGINT) * 2654435761) % 4294967296"
+    s1 = bind(h0, "a", "(a ^ (a DIV 65536))")
+    s2 = bind(s1, "b", mul32("b", 0x85EBCA6B))
+    s3 = bind(s2, "c", "(c ^ (c DIV 8192))")
+    s4 = bind(s3, "d", mul32("d", 0xC2B2AE35))
+    s5 = bind(s4, "e", "(e ^ (e DIV 65536))")
+    rank = bind(
+        f"h DIV {_HLL_M}",
+        "w",
+        f"CASE WHEN w = 0 THEN {_HLL_WBITS + 1} ELSE {_HLL_WBITS + 1}"
+        f" - length(conv(CAST(w AS BIGINT), 10, 2)) END",
+    )
+    return bind(s5, "h", f"struct(h % {_HLL_M} AS idx, {rank} AS rank)")
+
+
+def hll_finalize(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group..., idx, m_j) register rows -> (group..., used_registers,
+    hll_estimate).  Same estimate arithmetic as _hll_sql (exact dyadic sum,
+    then alpha / linear-counting in double, FLOAT surface), as DataFrame
+    ops so streaming sinks can finalize batch-side."""
+    sk = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("used_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("den_used"),
+    )
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * _HLL_M
+        * _HLL_M
+        / (F.col("den_used") + (_HLL_M - F.col("used_registers")))
+    )
+    linear = _HLL_M * F.log(
+        F.lit(float(_HLL_M)) / (_HLL_M - F.col("used_registers"))
+    )
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("used_registers") < _HLL_M), linear
+    ).otherwise(raw)
+    return sk.select(
+        *group_cols, "used_registers", est.cast("float").alias("hll_estimate")
+    )
+
+
 def _hll_sql(engine: str) -> str:
     """Shared HLL query text; only the int-division / xor / bit-length
     tokens differ.  The hash is the murmur3 fmix32 avalanche finalizer —

@@ -446,3 +446,123 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Streaming windowed HyperLogLog: approximate distinct users per day.  The
+# streamed state is the REGISTER table (window x idx -> max rank) — max is
+# associative/commutative, so the availableNow replay is byte-identical to
+# the batch sketch and the DuckDB oracle hash-matches a streaming
+# approximate aggregate (same determinism contract as agg_hll_deterministic:
+# exact integers until the final alpha/ln, surfaced FLOAT).  This is the
+# production shape for "uniques per window" at 100 TB: state is bounded at
+# m=1024 registers per open window (NOT per distinct user — a plain
+# streaming countDistinct would hold every user id in state), and closed
+# windows emit their registers exactly once for batch-side finalization.
+# --------------------------------------------------------------------------
+
+
+def _hll_stream_oracle() -> str:
+    from moosestack_spark.operators.aggregates import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_WBITS,
+    )
+
+    def mul32(h: str, c: int) -> str:
+        return (
+            f"(((({h}) % 65536) * {c} + (((({h}) // 65536) * {c}) % 65536)"
+            f" * 65536) % 4294967296)"
+        )
+
+    raw = (
+        f"CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M}"
+        f" / (den_used + ({_HLL_M} - used_registers))"
+    )
+    return f"""
+WITH x AS (
+  SELECT date_trunc('day', ts) AS ws,
+         (CAST(user_id AS BIGINT) * 2654435761) % 4294967296 AS h0
+  FROM events
+),
+s1 AS (SELECT ws, xor(h0, h0 // 65536) AS h1 FROM x),
+s2 AS (SELECT ws, {mul32("h1", 0x85EBCA6B)} AS h2 FROM s1),
+s3 AS (SELECT ws, xor(h2, h2 // 8192) AS h3 FROM s2),
+s4 AS (SELECT ws, {mul32("h3", 0xC2B2AE35)} AS h4 FROM s3),
+h AS (SELECT ws, xor(h4, h4 // 65536) AS h32 FROM s4),
+reg AS (
+  SELECT ws, h32 % {_HLL_M} AS idx,
+         MAX(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(CAST(w AS BIGINT))) END)
+           AS m_j
+  FROM (SELECT ws, h32, h32 // {_HLL_M} AS w FROM h)
+  GROUP BY ws, h32 % {_HLL_M}
+),
+sk AS (
+  SELECT ws, CAST(COUNT(*) AS BIGINT) AS used_registers,
+         SUM(power(2.0, -m_j)) AS den_used
+  FROM reg GROUP BY ws
+)
+SELECT strftime(ws, '%Y-%m-%d') AS window_start,
+       used_registers,
+       CAST(CASE
+         WHEN {raw} <= 2.5 * {_HLL_M} AND used_registers < {_HLL_M}
+           THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                              / ({_HLL_M} - used_registers))
+         ELSE {raw}
+       END AS FLOAT) AS hll_estimate
+FROM sk
+WHERE ws + INTERVAL 1 DAY <= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+"""
+
+
+@query("streaming_hll_distinct", oracle=_hll_stream_oracle())
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-day tumbling windows whose streamed state is an HLL
+    register table: groupBy(window, idx) max(rank) — m-bounded state per
+    window, append-emitted once per closed window, finalized batch-side
+    (hll_finalize).  The oracle replays the identical deterministic sketch
+    in DuckDB, including the availableNow emission cutoff."""
+    from moosestack_spark.operators.aggregates import hll_finalize, hll_idx_rank_expr
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="msk_hll_src_")
+    out_dir = tempfile.mkdtemp(prefix="msk_hll_out_")
+    ckpt = tempfile.mkdtemp(prefix="msk_hll_ckpt_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    scope = _stream_state_partitions(spark)
+    scope.__enter__()
+    try:
+        stream = (
+            normalize_event_ts(spark.readStream.schema(events_schema).parquet(src_dir))
+            .select("ts", F.expr(hll_idx_rank_expr("user_id")).alias("ir"))
+            .select("ts", F.col("ir.idx").alias("idx"), F.col("ir.rank").alias("rank"))
+            .withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day"), F.col("idx"))
+            .agg(F.max("rank").alias("m_j"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd").alias("window_start"),
+                "idx",
+                "m_j",
+            )
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        regs = spark.read.parquet(out_dir)
+        return hll_finalize(regs, ["window_start"]).localCheckpoint()
+    finally:
+        scope.__exit__()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

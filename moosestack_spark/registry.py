@@ -171,6 +171,7 @@ _AFTER_WINDOW = [
     "agg_bitmap_cardinalities",
     "text_hashed_classifier",
     "agg_hll_deterministic",
+    "streaming_hll_distinct",
 ]
 
 
