@@ -81,6 +81,7 @@ EXTRA = [
     "text_hashed_classifier",
     "agg_hll_deterministic",
     "streaming_hll_distinct",
+    "sql_ch_dialect_intervals",
 ]
 
 

@@ -267,3 +267,42 @@ def agg_bitmap_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("card_xor"),
     )
+
+
+@query(
+    "sql_ch_dialect_intervals",
+    oracle="""
+SELECT event_id,
+       strftime(to_timestamp((CAST(epoch(ts) AS BIGINT) // 900) * 900),
+                '%Y-%m-%d %H:%M:%S') AS bucket_15m,
+       strftime(to_timestamp((CAST(epoch(ts) AS BIGINT) // 21600) * 21600),
+                '%Y-%m-%d %H:%M:%S') AS bucket_6h,
+       strftime(to_timestamp((CAST(epoch(ts) AS BIGINT) // 172800) * 172800),
+                '%Y-%m-%d %H:%M:%S') AS bucket_2d,
+       strftime(timezone('America/New_York', ts::TIMESTAMPTZ),
+                '%Y-%m-%d %H:%M:%S') AS ny_wall_clock
+FROM events
+WHERE event_id % 11 = 0
+""",
+)
+def sql_ch_dialect_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toStartOfInterval (15 min / 6 h / 2 d epoch-aligned floor buckets —
+    the CH MV rollup workhorse) and toTimeZone, translated end-to-end.
+    Bucket arithmetic is exact integer epoch math in both engines; the
+    timezone render targets January data (no DST transition inside the
+    window, so JVM and DuckDB tzdb agree)."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["events"])
+    ch_sql = """
+SELECT event_id,
+       toString(toStartOfInterval(ts, INTERVAL 15 MINUTE)) AS bucket_15m,
+       toString(toStartOfInterval(ts, INTERVAL 6 HOUR)) AS bucket_6h,
+       toString(toStartOfInterval(ts, INTERVAL 2 DAY)) AS bucket_2d,
+       formatDateTime(toTimeZone(ts, 'America/New_York'),
+                      '%Y-%m-%d %H:%M:%S') AS ny_wall_clock
+FROM events
+WHERE event_id % 11 = 0
+"""
+    return spark.sql(translate_ch_sql(ch_sql))

@@ -172,6 +172,7 @@ _AFTER_WINDOW = [
     "text_hashed_classifier",
     "agg_hll_deterministic",
     "streaming_hll_distinct",
+    "sql_ch_dialect_intervals",
 ]
 
 

@@ -710,6 +710,61 @@ def translate_ch_sql(sql: str) -> str:
             out.append(f"timestampdiff({unit}, {args[1]}, {args[2]})")
         elif name == "sumIf":
             out.append(f"sum(CASE WHEN {args[1]} THEN {args[0]} END)")
+        elif name == "toStartOfInterval":
+            # toStartOfInterval(ts, INTERVAL n unit) -> epoch-aligned floor
+            # bucket via integer second arithmetic (matches CH alignment for
+            # second/minute/hour/day units; week/month go through the
+            # dedicated toStartOf* functions)
+            m2 = re.match(
+                r"(?i)^\s*INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?\s*$",
+                args[1],
+            )
+            if not m2:
+                raise ValueError(
+                    "toStartOfInterval supports INTERVAL n SECOND/MINUTE/HOUR/DAY"
+                )
+            secs = int(m2.group(1)) * {
+                "second": 1,
+                "minute": 60,
+                "hour": 3600,
+                "day": 86400,
+            }[m2.group(2).lower()]
+            out.append(
+                f"timestamp_seconds((unix_timestamp({args[0]}) DIV {secs}) * {secs})"
+            )
+        elif name == "formatDateTime":
+            # CH formatDateTime(ts, '%Y-%m-%d ...') — strftime-style codes
+            # mapped onto Spark's date_format pattern letters
+            fmt = args[1].strip()
+            if not (fmt.startswith("'") and fmt.endswith("'")):
+                raise ValueError("formatDateTime needs a literal format string")
+            mapping = {
+                "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
+                "%M": "mm", "%S": "ss", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss",
+                "%j": "DDD", "%e": "d", "%a": "EEE", "%b": "MMM",
+            }
+            body = fmt[1:-1]
+            out_fmt, i2 = [], 0
+            while i2 < len(body):
+                if body[i2] == "%" and i2 + 1 < len(body):
+                    code = body[i2 : i2 + 2]
+                    if code == "%%":
+                        out_fmt.append("%")
+                    elif code in mapping:
+                        out_fmt.append(mapping[code])
+                    else:
+                        raise ValueError(f"formatDateTime code {code!r} unsupported")
+                    i2 += 2
+                else:
+                    # literal chars; quote pattern letters for date_format
+                    c = body[i2]
+                    out_fmt.append(f"'{c}'" if c.isalpha() else c)
+                    i2 += 1
+            out.append(f"date_format({args[0]}, '{''.join(out_fmt)}')")
+        elif name == "toTimeZone":
+            # session tz is pinned UTC (session.py); render the wall-clock
+            # of the target zone
+            out.append(f"from_utc_timestamp({args[0]}, {args[1]})")
         elif name in ("multiSearchAny", "multiSearchFirstIndex"):
             # variadic: (haystack, needle1, needle2, ...).  CH also accepts
             # an array literal second arg; the varargs spelling is the
