@@ -82,6 +82,7 @@ EXTRA = [
     "agg_hll_deterministic",
     "streaming_hll_distinct",
     "sql_ch_dialect_intervals",
+    "sql_ch_dialect_arrays2",
 ]
 
 

@@ -306,3 +306,71 @@ FROM events
 WHERE event_id % 11 = 0
 """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_arrays2",
+    oracle="""
+SELECT o_orderkey,
+       list_transform(arr, x -> x * 2 + 1) AS mapped,
+       CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+       len(list_filter(arr, x -> x > 9)) > 0 AS any_big,
+       len(list_filter(arr, x -> NOT (x >= 0))) = 0 AS all_nonneg,
+       list_filter(arr, x -> x > 4)[1] AS first_big,
+       CAST(coalesce(list_position(list_transform(arr, x -> x > 4), true), 0)
+            AS BIGINT) AS first_big_idx,
+       CAST(coalesce(list_position(arr, 3), 0) AS BIGINT) AS idx_of_3,
+       CAST(len(list_filter(arr, x -> x IS NOT DISTINCT FROM k7)) AS BIGINT)
+         AS n_eq_k7,
+       list_filter(list_sort(arr), (x, i) -> i = 1
+         OR NOT (x IS NOT DISTINCT FROM list_sort(arr)[i - 1])) AS compacted,
+       (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+                         (a, b) -> a + b) AS DOUBLE) / len(arr)) AS avg_v,
+       list_min(arr) AS mn, list_max(arr) AS mx,
+       list_sort(list_intersect(arr, [1, 2, 3])) AS common,
+       list_concat(arr, [99]) AS appended,
+       range(0, (o_orderkey % 4) + 1) AS rng
+FROM (
+  SELECT o_orderkey, o_orderkey % 7 AS k7,
+         [o_orderkey % 7, o_orderkey % 5, o_orderkey % 7,
+          o_orderkey % 3 + 10] AS arr
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+""",
+)
+def sql_ch_dialect_arrays2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array family, part 2, translated end-to-end: arrayMap /
+    arrayFilter-count / arrayExists / arrayAll / arrayFirst(+Index) /
+    indexOf / countEqual / arrayCompact / arrayAvg / arrayMin / arrayMax /
+    arrayIntersect (sorted — engines differ on result order) /
+    arrayConcat / range.  CH's lambda-first argument order is swapped by
+    the translator templates; all values are small exact integers so every
+    column value-hash-matches (avg divides an exact sum by 4)."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       arrayMap(x -> x * 2 + 1, arr) AS mapped,
+       CAST(arrayCount(x -> x % 2 = 0, arr) AS BIGINT) AS n_even,
+       arrayExists(x -> x > 9, arr) AS any_big,
+       arrayAll(x -> x >= 0, arr) AS all_nonneg,
+       arrayFirst(x -> x > 4, arr) AS first_big,
+       arrayFirstIndex(x -> x > 4, arr) AS first_big_idx,
+       indexOf(arr, 3) AS idx_of_3,
+       CAST(arrayCount(x -> x <=> k7, arr) AS BIGINT) AS n_eq_k7,
+       arrayCompact(arraySort(arr)) AS compacted,
+       arrayAvg(arr) AS avg_v,
+       arrayMin(arr) AS mn, arrayMax(arr) AS mx,
+       arraySort(arrayIntersect(arr, array(1L, 2L, 3L))) AS common,
+       arrayConcat(arr, array(99L)) AS appended,
+       range((o_orderkey % 4) + 1) AS rng
+FROM (
+  SELECT o_orderkey, o_orderkey % 7 AS k7,
+         array(o_orderkey % 7, o_orderkey % 5, o_orderkey % 7,
+               o_orderkey % 3 + 10) AS arr
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+"""
+    return spark.sql(translate_ch_sql(ch_sql))

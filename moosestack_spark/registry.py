@@ -173,6 +173,7 @@ _AFTER_WINDOW = [
     "agg_hll_deterministic",
     "streaming_hll_distinct",
     "sql_ch_dialect_intervals",
+    "sql_ch_dialect_arrays2",
 ]
 
 

@@ -431,6 +431,12 @@ _RENAME = {
     "sipHash64": "xxhash64",
     "arrayJoin": "explode",
     "has": "array_contains",
+    "arrayConcat": "concat",
+    "arrayIntersect": "array_intersect",
+    "arrayFlatten": "flatten",
+    "arrayZip": "arrays_zip",
+    "arrayMin": "array_min",
+    "arrayMax": "array_max",
     "lagInFrame": "lag",
     "leadInFrame": "lead",
     "avgIf": "avg_if",
@@ -555,6 +561,29 @@ _TEMPLATE = {
         "/ (sqrt(aggregate({0}, cast(0 as double), (a, x) -> a + x * x)) "
         "* sqrt(aggregate({1}, cast(0 as double), (a, x) -> a + x * x))))"
     ),
+    # higher-order array family, part 2 (CH puts the LAMBDA FIRST —
+    # arrayMap(x -> ..., arr) — templates swap it into Spark's arr-first
+    # order; the arg splitter keeps "(x, y) -> ..." intact because the
+    # comma sits inside parens)
+    "arrayMap": "transform({1}, {0})",
+    "arrayFilter": "filter({1}, {0})",
+    "arrayExists": "exists({1}, {0})",
+    "arrayAll": "forall({1}, {0})",
+    "arrayCount": "size(filter({1}, {0}))",
+    # CH arrayFirst returns the element type's default when nothing
+    # matches; this vocabulary surfaces NULL instead (documented deviation
+    # — Spark has no default-value notion for arbitrary types)
+    "arrayFirst": "try_element_at(filter({1}, {0}), 1)",
+    "arrayFirstIndex": "array_position(transform({1}, {0}), true)",
+    "indexOf": "array_position({0}, {1})",
+    "countEqual": "size(filter({0}, __ce -> __ce <=> {1}))",
+    "arrayCompact": (
+        "filter({0}, (x, i) -> i = 0 OR NOT (x <=> element_at({0}, i)))"
+    ),
+    "arrayAvg": (
+        "(aggregate({0}, cast(0 as double), (a, x) -> a + x) / size({0}))"
+    ),
+    "range": "sequence(0, ({0}) - 1)",
     # rounding family (CH functions/rounding-functions).  roundBankers maps
     # to Spark's bround (half-to-even); roundToExp2 extracts the highest
     # set bit via the binary-string length (exact for BIGINT — log2+floor

@@ -137,7 +137,11 @@ def test_translator_accepts_geo_and_search_vocabulary():
         "roundBankers(v, 2), roundToExp2(v), roundDuration(v), roundAge(v), "
         "toISOWeek(d), toISOYear(d), monthName(d), "
         "positionCaseInsensitive(s, 'Q'), countSubstrings(s, 'q'), "
-        "groupBitmap(u) FROM t"
+        "groupBitmap(u), arrayMap(x -> x + 1, a), arrayFirst(x -> x > 2, a), "
+        "toStartOfInterval(d, INTERVAL 15 MINUTE), "
+        "formatDateTime(d, '%Y-%m-%d %H:%M:%S') FROM t"
     )
     assert "geohashEncode" not in out and "asin" in out and "bround" in out
     assert "count(DISTINCT u)" in out
+    assert "transform(a, x -> x + 1)" in out
+    assert "timestamp_seconds" in out and "date_format" in out
