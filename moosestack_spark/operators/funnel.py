@@ -275,3 +275,80 @@ def agg_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return matched.agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+
+
+# --------------------------------------------------------------------------
+# sequenceCount (CH sequenceCount('(?1)(?2)')(ts, c1, c2)): the number of
+# NON-OVERLAPPING cond1 -> cond2 chains per user.  Greedy earliest-matching
+# is optimal (interval scheduling), and for a 2-step pattern the greedy
+# count collapses to a prefix-sum identity — matched = total_B - max(0,
+# max_k (B_k - A_k)) over time-ordered prefixes (ballot-problem argument:
+# the prefix where B-events most exceed A-events pins exactly how many B's
+# can never find an earlier unmatched A).  That makes the whole aggregate
+# ONE window pass over (user, ts) plus a groupBy — no per-user state
+# machine, mirrored verbatim in the oracle.  K-step patterns lose the
+# closed form; their sequential spelling is the applyInPandas path.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_sequence_count",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_b
+  FROM events
+  WHERE event_type IN ('view', 'click')
+), pref AS (
+  SELECT user_id,
+         SUM(is_b) OVER w - SUM(is_a) OVER w AS b_minus_a,
+         SUM(is_b) OVER (PARTITION BY user_id) AS b_tot
+  FROM flagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+), per_user AS (
+  SELECT user_id,
+         CAST(MAX(b_tot) - GREATEST(0, MAX(b_minus_a)) AS BIGINT) AS n_chains
+  FROM pref GROUP BY user_id
+)
+SELECT user_id, n_chains FROM per_user WHERE n_chains > 0
+""",
+)
+def agg_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user, the number of disjoint view -> click chains (each click
+    consumes the earliest unmatched earlier view).  One window exchange on
+    user_id + one groupBy on the same key (exchange reuse): flat at any
+    event volume."""
+    from pyspark.sql import Window
+
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.col("event_type") == "view").cast("int").alias("is_a"),
+            (F.col("event_type") == "click").cast("int").alias("is_b"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = e.select(
+        "user_id",
+        (F.sum("is_b").over(w) - F.sum("is_a").over(w)).alias("b_minus_a"),
+        F.sum("is_b").over(Window.partitionBy("user_id")).alias("b_tot"),
+    )
+    return (
+        pref.groupBy("user_id")
+        .agg(
+            (F.max("b_tot") - F.greatest(F.lit(0), F.max("b_minus_a")))
+            .cast("bigint")
+            .alias("n_chains")
+        )
+        .filter(F.col("n_chains") > 0)
+    )

@@ -174,6 +174,7 @@ _AFTER_WINDOW = [
     "streaming_hll_distinct",
     "sql_ch_dialect_intervals",
     "sql_ch_dialect_arrays2",
+    "agg_sequence_count",
 ]
 
 
