@@ -374,3 +374,55 @@ FROM (
 )
 """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_maps_format",
+    oracle="""
+SELECT o_orderkey,
+       ['a', 'b'] AS ks,
+       o_orderkey % 5 AS va,
+       o_orderkey % 3 AS vb,
+       true AS has_a,
+       false AS has_z,
+       printf('%s-%s', CAST(o_orderkey % 5 AS VARCHAR),
+              CAST(o_orderkey % 3 AS VARCHAR)) AS fmt,
+       concat_ws('-', 'x', CAST(o_orderkey % 7 AS VARCHAR)) AS joined,
+       repeat('ab', CAST(o_orderkey % 3 AS INT)) AS rep,
+       reverse(CAST(o_orderkey % 1000 AS VARCHAR)) AS rev,
+       array_to_string(
+         (string_split('alpha.beta.gamma', '.'))[1:(o_orderkey % 3) + 1],
+         '.') AS ssi
+FROM orders WHERE o_orderkey % 17 = 0
+""",
+)
+def sql_ch_dialect_maps_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family (map constructor, mapKeys/mapValues surfaced as sorted
+    arrays, arrayElement lookup, mapContains) and the string-formatting
+    family (format with {} placeholders -> format_string, concatWith-
+    Separator, repeat, reverse, substringIndex) translated end-to-end; the
+    oracle spells the expected values construction-based (same policy as
+    sql_ch_dialect_vectors)."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       arraySort(mapKeys(m)) AS ks,
+       arrayElement(m, 'a') AS va,
+       arrayElement(m, 'b') AS vb,
+       mapContains(m, 'a') AS has_a,
+       mapContains(m, 'z') AS has_z,
+       format('{}-{}', toString(o_orderkey % 5), toString(o_orderkey % 3)) AS fmt,
+       concatWithSeparator('-', 'x', toString(o_orderkey % 7)) AS joined,
+       repeat('ab', CAST(o_orderkey % 3 AS INT)) AS rep,
+       reverse(toString(o_orderkey % 1000)) AS rev,
+       substringIndex('alpha.beta.gamma', '.',
+                      CAST(o_orderkey % 3 AS INT) + 1) AS ssi
+FROM (
+  SELECT o_orderkey, map('a', o_orderkey % 5, 'b', o_orderkey % 3) AS m
+  FROM orders WHERE o_orderkey % 17 = 0
+)
+"""
+    return spark.sql(translate_ch_sql(ch_sql))

@@ -175,6 +175,7 @@ _AFTER_WINDOW = [
     "sql_ch_dialect_intervals",
     "sql_ch_dialect_arrays2",
     "agg_sequence_count",
+    "sql_ch_dialect_maps_format",
 ]
 
 

@@ -437,6 +437,14 @@ _RENAME = {
     "arrayZip": "arrays_zip",
     "arrayMin": "array_min",
     "arrayMax": "array_max",
+    # map family (CH functions/tuple-map-functions); map() itself is the
+    # same variadic k,v,k,v constructor in Spark and passes through
+    "mapKeys": "map_keys",
+    "mapValues": "map_values",
+    "mapContains": "map_contains_key",
+    # string formatting
+    "concatWithSeparator": "concat_ws",
+    "substringIndex": "substring_index",
     "lagInFrame": "lag",
     "leadInFrame": "lead",
     "avgIf": "avg_if",
@@ -761,6 +769,16 @@ def translate_ch_sql(sql: str) -> str:
             out.append(
                 f"timestamp_seconds((unix_timestamp({args[0]}) DIV {secs}) * {secs})"
             )
+        elif name == "format":
+            # CH format('{}-{}', a, b) — {} placeholders -> printf %s for
+            # format_string (positional {0} forms are not supported)
+            fmt = args[0].strip()
+            if not (fmt.startswith("'") and fmt.endswith("'")):
+                raise ValueError("format needs a literal format string")
+            if re.search(r"\{\d", fmt):
+                raise ValueError("format: positional {n} placeholders unsupported")
+            spark_fmt = fmt[1:-1].replace("%", "%%").replace("{}", "%s")
+            out.append(f"format_string('{spark_fmt}', {', '.join(args[1:])})")
         elif name == "formatDateTime":
             # CH formatDateTime(ts, '%Y-%m-%d ...') — strftime-style codes
             # mapped onto Spark's date_format pattern letters
