@@ -83,6 +83,15 @@ EXTRA = [
     "streaming_hll_distinct",
     "sql_ch_dialect_intervals",
     "sql_ch_dialect_arrays2",
+    "sql_ch_dialect_maps_format",
+    "agg_sequence_count",
+    # heavier training-pipeline paths: the composed curation plan, BPE
+    # tokenization throughput, sequence packing, and the LSH-pruned
+    # embedding dedup (the gated 100 TB path)
+    "corpus_curation_pipeline",
+    "text_bpe_tokenize",
+    "text_pack_sequences",
+    "dedup_embedding_cosine_pruned",
 ]
 
 

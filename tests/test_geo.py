@@ -145,3 +145,37 @@ def test_translator_accepts_geo_and_search_vocabulary():
     assert "count(DISTINCT u)" in out
     assert "transform(a, x -> x + 1)" in out
     assert "timestamp_seconds" in out and "date_format" in out
+
+
+def test_geohash_encode_property_random_coords(con):
+    """The O(1) quantization and the iterative bisection agree except for
+    coordinates within float-epsilon of a cell boundary (e.g. a denormal
+    -1e-45 from zero rounds into the upper cell under (x+90)/180*2^15 but
+    bisects into the lower) — an inherent float-precision boundary
+    convention, NOT a cross-engine divergence (both engines quantize
+    identically).  The property excludes the epsilon shell."""
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    cell_lon, cell_lat = 360.0 / (1 << 15), 180.0 / (1 << 15)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        lon=st.floats(min_value=-180.0, max_value=179.9999999),
+        lat=st.floats(min_value=-90.0, max_value=89.9999999),
+    )
+    def check(lon, lat):
+        fr_lon = ((lon + 180.0) / cell_lon) % 1.0
+        fr_lat = ((lat + 90.0) / cell_lat) % 1.0
+        assume(1e-6 < fr_lon < 1 - 1e-6 and 1e-6 < fr_lat < 1 - 1e-6)
+        # wrap in CAST: a 16-digit repr literal parses as DECIMAL(18,16)
+        # in DuckDB and overflows in the quantization arithmetic (the gate
+        # query feeds DOUBLE columns, where this cannot happen)
+        lon_e = f"CAST({lon!r} AS DOUBLE)"
+        lat_e = f"CAST({lat!r} AS DOUBLE)"
+        got = con.execute(
+            f"SELECT {geohash_encode_sql(lon_e, lat_e, 'duckdb')}"
+        ).fetchone()[0]
+        assert got == _ref_geohash(lon, lat), (lon, lat)
+
+    check()
