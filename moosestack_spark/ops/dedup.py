@@ -370,28 +370,61 @@ def minhash_lsh_pairs(
     collide in their other n_bands-1 bands) are dropped — the same skew
     discipline as the shingle df cap, and what keeps the collect bounded
     on a 100 TB corpus.
+
+    Signatures are computed SHUFFLE-FREE as one let-bound array expression
+    per document (token hashes -> window hashes -> 32 array_min columns,
+    each intermediate bound once through a single-element transform so
+    projection collapse cannot duplicate it — the inlined spelling was a
+    measured 38s codegen bomb, see minhash_signatures).  Values are
+    IDENTICAL to minhash_signatures (same hash family, pinned in
+    test_dedup).  This removes the token-window sort and the per-doc
+    aggregation: the only exchanges left are the parallelism spread, the
+    bucket groupBy, and the pair dedup.
     """
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(df, id_col, text_col, n, n_hashes)
-    hcols = [f"h{i}" for i in range(n_hashes)]
 
-    member = F.struct(F.col("doc").alias("doc"), *[F.col(h) for h in hcols])
-    bands = sig.select(
-        member.alias("m"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("bh"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("m", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    def bind(val: str, var: str, body: str) -> str:
+        return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+
+    toks_h = f"transform(split(trim(lower({text_col})), '\\\\s+'), tok -> xxhash64(tok))"
+    window = ", ".join(f"element_at(th, i + {j})" for j in range(n))
+    sh_arr = bind(
+        toks_h,
+        "th",
+        f"CASE WHEN size(th) < {n} THEN array() ELSE "
+        f"transform(sequence(1, size(th) - {n - 1}), i -> xxhash64({window})) END",
+    )
+    sig = (
+        f"CASE WHEN size(sa) = 0 THEN NULL ELSE "
+        f"transform(sequence(0, {n_hashes - 1}), k -> "
+        f"array_min(transform(sa, s -> xxhash64(s, k)))) END"
+    )
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS bh, sg AS sig)".format(
+            b=b,
+            cols=", ".join(
+                f"element_at(sg, {b * rows_per_band + r + 1})"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    bands_expr = bind(
+        sh_arr, "sa", bind(sig, "sg", f"array({band_structs})")
+    )
+    bands = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("doc"), F.explode(F.expr(bands_expr)).alias("bb"))
+        # docs shorter than n tokens carry a NULL sig (xxhash64 of NULL
+        # elements is NOT null, so without this filter every short doc
+        # would share one synthetic bucket per band)
+        .filter(F.col("bb.sig").isNotNull())
+        .select(
+            F.struct(F.col("doc"), F.col("bb.sig").alias("sig")).alias("m"),
+            F.col("bb.band").alias("band"),
+            F.col("bb.bh").alias("bh"),
+        )
+    )
 
     buckets = (
         bands.groupBy("band", "bh")
@@ -399,7 +432,10 @@ def minhash_lsh_pairs(
         .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     )
     # a<b pairs from the doc-sorted bucket with the n_equal sum inline
-    n_equal = " + ".join(f"IF(x.{h} = y.{h}, 1, 0)" for h in hcols)
+    n_equal = " + ".join(
+        f"IF(element_at(x.sig, {k + 1}) = element_at(y.sig, {k + 1}), 1, 0)"
+        for k in range(n_hashes)
+    )
     pair_expr = (
         "flatten(transform(ms, (x, i) -> "
         "transform(slice(ms, i + 2, size(ms)), y -> "

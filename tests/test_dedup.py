@@ -74,3 +74,28 @@ def test_pruned_embedding_pairs_subset_of_exact_with_recall(spark, sf_dir):
         # analytic per-pair recall at cos=0.35 is ~0.71 and rises with
         # similarity; demand a conservative floor
         assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_lsh_band_rows_use_same_hash_family_as_signatures(spark):
+    """minhash_lsh_pairs computes signatures via the shuffle-free let-bound
+    array expression; pin that its est_jaccard agrees with a direct
+    signature comparison from minhash_signatures (same hash family)."""
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.ops.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "an entirely different document about spark physical plans"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(df, "doc_id", "text", n=5, threshold=0.0).collect()
+    }
+    assert (1, 2) in pairs
+    sig = {r.doc: [r[f"h{i}"] for i in range(32)] for r in minhash_signatures(
+        df, "doc_id", "text", 5, 32).collect()}
+    expected = sum(a == b for a, b in zip(sig[1], sig[2])) / 32.0
+    assert abs(pairs[(1, 2)] - expected) < 1e-12
