@@ -151,6 +151,33 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_SHINGLE_DF = 100
 
 
+def _let(val: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate `val` ONCE, reference it as `var` in
+    `body` (single-element transform).  Required wherever an intermediate
+    is referenced more than once — projection collapse would otherwise
+    re-inline the producing expression per reference (the naive minhash
+    spelling was a measured 38s codegen bomb on 500 docs)."""
+    return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+
+
+def shingle_hash_array_expr(text_col: str, n: int) -> str:
+    """Per-row array of 64-bit n-token-window hashes (multiset, document
+    order), as one shuffle-free expression: hash each token once, combine
+    n consecutive token hashes per window.  Same hash family as
+    exploded_shingle_hashes; docs shorter than n tokens yield an empty
+    array."""
+    toks_h = (
+        f"transform(split(trim(lower({text_col})), '\\\\s+'), tok -> xxhash64(tok))"
+    )
+    window = ", ".join(f"element_at(th, i + {j})" for j in range(n))
+    return _let(
+        toks_h,
+        "th",
+        f"CASE WHEN size(th) < {n} THEN array() ELSE "
+        f"transform(sequence(1, size(th) - {n - 1}), i -> xxhash64({window})) END",
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -178,32 +205,31 @@ def ngram_jaccard_pairs(
     mirrored exactly in the oracle).
 
     Pair generation is NOT a self-join: shingles travel as 64-bit
-    token-window hashes (exploded_shingle_hashes — never builds the joined
+    token-window hashes (shingle_hash_array_expr — never builds the joined
     string, so the codegen class stays small; string-equality == hash
     equality up to 64-bit collisions, ~S^2/2^65 for S distinct shingles —
     negligible at gate scale, and at 10^12-shingle scale a collision merely
     merges two unrelated shingle buckets, noise for near-dup detection).
-    Per-doc distinctness falls out of a collect_set on the SAME doc
-    exchange the lead()-window already created.  The hash column is then
+    The per-doc DISTINCT shingle set is computed shuffle-free
+    (array_distinct over the let-bound per-row shingle array), then
     df-pruned with a window count (spill-safe for the boilerplate key —
     WindowExec sorts/spills where a collect would OOM), each surviving
     shingle's doc set is collected (arrays bounded at max_shingle_df by
     construction) and the a<b pairs are emitted JVM-side from the sorted
     array.  The df window and the collect groupBy partition on the SAME
-    key, so Catalyst reuses one exchange; the old
+    key, so Catalyst reuses one exchange; the original
     self-equi-join-on-string shape re-shuffled the full shingle-string
-    table twice more and was measured 8.9s cold / 1.9s warm at sf0.1 vs
-    2.6s / 1.3s for this shape.
+    table twice more (8.9s cold / 1.9s warm at sf0.1 vs 2.6 / 1.3 for the
+    bucket-grouped shape; the shuffle-free distinct then removed the
+    remaining doc exchange + token-window sort).
     """
     from pyspark.sql import Window
 
-    sh_multi = exploded_shingle_hashes(_spread(df, id_col), id_col, text_col, n)
-    # distinct shingle-hash set per doc: reuses the doc exchange of the
-    # lead()-window inside exploded_shingle_hashes (no new shuffle)
-    sh = (
-        sh_multi.groupBy("doc")
-        .agg(F.collect_set("__sh64").alias("__shs"))
-        .select("doc", F.explode("__shs").alias("shingle"))
+    sh = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(f"array_distinct({shingle_hash_array_expr(text_col, n)})")
+        ).alias("shingle"),
     )
     if max_shingle_df is not None:
         sh = (
@@ -382,18 +408,8 @@ def minhash_lsh_pairs(
     bucket groupBy, and the pair dedup.
     """
     rows_per_band = n_hashes // n_bands
-
-    def bind(val: str, var: str, body: str) -> str:
-        return f"element_at(transform(array({val}), {var} -> {body}), 1)"
-
-    toks_h = f"transform(split(trim(lower({text_col})), '\\\\s+'), tok -> xxhash64(tok))"
-    window = ", ".join(f"element_at(th, i + {j})" for j in range(n))
-    sh_arr = bind(
-        toks_h,
-        "th",
-        f"CASE WHEN size(th) < {n} THEN array() ELSE "
-        f"transform(sequence(1, size(th) - {n - 1}), i -> xxhash64({window})) END",
-    )
+    bind = _let
+    sh_arr = shingle_hash_array_expr(text_col, n)
     sig = (
         f"CASE WHEN size(sa) = 0 THEN NULL ELSE "
         f"transform(sequence(0, {n_hashes - 1}), k -> "
