@@ -545,3 +545,171 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cs = e.select(F.col("vec_id").alias("c_id"), "embedding")
     out = quantized_topk(qs, cs, k=5)
     return out.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-bound scale path: each
+# candidate vector compresses to M sub-codes (M bytes at ks<=256), so a
+# 100 TB float corpus becomes a few TB of codes that SCAN instead of
+# shuffling; queries score candidates through an M x ks lookup table
+# (asymmetric distance computation) and only the per-query shortlist
+# re-ranks against exact vectors.  Jegou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011.
+# --------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    vec: str = "__v",
+    m: int = 4,
+    ks: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> list[list[list[float]]]:
+    """Per-subspace KMeans codebooks over L2-normalized vectors: returns
+    [m][ks][sub_dim].  M driver-coordinated MLlib fits on sliced columns —
+    each fit is a bounded Spark job; at 100 TB train on a sample, codebook
+    quality converges long before full passes pay off."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vec).first()[0])
+    sub = dim // m
+    books = []
+    for mi in range(m):
+        sl = F.slice(F.col(vec), mi * sub + 1, sub)
+        data = df.select(array_to_vector(sl.cast("array<double>")).alias("features"))
+        model = KMeans(k=ks, seed=seed + mi, maxIter=max_iter).fit(data)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_topk(
+    queries_df: DataFrame,
+    candidates_df: DataFrame,
+    m: int = 8,
+    ks: int = 64,
+    k: int = 5,
+    rerank_factor: int = 8,
+    query_id: str = "q_id",
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+    codebooks: list | None = None,
+) -> DataFrame:
+    """PQ ANN: encode candidates to M sub-codes, score every candidate for
+    every query through the per-query ADC table (estimated dot on the unit
+    sphere), shortlist k*rerank_factor per query, exact-cosine re-rank.
+
+    Plan shape at scale: encoding + ADC scoring are shuffle-free Arrow
+    projections over the candidate scan (the query set and codebooks ride
+    as task closures — both bounded); each Arrow batch emits only its own
+    per-query shortlist, so the ranking window sees |batches| x Q x R rows
+    — never the full candidate set — and exact vectors only travel for the
+    shortlist."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    v = F.col(vec).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(v, lambda x: x / nrm)
+    c = candidates_df.select(F.col(cand_id), unit.alias("__v"))
+    q = queries_df.select(F.col(query_id), unit.alias("__qv"))
+
+    if codebooks is None:
+        codebooks = pq_train_codebooks(c, "__v", m=m, ks=ks)
+    B = np.array(codebooks, dtype=np.float64)  # (m, ks, sub)
+    sub = B.shape[2]
+    # query set is bounded by construction (ANN serves few probes per
+    # call): collect once, ship in the scoring closure
+    q_rows = q.orderBy(query_id).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.vstack([np.array(r[1], dtype=np.float64) for r in q_rows])
+    # ADC tables: T[qi, mi, code] = dot(q_sub, centroid)
+    T = np.einsum("qms,mks->qmk", Q.reshape(len(qids), m, sub), B)
+    shortlist = k * rerank_factor
+
+    out_schema = StructType(
+        [
+            StructField(query_id, LongType()),
+            StructField(cand_id, c.schema[cand_id].dataType),
+            StructField("est_dot", DoubleType()),
+            StructField("__v", ArrayType(DoubleType())),
+        ]
+    )
+
+    def score_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            # encode: per subspace, nearest centroid by L2 (ties -> first)
+            Vs = V.reshape(len(pdf), m, sub)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for mi in range(m):
+                d2 = (
+                    (Vs[:, mi, None, :] - B[None, mi, :, :]) ** 2
+                ).sum(axis=2)
+                codes[:, mi] = d2.argmin(axis=1)
+            # ADC estimate for every query at once: est[n, q]
+            est = np.zeros((len(pdf), len(qids)), dtype=np.float64)
+            for mi in range(m):
+                est += T[:, mi, :][:, codes[:, mi]].T
+            # per-batch shortlist per query — bounds what leaves the scan
+            rows = []
+            cand_ids = pdf[cand_id].to_numpy()
+            for qi in range(len(qids)):
+                order = np.argsort(-est[:, qi], kind="stable")[:shortlist]
+                for j in order:
+                    if cand_ids[j] == qids[qi]:
+                        continue
+                    rows.append(
+                        (int(qids[qi]), cand_ids[j], float(est[j, qi]), V[j])
+                    )
+            yield pd.DataFrame(rows, columns=[query_id, cand_id, "est_dot", "__v"])
+
+    scored = c.mapInPandas(score_kernel, out_schema)
+    w_est = Window.partitionBy(query_id).orderBy(
+        F.desc("est_dot"), F.asc(cand_id)
+    )
+    short = (
+        scored.withColumn("__r", F.row_number().over(w_est))
+        .filter(F.col("__r") <= shortlist)
+        .drop("__r")
+    )
+    # exact re-rank: broadcast the tiny query frame, JVM-side cosine
+    qv = q.select(F.col(query_id), F.col("__qv"))
+    joined = short.join(F.broadcast(qv), query_id)
+    exact = joined.select(
+        query_id,
+        cand_id,
+        _dot(F.col("__qv"), F.col("__v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, cand_id, "rnk")
+    )
+
+
+@query("similarity_pq_topk")  # kmeans-trained codebooks: rows-only check
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN over embeddings (8 subspaces x 64 codes, shortlist 8x,
+    exact re-rank): top-5 per query for 8 probe vectors.  Approximate by
+    construction — recall vs brute force and exactness at a full-corpus
+    shortlist pinned in tests/test_similarity_pq.py."""
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cs = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return pq_topk(qs, cs, m=8, ks=64, k=5)

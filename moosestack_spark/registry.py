@@ -176,6 +176,7 @@ _AFTER_WINDOW = [
     "sql_ch_dialect_arrays2",
     "agg_sequence_count",
     "sql_ch_dialect_maps_format",
+    "similarity_pq_topk",
 ]
 
 
