@@ -426,3 +426,61 @@ FROM (
 )
 """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_bits_misc",
+    oracle="""
+SELECT o_orderkey,
+       a & b AS band_, a | b AS bor_, xor(a, b) AS bxor_, ~a AS bnot_,
+       a << 3 AS shl, a >> 2 AS shr,
+       CAST((a >> 5) & 1 AS TINYINT) AS bit5,
+       bit_count(a) AS popcnt,
+       CASE WHEN b % 7 = 0 THEN 0 ELSE CAST(FLOOR(CAST(a AS DOUBLE) / (b % 7)) AS BIGINT) END AS idoz,
+       CASE WHEN b % 7 = 0 THEN 0 ELSE a % (b % 7) END AS modoz,
+       power(2, a % 10) AS e2,
+       CAST(power(2, a % 10) AS BIGINT) AS ie2,
+       (length(s) = 0) AS is_empty,
+       string_split(s2, '.') AS parts
+FROM (
+  SELECT o_orderkey,
+         CAST(o_orderkey % 1000 AS BIGINT) AS a,
+         CAST(o_orderkey % 97 AS BIGINT) AS b,
+         CASE WHEN o_orderkey % 5 = 0 THEN '' ELSE 'x' END AS s,
+         'a.b.c' AS s2
+  FROM orders WHERE o_orderkey % 19 = 0
+)
+""",
+)
+def sql_ch_dialect_bits_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-manipulation family (bitAnd/Or/Xor/Not, shifts, bitTest,
+    bitCount), CH's no-throw arithmetic (intDivOrZero/moduloOrZero),
+    exp2/intExp2, empty, and splitByString — translated end-to-end over
+    exact integer inputs."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       bitAnd(a, b) AS band_, bitOr(a, b) AS bor_, bitXor(a, b) AS bxor_,
+       bitNot(a) AS bnot_,
+       bitShiftLeft(a, 3) AS shl, bitShiftRight(a, 2) AS shr,
+       bitTest(a, 5) AS bit5,
+       bitCount(a) AS popcnt,
+       intDivOrZero(a, modulo(b, 7)) AS idoz,
+       moduloOrZero(a, modulo(b, 7)) AS modoz,
+       exp2(modulo(a, 10)) AS e2,
+       intExp2(modulo(a, 10)) AS ie2,
+       empty(s) AS is_empty,
+       splitByString('.', s2) AS parts
+FROM (
+  SELECT o_orderkey,
+         CAST(o_orderkey % 1000 AS BIGINT) AS a,
+         CAST(o_orderkey % 97 AS BIGINT) AS b,
+         if(o_orderkey % 5 = 0, '', 'x') AS s,
+         'a.b.c' AS s2
+  FROM orders WHERE o_orderkey % 19 = 0
+)
+"""
+    return spark.sql(translate_ch_sql(ch_sql))

@@ -177,6 +177,7 @@ _AFTER_WINDOW = [
     "agg_sequence_count",
     "sql_ch_dialect_maps_format",
     "similarity_pq_topk",
+    "sql_ch_dialect_bits_misc",
 ]
 
 

@@ -569,6 +569,37 @@ _TEMPLATE = {
         "/ (sqrt(aggregate({0}, cast(0 as double), (a, x) -> a + x * x)) "
         "* sqrt(aggregate({1}, cast(0 as double), (a, x) -> a + x * x))))"
     ),
+    # bit-manipulation family (CH functions/bit-functions) — plain operator
+    # spellings, BIGINT domain
+    "bitAnd": "(({0}) & ({1}))",
+    "bitOr": "(({0}) | ({1}))",
+    "bitXor": "(({0}) ^ ({1}))",
+    "bitNot": "(~({0}))",
+    "bitShiftLeft": "shiftleft({0}, CAST({1} AS INT))",
+    "bitShiftRight": "shiftright({0}, CAST({1} AS INT))",
+    "bitTest": "CAST((shiftright({0}, CAST({1} AS INT)) & 1) AS TINYINT)",
+    "bitCount": "bit_count({0})",
+    # CH's no-throw arithmetic variants
+    "intDivOrZero": (
+        "(CASE WHEN ({1}) = 0 THEN 0 "
+        "ELSE CAST(floor(({0}) / ({1})) AS BIGINT) END)"
+    ),
+    "moduloOrZero": "(CASE WHEN ({1}) = 0 THEN 0 ELSE (({0}) % ({1})) END)",
+    # misc math
+    "exp2": "power(2, {0})",
+    "exp10": "power(10, {0})",
+    "intExp2": "CAST(power(2, {0}) AS BIGINT)",
+    "e": "exp(1.0)",
+    # emptiness + split-by-literal-string (regex metachars quoted like
+    # splitByChar)
+    "empty": "(length({0}) = 0)",
+    "notEmpty": "(length({0}) > 0)",
+    "splitByString": "split({1}, concat('\\\\Q', {0}, '\\\\E'))",
+    # passthrough identities: Spark columns are nullable by default, so CH's
+    # Nullable-wrapper plumbing is a no-op here (assumeNotNull keeps the
+    # value; NULL handling follows the surrounding expression)
+    "assumeNotNull": "({0})",
+    "toNullable": "({0})",
     # higher-order array family, part 2 (CH puts the LAMBDA FIRST —
     # arrayMap(x -> ..., arr) — templates swap it into Spark's arr-first
     # order; the arg splitter keeps "(x, y) -> ..." intact because the
