@@ -489,10 +489,14 @@ def simhash_signatures(
     Charikar-style weighted variant; near-identical buckets for natural
     text, and the repeat-weighting is arguably the better similarity for
     dedup (boilerplate repetition pulls fingerprints together)."""
-    # spread the 1-task local scan before the expensive shingle projection
-    # (see minhash_signatures note)
-    sh = exploded_shingle_hashes(_spread(df, id_col), id_col, text_col, n).withColumn(
-        "h", F.col("__sh64")
+    # spread the 1-task local scan before the expensive shingle projection;
+    # the multiset explode comes from the shuffle-free per-row array
+    # (shingle_hash_array_expr — same hash family as
+    # exploded_shingle_hashes without its token-window sort), and the
+    # vote aggregation reuses the spread's doc exchange
+    sh = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(shingle_hash_array_expr(text_col, n))).alias("h"),
     )
     votes = [
         F.sum(
