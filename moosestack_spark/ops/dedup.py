@@ -348,11 +348,15 @@ def minhash_signatures(
     the k independent permutations re-hash that 8-byte base with seed i.
     Re-hashing the full string k times measured ~6s for 5000 docs at sf0.1 —
     the string hashing was the whole pipeline cost; 8-byte re-hashes cut the
-    warm end-to-end time ~25% and the win grows with k.  (A "hash tokens
-    once, combine n token-hashes per shingle" variant is 4x WORSE: the
-    token-hash array expression gets inlined by projection collapse into all
-    n element_at references — O(tokens^2) work per doc.  Expression trees
-    referenced k times must be cheap leaves, not transforms.)
+    warm end-to-end time ~25% and the win grows with k.
+
+    NOTE: this explode+aggregate form is retained as the REFERENCE
+    implementation (tests pin the production path against it);
+    minhash_lsh_pairs computes the same signatures shuffle-free via
+    let-bound array expressions (_let) — the naive inlined spelling of
+    that idea was a 38s codegen bomb because projection collapse
+    duplicated the token-hash array per reference, which the let-binding
+    prevents.
     """
     # The local test file is a single parquet row group -> a 1-task scan;
     # the shingle build + hashing is the expensive projection, so spread it
