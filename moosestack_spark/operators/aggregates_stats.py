@@ -217,3 +217,68 @@ def agg_covar_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", covar.alias("covar_pop"), kurt.alias("kurt_pop")
     )
+
+
+# --------------------------------------------------------------------------
+# maxIntersections / maxIntersectionsPosition (CH parametric aggregates):
+# the maximum number of simultaneously-open intervals and the sweep point
+# where that maximum is first reached.  Classic sweep-line as ONE window
+# pass: +1 at each interval start, -1 at each end (ends sort before starts
+# on ties — CH intervals are half-open [start, end)), running sum, argmax.
+# Per-group state is the sorted sweep within the group's window partition —
+# a single exchange on the group key at any volume.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_max_intersections",
+    oracle="""
+WITH iv AS (
+  SELECT event_type, ts AS s, ts + INTERVAL 1 HOUR AS e
+  FROM events
+), sweep AS (
+  SELECT event_type, t, d,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS open_n
+  FROM (
+    SELECT event_type, s AS t, 1 AS d FROM iv
+    UNION ALL
+    SELECT event_type, e AS t, -1 AS d FROM iv
+  )
+)
+SELECT event_type,
+       CAST(MAX(open_n) AS BIGINT) AS max_intersections,
+       strftime(MIN(CASE WHEN open_n = mx THEN t END),
+                '%Y-%m-%d %H:%M:%S.%f') AS first_max_at
+FROM (SELECT *, MAX(open_n) OVER (PARTITION BY event_type) AS mx FROM sweep)
+GROUP BY event_type
+""",
+)
+def agg_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, the peak number of concurrently-open 1-hour event
+    intervals and the first sweep position reaching that peak.  Tie rule:
+    an interval ending exactly where another starts does NOT overlap it
+    (d = -1 sorts before +1 at equal t)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").alias("s"), (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e")
+    )
+    pts = ev.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        ev.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sweep = pts.withColumn("open_n", F.sum("d").over(w)).withColumn(
+        "mx", F.max("open_n").over(Window.partitionBy("event_type"))
+    )
+    return sweep.groupBy("event_type").agg(
+        F.max("open_n").cast("bigint").alias("max_intersections"),
+        F.date_format(
+            F.min(F.when(F.col("open_n") == F.col("mx"), F.col("t"))),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        ).alias("first_max_at"),
+    )

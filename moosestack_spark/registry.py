@@ -178,6 +178,7 @@ _AFTER_WINDOW = [
     "sql_ch_dialect_maps_format",
     "similarity_pq_topk",
     "sql_ch_dialect_bits_misc",
+    "agg_max_intersections",
 ]
 
 
