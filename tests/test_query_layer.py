@@ -134,7 +134,7 @@ def test_translate_day_of_week_convention(spark):
 
 def test_translate_unknown_raises():
     with pytest.raises(ValueError, match="not in the supported"):
-        translate_ch_sql("SELECT arrayZip(a, b) FROM t")
+        translate_ch_sql("SELECT dictGetHierarchy(a, b) FROM t")
 
 
 def test_translate_runs_on_spark(spark):
