@@ -266,3 +266,49 @@ def source_orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         )
     finally:
         shutil.rmtree(orc_dir, ignore_errors=True)
+
+
+@query(
+    "source_schema_evolution_defaults",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice,
+       CASE WHEN o_orderkey % 2 = 0 THEN 'NONE' ELSE o_orderpriority END
+         AS priority
+FROM orders WHERE o_orderkey % 23 = 0
+""",
+)
+def source_schema_evolution_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMN read-path semantics: half the rows are
+    written BEFORE the column existed (two parquet batches with different
+    schemas), the read unifies them with mergeSchema, and a COALESCE
+    projection fills the pre-evolution rows with the column DEFAULT — the
+    ClickHouse behavior, where old parts materialize the default on read
+    (reference: CH ALTER ADD COLUMN; moose planner emits the same DDL,
+    catalog/planner.py).  Spark-native reads surface NULL for missing
+    columns; the default projection is the engine-parity layer.
+
+    Scale: mergeSchema costs one footer read per file at planning time;
+    the data path is unchanged (still pruned columnar scans)."""
+    import shutil
+    import tempfile
+
+    src = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 23 == 0)
+    old_part = src.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_part = src.filter(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="msk_src_evo_")
+    try:
+        old_part.write.mode("overwrite").parquet(f"{base}/batch=0")
+        new_part.write.mode("overwrite").parquet(f"{base}/batch=1")
+        back = spark.read.option("mergeSchema", "true").parquet(base)
+        return back.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.coalesce(F.col("o_orderpriority"), F.lit("NONE")).alias("priority"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

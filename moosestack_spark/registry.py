@@ -179,6 +179,7 @@ _AFTER_WINDOW = [
     "similarity_pq_topk",
     "sql_ch_dialect_bits_misc",
     "agg_max_intersections",
+    "source_schema_evolution_defaults",
 ]
 
 
