@@ -484,3 +484,47 @@ FROM (
 )
 """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_datetime64",
+    oracle="""
+SELECT event_id,
+       epoch_ms(ts) AS ms,
+       epoch_us(ts) AS us,
+       strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:%M:%S')
+         AS us_roundtrip,
+       strftime(to_timestamp((CAST(epoch(ts) AS BIGINT) // 1800) * 1800),
+                '%Y-%m-%d %H:%M:%S') AS slot_30m,
+       date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts) AS age_min,
+       length('héllo') AS len_utf8,
+       strpos('héllo', 'llo') AS pos_utf8,
+       ltrim('  x ') AS ltrimmed,
+       rtrim('  x ') AS rtrimmed
+FROM events WHERE event_id % 29 = 0
+""",
+)
+def sql_ch_dialect_datetime64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateTime64 epoch conversions (toUnixTimestamp64Milli/Micro + the
+    micro roundtrip), timeSlot (30-minute floor), age in complete minutes,
+    and the UTF8-suffixed string aliases (Spark strings are codepoint-based
+    already — lengthUTF8('héllo') = 5, not the byte count)."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["events"])
+    ch_sql = """
+SELECT event_id,
+       toUnixTimestamp64Milli(ts) AS ms,
+       toUnixTimestamp64Micro(ts) AS us,
+       formatDateTime(fromUnixTimestamp64Micro(toUnixTimestamp64Micro(ts)),
+                      '%Y-%m-%d %H:%M:%S') AS us_roundtrip,
+       toString(timeSlot(ts)) AS slot_30m,
+       age('minute', parseDateTime('2024-01-01 00:00:00'), ts) AS age_min,
+       lengthUTF8('héllo') AS len_utf8,
+       positionUTF8('héllo', 'llo') AS pos_utf8,
+       trimLeft('  x ') AS ltrimmed,
+       trimRight('  x ') AS rtrimmed
+FROM events WHERE event_id % 29 = 0
+"""
+    return spark.sql(translate_ch_sql(ch_sql))

@@ -180,6 +180,7 @@ _AFTER_WINDOW = [
     "sql_ch_dialect_bits_misc",
     "agg_max_intersections",
     "source_schema_evolution_defaults",
+    "sql_ch_dialect_datetime64",
 ]
 
 

@@ -569,6 +569,30 @@ _TEMPLATE = {
         "/ (sqrt(aggregate({0}, cast(0 as double), (a, x) -> a + x * x)) "
         "* sqrt(aggregate({1}, cast(0 as double), (a, x) -> a + x * x))))"
     ),
+    # UTF8-suffixed string functions: Spark's string functions are
+    # codepoint-based already, so these are aliases of the plain forms
+    "lengthUTF8": "length({0})",
+    "positionUTF8": "locate({1}, {0})",
+    "reverseUTF8": "reverse({0})",
+    "substringUTF8": "substring({0}, {1}, {2})",
+    "lowerUTF8": "lower({0})",
+    "upperUTF8": "upper({0})",
+    "trimLeft": "ltrim({0})",
+    "trimRight": "rtrim({0})",
+    # DateTime64 / epoch conversions (CH functions/type-conversion +
+    # date-time); timeSlot is the fixed 30-minute interval floor
+    "parseDateTime": "to_timestamp({0})",
+    "parseDateTimeBestEffort": "to_timestamp({0})",
+    "toUnixTimestamp64Milli": "unix_millis({0})",
+    "toUnixTimestamp64Micro": "unix_micros({0})",
+    "fromUnixTimestamp64Milli": "timestamp_millis({0})",
+    "fromUnixTimestamp64Micro": "timestamp_micros({0})",
+    "timeSlot": "timestamp_seconds((unix_timestamp({0}) DIV 1800) * 1800)",
+    "yesterday": "date_sub(current_date(), 1)",
+    # CH age('unit', start, end) counts COMPLETE elapsed units, which is
+    # exactly Spark timestampdiff semantics (dateDiff, mapped above,
+    # shares the spelling; CH's boundary-crossing nuance for dateDiff is
+    # documented in SURVEY.md §2.9)
     # bit-manipulation family (CH functions/bit-functions) — plain operator
     # spellings, BIGINT domain
     "bitAnd": "(({0}) & ({1}))",
@@ -773,7 +797,7 @@ def translate_ch_sql(sql: str) -> str:
                 parts.append(f"WHEN {args[j]} THEN {args[j+1]}")
             parts.append(f"ELSE {args[-1]} END")
             out.append(" ".join(parts))
-        elif name == "dateDiff":
+        elif name in ("dateDiff", "age"):
             unit = args[0].strip("'\"")
             out.append(f"timestampdiff({unit}, {args[1]}, {args[2]})")
         elif name == "sumIf":
