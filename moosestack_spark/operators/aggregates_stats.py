@@ -282,3 +282,54 @@ def agg_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd HH:mm:ss.SSSSSS",
         ).alias("first_max_at"),
     )
+
+
+# --------------------------------------------------------------------------
+# groupArraySorted(N) / groupConcat (CH aggregate-functions): the N
+# smallest values per group as a sorted array, and an order-deterministic
+# string concatenation.  Scale shape: a rank window PRUNES to N rows per
+# group BEFORE the collect (collect_list over a whole 100 TB group would
+# OOM; after the prune the collected array is N-bounded by construction).
+# The window and the groupBy share the same key exchange.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_group_array_sorted",
+    oracle="""
+SELECT l_returnflag,
+       list_transform(list_sort(list(price)), x -> CAST(x AS VARCHAR))
+         AS smallest5,
+       array_to_string(list_sort(list(price)), ',') AS joined5
+FROM (
+  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY CAST(l_extendedprice AS DECIMAL(12,2)) ASC,
+                    l_orderkey ASC, l_linenumber ASC) AS rn
+  FROM lineitem
+) WHERE rn <= 5
+GROUP BY l_returnflag
+""",
+)
+def agg_group_array_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``groupArraySorted(5)(price)`` + ``groupConcat`` per returnflag:
+    the five smallest prices as a sorted array and a comma-joined string.
+    Exact-decimal prices; (orderkey, linenumber) tiebreak makes the pruned
+    row set total-order deterministic."""
+    li = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("price").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    pruned = (
+        li.select("l_returnflag", price.alias("price"), "l_orderkey", "l_linenumber")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    return pruned.groupBy("l_returnflag").agg(
+        F.expr(
+            "transform(array_sort(collect_list(price)), x -> cast(x as string))"
+        ).alias("smallest5"),
+        F.array_join(F.array_sort(F.collect_list("price")), ",").alias("joined5"),
+    )

@@ -181,6 +181,7 @@ _AFTER_WINDOW = [
     "agg_max_intersections",
     "source_schema_evolution_defaults",
     "sql_ch_dialect_datetime64",
+    "agg_group_array_sorted",
 ]
 
 
