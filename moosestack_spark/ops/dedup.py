@@ -545,24 +545,28 @@ def simhash_pairs(
             )
         ).alias("qq"),
     ).select("doc", "sh", F.col("qq.q").alias("q"), F.col("qq.qh").alias("qh"))
-    # materialize once before the self-join (see minhash_lsh_pairs note)
-    quarters = quarters.localCheckpoint(eager=True)
-    a = quarters.alias("a")
-    b = quarters.alias("b")
-    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    # bucket-grouped pair emission (same shape as minhash_lsh_pairs: the
+    # old self-join needed an eager checkpoint and shuffled the signature
+    # table twice); hamming is computed inline from the collected structs
+    buckets = (
+        quarters.groupBy("q", "qh")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc"), F.col("sh")))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), y -> "
+        "struct(x.doc AS doc_a, y.doc AS doc_b, "
+        "CAST(bit_count(x.sh ^ y.sh) AS INT) AS hamming))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.q") == F.col("b.q"))
-            & (F.col("a.qh") == F.col("b.qh"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .filter(hamming <= max_hamming)
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
-        )
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
