@@ -569,6 +569,18 @@ _TEMPLATE = {
         "/ (sqrt(aggregate({0}, cast(0 as double), (a, x) -> a + x * x)) "
         "* sqrt(aggregate({1}, cast(0 as double), (a, x) -> a + x * x))))"
     ),
+    # regex / string-matching helpers
+    "match": "({0} RLIKE {1})",
+    "extractAll": "regexp_extract_all({0}, {1}, 1)",
+    "countMatches": "regexp_count({0}, {1})",
+    "replaceAll": "replace({0}, {1}, {2})",
+    "replaceRegexpAll": "regexp_replace({0}, {1}, {2})",
+    # character n-grams ({0} referenced per window — a plain column leaf,
+    # cheap under projection collapse)
+    "ngrams": (
+        "transform(sequence(1, greatest(length({0}) - ({1}) + 1, 0)), "
+        "i -> substring({0}, i, {1}))"
+    ),
     # UTF8-suffixed string functions: Spark's string functions are
     # codepoint-based already, so these are aliases of the plain forms
     "lengthUTF8": "length({0})",
@@ -824,6 +836,27 @@ def translate_ch_sql(sql: str) -> str:
             out.append(
                 f"timestamp_seconds((unix_timestamp({args[0]}) DIV {secs}) * {secs})"
             )
+        elif name == "arrayReduce":
+            # meta-function: arrayReduce('agg', arr) applies an aggregate
+            # over array elements — mapped to the matching array fold
+            agg = args[0].strip("'\"").lower()
+            arr = args[1]
+            reducers = {
+                "sum": f"aggregate({arr}, 0L, (a, b) -> a + b)",
+                "min": f"array_min({arr})",
+                "max": f"array_max({arr})",
+                "count": f"size({arr})",
+                "avg": (
+                    f"(aggregate({arr}, cast(0 as double), (a, b) -> a + b)"
+                    f" / size({arr}))"
+                ),
+                "uniqexact": f"size(array_distinct({arr}))",
+            }
+            if agg not in reducers:
+                raise ValueError(
+                    f"arrayReduce supports {sorted(reducers)}, got {agg!r}"
+                )
+            out.append(reducers[agg])
         elif name == "format":
             # CH format('{}-{}', a, b) — {} placeholders -> printf %s for
             # format_string (positional {0} forms are not supported)

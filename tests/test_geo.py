@@ -139,12 +139,18 @@ def test_translator_accepts_geo_and_search_vocabulary():
         "positionCaseInsensitive(s, 'Q'), countSubstrings(s, 'q'), "
         "groupBitmap(u), arrayMap(x -> x + 1, a), arrayFirst(x -> x > 2, a), "
         "toStartOfInterval(d, INTERVAL 15 MINUTE), "
-        "formatDateTime(d, '%Y-%m-%d %H:%M:%S') FROM t"
+        "formatDateTime(d, '%Y-%m-%d %H:%M:%S'), "
+        "arrayReduce('sum', a), arrayReduce('uniqExact', a), "
+        "match(s, '^ab'), extractAll(s, '([0-9]+)'), countMatches(s, 'x'), "
+        "ngrams(s, 3), timeSlot(d), toUnixTimestamp64Micro(d) FROM t"
     )
     assert "geohashEncode" not in out and "asin" in out and "bround" in out
     assert "count(DISTINCT u)" in out
     assert "transform(a, x -> x + 1)" in out
     assert "timestamp_seconds" in out and "date_format" in out
+    assert "aggregate(a, 0L" in out and "size(array_distinct(a))" in out
+    assert "RLIKE" in out and "regexp_extract_all" in out
+    assert "unix_micros" in out
 
 
 def test_geohash_encode_property_random_coords(con):
