@@ -569,6 +569,15 @@ _TEMPLATE = {
         "/ (sqrt(aggregate({0}, cast(0 as double), (a, x) -> a + x * x)) "
         "* sqrt(aggregate({1}, cast(0 as double), (a, x) -> a + x * x))))"
     ),
+    # JSON object introspection (reference data_models.py:92-103 docstrings
+    # use JSONExtractKeysAndValuesRaw over the props column).  CH returns
+    # (key, RAW json text) tuples; get_json_object unquotes scalar values —
+    # documented deviation (object/array values still arrive as JSON text)
+    "JSONExtractKeysAndValuesRaw": (
+        "transform(json_object_keys({0}), "
+        "k -> struct(k AS key, get_json_object({0}, concat('$.', k)) AS value))"
+    ),
+    "JSONLength": "json_array_length({0})",
     # regex / string-matching helpers
     "match": "({0} RLIKE {1})",
     "extractAll": "regexp_extract_all({0}, {1}, 1)",

@@ -1,0 +1,59 @@
+"""Reference-vocabulary parity sweep.
+
+SURVEY.md §2.9's contract is the set of ClickHouse functions the reference
+templates/examples actually use in SQL passthrough.  This sweep pins that
+EVERY such name translates — if the reference corpus grows a new function
+family, add it here first and the test fails until the translator covers
+it.  (-State/-Merge combinators are intentionally absent: the engine
+maintains finished aggregate values instead, SURVEY.md §4.2; rand()/
+randomUUID are nondeterministic by design and outside the oracled
+vocabulary.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from moosestack_spark.sql.ch_functions import translate_ch_sql
+
+# name -> representative call as it appears in reference templates
+REFERENCE_USED = {
+    "JSONExtractKeysAndValuesRaw": "JSONExtractKeysAndValuesRaw(j)",
+    "abs": "abs(x)",
+    "argMax": "argMax(a, b)",
+    "arrayAll": "arrayAll(x -> x > 0, a)",
+    "arrayElement": "arrayElement(a, 1)",
+    "arrayJoin": "arrayJoin(a)",
+    "arrayMap": "arrayMap(x -> x + 1, a)",
+    "ceil": "ceil(x)",
+    "cityHash64": "cityHash64(x)",
+    "concat": "concat(a, b)",
+    "countIf": "countIf(x > 0)",
+    "floor": "floor(x)",
+    "groupArray": "groupArray(x)",
+    "has": "has(a, 1)",
+    "length": "length(s)",
+    "lower": "lower(s)",
+    "now": "now()",
+    "parseDateTime": "parseDateTime(s)",
+    "range": "range(5)",
+    "round": "round(x, 2)",
+    "substring": "substring(s, 1, 2)",
+    "toDate": "toDate(s)",
+    "toDayOfMonth": "toDayOfMonth(d)",
+    "toFixed": "toFixed(x, 2)",
+    "toInt32": "toInt32(x)",
+    "toStartOfDay": "toStartOfDay(d)",
+    "toStartOfFifteenMinutes": "toStartOfFifteenMinutes(d)",
+    "toStartOfHour": "toStartOfHour(d)",
+    "toStartOfMonth": "toStartOfMonth(d)",
+    "toStartOfWeek": "toStartOfWeek(d)",
+    "toString": "toString(x)",
+    "uniqExact": "uniqExact(x)",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REFERENCE_USED))
+def test_reference_used_function_translates(name):
+    out = translate_ch_sql(f"SELECT {REFERENCE_USED[name]} FROM t")
+    assert out  # translation produced SQL without raising
