@@ -352,3 +352,86 @@ def agg_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_chains") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# windowFunnel 'strict_order' mode: steps must follow each other DIRECTLY
+# in the user's event stream (no other event in between).  A strict chain
+# is a consecutive run, so the whole mode collapses to ONE window pass
+# with lead(): an event starts a level-k chain iff it matches step 1 and
+# its next k-1 events match the remaining steps inside the window.  No
+# joins, no witness state — strictness makes the funnel cheaper, not
+# costlier.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "funnel_strict_order",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_type,
+         lead(event_type, 1) OVER w AS t1, lead(ts, 1) OVER w AS ts1,
+         lead(event_type, 2) OVER w AS t2, lead(ts, 2) OVER w AS ts2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), lv AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS l1,
+    MAX(CASE WHEN event_type = 'view' AND t1 = 'click'
+          AND ts1 <= ts + INTERVAL 12 HOUR THEN 1 ELSE 0 END) AS l2,
+    MAX(CASE WHEN event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+          AND ts2 <= ts + INTERVAL 12 HOUR THEN 1 ELSE 0 END) AS l3
+  FROM seq GROUP BY user_id
+), ul AS (
+  SELECT user_id, l1 + l2 + l3 AS funnel_level FROM lv WHERE l1 = 1
+)
+SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ul GROUP BY funnel_level
+""",
+)
+def funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase with STRICT order (consecutive events, no
+    interlopers) within 12 hours of the view: one lead() window pass per
+    user, conditional aggregation, histogram output.  Level monotonicity
+    (l1 >= l2 >= l3 as max-flags) makes funnel_level = l1+l2+l3."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("ts", 1).over(w).alias("ts1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+    )
+    hour12 = F.expr("INTERVAL 12 HOURS")
+    lv = seq.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("l1"),
+        F.max(
+            (
+                (F.col("event_type") == "view")
+                & (F.col("t1") == "click")
+                & (F.col("ts1") <= F.col("ts") + hour12)
+            ).cast("int")
+        ).alias("l2"),
+        F.max(
+            (
+                (F.col("event_type") == "view")
+                & (F.col("t1") == "click")
+                & (F.col("t2") == "purchase")
+                & (F.col("ts2") <= F.col("ts") + hour12)
+            ).cast("int")
+        ).alias("l3"),
+    )
+    return (
+        lv.filter(F.col("l1") == 1)
+        .select(
+            "user_id",
+            (F.col("l1") + F.col("l2") + F.col("l3")).alias("funnel_level"),
+        )
+        .groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

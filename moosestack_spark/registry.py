@@ -182,6 +182,7 @@ _AFTER_WINDOW = [
     "source_schema_evolution_defaults",
     "sql_ch_dialect_datetime64",
     "agg_group_array_sorted",
+    "funnel_strict_order",
 ]
 
 
