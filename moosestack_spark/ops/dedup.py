@@ -371,6 +371,52 @@ def minhash_signatures(
     return sh.groupBy("doc").agg(*aggs)
 
 
+def _minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    n_hashes: int,
+    n_bands: int,
+) -> DataFrame:
+    """(m: struct(doc, sig), band, bh) rows — the shuffle-free banded
+    signature projection shared by the batch and incremental LSH paths.
+    On a production lake THIS is the persisted index table: new batches
+    append their band rows and probe existing buckets."""
+    rows_per_band = n_hashes // n_bands
+    bind = _let
+    sh_arr = shingle_hash_array_expr(text_col, n)
+    sig = (
+        f"CASE WHEN size(sa) = 0 THEN NULL ELSE "
+        f"transform(sequence(0, {n_hashes - 1}), k -> "
+        f"array_min(transform(sa, s -> xxhash64(s, k)))) END"
+    )
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS bh, sg AS sig)".format(
+            b=b,
+            cols=", ".join(
+                f"element_at(sg, {b * rows_per_band + r + 1})"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    bands_expr = bind(sh_arr, "sa", bind(sig, "sg", f"array({band_structs})"))
+    return (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("doc"), F.explode(F.expr(bands_expr)).alias("bb"))
+        # docs shorter than n tokens carry a NULL sig (xxhash64 of NULL
+        # elements is NOT null, so without this filter every short doc
+        # would share one synthetic bucket per band)
+        .filter(F.col("bb.sig").isNotNull())
+        .select(
+            F.struct(F.col("doc"), F.col("bb.sig").alias("sig")).alias("m"),
+            F.col("bb.band").alias("band"),
+            F.col("bb.bh").alias("bh"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -411,40 +457,7 @@ def minhash_lsh_pairs(
     aggregation: the only exchanges left are the parallelism spread, the
     bucket groupBy, and the pair dedup.
     """
-    rows_per_band = n_hashes // n_bands
-    bind = _let
-    sh_arr = shingle_hash_array_expr(text_col, n)
-    sig = (
-        f"CASE WHEN size(sa) = 0 THEN NULL ELSE "
-        f"transform(sequence(0, {n_hashes - 1}), k -> "
-        f"array_min(transform(sa, s -> xxhash64(s, k)))) END"
-    )
-    band_structs = ", ".join(
-        "struct({b} AS band, xxhash64({cols}) AS bh, sg AS sig)".format(
-            b=b,
-            cols=", ".join(
-                f"element_at(sg, {b * rows_per_band + r + 1})"
-                for r in range(rows_per_band)
-            ),
-        )
-        for b in range(n_bands)
-    )
-    bands_expr = bind(
-        sh_arr, "sa", bind(sig, "sg", f"array({band_structs})")
-    )
-    bands = (
-        _spread(df, id_col)
-        .select(F.col(id_col).alias("doc"), F.explode(F.expr(bands_expr)).alias("bb"))
-        # docs shorter than n tokens carry a NULL sig (xxhash64 of NULL
-        # elements is NOT null, so without this filter every short doc
-        # would share one synthetic bucket per band)
-        .filter(F.col("bb.sig").isNotNull())
-        .select(
-            F.struct(F.col("doc"), F.col("bb.sig").alias("sig")).alias("m"),
-            F.col("bb.band").alias("band"),
-            F.col("bb.bh").alias("bh"),
-        )
-    )
+    bands = _minhash_band_rows(df, id_col, text_col, n, n_hashes, n_bands)
 
     buckets = (
         bands.groupBy("band", "bh")
@@ -475,6 +488,86 @@ def minhash_lsh_pairs(
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_lsh_pairs(d, "doc_id", "text", n=5, threshold=0.5)
+
+
+def minhash_lsh_pairs_incremental(
+    existing: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Incremental near-dup: pairs INVOLVING at least one `new` document —
+    new-vs-existing and new-vs-new, never existing-vs-existing (those were
+    found when the existing corpus was indexed).  Production shape: the
+    existing side's band rows are the PERSISTED index table (bucketed by
+    (band, bh)); a new batch appends its band rows and only buckets
+    containing a new member re-emit pairs, so incremental cost scales with
+    the batch, not the corpus.  Equivalence pinned in test_dedup: result ==
+    full-corpus minhash_lsh_pairs filtered to pairs touching a new doc."""
+    eb = _minhash_band_rows(existing, id_col, text_col, n, n_hashes, n_bands)
+    nb = _minhash_band_rows(new, id_col, text_col, n, n_hashes, n_bands)
+    tagged = eb.withColumn("nw", F.lit(False)).unionByName(
+        nb.withColumn("nw", F.lit(True))
+    )
+    members = tagged.select(
+        F.struct(
+            F.col("m.doc").alias("doc"),
+            F.col("nw"),
+            F.col("m.sig").alias("sig"),
+        ).alias("m"),
+        "band",
+        "bh",
+    )
+    buckets = (
+        members.groupBy("band", "bh")
+        .agg(
+            F.array_sort(F.collect_list("m")).alias("ms"),
+            F.max(F.col("m.nw").cast("int")).alias("has_new"),
+        )
+        # index-probe prune: buckets untouched by the new batch are skipped
+        .filter(
+            (F.col("has_new") == 1)
+            & (F.size("ms") >= 2)
+            & (F.size("ms") <= max_bucket)
+        )
+    )
+    n_equal = " + ".join(
+        f"IF(element_at(x.sig, {k + 1}) = element_at(y.sig, {k + 1}), 1, 0)"
+        for k in range(n_hashes)
+    )
+    pair_expr = (
+        "flatten(transform(ms, (x, i) -> "
+        "filter(transform(slice(ms, i + 2, size(ms)), y -> "
+        "struct(x.doc AS doc_a, y.doc AS doc_b, (x.nw OR y.nw) AS touches_new, "
+        f"CAST(({n_equal}) AS DOUBLE) / {float(n_hashes)!r} AS est_jaccard)), "
+        "p -> p.touches_new)))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.est_jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+@query("dedup_minhash_incremental")  # approximate: rows-only driver check
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH probe: the newest 20% of documents (by id) arrive as
+    a batch against the already-indexed 80%; emit near-dup pairs touching
+    the batch."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = d.agg(F.expr("percentile(doc_id, 0.8)").alias("c")).collect()[0][0]
+    existing = d.filter(F.col("doc_id") <= cut)
+    new = d.filter(F.col("doc_id") > cut)
+    return minhash_lsh_pairs_incremental(
+        existing, new, "doc_id", "text", n=5, threshold=0.5
+    )
 
 
 # --------------------------------------------------------------------------

@@ -183,6 +183,7 @@ _AFTER_WINDOW = [
     "sql_ch_dialect_datetime64",
     "agg_group_array_sorted",
     "funnel_strict_order",
+    "dedup_minhash_incremental",
 ]
 
 

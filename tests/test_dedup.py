@@ -99,3 +99,40 @@ def test_lsh_band_rows_use_same_hash_family_as_signatures(spark):
         df, "doc_id", "text", 5, 32).collect()}
     expected = sum(a == b for a, b in zip(sig[1], sig[2])) / 32.0
     assert abs(pairs[(1, 2)] - expected) < 1e-12
+
+
+def test_incremental_lsh_equals_filtered_full(spark, sf_dir):
+    """Incremental probe == full-corpus LSH pairs restricted to pairs
+    touching the new batch (hard equivalence: same buckets, same
+    signatures, same caps — the incremental path only prunes buckets the
+    batch never touched)."""
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.ops.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+    from moosestack_spark.tables import t
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = d.agg(F.expr("percentile(doc_id, 0.8)")).collect()[0][0]
+    existing = d.filter(F.col("doc_id") <= cut)
+    new = d.filter(F.col("doc_id") > cut)
+    inc = sorted(
+        map(
+            str,
+            minhash_lsh_pairs_incremental(
+                existing, new, "doc_id", "text", n=5, threshold=0.5
+            ).collect(),
+        )
+    )
+    full = minhash_lsh_pairs(d, "doc_id", "text", n=5, threshold=0.5)
+    expected = sorted(
+        map(
+            str,
+            full.filter(
+                (F.col("doc_a") > cut) | (F.col("doc_b") > cut)
+            ).collect(),
+        )
+    )
+    assert inc == expected and len(inc) > 0
