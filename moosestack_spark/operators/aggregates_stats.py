@@ -333,3 +333,93 @@ def agg_group_array_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("smallest5"),
         F.array_join(F.array_sort(F.collect_list("price")), ",").alias("joined5"),
     )
+
+
+# --------------------------------------------------------------------------
+# welchTTest / studentTTest (CH aggregate-functions): the t statistic and
+# Welch–Satterthwaite degrees of freedom between two samples, computed
+# from exact integer power sums (value widened to cents) — every sum is
+# exact, the final arithmetic evaluates an identical expression tree over
+# identical doubles in both engines, and sqrt is correctly rounded, so
+# even the DOUBLE statistic hash-matches (no FLOAT downcast needed;
+# p-values need an incomplete-beta and are out of SQL scope — CH callers
+# threshold on |t| with df in practice).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_welch_ttest",
+    oracle="""
+WITH s AS (
+  SELECT
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS s2
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+), w AS (
+  SELECT
+    MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+    MAX(CASE WHEN grp = 1 THEN s1 END) AS a1,
+    MAX(CASE WHEN grp = 1 THEN s2 END) AS q1,
+    MAX(CASE WHEN grp = 0 THEN n END) AS n2,
+    MAX(CASE WHEN grp = 0 THEN s1 END) AS a2,
+    MAX(CASE WHEN grp = 0 THEN s2 END) AS q2
+  FROM s
+)
+SELECT
+  (a1 / n1 - a2 / n2)
+    / sqrt((q1 - a1 * a1 / n1) / (n1 - 1) / n1
+           + (q2 - a2 * a2 / n2) / (n2 - 1) / n2) AS t_stat,
+  ((q1 - a1 * a1 / n1) / (n1 - 1) / n1 + (q2 - a2 * a2 / n2) / (n2 - 1) / n2)
+  * ((q1 - a1 * a1 / n1) / (n1 - 1) / n1 + (q2 - a2 * a2 / n2) / (n2 - 1) / n2)
+  / ((q1 - a1 * a1 / n1) / (n1 - 1) / n1 * ((q1 - a1 * a1 / n1) / (n1 - 1) / n1)
+       / (n1 - 1)
+     + (q2 - a2 * a2 / n2) / (n2 - 1) / n2 * ((q2 - a2 * a2 / n2) / (n2 - 1) / n2)
+       / (n2 - 1)) AS welch_df,
+  CAST(n1 AS BIGINT) AS n_purchase,
+  CAST(n2 AS BIGINT) AS n_click
+FROM w
+""",
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between purchase and click event values (cents-exact power
+    sums; the t statistic and Welch–Satterthwaite df surface as hash-exact
+    DOUBLEs — see section comment)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    s = ev.groupBy(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(cents).cast("double").alias("s1"),
+        F.sum(cents * cents).cast("double").alias("s2"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("grp") == 1, F.col("s2"))).alias("q1"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == 0, F.col("s1"))).alias("a2"),
+        F.max(F.when(F.col("grp") == 0, F.col("s2"))).alias("q2"),
+    )
+    v1 = (F.col("q1") - F.col("a1") * F.col("a1") / F.col("n1")) / (
+        F.col("n1") - 1
+    ) / F.col("n1")
+    v2 = (F.col("q2") - F.col("a2") * F.col("a2") / F.col("n2")) / (
+        F.col("n2") - 1
+    ) / F.col("n2")
+    tstat = (F.col("a1") / F.col("n1") - F.col("a2") / F.col("n2")) / F.sqrt(v1 + v2)
+    wdf = (v1 + v2) * (v1 + v2) / (
+        v1 * v1 / (F.col("n1") - 1) + v2 * v2 / (F.col("n2") - 1)
+    )
+    return w.select(
+        tstat.alias("t_stat"),
+        wdf.alias("welch_df"),
+        F.col("n1").cast("bigint").alias("n_purchase"),
+        F.col("n2").cast("bigint").alias("n_click"),
+    )

@@ -184,6 +184,7 @@ _AFTER_WINDOW = [
     "agg_group_array_sorted",
     "funnel_strict_order",
     "dedup_minhash_incremental",
+    "agg_welch_ttest",
 ]
 
 
