@@ -423,3 +423,146 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("bigint").alias("n_purchase"),
         F.col("n2").cast("bigint").alias("n_click"),
     )
+
+
+# --------------------------------------------------------------------------
+# mannWhitneyUTest (CH aggregate-functions): the U statistic with
+# tie-averaged ranks.  Ranks are computed over the DISTINCT-VALUE
+# histogram (counts per value per group, then a prefix sum over sorted
+# distinct values), so the only ordered pass is distinct-value-sized —
+# never a global sort of the raw sample.  Tie-averaged ranks are
+# half-integers and counts are exact, so U is a hash-exact DOUBLE.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_mann_whitney_u",
+    oracle="""
+WITH h AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY CAST(round(value * 100) AS BIGINT)
+), r AS (
+  SELECT v, n1, nt,
+         COALESCE(SUM(nt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         (COALESCE(SUM(nt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + CAST(nt + 1 AS DOUBLE) / 2) AS avg_rank
+  FROM h
+)
+SELECT SUM(n1 * avg_rank)
+         - CAST(SUM(n1) AS DOUBLE) * (CAST(SUM(n1) AS DOUBLE) + 1) / 2
+         AS u1,
+       CAST(SUM(n1) AS BIGINT) AS n_purchase,
+       CAST(SUM(nt) - SUM(n1) AS BIGINT) AS n_click
+FROM r
+""",
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (purchase vs click event values, cents-quantized):
+    U1 = sum of purchase tie-averaged ranks minus n1(n1+1)/2."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    h = ev.groupBy(cents.alias("v")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("bigint").alias("n1"),
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+    )
+    w_below = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = h.withColumn(
+        "avg_rank",
+        F.coalesce(F.sum("nt").over(w_below), F.lit(0))
+        + (F.col("nt") + 1).cast("double") / 2,
+    )
+    return r.agg(
+        (
+            F.sum(F.col("n1") * F.col("avg_rank"))
+            - F.sum("n1").cast("double")
+            * (F.sum("n1").cast("double") + 1)
+            / 2
+        ).alias("u1"),
+        F.sum("n1").cast("bigint").alias("n_purchase"),
+        (F.sum("nt") - F.sum("n1")).cast("bigint").alias("n_click"),
+    )
+
+
+# --------------------------------------------------------------------------
+# kolmogorovSmirnovTest (CH aggregate-functions): the KS D statistic =
+# max |F1(v) - F2(v)| over the pooled support.  Same distinct-value
+# histogram scaffold as Mann-Whitney; the deviation is maximized on the
+# EXACT integer cross product |c1*n2 - c2*n1| (no division until the one
+# final d = num/(n1*n2)), so the argmax is integer-deterministic and the
+# emitted D hash-matches as DOUBLE.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_ks_test",
+    oracle="""
+WITH h AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY CAST(round(value * 100) AS BIGINT)
+), c AS (
+  SELECT v,
+         SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+         SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2
+  FROM h
+), tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM h)
+SELECT CAST(MAX(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num,
+       CAST(MAX(n1) * MAX(n2) AS BIGINT) AS d_den,
+       CAST(MAX(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+         / (CAST(MAX(n1) AS DOUBLE) * MAX(n2)) AS d_stat
+FROM c, tot
+""",
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between purchase and click value
+    distributions (cents-quantized), surfaced as the exact integer
+    num/den pair plus the double ratio."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    h = ev.groupBy(cents.alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        "v",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    tot = h.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    joined = c.join(F.broadcast(tot))
+    return joined.agg(
+        F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")))
+        .cast("bigint")
+        .alias("d_num"),
+        (F.max("n1") * F.max("n2")).cast("bigint").alias("d_den"),
+        (
+            F.max(
+                F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+            ).cast("double")
+            / (F.max("n1").cast("double") * F.max("n2"))
+        ).alias("d_stat"),
+    )

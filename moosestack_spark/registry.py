@@ -185,6 +185,8 @@ _AFTER_WINDOW = [
     "funnel_strict_order",
     "dedup_minhash_incremental",
     "agg_welch_ttest",
+    "agg_mann_whitney_u",
+    "agg_ks_test",
 ]
 
 

@@ -52,6 +52,9 @@ ALLOWED = {
     # unigram-LM normalizer: the total-token count is a ONE-row aggregate
     # broadcast-crossed onto the per-doc scores (ops/lm_score.py:71)
     "text_unigram_logprob": {"BNLJ"},
+    # KS statistic: the (n1, n2) totals are a ONE-row aggregate
+    # broadcast-crossed onto the distinct-value ECDF rows
+    "agg_ks_test": {"BNLJ"},
 }
 
 
