@@ -566,3 +566,71 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n1").cast("double") * F.max("n2"))
         ).alias("d_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# cramersV (CH aggregate-functions): association between two categorical
+# columns from the contingency table.  Counts and marginals are exact
+# integers; chi-square accumulates (o - e)^2/e over ~|r x c| cells in
+# engine-dependent order, so the statistic surfaces as FLOAT (the
+# sanctioned transcendental/accumulation policy).  Two map-side-combined
+# aggregations — cells, then the scalar.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_cramers_v",
+    oracle="""
+WITH cell AS (
+  SELECT event_type AS a, user_id % 7 AS b, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, user_id % 7
+), marg AS (
+  SELECT a, b, o,
+         SUM(o) OVER (PARTITION BY a) AS ra,
+         SUM(o) OVER (PARTITION BY b) AS cb,
+         SUM(o) OVER () AS n
+  FROM cell
+), chi AS (
+  SELECT SUM((CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n)
+             * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n)
+             / (CAST(ra AS DOUBLE) * cb / n)) AS chi2,
+         MAX(n) AS n,
+         COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c
+  FROM marg
+)
+SELECT CAST(sqrt(chi2 / (n * LEAST(r - 1, c - 1))) AS FLOAT) AS cramers_v,
+       CAST(n AS BIGINT) AS n
+FROM chi
+""",
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between event type and a 7-way user cohort."""
+    ev = t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("event_type").alias("a"), (F.col("user_id") % 7).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    marg = cell.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(Window.partitionBy("a")).alias("ra"),
+        F.sum("o").over(Window.partitionBy("b")).alias("cb"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("ra").cast("double") * F.col("cb") / F.col("n")
+    chi = marg.agg(
+        F.sum((F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e)
+        .alias("chi2"),
+        F.max("n").alias("n"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+    )
+    return chi.select(
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+        )
+        .cast("float")
+        .alias("cramers_v"),
+        F.col("n").cast("bigint").alias("n"),
+    )

@@ -187,6 +187,7 @@ _AFTER_WINDOW = [
     "agg_welch_ttest",
     "agg_mann_whitney_u",
     "agg_ks_test",
+    "agg_cramers_v",
 ]
 
 
