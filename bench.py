@@ -92,6 +92,19 @@ EXTRA = [
     "text_bpe_tokenize",
     "text_pack_sequences",
     "dedup_embedding_cosine_pruned",
+    # latest session additions
+    "agg_max_intersections",
+    "agg_group_array_sorted",
+    "agg_welch_ttest",
+    "agg_mann_whitney_u",
+    "agg_ks_test",
+    "agg_cramers_v",
+    "funnel_strict_order",
+    "dedup_minhash_incremental",
+    "similarity_pq_topk",
+    "source_schema_evolution_defaults",
+    "sql_ch_dialect_datetime64",
+    "sql_ch_dialect_bits_misc",
 ]
 
 
