@@ -347,13 +347,15 @@ _HLL_WBITS = 22  # 32-bit hash minus p index bits
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
 
 
-def hll_idx_rank_expr(key_sql: str) -> str:
-    """Spark SQL expression mapping a non-negative integer key to
-    struct(idx, rank) for the deterministic HLL (same fmix32 finalizer as
-    _hll_sql).  Every intermediate is bound ONCE through a single-element
-    transform (the SQL let-binding) — a withColumn chain would be collapsed
-    by the optimizer and the xor/mul steps reference their input 2-3 times
-    each, so inlining grows the expression exponentially."""
+def fmix32_expr(key_sql: str) -> str:
+    """Spark SQL expression: the murmur3 fmix32 avalanche of a non-negative
+    integer key as a 32-bit value — the portable deterministic hash used by
+    the HLL sketches and oracled sampling (every step replayable in DuckDB
+    with the same arithmetic).  Every intermediate is bound ONCE through a
+    single-element transform (the SQL let-binding) — a withColumn chain
+    would be collapsed by the optimizer and the xor/mul steps reference
+    their input 2-3 times each, so inlining grows the expression
+    exponentially."""
 
     def bind(val: str, var: str, body: str) -> str:
         return f"element_at(transform(array({val}), {var} -> {body}), 1)"
@@ -369,7 +371,37 @@ def hll_idx_rank_expr(key_sql: str) -> str:
     s2 = bind(s1, "b", mul32("b", 0x85EBCA6B))
     s3 = bind(s2, "c", "(c ^ (c DIV 8192))")
     s4 = bind(s3, "d", mul32("d", 0xC2B2AE35))
-    s5 = bind(s4, "e", "(e ^ (e DIV 65536))")
+    return bind(s4, "e", "(e ^ (e DIV 65536))")
+
+
+def fmix32_duckdb_ctes(key_sql: str, carry: str, source: str) -> str:
+    """DuckDB CTE chain computing the same fmix32 value as fmix32_expr,
+    carrying `carry` columns through; final CTE is named `hashed` with the
+    value in column h32."""
+
+    def mul32(h: str, c: int) -> str:
+        return (
+            f"(((({h}) % 65536) * {c} + (((({h}) // 65536) * {c}) % 65536)"
+            f" * 65536) % 4294967296)"
+        )
+
+    return f"""
+fx0 AS (SELECT {carry}, (CAST({key_sql} AS BIGINT) * 2654435761) % 4294967296 AS h0 FROM {source}),
+fx1 AS (SELECT {carry}, xor(h0, h0 // 65536) AS h1 FROM fx0),
+fx2 AS (SELECT {carry}, {mul32("h1", 0x85EBCA6B)} AS h2 FROM fx1),
+fx3 AS (SELECT {carry}, xor(h2, h2 // 8192) AS h3 FROM fx2),
+fx4 AS (SELECT {carry}, {mul32("h3", 0xC2B2AE35)} AS h4 FROM fx3),
+hashed AS (SELECT {carry}, xor(h4, h4 // 65536) AS h32 FROM fx4)"""
+
+
+def hll_idx_rank_expr(key_sql: str) -> str:
+    """Spark SQL expression mapping a non-negative integer key to
+    struct(idx, rank) for the deterministic HLL (fmix32_expr hash)."""
+
+    def bind(val: str, var: str, body: str) -> str:
+        return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+
+    s5 = fmix32_expr(key_sql)
     rank = bind(
         f"h DIV {_HLL_M}",
         "w",

@@ -455,3 +455,81 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-flattened corpus sampling with an ORACLED deterministic
+# sampler.  Real mixing pipelines sample source s at rate ∝ tok_s^(τ-1)
+# (τ=0.5 here: sampled tokens ∝ sqrt(tok_s), flattening dominance of big
+# sources).  Two determinism choices make the whole query value-hash
+# exact where hash-mod samples are normally rows-only:
+# - the keep decision hashes doc_id through the PORTABLE fmix32 (the same
+#   finalizer the deterministic HLL uses), replayable in DuckDB;
+# - the rate needs NO cross-source normalization (min(1, K/sqrt(tok_s)) —
+#   sqrt/divide are correctly rounded, so both engines floor the same
+#   integer threshold; a softmax-style normalizer would sum floats in
+#   engine-dependent order).
+# Scale: one window + one groupBy on the same source key (exchange
+# reused); the keep test is per-row arithmetic.
+# --------------------------------------------------------------------------
+
+_TEMP_K = 12.0
+_TEMP_MOD = 1_000_000
+
+
+def _temp_sample_oracle() -> str:
+    from moosestack_spark.operators.aggregates import fmix32_duckdb_ctes
+
+    ctes = fmix32_duckdb_ctes(
+        "doc_id", "doc_id, source, ntok, tok_s", "tot"
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
+  FROM documents
+),
+tot AS (
+  SELECT doc_id, source, ntok,
+         SUM(ntok) OVER (PARTITION BY source) AS tok_s
+  FROM tok
+),{ctes},
+kept AS (
+  SELECT source, ntok
+  FROM hashed
+  WHERE h32 % {_TEMP_MOD} < CAST(FLOOR(
+    LEAST(1.0, {_TEMP_K!r} / sqrt(CAST(tok_s AS DOUBLE))) * {_TEMP_MOD})
+    AS BIGINT)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(ntok) AS BIGINT) AS tokens_kept
+FROM kept GROUP BY source
+"""
+
+
+@query("corpus_temperature_sample", oracle=_temp_sample_oracle())
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc/token counts after temperature-flattened sampling
+    (rate = min(1, K/sqrt(source_tokens)), keep decided by portable fmix32
+    of doc_id) — a deterministic, fully-oracled data-mixing stage."""
+    from moosestack_spark.operators.aggregates import fmix32_expr
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    tok = d.select("doc_id", "source", ntok.alias("ntok"))
+    tot = tok.withColumn(
+        "tok_s", F.sum("ntok").over(Window.partitionBy("source"))
+    )
+    rate = F.least(
+        F.lit(1.0), F.lit(_TEMP_K) / F.sqrt(F.col("tok_s").cast("double"))
+    )
+    thresh = F.floor(rate * _TEMP_MOD).cast("bigint")
+    kept = tot.withColumn("h32", F.expr(fmix32_expr("doc_id"))).filter(
+        F.col("h32") % _TEMP_MOD < thresh
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("ntok").cast("bigint").alias("tokens_kept"),
+    )

@@ -188,6 +188,7 @@ _AFTER_WINDOW = [
     "agg_mann_whitney_u",
     "agg_ks_test",
     "agg_cramers_v",
+    "corpus_temperature_sample",
 ]
 
 
