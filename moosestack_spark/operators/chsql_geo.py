@@ -528,3 +528,31 @@ SELECT event_id,
 FROM events WHERE event_id % 29 = 0
 """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_array_join_clause",
+    oracle="""
+SELECT o_orderkey, x
+FROM (
+  SELECT o_orderkey, [o_orderkey % 5, o_orderkey % 3, o_orderkey % 2] AS arr
+  FROM orders WHERE o_orderkey % 31 = 0
+), UNNEST(arr) AS t(x)
+""",
+)
+def sql_ch_dialect_array_join_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse ``ARRAY JOIN`` CLAUSE (not the arrayJoin function):
+    unnests an array column in the FROM position, translated to LATERAL
+    VIEW explode in the same syntactic slot."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey, x
+FROM (
+  SELECT o_orderkey, array(o_orderkey % 5, o_orderkey % 3, o_orderkey % 2) AS arr
+  FROM orders WHERE o_orderkey % 31 = 0
+) ARRAY JOIN arr AS x
+"""
+    return spark.sql(translate_ch_sql(ch_sql))

@@ -189,6 +189,7 @@ _AFTER_WINDOW = [
     "agg_ks_test",
     "agg_cramers_v",
     "corpus_temperature_sample",
+    "sql_ch_dialect_array_join_clause",
 ]
 
 

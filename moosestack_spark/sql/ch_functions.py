@@ -790,12 +790,33 @@ def _find_close(s: str, open_idx: int) -> int:
     raise ValueError(f"unbalanced parens in SQL near index {open_idx}")
 
 
+_ARRAY_JOIN = re.compile(
+    r"\b(LEFT\s+)?ARRAY\s+JOIN\s+([A-Za-z_][\w.]*(?:\([^()]*\))?)\s+AS\s+"
+    r"([A-Za-z_]\w*)",
+    re.IGNORECASE,
+)
+
+
 def translate_ch_sql(sql: str) -> str:
     """Rewrite ClickHouse function names in a SQL string to Spark SQL.
 
     Handles nested calls (recurses into arguments).  Raises on ClickHouse
     functions outside the supported vocabulary.
+
+    Also rewrites the CH ``[LEFT] ARRAY JOIN expr AS alias`` CLAUSE to
+    Spark's ``LATERAL VIEW [OUTER] explode(expr) __aj AS alias`` — same
+    syntactic position after the table reference, same unnesting
+    semantics (LEFT keeps rows with empty arrays, as OUTER does).
     """
+
+    def _aj(m: re.Match) -> str:
+        outer = "OUTER " if m.group(1) else ""
+        return (
+            f"LATERAL VIEW {outer}explode({m.group(2)}) "
+            f"__aj_{m.group(3)} AS {m.group(3)}"
+        )
+
+    sql = _ARRAY_JOIN.sub(_aj, sql)
     out = []
     i = 0
     while True:
