@@ -543,7 +543,9 @@ FROM (
 def sql_ch_dialect_array_join_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ClickHouse ``ARRAY JOIN`` CLAUSE (not the arrayJoin function):
     unnests an array column in the FROM position, translated to LATERAL
-    VIEW explode in the same syntactic slot."""
+    VIEW explode in the same syntactic slot.  Also exercises the PREWHERE
+    (folded into WHERE — Catalyst pushes it down anyway) and trailing
+    SETTINGS (stripped) clause handling."""
     from moosestack_spark.sql.ch_functions import translate_ch_sql
     from moosestack_spark.tables import register_views
 
@@ -552,7 +554,8 @@ def sql_ch_dialect_array_join_clause(spark: SparkSession, sf_dir: str) -> DataFr
 SELECT o_orderkey, x
 FROM (
   SELECT o_orderkey, array(o_orderkey % 5, o_orderkey % 3, o_orderkey % 2) AS arr
-  FROM orders WHERE o_orderkey % 31 = 0
+  FROM orders PREWHERE o_orderkey % 31 = 0
 ) ARRAY JOIN arr AS x
+SETTINGS max_threads=8
 """
     return spark.sql(translate_ch_sql(ch_sql))

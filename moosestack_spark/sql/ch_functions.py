@@ -817,6 +817,33 @@ def translate_ch_sql(sql: str) -> str:
         )
 
     sql = _ARRAY_JOIN.sub(_aj, sql)
+    # PREWHERE is CH's manual pushdown hint; Catalyst pushes WHERE
+    # predicates into the scan itself, so PREWHERE IS WHERE here.  When a
+    # query has both, fold the PREWHERE condition into the WHERE with AND.
+    m_pw = re.search(
+        r"\bPREWHERE\b(.*?)(\bWHERE\b|\bGROUP\s+BY\b|\bORDER\s+BY\b"
+        r"|\bLIMIT\b|\bSETTINGS\b|$)",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m_pw:
+        cond, nxt = m_pw.group(1).strip(), m_pw.group(2)
+        if nxt.upper() == "WHERE":
+            sql = (
+                sql[: m_pw.start()]
+                + f"WHERE ({cond}) AND "
+                + sql[m_pw.end() :]
+            )
+        else:
+            sql = sql[: m_pw.start()] + f"WHERE {cond} " + sql[m_pw.start(2) :]
+    # trailing SETTINGS clause: execution knobs with no Spark equivalent —
+    # stripped (AQE/conf govern execution here)
+    sql = re.sub(
+        r"\bSETTINGS\s+\w+\s*=\s*\S+(\s*,\s*\w+\s*=\s*\S+)*\s*$",
+        "",
+        sql,
+        flags=re.IGNORECASE,
+    )
     out = []
     i = 0
     while True:
