@@ -844,6 +844,23 @@ def translate_ch_sql(sql: str) -> str:
         sql,
         flags=re.IGNORECASE,
     )
+    # trailing FORMAT clause: wire-format directive, not part of the query
+    sql = re.sub(r"\bFORMAT\s+\w+\s*$", "", sql, flags=re.IGNORECASE)
+    # CH distributed-join modifiers: GLOBAL (ship the right side to every
+    # shard — Catalyst's broadcast decision) and ALL (the default
+    # multiplicity) are execution hints here — stripped.  ANY JOIN changes
+    # row multiplicity and has no blind rewrite; it raises.
+    if re.search(r"\bANY\s+(LEFT\s+|RIGHT\s+|INNER\s+)?JOIN\b", sql, re.IGNORECASE):
+        raise ValueError(
+            "ANY JOIN changes match multiplicity; rewrite as an explicit "
+            "rank-1-per-key join (see operators/chsql_ext.py sort_distinct_on)"
+        )
+    sql = re.sub(
+        r"\b(GLOBAL|ALL)\s+(?=(LEFT|RIGHT|INNER|FULL|CROSS|JOIN)\b)",
+        "",
+        sql,
+        flags=re.IGNORECASE,
+    )
     out = []
     i = 0
     while True:

@@ -57,3 +57,27 @@ REFERENCE_USED = {
 def test_reference_used_function_translates(name):
     out = translate_ch_sql(f"SELECT {REFERENCE_USED[name]} FROM t")
     assert out  # translation produced SQL without raising
+
+
+def test_clause_prepass_handles_ch_surface():
+    assert "LATERAL VIEW explode(arr)" in translate_ch_sql(
+        "SELECT x FROM t ARRAY JOIN arr AS x"
+    )
+    assert "OUTER explode" in translate_ch_sql(
+        "SELECT x FROM t LEFT ARRAY JOIN arr AS x"
+    )
+    out = translate_ch_sql("SELECT a FROM t PREWHERE x > 1 WHERE y < 2")
+    assert "PREWHERE" not in out and "(x > 1) AND" in out
+    assert "SETTINGS" not in translate_ch_sql(
+        "SELECT a FROM t SETTINGS max_threads=4"
+    )
+    assert "FORMAT" not in translate_ch_sql("SELECT a FROM t FORMAT JSON")
+    assert "GLOBAL" not in translate_ch_sql(
+        "SELECT a FROM t GLOBAL LEFT JOIN u ON t.k = u.k"
+    )
+    # UNION ALL must survive the ALL-join strip
+    assert "UNION ALL" in translate_ch_sql("SELECT a FROM t UNION ALL SELECT a FROM u")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ANY JOIN"):
+        translate_ch_sql("SELECT a FROM t ANY LEFT JOIN u ON t.k = u.k")
