@@ -634,3 +634,61 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cramers_v"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "agg_theils_u",
+    oracle="""
+WITH cell AS (
+  SELECT event_type AS a, user_id % 7 AS b, CAST(COUNT(*) AS BIGINT) AS nab
+  FROM events GROUP BY event_type, user_id % 7
+), parts AS (
+  SELECT
+    SUM(CAST(nab AS DOUBLE) * log2(CAST(nab AS DOUBLE))) AS sab,
+    CAST(SUM(nab) AS BIGINT) AS n
+  FROM cell
+), amarg AS (
+  SELECT SUM(CAST(na AS DOUBLE) * log2(CAST(na AS DOUBLE))) AS sa
+  FROM (SELECT SUM(nab) AS na FROM cell GROUP BY a)
+), bmarg AS (
+  SELECT SUM(CAST(nb AS DOUBLE) * log2(CAST(nb AS DOUBLE))) AS sb
+  FROM (SELECT SUM(nab) AS nb FROM cell GROUP BY b)
+)
+SELECT CAST(
+  (log2(CAST(n AS DOUBLE)) - sa / n - ((sb - sab) / n))
+  / (log2(CAST(n AS DOUBLE)) - sa / n) AS FLOAT) AS theils_u,
+  CAST(n AS BIGINT) AS n
+FROM parts, amarg, bmarg
+""",
+)
+def agg_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U (uncertainty coefficient) U(event_type | user cohort):
+    (H(a) - H(a|b)) / H(a), everything from exact integer contingency
+    counts with the n*log2(n) spelling (same FLOAT-surface policy as
+    agg_entropy); H(a|b) = (sum_b nb log nb - sum_ab nab log nab)/N."""
+    ev = t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("event_type").alias("a"), (F.col("user_id") % 7).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+    nd = lambda c: F.col(c).cast("double")  # noqa: E731
+    parts = cell.agg(
+        F.sum(nd("nab") * F.log2(nd("nab"))).alias("sab"),
+        F.sum("nab").cast("bigint").alias("n"),
+    )
+    amarg = (
+        cell.groupBy("a")
+        .agg(F.sum("nab").alias("na"))
+        .agg(F.sum(nd("na") * F.log2(nd("na"))).alias("sa"))
+    )
+    bmarg = (
+        cell.groupBy("b")
+        .agg(F.sum("nab").alias("nb"))
+        .agg(F.sum(nd("nb") * F.log2(nd("nb"))).alias("sb"))
+    )
+    j = parts.join(F.broadcast(amarg)).join(F.broadcast(bmarg))
+    ha = F.log2(nd("n")) - F.col("sa") / F.col("n")
+    hab = (F.col("sb") - F.col("sab")) / F.col("n")
+    return j.select(
+        ((ha - hab) / ha).cast("float").alias("theils_u"),
+        F.col("n").cast("bigint").alias("n"),
+    )

@@ -190,6 +190,7 @@ _AFTER_WINDOW = [
     "agg_cramers_v",
     "corpus_temperature_sample",
     "sql_ch_dialect_array_join_clause",
+    "agg_theils_u",
 ]
 
 

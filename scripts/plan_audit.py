@@ -55,6 +55,8 @@ ALLOWED = {
     # KS statistic: the (n1, n2) totals are a ONE-row aggregate
     # broadcast-crossed onto the distinct-value ECDF rows
     "agg_ks_test": {"BNLJ"},
+    # Theil's U: three ONE-row aggregates (joint + two marginals) crossed
+    "agg_theils_u": {"BNLJ"},
 }
 
 
