@@ -566,3 +566,85 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Streaming per-window top-k: the MV pattern for leaderboards — the
+# STREAM maintains the windowed rollup (append-once per closed window,
+# state bounded by open windows x categories), the top-k RANK runs
+# batch-side on the emitted rollup (ranking needs the closed window's
+# complete counts, so it belongs after the watermark fires — exactly how
+# the reference's leaderboard template ranks a CH MV,
+# templates/live-heartrate-leaderboard get_leaderboard.py).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_window_topk",
+    oracle="""
+WITH agg AS (
+  SELECT date_trunc('day', ts) AS ws, event_type, COUNT(*) AS n
+  FROM events
+  GROUP BY date_trunc('day', ts), event_type
+), cut AS (
+  SELECT ws, event_type, n FROM agg
+  WHERE ws + INTERVAL 1 DAY <= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+)
+SELECT window_start, event_type, n, rnk FROM (
+  SELECT strftime(ws, '%Y-%m-%d') AS window_start, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY ws ORDER BY n DESC, event_type ASC)
+           AS rnk
+  FROM cut
+) WHERE rnk <= 3
+""",
+)
+def streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per closed 1-day window: watermarked streaming
+    rollup (append-once per window) + batch-side rank over the sink."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="msk_wtk_src_")
+    out_dir = tempfile.mkdtemp(prefix="msk_wtk_out_")
+    ckpt = tempfile.mkdtemp(prefix="msk_wtk_ckpt_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    scope = _stream_state_partitions(spark)
+    scope.__enter__()
+    try:
+        stream = (
+            normalize_event_ts(spark.readStream.schema(events_schema).parquet(src_dir))
+            .withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd").alias("window_start"),
+                "event_type",
+                "n",
+            )
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rollup = spark.read.parquet(out_dir)
+        w = Window.partitionBy("window_start").orderBy(
+            F.col("n").desc(), F.col("event_type").asc()
+        )
+        return (
+            rollup.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("window_start", "event_type", "n", "rnk")
+            .localCheckpoint()
+        )
+    finally:
+        scope.__exit__()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

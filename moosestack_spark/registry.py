@@ -191,6 +191,7 @@ _AFTER_WINDOW = [
     "corpus_temperature_sample",
     "sql_ch_dialect_array_join_clause",
     "agg_theils_u",
+    "streaming_window_topk",
 ]
 
 
