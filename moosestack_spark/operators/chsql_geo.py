@@ -1,21 +1,15 @@
 """ClickHouse dialect families: geo, rounding/ISO-calendar, string search,
-bitmap set-algebra.
+bitmap set-algebra, intervals/timezone, higher-order arrays part 2,
+maps + string formatting, bit manipulation / no-throw arithmetic,
+DateTime64/UTF8 conversions, and the ARRAY JOIN / PREWHERE clause surface.
 
 Reference parity: the moose SQL surface passes ClickHouse SQL through
 verbatim (reference packages/ts-moose-lib sqlHelpers.ts template ->
 ClickHouse; SURVEY.md §2.9 establishes the function-vocabulary contract).
 These gate queries exercise the translator's newest families end-to-end
-over driver tables, each with a value-hash DuckDB oracle:
-
-- geo: geohashEncode + decode roundtrip, greatCircleDistance,
-  pointInPolygon — all generated cross-engine SQL arithmetic (sql/geo.py
-  documents the bit-exactness argument per function);
-- rounding: roundBankers / roundToExp2 / roundDuration / roundAge +
-  toISOWeek / toISOYear / monthName;
-- search: position / positionCaseInsensitive / countSubstrings /
-  multiSearchAny / multiSearchFirstIndex;
-- bitmap: groupBitmap and the bitmapAnd/Or/Xor/AndnotCardinality
-  set-algebra, re-expressed scale-first (see agg_bitmap_cardinalities).
+over driver tables, each with a value-hash DuckDB oracle; geo uses
+generated cross-engine SQL arithmetic (sql/geo.py documents the
+bit-exactness argument per function).
 
 Scale: every scalar family is per-row JVM arithmetic inside whole-stage
 codegen (zero exchanges beyond the final agg); the bitmap query is two
