@@ -692,3 +692,37 @@ def agg_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((ha - hab) / ha).cast("float").alias("theils_u"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "agg_bounding_ratio",
+    oracle="""
+SELECT event_type,
+       CAST(arg_max(CAST(round(value * 100) AS BIGINT), ts)
+            - arg_min(CAST(round(value * 100) AS BIGINT), ts) AS DOUBLE)
+         / (CAST(epoch_us(MAX(ts)) AS DOUBLE) / 1000000
+            - CAST(epoch_us(MIN(ts)) AS DOUBLE) / 1000000)
+         / 100 AS bounding_ratio
+FROM events GROUP BY event_type
+""",
+)
+def agg_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH boundingRatio(ts, value): slope between the first and last point
+    of each group — (value at max ts - value at min ts)/(max ts - min ts).
+    Values go through exact cents and timestamps through exact
+    microseconds, so the single final division sees identical operands in
+    both engines (hash-exact DOUBLE)."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        (
+            (F.max_by(cents, F.col("ts")) - F.min_by(cents, F.col("ts"))).cast(
+                "double"
+            )
+            / (
+                F.unix_micros(F.max("ts")).cast("double") / 1000000
+                - F.unix_micros(F.min("ts")).cast("double") / 1000000
+            )
+            / 100
+        ).alias("bounding_ratio")
+    )

@@ -192,6 +192,7 @@ _AFTER_WINDOW = [
     "sql_ch_dialect_array_join_clause",
     "agg_theils_u",
     "streaming_window_topk",
+    "agg_bounding_ratio",
 ]
 
 
