@@ -816,6 +816,28 @@ def translate_ch_sql(sql: str) -> str:
             f"__aj_{m.group(3)} AS {m.group(3)}"
         )
 
+    def _in_string(pos: int, spans: list[tuple[int, int]]) -> int:
+        """Return the span end if pos falls inside a string literal span,
+        else -1."""
+        for a, b in spans:
+            if a <= pos < b:
+                return b
+        return -1
+
+    def _string_spans(s: str) -> list[tuple[int, int]]:
+        spans, i2, in_s, start = [], 0, False, 0
+        while i2 < len(s):
+            if s[i2] == "'":
+                if in_s:
+                    spans.append((start, i2 + 1))
+                    in_s = False
+                else:
+                    in_s, start = True, i2
+            i2 += 1
+        if in_s:
+            spans.append((start, len(s)))
+        return spans
+
     sql = _ARRAY_JOIN.sub(_aj, sql)
     # PREWHERE is CH's manual pushdown hint; Catalyst pushes WHERE
     # predicates into the scan itself, so PREWHERE IS WHERE here.  When a
@@ -863,11 +885,18 @@ def translate_ch_sql(sql: str) -> str:
     )
     out = []
     i = 0
+    spans = _string_spans(sql)
     while True:
         m = _FN_CALL.search(sql, i)
         if not m:
             out.append(sql[i:])
             break
+        # never rewrite inside a string literal
+        span_end = _in_string(m.start(), spans)
+        if span_end >= 0:
+            out.append(sql[i:span_end])
+            i = span_end
+            continue
         name = m.group(1)
         open_idx = m.end() - 1
         close_idx = _find_close(sql, open_idx)

@@ -81,3 +81,27 @@ def test_clause_prepass_handles_ch_surface():
 
     with _pytest.raises(ValueError, match="ANY JOIN"):
         translate_ch_sql("SELECT a FROM t ANY LEFT JOIN u ON t.k = u.k")
+
+
+def test_arg_splitter_adversarial_cases():
+    from moosestack_spark.sql.ch_functions import _split_args
+
+    assert _split_args("'a,b', g(x, 'y(z'), [1,2]") == [
+        "'a,b'", "g(x, 'y(z')", "[1,2]"
+    ]
+    assert _split_args("(x, y) -> x + y, arr") == ["(x, y) -> x + y", "arr"]
+    assert _split_args("") == []
+    assert _split_args("f(g(h(a,b),c),d), e") == ["f(g(h(a,b),c),d)", "e"]
+
+
+def test_translate_preserves_strings_with_ch_names_inside():
+    # a function NAME inside a string literal must not be rewritten
+    out = translate_ch_sql("SELECT 'toDate(x)' AS s, toDate(d) FROM t")
+    assert "'toDate(x)'" in out and "to_date(d)" in out
+
+
+def test_translate_nested_calls():
+    out = translate_ch_sql(
+        "SELECT roundBankers(arraySum(arrayMap(x -> toFloat64(x), a)), 2) FROM t"
+    )
+    assert "bround" in out and "aggregate" in out and "transform" in out
