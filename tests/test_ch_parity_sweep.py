@@ -105,3 +105,9 @@ def test_translate_nested_calls():
         "SELECT roundBankers(arraySum(arrayMap(x -> toFloat64(x), a)), 2) FROM t"
     )
     assert "bround" in out and "aggregate" in out and "transform" in out
+
+
+def test_star_except_passes_through():
+    # CH `SELECT * EXCEPT(col)` is native Spark 4 syntax — passthrough
+    out = translate_ch_sql("SELECT * EXCEPT(a) FROM t")
+    assert "EXCEPT(a)" in out
