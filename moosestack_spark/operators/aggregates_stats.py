@@ -457,6 +457,10 @@ WITH h AS (
 SELECT SUM(n1 * avg_rank)
          - CAST(SUM(n1) AS DOUBLE) * (CAST(SUM(n1) AS DOUBLE) + 1) / 2
          AS u1,
+       (SUM(n1 * avg_rank)
+         - CAST(SUM(n1) AS DOUBLE) * (CAST(SUM(n1) AS DOUBLE) + 1) / 2)
+         / (CAST(SUM(n1) AS DOUBLE) * (CAST(SUM(nt) AS DOUBLE) - SUM(n1)))
+         AS auc,
        CAST(SUM(n1) AS BIGINT) AS n_purchase,
        CAST(SUM(nt) - SUM(n1) AS BIGINT) AS n_click
 FROM r
@@ -464,7 +468,10 @@ FROM r
 )
 def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (purchase vs click event values, cents-quantized):
-    U1 = sum of purchase tie-averaged ranks minus n1(n1+1)/2."""
+    U1 = sum of purchase tie-averaged ranks minus n1(n1+1)/2 — plus the
+    AUC identity U1/(n1*n2): the probability a random purchase value
+    outranks a random click value, i.e. the ROC-AUC of `value` as a
+    purchase-vs-click classifier (ties count half)."""
     ev = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
@@ -481,13 +488,14 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("nt").over(w_below), F.lit(0))
         + (F.col("nt") + 1).cast("double") / 2,
     )
+    u1 = (
+        F.sum(F.col("n1") * F.col("avg_rank"))
+        - F.sum("n1").cast("double") * (F.sum("n1").cast("double") + 1) / 2
+    )
+    n2 = F.sum("nt").cast("double") - F.sum("n1")
     return r.agg(
-        (
-            F.sum(F.col("n1") * F.col("avg_rank"))
-            - F.sum("n1").cast("double")
-            * (F.sum("n1").cast("double") + 1)
-            / 2
-        ).alias("u1"),
+        u1.alias("u1"),
+        (u1 / (F.sum("n1").cast("double") * n2)).alias("auc"),
         F.sum("n1").cast("bigint").alias("n_purchase"),
         (F.sum("nt") - F.sum("n1")).cast("bigint").alias("n_click"),
     )
