@@ -734,3 +734,58 @@ def agg_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("bounding_ratio")
     )
+
+
+@query(
+    "agg_spearman_corr",
+    oracle="""
+WITH r AS (
+  SELECT event_type,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) AS rx,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id) AS ry
+  FROM events
+), s AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(rx) AS DOUBLE) AS sx, CAST(SUM(ry) AS DOUBLE) AS sy,
+    CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
+    CAST(SUM(ry * ry) AS DOUBLE) AS syy,
+    CAST(SUM(rx * ry) AS DOUBLE) AS sxy
+  FROM r GROUP BY event_type
+)
+SELECT event_type,
+  (n * sxy - sx * sy)
+    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS spearman_rho
+FROM s
+""",
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value and event time per
+    type: Pearson over ROW_NUMBER ranks with a deterministic event_id
+    tiebreak (total order, so both engines assign identical integer ranks;
+    all sums exact, the statistic a hash-exact DOUBLE).  Two sorts on one
+    group exchange — the rank windows share the partition key."""
+    ev = t(spark, sf_dir, "events")
+    wx = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wy = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    r = ev.select(
+        "event_type",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("event_type", (num / den).alias("spearman_rho"))

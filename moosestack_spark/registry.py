@@ -193,6 +193,7 @@ _AFTER_WINDOW = [
     "agg_theils_u",
     "streaming_window_topk",
     "agg_bounding_ratio",
+    "agg_spearman_corr",
 ]
 
 
