@@ -665,15 +665,18 @@ WITH cell AS (
 SELECT CAST(
   (log2(CAST(n AS DOUBLE)) - sa / n - ((sb - sab) / n))
   / (log2(CAST(n AS DOUBLE)) - sa / n) AS FLOAT) AS theils_u,
+  CAST(log2(CAST(n AS DOUBLE)) - sa / n - sb / n + sab / n AS FLOAT)
+    AS mutual_info,
   CAST(n AS BIGINT) AS n
 FROM parts, amarg, bmarg
 """,
 )
 def agg_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil's U (uncertainty coefficient) U(event_type | user cohort):
-    (H(a) - H(a|b)) / H(a), everything from exact integer contingency
-    counts with the n*log2(n) spelling (same FLOAT-surface policy as
-    agg_entropy); H(a|b) = (sum_b nb log nb - sum_ab nab log nab)/N."""
+    """Theil's U (uncertainty coefficient) U(event_type | user cohort)
+    plus the mutual information I(a;b) = H(a)+H(b)-H(a,b) in bits —
+    everything from exact integer contingency counts with the n*log2(n)
+    spelling (same FLOAT-surface policy as agg_entropy);
+    H(a|b) = (sum_b nb log nb - sum_ab nab log nab)/N."""
     ev = t(spark, sf_dir, "events")
     cell = ev.groupBy(
         F.col("event_type").alias("a"), (F.col("user_id") % 7).alias("b")
@@ -696,8 +699,15 @@ def agg_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = parts.join(F.broadcast(amarg)).join(F.broadcast(bmarg))
     ha = F.log2(nd("n")) - F.col("sa") / F.col("n")
     hab = (F.col("sb") - F.col("sab")) / F.col("n")
+    mi = (
+        F.log2(nd("n"))
+        - F.col("sa") / F.col("n")
+        - F.col("sb") / F.col("n")
+        + F.col("sab") / F.col("n")
+    )
     return j.select(
         ((ha - hab) / ha).cast("float").alias("theils_u"),
+        mi.cast("float").alias("mutual_info"),
         F.col("n").cast("bigint").alias("n"),
     )
 
