@@ -607,12 +607,15 @@ WITH cell AS (
   FROM marg
 )
 SELECT CAST(sqrt(chi2 / (n * LEAST(r - 1, c - 1))) AS FLOAT) AS cramers_v,
+       CAST(chi2 AS FLOAT) AS chi2,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
        CAST(n AS BIGINT) AS n
 FROM chi
 """,
 )
 def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cramér's V between event type and a 7-way user cohort."""
+    """Cramér's V between event type and a 7-way user cohort, with the
+    underlying chi-square statistic and its degrees of freedom."""
     ev = t(spark, sf_dir, "events")
     cell = ev.groupBy(
         F.col("event_type").alias("a"), (F.col("user_id") % 7).alias("b")
@@ -640,6 +643,8 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("float")
         .alias("cramers_v"),
+        F.col("chi2").cast("float").alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
         F.col("n").cast("bigint").alias("n"),
     )
 
