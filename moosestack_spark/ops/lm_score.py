@@ -179,3 +179,67 @@ def text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("wsum").cast("double") >= 0).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Readability scoring (Flesch reading-ease shape).  All three inputs are
+# exact integer regex counts (words, sentence terminators, vowel groups as
+# the classic syllable proxy), so the score is plain arithmetic over
+# identical operands — hash-exact DOUBLE, no FLOAT downcast needed.
+# Zero-exchange JVM projection; quality pipelines threshold on it next to
+# the Gopher/C4 signals.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_readability",
+    oracle=r"""
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
+FROM (
+  SELECT doc_id,
+         GREATEST(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT),
+                  1) AS n_words,
+         GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+           AS n_sentences,
+         GREATEST(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS BIGINT), 1) AS n_syllables
+  FROM documents
+)
+""",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document: 206.835 - 1.015*(words/sentences)
+    - 84.6*(syllables/words), with vowel groups as the syllable proxy and
+    all counts floored at 1 (empty-text guard)."""
+    d = t(spark, sf_dir, "documents")
+    n_words = F.greatest(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint"), F.lit(1)
+    )
+    n_sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("bigint"), F.lit(1)
+    )
+    n_syl = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")).cast("bigint"),
+        F.lit(1),
+    )
+    out = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - F.lit(84.6)
+            * (F.col("n_syllables").cast("double") / F.col("n_words"))
+        ).alias("flesch"),
+    )

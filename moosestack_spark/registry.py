@@ -194,6 +194,7 @@ _AFTER_WINDOW = [
     "streaming_window_topk",
     "agg_bounding_ratio",
     "agg_spearman_corr",
+    "text_readability",
 ]
 
 
