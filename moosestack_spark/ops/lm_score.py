@@ -243,3 +243,96 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("n_syllables").cast("double") / F.col("n_words"))
         ).alias("flesch"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-signal ensemble: the keep/drop verdict a curation pipeline
+# actually acts on, combining three independent oracled signals (hashed
+# classifier vote, readability band, length band) into per-document flags
+# and a final verdict — composed as ONE zero-exchange projection (each
+# signal is plain arithmetic; the ensemble adds no operator cost).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_quality_ensemble",
+    oracle=rf"""
+WITH sig AS (
+  SELECT doc_id,
+    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split_regex(trim(lower(text)), '\s+'),
+        tok -> (({_DUCK_TOK_HASH} % {_HASH_DIM}) * {_KNUTH}) % 1000 - 500)),
+      (a, b) -> a + b) AS BIGINT) AS wsum,
+    GREATEST(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT), 1)
+      AS n_words,
+    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+      AS n_sentences,
+    GREATEST(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT), 1) AS n_syllables
+  FROM documents
+), flags AS (
+  SELECT doc_id,
+    wsum >= 0 AS clf_ok,
+    (206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+      BETWEEN 0 AND 120 AS read_ok,
+    n_words BETWEEN 5 AND 10000 AS len_ok
+  FROM sig
+)
+SELECT doc_id, clf_ok, read_ok, len_ok,
+       (clf_ok AND read_ok AND len_ok) AS keep
+FROM flags
+""",
+)
+def corpus_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop verdict from three oracled signals: the
+    hashed-classifier integer vote, the Flesch readability band [0, 120],
+    and a 5..10000-word length band.  The verdict and each flag gate
+    hash-exact (classifier sum is exact integer; readability compares
+    identical doubles)."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.expr(
+        f"transform(split(trim(lower(text)), '\\\\s+'), "
+        f"tok -> (({_SPARK_TOK_HASH} % {_HASH_DIM}) * {_KNUTH}) % 1000 - 500)"
+    )
+    n_words = F.greatest(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint"), F.lit(1)
+    )
+    n_sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("bigint"), F.lit(1)
+    )
+    n_syl = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")).cast("bigint"),
+        F.lit(1),
+    )
+    sig = d.select(
+        "doc_id",
+        F.expr(
+            "aggregate(%s, 0L, (a, b) -> a + b)"
+            % (
+                f"transform(split(trim(lower(text)), '\\\\s+'), "
+                f"tok -> (({_SPARK_TOK_HASH} % {_HASH_DIM}) * {_KNUTH}) % 1000 - 500)"
+            )
+        ).alias("wsum"),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    flags = sig.select(
+        "doc_id",
+        (F.col("wsum") >= 0).alias("clf_ok"),
+        flesch.between(0, 120).alias("read_ok"),
+        F.col("n_words").between(5, 10000).alias("len_ok"),
+    )
+    return flags.select(
+        "doc_id",
+        "clf_ok",
+        "read_ok",
+        "len_ok",
+        (F.col("clf_ok") & F.col("read_ok") & F.col("len_ok")).alias("keep"),
+    )

@@ -195,6 +195,7 @@ _AFTER_WINDOW = [
     "agg_bounding_ratio",
     "agg_spearman_corr",
     "text_readability",
+    "corpus_quality_ensemble",
 ]
 
 
