@@ -105,6 +105,9 @@ EXTRA = [
     "source_schema_evolution_defaults",
     "sql_ch_dialect_datetime64",
     "sql_ch_dialect_bits_misc",
+    "agg_spearman_corr",
+    "text_readability",
+    "corpus_quality_ensemble",
 ]
 
 
