@@ -23,6 +23,7 @@ Scale design:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from moosestack_spark.registry import query
@@ -445,7 +446,13 @@ def minhash_lsh_pairs(
     collisions; genuinely-near-dup members of an over-full bucket still
     collide in their other n_bands-1 bands) are dropped — the same skew
     discipline as the shingle df cap, and what keeps the collect bounded
-    on a 100 TB corpus.
+    on a 100 TB corpus.  The cap is enforced BEFORE the collect by a
+    doc-ordered row_number over the same (band, bh) partitioning (capped
+    at max_bucket + 1, so over-full buckets are still detectable and
+    dropped by the size filter): the aggregation buffer never holds more
+    than max_bucket + 1 members even when a boilerplate bucket has
+    millions, and the window reuses the groupBy's hash exchange — one
+    sort added, zero extra shuffles (plan-pinned in test_plans).
 
     Signatures are computed SHUFFLE-FREE as one let-bound array expression
     per document (token hashes -> window hashes -> 32 array_min columns,
@@ -459,8 +466,11 @@ def minhash_lsh_pairs(
     """
     bands = _minhash_band_rows(df, id_col, text_col, n, n_hashes, n_bands)
 
+    w = W.partitionBy("band", "bh").orderBy(F.col("m.doc"))
     buckets = (
-        bands.groupBy("band", "bh")
+        bands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_bucket + 1)
+        .groupBy("band", "bh")
         .agg(F.array_sort(F.collect_list("m")).alias("ms"))
         .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     )
@@ -523,8 +533,14 @@ def minhash_lsh_pairs_incremental(
         "band",
         "bh",
     )
+    # same doc-ordered pre-collect cap as the batch path: identical
+    # membership ordering means identical over-full-bucket drop decisions,
+    # which is what keeps the filtered-full-corpus equivalence exact
+    w = W.partitionBy("band", "bh").orderBy(F.col("m.doc"))
     buckets = (
-        members.groupBy("band", "bh")
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_bucket + 1)
+        .groupBy("band", "bh")
         .agg(
             F.array_sort(F.collect_list("m")).alias("ms"),
             F.max(F.col("m.nw").cast("int")).alias("has_new"),
@@ -614,12 +630,27 @@ def simhash_signatures(
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, max_hamming: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    max_hamming: int = 8,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, bucketed by the 4 16-bit
     quarters (a pair within hamming<=8 shares at least one identical
     quarter... pigeonhole guarantees d<=3 collides; wider d is best-effort,
-    matching SimHash practice)."""
+    matching SimHash practice).
+
+    `max_bucket` bounds per-bucket pair work on boilerplate-heavy corpora
+    (a quarter bucket with m docs emits m^2/2 candidates): over-full
+    buckets are SLICED to their `max_bucket` smallest doc ids rather than
+    dropped — unlike the minhash bands, a d<=3 pair is only guaranteed to
+    collide in one quarter, so dropping the bucket would break pigeonhole
+    completeness outright while slicing keeps it for the retained members
+    and stays deterministic.  Work per bucket is therefore <= C(max_bucket,
+    2) regardless of skew; equivalence at cap->infinity is pinned in
+    test_dedup."""
     sig = simhash_signatures(df, id_col, text_col, n)
     quarters = sig.select(
         "doc",
@@ -641,8 +672,15 @@ def simhash_pairs(
     # bucket-grouped pair emission (same shape as minhash_lsh_pairs: the
     # old self-join needed an eager checkpoint and shuffled the signature
     # table twice); hamming is computed inline from the collected structs
+    # skew cap BEFORE the collect: keep the max_bucket smallest doc ids per
+    # quarter bucket, bounding both the aggregation buffer and pair
+    # emission (<= C(max_bucket, 2)); the window reuses the groupBy's hash
+    # exchange so this adds a sort, not a shuffle
+    wq = W.partitionBy("q", "qh").orderBy("doc")
     buckets = (
-        quarters.groupBy("q", "qh")
+        quarters.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= max_bucket)
+        .groupBy("q", "qh")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("doc"), F.col("sh")))

@@ -101,6 +101,57 @@ def test_lsh_band_rows_use_same_hash_family_as_signatures(spark):
     assert abs(pairs[(1, 2)] - expected) < 1e-12
 
 
+def test_lsh_bucket_cap_bounds_mass_duplicate_blowup(spark):
+    """Adversarial mass-duplicate corpus: m identical docs collide into ONE
+    bucket per band.  With the pre-collect cap the bucket is pruned to
+    max_bucket + 1 members BEFORE collect_list (bounded aggregation buffer)
+    and then dropped by the size filter — zero pairs, O(cap) work, instead
+    of m^2/2 pairs."""
+    from moosestack_spark.ops.dedup import minhash_lsh_pairs
+
+    m = 60
+    text = "identical boilerplate document body repeated across the corpus"
+    df = spark.createDataFrame([(i, text) for i in range(m)], "doc_id long, text string")
+    capped = minhash_lsh_pairs(df, "doc_id", "text", n=5, threshold=0.0, max_bucket=16)
+    assert capped.count() == 0
+    # cap above the bucket size -> full pair set comes back (equivalence at
+    # cap -> infinity)
+    uncapped = minhash_lsh_pairs(
+        df, "doc_id", "text", n=5, threshold=0.0, max_bucket=10**6
+    )
+    assert uncapped.count() == m * (m - 1) // 2
+
+
+def test_simhash_bucket_cap_slices_not_drops(spark):
+    """SimHash quarter buckets are SLICED to the max_bucket smallest doc ids
+    (a d<=3 pair is only guaranteed to collide in one quarter, so dropping
+    the bucket would break pigeonhole completeness): m identical docs with
+    cap=16 emit exactly C(16,2) pairs among the 16 smallest ids."""
+    from moosestack_spark.ops.dedup import simhash_pairs
+
+    m = 48
+    text = "identical boilerplate document body repeated across the corpus"
+    df = spark.createDataFrame([(i, text) for i in range(m)], "doc_id long, text string")
+    got = simhash_pairs(df, "doc_id", "text", n=5, max_hamming=8, max_bucket=16)
+    pairs = {(r.doc_a, r.doc_b) for r in got.collect()}
+    assert pairs == {(a, b) for a in range(16) for b in range(a + 1, 16)}
+
+
+def test_lsh_bucket_cap_adds_no_exchange(spark):
+    """The pre-collect row_number cap must reuse the bucket groupBy's hash
+    exchange: total exchanges stay at 3 (parallelism spread, bucket
+    shuffle, pair dedup) for both banded paths."""
+    from moosestack_spark.ops.dedup import minhash_lsh_pairs, simhash_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"doc body {i} with some shared tokens") for i in range(10)],
+        "doc_id long, text string",
+    )
+    for fn in (minhash_lsh_pairs, simhash_pairs):
+        plan = fn(df, "doc_id", "text", n=5)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 3, fn.__name__
+
+
 def test_incremental_lsh_equals_filtered_full(spark, sf_dir):
     """Incremental probe == full-corpus LSH pairs restricted to pairs
     touching the new batch (hard equivalence: same buckets, same
