@@ -35,18 +35,10 @@ from moosestack_spark.registry import query
 from moosestack_spark.tables import t
 
 
-def connected_components(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    max_rounds: int = 25,
-) -> DataFrame:
-    """Label each vertex of the undirected graph `edges` with the minimum
-    vertex id of its connected component.  Returns (v, cluster_id).
-
-    `edges` may be directed input — it is symmetrized here, so callers pass
-    each pair once.
-    """
+def _sym_and_labels(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, DataFrame]:
+    """Symmetrized edge list + initial self-labels, both lineage-truncated."""
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -57,6 +49,15 @@ def connected_components(
         .withColumn("lbl", F.col("v"))
         .localCheckpoint()
     )
+    return sym, labels
+
+
+def _propagate(
+    sym: DataFrame, labels: DataFrame, max_rounds: int
+) -> tuple[DataFrame, bool]:
+    """Min-label propagation rounds; returns (labels, converged).  Convergence
+    is detected from the label-sum (strictly decreasing until fixpoint), one
+    scalar agg per round instead of an extra diff join."""
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_rounds):
         nbr_min = (
@@ -76,9 +77,75 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
-            break
+            return labels, True
         prev_sum = cur_sum
+    return labels, False
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Label each vertex of the undirected graph `edges` with the minimum
+    vertex id of its connected component.  Returns (v, cluster_id).
+
+    `edges` may be directed input — it is symmetrized here, so callers pass
+    each pair once.
+    """
+    sym, labels = _sym_and_labels(edges, src, dst)
+    labels, _ = _propagate(sym, labels, max_rounds)
     return labels.select("v", F.col("lbl").alias("cluster_id"))
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    propagation_rounds: int = 4,
+    star_rounds: int = 16,
+) -> DataFrame:
+    """Hybrid CC — the production default: min-label propagation for up to
+    `propagation_rounds` (duplicate clusters are near-cliques of diameter
+    2-3, so real dedup graphs converge here in 2-4 cheap rounds), and if the
+    fixpoint is NOT reached (pathological long chains), the graph is
+    CONTRACTED through the current labels (edge (u,v) -> (lbl(u), lbl(v)))
+    and finished with the O(log n)-round large-star/small-star variant.
+
+    Contraction is sound for min-labeling: after any number of propagation
+    rounds every lbl(v) is the id of a member of v's component with
+    lbl(v) <= v, and the component minimum m keeps lbl(m) = m, so the
+    label graph preserves connectivity and its per-component min label IS
+    the component min vertex id.  Final label of v = star-cluster of
+    lbl(v), or lbl(v) itself for components already converged (their labels
+    carry no contracted edge).  Equivalence with plain propagation is
+    property-pinned on chains, cycles and random graphs in
+    tests/test_components.py."""
+    sym, labels = _sym_and_labels(edges, src, dst)
+    labels, converged = _propagate(sym, labels, propagation_rounds)
+    if converged:
+        return labels.select("v", F.col("lbl").alias("cluster_id"))
+    l_src = labels.select(F.col("v").alias("sv"), F.col("lbl").alias("slbl"))
+    l_dst = labels.select(F.col("v").alias("dv"), F.col("lbl").alias("dlbl"))
+    contracted = (
+        sym.join(l_src, sym.src == F.col("sv"))
+        .join(l_dst, sym.dst == F.col("dv"))
+        .select(F.col("slbl").alias("src"), F.col("dlbl").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    star = connected_components_star(contracted, "src", "dst", star_rounds)
+    return (
+        labels.join(
+            star.select(F.col("v").alias("lv"), F.col("cluster_id")),
+            labels.lbl == F.col("lv"),
+            "left",
+        )
+        .select(
+            "v", F.coalesce(F.col("cluster_id"), F.col("lbl")).alias("cluster_id")
+        )
+    )
 
 
 # Shared with the dedup_ngram_jaccard oracle (ops/dedup.py) — the pair CTE
@@ -116,9 +183,9 @@ pairs AS (
 """
 
 
-@query(
-    "dedup_connected_components",
-    oracle=f"""
+# The recursive-CTE transitive closure shared by both CC gates (label
+# propagation and large-star/small-star must produce identical clusters).
+_CC_ORACLE = f"""
 WITH RECURSIVE {_PAIR_CTES},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -133,8 +200,10 @@ reach AS (
 )
 SELECT v AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY v
-""",
-)
+"""
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE)
 def dedup_connected_components(spark, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters over the exact n-gram Jaccard pair
     graph (threshold 0.5): every doc with at least one near-dup, labeled by
@@ -146,6 +215,22 @@ def dedup_connected_components(spark, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.5)
     cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("v").alias("doc_id"), "cluster_id")
+
+
+@query("dedup_connected_components_star", oracle=_CC_ORACLE)
+def dedup_connected_components_star(spark, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster closure as dedup_connected_components, computed
+    by the O(log n)-round large-star/small-star algorithm instead of
+    O(diameter) label propagation — the scale path for long-chain graphs,
+    now under the same recursive-CTE hard oracle (the two Spark variants are
+    additionally equivalence-pinned on chains/cycles/random graphs in
+    tests/test_components.py)."""
+    from moosestack_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.5)
+    cc = connected_components_star(pairs, "doc_a", "doc_b")
     return cc.select(F.col("v").alias("doc_id"), "cluster_id")
 
 

@@ -415,7 +415,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash shuffle; the pair/CC subgraph runs on the FILTERED survivor corpus
     (each stage shrinks the next stage's input — the pipeline ordering IS
     the optimization); the split/rollup is a final tiny aggregate."""
-    from moosestack_spark.ops.components import connected_components
+    from moosestack_spark.ops.components import connected_components_auto
     from moosestack_spark.ops.dedup import ngram_jaccard_pairs
 
     d = t(spark, sf_dir, "documents")
@@ -433,7 +433,10 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "n_chars")
     )
     pairs = ngram_jaccard_pairs(uniq, "doc_id", "text", n=5, threshold=0.5)
-    cc = connected_components(pairs, "doc_a", "doc_b")
+    # hybrid CC: propagation converges in 2-3 rounds on the near-clique
+    # clusters this graph has; a long-chain graph would contract and
+    # star-finish in O(log n) rounds instead of O(diameter)
+    cc = connected_components_auto(pairs, "doc_a", "doc_b")
     non_canonical = cc.filter(F.col("v") != F.col("cluster_id")).select("v")
     final = uniq.join(
         F.broadcast(non_canonical), uniq.doc_id == F.col("v"), "left_anti"

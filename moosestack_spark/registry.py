@@ -140,6 +140,8 @@ _AFTER_WINDOW = [
     "sql_ch_dialect_search",
     "sql_ch_dialect_url",
     "sql_ch_dialect_vectors",
+    # --- new round-4 queries (appended as they land) ---
+    "dedup_connected_components_star",
 ]
 
 

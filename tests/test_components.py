@@ -60,6 +60,44 @@ def test_star_matches_propagation_on_random_graphs(spark):
         assert got_star == got_prop, f"trial {trial}"
 
 
+def _cc_auto(spark, edges, propagation_rounds=2):
+    from moosestack_spark.ops.components import connected_components_auto
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = connected_components_auto(
+        df, propagation_rounds=propagation_rounds
+    ).collect()
+    return {r["v"]: r["cluster_id"] for r in rows}
+
+
+def test_auto_long_chain_forces_star_finish(spark):
+    """A 40-edge chain cannot converge in 2 propagation rounds — the hybrid
+    must contract and star-finish, and still produce the exact propagation
+    labels (everything collapses to the chain minimum)."""
+    edges = [(i, i + 1) for i in range(1, 41)]
+    got = _cc_auto(spark, edges, propagation_rounds=2)
+    assert got == {v: 1 for v in range(1, 42)}
+
+
+def test_auto_matches_propagation_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 30
+        edges = [(rng.randrange(1, n), rng.randrange(1, n)) for _ in range(25)]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _cc_auto(spark, edges, propagation_rounds=1) == _cc(spark, edges), trial
+
+
+def test_auto_converged_graph_skips_star(spark):
+    """Near-clique clusters (the real dedup-graph shape) converge inside the
+    propagation budget; the hybrid returns the propagation labels directly."""
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
+    got = _cc_auto(spark, edges, propagation_rounds=4)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
 def test_star_disjoint_and_cycles(spark):
     edges = [(1, 2), (2, 3), (3, 1), (3, 7), (7, 8), (8, 9), (9, 7), (20, 21)]
     got = _cc_star(spark, edges)
