@@ -87,12 +87,27 @@ class Api(Generic[TParams]):
         self,
         spark: SparkSession,
         jwt: Optional[dict] = None,
+        limit: Optional[int] = None,
         **raw_params: Any,
     ) -> list[dict]:
-        """The HTTP-response shape (rows as dicts)."""
+        """The HTTP-response shape (rows as dicts).
+
+        Every consumption read is clamped before collect (the reference
+        clamps at the query layer, query-model.ts:394,789: request default
+        100, maxLimit 1000) — a handler returning an unbounded DataFrame
+        must not be able to OOM the serving driver.  `limit` lets a caller
+        raise the row count up to MAX_LIMIT; handlers that already limit
+        tighter are unaffected."""
+        from moosestack_spark.query_layer.pagination import clamp_limit
+
+        n = clamp_limit(limit)
+        # a handler whose params model declares its own `limit` still gets
+        # it (the response clamp applies on top, never widening)
+        if limit is not None and "limit" in self.params_model.model_fields:
+            raw_params.setdefault("limit", limit)
         return [
             r.asDict(recursive=True)
-            for r in self.call(spark, jwt=jwt, **raw_params).collect()
+            for r in self.call(spark, jwt=jwt, **raw_params).limit(n).collect()
         ]
 
 

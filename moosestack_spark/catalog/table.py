@@ -263,8 +263,14 @@ class OlapTable(Generic[T]):
         """
         options = options or InsertOptions()
         if isinstance(data, DataFrame):
-            self._append_df(data)
-            return InsertResult(inserted=data.count(), failed=0)
+            # count via an Observation riding the write's own execution —
+            # a separate data.count() would re-run the entire input lineage
+            # (at 100 TB the insert source would compute twice)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            self._append_df(data.observe(obs, F.count(F.lit(1)).alias("n")))
+            return InsertResult(inserted=obs.get["n"], failed=0)
 
         if isinstance(data, Iterator):
             total_ok = 0

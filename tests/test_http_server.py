@@ -107,6 +107,32 @@ def test_api_get_matches_call_json(server, spark):
     assert [r["id"] for r in rows] == [9, 8, 7, 6]
 
 
+def test_call_json_clamps_unbounded_handler(spark):
+    """A handler returning an unbounded DataFrame must truncate at the
+    pagination clamp before collect (reference maxLimit discipline,
+    query-model.ts:394,789): default 100 rows, caller-raised at most 1000 —
+    never the driver-OOM full result."""
+    from moosestack_spark.api import clear_apis, get_api
+    from moosestack_spark.query_layer.pagination import DEFAULT_LIMIT, MAX_LIMIT
+
+    clear_apis()
+
+    class NoParams(BaseModel):
+        pass
+
+    Api(
+        "unbounded",
+        NoParams,
+        lambda p, u: u.spark.range(0, 5000).toDF("id"),
+    )
+    api = get_api("unbounded")
+    assert len(api.call_json(spark)) == DEFAULT_LIMIT
+    assert len(api.call_json(spark, limit=7)) == 7
+    # a request can never widen past MAX_LIMIT
+    assert len(api.call_json(spark, limit=10**9)) == MAX_LIMIT
+    clear_apis()
+
+
 def test_auth_and_errors(server):
     srv, pipe, base = server
     code, _ = _post(f"{base}/ingest/events_http", [], token=None)

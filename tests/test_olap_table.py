@@ -91,6 +91,33 @@ def test_iterator_insert_batches(spark, warehouse):
     assert t.read().count() == 2500
 
 
+def test_dataframe_insert_executes_lineage_once(spark, warehouse):
+    """insert(DataFrame) must NOT re-run the input lineage for its row count
+    (at 100 TB the source would compute twice): the count rides the write's
+    own execution via an Observation.  Pinned with an accumulator-backed UDF
+    in the lineage — each row evaluated exactly once."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tag(x):
+        acc.add(1)
+        return x
+
+    tag_udf = F.udf(tag, LongType())
+    src = spark.range(1, 11).select(
+        tag_udf(F.col("id")).alias("id"),
+        F.lit("k").alias("kind"),
+        F.lit(1.0).alias("amount"),
+    )
+    t = OlapTable("once", Event, spark, warehouse)
+    res = t.insert(src)
+    assert res.inserted == 10
+    assert t.read().count() == 10
+    assert acc.value == 10, f"lineage ran {acc.value / 10:.1f}x"
+
+
 def test_unsigned_range_check(spark, warehouse):
     class M(BaseModel):
         id: Key[int]
