@@ -106,12 +106,31 @@ def sort_limit_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("sample_hash_mod")  # hash-based sample: rows-only driver check
+def _sample_hash_mod_oracle() -> str:
+    from moosestack_spark.operators.aggregates import fmix32_duckdb_ctes
+
+    ctes = fmix32_duckdb_ctes("o_orderkey", "o_orderstatus", "orders")
+    return f"""
+WITH {ctes}
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_sampled
+FROM hashed WHERE h32 % 10 = 0
+GROUP BY o_orderstatus
+"""
+
+
+@query("sample_hash_mod", oracle=_sample_hash_mod_oracle())
 def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% sample of orders by key hash + the sampled
-    aggregate (the moose `SAMPLE 0.1` usage shape)."""
+    aggregate (the moose `SAMPLE 0.1` usage shape).  The keep decision
+    hashes o_orderkey through the PORTABLE murmur3 fmix32 finalizer (the
+    same arithmetic the deterministic HLL and the oracled temperature
+    sampler use), so the sample is replayable in DuckDB and this query
+    carries a hard value-hash gate instead of the rows-only check the old
+    xxhash64 spelling allowed."""
+    from moosestack_spark.operators.aggregates import fmix32_expr
+
     o = t(spark, sf_dir, "orders")
-    sampled = o.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(10)) == 0)
+    sampled = o.filter(F.expr(f"({fmix32_expr('o_orderkey')}) % 10 = 0"))
     return sampled.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_sampled")
     )

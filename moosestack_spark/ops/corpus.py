@@ -335,16 +335,98 @@ def semantic_dedup_pairs(
     )
 
 
-@query("dedup_semantic_cluster")  # KMeans-trained: rows-only driver check
+def hash_seed_centroids(
+    df: DataFrame, id_col: str, vec: str, k: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid seeding: the k rows with the smallest
+    (fmix32(id), id) — the portable murmur3 finalizer both engines replay —
+    returned as (cid=row id, vector) sorted by cid ascending.  A hash-random
+    draw is exactly what k-means++ uses for its first pick; using k such
+    draws trades some cell balance for a fully engine-replayable cell
+    structure, which is what lets the whole SemDeDup assignment carry a
+    hard value-hash oracle (the Lloyd-trained path keeps its pytest-pinned
+    recall gates).  Bounded driver collect: k rows."""
+    from moosestack_spark.operators.aggregates import fmix32_expr
+
+    rows = (
+        df.select(id_col, vec)
+        .withColumn("__h32", F.expr(fmix32_expr(id_col)))
+        .orderBy("__h32", id_col)
+        .limit(k)
+        .collect()
+    )
+    return sorted((int(r[id_col]), list(r[vec])) for r in rows)
+
+
+def _semantic_cluster_oracle(k: int = 16, probes: int = 3, thr: float = 0.35) -> str:
+    from moosestack_spark.operators.aggregates import fmix32_duckdb_ctes
+
+    ctes = fmix32_duckdb_ctes("vec_id", "vec_id", "embeddings")
+    return f"""
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+{ctes},
+cents AS (
+  SELECT e.vec_id AS cid, e.v AS cv
+  FROM e JOIN hashed h ON h.vec_id = e.vec_id
+  ORDER BY h.h32, e.vec_id LIMIT {k}
+),
+norms AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e),
+cnorms AS (SELECT cid, cv, SQRT(list_dot_product(cv, cv)) AS cnrm FROM cents),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT n.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+                      c.cid ASC
+           ) AS rk
+    FROM norms n CROSS JOIN cnorms c
+  ) WHERE rk <= {probes}
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+FROM assign a
+JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+JOIN norms na ON na.vec_id = a.vec_id
+JOIN norms nb ON nb.vec_id = b.vec_id
+WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= {thr}
+"""
+
+
+@query("dedup_semantic_cluster", oracle=_semantic_cluster_oracle())
 def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dup pairs within k-means cells at cosine >= 0.35 (the
+    """Semantic near-dup pairs within centroid cells at cosine >= 0.35 (the
     same threshold the exact kernel gates at — the synthetic embeddings'
     cosine mass sits well below real near-dup levels).
-    Registered rows-only (seeded MLlib KMeans is not SQL-expressible);
-    soundness (every pair truly >= threshold) and recall vs the exact
-    all-pairs kernel are pytest-pinned in test_corpus.py."""
+
+    The gate seeds cells from DETERMINISTIC hash-selected centroids
+    (fmix32-min rows, hash_seed_centroids) so the full pipeline — top-probes
+    assignment with (cos DESC, cid ASC) ranking, in-cell exact cosine — is
+    replayable in DuckDB and carries a hard value-hash oracle; the
+    production Lloyd-trained path (semantic_dedup_pairs with
+    ivf_train_centroids) shares every stage after seeding and keeps its
+    soundness/recall pytest pins in test_corpus.py."""
     e = t(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(e, "vec_id", "embedding").orderBy("id_a", "id_b")
+    ev = e.select(
+        F.col("vec_id").alias("__id"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+    )
+    centroids = hash_seed_centroids(ev, "__id", "__v", k=16)
+    assigned = _assign_top_cells(ev, centroids, vec="__v", probes=3)
+    from moosestack_spark.ops.similarity import cosine
+
+    a = assigned.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"), "__cell")
+    b = assigned.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"), "__cell")
+    return (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .select("id_a", "id_b")
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -186,8 +186,50 @@ def lsh_topk(
     )
 
 
-@query("similarity_lsh_bucketed")  # approximate: rows-only driver check
+def _lsh_bucketed_oracle(dim: int = 64, k: int = 10) -> str:
+    """DuckDB SQL replaying the sign-bucket prune with the same plane
+    literals (the dedup_embedding_cosine_pruned technique): the
+    approximation is in recall vs brute force, never in what either engine
+    computes, so the bucketed ANN carries a hard value-hash gate."""
+    bits = []
+    for p in range(N_PLANES):
+        lits = ", ".join(repr(c) for c in _plane_coeffs(dim, p))
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket_sql = " + ".join(bits)
+    return f"""
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, v, {bucket_sql} AS bkt,
+         SQRT(list_dot_product(v, v)) AS nrm
+  FROM e
+),
+ranked AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                    c.vec_id ASC
+         ) AS rnk
+  FROM b q JOIN b c ON q.bkt = c.bkt
+  WHERE q.vec_id < 8
+)
+SELECT q_id, c_id, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+@query("similarity_lsh_bucketed", oracle=_lsh_bucketed_oracle())
 def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH sign-bucket ANN: exact cosine top-10 restricted to each query's
+    12-plane bucket.  The plane coefficients are deterministic hash-derived
+    literals (_plane_coeffs) replayed verbatim by the DuckDB oracle, so the
+    gate hash-matches exactly — graduated from rows-only the same way the
+    pruned embedding-dedup gate is oracled."""
     e = t(spark, sf_dir, "embeddings")
     dim = 64  # embeddings table vec dim (TESTDATA.md)
     qs = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"), "embedding")
@@ -687,13 +729,20 @@ def pq_topk(
             rows = []
             cand_ids = pdf[cand_id].to_numpy()
             for qi in range(len(qids)):
-                order = np.argsort(-est[:, qi], kind="stable")[:shortlist]
-                for j in order:
+                # skip self BEFORE truncating: the batch must emit its top
+                # `shortlist` NON-SELF candidates, otherwise a batch holding
+                # the query vector contributes one short and the union of
+                # batch shortlists stops being a superset of the global one
+                emitted = 0
+                for j in np.argsort(-est[:, qi], kind="stable"):
                     if cand_ids[j] == qids[qi]:
                         continue
                     rows.append(
                         (int(qids[qi]), cand_ids[j], float(est[j, qi]), V[j])
                     )
+                    emitted += 1
+                    if emitted >= shortlist:
+                        break
             yield pd.DataFrame(rows, columns=[query_id, cand_id, "est_dot", "__v"])
 
     scored = c.mapInPandas(score_kernel, out_schema)
@@ -721,15 +770,117 @@ def pq_topk(
     )
 
 
-@query("similarity_pq_topk")  # kmeans-trained codebooks: rows-only check
+def deterministic_pq_codebooks(
+    m: int, ks: int, sub: int, scale: float = 0.25
+) -> list[list[list[float]]]:
+    """Hash-derived codebook literals (the _plane_coeffs LCG scheme): a
+    fixed pseudo-random Voronoi partition per subspace, reproducible across
+    runs and ENGINES — what lets the full PQ pipeline carry a value-hash
+    oracle.  Production uses pq_train_codebooks (Lloyd-fitted, better
+    quantization error); every stage downstream of the codebook is shared."""
+    books = []
+    for mi in range(m):
+        book = []
+        for c in range(ks):
+            x = ((mi * 1315423911) ^ (c * 2654435761) ^ 0x9E3779B9) & 0xFFFFFFFF
+            vec = []
+            for _ in range(sub):
+                x = (x * 1664525 + 1013904223) & 0xFFFFFFFF
+                vec.append((((x >> 8) / float(1 << 24)) * 2.0 - 1.0) * scale)
+            book.append(vec)
+        books.append(book)
+    return books
+
+
+def _pq_topk_oracle(
+    m: int = 8, ks: int = 64, k: int = 5, rerank_factor: int = 8, dim: int = 64
+) -> str:
+    """DuckDB replay of the ENTIRE PQ pipeline with the deterministic
+    codebook literals: unit-normalize, per-subspace nearest-code encode
+    (ties to the smaller code index, matching np.argmin), ADC estimated
+    dot, global shortlist of k*rerank_factor by (est DESC, id ASC) — the
+    per-batch shortlists in the Spark kernel are supersets of the global
+    one, so batching never changes it — then exact-cosine re-rank."""
+    sub = dim // m
+    books = deterministic_pq_codebooks(m, ks, sub)
+    rows = []
+    for mi in range(m):
+        for c in range(ks):
+            lits = ", ".join(repr(x) for x in books[mi][c])
+            rows.append(f"({mi}, {c}, [{lits}])")
+    cb_values = ",\n".join(rows)
+    shortlist = k * rerank_factor
+    return f"""
+WITH cb(mi, code, cv) AS (VALUES {cb_values}),
+e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+unit AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(v, x -> x / SQRT(list_dot_product(v, v))) AS v
+  FROM e
+),
+codes AS (
+  SELECT vec_id, mi, code FROM (
+    SELECT u.vec_id, cb.mi, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vec_id, cb.mi
+             ORDER BY list_dot_product(
+                        u.v[cb.mi * {sub} + 1 : cb.mi * {sub} + {sub}], cb.cv
+                      ) * -2 + list_dot_product(cb.cv, cb.cv) ASC,
+                      cb.code ASC
+           ) AS rk
+    FROM unit u CROSS JOIN cb
+  ) WHERE rk = 1
+),
+est AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         SUM(list_dot_product(
+               q.v[c.mi * {sub} + 1 : c.mi * {sub} + {sub}], cb.cv
+             )) AS est_dot
+  FROM codes c
+  JOIN cb ON cb.mi = c.mi AND cb.code = c.code
+  CROSS JOIN unit q
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+short AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q_id ORDER BY est_dot DESC, c_id ASC
+           ) AS rk
+    FROM est
+  ) WHERE rk <= {shortlist}
+)
+SELECT q_id, c_id, CAST(rnk AS INT) AS rnk FROM (
+  SELECT s.q_id, s.c_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.q_id
+           ORDER BY list_dot_product(qu.v, cu.v) DESC, s.c_id ASC
+         ) AS rnk
+  FROM short s
+  JOIN unit qu ON qu.vec_id = s.q_id
+  JOIN unit cu ON cu.vec_id = s.c_id
+) WHERE rnk <= {k}
+"""
+
+
+@query("similarity_pq_topk", oracle=_pq_topk_oracle())
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ANN over embeddings (8 subspaces x 64 codes, shortlist 8x,
-    exact re-rank): top-5 per query for 8 probe vectors.  Approximate by
-    construction — recall vs brute force and exactness at a full-corpus
-    shortlist pinned in tests/test_similarity_pq.py."""
+    """PQ ANN over embeddings (8 subspaces x 64 codes, shortlist 8x, exact
+    re-rank): top-5 per query for 8 probe vectors.  The gate runs with
+    DETERMINISTIC hash-derived codebooks (deterministic_pq_codebooks) so
+    encode, ADC scoring, shortlist and re-rank are all replayed value-exact
+    by the DuckDB oracle — graduated from rows-only.  The production
+    Lloyd-trained codebook path keeps its recall + full-shortlist-exactness
+    pins in tests/test_similarity_pq.py."""
     e = t(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     cs = e.select(F.col("vec_id").alias("c_id"), "embedding")
-    return pq_topk(qs, cs, m=8, ks=64, k=5)
+    return pq_topk(
+        qs, cs, m=8, ks=64, k=5, codebooks=deterministic_pq_codebooks(8, 64, 8)
+    )

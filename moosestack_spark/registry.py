@@ -142,6 +142,10 @@ _AFTER_WINDOW = [
     "sql_ch_dialect_vectors",
     # --- new round-4 queries (appended as they land) ---
     "dedup_connected_components_star",
+    "sample_hash_mod",
+    "dedup_semantic_cluster",
+    "similarity_lsh_bucketed",
+    "similarity_pq_topk",
 ]
 
 
