@@ -79,6 +79,35 @@ def test_train_bpe_matches_reference(spark):
         assert got == expected, f"n_parts={n_parts}: {got} != {expected}"
 
 
+def test_train_bpe_sampled_equals_distributed(spark):
+    """The bounded-collect local trainer must produce EXACTLY the
+    distributed trainer's merge list whenever max_words covers the corpus
+    vocabulary — same argmax rule, same greedy merge, incremental pair
+    counts notwithstanding."""
+    from moosestack_spark.ops.bpe import train_bpe_sampled
+
+    expected, _ = _ref_train(CORPUS, 12)
+    got = train_bpe_sampled(_corpus_df(spark, 5), n_merges=12, max_words=10**6)
+    assert got == expected
+
+
+def test_train_bpe_sampled_scales_to_real_vocab(spark, sf_dir):
+    """A real vocabulary-sized merge budget (2000 merges over the documents
+    corpus) completes in seconds through the incremental local loop — the
+    scale property the one-Spark-job-per-merge trainer cannot offer."""
+    import time
+
+    from moosestack_spark.ops.bpe import train_bpe_sampled
+    from moosestack_spark.tables import t
+
+    d = t(spark, sf_dir, "documents")
+    t0 = time.monotonic()
+    merges = train_bpe_sampled(d, n_merges=2000, max_words=100_000)
+    wall = time.monotonic() - t0
+    assert len(merges) > 100  # corpus supports a real merge budget
+    assert wall < 60, f"local merge loop took {wall:.1f}s"
+
+
 def test_train_bpe_early_stop(spark):
     # a corpus of unique characters has no pair reaching min_pair_count=2
     df = spark.createDataFrame([(0, "xq zj")], "doc_id long, text string")
