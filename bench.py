@@ -185,6 +185,37 @@ def main() -> None:
     # extra_queries still gives per-round perf evidence for recent work.
     extras = run_suite(EXTRA)
 
+    # Scale-shape validation for the dedup/similarity/curation family: run
+    # the same gate queries on a 10x corpus (sf1-equivalent; the driver only
+    # ships sf<=0.1) synthesized from the sf_dir tables — text word-order is
+    # hash-permuted per replica so replicas are NOT near-dups of each other
+    # (replicating verbatim would measure an adversarial mass-duplicate
+    # corpus, a different claim), and embeddings are circularly rotated per
+    # replica so directions decorrelate.  Sub-linear wall-clock blowup vs
+    # the extras' sf0.1 numbers is the empirical check on the "bucketed,
+    # not all-pairs" design claims.
+    scale_queries: dict = {}
+    try:
+        scaled_dir = _make_scaled_dir(spark, sf_dir, factor=10)
+        scale_names = [
+            "dedup_exact",
+            "dedup_minhash_lsh",
+            "dedup_ngram_jaccard",
+            "dedup_embedding_cosine_pruned",
+            "corpus_curation_pipeline",
+            "similarity_ivf",
+        ]
+        for name in scale_names:
+            start = time.perf_counter()
+            try:
+                registry.QUERIES[name](spark, scaled_dir).count()
+                scale_queries[name] = round(time.perf_counter() - start, 3)
+            except Exception as exc:
+                print(f"BENCH-SCALE-ERROR {name}: {exc!r}"[:500], file=sys.stderr)
+                scale_queries[name] = None
+    except Exception as exc:
+        print(f"BENCH-SCALE-SETUP-ERROR: {exc!r}"[:500], file=sys.stderr)
+
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(
         json.dumps(
@@ -194,10 +225,55 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extras,
+                "scale_queries": {"factor": 10, **scale_queries},
                 "sf": sf,
             }
         )
     )
+
+
+def _make_scaled_dir(spark, sf_dir: str, factor: int) -> str:
+    """Write a factor-x documents + embeddings corpus derived from sf_dir
+    into a temp dir shaped like a testdata SF dir (gate queries read it
+    unchanged).  Deterministic: replica r of a doc keeps its columns but
+    hash-permutes word order (distinct shingle sets per replica); replica r
+    of an embedding circularly rotates the vector by r positions."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="bench_scaled_")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    permuted_text = F.array_join(
+        F.expr(
+            "transform(array_sort(transform(split(text, ' '), "
+            "w -> struct(xxhash64(w, rep) AS h, w AS w))), s -> s.w)"
+        ),
+        " ",
+    )
+    scaled_docs = (
+        docs.select("*", rep)
+        .withColumn("doc_id", F.col("doc_id") * factor + F.col("rep"))
+        .withColumn("text", permuted_text)
+        .drop("rep")
+    )
+    scaled_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rotated = F.expr(
+        "transform(embedding, (x, i) -> "
+        "element_at(embedding, CAST((i + rep) % size(embedding) AS INT) + 1))"
+    )
+    scaled_emb = (
+        emb.select("*", rep)
+        .withColumn("vec_id", F.col("vec_id") * factor + F.col("rep"))
+        .withColumn("embedding", rotated)
+        .drop("rep")
+    )
+    scaled_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    return out
 
 
 if __name__ == "__main__":

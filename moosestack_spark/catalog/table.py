@@ -64,6 +64,48 @@ T = TypeVar("T", bound=BaseModel)
 STREAM_INSERT_BATCH = 1000  # olap_table.py:961
 MAX_INSERT_BLOCK = 100_000  # olap_table.py:736-739
 
+# The reference Kafka->table sync batches <= 100k rows per insert and
+# flushes at most every 1s (kafka_clickhouse_sync.rs:55-57); Spark's
+# equivalent knobs are maxOffsetsPerTrigger + the micro-batch trigger.
+KAFKA_MAX_OFFSETS_PER_TRIGGER = 100_000
+
+
+def kafka_reader_options(eng) -> dict[str, str]:
+    """The pinned Kafka reader contract (no broker in this container, so
+    the contract IS the test surface — tests/test_kafka_contract.py):
+
+    - startingOffsets=earliest on first start; afterwards the CHECKPOINT
+      owns progress, giving offset-commit-after-successful-write — the
+      at-least-once discipline of the reference sync (inserter.rs offset
+      tracking), upgraded to exactly-once into the table sink;
+    - maxOffsetsPerTrigger bounds a micro-batch at the reference's 100k
+      insert ceiling;
+    - kafka.group.id carries the consumer-group name for broker-side ACLs
+      and lag monitoring (Spark itself tracks offsets in the checkpoint).
+    """
+    return {
+        "kafka.bootstrap.servers": eng.broker_list,
+        "subscribe": eng.topic_list,
+        "kafka.group.id": eng.group_name,
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": str(KAFKA_MAX_OFFSETS_PER_TRIGGER),
+    }
+
+
+def kafka_value_frame(raw: DataFrame, schema) -> DataFrame:
+    """JSON wire bytes -> typed records (the sync's
+    mapper_json_to_clickhouse_record shape, kafka_clickhouse_sync.rs:722):
+    parse the value bytes against the table schema and keep the source
+    coordinates (topic, partition, offset) for lineage/DLQ reporting.
+    Works identically on the streaming kafka frame and on a batch frame of
+    captured wire rows — which is how the contract is tested brokerless."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("r"),
+        "topic",
+        "partition",
+        "offset",
+    ).select("r.*", "topic", "partition", "offset")
+
 
 @dataclass
 class InsertOptions:
@@ -122,6 +164,44 @@ class OlapTable(Generic[T]):
 
     # -- validation --------------------------------------------------------
 
+    def _split_json_columns(self, row: dict) -> dict:
+        """Typed-path Json columns (ClickHouseJson, data_models.py:597-637):
+        the Pydantic dump of an extra='allow' inner model carries typed
+        fields AND extras in one dict — split it into the struct shape the
+        schema declares: typed paths as native fields, every other path
+        serialized into the __dynamic JSON remainder, minus skip_paths /
+        skip_regexps (ClickHouse's SKIP / SKIP REGEXP never stores those)."""
+        import json as _json
+        import re as _re
+
+        from moosestack_spark.datamodel.types import JSON_DYNAMIC_FIELD
+
+        for col in self.columns:
+            typed = col.annotations.get("json_typed_paths")
+            if typed is None or not isinstance(row.get(col.name), dict):
+                continue
+            val = row[col.name]
+            skips = set(col.annotations.get("json_skip_paths", ()))
+            regexps = [
+                _re.compile(p)
+                for p in col.annotations.get("json_skip_regexps", ())
+            ]
+            out = {k: val.get(k) for k in typed}
+            dyn = {
+                k: v
+                for k, v in val.items()
+                if k not in typed
+                and k not in skips
+                and not any(r.search(k) for r in regexps)
+            }
+            out[JSON_DYNAMIC_FIELD] = (
+                _json.dumps(dyn, sort_keys=True, separators=(",", ":"))
+                if dyn
+                else None
+            )
+            row = {**row, col.name: out}
+        return row
+
     def _validate_rows(
         self, rows: Sequence[dict | T], options: InsertOptions
     ) -> tuple[list[dict], list[tuple[dict, str]]]:
@@ -129,10 +209,10 @@ class OlapTable(Generic[T]):
         failed: list[tuple[dict, str]] = []
         for r in rows:
             if isinstance(r, BaseModel):
-                ok.append(r.model_dump())
+                ok.append(self._split_json_columns(r.model_dump()))
                 continue
             try:
-                ok.append(self.model(**r).model_dump())
+                ok.append(self._split_json_columns(self.model(**r).model_dump()))
             except ValidationError as exc:
                 if options.strategy == "fail-fast":
                     raise
@@ -396,7 +476,9 @@ class OlapTable(Generic[T]):
           checkpoint this is exactly-once per file, the same guarantee the
           CH engine documents;
         - Kafka (blocks.py:482-508): kafka source (needs the
-          spark-sql-kafka connector on the cluster classpath).
+          spark-sql-kafka connector on the cluster classpath), with the
+          reference sync's batching discipline pinned in
+          kafka_reader_options.
         """
         eng = self.config.engine
         if isinstance(eng, S3Queue):
@@ -408,9 +490,7 @@ class OlapTable(Generic[T]):
         if isinstance(eng, Kafka):
             return (
                 self.spark.readStream.format("kafka")
-                .option("kafka.bootstrap.servers", eng.broker_list)
-                .option("subscribe", eng.topic_list)
-                .option("kafka.group.id", eng.group_name)
+                .options(**kafka_reader_options(eng))
                 .load()
             )
         raise TypeError(f"engine {eng.name} is not a streaming source")

@@ -39,7 +39,10 @@ class Task:
     timeout_seconds: Optional[float] = None
     on_complete: list["Task"] = field(default_factory=list)
 
-    def execute(self, input_value: Any = None) -> Any:
+    def attempt(self, input_value: Any = None) -> Any:
+        """Run THIS task's body with its retry/timeout policy — no DAG
+        recursion (execute() adds that; the durable runner drives its own
+        traversal so it can journal each task)."""
         attempt = 0
         while True:
             start = time.monotonic()
@@ -60,7 +63,10 @@ class Task:
                 raise TaskFailed(
                     f"task {self.name} exceeded timeout {self.timeout_seconds}s"
                 )
-            break
+            return result
+
+    def execute(self, input_value: Any = None) -> Any:
+        result = self.attempt(input_value)
         for nxt in self.on_complete:
             nxt.execute(result)
         return result
@@ -86,6 +92,99 @@ class Workflow:
         ):
             raise TaskFailed(f"workflow {self.name} exceeded timeout")
         return result
+
+
+# ---------------------------------------------------------------------------
+# Durable runs: Temporal-style event-sourced replay at task granularity
+# (the reference persists workflow history in Temporal, workflow.py:56,
+# 116-189; here the journal is an append-only JSONL file).  A crashed or
+# killed run resumed with the same journal SKIPS every task already recorded
+# as complete and replays its recorded result into the DAG — completed task
+# side effects never re-execute.
+# ---------------------------------------------------------------------------
+
+
+class WorkflowJournal:
+    """Append-only task-completion journal.  One JSON object per line:
+    {"key": "<seq>:<task>", "ok": true, "result": ..., "opaque": bool}.
+    Results must be JSON-serializable for replay (Temporal's payload rule);
+    a non-serializable result is journaled opaque and its task re-runs on
+    resume (weaker guarantee, explicit in the record)."""
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        self.path = path
+        self._done: dict[str, dict] = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    self._done[rec["key"]] = rec
+
+    def lookup(self, key: str) -> Optional[dict]:
+        rec = self._done.get(key)
+        if rec is None or rec.get("opaque"):
+            return None
+        return rec
+
+    def record(self, key: str, result: Any) -> None:
+        import json
+
+        try:
+            payload = json.dumps({"key": key, "ok": True, "result": result})
+            rec = {"key": key, "ok": True, "result": result}
+        except TypeError:
+            payload = json.dumps({"key": key, "ok": True, "opaque": True})
+            rec = {"key": key, "ok": True, "opaque": True}
+        with open(self.path, "a") as fh:
+            fh.write(payload + "\n")
+            fh.flush()
+        self._done[key] = rec
+
+    @property
+    def completed_keys(self) -> list[str]:
+        return sorted(self._done)
+
+
+def run_durable(
+    workflow: "Workflow", journal_path: str, input_value: Any = None
+) -> Any:
+    """Execute `workflow` with task-level durability: each task completion
+    is journaled before its successors run, and a resumed run (same
+    journal_path) replays journaled results instead of re-executing.  Task
+    identity is (depth-first sequence number, task name) — stable for a
+    fixed DAG, which is the same determinism contract Temporal replay
+    imposes on workflow code."""
+    journal = WorkflowJournal(journal_path)
+    seq = 0
+    start = time.monotonic()
+
+    def exec_task(task: Task, inp: Any) -> Any:
+        nonlocal seq
+        key = f"{seq}:{task.name}"
+        seq += 1
+        rec = journal.lookup(key)
+        if rec is not None:
+            result = rec.get("result")
+        else:
+            result = task.attempt(inp)
+            journal.record(key, result)
+        for nxt in task.on_complete:
+            exec_task(nxt, result)
+        return result
+
+    result = exec_task(workflow.starting_task, input_value)
+    if (
+        workflow.timeout_seconds is not None
+        and time.monotonic() - start > workflow.timeout_seconds
+    ):
+        raise TaskFailed(f"workflow {workflow.name} exceeded timeout")
+    return result
 
 
 # ETLPipeline lives in moosestack_spark.pipeline (the canonical port of

@@ -1,0 +1,114 @@
+"""Kafka reader/mapper contract, pinned brokerless.
+
+The sandbox has no Kafka broker, so the contract itself is the test
+surface: the reader options must carry the reference sync's batching
+discipline (<=100k rows per micro-batch, earliest start, consumer-group
+name — kafka_clickhouse_sync.rs:51-60), and the JSON wire-byte mapping
+must produce the typed record shape on captured bytes, so a real broker
+environment is plug-in."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pydantic import BaseModel
+
+from moosestack_spark.catalog.engines import Kafka
+from moosestack_spark.catalog.table import (
+    KAFKA_MAX_OFFSETS_PER_TRIGGER,
+    OlapTable,
+    kafka_reader_options,
+    kafka_value_frame,
+)
+from moosestack_spark.datamodel import Key
+
+
+class Event(BaseModel):
+    id: Key[int]
+    kind: str
+    amount: float
+    at: dt.datetime
+
+
+def test_kafka_reader_options_pin_reference_discipline():
+    eng = Kafka(
+        broker_list="broker-1:9092,broker-2:9092",
+        topic_list="events_topic",
+        group_name="moose_sync_events",
+        format="JSONEachRow",
+    )
+    opts = kafka_reader_options(eng)
+    assert opts["kafka.bootstrap.servers"] == "broker-1:9092,broker-2:9092"
+    assert opts["subscribe"] == "events_topic"
+    assert opts["kafka.group.id"] == "moose_sync_events"
+    # checkpoint owns progress; first start reads from the beginning
+    assert opts["startingOffsets"] == "earliest"
+    # the reference sync's 100k insert-batch ceiling
+    assert opts["maxOffsetsPerTrigger"] == str(KAFKA_MAX_OFFSETS_PER_TRIGGER)
+    assert KAFKA_MAX_OFFSETS_PER_TRIGGER == 100_000
+
+
+def test_kafka_stream_reader_wires_the_options(spark, tmp_path):
+    """stream_reader must route Kafka engines through kafka_reader_options
+    — asserted via the DataStreamReader's captured options rather than a
+    broker round-trip."""
+    eng = Kafka(
+        broker_list="b:9092", topic_list="t", group_name="g", format="JSONEachRow"
+    )
+    from moosestack_spark.catalog.table import OlapConfig
+
+    table = OlapTable(
+        "kt", Event, spark, str(tmp_path / "wh"), OlapConfig(engine=eng)
+    )
+    captured: dict = {}
+
+    class SpyReader:
+        def format(self, f):
+            captured["format"] = f
+            return self
+
+        def options(self, **kw):
+            captured.update(kw)
+            return self
+
+        def load(self):
+            return None
+
+    class SpySpark:
+        readStream = SpyReader()
+
+    table.spark = SpySpark()
+    table.stream_reader()
+    table.spark = spark
+    assert captured["format"] == "kafka"
+    assert captured["maxOffsetsPerTrigger"] == "100000"
+    assert captured["subscribe"] == "t"
+    assert captured["startingOffsets"] == "earliest"
+
+
+def test_kafka_value_frame_maps_captured_wire_bytes(spark, tmp_path):
+    """from_json mapping on captured wire rows: typed fields (incl. ISO
+    timestamp revival) + source coordinates survive; an unparseable payload
+    yields NULL fields (the DLQ trigger condition) without killing the
+    batch."""
+    table = OlapTable("kv", Event, spark, str(tmp_path / "wh"))
+    wire = [
+        (None, b'{"id": 1, "kind": "a", "amount": 1.5, "at": "2026-01-02T03:04:05Z"}',
+         "events_topic", 0, 100),
+        (None, b'{"id": 2, "kind": "b", "amount": 2.0, "at": "2026-01-02T03:04:06Z"}',
+         "events_topic", 1, 7),
+        (None, b"not json at all", "events_topic", 1, 8),
+    ]
+    raw = spark.createDataFrame(
+        wire, "key binary, value binary, topic string, partition int, offset long"
+    )
+    rows = {
+        r.offset: r
+        for r in kafka_value_frame(raw, table.schema).collect()
+    }
+    assert rows[100].id == 1 and rows[100].kind == "a"
+    assert rows[100].at == dt.datetime(2026, 1, 2, 3, 4, 5)
+    assert rows[100].topic == "events_topic" and rows[100].partition == 0
+    assert rows[7].amount == 2.0
+    # corrupt payload -> NULL record fields, coordinates intact (DLQ route)
+    assert rows[8].id is None and rows[8].topic == "events_topic"

@@ -106,3 +106,90 @@ def test_cron_range_step_counts_from_range_start():
     assert t2 == dt.datetime(2024, 3, 15, 0, 0)
     t3 = cron_next_after("0 0 10-20/5 * *", t2)
     assert t3 == dt.datetime(2024, 3, 20, 0, 0)
+
+
+# --------------------------------------------------------------------------
+# Durable runs (journal-backed resume — the Temporal-persistence stand-in)
+# --------------------------------------------------------------------------
+
+
+def test_durable_run_resumes_without_reexecuting_completed_tasks(tmp_path):
+    from moosestack_spark.workflow import Task, TaskFailed, Workflow, run_durable
+
+    journal = str(tmp_path / "wf.jsonl")
+    calls = {"extract": 0, "load": 0}
+    fail_first = {"load": True}
+
+    def extract(_):
+        calls["extract"] += 1
+        return [1, 2, 3]
+
+    def load(rows):
+        calls["load"] += 1
+        if fail_first["load"]:
+            fail_first["load"] = False
+            raise RuntimeError("transient sink outage")
+        return sum(rows)
+
+    def build():
+        t_load = Task(name="load", run=load)
+        return Workflow(
+            "etl", Task(name="extract", run=extract, on_complete=[t_load])
+        )
+
+    # first run crashes in `load` (no retries)
+    try:
+        run_durable(build(), journal)
+        raise AssertionError("expected failure")
+    except TaskFailed:
+        pass
+    assert calls == {"extract": 1, "load": 1}
+
+    # resume: extract is journaled -> replayed, only load re-runs
+    # (run() returns the STARTING task's result, same as Workflow.run)
+    result = run_durable(build(), journal)
+    assert result == [1, 2, 3]
+    assert calls == {"extract": 1, "load": 2}
+
+    # a third run replays everything — zero new executions
+    assert run_durable(build(), journal) == [1, 2, 3]
+    assert calls == {"extract": 1, "load": 2}
+
+
+def test_durable_journal_replays_results_into_successors(tmp_path):
+    from moosestack_spark.workflow import Task, Workflow, run_durable
+
+    journal = str(tmp_path / "wf2.jsonl")
+    seen = []
+
+    def a(_):
+        return {"n": 41}
+
+    def b(prev):
+        seen.append(prev)
+        return prev["n"] + 1
+
+    wf = Workflow("two", Task(name="a", run=a, on_complete=[Task(name="b", run=b)]))
+    assert run_durable(wf, journal) == {"n": 41}
+    # crash-free resume still replays the recorded dict into b
+    assert run_durable(wf, journal) == {"n": 41}
+    assert seen == [{"n": 41}]  # b executed once; replay came from journal
+
+
+def test_durable_opaque_results_rerun(tmp_path):
+    """A non-JSON-serializable result is journaled opaque: its task (and
+    its successors' inputs) re-run on resume — the documented weaker
+    guarantee."""
+    from moosestack_spark.workflow import Task, Workflow, run_durable
+
+    journal = str(tmp_path / "wf3.jsonl")
+    calls = {"a": 0}
+
+    def a(_):
+        calls["a"] += 1
+        return object()  # not JSON-serializable
+
+    wf = Workflow("opaque", Task(name="a", run=a))
+    run_durable(wf, journal)
+    run_durable(wf, journal)
+    assert calls["a"] == 2
