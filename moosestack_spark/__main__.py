@@ -1,0 +1,174 @@
+"""`python -m moosestack_spark` — the `moose` CLI front-end, library-thin.
+
+Port target: apps/framework-cli commands (commands.rs) reduced to the
+single-process Spark engine: the user's app module declares resources via a
+`setup(spark, warehouse)` function (constructors self-register, same as the
+reference's import-time registration); the CLI reflects the registry into
+the planner IR and plans/applies against the warehouse.
+
+Commands:
+  plan     --app pkg.mod --warehouse W    show the ordered migration plan
+  migrate  --app pkg.mod --warehouse W    apply the plan + save state
+  peek     --app pkg.mod --warehouse W --table T [-n 10]
+  truncate --app pkg.mod --warehouse W --table T
+  seed     --app pkg.mod --warehouse W --table T --from-parquet P
+           [--where EXPR] [--limit N]
+  openapi  --app pkg.mod --warehouse W    print the consumption-API spec
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import sys
+
+
+def _load_app(app: str, warehouse: str):
+    from moosestack_spark.catalog import resources
+    from moosestack_spark.session import get_spark
+
+    spark = get_spark("moosestack-spark-cli")
+    resources.clear_resources()
+    mod = importlib.import_module(app)
+    if hasattr(mod, "setup"):
+        mod.setup(spark, warehouse)
+    return spark, resources.registered_tables()
+
+
+def _plan(spark, warehouse: str):
+    from moosestack_spark.catalog.planner import (
+        InfraMap,
+        load_state,
+        order_ops,
+        plan_against_reality,
+    )
+    from moosestack_spark.catalog.resources import infra_map_from_registry
+
+    try:
+        saved = load_state(warehouse)
+    except Exception:
+        saved = InfraMap()
+    target = infra_map_from_registry()
+    ops, disc = plan_against_reality(spark, warehouse, saved, target)
+    current = saved  # discrepancies already folded in by plan_against_reality
+    return order_ops(ops, target, current), disc, target
+
+
+def cmd_plan(args) -> int:
+    spark, _ = _load_app(args.app, args.warehouse)
+    ops, disc, _ = _plan(spark, args.warehouse)
+    for t in disc.unmapped_tables:
+        print(f"~ drift: unmapped table on disk: {t.name}")
+    for name in disc.missing_tables:
+        print(f"~ drift: table in state but missing on disk: {name}")
+    for op in disc.mismatched_tables:
+        print(f"~ drift: {op.kind} {op.target} {op.detail}".rstrip())
+    if not ops:
+        print("no changes")
+        return 0
+    for op in ops:
+        print(f"+ {op.kind} {op.target}" + (f" {op.detail}" if op.detail else ""))
+    return 0
+
+
+def cmd_migrate(args) -> int:
+    from moosestack_spark.catalog.planner import execute_ops, save_state
+
+    spark, _ = _load_app(args.app, args.warehouse)
+    ops, _, target = _plan(spark, args.warehouse)
+    applied = execute_ops(args.warehouse, ops)
+    save_state(args.warehouse, target)
+    for op in applied:
+        print(f"applied {op.kind} {op.target}")
+    print(f"{len(applied)} change(s) applied")
+    return 0
+
+
+def _table(args):
+    spark, tables = _load_app(args.app, args.warehouse)
+    if args.table not in tables:
+        print(f"no table {args.table!r} (have: {sorted(tables)})", file=sys.stderr)
+        raise SystemExit(2)
+    return spark, tables[args.table]
+
+
+def cmd_peek(args) -> int:
+    _, table = _table(args)
+    for row in table.peek(args.n):
+        print(json.dumps(row, default=str))
+    return 0
+
+
+def cmd_truncate(args) -> int:
+    _, table = _table(args)
+    table.truncate()
+    print(f"truncated {table.name}")
+    return 0
+
+
+def cmd_seed(args) -> int:
+    spark, table = _table(args)
+    src = spark.read.parquet(args.from_parquet)
+    if args.where:
+        src = src.filter(args.where)
+    if args.limit is not None:
+        src = src.limit(args.limit)
+    n = table.seed_from(src)
+    print(f"seeded {n} row(s) into {table.name}")
+    return 0
+
+
+def cmd_openapi(args) -> int:
+    from moosestack_spark.api import openapi_spec
+
+    _load_app(args.app, args.warehouse)
+    print(json.dumps(openapi_spec(), indent=2))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="moosestack_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--app", required=True, help="python module with setup(spark, warehouse)")
+        sp.add_argument("--warehouse", required=True)
+
+    sp = sub.add_parser("plan", help="show the ordered migration plan")
+    common(sp)
+    sp.set_defaults(fn=cmd_plan)
+
+    sp = sub.add_parser("migrate", help="apply the plan and save state")
+    common(sp)
+    sp.set_defaults(fn=cmd_migrate)
+
+    sp = sub.add_parser("peek", help="sample N rows from a table")
+    common(sp)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("-n", type=int, default=10)
+    sp.set_defaults(fn=cmd_peek)
+
+    sp = sub.add_parser("truncate", help="remove all rows from a table")
+    common(sp)
+    sp.add_argument("--table", required=True)
+    sp.set_defaults(fn=cmd_truncate)
+
+    sp = sub.add_parser("seed", help="copy rows from a parquet source")
+    common(sp)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--from-parquet", required=True)
+    sp.add_argument("--where", default=None)
+    sp.add_argument("--limit", type=int, default=None)
+    sp.set_defaults(fn=cmd_seed)
+
+    sp = sub.add_parser("openapi", help="print the consumption-API OpenAPI spec")
+    common(sp)
+    sp.set_defaults(fn=cmd_openapi)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

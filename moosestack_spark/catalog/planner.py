@@ -467,6 +467,35 @@ def reconcile(saved: InfraMap, disc: InfraDiscrepancies) -> InfraMap:
     )
 
 
+def execute_ops(
+    warehouse: str, ops: list[Op], database: str = "default"
+) -> list[Op]:
+    """Apply an ordered plan to the file warehouse (execute.rs:87,167
+    collapsed to lake semantics): table create/drop/recreate are directory
+    operations; column adds/drops/modifies are METADATA-ONLY here because a
+    parquet lake evolves schema on read (the mergeSchema +
+    COALESCE-to-default read path, gated by source_schema_evolution_defaults)
+    — exactly the cheap-ALTER discipline the reference's diff strategy
+    prefers; views/MVs materialize at query time so their ops are also
+    state-only.  Returns the ops actually applied."""
+    import shutil
+
+    applied: list[Op] = []
+    for op in ops:
+        path = os.path.join(warehouse, database, op.target)
+        if op.kind == "create_table":
+            os.makedirs(path, exist_ok=True)
+        elif op.kind == "drop_table":
+            shutil.rmtree(path, ignore_errors=True)
+        elif op.kind == "recreate_table":
+            shutil.rmtree(path, ignore_errors=True)
+            os.makedirs(path, exist_ok=True)
+        # add_column / drop_column / modify_column / modify_settings /
+        # view + mv ops: metadata-only (folded into save_state by migrate)
+        applied.append(op)
+    return applied
+
+
 def plan_against_reality(
     spark, warehouse: str, saved: InfraMap, target: InfraMap,
     database: str = "default",

@@ -147,6 +147,11 @@ class OlapTable(Generic[T]):
         self.columns = to_columns(model)
         self.warehouse = warehouse
         os.makedirs(self.path, exist_ok=True)
+        # lifecycle registry (dmv2/_registry.py): the CLI's plan/migrate
+        # reflect registered tables into the planner's target InfraMap
+        from moosestack_spark.catalog import resources
+
+        resources.register_table(self)
 
     # -- naming ------------------------------------------------------------
 

@@ -1,0 +1,107 @@
+"""CLI front-end (`python -m moosestack_spark`): plan/migrate against the
+registry-reflected InfraMap, then peek/truncate/seed over the declared
+tables — the `moose dev/plan/migrate` UX reduced to the library planner."""
+
+from __future__ import annotations
+
+import sys
+import textwrap
+
+import pytest
+
+
+@pytest.fixture()
+def app_module(tmp_path, monkeypatch):
+    """A tiny user app on sys.path declaring one table via setup()."""
+    app_dir = tmp_path / "appsrc"
+    app_dir.mkdir()
+    (app_dir / "mini_app.py").write_text(
+        textwrap.dedent(
+            """
+            from pydantic import BaseModel
+
+            from moosestack_spark.catalog.table import OlapConfig, OlapTable
+            from moosestack_spark.datamodel import Key
+
+            class Event(BaseModel):
+                id: Key[int]
+                kind: str
+                amount: float
+
+            TABLES = {}
+
+            def setup(spark, warehouse):
+                TABLES["events"] = OlapTable(
+                    "events", Event, spark, warehouse,
+                    OlapConfig(order_by_fields=["id"]),
+                )
+                return TABLES
+            """
+        )
+    )
+    monkeypatch.syspath_prepend(str(app_dir))
+    yield "mini_app"
+    sys.modules.pop("mini_app", None)
+
+
+def _run(argv, capsys):
+    from moosestack_spark.__main__ import main
+
+    rc = main(argv)
+    return rc, capsys.readouterr().out
+
+
+def test_plan_migrate_replan_lifecycle(app_module, tmp_path, capsys, spark):
+    wh = str(tmp_path / "wh")
+    rc, out = _run(["plan", "--app", app_module, "--warehouse", wh], capsys)
+    assert rc == 0
+    assert "create_table events" in out
+
+    rc, out = _run(["migrate", "--app", app_module, "--warehouse", wh], capsys)
+    assert rc == 0
+    assert "applied create_table events" in out
+
+    # re-plan after migrate: clean
+    rc, out = _run(["plan", "--app", app_module, "--warehouse", wh], capsys)
+    assert rc == 0
+    assert "no changes" in out
+
+
+def test_seed_peek_truncate(app_module, tmp_path, capsys, spark):
+    wh = str(tmp_path / "wh")
+    _run(["migrate", "--app", app_module, "--warehouse", wh], capsys)
+
+    src = tmp_path / "src.parquet"
+    spark.createDataFrame(
+        [(i, "k", float(i)) for i in range(20)], "id long, kind string, amount double"
+    ).write.parquet(str(src))
+
+    rc, out = _run(
+        ["seed", "--app", app_module, "--warehouse", wh, "--table", "events",
+         "--from-parquet", str(src), "--where", "id < 5"],
+        capsys,
+    )
+    assert rc == 0 and "seeded 5 row(s)" in out
+
+    rc, out = _run(
+        ["peek", "--app", app_module, "--warehouse", wh, "--table", "events", "-n", "3"],
+        capsys,
+    )
+    assert rc == 0 and len(out.strip().splitlines()) == 3
+
+    rc, out = _run(
+        ["truncate", "--app", app_module, "--warehouse", wh, "--table", "events"],
+        capsys,
+    )
+    assert rc == 0
+    rc, out = _run(
+        ["peek", "--app", app_module, "--warehouse", wh, "--table", "events"],
+        capsys,
+    )
+    assert out.strip() == ""
+
+
+def test_unknown_table_errors(app_module, tmp_path, capsys, spark):
+    wh = str(tmp_path / "wh")
+    with pytest.raises(SystemExit):
+        _run(["peek", "--app", app_module, "--warehouse", wh, "--table", "nope"], capsys)
