@@ -108,6 +108,12 @@ EXTRA = [
     "agg_spearman_corr",
     "text_readability",
     "corpus_quality_ensemble",
+    # round-4 additions
+    "dedup_connected_components_star",
+    "dedup_semantic_cluster",
+    "similarity_lsh_bucketed",
+    "scalar_json_typed_paths",
+    "sample_hash_mod",
 ]
 
 

@@ -295,6 +295,51 @@ def _assign_top_cells(
     return df.mapInPandas(kernel, out_schema)
 
 
+def _in_cell_cosine_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
+    """(id_a < id_b) pairs with cosine >= threshold, compared WITHIN each
+    cell by one vectorized float64 GEMM per cell (Arrow applyInPandas —
+    the bucket_verify shape of ops/dedup.embedding_cosine_pairs_pruned).
+    An earlier self-join spelling scored each candidate pair with an
+    interpreted 64-term cosine fold — measured 14.4 s vs ~1 s for this
+    kernel at sf0.1.  Pairs sharing several probed cells dedup after."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType())]
+    )
+
+    def cell_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
+        ids = pdf["__id"].to_numpy()[order]
+        V = np.vstack(pdf["__v"].to_numpy()[order]).astype(np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        out_a, out_b = [], []
+        chunk = 4096
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            cos = (V[lo:hi] @ V.T) / np.outer(nrm[lo:hi], nrm)
+            for i in range(lo, hi):
+                js = np.nonzero(cos[i - lo, i + 1 :] >= threshold)[0] + i + 1
+                out_a.extend([ids[i]] * len(js))
+                out_b.extend(ids[js])
+        return pd.DataFrame(
+            {"id_a": pd.Series(out_a, dtype="int64"),
+             "id_b": pd.Series(out_b, dtype="int64")}
+        )
+
+    return (
+        assigned.groupBy("__cell")
+        .applyInPandas(cell_verify, out_schema)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -306,33 +351,22 @@ def semantic_dedup_pairs(
     """Near-duplicate pairs by embedding cosine, restricted to k-means
     cluster cells: train seeded spherical centroids (bounded sample ->
     broadcast, ops/similarity.ivf_train_centroids), assign every row
-    scan-side to its ``probes`` nearest cells (no shuffle), then self-join
-    WITHIN cells only and distinct the pairs.  The cell restriction turns
-    the O(n²) pair space into Σ|cell|² ≈ (probes·n)²/k, and k scales with
-    the corpus.  Multi-probe is the recall lever: a pair is missed only if
-    the two rows share NONE of their ``probes`` nearest cells — measured
-    here, probes=3 lifts recall from ~0.4 to ~0.9 at threshold 0.35 (the
-    pytest pins soundness and recall vs the exact kernel at test SF)."""
-    from moosestack_spark.ops.similarity import cosine, ivf_train_centroids
+    scan-side to its ``probes`` nearest cells (no shuffle), then compare
+    WITHIN cells only (per-cell GEMM kernel) and distinct the pairs.  The
+    cell restriction turns the O(n²) pair space into Σ|cell|² ≈
+    (probes·n)²/k, and k scales with the corpus.  Multi-probe is the
+    recall lever: a pair is missed only if the two rows share NONE of
+    their ``probes`` nearest cells — measured here, probes=3 lifts recall
+    from ~0.4 to ~0.9 at threshold 0.35 (the pytest pins soundness and
+    recall vs the exact kernel at test SF)."""
+    from moosestack_spark.ops.similarity import ivf_train_centroids
 
     e = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
     )
     centroids = ivf_train_centroids(e, vec="__v", k=k)
     assigned = _assign_top_cells(e, centroids, vec="__v", probes=probes)
-    a = assigned.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("va"), "__cell"
-    )
-    b = assigned.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("vb"), "__cell"
-    )
-    return (
-        a.join(b, "__cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _in_cell_cosine_pairs(assigned, threshold)
 
 
 def hash_seed_centroids(
@@ -415,18 +449,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = hash_seed_centroids(ev, "__id", "__v", k=16)
     assigned = _assign_top_cells(ev, centroids, vec="__v", probes=3)
-    from moosestack_spark.ops.similarity import cosine
-
-    a = assigned.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"), "__cell")
-    b = assigned.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"), "__cell")
-    return (
-        a.join(b, "__cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= 0.35)
-        .select("id_a", "id_b")
-        .distinct()
-        .orderBy("id_a", "id_b")
-    )
+    return _in_cell_cosine_pairs(assigned, 0.35).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
