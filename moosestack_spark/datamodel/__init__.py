@@ -6,6 +6,8 @@ from moosestack_spark.datamodel.types import (  # noqa: F401
     AggregateFunction,
     ClickHouseAlias,
     ClickHouseCodec,
+    ClickHouseJson,
+    JSON_DYNAMIC_FIELD,
     ClickHouseMaterialized,
     ClickHouseTTL,
     LineString,

@@ -51,9 +51,11 @@ from pydantic import BaseModel
 from pyspark.sql import types as st
 
 from moosestack_spark.datamodel.types import (
+    JSON_DYNAMIC_FIELD,
     AggregateFunction,
     ClickHouseAlias,
     ClickHouseCodec,
+    ClickHouseJson,
     ClickHouseMaterialized,
     ClickHouseTTL,
     ClickhouseDefault,
@@ -134,6 +136,7 @@ def _py_type_to_spark(tp: Any, annotations: dict) -> tuple[st.DataType, bool]:
     # sized-int marker silently dropped primary_key — and with it the
     # Replacing engine's sort keys).
     sized_dtype = None
+    json_opts: ClickHouseJson | None = None
     for m in metadata:
         if isinstance(m, _SizedInt):
             annotations["ch_type"] = ("Int" if m.signed else "UInt") + str(m.bits)
@@ -174,8 +177,47 @@ def _py_type_to_spark(tp: Any, annotations: dict) -> tuple[st.DataType, bool]:
             annotations["simple_aggregate_function"] = m.function
         if isinstance(m, JWTMarker):
             annotations["jwt"] = True
+        if isinstance(m, ClickHouseJson):
+            json_opts = m
     if sized_dtype is not None:
         return sized_dtype, False
+
+    # Annotated[Model, ClickHouseJson(...)] — typed-path Json column
+    # (data_models.py:597-637): declared fields = typed paths stored as
+    # native struct columns; extra request fields = dynamic remainder
+    # (JSON_DYNAMIC_FIELD string, lazily queried via get_json_object),
+    # minus skip_paths/skip_regexps.
+    if json_opts is not None and isinstance(tp, type) and issubclass(tp, BaseModel):
+        if tp.model_config.get("extra") != "allow":
+            raise ValueError(
+                f"Model {tp.__name__} with ClickHouseJson must have "
+                "model_config with extra='allow'. Add: model_config = "
+                "ConfigDict(extra='allow')"
+            )
+        for fname, fld in tp.model_fields.items():
+            if not fld.is_required():
+                raise ValueError(
+                    "Default in inner field. Put ClickHouseDefault in top "
+                    "level field."
+                )
+        inner = to_columns(tp)
+        for c in inner:
+            if c.default is not None:
+                raise ValueError(
+                    "Default in inner field. Put ClickHouseDefault in top "
+                    "level field."
+                )
+        annotations["ch_type"] = "Json"
+        annotations["json_typed_paths"] = [c.name for c in inner]
+        annotations["json_skip_paths"] = list(json_opts.skip_paths)
+        annotations["json_skip_regexps"] = list(json_opts.skip_regexps)
+        if json_opts.max_dynamic_paths is not None:
+            annotations["json_max_dynamic_paths"] = json_opts.max_dynamic_paths
+        if json_opts.max_dynamic_types is not None:
+            annotations["json_max_dynamic_types"] = json_opts.max_dynamic_types
+        fields = [c.to_struct_field() for c in inner]
+        fields.append(st.StructField(JSON_DYNAMIC_FIELD, st.StringType(), True))
+        return st.StructType(fields), False
 
     # Optional[T] / Union[T, None] -> nullable (data_models.py:327-332)
     if origin is Union:

@@ -130,6 +130,26 @@ class SimpleAggregateFunction:
 
 
 @dataclass(frozen=True)
+class ClickHouseJson:
+    """ClickHouse `Json` dynamic-column options (data_models.py:160-165,
+    :597-637): attach to a Pydantic model whose declared fields become the
+    TYPED PATHS (stored as native struct columns) while any extra request
+    fields land in the dynamic remainder (`__dynamic` JSON-text field),
+    minus skip_paths/skip_regexps.  The model must set
+    model_config = ConfigDict(extra='allow') and its fields must not carry
+    defaults — the same rules the reference enforces."""
+
+    max_dynamic_paths: int | None = None
+    max_dynamic_types: int | None = None
+    skip_paths: tuple[str, ...] = ()
+    skip_regexps: tuple[str, ...] = ()
+
+
+# name of the struct field that carries the non-typed JSON remainder
+JSON_DYNAMIC_FIELD = "__dynamic"
+
+
+@dataclass(frozen=True)
 class JWTMarker:
     """JWT[T] — value injected from the request JWT (data_models.py:27)."""
 
@@ -211,6 +231,8 @@ __all__ = [
     "Polygon",
     "MultiPolygon",
     "ClickHouseCodec",
+    "ClickHouseJson",
+    "JSON_DYNAMIC_FIELD",
     "AggregateFunction",
     "SimpleAggregateFunction",
     "clickhouse_decimal",

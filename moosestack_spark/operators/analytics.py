@@ -390,3 +390,48 @@ def analytics_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q6 shape: forecast revenue change — the canonical scan-only aggregate.
+# Completes the full TPC-H 1-22 shape coverage (Q1 aggregates.py, Q3/Q5
+# joins.py, the rest here + analytics3.py).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "analytics_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS lost_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def analytics_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue that would be gained by eliminating small
+    discounts — a pure scan + filter + global aggregate, ZERO joins.  The
+    plan test to care about: all three predicates reach the parquet scan
+    (PushedFilters) so only matching row groups are read; the aggregate is
+    partial+final with no other exchange.  Exact decimal product keeps the
+    sum hash-identical to DuckDB."""
+    li = t(spark, sf_dir, "lineitem")
+    lost = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(8,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(lost).cast("double").alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -346,6 +346,100 @@ def scalar_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Typed-path Json columns (ClickHouseJson, reference data_models.py:597-637):
+# declared fields are TYPED PATHS (native columns), everything else is the
+# dynamic remainder, minus SKIP paths/regexps.  The reflection layer stores
+# tables this way (datamodel/reflection.py + catalog/table.py
+# _split_json_columns); these helpers are the matching QUERY surface over a
+# raw JSON column, and the gate runs the real split machinery with a
+# construction-based oracle.
+# --------------------------------------------------------------------------
+
+
+def _json_excluded(x, typed: list[str], skip_paths: list[str], skip_regexps: list[str]):
+    cond = x.isin(*[*typed, *skip_paths]) if (typed or skip_paths) else F.lit(False)
+    for pat in skip_regexps:
+        cond = cond | x.rlike(pat)
+    return cond
+
+
+def json_typed_get(js: Column, path: str, dtype: str) -> Column:
+    """A typed path read: extracted and cast once (stored natively when the
+    column is reflected through ClickHouseJson)."""
+    return F.get_json_object(js, f"$.{path}").cast(dtype)
+
+
+def json_dynamic_keys(
+    js: Column,
+    typed: list[str],
+    skip_paths: list[str] = [],
+    skip_regexps: list[str] = [],
+) -> Column:
+    """Sorted dynamic-path names: every key that is neither typed nor
+    skipped."""
+    return F.array_sort(
+        F.filter(
+            F.json_object_keys(js),
+            lambda x: ~_json_excluded(x, typed, skip_paths, skip_regexps),
+        )
+    )
+
+
+def json_dynamic_get(
+    js: Column,
+    path: str,
+    typed: list[str],
+    skip_paths: list[str] = [],
+    skip_regexps: list[str] = [],
+) -> Column:
+    """A dynamic-path read; SKIPPED paths read as NULL (they are never
+    stored — ClickHouse Json SKIP semantics), typed paths also return NULL
+    here (read them through their own column)."""
+    import re
+
+    if path in typed or path in skip_paths or any(
+        re.search(p, path) for p in skip_regexps
+    ):
+        return F.lit(None).cast("string")
+    return F.get_json_object(js, f"$.{path}")
+
+
+@query(
+    "scalar_json_typed_paths",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+       event_type AS et_dynamic,
+       CAST(NULL AS VARCHAR) AS val_skipped,
+       ['et'] AS dyn_keys
+FROM events
+""",
+)
+def scalar_json_typed_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouseJson split semantics end-to-end: build a 3-path JSON doc
+    per event (k, et, val), declare k TYPED and val SKIPPED — the query
+    surfaces the typed value through the typed read, the dynamic remainder
+    through json_dynamic_keys/get, and proves the skip path reads NULL.
+    The oracle states the construction-implied expected values."""
+    e = t(spark, sf_dir, "events")
+    js = F.to_json(
+        F.struct(
+            F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
+            F.col("event_type").alias("et"),
+            F.col("value").alias("val"),
+        )
+    )
+    typed, skips = ["k"], ["val"]
+    return e.select(
+        "event_id",
+        json_typed_get(js, "k", "bigint").alias("k_typed"),
+        json_dynamic_get(js, "et", typed, skips).alias("et_dynamic"),
+        json_dynamic_get(js, "val", typed, skips).alias("val_skipped"),
+        json_dynamic_keys(js, typed, skips).alias("dyn_keys"),
+    )
+
+
+# --------------------------------------------------------------------------
 # CH-dialect SQL surface end-to-end (SURVEY.md §2.9 + §7 "hard part 3"):
 # a user's ClickHouse-flavored SQL string runs through translate_ch_sql and
 # executes on Spark.  This gates the TRANSLATOR itself — the unit tests

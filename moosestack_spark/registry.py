@@ -146,6 +146,8 @@ _AFTER_WINDOW = [
     "dedup_semantic_cluster",
     "similarity_lsh_bucketed",
     "similarity_pq_topk",
+    "scalar_json_typed_paths",
+    "analytics_forecast_revenue",
 ]
 
 

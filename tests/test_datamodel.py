@@ -291,3 +291,109 @@ def test_type_zoo_roundtrip_through_parquet(spark, tmp_path):
     assert schema["i8"].metadata.get("ch_type") == "Int8"
     assert schema["u16"].metadata.get("ch_type") == "UInt16"
     assert schema["dec"].metadata.get("ch_type") == "Decimal(10,2)"
+
+
+# --------------------------------------------------------------------------
+# ClickHouseJson typed-path columns (reference data_models.py:597-637)
+# (models at module scope: get_type_hints can't resolve function-locals
+# under postponed annotations)
+# --------------------------------------------------------------------------
+
+from typing import Annotated as _Annotated
+
+from pydantic import ConfigDict as _ConfigDict
+
+from moosestack_spark.datamodel import JSON_DYNAMIC_FIELD, ClickHouseJson
+
+
+class _JsonPayload(BaseModel):
+    model_config = _ConfigDict(extra="allow")
+    kind: str
+    score: int
+
+
+class _JsonDoc(BaseModel):
+    id: int
+    payload: _Annotated[
+        _JsonPayload,
+        ClickHouseJson(skip_paths=("secret",), skip_regexps=(r"^tmp_",),
+                       max_dynamic_paths=32),
+    ]
+
+
+def test_clickhouse_json_reflects_typed_paths_plus_dynamic():
+    from pyspark.sql import types as st
+
+    from moosestack_spark.datamodel.reflection import to_columns
+
+    cols = {c.name: c for c in to_columns(_JsonDoc)}
+    p = cols["payload"]
+    assert isinstance(p.data_type, st.StructType)
+    assert [f.name for f in p.data_type.fields] == ["kind", "score", JSON_DYNAMIC_FIELD]
+    assert p.data_type[JSON_DYNAMIC_FIELD].dataType == st.StringType()
+    assert p.annotations["ch_type"] == "Json"
+    assert p.annotations["json_typed_paths"] == ["kind", "score"]
+    assert p.annotations["json_skip_paths"] == ["secret"]
+    assert p.annotations["json_skip_regexps"] == [r"^tmp_"]
+    assert p.annotations["json_max_dynamic_paths"] == 32
+
+
+class _JsonNoExtra(BaseModel):
+    kind: str
+
+
+class _JsonBadModel1(BaseModel):
+    p: _Annotated[_JsonNoExtra, ClickHouseJson()]
+
+
+class _JsonWithDefault(BaseModel):
+    model_config = _ConfigDict(extra="allow")
+    kind: str = "x"
+
+
+class _JsonBadModel2(BaseModel):
+    p: _Annotated[_JsonWithDefault, ClickHouseJson()]
+
+
+def test_clickhouse_json_enforces_reference_rules():
+    import pytest
+
+    from moosestack_spark.datamodel.reflection import to_columns
+
+    with pytest.raises(ValueError, match="extra='allow'"):
+        to_columns(_JsonBadModel1)
+    with pytest.raises(ValueError, match="Default in inner field"):
+        to_columns(_JsonBadModel2)
+
+
+class _JsonDoc2(BaseModel):
+    id: int
+    payload: _Annotated[
+        _JsonPayload,
+        ClickHouseJson(skip_paths=("secret",), skip_regexps=(r"^tmp_",)),
+    ]
+
+
+def test_clickhouse_json_insert_roundtrip(spark, tmp_path):
+    """Insert with extras: typed paths land as native struct fields, extras
+    in the __dynamic remainder (sorted-key JSON), skip paths/regexps never
+    stored."""
+    import json
+
+    from moosestack_spark.catalog.table import OlapTable
+
+    t = OlapTable("jdocs", _JsonDoc2, spark, str(tmp_path / "wh"))
+    res = t.insert(
+        [
+            {"id": 1, "payload": {"kind": "a", "score": 3, "city": "Oslo",
+                                  "secret": "no", "tmp_x": 1, "zz": True}},
+            {"id": 2, "payload": {"kind": "b", "score": 5}},
+        ]
+    )
+    assert res.inserted == 2
+    rows = {r.id: r for r in t.read().collect()}
+    p1 = rows[1].payload
+    assert p1.kind == "a" and p1.score == 3
+    dyn = json.loads(p1[JSON_DYNAMIC_FIELD])
+    assert dyn == {"city": "Oslo", "zz": True}  # skips dropped, typed split out
+    assert rows[2].payload[JSON_DYNAMIC_FIELD] is None

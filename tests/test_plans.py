@@ -61,6 +61,17 @@ def test_pricing_summary_pushdown_and_partial_agg(plans):
     assert p.count("HashAggregate") >= 2
 
 
+def test_forecast_revenue_is_scan_only(plans):
+    p = plans("analytics_forecast_revenue")
+    # Q6 shape: all predicates reach the scan, one partial+final aggregate,
+    # and NO join/extra exchange anywhere in the plan
+    assert "PushedFilters" in p
+    pushed = p.split("PushedFilters", 1)[1][:500]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    assert "Join" not in p
+    assert plan_tree(p).count("Exchange") == 1  # the single-row final agg
+
+
 def test_filter_pushdown_reaches_scan(plans):
     p = plans("filter_in_between")
     assert "PushedFilters" in p
