@@ -336,3 +336,106 @@ def corpus_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         "len_ok",
         (F.col("clf_ok") & F.col("read_ok") & F.col("len_ok")).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — public method).  Documents
+# are scored by the log-likelihood ratio of a TARGET distribution vs the
+# RAW corpus distribution over hashed n-gram buckets; high weights = "looks
+# like the target data".  Real pipelines resample by these weights; the
+# deterministic keep rule there is hash-mod (corpus_temperature_sample's
+# trick) — here the gate surfaces the weights themselves, the number a
+# curation threshold is set on.
+#
+# Scale: two bucket-count aggregations (map-side combined, output is
+# HASH_DIM rows each), one broadcast of the 1024-row log-ratio table, one
+# per-doc aggregate — the corpus is scanned twice and shuffled only by the
+# tiny bucket/doc keys.  Float policy: the log-ratio is four log2 terms
+# with INTEGER arguments computed once per bucket; per-doc averages surface
+# as FLOAT (float32 absorbs cross-engine log2 last-ulp + sum ordering,
+# same as text_unigram_logprob / agg_entropy).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_dsir_weights",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id, lang, n_chars,
+         UNNEST(list_transform(string_split_regex(trim(lower(text)), '\s+'),
+                               tok -> {_DUCK_TOK_HASH} % {_HASH_DIM})) AS b
+  FROM documents
+),
+raw_counts AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tok GROUP BY b
+),
+tgt_counts AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tok
+  WHERE lang = 'en' AND n_chars BETWEEN 200 AND 400
+  GROUP BY b
+),
+totals AS (
+  SELECT (SELECT SUM(cr) FROM raw_counts) AS nr,
+         (SELECT COALESCE(SUM(ct), 0) FROM tgt_counts) AS nt
+),
+model AS (
+  SELECT r.b,
+         log2(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE))
+           - log2(CAST(totals.nt + {_HASH_DIM} AS DOUBLE))
+           - log2(CAST(r.cr + 1 AS DOUBLE))
+           + log2(CAST(totals.nr + {_HASH_DIM} AS DOUBLE)) AS lr
+  FROM raw_counts r LEFT JOIN tgt_counts t ON r.b = t.b, totals
+)
+SELECT tok.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(m.lr) / COUNT(*) AS FLOAT) AS dsir_weight
+FROM tok JOIN model m ON tok.b = m.b
+GROUP BY tok.doc_id
+""",
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight: avg over tokens of
+    log2(p_target(bucket) / p_raw(bucket)) with add-1 smoothing over
+    HASH_DIM hashed unigram buckets.  The target distribution is the
+    corpus's own quality band (lang='en', 200-400 chars) — swapping in an
+    external target corpus changes one input DataFrame, not the plan."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"transform(split(trim(lower(text)), '\\\\s+'), "
+        f"tok -> {_SPARK_TOK_HASH} % {_HASH_DIM})"
+    )
+    tok = d.select(
+        "doc_id", "lang", "n_chars", F.explode(bucket).alias("b")
+    )
+    raw_counts = tok.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
+    tgt_counts = (
+        tok.filter((F.col("lang") == "en") & F.col("n_chars").between(200, 400))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    nr = raw_counts.agg(F.sum("cr").alias("nr"))
+    nt = tgt_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    model = (
+        raw_counts.join(tgt_counts, "b", "left")
+        .join(F.broadcast(nr))
+        .join(F.broadcast(nt))
+        .select(
+            "b",
+            (
+                F.log2((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double"))
+                - F.log2((F.col("nt") + _HASH_DIM).cast("double"))
+                - F.log2((F.col("cr") + 1).cast("double"))
+                + F.log2((F.col("nr") + _HASH_DIM).cast("double"))
+            ).alias("lr"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("lr") / F.count(F.lit(1))).cast("float").alias("dsir_weight"),
+        )
+        .select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "dsir_weight")
+    )

@@ -148,6 +148,7 @@ _AFTER_WINDOW = [
     "similarity_pq_topk",
     "scalar_json_typed_paths",
     "analytics_forecast_revenue",
+    "corpus_dsir_weights",
 ]
 
 
