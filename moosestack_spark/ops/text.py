@@ -599,3 +599,70 @@ def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id) — the anti-domination filter of web-scale corpus curation."""
     d = t(spark, sf_dir, "documents").select("doc_id", "source")
     return cap_per_source(d, cap=10)
+
+
+# --------------------------------------------------------------------------
+# Per-document duplicated-n-gram fraction (the Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" memorization
+# signal): how much of a document's distinct 5-gram mass also appears in
+# OTHER documents.  Curation pipelines threshold on this next to the
+# repetition signals — a doc can be globally unique yet assembled from
+# boilerplate.  Plan: one distinct-shingle explode, one shingle groupBy for
+# document frequency (map-side combined), join back, per-doc conditional
+# count — two shuffles on vocabulary-/doc-sized keys, no pair space at all.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_dup_ngram_fraction",
+    oracle=r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS doc, shingle FROM (
+    SELECT doc_id,
+           array_to_string(toks[i : i + 4], ' ') AS shingle
+    FROM (
+      SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents
+    ), LATERAL (SELECT UNNEST(generate_series(1, GREATEST(LEN(toks) - 4, 0))) AS i)
+  )
+),
+df AS (
+  SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY shingle
+)
+SELECT sh.doc AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_fraction
+FROM sh JOIN df ON sh.shingle = df.shingle
+GROUP BY sh.doc
+""",
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's distinct 5-gram shingles that occur in at
+    least one OTHER document.  Exact integer counts with a single IEEE
+    division — hash-exact DOUBLE.  Docs shorter than 5 tokens emit no
+    shingles and are absent (matching the oracle's inner join)."""
+    from moosestack_spark.ops.dedup import exploded_shingles
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = exploded_shingles(d, "doc_id", "text", 5)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("bigint")
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            shared.alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_shingles")).alias(
+                "dup_fraction"
+            ),
+        )
+    )

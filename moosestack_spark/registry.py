@@ -149,6 +149,7 @@ _AFTER_WINDOW = [
     "scalar_json_typed_paths",
     "analytics_forecast_revenue",
     "corpus_dsir_weights",
+    "text_dup_ngram_fraction",
 ]
 
 
