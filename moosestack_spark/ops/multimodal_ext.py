@@ -27,9 +27,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -154,3 +156,171 @@ def multimodal_audio_frames(spark, sf_dir: str) -> DataFrame:
     media = media_from_documents(spark, sf_dir)
     auds = media.filter(F.col("meta.media_type") == "audio")
     return framed_audio_features(auds, FRAME)
+
+
+# --------------------------------------------------------------------------
+# EXIF/TIFF metadata extraction (PII pass).  Training pipelines strip or
+# flag EXIF before images ship — GPS tags are location PII.  This is a REAL
+# TIFF IFD walk (byte order, entry table, inline vs offset values, ASCII
+# tag payloads, GPS sub-IFD pointer detection), pure stdlib over the binary
+# column; the encoder plants spec-shaped TIFF blobs deterministically from
+# doc_id so the oracle can state the construction-implied values — one
+# mis-read offset or endianness bug fails the hash.
+# --------------------------------------------------------------------------
+
+_TIFF_TAG_WIDTH = 0x0100
+_TIFF_TAG_HEIGHT = 0x0101
+_TIFF_TAG_MAKE = 0x010F
+_TIFF_TAG_ORIENTATION = 0x0112
+_TIFF_TAG_GPS_IFD = 0x8825
+
+
+def encode_exif(did: int) -> bytes:
+    """Minimal valid little-endian TIFF: header + one IFD holding width,
+    height, orientation, an ASCII Make tag (stored past the IFD — exercises
+    the offset-value path) and, for did % 4 == 0, a GPS sub-IFD pointer."""
+    import struct
+
+    width = 1 + did % 512
+    height = 1 + did % 384
+    orientation = 1 + did % 8
+    make = f"cam{did % 10}".encode() + b"\x00"
+    has_gps = did % 4 == 0
+    entries = [
+        (_TIFF_TAG_WIDTH, 3, 1, width),       # SHORT, inline
+        (_TIFF_TAG_HEIGHT, 3, 1, height),     # SHORT, inline
+        (_TIFF_TAG_MAKE, 2, len(make), None), # ASCII, by offset
+        (_TIFF_TAG_ORIENTATION, 3, 1, orientation),
+    ]
+    if has_gps:
+        entries.append((_TIFF_TAG_GPS_IFD, 4, 1, 0))  # pointer patched below
+    entries.sort()  # TIFF requires ascending tag order
+    n = len(entries)
+    ifd_start = 8
+    data_start = ifd_start + 2 + n * 12 + 4
+    make_off = data_start
+    gps_ifd_off = make_off + len(make)
+    out = struct.pack("<2sHI", b"II", 42, ifd_start)
+    out += struct.pack("<H", n)
+    for tag, typ, cnt, val in entries:
+        if tag == _TIFF_TAG_MAKE:
+            out += struct.pack("<HHII", tag, typ, cnt, make_off)
+        elif tag == _TIFF_TAG_GPS_IFD:
+            out += struct.pack("<HHII", tag, typ, cnt, gps_ifd_off)
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # next-IFD pointer: none
+    out += make
+    if has_gps:
+        # GPS IFD with one SHORT GPSVersionID-ish entry
+        out += struct.pack("<H", 1) + struct.pack("<HHII", 0, 3, 1, 2) + struct.pack("<I", 0)
+    return out
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Walk the TIFF structure: endianness from the header, IFD0 entry
+    table, inline SHORT/LONG values vs offset-stored ASCII, GPS sub-IFD
+    presence.  Unknown tags are skipped (forward compatibility)."""
+    import struct
+
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        return {"width": None, "height": None, "orientation": None,
+                "make": None, "has_gps": False}
+    lt = payload[:2] == b"II"
+    e = "<" if lt else ">"
+    magic, ifd_off = struct.unpack_from(e + "HI", payload, 2)
+    if magic != 42:
+        return {"width": None, "height": None, "orientation": None,
+                "make": None, "has_gps": False}
+    (n,) = struct.unpack_from(e + "H", payload, ifd_off)
+    out = {"width": None, "height": None, "orientation": None,
+           "make": None, "has_gps": False}
+    for i in range(n):
+        tag, typ, cnt, raw = struct.unpack_from(
+            e + "HHII", payload, ifd_off + 2 + i * 12
+        )
+        if typ == 3:  # SHORT: value lives in the first 2 bytes of the field
+            val = raw & 0xFFFF if lt else raw >> 16
+        else:
+            val = raw
+        if tag == _TIFF_TAG_WIDTH:
+            out["width"] = int(val)
+        elif tag == _TIFF_TAG_HEIGHT:
+            out["height"] = int(val)
+        elif tag == _TIFF_TAG_ORIENTATION:
+            out["orientation"] = int(val)
+        elif tag == _TIFF_TAG_MAKE and typ == 2:
+            out["make"] = payload[raw : raw + cnt].rstrip(b"\x00").decode(
+                "ascii", "replace"
+            )
+        elif tag == _TIFF_TAG_GPS_IFD:
+            out["has_gps"] = True
+    return out
+
+
+_EXIF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("orientation", IntegerType()),
+        StructField("make", StringType()),
+        StructField("has_gps", BooleanType()),
+    ]
+)
+
+
+def extract_exif(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                rec = parse_exif(bytes(payload))
+                rows.append((int(mid), rec["width"], rec["height"],
+                             rec["orientation"], rec["make"], rec["has_gps"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "orientation",
+                         "make", "has_gps"],
+            )
+
+    return media.mapInPandas(kernel, _EXIF_SCHEMA)
+
+
+@query(
+    "multimodal_exif_metadata",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(1 + doc_id % 512 AS INT) AS width,
+       CAST(1 + doc_id % 384 AS INT) AS height,
+       CAST(1 + doc_id % 8 AS INT) AS orientation,
+       'cam' || CAST(doc_id % 10 AS VARCHAR) AS make,
+       (doc_id % 4 = 0) AS has_gps
+FROM documents
+""",
+)
+def multimodal_exif_metadata(spark, sf_dir: str) -> DataFrame:
+    """Plant spec-shaped TIFF/EXIF blobs (little-endian, ASCII-by-offset
+    Make, conditional GPS sub-IFD) from every doc_id, then extract metadata
+    with the real IFD walk.  `has_gps` is the PII flag a curation pipeline
+    filters or strips on.  Scan-side Arrow kernel, zero shuffle."""
+    from moosestack_spark.tables import t as _t
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def plant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": [encode_exif(int(x)) for x in pdf["doc_id"]],
+                }
+            )
+
+    media = d.mapInPandas(
+        plant,
+        StructType(
+            [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    return extract_exif(media)

@@ -150,6 +150,7 @@ _AFTER_WINDOW = [
     "analytics_forecast_revenue",
     "corpus_dsir_weights",
     "text_dup_ngram_fraction",
+    "multimodal_exif_metadata",
 ]
 
 

@@ -557,3 +557,34 @@ def test_jpeg_420_subsampled_decode():
     const = np.full((32, 32, 3), (90, 140, 200), dtype=np.uint8)
     dec2 = decode_jpeg(encode_jpeg(const, subsample=True)).astype(int)
     assert np.abs(dec2 - const.astype(int)).max() <= 2
+
+
+def test_exif_parser_handles_big_endian_and_garbage(spark):
+    """The gate plants little-endian blobs; the parser must also walk
+    big-endian TIFF and reject non-TIFF bytes instead of crashing."""
+    import struct
+
+    from moosestack_spark.ops.multimodal_ext import parse_exif
+
+    # big-endian: header + 1-entry IFD (orientation=6, SHORT hi-half)
+    be = struct.pack(">2sHI", b"MM", 42, 8)
+    be += struct.pack(">H", 1)
+    be += struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">HH", 6, 0)
+    be += struct.pack(">I", 0)
+    rec = parse_exif(be)
+    assert rec["orientation"] == 6 and rec["has_gps"] is False
+
+    assert parse_exif(b"not a tiff")["width"] is None
+    assert parse_exif(b"")["has_gps"] is False
+
+
+def test_exif_roundtrip_gps_flag(spark):
+    from moosestack_spark.ops.multimodal_ext import encode_exif, parse_exif
+
+    for did in (0, 1, 4, 7, 513):
+        rec = parse_exif(encode_exif(did))
+        assert rec["width"] == 1 + did % 512
+        assert rec["height"] == 1 + did % 384
+        assert rec["orientation"] == 1 + did % 8
+        assert rec["make"] == f"cam{did % 10}"
+        assert rec["has_gps"] == (did % 4 == 0)
