@@ -408,22 +408,23 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "lang", "n_chars", F.explode(bucket).alias("b")
     )
-    raw_counts = tok.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
-    tgt_counts = (
-        tok.filter((F.col("lang") == "en") & F.col("n_chars").between(200, 400))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    # BOTH distributions in one aggregation pass: count(*) and the
+    # target-filtered count share the bucket shuffle (one corpus scan,
+    # one exchange, instead of two of each)
+    is_target = (F.col("lang") == "en") & F.col("n_chars").between(200, 400)
+    counts = tok.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cr"),
+        F.sum(F.when(is_target, 1).otherwise(0)).cast("bigint").alias("ct"),
     )
-    nr = raw_counts.agg(F.sum("cr").alias("nr"))
-    nt = tgt_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    totals = counts.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
     model = (
-        raw_counts.join(tgt_counts, "b", "left")
-        .join(F.broadcast(nr))
-        .join(F.broadcast(nt))
+        counts.join(F.broadcast(totals))
         .select(
             "b",
             (
-                F.log2((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double"))
+                F.log2((F.col("ct") + 1).cast("double"))
                 - F.log2((F.col("nt") + _HASH_DIM).cast("double"))
                 - F.log2((F.col("cr") + 1).cast("double"))
                 + F.log2((F.col("nr") + _HASH_DIM).cast("double"))
