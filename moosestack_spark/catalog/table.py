@@ -334,6 +334,93 @@ class OlapTable(Generic[T]):
         out.parquet(self.path)
         if self.config.projections:
             self._write_projections(df)
+        self._commit_snapshot("append")
+
+    # -- snapshots / time travel --------------------------------------------
+    #
+    # Every mutation commits a manifest (the full data-file list) to the
+    # SIBLING dir {path}__snapshots/v{n}.json (outside the data dir, like
+    # projections, so base rewrites never destroy history) — the
+    # Iceberg/Delta snapshot model reduced to its read side: read_at(v)
+    # plans ONLY that manifest's files, so readers are isolated from
+    # concurrent appends, any appended version can be re-read (rollback,
+    # reproducible training runs), and the file-list DIFF between two
+    # versions is an incremental-consumption feed.  Append-only history is
+    # fully retained; full REWRITES (optimize / TTL / mutations) replace
+    # the physical files, RETIRING earlier snapshots — read_at on a
+    # retired version raises instead of returning partial data (a real
+    # lake keeps old files until VACUUM; rewrite-in-place is this
+    # warehouse's documented trade-off).  At lake scale manifests record
+    # per-commit file deltas compacted periodically; the full-list
+    # spelling keeps the semantics identical with less machinery.
+
+    @property
+    def _snapdir(self) -> str:
+        return self.path + "__snapshots"
+
+    def _data_files(self) -> list[str]:
+        out: list[str] = []
+        for root, _dirs, files in os.walk(self.path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(
+                        os.path.relpath(os.path.join(root, f), self.path)
+                    )
+        return sorted(out)
+
+    def _commit_snapshot(self, op: str) -> int:
+        import json as _json
+
+        os.makedirs(self._snapdir, exist_ok=True)
+        version = len(self.snapshots()) + 1
+        manifest = {"version": version, "op": op, "files": self._data_files()}
+        tmp = os.path.join(self._snapdir, f".v{version}.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self._snapdir, f"v{version}.json"))
+        return version
+
+    def snapshots(self) -> list[dict]:
+        import json as _json
+
+        if not os.path.isdir(self._snapdir):
+            return []
+        out = []
+        for f in sorted(
+            (f for f in os.listdir(self._snapdir) if f.startswith("v")),
+            key=lambda f: int(f[1:-5]),
+        ):
+            out.append(_json.load(open(os.path.join(self._snapdir, f))))
+        return out
+
+    def read_at(self, version: int) -> DataFrame:
+        """The table as of snapshot `version` (1-based): scans ONLY that
+        manifest's files, with the engine's read semantics applied.
+        Raises on a version retired by a later rewrite (missing files)."""
+        snaps = self.snapshots()
+        if not 1 <= version <= len(snaps):
+            raise ValueError(
+                f"{self.name}: no snapshot v{version} (have {len(snaps)})"
+            )
+        files = [os.path.join(self.path, f) for f in snaps[version - 1]["files"]]
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise FileNotFoundError(
+                f"{self.name}: snapshot v{version} was retired by a later "
+                f"rewrite ({len(missing)} file(s) gone)"
+            )
+        if not files:
+            return self.spark.createDataFrame([], self._storage_schema())
+        raw = self.spark.read.schema(self._storage_schema()).parquet(*files)
+        return self._with_engine_semantics(raw)
+
+    def changed_files(self, from_version: int, to_version: int) -> list[str]:
+        """Files ADDED between two snapshots — the incremental-consumption
+        feed (a downstream job reads only these, never re-scans history)."""
+        snaps = self.snapshots()
+        before = set(snaps[from_version - 1]["files"]) if from_version >= 1 else set()
+        after = set(snaps[to_version - 1]["files"])
+        return sorted(after - before)
 
     def insert(
         self,
@@ -558,6 +645,7 @@ class OlapTable(Generic[T]):
         os.makedirs(self.path, exist_ok=True)
         for proj in self.config.projections:
             shutil.rmtree(self._projection_path(proj.name), ignore_errors=True)
+        self._commit_snapshot("truncate")
 
     def peek(self, n: int = 10) -> list[dict]:
         """moose peek (cli/commands.rs:104-118)."""
@@ -678,6 +766,7 @@ class OlapTable(Generic[T]):
         shutil.rmtree(self.path, ignore_errors=True)
         os.rename(tmp, self.path)
         self._rebuild_projections()
+        self._commit_snapshot("rewrite")
         return sum(
             1
             for root, _, files in os.walk(self.path)
@@ -806,6 +895,7 @@ class OlapTable(Generic[T]):
                 os.path.join(self.path, f"{pb}={val}"), ignore_errors=True
             )
         self._rebuild_projections()
+        self._commit_snapshot("rewrite")
         return n_del
 
     def update_where(self, assignments: dict[str, str], predicate: str) -> int:
@@ -875,6 +965,7 @@ class OlapTable(Generic[T]):
                 "spark.sql.sources.partitionOverwriteMode", prev_mode
             )
         self._rebuild_projections()
+        self._commit_snapshot("rewrite")
         return n_upd
 
     def _rewrite_base(self, df: DataFrame, tmp_suffix: str) -> None:
@@ -892,3 +983,4 @@ class OlapTable(Generic[T]):
         shutil.rmtree(self.path, ignore_errors=True)
         os.rename(tmp, self.path)
         self._rebuild_projections()
+        self._commit_snapshot("rewrite")

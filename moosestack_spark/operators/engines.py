@@ -312,3 +312,61 @@ def source_schema_evolution_defaults(spark: SparkSession, sf_dir: str) -> DataFr
         ).localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "table_time_travel",
+    oracle="""
+SELECT 1 AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders WHERE o_orderkey % 17 = 0 AND o_orderkey % 2 = 0
+UNION ALL
+SELECT 2 AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders WHERE o_orderkey % 17 = 0
+""",
+)
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel end-to-end: two DataFrame inserts into a fresh
+    OlapTable (even keys, then odd), then each committed snapshot is read
+    back via read_at — v1 must see ONLY the first batch even though the
+    live table has both.  The oracle states the construction-implied
+    per-version counts and exact-decimal totals, so a manifest that leaks
+    or loses files fails the hash."""
+    import shutil
+    import tempfile
+
+    from pydantic import BaseModel
+
+    from moosestack_spark.catalog.table import OlapTable
+
+    class OrderRow(BaseModel):
+        o_orderkey: int
+        o_totalprice: float
+
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 17 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    wh = tempfile.mkdtemp(prefix="msk_time_travel_")
+    try:
+        table = OlapTable("tt_orders", OrderRow, spark, wh)
+        table.insert(src.filter(F.col("o_orderkey") % 2 == 0))
+        table.insert(src.filter(F.col("o_orderkey") % 2 != 0))
+        outs = []
+        for v in (1, 2):
+            outs.append(
+                table.read_at(v).agg(
+                    F.lit(v).alias("version"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    dsum("o_totalprice").alias("total"),
+                )
+            )
+        frame = outs[0].unionByName(outs[1])
+        # materialize before the temp warehouse disappears
+        return frame.localCheckpoint()
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

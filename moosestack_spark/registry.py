@@ -151,6 +151,7 @@ _AFTER_WINDOW = [
     "corpus_dsir_weights",
     "text_dup_ngram_fraction",
     "multimodal_exif_metadata",
+    "table_time_travel",
 ]
 
 
