@@ -422,6 +422,33 @@ class OlapTable(Generic[T]):
         after = set(snaps[to_version - 1]["files"])
         return sorted(after - before)
 
+    def restore(self, version: int) -> int:
+        """Roll the live table back to snapshot `version` by DELETING the
+        data files later snapshots added — zero data copy (append-only
+        history means the target files are still on disk; a version retired
+        by a rewrite raises first).  Commits a new snapshot, so the restore
+        itself is in the history.  Returns files removed."""
+        snaps = self.snapshots()
+        if not 1 <= version <= len(snaps):
+            raise ValueError(
+                f"{self.name}: no snapshot v{version} (have {len(snaps)})"
+            )
+        want = set(snaps[version - 1]["files"])
+        missing = [f for f in want if not os.path.exists(os.path.join(self.path, f))]
+        if missing:
+            raise FileNotFoundError(
+                f"{self.name}: snapshot v{version} was retired by a later "
+                f"rewrite ({len(missing)} file(s) gone)"
+            )
+        removed = 0
+        for f in self._data_files():
+            if f not in want:
+                os.remove(os.path.join(self.path, f))
+                removed += 1
+        self._rebuild_projections()
+        self._commit_snapshot(f"restore v{version}")
+        return removed
+
     def insert(
         self,
         data: Sequence[dict | T] | Iterator[dict | T] | DataFrame,

@@ -72,3 +72,47 @@ def test_truncate_commits_empty_snapshot_keeps_history(table):
     assert snaps[-1]["op"] == "truncate" and snaps[-1]["files"] == []
     assert table.read_at(len(snaps)).count() == 0
     assert len(snaps) == 2  # history retained (sibling dir survives rmtree)
+
+
+def test_restore_rolls_back_without_copying(table):
+    table.insert(_rows(0, 5, "a"))
+    table.insert(_rows(5, 3, "b"))
+    removed = table.restore(1)
+    assert removed >= 1
+    assert table.read().count() == 5
+    assert {r.kind for r in table.read().collect()} == {"a"}
+    snaps = table.snapshots()
+    assert snaps[-1]["op"] == "restore v1"
+    # restoring to a later-rewritten version fails loudly
+    table.delete_where("id = 0")
+    with pytest.raises(FileNotFoundError, match="retired"):
+        table.restore(1)
+
+
+def test_streaming_foreachbatch_appends_commit_snapshots(table, spark, tmp_path):
+    """A foreachBatch stream sink lands through _append_df, so every
+    micro-batch is a snapshot — free replayable history for streamed
+    tables."""
+    import json
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    (src_dir / "b1.json").write_text(
+        "\n".join(json.dumps({"id": i, "kind": "s", "amount": 1.0}) for i in range(3))
+    )
+    stream = (
+        spark.readStream.schema("id long, kind string, amount double")
+        .json(str(src_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _bid: table._append_df(df)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    snaps = table.snapshots()
+    assert snaps and snaps[-1]["op"] == "append"
+    assert table.read_at(len(snaps)).count() == 3
