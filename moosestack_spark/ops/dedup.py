@@ -179,6 +179,60 @@ def shingle_hash_array_expr(text_col: str, n: int) -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Portable hash family for the MinHash pipeline.  Every step is plain
+# integer arithmetic mod the Mersenne prime 2^31-1 (products with 32-bit
+# multipliers stay inside int64), so DuckDB replays the ENTIRE banded-LSH
+# pipeline value-exactly and dedup_minhash_lsh carries a hard oracle.
+# Collisions at 31 bits are harmless here: both engines replay the SAME
+# collisions, and minhash quality needs uniformity, not injectivity —
+# whereas ngram_jaccard keeps the 64-bit xxhash family because its oracle
+# is defined on shingle STRINGS (a hash collision there would flip a
+# hard-gated Jaccard value).
+# --------------------------------------------------------------------------
+
+_PORT_M = 2147483647  # 2^31 - 1
+
+
+def _port_perm_coeffs(k: int) -> tuple[int, int]:
+    """The k-th (a, b) of the (a*s + b) mod M permutation family — plain
+    arithmetic in k, so the SQL spelling can compute it from a sequence()
+    variable and the oracle can precompute the identical constants."""
+    a = ((k * 2654435761 + 40503) % (_PORT_M - 1)) + 1
+    b = (k * 1013904223 + 12345) % _PORT_M
+    return a, b
+
+
+# SQL spelling of _port_perm_coeffs for a bound variable k (same formula;
+# k arrives as INT from sequence() — widen before multiplying or ANSI mode
+# overflows)
+_PORT_A_SQL = f"(((CAST(k AS BIGINT) * 2654435761) + 40503) % {_PORT_M - 1}) + 1"
+_PORT_B_SQL = f"((CAST(k AS BIGINT) * 1013904223) + 12345) % {_PORT_M}"
+
+
+def portable_shingle_hash_array_expr(text_col: str, n: int) -> str:
+    """Per-row array of n-token-window hashes in the portable family:
+    polynomial char fold per token, polynomial fold of the n token hashes
+    per window — all mod 2^31-1.  Same let-binding discipline as
+    shingle_hash_array_expr (each intermediate bound once)."""
+    tok_fold = (
+        "aggregate(transform(split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        f"0L, (a, c) -> (a * 31 + c) % {_PORT_M})"
+    )
+    toks_h = (
+        f"transform(split(trim(lower({text_col})), '\\\\s+'), tok -> {tok_fold})"
+    )
+    fold = "0L"
+    for j in range(n):
+        fold = f"(({fold}) * 1000003 + element_at(th, i + {j})) % {_PORT_M}"
+    return _let(
+        toks_h,
+        "th",
+        f"CASE WHEN size(th) < {n} THEN array() ELSE "
+        f"transform(sequence(1, size(th) - {n - 1}), i -> {fold}) END",
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -345,11 +399,13 @@ def minhash_signatures(
     codegen bomb that took 38s on 500 docs.  Columns after an aggregation
     are materialized, so downstream band hashing reads cheap ints.)
 
-    Hash-family shape: each shingle string is hashed ONCE to a 64-bit base;
-    the k independent permutations re-hash that 8-byte base with seed i.
-    Re-hashing the full string k times measured ~6s for 5000 docs at sf0.1 —
-    the string hashing was the whole pipeline cost; 8-byte re-hashes cut the
-    warm end-to-end time ~25% and the win grows with k.
+    Hash-family shape: each shingle hashes ONCE to a portable 31-bit base
+    (polynomial folds mod 2^31-1 — portable_shingle_hash_array_expr); the k
+    independent permutations are (a_k * base + b_k) mod M — cheap integer
+    re-mixes of the base, same discipline as the earlier xxhash re-seeding
+    (hash the expensive string once, permute the fixed-width base k times).
+    The portable family is what lets dedup_minhash_lsh carry a hard DuckDB
+    oracle: every step is plain int64 arithmetic both engines replay.
 
     NOTE: this explode+aggregate form is retained as the REFERENCE
     implementation (tests pin the production path against it);
@@ -364,11 +420,18 @@ def minhash_signatures(
     # across cores first.  (On a real lake the scan arrives already split;
     # the repartition then just becomes the first shuffle of the pipeline,
     # hashed on doc id so the later groupBy("doc") can reuse co-location.)
-    sh = exploded_shingle_hashes(_spread(df, id_col), id_col, text_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.col("__sh64"), F.lit(i))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
+    sh = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(portable_shingle_hash_array_expr(text_col, n))).alias(
+            "__sh"
+        ),
+    )
+    aggs = []
+    for i in range(n_hashes):
+        a, b = _port_perm_coeffs(i)
+        aggs.append(
+            F.min((F.col("__sh") * a + b) % _PORT_M).alias(f"h{i}")
+        )
     return sh.groupBy("doc").agg(*aggs)
 
 
@@ -386,20 +449,27 @@ def _minhash_band_rows(
     append their band rows and probe existing buckets."""
     rows_per_band = n_hashes // n_bands
     bind = _let
-    sh_arr = shingle_hash_array_expr(text_col, n)
+    sh_arr = portable_shingle_hash_array_expr(text_col, n)
     sig = (
         f"CASE WHEN size(sa) = 0 THEN NULL ELSE "
         f"transform(sequence(0, {n_hashes - 1}), k -> "
-        f"array_min(transform(sa, s -> xxhash64(s, k)))) END"
+        f"array_min(transform(sa, s -> "
+        f"(s * ({_PORT_A_SQL}) + ({_PORT_B_SQL})) % {_PORT_M}))) END"
     )
+
+    def band_hash(b: int) -> str:
+        # polynomial fold of the band's sig rows (portable — the oracle
+        # replays it verbatim where xxhash64 could not be)
+        h = "0L"
+        for r in range(rows_per_band):
+            h = (
+                f"(({h}) * 1000003 + "
+                f"element_at(sg, {b * rows_per_band + r + 1})) % {_PORT_M}"
+            )
+        return h
+
     band_structs = ", ".join(
-        "struct({b} AS band, xxhash64({cols}) AS bh, sg AS sig)".format(
-            b=b,
-            cols=", ".join(
-                f"element_at(sg, {b * rows_per_band + r + 1})"
-                for r in range(rows_per_band)
-            ),
-        )
+        f"struct({b} AS band, {band_hash(b)} AS bh, sg AS sig)"
         for b in range(n_bands)
     )
     bands_expr = bind(sh_arr, "sa", bind(sig, "sg", f"array({band_structs})"))
@@ -494,8 +564,110 @@ def minhash_lsh_pairs(
     )
 
 
-@query("dedup_minhash_lsh")  # approximate: rows-only driver check
+def _minhash_sig_ctes(
+    n: int, n_hashes: int, n_bands: int, source_filter: str = ""
+) -> str:
+    """DuckDB CTE chain replaying the portable MinHash pipeline: token
+    folds, window folds, the (a_k*s + b_k) mod M signature, and the
+    polynomial band hashes — constants precomputed by the SAME
+    _port_perm_coeffs the Spark expressions use."""
+    rows_per_band = n_hashes // n_bands
+    tok_fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split_regex(tok, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, c) -> (a * 31 + c) % {_PORT_M})"
+    )
+    fold = "CAST(0 AS BIGINT)"
+    for j in range(n):
+        fold = f"(({fold}) * 1000003 + th[i + {j}]) % {_PORT_M}"
+    sig_elems = []
+    for k in range(n_hashes):
+        a, b = _port_perm_coeffs(k)
+        sig_elems.append(
+            f"list_min(list_transform(sa, s -> (s * {a} + {b}) % {_PORT_M}))"
+        )
+    sig_list = ",\n         ".join(sig_elems)
+    band_cols = []
+    for bnd in range(n_bands):
+        h = "CAST(0 AS BIGINT)"
+        for r in range(rows_per_band):
+            h = f"(({h}) * 1000003 + sig[{bnd * rows_per_band + r + 1}]) % {_PORT_M}"
+        band_cols.append(f"{h} AS bh{bnd}")
+    bh_cols = ",\n         ".join(band_cols)
+    band_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc, sig, {bnd} AS band, bh{bnd} AS bh FROM banded"
+        for bnd in range(n_bands)
+    )
+    return f"""
+toks AS (
+  SELECT doc_id AS doc,
+         list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                        tok -> {tok_fold}) AS th
+  FROM documents{source_filter}
+),
+sh AS (
+  SELECT doc,
+         CASE WHEN len(th) < {n} THEN []
+              ELSE list_transform(range(1, len(th) - {n - 2}), i -> {fold})
+         END AS sa
+  FROM toks
+),
+sig AS (
+  SELECT doc,
+         [{sig_list}] AS sig
+  FROM sh WHERE len(sa) > 0
+),
+banded AS (
+  SELECT doc, sig,
+         {bh_cols}
+  FROM sig
+),
+bands AS (
+{band_union}
+)"""
+
+
+def _minhash_lsh_oracle(
+    n: int = 5,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> str:
+    eq_terms = " + ".join(
+        f"(CASE WHEN sa.sig[{k + 1}] = sb.sig[{k + 1}] THEN 1 ELSE 0 END)"
+        for k in range(n_hashes)
+    )
+    return f"""
+WITH {_minhash_sig_ctes(n, n_hashes, n_bands)},
+ok_buckets AS (
+  SELECT band, bh FROM bands GROUP BY band, bh
+  HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+  JOIN ok_buckets ob ON ob.band = a.band AND ob.bh = a.bh
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(({eq_terms}) AS DOUBLE) / {float(n_hashes)!r} AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc = c.doc_a
+JOIN sig sb ON sb.doc = c.doc_b
+WHERE CAST(({eq_terms}) AS DOUBLE) / {float(n_hashes)!r} >= {threshold}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs — now under a HARD value-hash
+    oracle: the whole pipeline (token/window polynomial folds, the
+    (a*s+b) mod 2^31-1 permutation family, polynomial band hashes, bucket
+    caps, signature-Jaccard estimates) is portable integer arithmetic that
+    DuckDB replays verbatim.  The approximation is in recall vs exact
+    Jaccard, never in what either engine computes."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_lsh_pairs(d, "doc_id", "text", n=5, threshold=0.5)
 
@@ -572,11 +744,29 @@ def minhash_lsh_pairs_incremental(
     )
 
 
-@query("dedup_minhash_incremental")  # approximate: rows-only driver check
+def _minhash_incremental_oracle() -> str:
+    """Incremental == full-corpus LSH pairs restricted to pairs touching
+    the new batch (the equivalence the pytest pins); the oracle states it
+    exactly that way over the same portable pipeline."""
+    full = _minhash_lsh_oracle()
+    return f"""
+WITH batch_cut AS (
+  SELECT quantile_cont(doc_id, 0.8) AS c FROM documents
+),
+full_pairs AS ({full})
+SELECT doc_a, doc_b, est_jaccard
+FROM full_pairs, batch_cut
+WHERE doc_a > batch_cut.c OR doc_b > batch_cut.c
+"""
+
+
+@query("dedup_minhash_incremental", oracle=_minhash_incremental_oracle())
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental LSH probe: the newest 20% of documents (by id) arrive as
     a batch against the already-indexed 80%; emit near-dup pairs touching
-    the batch."""
+    the batch.  HARD-oracled: the DuckDB side replays the full portable
+    pipeline and applies the touches-the-batch filter — exactly the
+    incremental==filtered-full equivalence the pytest pins."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     cut = d.agg(F.expr("percentile(doc_id, 0.8)").alias("c")).collect()[0][0]
     existing = d.filter(F.col("doc_id") <= cut)

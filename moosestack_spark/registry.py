@@ -152,6 +152,8 @@ _AFTER_WINDOW = [
     "text_dup_ngram_fraction",
     "multimodal_exif_metadata",
     "table_time_travel",
+    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
 ]
 
 

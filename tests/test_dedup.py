@@ -152,6 +152,30 @@ def test_lsh_bucket_cap_adds_no_exchange(spark):
         assert plan.count("Exchange") <= 3, fn.__name__
 
 
+def test_portable_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """The portable (mod 2^31-1) hash family must estimate as well as the
+    64-bit xxhash family it replaced: on the testdata corpus the LSH pairs
+    at threshold 0.5 recover the exact-Jaccard pair set with high recall
+    and precision (the synthetic near-dups sit well above threshold, so
+    weak hashing would show up immediately)."""
+    from moosestack_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from moosestack_spark.tables import t
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.5).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(d, "doc_id", "text", n=5, threshold=0.5).collect()
+    }
+    assert exact, "fixture corpus must contain near-dups"
+    inter = exact & est
+    assert len(inter) / len(exact) >= 0.9, "recall collapsed"
+    assert len(inter) / max(1, len(est)) >= 0.9, "precision collapsed"
+
+
 def test_incremental_lsh_equals_filtered_full(spark, sf_dir):
     """Incremental probe == full-corpus LSH pairs restricted to pairs
     touching the new batch (hard equivalence: same buckets, same
