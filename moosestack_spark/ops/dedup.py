@@ -564,14 +564,9 @@ def minhash_lsh_pairs(
     )
 
 
-def _minhash_sig_ctes(
-    n: int, n_hashes: int, n_bands: int, source_filter: str = ""
-) -> str:
-    """DuckDB CTE chain replaying the portable MinHash pipeline: token
-    folds, window folds, the (a_k*s + b_k) mod M signature, and the
-    polynomial band hashes — constants precomputed by the SAME
-    _port_perm_coeffs the Spark expressions use."""
-    rows_per_band = n_hashes // n_bands
+def _portable_shingle_ctes(n: int) -> str:
+    """DuckDB CTEs `toks` + `sh` replaying portable_shingle_hash_array_expr
+    (token polynomial folds, window folds) over documents."""
     tok_fold = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         "list_transform(string_split_regex(tok, ''), "
@@ -581,6 +576,28 @@ def _minhash_sig_ctes(
     fold = "CAST(0 AS BIGINT)"
     for j in range(n):
         fold = f"(({fold}) * 1000003 + th[i + {j}]) % {_PORT_M}"
+    return f"""
+toks AS (
+  SELECT doc_id AS doc,
+         list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                        tok -> {tok_fold}) AS th
+  FROM documents
+),
+sh AS (
+  SELECT doc,
+         CASE WHEN len(th) < {n} THEN []
+              ELSE list_transform(range(1, len(th) - {n - 2}), i -> {fold})
+         END AS sa
+  FROM toks
+)"""
+
+
+def _minhash_sig_ctes(n: int, n_hashes: int, n_bands: int) -> str:
+    """DuckDB CTE chain replaying the portable MinHash pipeline: token
+    folds, window folds, the (a_k*s + b_k) mod M signature, and the
+    polynomial band hashes — constants precomputed by the SAME
+    _port_perm_coeffs the Spark expressions use."""
+    rows_per_band = n_hashes // n_bands
     sig_elems = []
     for k in range(n_hashes):
         a, b = _port_perm_coeffs(k)
@@ -599,20 +616,7 @@ def _minhash_sig_ctes(
         f"  SELECT doc, sig, {bnd} AS band, bh{bnd} AS bh FROM banded"
         for bnd in range(n_bands)
     )
-    return f"""
-toks AS (
-  SELECT doc_id AS doc,
-         list_transform(string_split_regex(trim(lower(text)), '\\s+'),
-                        tok -> {tok_fold}) AS th
-  FROM documents{source_filter}
-),
-sh AS (
-  SELECT doc,
-         CASE WHEN len(th) < {n} THEN []
-              ELSE list_transform(range(1, len(th) - {n - 2}), i -> {fold})
-         END AS sa
-  FROM toks
-),
+    return f"""{_portable_shingle_ctes(n)},
 sig AS (
   SELECT doc,
          [{sig_list}] AS sig
@@ -781,37 +785,53 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# Second portable permutation: the low 31 fingerprint bits come from
+# (A*h + B) mod M, the high 31 from h itself — 62 near-independent vote
+# bits per shingle, all integer arithmetic DuckDB replays (what lets
+# dedup_simhash carry a hard oracle where the 64-bit xxhash could not).
+SIMHASH_BITS = 62
+_SIM_A, _SIM_B = _port_perm_coeffs(97)
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 5
 ) -> DataFrame:
-    """64-bit SimHash per doc: sign of per-bit vote sums over shingle
+    """62-bit SimHash per doc: sign of per-bit vote sums over shingle
     hashes.  Same explode->aggregate shape as minhash_signatures: one
-    shuffle, 64 `sum(+-1)` aggregate columns with map-side combine, then a
-    cheap 64-term bit-assembly projection on the aggregated rows.  Votes
-    are MULTISET-weighted (a shingle repeated k times votes k times) — the
+    shuffle, 62 `sum(+-1)` aggregate columns with map-side combine, then a
+    cheap bit-assembly projection on the aggregated rows.  Votes are
+    MULTISET-weighted (a shingle repeated k times votes k times) — the
     Charikar-style weighted variant; near-identical buckets for natural
     text, and the repeat-weighting is arguably the better similarity for
-    dedup (boilerplate repetition pulls fingerprints together)."""
+    dedup (boilerplate repetition pulls fingerprints together).
+
+    Bit sources: bits 0..30 test the second permutation (A*h+B mod M) of
+    the portable 31-bit shingle hash, bits 31..61 test the hash itself."""
     # spread the 1-task local scan before the expensive shingle projection;
     # the multiset explode comes from the shuffle-free per-row array
-    # (shingle_hash_array_expr — same hash family as
-    # exploded_shingle_hashes without its token-window sort), and the
-    # vote aggregation reuses the spread's doc exchange
+    # (portable_shingle_hash_array_expr), and the vote aggregation reuses
+    # the spread's doc exchange
     sh = _spread(df, id_col).select(
         F.col(id_col).alias("doc"),
-        F.explode(F.expr(shingle_hash_array_expr(text_col, n))).alias("h"),
-    )
+        F.explode(
+            F.expr(portable_shingle_hash_array_expr(text_col, n))
+        ).alias("h"),
+    ).withColumn("h2", (F.col("h") * _SIM_A + _SIM_B) % _PORT_M)
+
+    def bit_src(b: int):
+        return (
+            F.col("h2").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b))
+            if b < 31
+            else F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b - 31))
+        )
+
     votes = [
-        F.sum(
-            F.when(
-                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
-            ).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(64)
+        F.sum(F.when(bit_src(b) != 0, 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
     ]
     per_doc = sh.groupBy("doc").agg(*votes)
     sig = None
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         bit = F.when(
             F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
@@ -892,8 +912,67 @@ def simhash_pairs(
     )
 
 
-@query("dedup_simhash")  # hash-sketch based: rows-only driver check
+def _simhash_oracle(
+    n: int = 5, max_hamming: int = 8, max_bucket: int = 256
+) -> str:
+    """DuckDB replay of the full SimHash pipeline: portable shingle hashes,
+    the second permutation, 62 vote sums, sign-bit fingerprint assembly,
+    16-bit quarter buckets with the doc-ordered slice cap, hamming filter."""
+    vote_cols = []
+    for b in range(SIMHASH_BITS):
+        src = f"((h2 >> {b}) & 1)" if b < 31 else f"((h >> {b - 31}) & 1)"
+        vote_cols.append(
+            f"SUM(CASE WHEN {src} = 1 THEN 1 ELSE -1 END) AS v{b}"
+        )
+    votes_sql = ",\n         ".join(vote_cols)
+    fp_terms = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    quarter_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc, fp, {q} AS q, (fp >> {q * 16}) & 65535 AS qh FROM fp"
+        for q in range(4)
+    )
+    return f"""
+WITH {_portable_shingle_ctes(n)},
+shex AS (
+  SELECT doc, UNNEST(sa) AS h FROM sh
+),
+h2ex AS (
+  SELECT doc, h, (h * {_SIM_A} + {_SIM_B}) % {_PORT_M} AS h2 FROM shex
+),
+votes AS (
+  SELECT doc,
+         {votes_sql}
+  FROM h2ex GROUP BY doc
+),
+fp AS (
+  SELECT doc, {fp_terms} AS fp FROM votes
+),
+quarters AS (
+{quarter_union}
+),
+capped AS (
+  SELECT doc, fp, q, qh FROM (
+    SELECT doc, fp, q, qh,
+           ROW_NUMBER() OVER (PARTITION BY q, qh ORDER BY doc) AS rn
+    FROM quarters
+  ) WHERE rn <= {max_bucket}
+)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM capped a
+JOIN capped b ON a.q = b.q AND a.qh = b.qh AND a.doc < b.doc
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming near-dup pairs — HARD-oracled: the 62-bit portable
+    fingerprint (two (a*s+b) mod 2^31-1 permutations of the polynomial
+    shingle hash), quarter bucketing with the slice cap, and the hamming
+    filter are all integer arithmetic DuckDB replays verbatim."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash_pairs(d, "doc_id", "text", n=5, max_hamming=8)
 

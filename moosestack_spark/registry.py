@@ -154,6 +154,7 @@ _AFTER_WINDOW = [
     "table_time_travel",
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
+    "dedup_simhash",
 ]
 
 
