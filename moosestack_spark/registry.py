@@ -155,6 +155,7 @@ _AFTER_WINDOW = [
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
     "dedup_simhash",
+    "agg_lttb_downsample",
 ]
 
 

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from moosestack_spark.operators.downsample import lttb, lttb_select
+from moosestack_spark.operators.downsample import lttb, lttb_select, lttb_select_exact
 
 
 def reference_lttb(x, y, threshold):
@@ -83,3 +83,27 @@ def test_lttb_spark_kernel(spark):
         got = grp.sort_values("sel_rank")
         assert got["x"].tolist() == want["x"].tolist()
         assert got["y"].tolist() == want["y"].tolist()
+
+
+def test_lttb_exact_matches_float_kernel_on_integer_data():
+    """On integer coordinates the exact-integer kernel must select the same
+    points as the float kernel whenever no float rounding is in play (small
+    magnitudes: every float area is exact) — the two differ only in edge
+    truncation arithmetic, which agrees for these sizes."""
+    rng = np.random.default_rng(5)
+    for n, threshold in [(100, 10), (57, 20), (19, 20)]:
+        x = np.sort(rng.integers(0, 10**6, n)).astype(np.int64)
+        y = rng.integers(-1000, 1000, n).astype(np.int64)
+        exact = lttb_select_exact([int(v) for v in x], [int(v) for v in y], threshold)
+        flt = lttb_select(x, y.astype(np.float64), threshold).tolist()
+        assert exact == flt, (n, threshold)
+
+
+def test_lttb_exact_invariants():
+    rng = np.random.default_rng(13)
+    x = sorted(int(v) for v in rng.integers(0, 10**12, 500))
+    y = [int(v) for v in rng.integers(-10**4, 10**4, 500)]
+    idx = lttb_select_exact(x, y, 30)
+    assert idx[0] == 0 and idx[-1] == 499
+    assert len(idx) == 30
+    assert all(b > a for a, b in zip(idx, idx[1:]))
