@@ -416,20 +416,20 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("cr"),
         F.sum(F.when(is_target, 1).otherwise(0)).cast("bigint").alias("ct"),
     )
-    totals = counts.agg(
-        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
-    )
-    model = (
-        counts.join(F.broadcast(totals))
-        .select(
-            "b",
-            (
-                F.log2((F.col("ct") + 1).cast("double"))
-                - F.log2((F.col("nt") + _HASH_DIM).cast("double"))
-                - F.log2((F.col("cr") + 1).cast("double"))
-                + F.log2((F.col("nr") + _HASH_DIM).cast("double"))
-            ).alias("lr"),
-        )
+    # corpus totals as unpartitioned window sums over the HASH_DIM-row
+    # counts table — no 1-row cross join, no extra scan; the window's
+    # single-partition collapse is over <= 1024 rows by construction
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy()
+    model = counts.select(
+        "b",
+        (
+            F.log2((F.col("ct") + 1).cast("double"))
+            - F.log2((F.sum("ct").over(w) + _HASH_DIM).cast("double"))
+            - F.log2((F.col("cr") + 1).cast("double"))
+            + F.log2((F.sum("cr").over(w) + _HASH_DIM).cast("double"))
+        ).alias("lr"),
     )
     return (
         tok.join(F.broadcast(model), "b")

@@ -163,3 +163,19 @@ def test_orc_partitioned_read_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "o_orderstatus" in scan_line
+
+
+def test_dsir_weights_broadcasts_model_and_bounds_shuffles(plans):
+    p = plans("corpus_dsir_weights")
+    # the 1024-row log-ratio model must broadcast; data shuffles stay at
+    # the bucket-count agg + totals + per-doc agg
+    assert "BroadcastExchange" in p
+    tree = plan_tree(p)
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 4
+
+
+def test_dup_ngram_fraction_two_shuffles_with_broadcast_df(plans):
+    p = plans("text_dup_ngram_fraction")
+    assert "BroadcastExchange" in p  # shingle-df table joins broadcast
+    tree = plan_tree(p)
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 2
