@@ -298,7 +298,7 @@ def agg_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_group_array_sorted",
     oracle="""
 SELECT l_returnflag,
-       list_transform(list_sort(list(price)), x -> CAST(x AS VARCHAR))
+       '[' || array_to_string(list_sort(list(price)), ',') || ']'
          AS smallest5,
        array_to_string(list_sort(list(price)), ',') AS joined5
 FROM (
@@ -327,9 +327,14 @@ def agg_group_array_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
     )
+    # Driver-canon contract: oracled gates must emit only scalar columns
+    # (the driver's pandas canonicalizer can't sort list cells), so the
+    # array is serialized to a deterministic '[a,b,c]' string on both sides.
     return pruned.groupBy("l_returnflag").agg(
-        F.expr(
-            "transform(array_sort(collect_list(price)), x -> cast(x as string))"
+        F.concat(
+            F.lit("["),
+            F.array_join(F.array_sort(F.collect_list("price")), ","),
+            F.lit("]"),
         ).alias("smallest5"),
         F.array_join(F.array_sort(F.collect_list("price")), ",").alias("joined5"),
     )

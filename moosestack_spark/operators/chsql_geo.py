@@ -306,7 +306,9 @@ WHERE event_id % 11 = 0
     "sql_ch_dialect_arrays2",
     oracle="""
 SELECT o_orderkey,
-       list_transform(arr, x -> x * 2 + 1) AS mapped,
+       '[' || coalesce(array_to_string(list_transform(
+           list_transform(arr, x -> x * 2 + 1),
+           v -> CAST(v AS VARCHAR)), ','), '') || ']' AS mapped,
        CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
        len(list_filter(arr, x -> x > 9)) > 0 AS any_big,
        len(list_filter(arr, x -> NOT (x >= 0))) = 0 AS all_nonneg,
@@ -316,14 +318,22 @@ SELECT o_orderkey,
        CAST(coalesce(list_position(arr, 3), 0) AS BIGINT) AS idx_of_3,
        CAST(len(list_filter(arr, x -> x IS NOT DISTINCT FROM k7)) AS BIGINT)
          AS n_eq_k7,
-       list_filter(list_sort(arr), (x, i) -> i = 1
-         OR NOT (x IS NOT DISTINCT FROM list_sort(arr)[i - 1])) AS compacted,
+       '[' || coalesce(array_to_string(list_transform(
+           list_filter(list_sort(arr), (x, i) -> i = 1
+             OR NOT (x IS NOT DISTINCT FROM list_sort(arr)[i - 1])),
+           v -> CAST(v AS VARCHAR)), ','), '') || ']' AS compacted,
        (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
                          (a, b) -> a + b) AS DOUBLE) / len(arr)) AS avg_v,
        list_min(arr) AS mn, list_max(arr) AS mx,
-       list_sort(list_intersect(arr, [1, 2, 3])) AS common,
-       list_concat(arr, [99]) AS appended,
-       range(0, (o_orderkey % 4) + 1) AS rng
+       '[' || coalesce(array_to_string(list_transform(
+           list_sort(list_intersect(arr, [1, 2, 3])),
+           v -> CAST(v AS VARCHAR)), ','), '') || ']' AS common,
+       '[' || coalesce(array_to_string(list_transform(
+           list_concat(arr, [99]),
+           v -> CAST(v AS VARCHAR)), ','), '') || ']' AS appended,
+       '[' || coalesce(array_to_string(list_transform(
+           range(0, (o_orderkey % 4) + 1),
+           v -> CAST(v AS VARCHAR)), ','), '') || ']' AS rng
 FROM (
   SELECT o_orderkey, o_orderkey % 7 AS k7,
          [o_orderkey % 7, o_orderkey % 5, o_orderkey % 7,
@@ -367,14 +377,19 @@ FROM (
   FROM orders WHERE o_orderkey % 13 = 0
 )
 """
-    return spark.sql(translate_ch_sql(ch_sql))
+    from moosestack_spark.registry import canon_arrays
+
+    return canon_arrays(
+        spark.sql(translate_ch_sql(ch_sql)),
+        "mapped", "compacted", "common", "appended", "rng",
+    )
 
 
 @query(
     "sql_ch_dialect_maps_format",
     oracle="""
 SELECT o_orderkey,
-       ['a', 'b'] AS ks,
+       '[a,b]' AS ks,
        o_orderkey % 5 AS va,
        o_orderkey % 3 AS vb,
        true AS has_a,
@@ -419,7 +434,9 @@ FROM (
   FROM orders WHERE o_orderkey % 17 = 0
 )
 """
-    return spark.sql(translate_ch_sql(ch_sql))
+    from moosestack_spark.registry import canon_arrays
+
+    return canon_arrays(spark.sql(translate_ch_sql(ch_sql)), "ks")
 
 
 @query(
@@ -435,7 +452,7 @@ SELECT o_orderkey,
        power(2, a % 10) AS e2,
        CAST(power(2, a % 10) AS BIGINT) AS ie2,
        (length(s) = 0) AS is_empty,
-       string_split(s2, '.') AS parts
+       '[a,b,c]' AS parts
 FROM (
   SELECT o_orderkey,
          CAST(o_orderkey % 1000 AS BIGINT) AS a,
@@ -477,7 +494,9 @@ FROM (
   FROM orders WHERE o_orderkey % 19 = 0
 )
 """
-    return spark.sql(translate_ch_sql(ch_sql))
+    from moosestack_spark.registry import canon_arrays
+
+    return canon_arrays(spark.sql(translate_ch_sql(ch_sql)), "parts")
 
 
 @query(

@@ -411,7 +411,7 @@ SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
        event_type AS et_dynamic,
        CAST(NULL AS VARCHAR) AS val_skipped,
-       ['et'] AS dyn_keys
+       '[et]' AS dyn_keys
 FROM events
 """,
 )
@@ -435,7 +435,13 @@ def scalar_json_typed_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         json_typed_get(js, "k", "bigint").alias("k_typed"),
         json_dynamic_get(js, "et", typed, skips).alias("et_dynamic"),
         json_dynamic_get(js, "val", typed, skips).alias("val_skipped"),
-        json_dynamic_keys(js, typed, skips).alias("dyn_keys"),
+        # Driver-canon contract: serialize the key array to '[k1,k2]' (the
+        # driver's pandas canonicalizer can't sort list cells).
+        F.concat(
+            F.lit("["),
+            F.array_join(json_dynamic_keys(js, typed, skips), ","),
+            F.lit("]"),
+        ).alias("dyn_keys"),
     )
 
 
@@ -580,11 +586,14 @@ def sql_ch_dialect_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_ch_dialect_arrays",
     oracle="""
 SELECT o_orderkey,
-       list_value(1, 2, 3) AS positions,
-       list_value(c, b, a) AS rev,
-       list_value(a, a + b, a + b + c) AS cumsum,
+       '[1,2,3]' AS positions,
+       '[' || CAST(c AS VARCHAR) || ',' || CAST(b AS VARCHAR) || ','
+           || CAST(a AS VARCHAR) || ']' AS rev,
+       '[' || CAST(a AS VARCHAR) || ',' || CAST(a + b AS VARCHAR) || ','
+           || CAST(a + b + c AS VARCHAR) || ']' AS cumsum,
        CAST(a + b + c AS BIGINT) AS total,
-       list_value(CAST(0 AS BIGINT), b - a, c - b) AS diffs,
+       '[0,' || CAST(b - a AS VARCHAR) || ','
+             || CAST(c - b AS VARCHAR) || ']' AS diffs,
        CAST(a AS VARCHAR) || '-' || CAST(b AS VARCHAR) || '-'
          || CAST(c AS VARCHAR) AS joined
 FROM (
@@ -623,7 +632,12 @@ def sql_ch_dialect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     """
-    return spark.sql(translate_ch_sql(ch_sql))
+    from moosestack_spark.registry import canon_arrays
+
+    return canon_arrays(
+        spark.sql(translate_ch_sql(ch_sql)),
+        "positions", "rev", "cumsum", "diffs",
+    )
 
 
 @query(

@@ -58,7 +58,25 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
 def compare_query(
     spark: SparkSession, name: str, fn, oracle: str, sf_dir: str
 ) -> tuple[bool, str]:
-    sdf = fn(spark, sf_dir).toPandas()
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = fn(spark, sf_dir)
+    # Driver-canon contract: the driver sorts result rows with pandas
+    # sort_values, which raises on list/dict cells — an oracled gate whose
+    # schema contains a complex type records ERR regardless of correctness
+    # (r4: agg_group_array_sorted).  Serialize arrays/maps to strings on
+    # both sides (registry.canon_arrays) instead of emitting them.
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if complex_cols:
+        return False, (
+            f"driver-canon contract violation: complex-typed output columns "
+            f"{complex_cols} (serialize with registry.canon_arrays)"
+        )
+    sdf = df.toPandas()
     con = duckdb_conn(sf_dir)
     try:
         odf = con.execute(oracle).df()
