@@ -52,12 +52,12 @@ def _plan(spark, warehouse: str):
     target = infra_map_from_registry()
     ops, disc = plan_against_reality(spark, warehouse, saved, target)
     current = saved  # discrepancies already folded in by plan_against_reality
-    return order_ops(ops, target, current), disc, target
+    return order_ops(ops, target, current), disc, target, current
 
 
 def cmd_plan(args) -> int:
     spark, _ = _load_app(args.app, args.warehouse)
-    ops, disc, _ = _plan(spark, args.warehouse)
+    ops, disc, _, _ = _plan(spark, args.warehouse)
     for t in disc.unmapped_tables:
         print(f"~ drift: unmapped table on disk: {t.name}")
     for name in disc.missing_tables:
@@ -76,8 +76,9 @@ def cmd_migrate(args) -> int:
     from moosestack_spark.catalog.planner import execute_ops, save_state
 
     spark, _ = _load_app(args.app, args.warehouse)
-    ops, _, target = _plan(spark, args.warehouse)
-    applied = execute_ops(args.warehouse, ops)
+    ops, _, target, current = _plan(spark, args.warehouse)
+    # versioned / non-default-database specs resolve to OlapTable.path
+    applied = execute_ops(args.warehouse, ops, current=current, target=target)
     save_state(args.warehouse, target)
     for op in applied:
         print(f"applied {op.kind} {op.target}")

@@ -103,8 +103,11 @@ class Api(Generic[TParams]):
         n = clamp_limit(limit)
         # a handler whose params model declares its own `limit` still gets
         # it (the response clamp applies on top, never widening)
+        # forward the CLAMPED limit: a params model that validates its own
+        # bound (e.g. le=1000) must see clamp-and-serve, not a
+        # ValidationError on an oversized request
         if limit is not None and "limit" in self.params_model.model_fields:
-            raw_params.setdefault("limit", limit)
+            raw_params.setdefault("limit", n)
         return [
             r.asDict(recursive=True)
             for r in self.call(spark, jwt=jwt, **raw_params).limit(n).collect()

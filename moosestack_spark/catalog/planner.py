@@ -49,6 +49,25 @@ class TableSpec:
     engine: str = "MergeTree"
     settings: dict = field(default_factory=dict)
     version: Optional[str] = None
+    # Physical placement: OlapTable.path = warehouse/<database>/<name>_<v>;
+    # the planner must create/drop/observe at the SAME directory or a
+    # versioned / non-default-database table reports perpetual drift.
+    database: Optional[str] = None
+
+
+def physical_table_name(spec: TableSpec) -> str:
+    """Versioned physical directory name, mirroring OlapTable.physical_name
+    (olap_table.py:422-440): ``{name}_{1_0}`` when a version is set."""
+    if spec.version:
+        return f"{spec.name}_{spec.version.replace('.', '_')}"
+    return spec.name
+
+
+def table_dir(warehouse: str, spec: TableSpec, default_database: str = "default") -> str:
+    """The spec's physical directory — MUST match OlapTable.path."""
+    return os.path.join(
+        warehouse, spec.database or default_database, physical_table_name(spec)
+    )
 
 
 @dataclass
@@ -97,6 +116,7 @@ class InfraMap:
                     engine=v.get("engine", "MergeTree"),
                     settings=v.get("settings", {}),
                     version=v.get("version"),
+                    database=v.get("database"),
                 )
                 for k, v in raw.get("tables", {}).items()
             },
@@ -208,13 +228,18 @@ def diff_tables(cur: Optional[TableSpec], tgt: Optional[TableSpec]) -> list[Op]:
     if tgt is None:
         return [Op("drop_table", cur.name)]
 
-    # ORDER BY / engine / partition change forces recreate (diff_strategy.rs:63)
+    # ORDER BY / engine / partition change forces recreate (diff_strategy.rs:63);
+    # a version or database change moves the physical directory, so it is a
+    # recreate too (execute_ops removes the CURRENT spec's dir and creates
+    # the TARGET's).
     if (
         tuple(cur.order_by) != tuple(tgt.order_by)
         or cur.engine != tgt.engine
         or cur.partition_by != tgt.partition_by
     ):
         return [Op("recreate_table", tgt.name, "order_by/engine/partitioning changed")]
+    if cur.version != tgt.version or cur.database != tgt.database:
+        return [Op("recreate_table", tgt.name, "version/database changed")]
 
     ops: list[Op] = []
     cur_cols = {c.name: c for c in cur.columns}
@@ -399,9 +424,20 @@ def check_reality(
     Partition-column type inference is disabled for the observe read so
     partitioned tables don't report spurious type drift."""
     out = InfraDiscrepancies()
-    db_dir = os.path.join(warehouse, database)
-    on_disk: dict[str, str] = {}
-    if os.path.isdir(db_dir):
+    # Physical placement map: each saved spec lives at
+    # warehouse/<spec.database or database>/<physical_name> — versioned and
+    # non-default-database tables must be observed at the SAME directory
+    # OlapTable.path writes, or they report perpetual drift.
+    phys_to_logical: dict[tuple[str, str], str] = {
+        (spec.database or database, physical_table_name(spec)): name
+        for name, spec in saved.tables.items()
+    }
+    scan_dbs = {db for db, _ in phys_to_logical} | {database}
+    seen: set[str] = set()
+    for db in sorted(scan_dbs):
+        db_dir = os.path.join(warehouse, db)
+        if not os.path.isdir(db_dir):
+            continue
         for entry in sorted(os.listdir(db_dir)):
             p = os.path.join(db_dir, entry)
             # skip infra siblings: projections (table__proj_x), DLQs
@@ -416,20 +452,25 @@ def check_reality(
             )
             if not os.path.isdir(p) or is_sibling:
                 continue
-            on_disk[entry] = p
-
-    for name, path in on_disk.items():
-        observed = _observe_table(spark, path, name)
-        if observed is None:
-            continue
-        if name not in saved.tables:
-            out.unmapped_tables.append(observed)
-            continue
-        cur = saved.tables[name]
-        drift = diff_tables(cur, _with_observed_columns(cur, observed))
-        out.mismatched_tables.extend(drift)
+            logical = phys_to_logical.get((db, entry))
+            if logical is not None:
+                # the directory existing counts as the table existing even
+                # when it holds no readable parquet yet (freshly created)
+                seen.add(logical)
+            observed = _observe_table(spark, p, logical or entry)
+            if observed is None:
+                continue
+            if logical is None:
+                # only the scanned default db reports unmapped externals;
+                # a spec-declared extra db is scanned solely for its specs
+                if db == database:
+                    out.unmapped_tables.append(observed)
+                continue
+            cur = saved.tables[logical]
+            drift = diff_tables(cur, _with_observed_columns(cur, observed))
+            out.mismatched_tables.extend(drift)
     for name in saved.tables:
-        if name not in on_disk:
+        if name not in seen:
             out.missing_tables.append(name)
     return out
 
@@ -447,6 +488,7 @@ def _with_observed_columns(saved_spec: TableSpec, observed: TableSpec) -> TableS
         engine=saved_spec.engine,
         settings=saved_spec.settings,
         version=saved_spec.version,
+        database=saved_spec.database,
     )
 
 
@@ -468,7 +510,11 @@ def reconcile(saved: InfraMap, disc: InfraDiscrepancies) -> InfraMap:
 
 
 def execute_ops(
-    warehouse: str, ops: list[Op], database: str = "default"
+    warehouse: str,
+    ops: list[Op],
+    database: str = "default",
+    current: Optional[InfraMap] = None,
+    target: Optional[InfraMap] = None,
 ) -> list[Op]:
     """Apply an ordered plan to the file warehouse (execute.rs:87,167
     collapsed to lake semantics): table create/drop/recreate are directory
@@ -480,16 +526,29 @@ def execute_ops(
     state-only.  Returns the ops actually applied."""
     import shutil
 
+    def _dir(m: Optional[InfraMap], name: str) -> Optional[str]:
+        spec = m.tables.get(name) if m is not None else None
+        return table_dir(warehouse, spec, database) if spec is not None else None
+
     applied: list[Op] = []
     for op in ops:
-        path = os.path.join(warehouse, database, op.target)
+        # resolve the op's physical directory from the spec that owns it:
+        # creates land at the TARGET spec's dir (versioned/non-default-db
+        # aware), drops remove the CURRENT spec's dir — falling back to the
+        # logical name under the default db when no map is supplied.
+        fallback = os.path.join(warehouse, database, op.target)
+        tgt_dir = _dir(target, op.target) or fallback
+        cur_dir = _dir(current, op.target) or fallback
         if op.kind == "create_table":
-            os.makedirs(path, exist_ok=True)
+            os.makedirs(tgt_dir, exist_ok=True)
         elif op.kind == "drop_table":
-            shutil.rmtree(path, ignore_errors=True)
+            shutil.rmtree(cur_dir, ignore_errors=True)
         elif op.kind == "recreate_table":
-            shutil.rmtree(path, ignore_errors=True)
-            os.makedirs(path, exist_ok=True)
+            # a version/database change moves the directory: remove where
+            # the table IS, create where it SHOULD BE
+            shutil.rmtree(cur_dir, ignore_errors=True)
+            shutil.rmtree(tgt_dir, ignore_errors=True)
+            os.makedirs(tgt_dir, exist_ok=True)
         # add_column / drop_column / modify_column / modify_settings /
         # view + mv ops: metadata-only (folded into save_state by migrate)
         applied.append(op)
@@ -508,8 +567,10 @@ def plan_against_reality(
     # column drift must use OBSERVED columns, not saved ones: re-observe
     # each drifted table ONCE (k drift ops on one table = one schema read)
     for name in {op.target for op in disc.mismatched_tables}:
-        path = os.path.join(warehouse, database, name)
-        if name in current.tables and os.path.isdir(path):
+        if name not in current.tables:
+            continue
+        path = table_dir(warehouse, current.tables[name], database)
+        if os.path.isdir(path):
             observed = _observe_table(spark, path, name)
             if observed is not None:
                 current.tables[name] = _with_observed_columns(

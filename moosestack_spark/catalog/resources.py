@@ -24,6 +24,15 @@ def register_table(table: "OlapTable") -> None:
     _TABLES[table.name] = table
 
 
+def unregister_table(table: "OlapTable") -> None:
+    """Dropped tables must leave the registry, or infra_map_from_registry()
+    plans them as real tables forever (they'd be re-created on the next
+    migrate).  Identity-checked: a newer same-named registration wins and
+    is not removed by the older instance's drop."""
+    if _TABLES.get(table.name) is table:
+        del _TABLES[table.name]
+
+
 def registered_tables() -> dict[str, "OlapTable"]:
     return dict(_TABLES)
 
@@ -60,6 +69,7 @@ def table_to_spec(table: "OlapTable") -> TableSpec:
         engine=(eng.name if eng is not None else "MergeTree"),
         settings=dict(table.config.settings or {}),
         version=table.config.version,
+        database=table.config.database,
     )
 
 

@@ -137,6 +137,7 @@ class OlapTable(Generic[T]):
         spark: SparkSession,
         warehouse: str,
         config: Optional[OlapConfig] = None,
+        register: bool = True,
     ):
         self.name = name
         self.model = model
@@ -148,10 +149,14 @@ class OlapTable(Generic[T]):
         self.warehouse = warehouse
         os.makedirs(self.path, exist_ok=True)
         # lifecycle registry (dmv2/_registry.py): the CLI's plan/migrate
-        # reflect registered tables into the planner's target InfraMap
-        from moosestack_spark.catalog import resources
+        # reflect registered tables into the planner's target InfraMap.
+        # register=False opts ephemeral tables (test fixtures, temp gates)
+        # out so they never surface in infra_map_from_registry().
+        self._registered = register
+        if register:
+            from moosestack_spark.catalog import resources
 
-        resources.register_table(self)
+            resources.register_table(self)
 
     # -- naming ------------------------------------------------------------
 
@@ -682,6 +687,11 @@ class OlapTable(Generic[T]):
         if self.config.life_cycle == LifeCycle.DELETION_PROTECTED:
             raise PermissionError(f"{self.name} is DELETION_PROTECTED")
         shutil.rmtree(self.path, ignore_errors=True)
+        # a dropped table must leave the lifecycle registry, or the next
+        # plan/migrate re-creates it from the dangling entry
+        from moosestack_spark.catalog import resources
+
+        resources.unregister_table(self)
 
     def seed_from(self, source: DataFrame) -> int:
         """`moose seed` (cli/commands.rs:498-512): copy rows from a source

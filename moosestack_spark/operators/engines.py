@@ -353,7 +353,7 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wh = tempfile.mkdtemp(prefix="msk_time_travel_")
     try:
-        table = OlapTable("tt_orders", OrderRow, spark, wh)
+        table = OlapTable("tt_orders", OrderRow, spark, wh, register=False)
         table.insert(src.filter(F.col("o_orderkey") % 2 == 0))
         table.insert(src.filter(F.col("o_orderkey") % 2 != 0))
         outs = []

@@ -80,14 +80,28 @@ def _merge_pair(syms: Column, left: str, right: str) -> Column:
     )
 
 
+SEQUENTIAL_MERGE_LIMIT = 64
+
+
 def train_bpe(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
     min_pair_count: int = 2,
+    allow_sequential: bool = False,
 ) -> list[tuple[str, str, int]]:
     """Learn up to n_merges BPE merges; returns [(left, right, count)] in
-    merge order.  Stops early when no pair reaches min_pair_count."""
+    merge order.  Stops early when no pair reaches min_pair_count.
+
+    Guard: this kernel launches ONE Spark job per merge — exact, and fine
+    for small vocabularies, but a 32k-merge call would schedule 32k jobs.
+    Above SEQUENTIAL_MERGE_LIMIT it routes to train_bpe_sampled (bounded
+    collect + local incremental merge loop, the default/gate path) unless
+    the caller explicitly opts into the sequential kernel."""
+    if n_merges > SEQUENTIAL_MERGE_LIMIT and not allow_sequential:
+        return train_bpe_sampled(
+            docs, text_col, n_merges=n_merges, min_pair_count=min_pair_count
+        )
     words = words_with_freq(docs, text_col).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):

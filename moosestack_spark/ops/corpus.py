@@ -267,12 +267,14 @@ def _assign_top_cells(
     ops/similarity.ivf_assign, with the row replicated per probed cell."""
     import numpy as np
 
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import LongType, StructField, StructType
 
     cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
     C = np.array([v for _, v in centroids], dtype=np.float64)
     cn = np.linalg.norm(C, axis=1)
-    out_schema = StructType(df.schema.fields + [StructField(out_col, IntegerType())])
+    # LongType: hash_seed_centroids feeds real row ids as cids — an id
+    # >= 2^31 must not wrap (the oracle keeps full-width vec_id)
+    out_schema = StructType(df.schema.fields + [StructField(out_col, LongType())])
 
     def kernel(batches):
         import pandas as pd
@@ -280,7 +282,7 @@ def _assign_top_cells(
         for pdf in batches:
             if len(pdf) == 0:
                 out = pdf.copy()
-                out[out_col] = pd.Series([], dtype="int32")
+                out[out_col] = pd.Series([], dtype="int64")
                 yield out
                 continue
             V = np.vstack(pdf[vec].to_numpy()).astype(np.float64)
@@ -289,7 +291,9 @@ def _assign_top_cells(
             top = np.argsort(-cos, axis=1, kind="stable")[:, :probes]
             idx = np.repeat(np.arange(len(pdf)), probes)
             out = pdf.iloc[idx].reset_index(drop=True)
-            out[out_col] = cids[top.ravel()].astype("int32")
+            # int64: hash_seed_centroids feeds real row ids as cids, and an
+            # id >= 2^31 must not wrap (the oracle keeps full-width vec_id)
+            out[out_col] = cids[top.ravel()].astype("int64")
             yield out
 
     return df.mapInPandas(kernel, out_schema)

@@ -657,6 +657,7 @@ def pq_topk(
     cand_id: str = "c_id",
     vec: str = "embedding",
     codebooks: list | None = None,
+    max_queries: int = 1024,
 ) -> DataFrame:
     """PQ ANN: encode candidates to M sub-codes, score every candidate for
     every query through the per-query ADC table (estimated dot on the unit
@@ -688,9 +689,16 @@ def pq_topk(
         codebooks = pq_train_codebooks(c, "__v", m=m, ks=ks)
     B = np.array(codebooks, dtype=np.float64)  # (m, ks, sub)
     sub = B.shape[2]
-    # query set is bounded by construction (ANN serves few probes per
-    # call): collect once, ship in the scoring closure
-    q_rows = q.orderBy(query_id).collect()
+    # query set must be driver-bounded (ANN serves few probes per call):
+    # collect once, ship in the scoring closure — ENFORCED, not assumed
+    # (same clamp discipline as Api.call_json): an oversized queries_df
+    # fails loudly instead of OOMing the driver
+    q_rows = q.orderBy(query_id).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk: queries_df exceeds max_queries={max_queries}; "
+            "batch the query set or raise max_queries explicitly"
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.vstack([np.array(r[1], dtype=np.float64) for r in q_rows])
     # ADC tables: T[qi, mi, code] = dot(q_sub, centroid)

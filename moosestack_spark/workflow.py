@@ -137,14 +137,16 @@ class WorkflowJournal:
 
         try:
             payload = json.dumps({"key": key, "ok": True, "result": result})
-            rec = {"key": key, "ok": True, "result": result}
         except TypeError:
             payload = json.dumps({"key": key, "ok": True, "opaque": True})
-            rec = {"key": key, "ok": True, "opaque": True}
         with open(self.path, "a") as fh:
             fh.write(payload + "\n")
             fh.flush()
-        self._done[key] = rec
+        # cache the JSON ROUND-TRIP, not the native value: an in-process
+        # resume must replay byte-identically to a post-restart resume
+        # (tuples->lists, datetimes/int-keyed dicts -> their json forms),
+        # so successor tasks see the same input types either way
+        self._done[key] = json.loads(payload)
 
     @property
     def completed_keys(self) -> list[str]:

@@ -148,3 +148,29 @@ def test_words_with_freq_is_vocab_sized(spark):
     rows = words_with_freq(df).collect()
     vocab = _ref_words(CORPUS)
     assert {tuple(r.syms): r.freq for r in rows} == vocab
+
+
+def test_large_merge_count_routes_to_sampled(spark, monkeypatch):
+    """VERDICT r4: a 32k-merge train_bpe call must never run per-merge
+    Spark jobs — it routes through the bounded-collect sampled path."""
+    from moosestack_spark.ops import bpe
+
+    docs = spark.createDataFrame(
+        [("a", "low lower lowest low low new newer")], ["doc_id", "text"]
+    )
+    calls = {}
+
+    def fake_sampled(d, text_col="text", n_merges=10, max_words=100_000,
+                     min_pair_count=2):
+        calls["n_merges"] = n_merges
+        return [("l", "o", 4)]
+
+    monkeypatch.setattr(bpe, "train_bpe_sampled", fake_sampled)
+    out = bpe.train_bpe(docs, "text", n_merges=32_000)
+    assert calls["n_merges"] == 32_000 and out == [("l", "o", 4)]
+
+    # explicit opt-in still runs the sequential kernel (small corpus,
+    # early-stops long before 65 merges)
+    out = bpe.train_bpe(docs, "text", n_merges=65, allow_sequential=True)
+    assert "n_merges" in calls  # sampled NOT called again for this
+    assert all(len(m) == 3 for m in out)

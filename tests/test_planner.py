@@ -3,6 +3,8 @@ inline tests, framework-cli-e2e migration.test.ts shapes)."""
 
 from __future__ import annotations
 
+import os
+
 from moosestack_spark.catalog.planner import (
     ColumnSpec,
     InfraMap,
@@ -303,3 +305,116 @@ def test_enum_equivalence_requires_bijection():
     assert enums_are_equivalent(
         [("x", 1), ("y", 2)], [("A", "x"), ("B", "y")]
     )
+
+
+def test_versioned_nondefault_db_lifecycle(spark, tmp_path):
+    """ADVICE r4 (medium): execute_ops / check_reality must resolve a
+    versioned, non-default-database table at OlapTable.path
+    (warehouse/<db>/<name>_<v>) — not warehouse/default/<logical name> —
+    or the table is created at the wrong directory and reports perpetual
+    drift."""
+    from pydantic import BaseModel
+
+    from moosestack_spark.catalog.engines import OlapConfig
+    from moosestack_spark.catalog.planner import (
+        check_reality,
+        execute_ops,
+        plan_against_reality,
+        table_dir,
+    )
+    from moosestack_spark.catalog.resources import table_to_spec
+    from moosestack_spark.catalog.table import OlapTable
+
+    class M(BaseModel):
+        id: int
+
+    wh = str(tmp_path)
+    tbl = OlapTable(
+        "vt", M, spark, wh, config=OlapConfig(version="1.0", database="analytics")
+    )
+    spec = table_to_spec(tbl)
+    assert spec.version == "1.0" and spec.database == "analytics"
+    target = InfraMap(tables={"vt": spec})
+
+    # migrate from empty state: the create must land at OlapTable.path
+    ops, disc = plan_against_reality(spark, wh, InfraMap(), target)
+    assert [o.kind for o in ops] == ["create_table"]
+    execute_ops(wh, ops, current=InfraMap(), target=target)
+    assert os.path.isdir(tbl.path)
+    assert table_dir(wh, spec) == tbl.path
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(wh, "default", "vt"))
+
+    # data written through the table is observed at the right directory:
+    # saved==target and reality in sync -> no drift, empty plan (the saved
+    # spec pins the STORAGE schema, as the CLI's save_state does)
+    tbl.insert([{"id": 1}])
+    storage = TableSpec(
+        name="vt",
+        columns=[
+            ColumnSpec(f.name, f.dataType.simpleString(), f.nullable)
+            for f in tbl.read_raw().schema.fields
+        ],
+        version="1.0",
+        database="analytics",
+    )
+    saved = InfraMap(tables={"vt": storage})
+    disc = check_reality(spark, wh, saved)
+    assert disc.is_empty(), (
+        disc.missing_tables, disc.unmapped_tables, disc.mismatched_tables,
+    )
+    ops, disc = plan_against_reality(spark, wh, saved, saved)
+    assert ops == [] and disc.is_empty()
+    target = saved
+
+    # a version bump moves the physical dir: recreate at the new path,
+    # old path removed
+    spec2 = TableSpec(
+        name="vt", columns=spec.columns, version="2.0", database="analytics"
+    )
+    target2 = InfraMap(tables={"vt": spec2})
+    ops, _ = plan_against_reality(spark, wh, target, target2)
+    assert [o.kind for o in ops] == ["recreate_table"]
+    execute_ops(wh, ops, current=target, target=target2)
+    assert _os.path.isdir(_os.path.join(wh, "analytics", "vt_2_0"))
+    assert not _os.path.isdir(_os.path.join(wh, "analytics", "vt_1_0"))
+
+    # drop removes the versioned dir
+    ops, _ = plan_against_reality(spark, wh, target2, InfraMap())
+    assert [o.kind for o in ops] == ["drop_table"]
+    execute_ops(wh, ops, current=target2, target=InfraMap())
+    assert not _os.path.isdir(_os.path.join(wh, "analytics", "vt_2_0"))
+
+
+def test_drop_unregisters_and_ephemeral_opt_out(spark, tmp_path):
+    """ADVICE r4: dropped/ephemeral tables must not linger in the global
+    resources registry — infra_map_from_registry() would plan them as real
+    tables for library callers."""
+    from pydantic import BaseModel
+
+    from moosestack_spark.catalog import resources
+    from moosestack_spark.catalog.table import OlapTable
+
+    class M(BaseModel):
+        id: int
+
+    wh = str(tmp_path)
+    t1 = OlapTable("reg_t", M, spark, wh)
+    assert "reg_t" in resources.registered_tables()
+    t1.drop()
+    assert "reg_t" not in resources.registered_tables()
+
+    # ephemeral opt-out never registers
+    t2 = OlapTable("eph_t", M, spark, wh, register=False)
+    assert "eph_t" not in resources.registered_tables()
+    t2.drop()
+
+    # last-wins: an older instance's drop must not evict a newer
+    # registration under the same name
+    a = OlapTable("dup_t", M, spark, wh)
+    b = OlapTable("dup_t", M, spark, wh)
+    a.drop()
+    assert resources.registered_tables().get("dup_t") is b
+    b.drop()
+    assert "dup_t" not in resources.registered_tables()

@@ -56,3 +56,26 @@ def test_pq_deterministic_across_reruns(spark, sf_dir):
     first = sorted(map(str, q(spark, sf_dir).collect()))
     again = sorted(map(str, q(spark, sf_dir).collect()))
     assert first == again
+
+
+def test_pq_query_collect_is_clamped(spark):
+    """VERDICT r4: the query-side collect is bounded — an oversized
+    queries_df fails loudly instead of OOMing the driver."""
+    import pytest
+
+    from moosestack_spark.ops.similarity import pq_topk
+
+    dim = 8
+    cands = spark.range(64).selectExpr(
+        "id AS c_id",
+        f"transform(sequence(1, {dim}), j -> cast(pmod(id * j, 7) + 1 as double)) AS embedding",
+    )
+    queries = spark.range(5).selectExpr(
+        "id AS q_id",
+        f"transform(sequence(1, {dim}), j -> cast(pmod(id + j, 5) + 1 as double)) AS embedding",
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(queries, cands, m=2, ks=4, k=2, max_queries=3).collect()
+    # under the clamp it runs
+    n = pq_topk(queries, cands, m=2, ks=4, k=2, max_queries=5).count()
+    assert n > 0
