@@ -210,6 +210,11 @@ def main() -> None:
             "dedup_embedding_cosine_pruned",
             "corpus_curation_pipeline",
             "similarity_ivf",
+            # CC family at 10x: near-clique dedup graph, so propagation
+            # should stay ahead; the chain fixture below is where star wins
+            "dedup_connected_components",
+            "dedup_connected_components_star",
+            "dedup_connected_components_hybrid",
         ]
         for name in scale_names:
             start = time.perf_counter()
@@ -221,6 +226,36 @@ def main() -> None:
                 scale_queries[name] = None
     except Exception as exc:
         print(f"BENCH-SCALE-SETUP-ERROR: {exc!r}"[:500], file=sys.stderr)
+
+    # Chain-heavy CC fixture: 1024 disjoint 64-node chains (diameter 64 —
+    # the pathological shape for O(diameter) label propagation, the home
+    # turf of the O(log n) star variant).  This is the empirical backing
+    # for the star/hybrid scale claim: star/hybrid round counts are
+    # logarithmic in chain length, propagation pays 2 shuffles per hop.
+    try:
+        from moosestack_spark.ops.components import (
+            connected_components,
+            connected_components_auto,
+            connected_components_star,
+        )
+
+        chain = spark.range(1024 * 64).selectExpr(
+            "id AS src", "id + 1 AS dst"
+        ).where("pmod(id, 64) != 63").localCheckpoint()
+        for cname, cfn in [
+            ("cc_chain_propagation", lambda e: connected_components(e, max_rounds=70)),
+            ("cc_chain_star", connected_components_star),
+            ("cc_chain_hybrid", connected_components_auto),
+        ]:
+            start = time.perf_counter()
+            try:
+                cfn(chain).count()
+                scale_queries[cname] = round(time.perf_counter() - start, 3)
+            except Exception as exc:
+                print(f"BENCH-SCALE-ERROR {cname}: {exc!r}"[:500], file=sys.stderr)
+                scale_queries[cname] = None
+    except Exception as exc:
+        print(f"BENCH-SCALE-SETUP-ERROR chain: {exc!r}"[:500], file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(

@@ -532,27 +532,125 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Approximate quantiles (CH quantileTDigest / quantilesGK).  Sketch output
-# -> rows-only driver check; the rank-error bound is pytest-pinned.
+# Approximate quantiles (CH quantileTDigest / quantilesGK usage shape).
+# Graduated to a hard oracle the portable-hash way (r4 sketch family
+# policy): the APPROXIMATE path gated here is a deterministic 1-in-8
+# hash-sampled discrete-rank quantile — integer arithmetic both engines
+# replay exactly — next to the exact discrete-rank quantile on the full
+# group.  The native GK sketch (approx_percentile) remains the production
+# API for un-replayable accuracy tiers; its rank-error band stays
+# pytest-pinned in tests/test_approx_sketches.py.
 # --------------------------------------------------------------------------
 
+_QUANTILE_RANKS = (50, 90, 99)
 
-@query("agg_quantile_approx")  # sketch-based: rows-only driver check
+
+def _rank_quantile_aggs(prefix: str) -> list:
+    """MAX(CASE WHEN rn = ceil(n*q/100) THEN cents END) per q — the
+    discrete (lower) quantile at exact integer ranks; ceil via integer
+    arithmetic so no float enters the rank computation."""
+    return [
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.lit(1), F.expr(f"(n * {q} + 99) div 100")),
+                F.col("cents"),
+            )
+        ).alias(f"{prefix}_p{q}_cents")
+        for q in _QUANTILE_RANKS
+    ]
+
+
+@query(
+    "agg_quantile_approx",
+    oracle="""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         l_orderkey, l_linenumber,
+         ((l_orderkey * 2654435761 + l_linenumber * 40503) % 2147483647) % 8 = 0
+           AS in_sample
+  FROM lineitem
+), full_r AS (
+  SELECT l_returnflag, cents,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM base
+), samp_r AS (
+  SELECT l_returnflag, cents,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM base WHERE in_sample
+), f AS (
+  SELECT l_returnflag,
+    MAX(CASE WHEN rn = GREATEST(1, (n*50 + 99) // 100) THEN cents END) AS exact_p50_cents,
+    MAX(CASE WHEN rn = GREATEST(1, (n*90 + 99) // 100) THEN cents END) AS exact_p90_cents,
+    MAX(CASE WHEN rn = GREATEST(1, (n*99 + 99) // 100) THEN cents END) AS exact_p99_cents
+  FROM full_r GROUP BY l_returnflag
+), s AS (
+  SELECT l_returnflag,
+    MAX(CASE WHEN rn = GREATEST(1, (n*50 + 99) // 100) THEN cents END) AS approx_p50_cents,
+    MAX(CASE WHEN rn = GREATEST(1, (n*90 + 99) // 100) THEN cents END) AS approx_p90_cents,
+    MAX(CASE WHEN rn = GREATEST(1, (n*99 + 99) // 100) THEN cents END) AS approx_p99_cents
+  FROM samp_r GROUP BY l_returnflag
+)
+SELECT f.l_returnflag,
+       approx_p50_cents, approx_p90_cents, approx_p99_cents,
+       exact_p50_cents, exact_p90_cents, exact_p99_cents
+FROM f JOIN s USING (l_returnflag)
+""",
+)
 def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (Greenwald-Khanna sketch, JVM-side, mergeable
-    partials) next to the exact values — the CH quantileTDigest usage shape.
-    At 100 TB the sketch is THE quantile path: bounded memory per group,
-    single shuffle of sketch partials, no full sort.  accuracy=10000 bounds
-    rank error at 1/10000; tests/test_approx_sketches.py asserts the band
-    against the exact percentile."""
+    """Deterministic approximate quantiles per returnflag: discrete-rank
+    p50/p90/p99 over a 1-in-8 portable-hash row sample (the bounded-memory
+    scale path — the sample, not the full group, is sorted) next to the
+    exact discrete-rank quantiles.  All arithmetic is integer (cents,
+    integer-ceil ranks, mod-2^31-1 hash), so the values hash-match the
+    DuckDB replay exactly.  At 100 TB the sort is a per-group window over
+    the sampled eighth; accuracy tiers beyond sampling use the native GK
+    sketch (approx_percentile), rank-error-pinned in pytest."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
-        ).alias("approx_pcts"),
-        F.expr(
-            "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
-        ).alias("exact_pcts"),
+    base = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.pmod(
+                F.pmod(
+                    F.col("l_orderkey").cast("bigint") * F.lit(2654435761)
+                    + F.col("l_linenumber").cast("bigint") * F.lit(40503),
+                    F.lit(2147483647),
+                ),
+                F.lit(8),
+            )
+            == 0
+        ).alias("in_sample"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+
+    def ranked(df):
+        return df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(wn)
+        )
+
+    exact = ranked(base).groupBy("l_returnflag").agg(*_rank_quantile_aggs("exact"))
+    approx = (
+        ranked(base.filter("in_sample"))
+        .groupBy("l_returnflag")
+        .agg(*_rank_quantile_aggs("approx"))
+    )
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "approx_p50_cents", "approx_p90_cents", "approx_p99_cents",
+        "exact_p50_cents", "exact_p90_cents", "exact_p99_cents",
     )
 
 

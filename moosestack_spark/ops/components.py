@@ -234,6 +234,20 @@ def dedup_connected_components_star(spark, sf_dir: str) -> DataFrame:
     return cc.select(F.col("v").alias("doc_id"), "cluster_id")
 
 
+@query("dedup_connected_components_hybrid", oracle=_CC_ORACLE)
+def dedup_connected_components_hybrid(spark, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster closure via connected_components_auto — the
+    production default: a few cheap propagation rounds (near-clique dedup
+    graphs converge here), contract-and-star finish only when they don't.
+    Third variant under the same recursive-CTE hard oracle."""
+    from moosestack_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.5)
+    cc = connected_components_auto(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("v").alias("doc_id"), "cluster_id")
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",

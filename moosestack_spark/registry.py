@@ -122,8 +122,8 @@ _WINDOW_PRIORITY = [
     "source_orc_partitioned_roundtrip",
     "source_schema_evolution_defaults",
     # --- new round-5 gates ---
-    "analytics_min_cost_supplier",
-    "analytics_nation_profit",
+    "agg_quantile_approx",
+    "dedup_connected_components_hybrid",
     "dedup_connected_components",
     "corpus_curation_pipeline",
     "streaming_cdc_apply",

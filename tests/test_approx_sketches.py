@@ -34,7 +34,26 @@ def test_hash_sample_fraction_close_to_nominal(spark, sf_dir):
 
 
 def test_approx_percentile_within_rank_error(spark, sf_dir):
-    rows = registry.QUERIES["agg_quantile_approx"](spark, sf_dir).collect()
+    # The native GK sketch (the accuracy tier beyond the gate's hash-sample
+    # path) stays pinned here even though the gate itself graduated to the
+    # deterministic rank-quantile oracle.
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.tables import t
+
+    rows = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("approx_pcts"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+            ).alias("exact_pcts"),
+        )
+        .collect()
+    )
     assert rows
     for r in rows:
         for approx, exact in zip(r.approx_pcts, r.exact_pcts):
@@ -43,9 +62,19 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
             assert abs(approx - exact) / max(abs(exact), 1e-9) <= 0.01, (
                 r.l_returnflag, approx, exact
             )
-    # deterministic across reruns (same data, same sketch parameters)
-    again = registry.QUERIES["agg_quantile_approx"](spark, sf_dir).collect()
-    assert sorted(map(str, again)) == sorted(map(str, rows))
+
+
+def test_gate_sampled_quantile_close_to_exact(spark, sf_dir):
+    # the 1-in-8 hash sample's rank quantile lands near the exact one
+    rows = registry.QUERIES["agg_quantile_approx"](spark, sf_dir).collect()
+    assert rows
+    # band is loose because the default test SF (0.001) leaves ~50 sampled
+    # rows per group — sampling error ~1/sqrt(n); exactness is the oracle
+    # match's job, this only checks the sample tracks the distribution
+    for r in rows:
+        for q in (50, 90, 99):
+            a, e = r[f"approx_p{q}_cents"], r[f"exact_p{q}_cents"]
+            assert abs(a - e) / max(abs(e), 1) <= 0.30, (r.l_returnflag, q, a, e)
 
 
 def test_hll_deterministic_estimate_within_band(spark, sf_dir):
