@@ -96,8 +96,32 @@ def _table(args):
 
 def cmd_peek(args) -> int:
     _, table = _table(args)
-    for row in table.peek(args.n):
+    if args.at_version is not None:
+        # snapshot read: the table as of v<N> (catalog/table.py read_at)
+        rows = [
+            r.asDict(recursive=True)
+            for r in table.read_at(args.at_version).limit(args.n).collect()
+        ]
+    else:
+        rows = table.peek(args.n)
+    for row in rows:
         print(json.dumps(row, default=str))
+    return 0
+
+
+def cmd_snapshots(args) -> int:
+    _, table = _table(args)
+    for snap in table.snapshots():
+        print(json.dumps(snap, default=str))
+    return 0
+
+
+def cmd_changed_files(args) -> int:
+    """Incremental-consumption feed: files ADDED between two snapshots —
+    a downstream job reads only these, never re-scans history."""
+    _, table = _table(args)
+    for f in table.changed_files(args.from_version, args.to_version):
+        print(f)
     return 0
 
 
@@ -148,7 +172,26 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.add_argument("--table", required=True)
     sp.add_argument("-n", type=int, default=10)
+    sp.add_argument(
+        "--at-version", type=int, default=None,
+        help="read the table as of snapshot version N (time travel)",
+    )
     sp.set_defaults(fn=cmd_peek)
+
+    sp = sub.add_parser("snapshots", help="list a table's snapshot history")
+    common(sp)
+    sp.add_argument("--table", required=True)
+    sp.set_defaults(fn=cmd_snapshots)
+
+    sp = sub.add_parser(
+        "changed-files",
+        help="files added between two snapshots (incremental feed)",
+    )
+    common(sp)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("from_version", type=int)
+    sp.add_argument("to_version", type=int)
+    sp.set_defaults(fn=cmd_changed_files)
 
     sp = sub.add_parser("truncate", help="remove all rows from a table")
     common(sp)

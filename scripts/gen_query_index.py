@@ -19,10 +19,46 @@ BEGIN = "<!-- BEGIN AUTO QUERY INDEX -->"
 END = "<!-- END AUTO QUERY INDEX -->"
 
 
+def _schemas(registry) -> dict[str, list[tuple[str, str]]]:
+    """(name, [(col, dtype)]) for every gate by building each query's plan
+    at the smallest SF.  Also the driver-canon CI gate: an ORACLED query
+    whose output schema contains an Array/Map/Struct column makes the
+    driver's pandas canonicalizer ERR — fail loudly here."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from moosestack_spark.session import get_spark
+
+    spark = get_spark("gen-query-index")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    out: dict[str, list[tuple[str, str]]] = {}
+    bad: list[str] = []
+    for name, fn in registry.QUERIES.items():
+        try:
+            schema = fn(spark, sf_dir).schema
+        except Exception as exc:  # pragma: no cover - index generation aid
+            print(f"WARN: {name} failed to build: {exc!r}"[:200], file=sys.stderr)
+            out[name] = [("?", "error")]
+            continue
+        out[name] = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        if name in registry.ORACLES and any(
+            isinstance(f.dataType, (ArrayType, MapType, StructType))
+            for f in schema.fields
+        ):
+            bad.append(name)
+    if bad:
+        raise SystemExit(
+            f"driver-canon contract violation: oracled gates with complex-typed "
+            f"output columns: {bad} (serialize with registry.canon_arrays)"
+        )
+    return out
+
+
 def build_index() -> str:
     from moosestack_spark import registry
 
     registry.load_all()
+    schemas = _schemas(registry)
     lines = [
         BEGIN,
         "",
@@ -37,13 +73,20 @@ def build_index() -> str:
         f"**{len(registry.ORACLES)}** oracled, "
         f"**{len(registry.QUERIES) - len(registry.ORACLES)}** rows-only.",
         "",
-        "| Query | Check | Module |",
-        "|---|---|---|",
+        "Output dtypes are generated from each query's analyzed plan; the",
+        "generator FAILS if any oracled gate emits a complex-typed column",
+        "(the driver's canonicalizer cannot sort list/dict cells).",
+        "",
+        "| Query | Check | Module | Output dtypes |",
+        "|---|---|---|---|",
     ]
     for name, fn in sorted(registry.QUERIES.items()):
         check = "oracle" if name in registry.ORACLES else "rows"
         mod = fn.__module__.replace("moosestack_spark.", "")
-        lines.append(f"| `{name}` | {check} | {mod} |")
+        dt = ", ".join(f"{c}:{t}" for c, t in schemas.get(name, []))
+        if len(dt) > 160:
+            dt = dt[:157] + "..."
+        lines.append(f"| `{name}` | {check} | {mod} | {dt} |")
     lines += ["", END]
     return "\n".join(lines)
 

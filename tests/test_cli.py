@@ -105,3 +105,58 @@ def test_unknown_table_errors(app_module, tmp_path, capsys, spark):
     wh = str(tmp_path / "wh")
     with pytest.raises(SystemExit):
         _run(["peek", "--app", app_module, "--warehouse", wh, "--table", "nope"], capsys)
+
+
+def test_peek_at_version_and_changed_files(app_module, tmp_path, capsys, spark):
+    """VERDICT r4 item 8: the snapshot/time-travel layer is reachable from
+    the CLI — peek --at-version, snapshots, changed-files."""
+    import json as _json
+
+    wh = str(tmp_path / "wh")
+    rc, _ = _run(["migrate", "--app", app_module, "--warehouse", wh], capsys)
+    assert rc == 0
+
+    # two inserts -> two snapshots
+    import importlib
+
+    mod = importlib.import_module(app_module)
+    tbl = mod.TABLES["events"]
+    tbl.insert([{"id": 1, "kind": "a", "amount": 1.0}])
+    tbl.insert([{"id": 2, "kind": "b", "amount": 2.0}])
+
+    rc, out = _run(
+        ["snapshots", "--app", app_module, "--warehouse", wh, "--table", "events"],
+        capsys,
+    )
+    assert rc == 0
+    snaps = [_json.loads(line) for line in out.strip().splitlines()]
+    assert [s["version"] for s in snaps] == [1, 2]
+
+    # time travel: v1 has one row, head has two
+    rc, out = _run(
+        ["peek", "--app", app_module, "--warehouse", wh, "--table", "events",
+         "--at-version", "1"],
+        capsys,
+    )
+    assert rc == 0
+    rows = [_json.loads(line) for line in out.strip().splitlines()]
+    assert [r["id"] for r in rows] == [1]
+
+    rc, out = _run(
+        ["peek", "--app", app_module, "--warehouse", wh, "--table", "events"],
+        capsys,
+    )
+    assert len(out.strip().splitlines()) == 2
+
+    # incremental feed: exactly the files v2 added
+    rc, out = _run(
+        ["changed-files", "--app", app_module, "--warehouse", wh,
+         "--table", "events", "1", "2"],
+        capsys,
+    )
+    assert rc == 0
+    files = out.strip().splitlines()
+    assert files and all(f.endswith(".parquet") for f in files)
+    v1_files = set(snaps[0]["files"])
+    v2_files = set(snaps[1]["files"])
+    assert set(files) == v2_files - v1_files
