@@ -112,3 +112,92 @@ def test_kafka_value_frame_maps_captured_wire_bytes(spark, tmp_path):
     assert rows[7].amount == 2.0
     # corrupt payload -> NULL record fields, coordinates intact (DLQ route)
     assert rows[8].id is None and rows[8].topic == "events_topic"
+
+
+def test_offset_commit_sequencing_after_insert(spark, tmp_path):
+    """kafka_clickhouse_sync.rs:55-60 semantics, brokerless: offsets are
+    committed ONLY after a successful insert, a failing insert withholds
+    the commit and re-fetches the same offset, and a restarted loop
+    resumes at the last committed offset (at-least-once — the duplicate
+    batch is absorbed by the Replacing engine's key dedup)."""
+    import json
+
+    import pytest
+
+    from moosestack_spark.catalog.engines import OlapConfig, ReplacingMergeTree
+    from moosestack_spark.streaming.kafka_sync import (
+        MAX_BATCH_ROWS,
+        kafka_sync_loop,
+        replay_batches,
+    )
+
+    table = OlapTable(
+        "sync_dest", Event, spark, str(tmp_path / "wh"),
+        OlapConfig(order_by_fields=["id"], engine=ReplacingMergeTree()),
+        register=False,
+    )
+    records = [
+        {"id": i, "kind": "k", "amount": float(i),
+         "at": dt.datetime(2026, 1, 2, 3, 4, i)}
+        for i in range(6)
+    ]
+    events: list[tuple[str, int]] = []  # interleaved (action, marker) log
+
+    def insert(rows):
+        table.insert(rows)
+        events.append(("insert", rows[-1]["id"] + 1))
+
+    def commit(off):
+        events.append(("commit", off))
+
+    final = kafka_sync_loop(replay_batches(records, 2), insert, commit)
+    assert final == 6
+    # strict alternation: every commit directly follows ITS batch's insert
+    assert events == [
+        ("insert", 2), ("commit", 2),
+        ("insert", 4), ("commit", 4),
+        ("insert", 6), ("commit", 6),
+    ]
+
+    # failure sequencing: batch 2's first insert attempt dies AFTER the
+    # write lands (crash between insert and commit) -> no commit recorded,
+    # retry re-inserts, and the duplicate is absorbed by Replacing dedup
+    table.truncate()
+    events.clear()
+    flaky = {"armed": True}
+
+    def flaky_insert(rows):
+        table.insert(rows)
+        if rows[0]["id"] == 2 and flaky["armed"]:
+            flaky["armed"] = False
+            raise RuntimeError("crash between insert and commit")
+        events.append(("insert", rows[-1]["id"] + 1))
+
+    final = kafka_sync_loop(replay_batches(records, 2), flaky_insert, commit)
+    assert final == 6
+    assert events == [
+        ("insert", 2), ("commit", 2),
+        ("insert", 4), ("commit", 4),  # retried batch commits once
+        ("insert", 6), ("commit", 6),
+    ]
+    got = sorted(r.id for r in table.read().collect())
+    assert got == [0, 1, 2, 3, 4, 5]  # at-least-once + key dedup = exact set
+
+    # a batch that exhausts retries leaves the offset uncommitted so a
+    # restart resumes at the failed batch
+    commits: list[int] = []
+
+    def always_fail(rows):
+        raise RuntimeError("broker down")
+
+    with pytest.raises(RuntimeError, match="broker down"):
+        kafka_sync_loop(replay_batches(records, 2), always_fail, commits.append)
+    assert commits == []
+
+    # the reference's 100k poll ceiling is enforced
+    with pytest.raises(ValueError, match="MAX_BATCH_ROWS"):
+        kafka_sync_loop(
+            replay_batches(list(range(MAX_BATCH_ROWS + 1)), MAX_BATCH_ROWS + 1),
+            lambda rows: None,
+            lambda off: None,
+        )
