@@ -124,9 +124,9 @@ _WINDOW_PRIORITY = [
     # --- new round-5 gates ---
     "agg_quantile_approx",
     "dedup_connected_components_hybrid",
-    "dedup_connected_components",
-    "corpus_curation_pipeline",
-    "streaming_cdc_apply",
+    "profile_table_stats",
+    "layout_zorder_index",
+    "text_tfidf_retrieval",
 ]
 
 # The explicit rotation backlog, pinned to positions 51+: oracled queries
@@ -173,11 +173,14 @@ def load_all() -> None:
         decontaminate,
         dedup,
         embedding,
+        layout,
         linedup,
         lm_score,
         multimodal,
         multimodal_ext,
         phash,
+        profile,
+        retrieval,
         similarity,
         text,
     )

@@ -1,0 +1,121 @@
+"""Round-5 beyond-reference ops: z-order layout, table profiling,
+tf-idf retrieval — unit/property coverage beyond the oracle gates."""
+
+from __future__ import annotations
+
+
+def test_morton_key_interleaves_bits(spark):
+    from moosestack_spark.ops.layout import with_zorder
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (1023, 1023)], ["x", "y"]
+    )
+    got = {
+        (r.x, r.y): r.zorder
+        for r in with_zorder(df, "x", "y", bits=10).collect()
+    }
+
+    def morton(x, y):
+        out = 0
+        for i in range(10):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y, z)
+
+
+def test_cluster_by_zorder_partitions_are_disjoint_ranges(spark):
+    """repartitionByRange on the Morton key: every output partition covers
+    a z-range disjoint from every other — the min/max file-stat pruning
+    property a layout rewrite exists for."""
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.ops.layout import cluster_by_zorder
+
+    df = spark.range(4096).selectExpr("id % 64 AS x", "id div 64 AS y")
+    z = cluster_by_zorder(df, "x", "y", num_partitions=8, bits=6)
+    ranges = (
+        z.select(F.spark_partition_id().alias("p"), "zorder")
+        .groupBy("p")
+        .agg(F.min("zorder").alias("lo"), F.max("zorder").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) > 1
+    for a, b in zip(ranges, ranges[1:]):
+        assert a.hi <= b.lo, (a, b)
+    # both dimensions benefit: a predicate on x alone prunes most ranges
+    # (each partition's x-span is a fraction of the domain)
+    spans = (
+        z.select(F.spark_partition_id().alias("p"), "x")
+        .groupBy("p")
+        .agg((F.max("x") - F.min("x")).alias("span"))
+        .collect()
+    )
+    assert sum(r.span for r in spans) / len(spans) < 63  # not all full-domain
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    from moosestack_spark.ops.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "bb")], ["id", "s"]
+    )
+    prof = {r.column: r for r in profile_columns(df).collect()}
+    assert prof["id"].n_rows == 4 and prof["id"].n_nulls == 0
+    assert prof["id"].n_distinct == 4
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert prof["s"].min_str == "a" and prof["s"].max_str == "bb"
+    assert prof["s"].total_len == 4  # a + a + bb, NULL counts 0
+
+
+def test_profile_is_single_scan_single_aggregate(spark, sf_dir):
+    """The whole profile is ONE aggregation over ONE scan (the oracle pays
+    one scan per column) — no join, no union of per-column subplans."""
+    from moosestack_spark.ops.profile import profile_table_stats
+
+    plan = profile_table_stats(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 1, plan
+    assert "Join" not in plan and "Union" not in plan, plan
+
+
+def test_tfidf_topk_ranking_and_edge_cases(spark):
+    from moosestack_spark.ops.retrieval import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "scan scan scan"),          # tf=3 on one common term
+            (2, "vector"),                  # tf=1 on the rarest term
+            (3, "scan merge"),              # two terms
+            (4, "other words only"),        # no match -> absent
+        ],
+        ["doc_id", "text"],
+    )
+    rows = tfidf_topk(docs, "doc_id", "text", ("scan", "merge", "vector"), k=10).collect()
+    got = {r.doc_id: r for r in rows}
+    assert 4 not in got
+    # df: scan=2, merge=1, vector=1, N=4
+    # scores: d1 = 3*4/2 = 6; d2 = 4/1 = 4; d3 = 4/2 + 4/1 = 6
+    assert abs(got[1].score - 6.0) < 1e-12
+    assert abs(got[2].score - 4.0) < 1e-12
+    assert abs(got[3].score - 6.0) < 1e-12
+    assert got[3].hits == 2
+    # ties break on doc_id asc
+    order = [r.doc_id for r in sorted(rows, key=lambda r: (-r.score, r.doc_id))]
+    assert order == [1, 3, 2]
+
+    # no query term present at all: empty result, no division blow-up
+    none = tfidf_topk(docs, "doc_id", "text", ("absent",), k=5)
+    assert none.count() == 0
+
+
+def test_tfidf_plan_broadcasts_tiny_sides(spark, sf_dir):
+    """df/N/D ride as broadcasts; exactly one shuffle family on doc_id plus
+    the final top-k window — never a shuffle of the term table."""
+    from moosestack_spark.ops.retrieval import text_tfidf_retrieval
+
+    plan = text_tfidf_retrieval(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
