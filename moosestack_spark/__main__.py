@@ -109,6 +109,34 @@ def cmd_peek(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    """Compact the table's data files (OPTIMIZE TABLE ... FINAL shape)."""
+    _, table = _table(args)
+    n = table.optimize(args.target_files)
+    print(f"optimized {table.name} into {n} file(s)")
+    return 0
+
+
+def cmd_apply_ttl(args) -> int:
+    _, table = _table(args)
+    removed = table.apply_ttl()
+    col_removed = table.apply_column_ttl()
+    print(f"ttl removed {removed} row(s) from {table.name}")
+    for col, n in sorted(col_removed.items()):
+        print(f"ttl cleared {n} value(s) in {table.name}.{col}")
+    return 0
+
+
+def cmd_restore(args) -> int:
+    _, table = _table(args)
+    removed = table.restore(args.version)
+    print(
+        f"restored {table.name} to snapshot v{args.version} "
+        f"({removed} file(s) removed)"
+    )
+    return 0
+
+
 def cmd_snapshots(args) -> int:
     _, table = _table(args)
     for snap in table.snapshots():
@@ -177,6 +205,23 @@ def main(argv: list[str] | None = None) -> int:
         help="read the table as of snapshot version N (time travel)",
     )
     sp.set_defaults(fn=cmd_peek)
+
+    sp = sub.add_parser("optimize", help="compact a table's data files")
+    common(sp)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--target-files", type=int, default=None)
+    sp.set_defaults(fn=cmd_optimize)
+
+    sp = sub.add_parser("ttl", help="apply row and column TTLs now")
+    common(sp)
+    sp.add_argument("--table", required=True)
+    sp.set_defaults(fn=cmd_apply_ttl)
+
+    sp = sub.add_parser("restore", help="roll a table back to a snapshot")
+    common(sp)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("version", type=int)
+    sp.set_defaults(fn=cmd_restore)
 
     sp = sub.add_parser("snapshots", help="list a table's snapshot history")
     common(sp)

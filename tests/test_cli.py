@@ -160,3 +160,97 @@ def test_peek_at_version_and_changed_files(app_module, tmp_path, capsys, spark):
     v1_files = set(snaps[0]["files"])
     v2_files = set(snaps[1]["files"])
     assert set(files) == v2_files - v1_files
+
+
+def test_optimize_and_restore_cli(app_module, tmp_path, capsys, spark):
+    import importlib
+
+    wh = str(tmp_path / "wh")
+    _run(["migrate", "--app", app_module, "--warehouse", wh], capsys)
+    mod = importlib.import_module(app_module)
+    tbl = mod.TABLES["events"]
+    for i in range(3):  # 3 inserts -> 3 small files, 3 snapshots
+        tbl.insert([{"id": i, "kind": "k", "amount": float(i)}])
+
+    rc, out = _run(
+        ["optimize", "--app", app_module, "--warehouse", wh,
+         "--table", "events", "--target-files", "1"],
+        capsys,
+    )
+    assert rc == 0 and "optimized events into 1 file(s)" in out
+    assert len(tbl._data_files()) == 1
+    assert sorted(r.id for r in tbl.read().collect()) == [0, 1, 2]
+
+    # restore to v1 (first insert) — only possible pre-rewrite versions
+    # raise after compaction retired their files, so restore to the
+    # post-optimize snapshot is the valid target
+    rc, out = _run(
+        ["snapshots", "--app", app_module, "--warehouse", wh, "--table", "events"],
+        capsys,
+    )
+    import json as _json
+
+    snaps = [_json.loads(line) for line in out.strip().splitlines()]
+    head = snaps[-1]["version"]
+    tbl.insert([{"id": 9, "kind": "z", "amount": 9.0}])
+    rc, out = _run(
+        ["restore", "--app", app_module, "--warehouse", wh,
+         "--table", "events", str(head)],
+        capsys,
+    )
+    assert rc == 0 and f"restored events to snapshot v{head}" in out
+    assert sorted(r.id for r in tbl.read().collect()) == [0, 1, 2]
+
+
+def test_ttl_cli(tmp_path, capsys, spark, monkeypatch):
+    import sys as _sys
+    import textwrap as _tw
+
+    app_dir = tmp_path / "appsrc2"
+    app_dir.mkdir()
+    (app_dir / "ttl_app.py").write_text(
+        _tw.dedent(
+            """
+            import datetime as dt
+            from pydantic import BaseModel
+
+            from moosestack_spark.catalog.table import OlapConfig, OlapTable
+            from moosestack_spark.datamodel import Key
+
+            class Row(BaseModel):
+                id: Key[int]
+                at: dt.datetime
+
+            TABLES = {}
+
+            def setup(spark, warehouse):
+                TABLES["rows"] = OlapTable(
+                    "rows", Row, spark, warehouse,
+                    OlapConfig(order_by_fields=["id"],
+                               ttl="at + INTERVAL 30 DAY"),
+                )
+                return TABLES
+            """
+        )
+    )
+    monkeypatch.syspath_prepend(str(app_dir))
+    try:
+        import datetime as dt
+        import importlib
+
+        wh = str(tmp_path / "wh2")
+        _run(["migrate", "--app", "ttl_app", "--warehouse", wh], capsys)
+        tbl = importlib.import_module("ttl_app").TABLES["rows"]
+        now = dt.datetime.now()
+        tbl.insert([
+            {"id": 1, "at": now - dt.timedelta(days=90)},
+            {"id": 2, "at": now},
+        ])
+        rc, out = _run(
+            ["ttl", "--app", "ttl_app", "--warehouse", wh, "--table", "rows"],
+            capsys,
+        )
+        assert rc == 0 and "ttl removed 1 row(s) from rows" in out
+        assert [r.id for r in tbl.read().collect()] == [2]
+    finally:
+        _sys.modules.pop("ttl_app", None)
