@@ -572,3 +572,42 @@ FROM (
 SETTINGS max_threads=8
 """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_time_windows",
+    oracle="""
+SELECT event_id,
+       strftime(to_timestamp((CAST(epoch(ts) AS BIGINT) // 1800) * 1800),
+                '%Y-%m-%d %H:%M:%S') AS t_start,
+       strftime(to_timestamp((CAST(epoch(ts) AS BIGINT) // 1800) * 1800 + 1800),
+                '%Y-%m-%d %H:%M:%S') AS t_end,
+       strftime(to_timestamp((CAST(epoch(ts) AS BIGINT) // 600) * 600 - 1800 + 600),
+                '%Y-%m-%d %H:%M:%S') AS h_start,
+       strftime(to_timestamp((CAST(epoch(ts) AS BIGINT) // 600) * 600 + 600),
+                '%Y-%m-%d %H:%M:%S') AS h_end
+FROM events WHERE event_id % 23 = 0
+""",
+)
+def sql_ch_dialect_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH WindowView time-window scalar family translated end-to-end:
+    tumbleStart/tumbleEnd (30-minute epoch-aligned windows) and
+    hopStart/hopEnd (10-minute hop, 30-minute window — the EARLIEST
+    hopping window containing the timestamp).  The oracle restates the
+    epoch arithmetic directly; all outputs serialize as wall-clock
+    strings (driver-canon + engine-timezone safe)."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["events"])
+    ch_sql = """
+SELECT event_id,
+       formatDateTime(tumbleStart(ts, INTERVAL 30 MINUTE), '%Y-%m-%d %H:%i:%S') AS t_start,
+       formatDateTime(tumbleEnd(ts, INTERVAL 30 MINUTE), '%Y-%m-%d %H:%i:%S') AS t_end,
+       formatDateTime(hopStart(ts, INTERVAL 10 MINUTE, INTERVAL 30 MINUTE),
+                      '%Y-%m-%d %H:%i:%S') AS h_start,
+       formatDateTime(hopEnd(ts, INTERVAL 10 MINUTE, INTERVAL 30 MINUTE),
+                      '%Y-%m-%d %H:%i:%S') AS h_end
+FROM events WHERE event_id % 23 = 0
+"""
+    return spark.sql(translate_ch_sql(ch_sql))

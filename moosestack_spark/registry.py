@@ -135,7 +135,9 @@ _WINDOW_PRIORITY = [
 # oracled query; new round-5 queries are appended here when the 5 reserved
 # window slots fill up.  The registry-window meta-test enforces that ONLY
 # names listed here may lack both a green row and a window slot.
-_AFTER_WINDOW: list[str] = []
+_AFTER_WINDOW: list[str] = [
+    "sql_ch_dialect_time_windows",
+]
 
 
 def load_all() -> None:

@@ -939,6 +939,41 @@ def translate_ch_sql(sql: str) -> str:
             out.append(
                 f"timestamp_seconds((unix_timestamp({args[0]}) DIV {secs}) * {secs})"
             )
+        elif name in ("tumbleStart", "tumbleEnd", "hopStart", "hopEnd"):
+            # CH time-window functions (WindowView vocabulary).  Windows
+            # align to the epoch; hop windows of size w advancing by h
+            # start at multiples of h, and the scalar hopStart/hopEnd
+            # return the EARLIEST window containing t:
+            #   hopStart = floor(t/h)*h - w + h,  hopEnd = hopStart + w
+            # (tuple-returning tumble()/hop() are WindowView-only and out
+            # of the scalar surface).
+            def _ivl_secs(txt: str) -> int:
+                m3 = re.match(
+                    r"(?i)^\s*INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?\s*$",
+                    txt,
+                )
+                if not m3:
+                    raise ValueError(
+                        f"{name} supports INTERVAL n SECOND/MINUTE/HOUR/DAY"
+                    )
+                return int(m3.group(1)) * {
+                    "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                }[m3.group(2).lower()]
+
+            ts_arg = args[0]
+            if name.startswith("tumble"):
+                size = _ivl_secs(args[1])
+                start = f"(unix_timestamp({ts_arg}) DIV {size}) * {size}"
+                secs = start if name == "tumbleStart" else f"{start} + {size}"
+            else:
+                hop, win = _ivl_secs(args[1]), _ivl_secs(args[2])
+                if win % hop != 0:
+                    raise ValueError("hop window size must be a multiple of the hop")
+                first = (
+                    f"(unix_timestamp({ts_arg}) DIV {hop}) * {hop} - {win} + {hop}"
+                )
+                secs = first if name == "hopStart" else f"{first} + {win}"
+            out.append(f"timestamp_seconds({secs})")
         elif name == "arrayReduce":
             # meta-function: arrayReduce('agg', arr) applies an aggregate
             # over array elements — mapped to the matching array fold
@@ -978,7 +1013,8 @@ def translate_ch_sql(sql: str) -> str:
                 raise ValueError("formatDateTime needs a literal format string")
             mapping = {
                 "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
-                "%M": "mm", "%S": "ss", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss",
+                "%M": "mm", "%i": "mm", "%S": "ss",
+                "%F": "yyyy-MM-dd", "%T": "HH:mm:ss",
                 "%j": "DDD", "%e": "d", "%a": "EEE", "%b": "MMM",
             }
             body = fmt[1:-1]
