@@ -611,3 +611,72 @@ SELECT event_id,
 FROM events WHERE event_id % 23 = 0
 """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_transform_case",
+    oracle="""
+SELECT o_orderkey,
+       CASE o_orderkey % 5 WHEN 0 THEN 100 WHEN 1 THEN 200
+            ELSE CAST(-1 AS BIGINT) END AS mapped_val,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'zero'
+            WHEN o_orderkey % 3 = 1 THEN 'one' ELSE 'other' END AS case_expr,
+       '[' || coalesce(array_to_string(list_transform(
+           CASE WHEN len(arr) >= 5 THEN arr[1:5]
+                ELSE list_concat(arr, [CAST(9 AS BIGINT)
+                     FOR _ IN range(5 - len(arr))]) END,
+           v -> CAST(v AS VARCHAR)), ','), '') || ']' AS resized,
+       '[' || coalesce(array_to_string(list_transform(
+           list_append(arr, 77), v -> CAST(v AS VARCHAR)), ','), '')
+           || ']' AS pushed,
+       '[' || coalesce(array_to_string(list_transform(
+           arr[2:len(arr)], v -> CAST(v AS VARCHAR)), ','), '')
+           || ']' AS popped,
+       '[' || coalesce(array_to_string(list_transform(
+           [1, CASE WHEN arr[2] = arr[1] THEN 2 ELSE 1 END,
+            CASE WHEN arr[2] = arr[1] THEN 3 ELSE 2 END],
+           v -> CAST(v AS VARCHAR)), ','), '') || ']' AS occ,
+       strftime(to_timestamp(o_orderkey % 100000 + 1500000000),
+                '%Y-%m-%d %H:%M:%S') AS from_unix
+FROM (
+  SELECT o_orderkey,
+         [o_orderkey % 7, o_orderkey % 5, o_orderkey % 7] AS arr
+  FROM orders WHERE o_orderkey % 29 = 0
+)
+""",
+)
+def sql_ch_dialect_transform_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH value-mapping transform() (NOT Spark's lambda transform — the
+    translator disambiguates on arity), caseWithExpression, arrayResize /
+    arrayPushBack / arrayPopFront, arrayEnumerateUniq, and 1-arg
+    fromUnixTimestamp, all end-to-end.  The oracle restates expected
+    values from the construction: arr[0]==arr[2] always (both o%7), so
+    occ's third element is 2, bumping to 3 when the middle element ties
+    too.  Array outputs serialize per driver-canon."""
+    from moosestack_spark.registry import canon_arrays
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       transform(o_orderkey % 5, array(0L, 1L), array(100L, 200L), -1L)
+         AS mapped_val,
+       caseWithExpression(o_orderkey % 3, 0, 'zero', 1, 'one', 'other')
+         AS case_expr,
+       arrayResize(arr, 5, 9L) AS resized,
+       arrayPushBack(arr, 77L) AS pushed,
+       arrayPopFront(arr) AS popped,
+       arrayEnumerateUniq(arr) AS occ,
+       formatDateTime(fromUnixTimestamp(o_orderkey % 100000 + 1500000000),
+                      '%Y-%m-%d %H:%i:%S') AS from_unix
+FROM (
+  SELECT o_orderkey,
+         array(o_orderkey % 7, o_orderkey % 5, o_orderkey % 7) AS arr
+  FROM orders WHERE o_orderkey % 29 = 0
+)
+"""
+    return canon_arrays(
+        spark.sql(translate_ch_sql(ch_sql)),
+        "resized", "pushed", "popped", "occ",
+    )

@@ -137,6 +137,7 @@ _WINDOW_PRIORITY = [
 # names listed here may lack both a green row and a window slot.
 _AFTER_WINDOW: list[str] = [
     "sql_ch_dialect_time_windows",
+    "sql_ch_dialect_transform_case",
 ]
 
 

@@ -1065,6 +1065,55 @@ def translate_ch_sql(sql: str) -> str:
                 )
         elif name == "avgIf":
             out.append(f"avg(CASE WHEN {args[1]} THEN {args[0]} END)")
+        elif name == "transform" and len(args) in (3, 4):
+            # CH transform(x, from, to[, default]) is VALUE MAPPING —
+            # x==from[i] -> to[i], else default (or x itself) — NOT Spark's
+            # higher-order array transform; without this branch the name
+            # passed through as the Spark builtin and silently changed
+            # semantics.  The 2-arg lambda form still passes through.
+            x, frm, to = args[0], args[1], args[2]
+            default = args[3] if len(args) == 4 else x
+            pos = f"array_position({frm}, {x})"
+            out.append(
+                f"(CASE WHEN {pos} > 0 THEN element_at({to}, CAST({pos} AS INT)) "
+                f"ELSE {default} END)"
+            )
+        elif name == "caseWithExpression":
+            # caseWithExpression(x, m1, r1, ..., default) -> CASE x WHEN .. END
+            if len(args) < 4 or len(args) % 2 != 0:
+                raise ValueError(
+                    "caseWithExpression needs expr, match/result pairs, default"
+                )
+            parts = [f"CASE {args[0]}"]
+            for j in range(1, len(args) - 1, 2):
+                parts.append(f"WHEN {args[j]} THEN {args[j + 1]}")
+            parts.append(f"ELSE {args[-1]} END")
+            out.append(" ".join(parts))
+        elif name == "arrayResize":
+            a, n = args[0], args[1]
+            fill = args[2] if len(args) == 3 else "NULL"
+            out.append(
+                f"(CASE WHEN size({a}) >= {n} THEN slice({a}, 1, {n}) "
+                f"ELSE concat({a}, array_repeat({fill}, "
+                f"CAST({n} AS INT) - size({a}))) END)"
+            )
+        elif name == "arrayPushBack":
+            out.append(f"concat({args[0]}, array({args[1]}))")
+        elif name == "arrayPushFront":
+            out.append(f"concat(array({args[1]}), {args[0]})")
+        elif name == "arrayPopBack":
+            out.append(f"slice({args[0]}, 1, greatest(size({args[0]}) - 1, 0))")
+        elif name == "arrayPopFront":
+            out.append(f"slice({args[0]}, 2, greatest(size({args[0]}) - 1, 0))")
+        elif name == "arrayEnumerateUniq":
+            # occurrence index of each element among its equals so far
+            a = args[0]
+            out.append(
+                f"transform({a}, (x, i) -> "
+                f"size(filter(slice({a}, 1, i + 1), y -> y <=> x)))"
+            )
+        elif name == "fromUnixTimestamp" and len(args) == 1:
+            out.append(f"timestamp_seconds({args[0]})")
         elif name in _TEMPLATE and _TEMPLATE[name] is not None:
             out.append(_TEMPLATE[name].format(*args))
         elif name in _RENAME:
