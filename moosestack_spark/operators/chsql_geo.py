@@ -680,3 +680,68 @@ FROM (
         spark.sql(translate_ch_sql(ch_sql)),
         "resized", "pushed", "popped", "occ",
     )
+
+
+@query(
+    "sql_ch_dialect_vocab_r5",
+    oracle="""
+SELECT o_orderkey,
+       left(nm, 4) AS l4,
+       right(nm, 3) AS r3,
+       strftime(CAST(date_trunc('quarter', o_orderdate) AS DATE), '%Y-%m-%d')
+         AS q_start,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       ((a << 3) | (a >> 61)) AS rotl3,
+       length(CAST(a AS VARCHAR)) AS bsz,
+       CAST(CAST(CAST(o_orderkey % 1000 AS DOUBLE) / 4 AS DECIMAL(18,2))
+            AS VARCHAR) AS dec2,
+       CASE WHEN a % 7 - 3 > 0 THEN 1.0 WHEN a % 7 - 3 < 0 THEN -1.0
+            ELSE 0.0 END AS sgn,
+       levenshtein('k' || CAST(a % 100 AS VARCHAR),
+                   'k' || CAST(a % 10 AS VARCHAR)) AS lev,
+       isnan(1e308 * 10 - 1e308 * 10) AS is_nan,
+       false AS fin_inf,
+       true AS fin_one,
+       (1e308 * 10 = 1e308 * 10) AS is_inf
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         CAST(o_orderkey % 1000 AS BIGINT) AS a,
+         'part-' || CAST(o_orderkey % 97 AS VARCHAR) AS nm
+  FROM orders WHERE o_orderkey % 31 = 0
+)
+""",
+)
+def sql_ch_dialect_vocab_r5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 vocabulary widening end-to-end: left/right,
+    toStartOfQuarter, toLastDayOfMonth, bitRotateLeft, byteSize,
+    toDecimal64, sign, levenshteinDistance, and the isNaN/isFinite/
+    isInfinite classifiers (NaN built as inf - inf, infinity as double
+    overflow — pure IEEE arithmetic, no ANSI division error)."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       left(nm, 4) AS l4,
+       right(nm, 3) AS r3,
+       formatDateTime(toStartOfQuarter(o_orderdate), '%F') AS q_start,
+       formatDateTime(toLastDayOfMonth(o_orderdate), '%F') AS month_end,
+       bitRotateLeft(a, 3) AS rotl3,
+       byteSize(a) AS bsz,
+       toString(toDecimal64(CAST(o_orderkey % 1000 AS DOUBLE) / 4, 2)) AS dec2,
+       sign(a % 7 - 3) AS sgn,
+       levenshteinDistance(concat('k', toString(a % 100)),
+                           concat('k', toString(a % 10))) AS lev,
+       isNaN(1e308 * 10 - 1e308 * 10) AS is_nan,
+       isFinite(1e308 * 10) AS fin_inf,
+       isFinite(1.0) AS fin_one,
+       isInfinite(1e308 * 10) AS is_inf
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         CAST(o_orderkey % 1000 AS BIGINT) AS a,
+         concat('part-', toString(o_orderkey % 97)) AS nm
+  FROM orders WHERE o_orderkey % 31 = 0
+)
+"""
+    return spark.sql(translate_ch_sql(ch_sql))

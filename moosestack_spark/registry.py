@@ -138,6 +138,7 @@ _WINDOW_PRIORITY = [
 _AFTER_WINDOW: list[str] = [
     "sql_ch_dialect_time_windows",
     "sql_ch_dialect_transform_case",
+    "sql_ch_dialect_vocab_r5",
 ]
 
 

@@ -437,6 +437,22 @@ _RENAME = {
     "arrayZip": "arrays_zip",
     "arrayMin": "array_min",
     "arrayMax": "array_max",
+    # round-5 vocabulary widening (direct Spark builtins)
+    "hasAny": "arrays_overlap",
+    "toLastDayOfMonth": "last_day",
+    "addMonths": "add_months",
+    "sign": "signum",
+    "isNaN": "isnan",
+    "uniqCombined": "approx_count_distinct",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "skewPop": "skewness",
+    "kurtPop": "kurtosis",
+    "levenshteinDistance": "levenshtein",
+    "mapFromArrays": "map_from_arrays",
+    "JSONExtractKeys": "json_object_keys",
     # map family (CH functions/tuple-map-functions); map() itself is the
     # same variadic k,v,k,v constructor in Spark and passes through
     "mapKeys": "map_keys",
@@ -517,6 +533,38 @@ _TEMPLATE = {
     # lambdas run JVM-side; the 0-based transform index i maps CH's 1-based
     # positions; CASE guards keep element_at inside valid 1-based bounds
     # under ANSI mode.
+    # round-5 vocabulary widening (templated rewrites)
+    "hasAll": "forall({1}, x -> array_contains({0}, x))",
+    "left": "substring({0}, 1, {1})",
+    "right": "substring({0}, -cast({1} as int), {1})",
+    "toStartOfQuarter": "to_date(date_trunc('quarter', {0}))",
+    "toStartOfISOYear": (
+        "to_date(date_trunc('week', make_date(extract(yearofweek from {0}), 1, 4)))"
+    ),
+    "addHours": "({0} + make_interval(0, 0, 0, 0, {1}, 0, 0))",
+    "addMinutes": "({0} + make_interval(0, 0, 0, 0, 0, {1}, 0))",
+    "addSeconds": "({0} + make_interval(0, 0, 0, 0, 0, 0, {1}))",
+    "subtractHours": "({0} - make_interval(0, 0, 0, 0, {1}, 0, 0))",
+    "subtractMinutes": "({0} - make_interval(0, 0, 0, 0, 0, {1}, 0))",
+    "subtractSeconds": "({0} - make_interval(0, 0, 0, 0, 0, 0, {1}))",
+    # CH toTime: the time-of-day anchored on 1970-01-02
+    "toTime": "timestamp_seconds(86400 + unix_timestamp({0}) % 86400)",
+    "bitRotateLeft": "(shiftleft({0}, {1}) | shiftrightunsigned({0}, 64 - {1}))",
+    "bitRotateRight": "(shiftrightunsigned({0}, {1}) | shiftleft({0}, 64 - {1}))",
+    "byteSize": "octet_length(cast({0} as string))",
+    "toDecimal32": "cast({0} as decimal(9, {1}))",
+    "toDecimal64": "cast({0} as decimal(18, {1}))",
+    "isFinite": "(NOT isnan({0}) AND abs({0}) != double('Infinity'))",
+    "isInfinite": "(abs({0}) = double('Infinity'))",
+    "quantileExact": "percentile({0}, 0.5)",
+    "medianExact": "percentile({0}, 0.5)",
+    "domainWithoutWWW": (
+        "regexp_replace(parse_url({0}, 'HOST'), '^www\\.', '')"
+    ),
+    "fragment": "parse_url({0}, 'REF')",
+    "JSONLength": (
+        "coalesce(json_array_length({0}), size(json_object_keys({0})))"
+    ),
     "arrayEnumerate": "transform({0}, (x, i) -> i + 1)",
     "arrayReverse": "reverse({0})",
     "arraySlice": "slice({0}, {1}, {2})",

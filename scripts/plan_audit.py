@@ -52,6 +52,11 @@ ALLOWED = {
     # unigram-LM normalizer: the total-token count is a ONE-row aggregate
     # broadcast-crossed onto the per-doc scores (ops/lm_score.py:71)
     "text_unigram_logprob": {"BNLJ"},
+    # tf-idf retrieval: N (one row) and D (one row) ride as broadcast
+    # scalar crosses; the |terms|-row df table is a broadcast hash join
+    # (ops/retrieval.py — plan pinned no-SMJ in
+    # tests/test_layout_profile_retrieval.py)
+    "text_tfidf_retrieval": {"BNLJ"},
     # KS statistic: the (n1, n2) totals are a ONE-row aggregate
     # broadcast-crossed onto the distinct-value ECDF rows
     "agg_ks_test": {"BNLJ"},
