@@ -745,3 +745,51 @@ FROM (
 )
 """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_parametric",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(cents, 0.5) AS med_cents,
+       quantile_cont(cents, 0.25) AS q25,
+       quantile_cont(cents, 0.75) AS q75,
+       least(COUNT(DISTINCT l_linenumber), 4) AS uniq3,
+       '[' || coalesce(array_to_string(list_transform(
+           (list_sort(list(cents)))[1:3], v -> CAST(v AS VARCHAR)), ','), '')
+           || ']' AS smallest3
+FROM (
+  SELECT l_returnflag, l_linenumber,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem WHERE l_orderkey % 37 = 0
+)
+GROUP BY l_returnflag
+""",
+)
+def sql_ch_dialect_parametric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH parametric-aggregate call syntax f(params)(args) translated
+    end-to-end: quantileExact(p)(x) / quantilesExact(..)(x) (classic
+    (n-1)p interpolation — identical on integer cents in both engines:
+    the fraction is dyadic, the lerp exact), uniqUpTo(3)(x), and
+    groupArraySorted(3)(x) (canon-serialized).  Before the parametric
+    branch landed, quantile(0.9)(x) silently emitted broken SQL."""
+    from moosestack_spark.registry import canon_arrays
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["lineitem"])
+    ch_sql = """
+SELECT l_returnflag,
+       quantileExact(0.5)(cents) AS med_cents,
+       arrayElement(quantilesExact(0.25, 0.75)(cents), 1) AS q25,
+       arrayElement(quantilesExact(0.25, 0.75)(cents), 2) AS q75,
+       uniqUpTo(3)(l_linenumber) AS uniq3,
+       groupArraySorted(3)(cents) AS smallest3
+FROM (
+  SELECT l_returnflag, l_linenumber,
+         toInt64(toDecimal64(l_extendedprice, 2) * 100) AS cents
+  FROM lineitem WHERE l_orderkey % 37 = 0
+)
+GROUP BY l_returnflag
+"""
+    return canon_arrays(spark.sql(translate_ch_sql(ch_sql)), "smallest3")

@@ -139,6 +139,7 @@ _AFTER_WINDOW: list[str] = [
     "sql_ch_dialect_time_windows",
     "sql_ch_dialect_transform_case",
     "sql_ch_dialect_vocab_r5",
+    "sql_ch_dialect_parametric",
 ]
 
 

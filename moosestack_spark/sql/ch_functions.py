@@ -789,6 +789,23 @@ _KNOWN_SPARK_PASSTHROUGH = frozenset(
 
 _FN_CALL = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(")
 
+# CH parametric aggregates f(params)(args) -> Spark rewrites.
+# Handlers take (params, args) as already-translated strings.
+_PARAMETRIC = {
+    "quantile": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
+    "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantiles": lambda p, a: f"percentile_approx({a[0]}, array({', '.join(p)}))",
+    "quantilesExact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    # uniqUpTo(N): exact distinct count up to N, N+1 beyond
+    "uniqUpTo": lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
+    "groupArraySorted": (
+        lambda p, a: f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})"
+    ),
+    "topK": None,  # raise below: needs the DataFrame operator
+    "histogram": None,
+    "sequenceMatch": None,
+}
+
 
 def _split_args(argstr: str) -> list[str]:
     """Split a function arg string on top-level commas."""
@@ -951,6 +968,33 @@ def translate_ch_sql(sql: str) -> str:
         inner = sql[open_idx + 1 : close_idx]
         args = [translate_ch_sql(a) for a in _split_args(inner)] if inner.strip() else []
         out.append(sql[i : m.start()])
+
+        # CH parametric-aggregate call syntax f(params)(args): detect a
+        # second argument list immediately after the first.  Without this
+        # branch a renamed function silently emitted broken SQL
+        # (quantile(0.9)(x) -> percentile_approx(0.9)(x)).
+        j2 = close_idx + 1
+        while j2 < len(sql) and sql[j2].isspace():
+            j2 += 1
+        if j2 < len(sql) and sql[j2] == "(":
+            close2 = _find_close(sql, j2)
+            inner2 = sql[j2 + 1 : close2]
+            args2 = (
+                [translate_ch_sql(a) for a in _split_args(inner2)]
+                if inner2.strip()
+                else []
+            )
+            handler = _PARAMETRIC.get(name)
+            if handler is None:
+                raise ValueError(
+                    f"parametric ClickHouse call {name}(...)(...)  is not in "
+                    "the SQL translation vocabulary; use the DataFrame "
+                    "operator (operators/aggregates*.py) or add a handler in "
+                    "_PARAMETRIC"
+                )
+            out.append(handler(args, args2))
+            i = close2 + 1
+            continue
 
         if name == "multiIf":
             if len(args) < 3 or len(args) % 2 == 0:
