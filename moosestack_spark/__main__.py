@@ -110,9 +110,11 @@ def cmd_peek(args) -> int:
 
 
 def cmd_optimize(args) -> int:
-    """Compact the table's data files (OPTIMIZE TABLE ... FINAL shape)."""
+    """Compact the table's data files (OPTIMIZE TABLE ... FINAL shape);
+    --zorder x,y clusters by the Morton interleave instead of ORDER BY."""
     _, table = _table(args)
-    n = table.optimize(args.target_files)
+    zorder = args.zorder.split(",") if args.zorder else None
+    n = table.optimize(args.target_files, zorder_by=zorder)
     print(f"optimized {table.name} into {n} file(s)")
     return 0
 
@@ -210,6 +212,10 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.add_argument("--table", required=True)
     sp.add_argument("--target-files", type=int, default=None)
+    sp.add_argument(
+        "--zorder", default=None, metavar="X,Y",
+        help="cluster by the Morton interleave of two integer columns",
+    )
     sp.set_defaults(fn=cmd_optimize)
 
     sp = sub.add_parser("ttl", help="apply row and column TTLs now")

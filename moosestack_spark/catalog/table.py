@@ -773,7 +773,11 @@ class OlapTable(Generic[T]):
             shutil.rmtree(self._projection_path(proj.name), ignore_errors=True)
         self._write_projections(base)
 
-    def optimize(self, target_files: Optional[int] = None) -> int:
+    def optimize(
+        self,
+        target_files: Optional[int] = None,
+        zorder_by: Optional[Sequence[str]] = None,
+    ) -> int:
         """Compaction — the explicit counterpart of MergeTree background
         merges (CH merges small parts into sorted bigger ones continuously;
         here OPTIMIZE is a scheduled job, like `OPTIMIZE TABLE ... FINAL`).
@@ -783,6 +787,12 @@ class OlapTable(Generic[T]):
         scans; partitioned tables keep their partitioning.  Returns the
         file count after compaction.  At 100 TB run per partition (only
         partitions with small-file buildup), never table-wide.
+
+        ``zorder_by=(x, y)`` clusters by the Morton interleave of two
+        integer columns instead of the ORDER BY key (the Delta/Iceberg
+        OPTIMIZE ZORDER shape, ops/layout.py): every output file then
+        covers a small rectangle of BOTH dimensions, so min/max file stats
+        prune on either predicate.
         """
         df = self.read_raw()
         n_rows = df.count()
@@ -790,8 +800,15 @@ class OlapTable(Generic[T]):
             # ~128MB-file heuristic is meaningless on toy data; default to
             # one file per shuffle partition bounded by row count
             target_files = max(1, min(8, n_rows // 10_000 or 1))
-        keys = self._sort_keys()
-        if keys:
+        if zorder_by is not None:
+            from moosestack_spark.ops.layout import cluster_by_zorder
+
+            if len(zorder_by) != 2:
+                raise ValueError("zorder_by takes exactly two columns")
+            out = cluster_by_zorder(
+                df, zorder_by[0], zorder_by[1], num_partitions=target_files
+            ).drop("zorder")
+        elif keys := self._sort_keys():
             out = df.repartitionByRange(target_files, *keys).sortWithinPartitions(*keys)
         else:
             out = df.coalesce(target_files)

@@ -140,6 +140,7 @@ _AFTER_WINDOW: list[str] = [
     "sql_ch_dialect_transform_case",
     "sql_ch_dialect_vocab_r5",
     "sql_ch_dialect_parametric",
+    "graph_pagerank_quality",
 ]
 
 
@@ -178,6 +179,7 @@ def load_all() -> None:
         decontaminate,
         dedup,
         embedding,
+        graph,
         layout,
         linedup,
         lm_score,

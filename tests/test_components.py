@@ -103,3 +103,25 @@ def test_star_disjoint_and_cycles(spark):
     got = _cc_star(spark, edges)
     assert {v for v, c in got.items() if c == 1} == {1, 2, 3, 7, 8, 9}
     assert {v for v, c in got.items() if c == 20} == {20, 21}
+
+
+def test_pagerank_int_orders_by_centrality(spark):
+    """Integer PageRank: a hub pointed to by everyone outranks the spokes;
+    a symmetric cycle is exactly uniform (integer arithmetic included)."""
+    from moosestack_spark.ops.graph import SCALE, pagerank_int
+
+    # star: 1..5 -> 0 (hub receives 5 in-links, spokes receive none; no
+    # back edge — a back edge makes the graph bipartite-oscillatory and
+    # the ordering depends on iteration parity)
+    star = spark.createDataFrame([(i, 0) for i in range(1, 6)], ["src", "dst"])
+    pr = {r.v: r.pr for r in pagerank_int(star, iterations=4).collect()}
+    assert pr[0] > pr[1] == pr[2] == pr[3] == pr[4] == pr[5]
+
+    # 4-cycle: all equal, and equal to SCALE up to truncation drift
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], ["src", "dst"]
+    )
+    prs = {r.pr for r in pagerank_int(cyc, iterations=5).collect()}
+    assert len(prs) == 1
+    (v,) = prs
+    assert abs(v - SCALE) <= 5  # div truncation loses <=1 unit per iter

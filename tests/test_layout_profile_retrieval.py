@@ -119,3 +119,47 @@ def test_tfidf_plan_broadcasts_tiny_sides(spark, sf_dir):
     plan = text_tfidf_retrieval(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_optimize_zorder_rewrites_clustered_files(spark, tmp_path):
+    """OPTIMIZE ... ZORDER: the rewrite clusters files by the Morton key
+    of two columns so each file's min/max covers a sub-rectangle of both
+    dimensions (file-stat pruning on either predicate)."""
+    import pyarrow.parquet as pq
+    from pydantic import BaseModel
+
+    from moosestack_spark.catalog.engines import OlapConfig
+    from moosestack_spark.catalog.table import OlapTable
+    from moosestack_spark.ops.layout import morton_expr
+
+    class Cell(BaseModel):
+        x: int
+        y: int
+
+    tbl = OlapTable(
+        "zcells", Cell, spark, str(tmp_path),
+        OlapConfig(order_by_fields=["x"]), register=False,
+    )
+    rows = [{"x": i % 64, "y": i // 64} for i in range(4096)]
+    tbl.insert(rows)
+    n = tbl.optimize(target_files=8, zorder_by=("x", "y"))
+    assert n == 8
+    assert sorted((r.x, r.y) for r in tbl.read().collect()) == sorted(
+        (r["x"], r["y"]) for r in rows
+    )
+    # recompute each file's morton range: ranges must be pairwise disjoint
+    import glob as _glob
+
+    ranges = []
+    for f in sorted(_glob.glob(tbl.path + "/*.parquet")):
+        t = pq.read_table(f).to_pylist()
+        zs = [
+            int(spark.sql(
+                f"SELECT {morton_expr(str(r['x']), str(r['y']), 6)} AS z"
+            ).collect()[0].z)
+            for r in (t[0], t[-1])  # files are z-sorted: ends bound the file
+        ]
+        ranges.append((min(zs), max(zs)))
+    ranges.sort()
+    for a, b in zip(ranges, ranges[1:]):
+        assert a[1] <= b[0], (a, b)
