@@ -168,7 +168,10 @@ class Distributed(Engine):
 @dataclass
 class TableIndex:
     """OlapConfig.TableIndex (olap_table.py:167-174).  Parquet/Delta column
-    stats provide minmax skipping automatically; recorded for parity."""
+    stats provide minmax skipping automatically; bloom_filter/tokenbf_v1/
+    ngrambf_v1 indexes on a plain column enable REAL parquet bloom
+    filters at write time (OlapTable._parquet_index_options); expression
+    indexes are recorded for parity."""
 
     name: str
     expression: str
