@@ -139,6 +139,16 @@ def cmd_restore(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    _, table = _table(args)
+    manifests, files = table.vacuum(args.keep_last)
+    print(
+        f"vacuumed {table.name}: {manifests} manifest(s), "
+        f"{files} orphan file(s) removed"
+    )
+    return 0
+
+
 def cmd_snapshots(args) -> int:
     _, table = _table(args)
     for snap in table.snapshots():
@@ -228,6 +238,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
     sp.add_argument("version", type=int)
     sp.set_defaults(fn=cmd_restore)
+
+    sp = sub.add_parser(
+        "vacuum", help="expire old snapshots and remove orphan files"
+    )
+    common(sp)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--keep-last", type=int, default=10)
+    sp.set_defaults(fn=cmd_vacuum)
 
     sp = sub.add_parser("snapshots", help="list a table's snapshot history")
     common(sp)

@@ -407,7 +407,10 @@ class OlapTable(Generic[T]):
         import json as _json
 
         os.makedirs(self._snapdir, exist_ok=True)
-        version = len(self.snapshots()) + 1
+        # max+1, not count+1: vacuum may have dropped old manifests and a
+        # reused number would sort a NEW snapshot before the current head
+        snaps = self.snapshots()
+        version = (snaps[-1]["version"] + 1) if snaps else 1
         manifest = {"version": version, "op": op, "files": self._data_files()}
         tmp = os.path.join(self._snapdir, f".v{version}.json.tmp")
         with open(tmp, "w") as fh:
@@ -428,16 +431,23 @@ class OlapTable(Generic[T]):
             out.append(_json.load(open(os.path.join(self._snapdir, f))))
         return out
 
+    def _snapshot_by_version(self, version: int) -> dict:
+        """Manifest lookup by version NUMBER (not list position — vacuum
+        may have dropped older manifests)."""
+        for snap in self.snapshots():
+            if snap["version"] == version:
+                return snap
+        have = [s["version"] for s in self.snapshots()]
+        raise ValueError(f"{self.name}: no snapshot v{version} (have {have})")
+
     def read_at(self, version: int) -> DataFrame:
         """The table as of snapshot `version` (1-based): scans ONLY that
         manifest's files, with the engine's read semantics applied.
         Raises on a version retired by a later rewrite (missing files)."""
-        snaps = self.snapshots()
-        if not 1 <= version <= len(snaps):
-            raise ValueError(
-                f"{self.name}: no snapshot v{version} (have {len(snaps)})"
-            )
-        files = [os.path.join(self.path, f) for f in snaps[version - 1]["files"]]
+        files = [
+            os.path.join(self.path, f)
+            for f in self._snapshot_by_version(version)["files"]
+        ]
         missing = [f for f in files if not os.path.exists(f)]
         if missing:
             raise FileNotFoundError(
@@ -449,12 +459,54 @@ class OlapTable(Generic[T]):
         raw = self.spark.read.schema(self._storage_schema()).parquet(*files)
         return self._with_engine_semantics(raw)
 
+    def vacuum(self, keep_last: int = 10) -> tuple[int, int]:
+        """Trim snapshot history and remove unreferenced data files — the
+        lake VACUUM/expire-snapshots job.  Keeps the most recent
+        ``keep_last`` manifests; deletes (1) older manifests and (2) data
+        files referenced by NO kept manifest (orphans of restores and
+        crashed writes), plus stale rewrite temp dirs.  Returns
+        (manifests_removed, files_removed).  read_at/changed_files on an
+        expired version raise with the surviving version list — the same
+        contract as a rewrite-retired snapshot."""
+        import glob as _glob
+
+        snaps = self.snapshots()
+        keep = snaps[-keep_last:] if keep_last > 0 else snaps[-1:]
+        keep_versions = {s["version"] for s in keep}
+        referenced: set[str] = set()
+        for s in keep:
+            referenced.update(s["files"])
+
+        files_removed = 0
+        for f in self._data_files():
+            if f not in referenced:
+                os.remove(os.path.join(self.path, f))
+                files_removed += 1
+        # prune now-empty partition dirs so the scan doesn't trip on them
+        for root, dirs, files in os.walk(self.path, topdown=False):
+            if root != self.path and not dirs and not files:
+                os.rmdir(root)
+
+        manifests_removed = 0
+        if os.path.isdir(self._snapdir):
+            for fn in list(os.listdir(self._snapdir)):
+                if fn.startswith("v") and fn.endswith(".json"):
+                    if int(fn[1:-5]) not in keep_versions:
+                        os.remove(os.path.join(self._snapdir, fn))
+                        manifests_removed += 1
+        for tmp in _glob.glob(self.path + ".__*_tmp"):
+            shutil.rmtree(tmp, ignore_errors=True)
+        return manifests_removed, files_removed
+
     def changed_files(self, from_version: int, to_version: int) -> list[str]:
         """Files ADDED between two snapshots — the incremental-consumption
         feed (a downstream job reads only these, never re-scans history)."""
-        snaps = self.snapshots()
-        before = set(snaps[from_version - 1]["files"]) if from_version >= 1 else set()
-        after = set(snaps[to_version - 1]["files"])
+        before = (
+            set(self._snapshot_by_version(from_version)["files"])
+            if from_version >= 1
+            else set()
+        )
+        after = set(self._snapshot_by_version(to_version)["files"])
         return sorted(after - before)
 
     def restore(self, version: int) -> int:
@@ -463,12 +515,7 @@ class OlapTable(Generic[T]):
         history means the target files are still on disk; a version retired
         by a rewrite raises first).  Commits a new snapshot, so the restore
         itself is in the history.  Returns files removed."""
-        snaps = self.snapshots()
-        if not 1 <= version <= len(snaps):
-            raise ValueError(
-                f"{self.name}: no snapshot v{version} (have {len(snaps)})"
-            )
-        want = set(snaps[version - 1]["files"])
+        want = set(self._snapshot_by_version(version)["files"])
         missing = [f for f in want if not os.path.exists(os.path.join(self.path, f))]
         if missing:
             raise FileNotFoundError(

@@ -254,3 +254,21 @@ def test_ttl_cli(tmp_path, capsys, spark, monkeypatch):
         assert [r.id for r in tbl.read().collect()] == [2]
     finally:
         _sys.modules.pop("ttl_app", None)
+
+
+def test_vacuum_cli(app_module, tmp_path, capsys, spark):
+    import importlib
+
+    wh = str(tmp_path / "wh")
+    _run(["migrate", "--app", app_module, "--warehouse", wh], capsys)
+    tbl = importlib.import_module(app_module).TABLES["events"]
+    for i in range(4):
+        tbl.insert([{"id": i, "kind": "k", "amount": float(i)}])
+    rc, out = _run(
+        ["vacuum", "--app", app_module, "--warehouse", wh,
+         "--table", "events", "--keep-last", "2"],
+        capsys,
+    )
+    assert rc == 0 and "2 manifest(s)" in out  # 4 insert snapshots; keep 2
+    assert len(tbl.snapshots()) == 2
+    assert tbl.read().count() == 4

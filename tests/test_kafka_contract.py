@@ -201,3 +201,60 @@ def test_offset_commit_sequencing_after_insert(spark, tmp_path):
             lambda rows: None,
             lambda off: None,
         )
+
+
+def test_offset_commit_property_random_failures():
+    """Property: under ANY injected insert-failure pattern, (1) a commit
+    for offset o happens only after a successful insert of the batch
+    ending at o, (2) committed offsets are strictly increasing, (3) every
+    record is inserted at least once (at-least-once), and (4) if the loop
+    completes, the final commit covers the whole stream."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from moosestack_spark.streaming.kafka_sync import kafka_sync_loop, replay_batches
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(1, 30),
+        batch=st.integers(1, 7),
+        fail_pattern=st.sets(st.tuples(st.integers(0, 29), st.integers(0, 1))),
+    )
+    def run(n, batch, fail_pattern):
+        records = list(range(n))
+        inserted: list[list[int]] = []
+        commits: list[int] = []
+        attempts: dict[tuple[int, int], int] = {}
+
+        def insert(rows):
+            inserted.append(list(rows))
+            key = (rows[0], 0)
+            k = attempts.get(key, 0)
+            attempts[key] = k + 1
+            # fail this (first_record, attempt#) if the pattern says so
+            if (rows[0], k) in fail_pattern and k < 2:
+                raise RuntimeError("flaky")
+
+        def commit(off):
+            # invariant 1: the LAST insert must be the batch ending at off
+            assert inserted and inserted[-1][-1] == off - 1
+            # invariant 2: strictly increasing
+            assert not commits or off > commits[-1]
+            commits.append(off)
+
+        try:
+            final = kafka_sync_loop(
+                replay_batches(records, batch), insert, commit,
+                max_attempts_per_batch=3,
+            )
+        except RuntimeError:
+            # exhausted retries: nothing past the last commit was committed
+            assert all(c <= (commits[-1] if commits else 0) for c in commits)
+            return
+        # invariant 4: loop completed -> full stream committed
+        assert final == n and commits and commits[-1] == n
+        # invariant 3: at-least-once
+        flat = {r for rows in inserted for r in rows}
+        assert flat == set(records)
+
+    run()

@@ -116,3 +116,52 @@ def test_streaming_foreachbatch_appends_commit_snapshots(table, spark, tmp_path)
     snaps = table.snapshots()
     assert snaps and snaps[-1]["op"] == "append"
     assert table.read_at(len(snaps)).count() == 3
+
+
+def test_vacuum_expires_history_and_orphans(spark, tmp_path):
+    """VACUUM: old manifests go, data files no kept manifest references
+    go, surviving versions stay readable BY NUMBER, and the next commit
+    does not reuse an expired version number."""
+    import os
+
+    import pytest
+    from pydantic import BaseModel
+
+    from moosestack_spark.catalog.engines import OlapConfig
+    from moosestack_spark.catalog.table import OlapTable
+
+    class R(BaseModel):
+        id: int
+
+    tbl = OlapTable("vac_t", R, spark, str(tmp_path),
+                    OlapConfig(order_by_fields=["id"]), register=False)
+    for i in range(5):
+        tbl.insert([{"id": i}])
+    assert [s["version"] for s in tbl.snapshots()] == [1, 2, 3, 4, 5]
+
+    # restore to v2 orphans the files v3-v5 added (restore deletes them),
+    # then vacuum keep_last=2 trims manifests to the last two
+    tbl.restore(2)  # commits v6
+    man_rm, files_rm = tbl.vacuum(keep_last=2)
+    assert man_rm == 4  # v1..v4 gone, v5+v6 kept
+    vs = [s["version"] for s in tbl.snapshots()]
+    assert vs == [5, 6]
+
+    # surviving version lookups work by NUMBER despite the gap
+    assert sorted(r.id for r in tbl.read_at(6).collect()) == [0, 1]
+    with pytest.raises(ValueError, match="no snapshot v2"):
+        tbl.read_at(2)
+    with pytest.raises((ValueError, FileNotFoundError)):
+        tbl.changed_files(1, 6)
+
+    # next commit continues from the max version, never reusing numbers
+    tbl.insert([{"id": 99}])
+    assert [s["version"] for s in tbl.snapshots()] == [5, 6, 7]
+    assert sorted(r.id for r in tbl.read().collect()) == [0, 1, 99]
+
+    # vacuum removed any data file only v1-v4 referenced... but v5 kept
+    # the full pre-restore file list, so nothing was orphaned; a second
+    # vacuum to 1 manifest drops v5's (now partially missing) references
+    man_rm, _ = tbl.vacuum(keep_last=1)
+    assert man_rm == 2 and [s["version"] for s in tbl.snapshots()] == [7]
+    assert sorted(r.id for r in tbl.read().collect()) == [0, 1, 99]
