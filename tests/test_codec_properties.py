@@ -72,3 +72,21 @@ def test_jpeg_arbitrary_image_bounded_error(h, w, seed):
 def test_mp4_metadata_roundtrip_any(dur, w, h):
     meta = parse_mp4_metadata(encode_minimal_mp4(dur, w, h))
     assert meta == {"duration_ms": dur, "width": w, "height": h, "n_tracks": 1}
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 decode: every pass is an independently-filtered sub-image;
+    odd sizes exercise pass-boundary math (empty passes, partial rows)."""
+    import numpy as np
+
+    from moosestack_spark.ops.png import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1, 3), (3, 5, 3), (8, 8, 3), (13, 17, 3), (7, 1, 3), (1, 9, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px, interlace=True)), px), shape
+    g = rng.integers(0, 256, (11, 6), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(encode_png(g, interlace=True)),
+        np.repeat(g[..., None], 3, axis=2),
+    )

@@ -323,23 +323,27 @@ def test_png_all_filters_and_exotic_layouts():
     assert np.array_equal(decode_png(data4)[..., 0], (g16 >> 8).astype(np.uint8))
 
 
-def test_png_rejects_interlaced():
+def test_png_adam7_manual_fixture_decodes():
+    """Hand-framed 2x2 Adam7 stream: pass 1 holds (0,0), pass 6 holds
+    (1,0), pass 7 holds row 1 — the decoder reassembles [[a,b],[c,d]]."""
     import struct
     import zlib
 
     import numpy as np
-    import pytest as _pytest
 
     from moosestack_spark.ops.png import PNG_MAGIC, _chunk, decode_png
 
+    a, b, c, d = 10, 20, 30, 40
+    payload = bytes([0, a]) + bytes([0, b]) + bytes([0, c, d])
     data = (
         PNG_MAGIC
         + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
-        + _chunk(b"IDAT", zlib.compress(b"\x00ab\x00cd"))
+        + _chunk(b"IDAT", zlib.compress(payload))
         + _chunk(b"IEND", b"")
     )
-    with _pytest.raises(NotImplementedError):
-        decode_png(data)
+    px = decode_png(data)
+    expect = np.repeat(np.array([[a, b], [c, d]], np.uint8)[..., None], 3, axis=2)
+    assert np.array_equal(px, expect)
 
 
 def test_decode_image_sniffs_png():
