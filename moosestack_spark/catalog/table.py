@@ -470,7 +470,16 @@ class OlapTable(Generic[T]):
         contract as a rewrite-retired snapshot."""
         import glob as _glob
 
+        if self.config.life_cycle != LifeCycle.FULLY_MANAGED:
+            # EXTERNALLY_MANAGED data was never snapshot-committed (every
+            # file would look unreferenced and be wiped); DELETION_PROTECTED
+            # forbids the file removal outright
+            raise PermissionError(f"{self.name} life_cycle forbids vacuum")
         snaps = self.snapshots()
+        if not snaps:
+            # no manifests (pre-snapshot-era dir or external writes):
+            # NOTHING is provably unreferenced — refuse to guess
+            return 0, 0
         keep = snaps[-keep_last:] if keep_last > 0 else snaps[-1:]
         keep_versions = {s["version"] for s in keep}
         referenced: set[str] = set()
@@ -882,9 +891,18 @@ class OlapTable(Generic[T]):
 
             if len(zorder_by) != 2:
                 raise ValueError("zorder_by takes exactly two columns")
+            # reserved temp column: never clobber a user column (a table
+            # column literally named "zorder" would otherwise be silently
+            # overwritten and dropped by the rewrite)
+            zcol = "__zorder_opt"
+            if zcol in df.columns:
+                raise ValueError(
+                    f"optimize(zorder_by=...): column {zcol!r} is reserved"
+                )
             out = cluster_by_zorder(
-                df, zorder_by[0], zorder_by[1], num_partitions=target_files
-            ).drop("zorder")
+                df, zorder_by[0], zorder_by[1],
+                num_partitions=target_files, out_col=zcol,
+            ).drop(zcol)
         elif keys := self._sort_keys():
             out = df.repartitionByRange(target_files, *keys).sortWithinPartitions(*keys)
         else:

@@ -568,8 +568,8 @@ WITH base AS (
   SELECT l_returnflag,
          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
          l_orderkey, l_linenumber,
-         ((l_orderkey * 2654435761 + l_linenumber * 40503) % 2147483647) % 8 = 0
-           AS in_sample
+         (((l_orderkey % 2147483647) * 2654435761
+            + l_linenumber * 40503) % 2147483647) % 8 = 0 AS in_sample
   FROM lineitem
 ), full_r AS (
   SELECT l_returnflag, cents,
@@ -619,10 +619,13 @@ def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         "l_orderkey",
         "l_linenumber",
+        # the key is pre-reduced mod 2^31-1 so the multiply stays under
+        # 2^63 at ANY scale factor (l_orderkey alone would wrap at ~3.5e9)
         (
             F.pmod(
                 F.pmod(
-                    F.col("l_orderkey").cast("bigint") * F.lit(2654435761)
+                    F.pmod(F.col("l_orderkey").cast("bigint"), F.lit(2147483647))
+                    * F.lit(2654435761)
                     + F.col("l_linenumber").cast("bigint") * F.lit(40503),
                     F.lit(2147483647),
                 ),

@@ -327,17 +327,16 @@ def agg_group_array_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
     )
+    from moosestack_spark.registry import canon_arrays
+
     # Driver-canon contract: oracled gates must emit only scalar columns
-    # (the driver's pandas canonicalizer can't sort list cells), so the
-    # array is serialized to a deterministic '[a,b,c]' string on both sides.
-    return pruned.groupBy("l_returnflag").agg(
-        F.concat(
-            F.lit("["),
-            F.array_join(F.array_sort(F.collect_list("price")), ","),
-            F.lit("]"),
-        ).alias("smallest5"),
+    # (the driver's pandas canonicalizer can't sort list cells) — the
+    # array serializes through the shared canon_arrays helper.
+    out = pruned.groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_list("price")).alias("smallest5"),
         F.array_join(F.array_sort(F.collect_list("price")), ",").alias("joined5"),
     )
+    return canon_arrays(out, "smallest5")
 
 
 # --------------------------------------------------------------------------

@@ -713,8 +713,8 @@ FROM (
 )
 def sql_ch_dialect_vocab_r5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 vocabulary widening end-to-end: left/right,
-    toStartOfQuarter, toLastDayOfMonth, bitRotateLeft, byteSize,
-    toDecimal64, sign, levenshteinDistance, and the isNaN/isFinite/
+    toStartOfQuarter, toLastDayOfMonth, bitRotateLeft, toDecimal64,
+    sign, levenshteinDistance, and the isNaN/isFinite/
     isInfinite classifiers (NaN built as inf - inf, infinity as double
     overflow — pure IEEE arithmetic, no ANSI division error)."""
     from moosestack_spark.sql.ch_functions import translate_ch_sql
@@ -728,7 +728,7 @@ SELECT o_orderkey,
        formatDateTime(toStartOfQuarter(o_orderdate), '%F') AS q_start,
        formatDateTime(toLastDayOfMonth(o_orderdate), '%F') AS month_end,
        bitRotateLeft(a, 3) AS rotl3,
-       byteSize(a) AS bsz,
+       length(toString(a)) AS bsz,
        toString(toDecimal64(CAST(o_orderkey % 1000 AS DOUBLE) / 4, 2)) AS dec2,
        sign(a % 7 - 3) AS sgn,
        levenshteinDistance(concat('k', toString(a % 100)),

@@ -430,19 +430,17 @@ def scalar_json_typed_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     typed, skips = ["k"], ["val"]
-    return e.select(
+    out = e.select(
         "event_id",
         json_typed_get(js, "k", "bigint").alias("k_typed"),
         json_dynamic_get(js, "et", typed, skips).alias("et_dynamic"),
         json_dynamic_get(js, "val", typed, skips).alias("val_skipped"),
-        # Driver-canon contract: serialize the key array to '[k1,k2]' (the
-        # driver's pandas canonicalizer can't sort list cells).
-        F.concat(
-            F.lit("["),
-            F.array_join(json_dynamic_keys(js, typed, skips), ","),
-            F.lit("]"),
-        ).alias("dyn_keys"),
+        # driver-canon contract: key array serialized via canon_arrays
+        json_dynamic_keys(js, typed, skips).alias("dyn_keys"),
     )
+    from moosestack_spark.registry import canon_arrays
+
+    return canon_arrays(out, "dyn_keys")
 
 
 # --------------------------------------------------------------------------

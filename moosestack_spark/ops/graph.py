@@ -7,12 +7,15 @@ reference has no graph surface.  This implements power-iteration
 PageRank with EXACT integer arithmetic so a fixed iteration count
 hash-matches a SQL replay:
 
-- ranks are scaled integers (SCALE = 10^12);
-- damping 0.85 is the exact rational 17/20;
-- each iteration: contrib(v) = Σ_{(u,v)∈E} r(u) div outdeg(u);
-  r'(v) = (SCALE·3) div 20 + (17·contrib(v)) div 20.
+- ranks are scaled integers (default SCALE = 10^12);
+- damping 0.85 is the exact rational 17/20, applied PER EDGE:
+  c(u→v) = 17 · ((r(u) div outdeg(u)) div 20);
+  r'(v) = (SCALE·3) div 20 + Σ c(u→v).
+  Per-edge damping keeps every term ≤ r(u), so the only overflow bound
+  is the conserved total mass n·SCALE — checked at runtime (n·SCALE must
+  stay below 2^62; pass a smaller ``scale`` for billion-vertex graphs).
   Integer division drops sub-unit mass (standard truncation variant);
-  dangling vertices keep the teleport term only — both choices are
+  dangling vertices keep the teleport term only — all choices are
   deterministic and replayed identically by the oracle.
 
 Scale design (100 TB): each iteration is the canonical distributed
@@ -41,9 +44,13 @@ def pagerank_int(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 3,
+    scale: int = SCALE,
 ) -> DataFrame:
-    """(v, pr) with pr the SCALE-scaled integer PageRank after
-    ``iterations`` exact power iterations over the directed edge list."""
+    """(v, pr) with pr the ``scale``-scaled integer PageRank after
+    ``iterations`` exact power iterations over the directed edge list.
+    Raises when n_vertices · scale could overflow int64 accumulation —
+    pass a smaller ``scale`` for very large graphs (rank resolution
+    trades off against headroom)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     verts = (
         e.select(F.col("src").alias("v"))
@@ -51,15 +58,28 @@ def pagerank_int(
         .distinct()
         .localCheckpoint()
     )
+    n = verts.count()
+    if n * scale >= 2**62:
+        raise ValueError(
+            f"pagerank_int: {n} vertices at scale {scale} can overflow "
+            f"int64 rank accumulation; use scale <= {2**62 // max(n, 1)}"
+        )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # edge list annotated with the source's out-degree, partitioned once
     ed = e.join(deg, "src").localCheckpoint()
-    ranks = verts.withColumn("pr", F.lit(SCALE).cast("bigint"))
-    teleport = (SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    ranks = verts.withColumn("pr", F.lit(scale).cast("bigint"))
+    teleport = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
     for _ in range(iterations):
+        # damping applied per edge BEFORE the sum: every addend <= r(u),
+        # so the accumulator is bounded by the conserved mass n*scale
         contrib = (
             ed.join(ranks, ed.src == ranks.v)
-            .select("dst", F.expr("pr div outdeg").alias("c"))
+            .select(
+                "dst",
+                F.expr(
+                    f"{DAMP_NUM} * ((pr div outdeg) div {DAMP_DEN})"
+                ).alias("c"),
+            )
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
@@ -67,12 +87,9 @@ def pagerank_int(
             verts.join(contrib, verts.v == contrib.dst, "left")
             .select(
                 "v",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({DAMP_NUM} * coalesce(contrib, 0L)) div {DAMP_DEN}"
-                    )
-                ).cast("bigint").alias("pr"),
+                (F.lit(teleport) + F.coalesce(F.col("contrib"), F.lit(0)))
+                .cast("bigint")
+                .alias("pr"),
             )
             .localCheckpoint()
         )
@@ -102,23 +119,23 @@ WITH dense AS (
 ), r1 AS (
   SELECT verts.v,
     CAST({(SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN} +
-         ({DAMP_NUM} * COALESCE(c.contrib, 0)) // {DAMP_DEN} AS BIGINT) AS pr
+         COALESCE(c.contrib, 0) AS BIGINT) AS pr
   FROM verts LEFT JOIN (
-    SELECT dst, CAST(SUM(pr // outdeg) AS BIGINT) AS contrib
+    SELECT dst, CAST(SUM({DAMP_NUM} * ((pr // outdeg) // {DAMP_DEN})) AS BIGINT) AS contrib
     FROM ed JOIN r0 ON ed.src = r0.v GROUP BY dst) c ON verts.v = c.dst
 ), r2 AS (
   SELECT verts.v,
     CAST({(SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN} +
-         ({DAMP_NUM} * COALESCE(c.contrib, 0)) // {DAMP_DEN} AS BIGINT) AS pr
+         COALESCE(c.contrib, 0) AS BIGINT) AS pr
   FROM verts LEFT JOIN (
-    SELECT dst, CAST(SUM(pr // outdeg) AS BIGINT) AS contrib
+    SELECT dst, CAST(SUM({DAMP_NUM} * ((pr // outdeg) // {DAMP_DEN})) AS BIGINT) AS contrib
     FROM ed JOIN r1 ON ed.src = r1.v GROUP BY dst) c ON verts.v = c.dst
 ), r3 AS (
   SELECT verts.v,
     CAST({(SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN} +
-         ({DAMP_NUM} * COALESCE(c.contrib, 0)) // {DAMP_DEN} AS BIGINT) AS pr
+         COALESCE(c.contrib, 0) AS BIGINT) AS pr
   FROM verts LEFT JOIN (
-    SELECT dst, CAST(SUM(pr // outdeg) AS BIGINT) AS contrib
+    SELECT dst, CAST(SUM({DAMP_NUM} * ((pr // outdeg) // {DAMP_DEN})) AS BIGINT) AS contrib
     FROM ed JOIN r2 ON ed.src = r2.v GROUP BY dst) c ON verts.v = c.dst
 )
 SELECT v AS doc_id, pr FROM r3

@@ -49,16 +49,21 @@ def with_zorder(
 
 
 def cluster_by_zorder(
-    df: DataFrame, x: str, y: str, num_partitions: int = 32, bits: int = 16
+    df: DataFrame,
+    x: str,
+    y: str,
+    num_partitions: int = 32,
+    bits: int = 16,
+    out_col: str = "zorder",
 ) -> DataFrame:
     """Range-repartition + in-partition sort by the Morton key of (x, y):
     the layout-rewrite shape (write the result and every output file's
     min/max covers a small rectangle of both dimensions).  Keeps the
-    ``zorder`` column so writers can also PARTITION BY coarse buckets of
+    ``out_col`` column so writers can also PARTITION BY coarse buckets of
     it."""
-    z = with_zorder(df, x, y, bits=bits)
-    return z.repartitionByRange(num_partitions, "zorder").sortWithinPartitions(
-        "zorder"
+    z = with_zorder(df, x, y, out_col=out_col, bits=bits)
+    return z.repartitionByRange(num_partitions, out_col).sortWithinPartitions(
+        out_col
     )
 
 

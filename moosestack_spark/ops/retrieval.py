@@ -14,9 +14,12 @@ idf-weighted term-frequency core of tf-idf/BM25 without the log (the log
 is monotone per-term, and cross-engine libm differences would break the
 hash gate; rankings on N/df agree with log(N/df) for single-term
 dominance, and the docstring is explicit that this is the exact-rational
-variant).  To keep the sum exact, terms are put over the COMMON
-denominator D = Π_t df(t):  score = (Σ_t tf·N·D/df(t)) / D, numerator
-and denominator exact bigints, one double division at the end.
+variant).  To keep the sum exact WITHOUT overflow, each term's weight is
+the fixed-point integer (N·SCORE_SCALE) div df (a product of df's as a
+common denominator overflows int64 at ~2M-doc df's); the numerator sum
+is exact bigint and the ONLY float is the final division by SCORE_SCALE.
+Bound: tf·N·SCORE_SCALE must stay under 2^63 — guarded in-plan with
+raise_error at N > 2^31 (raise SCORE_SCALE down for larger corpora).
 
 Scale design (100 TB): the per-term document frequencies are a tiny
 aggregate (|T| rows) broadcast to the scan; tf counting is a JVM
@@ -34,6 +37,7 @@ from moosestack_spark.tables import t
 
 QUERY_TERMS = ("scan", "merge", "vector")
 TOP_K = 20
+SCORE_SCALE = 10**6
 
 
 def tfidf_topk(
@@ -51,36 +55,34 @@ def tfidf_topk(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).filter(F.col("w").isin(*terms))
     n_docs = docs.select(F.count(F.lit(1)).alias("N"))
+    # fixed-point idf weight per term: (N*SCORE_SCALE) div df — exact
+    # bigint, overflow-guarded in-plan (the |terms|-row frame makes the
+    # guard free)
     df_t = (
         words.groupBy("w")
         .agg(F.count_distinct(id_col).alias("df"))
         .crossJoin(F.broadcast(n_docs))
-    )
-    # common denominator D = product of the matched terms' dfs (query
-    # terms absent from the corpus contribute no numerator term and are
-    # excluded from D on both engines)
-    denom = df_t.agg(
-        F.coalesce(
-            F.expr("aggregate(collect_list(df), 1L, (a, b) -> a * b)"), F.lit(1)
-        ).alias("D")
+        .select(
+            "w",
+            F.expr(
+                f"CASE WHEN N > 2147483647 THEN "
+                f"raise_error('tfidf_topk: corpus too large for exact "
+                f"integer scoring at SCORE_SCALE={SCORE_SCALE}; lower the "
+                f"scale') ELSE (N * {SCORE_SCALE}L) div df END"
+            ).alias("idf_fp"),
+        )
     )
     tf = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
     scored = (
         tf.join(F.broadcast(df_t), "w")
-        .crossJoin(F.broadcast(denom))
         .groupBy(id_col)
         .agg(
-            F.sum(
-                F.col("tf") * F.col("N") * F.expr("D div df")
-            ).cast("bigint").alias("num"),
-            F.max("D").alias("D"),
+            F.sum(F.col("tf") * F.col("idf_fp")).cast("bigint").alias("num"),
             F.count(F.lit(1)).alias("hits"),
         )
         .select(
             id_col,
-            (F.col("num").cast("double") / F.col("D").cast("double")).alias(
-                "score"
-            ),
+            (F.col("num").cast("double") / float(SCORE_SCALE)).alias("score"),
             "hits",
         )
     )
@@ -103,22 +105,21 @@ WITH words AS (
 ), dfs AS (
   SELECT w, COUNT(DISTINCT doc_id) AS df FROM hit GROUP BY w
 ), nd AS (SELECT COUNT(*) AS N FROM documents),
-d AS (SELECT CAST(COALESCE(product(df), 1) AS BIGINT) AS D FROM dfs),
 tf AS (
   SELECT doc_id, w, COUNT(*) AS tf FROM hit GROUP BY doc_id, w
 ), scored AS (
   SELECT tf.doc_id,
-    CAST(SUM(tf.tf * nd.N * (d.D // dfs.df)) AS BIGINT) AS num,
-    MAX(d.D) AS D, COUNT(*) AS hits
-  FROM tf JOIN dfs USING (w), nd, d
+    CAST(SUM(tf.tf * ((nd.N * {SCORE_SCALE}) // dfs.df)) AS BIGINT) AS num,
+    COUNT(*) AS hits
+  FROM tf JOIN dfs USING (w), nd
   GROUP BY tf.doc_id
 )
 SELECT doc_id,
-       CAST(num AS DOUBLE) / CAST(D AS DOUBLE) AS score,
+       CAST(num AS DOUBLE) / {SCORE_SCALE}.0 AS score,
        hits
 FROM (
-  SELECT *, row_number() OVER (ORDER BY CAST(num AS DOUBLE) / CAST(D AS DOUBLE) DESC,
-                               doc_id ASC) AS rk
+  SELECT *, row_number() OVER (
+      ORDER BY CAST(num AS DOUBLE) / {SCORE_SCALE}.0 DESC, doc_id ASC) AS rk
   FROM scored
 ) WHERE rk <= {TOP_K}
 """,

@@ -449,7 +449,6 @@ _RENAME = {
     "stddevPop": "stddev_pop",
     "stddevSamp": "stddev_samp",
     "skewPop": "skewness",
-    "kurtPop": "kurtosis",
     "levenshteinDistance": "levenshtein",
     "mapFromArrays": "map_from_arrays",
     "JSONExtractKeys": "json_object_keys",
@@ -535,8 +534,13 @@ _TEMPLATE = {
     # under ANSI mode.
     # round-5 vocabulary widening (templated rewrites)
     "hasAll": "forall({1}, x -> array_contains({0}, x))",
+    # CH kurtPop is NON-excess (mu4/sigma^4); Spark kurtosis is excess
+    "kurtPop": "(kurtosis({0}) + 3.0d)",
     "left": "substring({0}, 1, {1})",
-    "right": "substring({0}, -cast({1} as int), {1})",
+    "right": (
+        "(CASE WHEN length({0}) <= {1} THEN {0} "
+        "ELSE substring({0}, -cast({1} as int), {1}) END)"
+    ),
     "toStartOfQuarter": "to_date(date_trunc('quarter', {0}))",
     "toStartOfISOYear": (
         "to_date(date_trunc('week', make_date(extract(yearofweek from {0}), 1, 4)))"
@@ -551,7 +555,6 @@ _TEMPLATE = {
     "toTime": "timestamp_seconds(86400 + unix_timestamp({0}) % 86400)",
     "bitRotateLeft": "(shiftleft({0}, {1}) | shiftrightunsigned({0}, 64 - {1}))",
     "bitRotateRight": "(shiftrightunsigned({0}, {1}) | shiftleft({0}, 64 - {1}))",
-    "byteSize": "octet_length(cast({0} as string))",
     "toDecimal32": "cast({0} as decimal(9, {1}))",
     "toDecimal64": "cast({0} as decimal(18, {1}))",
     "isFinite": "(NOT isnan({0}) AND abs({0}) != double('Infinity'))",

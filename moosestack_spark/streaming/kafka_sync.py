@@ -36,37 +36,44 @@ def kafka_sync_loop(
       beginning at ``offset`` (rows ≤ MAX_BATCH_ROWS), or None at
       end-of-stream.
     - ``insert(rows)`` writes the batch to the destination table; raising
-      aborts the attempt WITHOUT committing, and the batch is re-fetched
-      from the same offset (at-least-once).
+      aborts the attempt WITHOUT committing, and the batch is RE-FETCHED
+      from the same offset (at-least-once; a transactional fetch source
+      sees a genuine re-read, not a replay of stale rows).
     - ``commit(next_offset)`` persists consumer-group progress; it is
       called ONLY after ``insert`` returns — never before, never on
       failure.
+
+    An empty poll that does not advance the offset (``(offset, [])`` — a
+    live consumer with no new records) returns control to the caller
+    instead of busy-spinning; re-invoke after a poll delay.
 
     Returns the final committed offset.  A batch failing
     ``max_attempts_per_batch`` times re-raises the insert error with the
     offset uncommitted, so a restarted loop resumes at the failed batch.
     """
     offset = start_offset
+    attempts = 0
     while True:
         batch = fetch(offset)
         if batch is None:
             return offset
         next_offset, rows = batch
+        if next_offset == offset:
+            # empty poll, no progress: hand control back (no busy-spin)
+            return offset
         if len(rows) > MAX_BATCH_ROWS:
             raise ValueError(
                 f"batch of {len(rows)} rows exceeds MAX_BATCH_ROWS "
                 f"({MAX_BATCH_ROWS}); size the poll to the reference ceiling"
             )
-        last_err: Optional[Exception] = None
-        for _ in range(max_attempts_per_batch):
-            try:
-                insert(rows)
-                last_err = None
-                break
-            except Exception as exc:  # retry same offset, commit withheld
-                last_err = exc
-        if last_err is not None:
-            raise last_err
+        try:
+            insert(rows)
+        except Exception:
+            attempts += 1
+            if attempts >= max_attempts_per_batch:
+                raise
+            continue  # RE-FETCH the same offset, commit withheld
+        attempts = 0
         commit(next_offset)
         offset = next_offset
 

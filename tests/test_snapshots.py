@@ -165,3 +165,36 @@ def test_vacuum_expires_history_and_orphans(spark, tmp_path):
     man_rm, _ = tbl.vacuum(keep_last=1)
     assert man_rm == 2 and [s["version"] for s in tbl.snapshots()] == [7]
     assert sorted(r.id for r in tbl.read().collect()) == [0, 1, 99]
+
+
+def test_vacuum_refuses_unmanaged_and_empty_history(spark, tmp_path):
+    """Review r5: vacuum must never wipe a table it cannot prove
+    referenced — no manifests means no-op, non-FULLY_MANAGED lifecycles
+    refuse outright."""
+    import os
+
+    import pytest
+    from pydantic import BaseModel
+
+    from moosestack_spark.catalog.engines import LifeCycle, OlapConfig
+    from moosestack_spark.catalog.table import OlapTable
+
+    class R(BaseModel):
+        id: int
+
+    # externally-written data, no snapshots: vacuum is a no-op, files stay
+    ext = OlapTable(
+        "ext_t", R, spark, str(tmp_path),
+        OlapConfig(life_cycle=LifeCycle.EXTERNALLY_MANAGED), register=False,
+    )
+    spark.range(5).selectExpr("id").write.mode("overwrite").parquet(ext.path)
+    with pytest.raises(PermissionError):
+        ext.vacuum()
+    assert ext.read().count() == 5
+
+    managed = OlapTable("noman_t", R, spark, str(tmp_path), register=False)
+    # write files directly (no snapshot commit): refuse to guess
+    spark.range(3).selectExpr("id").write.mode("overwrite").parquet(managed.path)
+    assert managed.snapshots() == []
+    assert managed.vacuum() == (0, 0)
+    assert managed.read().count() == 3
