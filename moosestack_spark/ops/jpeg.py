@@ -3,13 +3,18 @@
 Decoder: baseline sequential DCT (SOF0), 8-bit samples, grayscale or
 interleaved color with any sampling factors up to 2x2 (4:4:4, 4:2:2,
 4:2:0), multiple DQT/DHT segments, 8- and 16-bit quant tables, restart
-markers, 0xFF00 byte stuffing.  Progressive (SOF2), arithmetic coding and
-12-bit precision raise NotImplementedError — that boundary is honest, not
-a stub: everything a baseline encoder can emit decodes here.
+markers, 0xFF00 byte stuffing — AND progressive DCT (SOF2) with both
+spectral selection and successive approximation (DC first/refine,
+AC first with EOB runs, AC refinement).  Arithmetic coding, hierarchical
+(SOF3+) and 12-bit precision raise NotImplementedError — that boundary is
+honest, not a stub.
 
 Encoder: grayscale or 4:4:4 color, standard Annex-K Huffman tables,
-caller-supplied quantization tables.  Exists to plant real JPEG bytes for
-tests and gate queries; the decoder is the production surface.
+caller-supplied quantization tables; encode_jpeg_progressive emits a
+five-stage SOF2 scan script exercising every progressive decode path.
+Progressive and baseline pipelines share only the DCT/quant front end,
+so their byte-identical decoded output cross-validates both entropy
+layers (pinned in tests).
 
 Determinism note for the oracle-gated path: an 8x8 block with constant
 sample v has DCT coefficients DC = 8*(v-128), AC = 0.  With a unit DC
@@ -188,6 +193,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, components) ; component = (cid, hsamp, vsamp, tq)
     restart_interval = 0
+    progressive = False
+    prog_state = None  # per-component zigzag coefficient grids
     i = 2
     while i < len(data):
         if data[i] != 0xFF:
@@ -223,7 +230,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     bits, huffval
                 )
                 j += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG precision supported")
@@ -232,7 +239,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0x{marker:02X}) not supported"
             )
@@ -243,16 +251,31 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             scan_tables = {}
+            scan_comps = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+                scan_comps.append(cs)
             scan_start = i + seg_len
-            return _decode_scan(
-                data, scan_start, frame, scan_tables, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, scan_start, frame, scan_tables, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if prog_state is None:
+                prog_state = _prog_init(frame)
+            i = _decode_progressive_scan(
+                data, scan_start, frame, prog_state, scan_comps, scan_tables,
+                huff_dc, huff_ac, ss, se, ah, al, restart_interval,
             )
+            continue
         # APPn / COM / others: skip
         i += seg_len
+    if progressive and prog_state is not None:
+        return _reconstruct_progressive(frame, prog_state, qt)
     raise ValueError("no scan (SOS) found")
 
 
@@ -544,4 +567,472 @@ def encode_jpeg(
                     )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive JPEG (SOF2): spectral selection + successive approximation.
+# Scans accumulate into per-component zigzag coefficient grids; the IDCT
+# runs once at EOI.  Algorithm structure follows ITU T.81 §G (the same
+# control flow every production decoder implements).
+# --------------------------------------------------------------------------
+
+
+def _scan_entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Entropy-coded bytes split at RST markers (0xFF00 stuffing removed);
+    returns (segments, position of the terminating marker's 0xFF)."""
+    segments: list[bytearray] = [bytearray()]
+    j = pos
+    while j < len(data):
+        b = data[j]
+        if b == 0xFF:
+            nxt = data[j + 1] if j + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                segments[-1].append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytearray())
+                j += 2
+                continue
+            return [bytes(s) for s in segments], j
+        segments[-1].append(b)
+        j += 1
+    return [bytes(s) for s in segments], j
+
+
+def _prog_init(frame) -> dict:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    coefs = {}
+    nblocks = {}
+    for cid, hs, vs, _tq in comps:
+        # padded grid (interleaved DC scans cover the MCU padding blocks);
+        # non-interleaved AC scans touch only the real ceil(dim/8) prefix
+        coefs[cid] = np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        nblocks[cid] = (-(-ch // 8), -(-cw // 8))  # (bh, bw)
+    return {
+        "coefs": coefs,
+        "nblocks": nblocks,
+        "mcus": (mcus_y, mcus_x),
+        "hvmax": (hmax, vmax),
+    }
+
+
+def _decode_progressive_scan(
+    data, pos, frame, state, scan_comps, scan_tables, huff_dc, huff_ac,
+    ss, se, ah, al, restart_interval,
+) -> int:
+    """One progressive SOS; mutates state['coefs'], returns the position of
+    the marker that terminated the entropy stream."""
+    h, w, comps = frame
+    by_cid = {c[0]: c for c in comps}
+    segments, end_pos = _scan_entropy_segments(data, pos)
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    pred = {cid: 0 for cid in scan_comps}
+    eob = [0]  # EOB run shared across blocks within a restart segment
+
+    def maybe_restart(unit_count: int) -> None:
+        nonlocal reader, seg_idx, pred
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            pred = {cid: 0 for cid in scan_comps}
+            eob[0] = 0
+
+    if ss == 0:  # DC scan (se must be 0); may be interleaved
+        if se != 0:
+            raise ValueError("progressive DC scan requires Se=0")
+        mcus_y, mcus_x = state["mcus"]
+        unit = 0
+        if len(scan_comps) > 1:
+            order = [(my, mx) for my in range(mcus_y) for mx in range(mcus_x)]
+            for my, mx in order:
+                maybe_restart(unit)
+                for cs in scan_comps:
+                    _cid, hs, vs, _tq = by_cid[cs]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            _dc_unit(
+                                reader, state["coefs"][cs],
+                                my * vs + by, mx * hs + bx,
+                                huff_dc.get(scan_tables[cs][0]), pred, cs,
+                                ah, al,
+                            )
+                unit += 1
+        else:
+            cs = scan_comps[0]
+            bh, bw = state["nblocks"][cs]
+            for yb in range(bh):
+                for xb in range(bw):
+                    maybe_restart(unit)
+                    _dc_unit(
+                        reader, state["coefs"][cs], yb, xb,
+                        huff_dc.get(scan_tables[cs][0]), pred, cs, ah, al,
+                    )
+                    unit += 1
+    else:  # AC scan: single component, non-interleaved (T.81 G.1.1.1.1)
+        if len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cs = scan_comps[0]
+        table = huff_ac[scan_tables[cs][1]]
+        grid = state["coefs"][cs]
+        bh, bw = state["nblocks"][cs]
+        unit = 0
+        for yb in range(bh):
+            for xb in range(bw):
+                maybe_restart(unit)
+                block = grid[yb, xb]
+                if ah == 0:
+                    _ac_first(reader, block, table, ss, se, al, eob)
+                else:
+                    _ac_refine(reader, block, table, ss, se, al, eob)
+                unit += 1
+    return end_pos
+
+
+def _dc_unit(reader, grid, yb, xb, dc_table, pred, cid, ah, al) -> None:
+    if ah == 0:  # first pass: Huffman diff, shifted up by Al
+        t = reader.decode_symbol(dc_table)
+        diff = _extend(reader.read_bits(t), t)
+        pred[cid] += diff
+        grid[yb, xb, 0] = pred[cid] << al
+    else:  # refinement: one bit
+        if reader.read_bit():
+            grid[yb, xb, 0] |= 1 << al
+
+
+def _ac_first(reader, block, table, ss, se, al, eob) -> None:
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eob[0] = (1 << r) - 1
+            if r:
+                eob[0] += reader.read_bits(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of spectral band")
+        block[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(reader, block, table, ss, se, al, eob) -> None:
+    """Successive-approximation AC refinement (T.81 G.1.2.3): newly
+    nonzero coefficients arrive as ±1<<Al; already-nonzero ones receive
+    one correction bit each as the scan passes over them."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(table)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eob[0] = 1 << r
+                    if r:
+                        eob[0] += reader.read_bits(r)
+                    break
+                val = 0  # ZRL in refinement: 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement magnitude must be 1")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                c = block[k]
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        block[k] += p1 if c >= 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            block[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eob[0] > 0:
+        while k <= se:
+            c = block[k]
+            if c != 0:
+                if reader.read_bit() and (c & p1) == 0:
+                    block[k] += p1 if c >= 0 else m1
+            k += 1
+        eob[0] -= 1
+
+
+def _reconstruct_progressive(frame, state, qt) -> np.ndarray:
+    h, w, comps = frame
+    hmax, vmax = state["hvmax"]
+    out = []
+    for cid, hs, vs, tq in comps:
+        grid = state["coefs"][cid]
+        gb_y, gb_x, _ = grid.shape
+        plane = np.zeros((gb_y * 8, gb_x * 8), dtype=np.float64)
+        quant = qt[tq]
+        for yb in range(gb_y):
+            for xb in range(gb_x):
+                dq = (grid[yb, xb] * quant).astype(np.float64)
+                blk = np.zeros((8, 8))
+                blk.flat[ZIGZAG] = dq
+                plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = (
+                    _A.T @ blk @ _A + 128.0
+                )
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        out.append(plane[:h, :w])
+    if len(out) == 1:
+        y = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    if len(out) != 3:
+        raise NotImplementedError(f"{len(out)}-component JPEG not supported")
+    y, cb, cr = out
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# progressive encoder: DC first+refine (successive approximation) and AC
+# spectral-selection scans with successive approximation on the low band.
+# Exists to plant real SOF2 bytes exercising every decoder scan kind.
+# --------------------------------------------------------------------------
+
+
+# Custom AC Huffman table for progressive scans: the baseline Annex-K
+# tables carry only EOB0 (0x00) and ZRL (0xF0) among the s=0 symbols, but
+# progressive EOB runs need EOBn (0x10..0xE0).  All 176 possible (run,s)
+# symbols at a flat 9-bit code length — canonical, decodable from the DHT
+# segment like any other table (progressive encoders always ship custom
+# tables; this one trades compression for total coverage).
+_PROG_AC_TABLE = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+    [(run << 4) | mag for run in range(16) for mag in range(11)],
+)
+
+
+class _ProgAcState:
+    """Per-scan AC encoder state: pending EOB run + buffered correction
+    bits (refinement), flushed before the next non-EOB symbol."""
+
+    def __init__(self, writer, enc):
+        self.writer = writer
+        self.enc = enc
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            ln, code = self.enc[r << 4]
+            self.writer.write(code, ln)
+            if r:
+                self.writer.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending_bits:
+            self.writer.write(b, 1)
+        self.pending_bits = []
+
+
+def _quantized_blocks(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for yb in range(bh):
+        for xb in range(bw):
+            blk = _pad_block(plane, yb * 8, xb * 8)
+            F_ = _A @ (blk - 128.0) @ _A.T
+            out[yb, xb] = np.round(F_.flat[ZIGZAG] / quant).astype(np.int64)
+    return out
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: v / 2^Al rounded toward zero (T.81 G.1.2.1)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _encode_ac_first(writer, enc, blocks, ss, se, al) -> None:
+    st = _ProgAcState(writer, enc)
+    bh, bw, _ = blocks.shape
+    for yb in range(bh):
+        for xb in range(bw):
+            band = [_pt(int(v), al) for v in blocks[yb, xb, ss : se + 1]]
+            if not any(band):
+                st.eobrun += 1
+                if st.eobrun == 0x7FFF:
+                    st.flush_eobrun()
+                continue
+            st.flush_eobrun()
+            run = 0
+            last_nz = max(i for i, v in enumerate(band) if v)
+            for i in range(last_nz + 1):
+                v = band[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = enc[0xF0]
+                    writer.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                ln, code = enc[(run << 4) | s]
+                writer.write(code, ln)
+                writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < len(band) - 1:
+                st.eobrun += 1
+    st.flush_eobrun()
+
+
+def _encode_ac_refine(writer, enc, blocks, ss, se, ah, al) -> None:
+    """T.81 G.1.2.3 refinement encoding (libjpeg encode_mcu_AC_refine
+    control flow): newly nonzero coefficients (|v|>>Al == 1) emit
+    run/sign symbols; already-nonzero ones append correction bits."""
+    st = _ProgAcState(writer, enc)
+    bh, bw, _ = blocks.shape
+    for yb in range(bh):
+        for xb in range(bw):
+            band = [int(v) for v in blocks[yb, xb, ss : se + 1]]
+            absv = [abs(_pt(v, al)) for v in band]
+            run = 0
+            bits: list[int] = []  # correction bits buffered per block
+            for i, v in enumerate(band):
+                a = absv[i]
+                if a == 0:
+                    run += 1
+                    continue
+                if a > 1:  # already nonzero at the prior stage: one
+                    # correction bit, attached to whatever symbol (run/
+                    # sign, ZRL, or this block's EOB-run entry) comes next
+                    bits.append((abs(v) >> al) & 1)
+                    continue
+                # newly nonzero (a == 1)
+                while run > 15:
+                    st.flush_eobrun()
+                    ln, code = enc[0xF0]
+                    writer.write(code, ln)
+                    run -= 16
+                    for b in bits:
+                        writer.write(b, 1)
+                    bits = []
+                st.flush_eobrun()
+                ln, code = enc[(run << 4) | 1]
+                writer.write(code, ln)
+                writer.write(1 if v >= 0 else 0, 1)
+                for b in bits:
+                    writer.write(b, 1)
+                bits = []
+                run = 0
+            if run > 0 or bits:
+                st.eobrun += 1
+                st.pending_bits.extend(bits)
+                if st.eobrun == 0x7FFF:
+                    st.flush_eobrun()
+    st.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quant: np.ndarray = Q_NEAR_LOSSLESS
+) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB, 4:4:4) uint8 -> progressive JPEG
+    (SOF2).  Scan script exercises every progressive decode path: DC
+    first at Al=1 + DC refinement, AC 1..5 first at Al=1 + AC refinement
+    (successive approximation), AC 6..63 first at Al=0 (spectral
+    selection with EOB runs)."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        planes = [pixels.astype(np.float64)]
+    else:
+        p = pixels.astype(np.float64)
+        r, g, b = p[..., 0], p[..., 1], p[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [np.clip(np.round(c), 0, 255) for c in (y, cb, cr)]
+    ncomp = len(planes)
+    blocks = [_quantized_blocks(pl, quant) for pl in planes]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _dqt_segment(0, quant)
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc2" + sof
+    out += b"\xff\xc4" + _dht_segment(0, 0, *_STD_DC_LUMA)
+    out += b"\xff\xc4" + _dht_segment(1, 0, *_PROG_AC_TABLE)
+
+    dc_enc = _build_huffman_encode(*_STD_DC_LUMA)
+    ac_enc = _build_huffman_encode(*_PROG_AC_TABLE)
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # scan 1: DC first, all components interleaved, Al=1
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    writer = _BitWriter()
+    preds = {c: 0 for c in range(ncomp)}
+    bh, bw, _ = blocks[0].shape
+    for yb in range(bh):
+        for xb in range(bw):
+            for c in range(ncomp):
+                dc = int(blocks[c][yb, xb, 0]) >> 1  # point transform
+                diff = dc - preds[c]
+                preds[c] = dc
+                t = _category(diff)
+                ln, code = dc_enc[t]
+                writer.write(code, ln)
+                if t:
+                    writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    out += writer.flush()
+
+    # scan 2: DC refinement, Al=0 (one bit per block per component)
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    writer = _BitWriter()
+    for yb in range(bh):
+        for xb in range(bw):
+            for c in range(ncomp):
+                writer.write(int(blocks[c][yb, xb, 0]) & 1, 1)
+    out += writer.flush()
+
+    for c in range(ncomp):
+        # scan 3c: AC 1..5 first at Al=1
+        out += sos_header([c + 1], 1, 5, 0, 1)
+        writer = _BitWriter()
+        _encode_ac_first(writer, ac_enc, blocks[c], 1, 5, 1)
+        out += writer.flush()
+        # scan 4c: AC 1..5 refinement (Ah=1, Al=0)
+        out += sos_header([c + 1], 1, 5, 1, 0)
+        writer = _BitWriter()
+        _encode_ac_refine(writer, ac_enc, blocks[c], 1, 5, 1, 0)
+        out += writer.flush()
+        # scan 5c: AC 6..63 first at Al=0 (pure spectral selection)
+        out += sos_header([c + 1], 6, 63, 0, 0)
+        writer = _BitWriter()
+        _encode_ac_first(writer, ac_enc, blocks[c], 6, 63, 0)
+        out += writer.flush()
+
+    out += b"\xff\xd9"
     return bytes(out)

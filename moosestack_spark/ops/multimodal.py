@@ -12,7 +12,7 @@ Decode is REAL for BMP (24-bit BI_RGB), PPM (P6), WAV (PCM16, stdlib
 decoder, ops/jpeg.py) and PNG (stdlib-zlib inflate + vectorized
 unfiltering, ops/png.py: 1-16 bit, gray/RGB/palette/alpha) — the formats
 real training corpora actually contain.  Remaining formats (GIF/WebP,
-MP3/MP4, progressive JPEG) raise NotImplementedError — that
+MP3/MP4) raise NotImplementedError — that
 boundary is honest, and swapping the sniffer's branch for a real call is
 the only change needed.
 

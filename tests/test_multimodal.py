@@ -181,7 +181,7 @@ def test_jpeg_general_roundtrip_bounded():
     assert np.abs(got3 - rgb.astype(int)).max() <= 8  # YCbCr roundtrip loss
 
 
-def test_jpeg_rejects_non_baseline():
+def test_jpeg_rejects_non_dct_frames():
     import numpy as np
     import pytest as _pytest
 
@@ -189,9 +189,49 @@ def test_jpeg_rejects_non_baseline():
 
     data = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    data[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless): unsupported
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """Progressive (SOF2) pipeline: decoded output must be byte-identical
+    to the baseline pipeline for the same pixels and quant table — the
+    two entropy layers share only the DCT front end, so agreement
+    cross-validates DC first/refine, AC spectral selection with EOB runs,
+    and AC successive-approximation refinement."""
+    import numpy as np
+
+    from moosestack_spark.ops.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    tiles = rng.integers(0, 256, (3, 5), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(img))[..., 0], img
+    )  # unit-DC constant tiles stay exact through the progressive path
+
+    y, x = np.mgrid[0:29, 0:45]
+    gray = ((x * 7 + y * 11) % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gray)), decode_jpeg(encode_jpeg_progressive(gray))
+    )
+    rgb = np.stack(
+        [(x * 2 + y) % 256, (x + y * 3) % 256, (x * 5 + y * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(rgb)), decode_jpeg(encode_jpeg_progressive(rgb))
+    )
+    for trial in range(3):
+        im = rng.integers(0, 256, (17 + trial * 3, 23 + trial * 5), np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(im)),
+            decode_jpeg(encode_jpeg_progressive(im)),
+        ), trial
 
 
 def test_decode_image_sniffs_jpeg():
