@@ -139,6 +139,37 @@ def cmd_restore(args) -> int:
     return 0
 
 
+def cmd_metrics(args) -> int:
+    """Table health at a glance (the reference's metrics-console shape):
+    rows, files, bytes, snapshots, then the one-pass per-column profile."""
+    import os as _os
+
+    _, table = _table(args)
+    files = [
+        _os.path.join(root, f)
+        for root, _d, fs in _os.walk(table.path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total = sum(_os.path.getsize(f) for f in files)
+    print(
+        json.dumps(
+            {
+                "table": table.name,
+                "rows": table.read_raw().count(),
+                "files": len(files),
+                "bytes": total,
+                "snapshots": len(table.snapshots()),
+            }
+        )
+    )
+    from moosestack_spark.ops.profile import profile_columns
+
+    for row in profile_columns(table.read_raw()).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     _, table = _table(args)
     manifests, files = table.vacuum(args.keep_last)
@@ -238,6 +269,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
     sp.add_argument("version", type=int)
     sp.set_defaults(fn=cmd_restore)
+
+    sp = sub.add_parser(
+        "metrics", help="table rows/files/bytes + per-column profile"
+    )
+    common(sp)
+    sp.add_argument("--table", required=True)
+    sp.set_defaults(fn=cmd_metrics)
 
     sp = sub.add_parser(
         "vacuum", help="expire old snapshots and remove orphan files"

@@ -272,3 +272,27 @@ def test_vacuum_cli(app_module, tmp_path, capsys, spark):
     assert rc == 0 and "2 manifest(s)" in out  # 4 insert snapshots; keep 2
     assert len(tbl.snapshots()) == 2
     assert tbl.read().count() == 4
+
+
+def test_metrics_cli(app_module, tmp_path, capsys, spark):
+    import importlib
+    import json as _json
+
+    wh = str(tmp_path / "wh")
+    _run(["migrate", "--app", app_module, "--warehouse", wh], capsys)
+    tbl = importlib.import_module(app_module).TABLES["events"]
+    tbl.insert([
+        {"id": 1, "kind": "a", "amount": 1.5},
+        {"id": 2, "kind": "b", "amount": 2.5},
+    ])
+    rc, out = _run(
+        ["metrics", "--app", app_module, "--warehouse", wh, "--table", "events"],
+        capsys,
+    )
+    assert rc == 0
+    lines = [_json.loads(line) for line in out.strip().splitlines()]
+    head = lines[0]
+    assert head["rows"] == 2 and head["files"] >= 1 and head["bytes"] > 0
+    prof = {r["column"]: r for r in lines[1:]}
+    assert prof["kind"]["n_distinct"] == 2
+    assert prof["id"]["min_str"] == "1" and prof["id"]["max_str"] == "2"
