@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import importlib
 import json
+import os
 import sys
 
 
@@ -72,17 +73,63 @@ def cmd_plan(args) -> int:
     return 0
 
 
-def cmd_migrate(args) -> int:
+def _migrate_once(spark, warehouse: str) -> int:
     from moosestack_spark.catalog.planner import execute_ops, save_state
 
-    spark, _ = _load_app(args.app, args.warehouse)
-    ops, _, target, current = _plan(spark, args.warehouse)
+    ops, _, target, current = _plan(spark, warehouse)
     # versioned / non-default-database specs resolve to OlapTable.path
-    applied = execute_ops(args.warehouse, ops, current=current, target=target)
-    save_state(args.warehouse, target)
+    applied = execute_ops(warehouse, ops, current=current, target=target)
+    save_state(warehouse, target)
     for op in applied:
         print(f"applied {op.kind} {op.target}")
     print(f"{len(applied)} change(s) applied")
+    return len(applied)
+
+
+def cmd_migrate(args) -> int:
+    spark, _ = _load_app(args.app, args.warehouse)
+    _migrate_once(spark, args.warehouse)
+    return 0
+
+
+def cmd_dev(args) -> int:
+    """`moose dev` reduced to the library engine: watch the app module's
+    source file and re-plan + apply on every change (poll-based — no
+    watcher daemon dependency; the reference's dev loop is the same
+    edit->diff->apply cycle, cli/commands.rs dev).  --max-iterations
+    bounds the loop for scripts/tests; default runs until interrupted."""
+    import time as _time
+
+    from moosestack_spark.catalog import resources
+
+    spark, _ = _load_app(args.app, args.warehouse)
+    mod = sys.modules[args.app]
+    src = getattr(mod, "__file__", None)
+    if src is None:
+        print("app module has no source file to watch", file=sys.stderr)
+        return 2
+    # capture the mtime BEFORE the initial migrate: an edit landing while
+    # the first apply runs must still be detected on the first poll
+    last = os.path.getmtime(src)
+    _migrate_once(spark, args.warehouse)
+    print(f"dev: watching {src} (poll {args.poll_interval}s)")
+    iters = 0
+    while args.max_iterations is None or iters < args.max_iterations:
+        _time.sleep(args.poll_interval)
+        iters += 1
+        try:
+            m = os.path.getmtime(src)
+        except OSError:
+            continue  # transient editor rename
+        if m == last:
+            continue
+        last = m
+        print("dev: change detected, re-planning")
+        resources.clear_resources()
+        importlib.reload(mod)
+        if hasattr(mod, "setup"):
+            mod.setup(spark, args.warehouse)
+        _migrate_once(spark, args.warehouse)
     return 0
 
 
@@ -238,6 +285,14 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("migrate", help="apply the plan and save state")
     common(sp)
     sp.set_defaults(fn=cmd_migrate)
+
+    sp = sub.add_parser(
+        "dev", help="watch the app module; re-plan + apply on change"
+    )
+    common(sp)
+    sp.add_argument("--poll-interval", type=float, default=1.0)
+    sp.add_argument("--max-iterations", type=int, default=None)
+    sp.set_defaults(fn=cmd_dev)
 
     sp = sub.add_parser("peek", help="sample N rows from a table")
     common(sp)

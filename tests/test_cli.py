@@ -296,3 +296,55 @@ def test_metrics_cli(app_module, tmp_path, capsys, spark):
     prof = {r["column"]: r for r in lines[1:]}
     assert prof["kind"]["n_distinct"] == 2
     assert prof["id"]["min_str"] == "1" and prof["id"]["max_str"] == "2"
+
+
+def test_dev_watch_loop_applies_changes(app_module, tmp_path, capsys, spark):
+    """`dev`: edit the app module -> the loop re-plans and applies the new
+    table on the next poll (bounded by --max-iterations for the test)."""
+    import threading
+    import time as _time
+    from pathlib import Path
+
+    wh = str(tmp_path / "wh")
+    src = None
+    for p in map(Path, __import__("sys").path):
+        cand = p / f"{app_module}.py"
+        if cand.exists():
+            src = cand
+            break
+    assert src is not None
+
+    def run_dev():
+        from moosestack_spark.__main__ import main
+
+        main([
+            "dev", "--app", app_module, "--warehouse", wh,
+            "--poll-interval", "0.3", "--max-iterations", "20",
+        ])
+
+    th = threading.Thread(target=run_dev, daemon=True)
+    th.start()
+    # wait for the initial migrate to land
+    for _ in range(100):
+        if (Path(wh) / "default" / "events").is_dir():
+            break
+        _time.sleep(0.2)
+    assert (Path(wh) / "default" / "events").is_dir()
+
+    # edit the app: add a second table
+    text = src.read_text()
+    text = text.replace(
+        'TABLES["events"] = OlapTable(',
+        'TABLES["extra"] = OlapTable(\n'
+        '        "extra", Event, spark, warehouse,\n'
+        '        OlapConfig(order_by_fields=["id"]),\n'
+        '    )\n'
+        '    TABLES["events"] = OlapTable(',
+    )
+    src.write_text(text)
+    for _ in range(100):
+        if (Path(wh) / "default" / "extra").is_dir():
+            break
+        _time.sleep(0.2)
+    th.join(timeout=30)
+    assert (Path(wh) / "default" / "extra").is_dir()
