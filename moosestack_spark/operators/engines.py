@@ -370,3 +370,45 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return frame.localCheckpoint()
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+@query(
+    "source_gzip_jsonl_roundtrip",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+       CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS nations
+FROM supplier
+""",
+)
+def source_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed source-file ingestion: JSONEachRow written gzip, read
+    back through the same schema-pinned reader — Spark decompresses .gz
+    splits transparently (the common S3-landing layout for event logs;
+    note .gz files are NOT splittable, so at 100 TB the landing zone
+    should prefer zstd/parquet or many small .gz objects — one task per
+    file is the parallelism unit here)."""
+    import shutil
+    import tempfile
+
+    src = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("s_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    gz_dir = tempfile.mkdtemp(prefix="msk_src_gz_")
+    try:
+        src.write.mode("overwrite").option("compression", "gzip").json(gz_dir)
+        import glob as _glob
+
+        assert _glob.glob(gz_dir + "/*.json.gz"), "expected gzip members"
+        back = spark.read.schema(
+            "s_suppkey bigint, s_nationkey bigint, bal decimal(18,2)"
+        ).json(gz_dir)
+        return back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal").cast("double").alias("total_bal"),
+            F.count_distinct("s_nationkey").alias("nations"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(gz_dir, ignore_errors=True)

@@ -1455,3 +1455,72 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") % 7 == 3)
     corpus = d.filter(F.col("doc_id") % 7 != 3)
     return incremental_exact_dedup(corpus, batch, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# URL-canonical dedup (the CommonCrawl/CCNet first pass: many crawls of the
+# same page differ only in tracking params / fragment / www prefix — dedup
+# on the CANONICAL URL before any content hashing).  Spark side genuinely
+# parses and normalizes the URL (parse_url + filters); the oracle states
+# the construction-implied canonical directly, so the gate verifies the
+# normalization machinery, not a re-implementation of it.
+# --------------------------------------------------------------------------
+
+
+def canonical_url(url):
+    """Normalized URL key: host without www (lowercased), path, then the
+    surviving query params (tracking utm_* params dropped, rest sorted),
+    fragment discarded.  Pure JVM expressions."""
+    host = F.lower(F.regexp_replace(F.parse_url(url, F.lit("HOST")), r"^www\.", ""))
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    q = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        host, path, F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit(""))
+    )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         source || '.com/p/' || CAST(doc_id % 50 AS VARCHAR)
+           || '?id=' || CAST(doc_id % 7 AS VARCHAR) AS canonical
+  FROM documents
+)
+SELECT canonical,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM u GROUP BY canonical
+""",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document gets a deterministic synthetic URL (www prefix,
+    utm tracking param, fragment — the noise real crawls carry); the
+    Spark side parses and canonicalizes it with parse_url machinery and
+    keeps the min doc per canonical key.  One hash shuffle on the
+    canonical key — the exact-dedup scale shape."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".com/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=feed&id="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_campaign=x#frag"),
+    )
+    return (
+        d.select("doc_id", canonical_url(url).alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+    )

@@ -666,3 +666,86 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models" A1.1
+# public heuristics), adapted to signals the synthetic corpus exercises:
+# word-count bounds, mean word length band, alphabetic-word ratio,
+# non-alphabetic character ratio, and stopword presence.  Line-based rules
+# (bullet/ellipsis ratios) don't apply to the single-line corpus and are
+# documented out.  Pure JVM expressions — zero exchange, linear at 100 TB.
+# --------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "a", "of", "and")
+
+
+@query(
+    "text_gopher_rules",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id,
+         string_split_regex(TRIM(text), '\s+') AS w,
+         LENGTH(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
+         LENGTH(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    LEN(w) AS n_words,
+    CAST(n_chars AS DOUBLE) / GREATEST(LEN(w), 1) AS mean_word_len,
+    CAST(LEN(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+      / GREATEST(LEN(w), 1) AS alpha_word_ratio,
+    CAST(n_chars - n_alpha AS DOUBLE) / GREATEST(n_chars, 1)
+      AS non_alpha_char_ratio,
+    CAST(LEN(list_filter(['the', 'a', 'of', 'and'],
+                         s -> list_contains(w, s))) AS BIGINT) AS stop_hits
+  FROM s
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_ratio,
+       non_alpha_char_ratio, stop_hits,
+       (n_words BETWEEN 30 AND 100000
+        AND mean_word_len BETWEEN 2 AND 10
+        AND alpha_word_ratio >= 0.8
+        AND non_alpha_char_ratio <= 0.2
+        AND stop_hits >= 1) AS keep
+FROM m
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality gate per document: exact integer counts, each ratio
+    a single division of exact values — hash-matches the SQL restatement.
+    keep = word count in [30, 100k], mean word length in [2, 10], >=80%
+    of words alphabetic, <=20% non-alphabetic characters, and at least
+    one common stopword present."""
+    d = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(w)
+    n_chars = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^a-z]", ""))
+    denom_w = F.greatest(n_words, F.lit(1))
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(w, s))
+    ).cast("bigint")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (n_chars.cast("double") / denom_w).alias("mean_word_len"),
+        (alpha_words.cast("double") / denom_w).alias("alpha_word_ratio"),
+        (
+            (n_chars - n_alpha).cast("double")
+            / F.greatest(n_chars, F.lit(1))
+        ).alias("non_alpha_char_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    return m.select(
+        "*",
+        (
+            F.col("n_words").between(30, 100_000)
+            & F.col("mean_word_len").between(2, 10)
+            & (F.col("alpha_word_ratio") >= 0.8)
+            & (F.col("non_alpha_char_ratio") <= 0.2)
+            & (F.col("stop_hits") >= 1)
+        ).alias("keep"),
+    )

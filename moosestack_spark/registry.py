@@ -141,6 +141,9 @@ _AFTER_WINDOW: list[str] = [
     "sql_ch_dialect_vocab_r5",
     "sql_ch_dialect_parametric",
     "graph_pagerank_quality",
+    "source_gzip_jsonl_roundtrip",
+    "text_gopher_rules",
+    "dedup_url_canonical",
 ]
 
 
