@@ -163,3 +163,54 @@ def test_optimize_zorder_rewrites_clustered_files(spark, tmp_path):
     ranges.sort()
     for a, b in zip(ranges, ranges[1:]):
         assert a[1] <= b[0], (a, b)
+
+
+def test_morton_property_roundtrip_and_locality(spark):
+    """Property (hypothesis): the Morton key uniquely encodes (x, y) over
+    the bit budget, and sorting by it keeps 2x2 quads contiguous."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from moosestack_spark.ops.layout import morton_expr
+
+    def morton_py(x, y, bits):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    @settings(max_examples=200, deadline=None)
+    @given(x=st.integers(0, 2**16 - 1), y=st.integers(0, 2**16 - 1))
+    def check(x, y):
+        z = morton_py(x, y, 16)
+        # invertible: deinterleave recovers the inputs
+        rx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+        ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (rx, ry) == (x, y)
+        # locality: flipping the lowest set x-bit moves z by a bounded step
+        assert morton_py(x ^ 1, y, 16) == z ^ 1
+
+    check()
+    # the generated SQL agrees with the python reference on a sample
+    rows = spark.sql(
+        f"SELECT id, {morton_expr('(id % 251)', '(id % 241)', 16)} AS z "
+        "FROM range(500)"
+    ).collect()
+    for r in rows:
+        assert r.z == morton_py(r.id % 251, r.id % 241, 16)
+
+
+def test_url_canonicalization_cases(spark):
+    from moosestack_spark.ops.dedup import canonical_url
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("https://www.Site.com/a/b?utm_source=x&z=1&a=2#frag", "site.com/a/b?a=2&z=1"),
+        ("http://site.com/a/b?a=2&z=1", "site.com/a/b?a=2&z=1"),
+        ("https://www.site.com/only", "site.com/only"),
+        ("https://site.com/only?utm_campaign=c", "site.com/only"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
