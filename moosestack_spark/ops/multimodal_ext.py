@@ -324,3 +324,79 @@ def multimodal_exif_metadata(spark, sf_dir: str) -> DataFrame:
         ),
     )
     return extract_exif(media)
+
+
+# --------------------------------------------------------------------------
+# FLAC audio (ops/flac.py): real compressed-audio decode in the pipeline.
+# --------------------------------------------------------------------------
+
+FLAC_N = 1024
+FLAC_RATE = 22050
+
+
+@query(
+    "multimodal_flac_features",
+    oracle=f"""
+WITH aud AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+ts AS (SELECT UNNEST(generate_series(0, {FLAC_N - 1})) AS t),
+dec AS (
+  SELECT doc_id, ((doc_id * 13 + t * 7) % 4001) - 2000 AS sample
+  FROM aud CROSS JOIN ts
+)
+SELECT doc_id AS media_id,
+       CAST({FLAC_N} AS BIGINT) AS n_samples,
+       CAST({FLAC_RATE} AS BIGINT) AS rate,
+       CAST(CAST(SUM(sample) AS BIGINT) AS DOUBLE) / {FLAC_N} AS mean_amp,
+       CAST(MAX(ABS(sample)) AS INTEGER) AS peak_amp
+FROM dec GROUP BY doc_id
+""",
+)
+def multimodal_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC round-trip in the distributed pipeline: deterministic
+    int16 samples per doc are FLAC-encoded (four frames cycling
+    fixed2/lpc2/verbatim/fixed1 subframes — every decoder path), decoded
+    back through the full rice+prediction layer, and reduced to integer
+    features.  FLAC is lossless, so the oracle replays the generator
+    arithmetic directly (same policy as the PNG/G.711 gates)."""
+    from moosestack_spark.ops.flac import decode_flac, encode_flac
+    from moosestack_spark.tables import t as _t
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 97 == 0
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tt = np.arange(FLAC_N, dtype=np.int64)
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_samples": [], "rate": [],
+                "mean_amp": [], "peak_amp": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                src = (((did * 13 + tt * 7) % 4001) - 2000).astype(np.int16)
+                payload = encode_flac(
+                    src, FLAC_RATE, block_size=256,
+                    modes=("fixed2", "lpc2", "verbatim", "fixed1"),
+                )
+                dec, rate = decode_flac(payload)
+                s64 = dec[:, 0].astype(np.int64)
+                out["media_id"].append(did)
+                out["n_samples"].append(int(len(s64)))
+                out["rate"].append(int(rate))
+                out["mean_amp"].append(float(s64.sum()) / FLAC_N)
+                out["peak_amp"].append(int(np.abs(s64).max()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        kernel,
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("n_samples", LongType(), False),
+                StructField("rate", LongType(), False),
+                StructField("mean_amp", DoubleType(), False),
+                StructField("peak_amp", IntegerType(), False),
+            ]
+        ),
+    )

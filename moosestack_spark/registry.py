@@ -144,6 +144,7 @@ _AFTER_WINDOW: list[str] = [
     "source_gzip_jsonl_roundtrip",
     "text_gopher_rules",
     "dedup_url_canonical",
+    "multimodal_flac_features",
 ]
 
 

@@ -90,3 +90,58 @@ def test_png_adam7_interlaced_roundtrip():
         decode_png(encode_png(g, interlace=True)),
         np.repeat(g[..., None], 3, axis=2),
     )
+
+
+def test_flac_roundtrip_all_modes():
+    """Lossless round-trip across every subframe type, odd block
+    boundaries, stereo independent + mid/side decorrelation."""
+    import numpy as np
+
+    from moosestack_spark.ops.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-3000, 3000, 5000).astype(np.int16)
+    for modes in [
+        ("verbatim",), ("fixed0",), ("fixed1",), ("fixed2",), ("lpc2",),
+        ("fixed2", "verbatim", "lpc2", "fixed1"),
+    ]:
+        dec, rate = decode_flac(
+            encode_flac(mono, 22050, block_size=999, modes=modes)
+        )
+        assert rate == 22050
+        assert np.array_equal(dec[:, 0], mono.astype(np.int32)), modes
+
+    const = np.full(2000, 123, dtype=np.int16)
+    dec, _ = decode_flac(encode_flac(const, 8000, modes=("constant",)))
+    assert np.array_equal(dec[:, 0], const.astype(np.int32))
+
+    stereo = np.stack([mono, (mono // 2 + 100).astype(np.int16)], axis=1)
+    dec, _ = decode_flac(encode_flac(stereo, 16000, block_size=777))
+    assert np.array_equal(dec, stereo.astype(np.int32))
+    dec, _ = decode_flac(
+        encode_flac(stereo, 16000, block_size=777,
+                    modes=("lpc2", "fixed1"), mid_side=True)
+    )
+    assert np.array_equal(dec, stereo.astype(np.int32))
+
+
+def test_flac_rejects_corruption():
+    import numpy as np
+    import pytest
+
+    from moosestack_spark.ops.flac import decode_flac, encode_flac
+
+    good = bytearray(encode_flac(np.arange(500, dtype=np.int16), 8000))
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"junk" + bytes(good))
+    # flip a byte inside the first frame: either the entropy layer or the
+    # CRC-16 must reject it — corruption never yields silent wrong samples
+    bad = bytearray(good)
+    bad[-10] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+    # flip one of the trailing CRC bytes specifically: CRC-16 catches it
+    bad2 = bytearray(good)
+    bad2[-1] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(bad2))
