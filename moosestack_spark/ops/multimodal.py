@@ -185,10 +185,21 @@ _ALAW = _alaw_table()
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """General mono WAV decode -> (int16 samples, rate).  Handles PCM16
-    (format 1) plus G.711 mu-law (7) and A-law (6) companding — the
-    telephony encodings real speech corpora contain.  Manual RIFF walk:
-    the stdlib wave module rejects compressed format codes."""
+    """General mono audio decode -> (int16 samples, rate).  RIFF/WAVE:
+    PCM16 (format 1) plus G.711 mu-law (7) and A-law (6) companding — the
+    telephony encodings real speech corpora contain (manual RIFF walk:
+    the stdlib wave module rejects compressed format codes).  FLAC
+    payloads ("fLaC" magic) route through the full ops/flac.py decoder
+    (16-bit mono surface here; stereo callers use decode_flac directly)."""
+    if data[:4] == b"fLaC":
+        from moosestack_spark.ops.flac import decode_flac
+
+        samples, rate = decode_flac(data)
+        if samples.shape[1] != 1:
+            raise NotImplementedError(
+                "decode_wav surfaces mono; use decode_flac for stereo"
+            )
+        return samples[:, 0].astype(np.int16), rate
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12

@@ -145,3 +145,14 @@ def test_flac_rejects_corruption():
     bad2[-1] ^= 0x01
     with pytest.raises(ValueError, match="CRC"):
         decode_flac(bytes(bad2))
+
+
+def test_decode_wav_sniffs_flac():
+    import numpy as np
+
+    from moosestack_spark.ops.flac import encode_flac
+    from moosestack_spark.ops.multimodal import decode_wav
+
+    src = (np.arange(800) % 400 - 200).astype(np.int16)
+    out, rate = decode_wav(encode_flac(src, 16000))
+    assert rate == 16000 and np.array_equal(out, src)
