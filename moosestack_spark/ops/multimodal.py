@@ -7,14 +7,13 @@ Representation: a media column is `binary` payload + a metadata struct
 decode / feature-extract / resize / frame-sample operators are Pandas UDFs
 over mapInPandas — Arrow-batched, schema-stable, partition-parallel.
 
-Decode is REAL for BMP (24-bit BI_RGB), PPM (P6), WAV (PCM16, stdlib
-`wave`) and — as of round 3 — baseline JPEG (pure-numpy Huffman + IDCT
-decoder, ops/jpeg.py) and PNG (stdlib-zlib inflate + vectorized
-unfiltering, ops/png.py: 1-16 bit, gray/RGB/palette/alpha) — the formats
-real training corpora actually contain.  Remaining formats (GIF/WebP,
-MP3/MP4) raise NotImplementedError — that
-boundary is honest, and swapping the sniffer's branch for a real call is
-the only change needed.
+Decode is REAL for BMP (24-bit BI_RGB), PPM (P6), WAV (PCM16 + G.711),
+FLAC (ops/flac.py), JPEG (baseline + progressive, ops/jpeg.py), PNG
+(sequential + Adam7, ops/png.py), GIF (ops/gif.py) and TIFF
+(none/PackBits/LZW strips, ops/tiff.py) — the formats real training
+corpora actually contain.  Remaining formats (WebP, MP3, MP4 frames)
+raise NotImplementedError — that boundary is honest, and swapping the
+sniffer's branch for a real call is the only change needed.
 
 Scale notes: media payloads dominate row size, so operators (a) never
 shuffle raw bytes (feature extraction projects bytes away before any wide
@@ -325,9 +324,10 @@ def parse_mp4_metadata(data: bytes) -> dict:
 def decode_image(payload: bytes, strict: bool = True) -> np.ndarray | None:
     """Sniff + decode an image payload to HxWx3 uint8 RGB.
 
-    BMP and PPM decode for real (pure numpy).  Compressed formats raise
-    NotImplementedError under strict (they need PIL/opencv — absent here);
-    non-strict returns None so callers can emit null features."""
+    BMP, PPM, JPEG (baseline + progressive), PNG (incl. Adam7), GIF and
+    TIFF (none/PackBits/LZW strips) all decode for real (pure numpy).
+    Unknown formats raise NotImplementedError under strict; non-strict
+    returns None so callers can emit null features."""
     try:
         if payload[:2] == b"BM":
             return decode_bmp(payload)
@@ -345,6 +345,10 @@ def decode_image(payload: bytes, strict: bool = True) -> np.ndarray | None:
             from moosestack_spark.ops.gif import decode_gif
 
             return decode_gif(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from moosestack_spark.ops.tiff import decode_tiff
+
+            return decode_tiff(payload)
     except Exception:
         # corrupt payload of a known format: propagate under strict,
         # null-feature under non-strict (the pipeline-filter contract)

@@ -1,0 +1,348 @@
+"""Pure-python baseline TIFF image codec.
+
+Builds on the IFD machinery proven by the EXIF walker
+(ops/multimodal_ext.py): this module decodes PIXELS — 8-bit grayscale
+(photometric 0/1) and RGB (2), strip layout, both byte orders, with
+compression 1 (none), 32773 (PackBits) and 5 (TIFF LZW: MSB-first codes
+with EarlyChange, plus the horizontal-difference predictor).  Planar
+configuration 1 (chunky) only; tiled TIFF, 16-bit samples and palette
+color raise NotImplementedError — honest boundaries, each checked
+explicitly.
+
+Encoder: 8-bit grayscale/RGB, little-endian, one-or-more strips in any of
+the three compressions (+ optional predictor for LZW) — plants real bytes
+so the decoder's round-trip equality is the test oracle (TIFF is
+lossless).
+
+Used by ops/multimodal.decode_image via payload sniffing (II*/MM* magic).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_TAG = {
+    "width": 256, "height": 257, "bits": 258, "compression": 259,
+    "photometric": 262, "strip_offsets": 273, "spp": 277,
+    "rows_per_strip": 278, "strip_counts": 279, "planar": 284,
+    "predictor": 317,
+}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _read_values(data: bytes, e: str, typ: int, cnt: int, raw_field: bytes):
+    size = _TYPE_SIZE.get(typ)
+    if size is None:
+        return None
+    total = size * cnt
+    if total <= 4:
+        buf = raw_field[:total]
+    else:
+        (off,) = struct.unpack(e + "I", raw_field)
+        buf = data[off : off + total]
+    if typ == 3:
+        return list(struct.unpack(e + "H" * cnt, buf))
+    if typ == 4:
+        return list(struct.unpack(e + "I" * cnt, buf))
+    if typ == 1:
+        return list(buf)
+    return None
+
+
+def _unpackbits(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:expected])
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF LZW: MSB-first variable-width codes, clear=256, eoi=257,
+    EarlyChange (width bumps one code early)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                reset()
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out[:expected])
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # EarlyChange: bump width when the NEXT entry would overflow
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out[:expected])
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """TIFF -> HxWx3 uint8 RGB (grayscale replicated; MinIsWhite
+    inverted)."""
+    if data[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF payload")
+    e = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(e + "I", data, 4)
+    (n,) = struct.unpack_from(e + "H", data, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from(e + "HHI", data, ifd_off + 2 + i * 12)
+        raw_field = data[ifd_off + 2 + i * 12 + 8 : ifd_off + 2 + i * 12 + 12]
+        vals = _read_values(data, e, typ, cnt, raw_field)
+        if vals is not None:
+            tags[tag] = vals
+
+    def one(name, default=None):
+        v = tags.get(_TAG[name])
+        return v[0] if v else default
+
+    w, h = one("width"), one("height")
+    if not w or not h:
+        raise ValueError("TIFF missing dimensions")
+    spp = one("spp", 1)
+    bits = tags.get(_TAG["bits"], [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError("only 8-bit TIFF samples supported")
+    if one("planar", 1) != 1:
+        raise NotImplementedError("planar TIFF not supported")
+    comp = one("compression", 1)
+    photometric = one("photometric", 1)
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photometric} not supported")
+    predictor = one("predictor", 1)
+    offsets = tags.get(_TAG["strip_offsets"])
+    counts = tags.get(_TAG["strip_counts"])
+    if not offsets:
+        raise NotImplementedError("tiled TIFF not supported")
+    rows_per_strip = one("rows_per_strip", h)
+
+    row_bytes = w * spp
+    raw = bytearray()
+    for si, off in enumerate(offsets):
+        cnt = counts[si] if counts and si < len(counts) else len(data) - off
+        rows = min(rows_per_strip, h - si * rows_per_strip)
+        expected = rows * row_bytes
+        seg = data[off : off + cnt]
+        if comp == 1:
+            raw += seg[:expected]
+        elif comp == 32773:
+            raw += _unpackbits(seg, expected)
+        elif comp == 5:
+            raw += _lzw_decode_tiff(seg, expected)
+        else:
+            raise NotImplementedError(f"TIFF compression {comp} not supported")
+    px = np.frombuffer(bytes(raw), np.uint8, h * row_bytes).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing (per sample)
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+    if spp == 1:
+        g = px[..., 0]
+        if photometric == 0:  # MinIsWhite
+            g = 255 - g
+        return np.repeat(g[..., None], 3, axis=2)
+    if spp < 3:
+        raise NotImplementedError(f"{spp}-sample TIFF not supported")
+    return px[..., :3].copy()
+
+
+# --------------------------------------------------------------------------
+# encoder (fixtures): little-endian, strips, none/PackBits/LZW.
+# --------------------------------------------------------------------------
+
+
+def _packbits(row: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, row[i]])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < n
+                and j - i < 128
+                and not (j + 1 < n and row[j + 1] == row[j])
+            ):
+                j += 1
+            out += bytes([j - i - 1]) + row[i:j]
+            i = j
+    return bytes(out)
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(CLEAR)
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        # EarlyChange: widen when the next code to be ASSIGNED reaches the
+        # width limit minus one
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:  # table nearly full: reset
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([b])
+    if cur:
+        emit(table[cur])
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def encode_tiff(
+    pixels: np.ndarray,
+    compression: str = "none",
+    rows_per_strip: int | None = None,
+    predictor: bool = False,
+) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB) uint8 -> little-endian TIFF.
+    ``compression`` in {none, packbits, lzw}; ``predictor`` applies
+    horizontal differencing (LZW only, as in real writers)."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    spp = 1 if gray else 3
+    px = pixels.reshape(h, w, spp).astype(np.uint8)
+    if predictor and compression != "lzw":
+        raise ValueError("predictor is an LZW option")
+    if predictor:
+        d = px.astype(np.int64)
+        px = np.concatenate([d[:, :1], np.diff(d, axis=1)], axis=1).astype(np.uint8)
+    rows_per_strip = rows_per_strip or h
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        seg = px[y0 : y0 + rows_per_strip].tobytes()
+        if compression == "none":
+            strips.append(seg)
+        elif compression == "packbits":
+            # PackBits restarts per ROW per the spec
+            rb = w * spp
+            strips.append(
+                b"".join(
+                    _packbits(seg[r : r + rb]) for r in range(0, len(seg), rb)
+                )
+            )
+        else:
+            strips.append(_lzw_encode_tiff(seg))
+
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (259, 3, 1, comp_code),
+        (262, 3, 1, 1 if gray else 2), (277, 3, 1, spp),
+        (278, 3, 1, rows_per_strip),
+    ]
+    if predictor:
+        entries.append((317, 3, 1, 2))
+    bits_off_needed = spp > 2  # BitsPerSample array for RGB needs offset
+    n_entries = len(entries) + 3  # + bits, strip_offsets, strip_counts
+    ifd_off = 8
+    data_off = ifd_off + 2 + n_entries * 12 + 4
+
+    aux = bytearray()
+
+    def alloc(buf: bytes) -> int:
+        off = data_off + len(aux)
+        aux.extend(buf)
+        return off
+
+    if bits_off_needed:
+        bits_val = alloc(struct.pack("<3H", 8, 8, 8))
+        entries.append((258, 3, 3, bits_val))
+    else:
+        entries.append((258, 3, 1, 8))
+    n_strips = len(strips)
+    if n_strips == 1:
+        counts_field = (279, 4, 1, len(strips[0]))
+    else:
+        counts_field = (
+            279, 4, n_strips,
+            alloc(struct.pack(f"<{n_strips}I", *[len(s) for s in strips])),
+        )
+    # strip data allocated last so offsets are known
+    offs = []
+    for s in strips:
+        offs.append(alloc(s))
+    if n_strips == 1:
+        offsets_field = (273, 4, 1, offs[0])
+    else:
+        off_table = alloc(struct.pack(f"<{n_strips}I", *offs))
+        offsets_field = (273, 4, n_strips, off_table)
+    entries += [offsets_field, counts_field]
+    entries.sort()
+    assert len(entries) == n_entries
+
+    out = struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += struct.pack("<H", n_entries)
+    for tag, typ, cnt, val in entries:
+        if typ == 3 and cnt == 1:
+            out += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += bytes(aux)
+    return out

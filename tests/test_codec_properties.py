@@ -156,3 +156,33 @@ def test_decode_wav_sniffs_flac():
     src = (np.arange(800) % 400 - 200).astype(np.int16)
     out, rate = decode_wav(encode_flac(src, 16000))
     assert rate == 16000 and np.array_equal(out, src)
+
+
+def test_tiff_roundtrip_all_compressions():
+    """TIFF codec: none / PackBits / LZW(+predictor) strips round-trip
+    bit-exactly, grayscale and RGB, multi-strip layouts."""
+    import numpy as np
+
+    from moosestack_spark.ops.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(3)
+    for comp in ("none", "packbits", "lzw"):
+        g = rng.integers(0, 256, (23, 9), dtype=np.uint8)
+        assert np.array_equal(
+            decode_tiff(encode_tiff(g, comp, rows_per_strip=6)),
+            np.repeat(g[..., None], 3, axis=2),
+        ), comp
+        c = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_tiff(encode_tiff(c, comp, rows_per_strip=5)), c
+        ), comp
+    im = rng.integers(0, 256, (12, 31, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(im, "lzw", predictor=True)), im
+    )
+    # repetitive content exercises PackBits runs and LZW width growth
+    flat = np.tile(np.arange(64, dtype=np.uint8), (40, 4))
+    for comp in ("packbits", "lzw"):
+        assert np.array_equal(
+            decode_tiff(encode_tiff(flat, comp))[..., 0], flat
+        ), comp

@@ -45,8 +45,17 @@ def test_decode_image_sniffs_format():
     px = gradient_pixels(1, 4, 4)
     assert np.array_equal(decode_image(encode_bmp(px)), px)
     assert np.array_equal(decode_image(encode_ppm(px)), px)
+    # TIFF decodes for real now (ops/tiff.py)
+    from moosestack_spark.ops.tiff import encode_tiff
+
+    tf = encode_tiff(px, "packbits")
+    assert np.array_equal(decode_image(tf), px)
     with pytest.raises(NotImplementedError):
-        decode_image(b"II*\x00....", strict=True)  # TIFF: honestly unsupported
+        decode_image(b"RIFFxxxxWEBP", strict=True)  # WebP: honestly unsupported
+    assert decode_image(b"RIFFxxxxWEBP", strict=False) is None
+    # corrupt TIFF: strict raises, non-strict nulls
+    with pytest.raises(Exception):
+        decode_image(b"II*\x00....", strict=True)
     assert decode_image(b"II*\x00....", strict=False) is None
     # corrupt payload of a KNOWN format: raises under strict, None otherwise
     for junk in (b"\x89PNG\r\n\x1a\n....", b"GIF89a...."):
