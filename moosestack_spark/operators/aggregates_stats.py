@@ -808,3 +808,143 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select("event_type", (num / den).alias("spearman_rho"))
+
+
+# --------------------------------------------------------------------------
+# analysisOfVariance (CH anova): one-way F statistic between groups from
+# exact integer power sums (value widened to cents); the cross-group
+# reductions surface as FLOAT per the module's transcendental/accumulation
+# policy (double sum order across groups is engine-internal).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_anova_f",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(s) AS DOUBLE) AS ss,
+         CAST(SUM(q) AS DOUBLE) AS qq,
+         SUM(CAST(s AS DOUBLE) * s / n) AS between_raw,
+         COUNT(*) AS k
+  FROM g
+)
+SELECT CAST(((between_raw - ss * ss / nn) / (k - 1))
+            / ((qq - between_raw) / (nn - k)) AS FLOAT) AS f_stat,
+       CAST(k - 1 AS BIGINT) AS dof_between,
+       CAST(nn - k AS BIGINT) AS dof_within,
+       CAST(between_raw - ss * ss / nn AS FLOAT) AS ss_between,
+       CAST(qq - between_raw AS FLOAT) AS ss_within
+FROM tot
+""",
+)
+def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of value (exact cents) across event types:
+    F = (SSB/(k-1)) / (SSW/(N-k)) with SSB/SSW from exact per-group
+    integer sums.  ClickHouse parity: analysisOfVariance()."""
+    ev = t(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("bigint")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).cast("bigint").alias("s"),
+        F.sum(v * v).cast("bigint").alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("double").alias("ss"),
+        F.sum("q").cast("double").alias("qq"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias(
+            "between_raw"
+        ),
+        F.count(F.lit(1)).alias("k"),
+    )
+    ssb = F.col("between_raw") - F.col("ss") * F.col("ss") / F.col("nn")
+    ssw = F.col("qq") - F.col("between_raw")
+    return tot.select(
+        ((ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))))
+        .cast("float")
+        .alias("f_stat"),
+        (F.col("k") - 1).cast("bigint").alias("dof_between"),
+        (F.col("nn") - F.col("k")).cast("bigint").alias("dof_within"),
+        ssb.cast("float").alias("ss_between"),
+        ssw.cast("float").alias("ss_within"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cramersVBiasCorrected (CH): the Bergsma small-sample correction on the
+# same contingency pipeline as agg_cramers_v.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_cramers_v_bias_corrected",
+    oracle="""
+WITH cell AS (
+  SELECT event_type AS a, user_id % 7 AS b, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, user_id % 7
+), marg AS (
+  SELECT a, b, o,
+         SUM(o) OVER (PARTITION BY a) AS ra,
+         SUM(o) OVER (PARTITION BY b) AS cb,
+         SUM(o) OVER () AS n
+  FROM cell
+), chi AS (
+  SELECT SUM((CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n)
+             * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n)
+             / (CAST(ra AS DOUBLE) * cb / n)) AS chi2,
+         MAX(n) AS n,
+         COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c
+  FROM marg
+)
+SELECT
+  CAST(sqrt(
+    GREATEST(chi2 / n - CAST((r - 1) * (c - 1) AS DOUBLE) / (n - 1), 0)
+    / LEAST(r - CAST((r - 1) * (r - 1) AS DOUBLE) / (n - 1) - 1,
+            c - CAST((c - 1) * (c - 1) AS DOUBLE) / (n - 1) - 1)
+    ) AS FLOAT) AS cramers_v_bc,
+  CAST(n AS BIGINT) AS n
+FROM chi
+""",
+)
+def agg_cramers_v_bias_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias-corrected Cramér's V (Bergsma 2013):
+    phi2~ = max(0, chi2/n - (r-1)(c-1)/(n-1)), r~ = r - (r-1)^2/(n-1),
+    c~ = c - (c-1)^2/(n-1), V~ = sqrt(phi2~ / min(r~-1, c~-1)).
+    ClickHouse parity: cramersVBiasCorrected()."""
+    ev = t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("event_type").alias("a"), (F.col("user_id") % 7).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    marg = cell.select(
+        "a", "b", "o",
+        F.sum("o").over(Window.partitionBy("a")).alias("ra"),
+        F.sum("o").over(Window.partitionBy("b")).alias("cb"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("ra").cast("double") * F.col("cb") / F.col("n")
+    chi = marg.agg(
+        F.sum((F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e)
+        .alias("chi2"),
+        F.max("n").alias("n"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+    )
+    n, r, c = F.col("n"), F.col("r"), F.col("c")
+    phi2c = F.greatest(
+        F.col("chi2") / n - ((r - 1) * (c - 1)).cast("double") / (n - 1),
+        F.lit(0.0),
+    )
+    rc = r - ((r - 1) * (r - 1)).cast("double") / (n - 1)
+    cc = c - ((c - 1) * (c - 1)).cast("double") / (n - 1)
+    return chi.select(
+        F.sqrt(phi2c / F.least(rc - 1, cc - 1)).cast("float").alias("cramers_v_bc"),
+        n.cast("bigint").alias("n"),
+    )

@@ -145,6 +145,8 @@ _AFTER_WINDOW: list[str] = [
     "text_gopher_rules",
     "dedup_url_canonical",
     "multimodal_flac_features",
+    "agg_anova_f",
+    "agg_cramers_v_bias_corrected",
 ]
 
 
