@@ -948,3 +948,61 @@ def agg_cramers_v_bias_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(phi2c / F.least(rc - 1, cc - 1)).cast("float").alias("cramers_v_bc"),
         n.cast("bigint").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# contingency (CH contingency coefficient): sqrt(chi2 / (chi2 + n)) on the
+# same contingency pipeline as Cramér's V.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_contingency",
+    oracle="""
+WITH cell AS (
+  SELECT event_type AS a, user_id % 7 AS b, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, user_id % 7
+), marg AS (
+  SELECT a, b, o,
+         SUM(o) OVER (PARTITION BY a) AS ra,
+         SUM(o) OVER (PARTITION BY b) AS cb,
+         SUM(o) OVER () AS n
+  FROM cell
+), chi AS (
+  SELECT SUM((CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n)
+             * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n)
+             / (CAST(ra AS DOUBLE) * cb / n)) AS chi2,
+         MAX(n) AS n
+  FROM marg
+)
+SELECT CAST(sqrt(chi2 / (chi2 + n)) AS FLOAT) AS contingency,
+       CAST(n AS BIGINT) AS n
+FROM chi
+""",
+)
+def agg_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson contingency coefficient C = sqrt(chi2/(chi2+n)) between
+    event type and the 7-way user cohort.  ClickHouse parity:
+    contingency()."""
+    ev = t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("event_type").alias("a"), (F.col("user_id") % 7).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    marg = cell.select(
+        "a", "b", "o",
+        F.sum("o").over(Window.partitionBy("a")).alias("ra"),
+        F.sum("o").over(Window.partitionBy("b")).alias("cb"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("ra").cast("double") * F.col("cb") / F.col("n")
+    chi = marg.agg(
+        F.sum((F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e)
+        .alias("chi2"),
+        F.max("n").alias("n"),
+    )
+    return chi.select(
+        F.sqrt(F.col("chi2") / (F.col("chi2") + F.col("n")))
+        .cast("float")
+        .alias("contingency"),
+        F.col("n").cast("bigint").alias("n"),
+    )

@@ -416,3 +416,36 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@query(
+    "window_running_difference",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(CAST(round(value * 100) AS BIGINT)
+            - COALESCE(lag(CAST(round(value * 100) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id), 
+                CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS diff_cents,
+       CAST(COALESCE(CAST(round(value * 100) AS BIGINT)
+            - lag(CAST(round(value * 100) AS BIGINT), 3) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id), 0) AS BIGINT)
+         AS neighbor3_delta
+FROM events WHERE event_id % 13 = 0
+""",
+)
+def window_running_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH runningDifference (first row yields 0 — lag defaulting to the
+    value itself) and neighbor(x, -3) delta per user in event order, on
+    exact integer cents.  One window exchange shared by both lags."""
+    ev = t(spark, sf_dir, "events").filter("event_id % 13 = 0")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        (cents - F.coalesce(F.lag(cents).over(w), cents))
+        .cast("bigint")
+        .alias("diff_cents"),
+        F.coalesce(cents - F.lag(cents, 3).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("neighbor3_delta"),
+    )

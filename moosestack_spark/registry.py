@@ -147,6 +147,8 @@ _AFTER_WINDOW: list[str] = [
     "multimodal_flac_features",
     "agg_anova_f",
     "agg_cramers_v_bias_corrected",
+    "agg_contingency",
+    "window_running_difference",
 ]
 
 
