@@ -106,8 +106,11 @@ def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
                 table.append(entry)
             out += entry
             prev = entry
-            # EarlyChange: bump width when the NEXT entry would overflow
-            if len(table) + 1 >= (1 << width) and width < 12:
+            # EarlyChange (TIFF spec / libtiff tif_lzw.c): the decoder
+            # widens at table length 2^width - 2 — its table trails the
+            # encoder's next_code by one, and the encoder widened at
+            # next_code == 2^width - 1
+            if len(table) >= (1 << width) - 2 and width < 12:
                 width += 1
     return bytes(out[:expected])
 
@@ -236,9 +239,9 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
         emit(table[cur])
         table[nxt] = next_code
         next_code += 1
-        # EarlyChange: widen when the next code to be ASSIGNED reaches the
-        # width limit minus one
-        if next_code + 1 > (1 << width) and width < 12:
+        # EarlyChange (TIFF spec / libtiff): widen as soon as the next code
+        # to be ASSIGNED is 2^width - 1
+        if next_code >= (1 << width) - 1 and width < 12:
             width += 1
         if next_code == 4094:  # table nearly full: reset
             emit(CLEAR)
