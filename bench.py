@@ -258,19 +258,43 @@ def main() -> None:
         print(f"BENCH-SCALE-SETUP-ERROR chain: {exc!r}"[:500], file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
-    print(
-        json.dumps(
+    # The driver records only a ~2000-char tail of stdout and parses the
+    # final JSON line.  Keep that line to the frozen headline set only
+    # (~1.3 kB); extras + scale tiers go to stderr AND a sidecar file so
+    # per-round perf evidence for newer operators is still committed.
+    sidecar = {
+        "extra_queries": extras,
+        "scale_queries": {"factor": 10, **scale_queries},
+        "sf": sf,
+    }
+    print(json.dumps(sidecar), file=sys.stderr)
+    try:
+        sidecar_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_extras.json"
+        )
+        with open(sidecar_path, "w") as fh:
+            json.dump(sidecar, fh, indent=1)
+    except OSError as exc:
+        print(f"BENCH-SIDECAR-ERROR: {exc!r}", file=sys.stderr)
+    line = json.dumps(
+        {
+            "metric": "headline_suite_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
+    )
+    if len(line) > 1900:  # hard guard: never regress the driver's parse again
+        line = json.dumps(
             {
                 "metric": "headline_suite_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "extra_queries": extras,
-                "scale_queries": {"factor": 10, **scale_queries},
                 "sf": sf,
             }
         )
-    )
+    print(line)
 
 
 def _make_scaled_dir(spark, sf_dir: str, factor: int) -> str:

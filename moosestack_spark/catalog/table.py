@@ -59,6 +59,10 @@ from moosestack_spark.catalog.engines import (
 )
 from moosestack_spark.datamodel.reflection import to_columns, to_struct_type
 
+# Snapshot manifests are exactly v<digits>.json; anything else in the
+# snapshot dir is ignored (editor backups, OS metadata files, ...).
+_MANIFEST_RE = re.compile(r"^v\d+\.json$")
+
 T = TypeVar("T", bound=BaseModel)
 
 STREAM_INSERT_BATCH = 1000  # olap_table.py:961
@@ -424,8 +428,11 @@ class OlapTable(Generic[T]):
         if not os.path.isdir(self._snapdir):
             return []
         out = []
+        # Strict manifest-name match: a stray non-manifest file in the
+        # snapshot dir (editor backup, "version.json") must not break every
+        # snapshot/read_at/vacuum operation with a ValueError.
         for f in sorted(
-            (f for f in os.listdir(self._snapdir) if f.startswith("v")),
+            (f for f in os.listdir(self._snapdir) if _MANIFEST_RE.match(f)),
             key=lambda f: int(f[1:-5]),
         ):
             out.append(_json.load(open(os.path.join(self._snapdir, f))))
@@ -499,7 +506,7 @@ class OlapTable(Generic[T]):
         manifests_removed = 0
         if os.path.isdir(self._snapdir):
             for fn in list(os.listdir(self._snapdir)):
-                if fn.startswith("v") and fn.endswith(".json"):
+                if _MANIFEST_RE.match(fn):
                     if int(fn[1:-5]) not in keep_versions:
                         os.remove(os.path.join(self._snapdir, fn))
                         manifests_removed += 1
@@ -1024,7 +1031,7 @@ class OlapTable(Generic[T]):
         if not pb:
             self._rewrite_base(df.filter(keep), ".__del_tmp")
             return n_del
-        affected = [r[0] for r in df.filter(pred).select(pb).distinct().collect()]
+        affected = self._affected_partition_values(df, pred, pb)
         kept_affected = df.filter(F.col(pb).isin(affected)).filter(keep)
         survivors = {r[0] for r in kept_affected.select(pb).distinct().collect()}
         prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
@@ -1100,7 +1107,7 @@ class OlapTable(Generic[T]):
         if not pb:
             self._rewrite_base(_apply(df), ".__upd_tmp")
             return n_upd
-        affected = [r[0] for r in df.filter(pred).select(pb).distinct().collect()]
+        affected = self._affected_partition_values(df, pred, pb)
         updated_affected = _apply(df.filter(F.col(pb).isin(affected)))
         prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -1118,6 +1125,29 @@ class OlapTable(Generic[T]):
         self._rebuild_projections()
         self._commit_snapshot("rewrite")
         return n_upd
+
+    # Mutations collect the distinct partition values a predicate touches so
+    # dynamic-overwrite only rewrites those partitions.  On a sane layout
+    # that is bounded by partition count; a table partitioned by a
+    # high-cardinality column would turn this into an unbounded driver
+    # collect, so count in-plan first and refuse loudly above this cap.
+    MUTATION_PARTITION_CAP = 100_000
+
+    def _affected_partition_values(self, df: DataFrame, pred, pb: str) -> list:
+        """Distinct ``pb`` values among rows matching ``pred``, guarded by
+        MUTATION_PARTITION_CAP (count runs in-plan; the collect only happens
+        once the cardinality is known to be bounded)."""
+        distinct_vals = df.filter(pred).select(pb).distinct()
+        n = distinct_vals.count()
+        if n > self.MUTATION_PARTITION_CAP:
+            raise ValueError(
+                f"mutation touches {n} distinct '{pb}' partition values "
+                f"(cap {self.MUTATION_PARTITION_CAP}); partitioning by a "
+                "high-cardinality column makes per-partition rewrite "
+                "driver-unbounded — repartition the table or widen the "
+                "predicate to full-table rewrite"
+            )
+        return [r[0] for r in distinct_vals.collect()]
 
     def _rewrite_base(self, df: DataFrame, tmp_suffix: str) -> None:
         """Atomically replace the base files with ``df``, preserving the

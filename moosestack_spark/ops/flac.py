@@ -425,7 +425,9 @@ def encode_flac(
     info.write(channels - 1, 3)
     info.write(bps - 1, 5)
     info.write(n, 36)
-    body = info.bytes() + b"\x00" * 18  # md5 unset (18 bytes to reach 34)
+    # 18 parameter bytes + 16-byte unset MD5 = the spec-mandated 34-byte
+    # STREAMINFO body (libFLAC validates length == 34).
+    body = info.bytes() + b"\x00" * 16
     out = bytearray(FLAC_MAGIC)
     out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
 

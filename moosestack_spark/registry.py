@@ -66,76 +66,15 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 # The driver's CORRECTNESS run checks the first 50 registered queries per
-# round.  Rounds 1-4 hard-verified 186 distinct queries; the round-5 window
-# below rotates onto ALL 45 oracled queries that have never received a green
-# driver row: the r4 agg_group_array_sorted ERR retest (driver-canon fix),
-# the 8 stale-graduated sketch gates whose last driver row predates their
-# r4 hard-oracle graduation, and the 36 never-sampled construction-based
-# dialect/text/window/join/source gates (every one exact-match green in the
-# local sf0.01 oracle pytest suite each round).  The remaining 5 slots go
-# to new round-5 gates.
+# round.  Rounds 1-5 hard-verified 240 distinct queries (236 latest-green +
+# 4 rows-only-by-design).  The round-6 window leads with the 13 oracled
+# gates that have never received a driver row (11 late-r5 additions + the 2
+# post-index gates) — after this round every oracled gate will have been
+# driver-verified at least once.  New round-6 gates follow; the remaining
+# slots re-verify the most-stale gates (latest driver row = round 1), so the
+# cumulative record also stays fresh.
 _WINDOW_PRIORITY = [
-    # --- 45 never-green oracled queries (retest + stale-graduated + never-sampled) ---
-    "agg_group_array_sorted",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_minhash_incremental",
-    "similarity_lsh_bucketed",
-    "similarity_pq_topk",
-    "dedup_semantic_cluster",
-    "sample_hash_mod",
-    "dedup_connected_components_star",
-    "scalar_json_typed_paths",
-    "analytics_forecast_revenue",
-    "corpus_dsir_weights",
-    "text_dup_ngram_fraction",
-    "multimodal_exif_metadata",
-    "table_time_travel",
-    "agg_lttb_downsample",
-    "sql_ch_dialect_array_join_clause",
-    "sql_ch_dialect_arrays",
-    "sql_ch_dialect_arrays2",
-    "sql_ch_dialect_bits_misc",
-    "sql_ch_dialect_datetime64",
-    "sql_ch_dialect_encoding",
-    "sql_ch_dialect_geo",
-    "sql_ch_dialect_intervals",
-    "sql_ch_dialect_maps_format",
-    "sql_ch_dialect_rounding",
-    "sql_ch_dialect_search",
-    "sql_ch_dialect_url",
-    "sql_ch_dialect_vectors",
-    "text_hashed_classifier",
-    "text_unigram_logprob",
-    "text_chunk_overlap",
-    "text_domain_cap",
-    "text_pack_sequences",
-    "sessionize_batch",
-    "window_moving_avg",
-    "window_nth_value",
-    "window_last_value_ignore_nulls",
-    "sort_distinct_on",
-    "sort_limit_by_offset",
-    "join_asof_tolerance",
-    "join_dict_get",
-    "join_paste_positional",
-    "source_orc_partitioned_roundtrip",
-    "source_schema_evolution_defaults",
-    # --- new round-5 gates ---
-    "agg_quantile_approx",
-    "dedup_connected_components_hybrid",
-    "profile_table_stats",
-    "layout_zorder_index",
-    "text_tfidf_retrieval",
-]
-
-# The explicit rotation backlog, pinned to positions 51+: oracled queries
-# without a recorded green row that did not fit this round's 50 slots.
-# Empty at the start of round 5 — the window above covers every never-green
-# oracled query; new round-5 queries are appended here when the 5 reserved
-# window slots fill up.  The registry-window meta-test enforces that ONLY
-# names listed here may lack both a green row and a window slot.
-_AFTER_WINDOW: list[str] = [
+    # --- 13 never-driver-sampled oracled gates ---
     "sql_ch_dialect_time_windows",
     "sql_ch_dialect_transform_case",
     "sql_ch_dialect_vocab_r5",
@@ -149,7 +88,53 @@ _AFTER_WINDOW: list[str] = [
     "agg_cramers_v_bias_corrected",
     "agg_contingency",
     "window_running_difference",
+    # --- stale re-verification (latest driver row = round 1) ---
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "agg_having",
+    "agg_arg_max",
+    "agg_count_if",
+    "agg_rollup",
+    "agg_quantile",
+    "analytics_shipping_priority",
+    "analytics_local_supplier_volume",
+    "engine_replacing_dedup",
+    "engine_summing_rollup",
+    "filter_comparisons",
+    "filter_in_between",
+    "filter_like",
+    "filter_null_checks",
+    "join_star_multi",
+    "join_left_lookup",
+    "join_theta",
+    "join_semi_anti",
+    "join_full_outer",
+    "join_asof",
+    "join_range_buckets",
+    "mv_incremental_daily_rollup",
+    "mv_hypertable_rollup",
+    "mv_populate_matches_incremental",
+    "query_builder_chain",
+    "scalar_conversions",
+    "scalar_date_bucketing",
+    "scalar_json_extract",
+    "scalar_string_funcs",
+    "scalar_math_funcs",
+    "semantic_dims_metrics_groupby",
+    "semantic_join_dimension_having",
+    "setop_union_merge",
+    "sql_template_params",
+    "sql_guarded_limit",
+    "sql_ch_dialect_translated",
 ]
+
+# The explicit rotation backlog, pinned to positions 51+: oracled queries
+# without a recorded green row that did not fit this round's 50 slots.
+# Empty at the start of round 6 — the 13 never-sampled gates all sit at the
+# head of the window; new round-6 queries are appended here when window
+# swap-ins run out.  The registry-window meta-test enforces that ONLY names
+# listed here may lack both a green row and a window slot.
+_AFTER_WINDOW: list[str] = []
 
 
 def load_all() -> None:

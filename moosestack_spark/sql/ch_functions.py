@@ -553,8 +553,16 @@ _TEMPLATE = {
     "subtractSeconds": "({0} - make_interval(0, 0, 0, 0, 0, 0, {1}))",
     # CH toTime: the time-of-day anchored on 1970-01-02
     "toTime": "timestamp_seconds(86400 + unix_timestamp({0}) % 86400)",
-    "bitRotateLeft": "(shiftleft({0}, {1}) | shiftrightunsigned({0}, 64 - {1}))",
-    "bitRotateRight": "(shiftrightunsigned({0}, {1}) | shiftleft({0}, 64 - {1}))",
+    # Int64-only contract: ClickHouse rotates within the operand's own
+    # integer width (UInt8 rotates in 8 bits); Spark has no unsigned narrow
+    # ints, so operands are widened to BIGINT and the rotate is 64-bit.
+    # Results diverge from CH for 8/16/32-bit columns by design — documented
+    # rather than silently masked, since the narrow-width result would also
+    # need CH's unsigned wraparound to be faithful.
+    "bitRotateLeft": "(shiftleft(CAST({0} AS BIGINT), {1}) | "
+    "shiftrightunsigned(CAST({0} AS BIGINT), 64 - {1}))",
+    "bitRotateRight": "(shiftrightunsigned(CAST({0} AS BIGINT), {1}) | "
+    "shiftleft(CAST({0} AS BIGINT), 64 - {1}))",
     "toDecimal32": "cast({0} as decimal(9, {1}))",
     "toDecimal64": "cast({0} as decimal(18, {1}))",
     "isFinite": "(NOT isnan({0}) AND abs({0}) != double('Infinity'))",

@@ -728,3 +728,25 @@ def test_bloom_filter_index_writes_parquet_blooms(spark, tmp_path):
     assert bloomed.read().count() == 20_000
     bloomed.optimize(target_files=1)
     assert total_bytes(bloomed) > 1000 and bloomed.read().count() == 20_000
+
+
+def test_mutation_partition_collect_guard(spark, warehouse, monkeypatch):
+    """A table partitioned by a high-cardinality column must fail LOUDLY on
+    mutation rather than collect an unbounded distinct-partition list to the
+    driver (round-6 guard; cap shrunk for the test)."""
+
+    class HC(BaseModel):
+        id: Key[int]
+        d: str
+        amount: float
+
+    t = OlapTable("mutguard", HC, spark, warehouse, OlapConfig(partition_by="d"))
+    t.insert([{"id": i, "d": f"p{i}", "amount": float(i)} for i in range(8)])
+    monkeypatch.setattr(OlapTable, "MUTATION_PARTITION_CAP", 3)
+    with pytest.raises(ValueError, match="partition values"):
+        t.delete_where("id >= 0")
+    with pytest.raises(ValueError, match="partition values"):
+        t.update_where({"amount": "amount + 1"}, "id >= 0")
+    # under the cap the mutation proceeds normally
+    assert t.delete_where("id < 2") == 2
+    assert t.read().count() == 6

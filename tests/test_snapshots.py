@@ -198,3 +198,23 @@ def test_vacuum_refuses_unmanaged_and_empty_history(spark, tmp_path):
     assert managed.snapshots() == []
     assert managed.vacuum() == (0, 0)
     assert managed.read().count() == 3
+
+
+def test_stray_files_in_snapshot_dir_are_ignored(table):
+    """A non-manifest file in the snapshot dir (editor backup, version.json)
+    must not break snapshots()/read_at()/vacuum() — strict ^v\\d+\\.json$
+    match only (round-6 ADVICE fix)."""
+    import os
+
+    table.insert(_rows(0, 4, "a"))
+    table.insert(_rows(4, 2, "b"))
+    snapdir = table._snapdir
+    for stray in ["version.json", "v1.json~", "vfinal.json", ".DS_Store"]:
+        with open(os.path.join(snapdir, stray), "w") as fh:
+            fh.write("{}")
+    assert [s["version"] for s in table.snapshots()] == [1, 2]
+    assert table.read_at(1).count() == 4
+    # vacuum must neither crash on nor delete the stray files
+    table.vacuum(keep_last=1)
+    assert os.path.exists(os.path.join(snapdir, "version.json"))
+    assert table.read().count() == 6
