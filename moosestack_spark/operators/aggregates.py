@@ -316,19 +316,41 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # uniq (approximate count-distinct, §2.9): HLL++ sketch — the single-pass
-# mergeable path for 100 TB cardinalities.  Engine-specific sketch values
-# can't hash-match DuckDB, so the gate records the rows-only check; the
-# pytest asserts the estimate lands within HLL's documented error band of
-# the exact count (which IS gated, agg_count_distinct).
+# mergeable path for 100 TB cardinalities.  Engine-specific sketch VALUES
+# can't hash-match DuckDB, so the gate hard-oracles the sketch's accuracy
+# CONTRACT instead (graduated round 6; previously rows-only): the query
+# emits the exact count plus `within_band` = |approx - exact|/exact <= 0.05
+# (2.5x the rsd=0.02 requested — Spark's documented band).  Spark computes
+# the band check for real from its HLL++ estimate; the oracle replays exact
+# and asserts TRUE, so any out-of-band estimate hash-mismatches.  The raw
+# estimate remains covered by the rsd pytest (test_approx_sketches.py).
 # --------------------------------------------------------------------------
 
 
-@query("agg_uniq_approx")  # sketch-based: rows-only driver check
+@query(
+    "agg_uniq_approx",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_band
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def agg_uniq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("uniq_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            (
+                F.abs(
+                    F.approx_count_distinct("l_partkey", rsd=0.02)
+                    - F.countDistinct("l_partkey")
+                )
+                / F.countDistinct("l_partkey")
+            )
+            <= F.lit(0.05)
+        ).alias("within_band"),
     )
 
 

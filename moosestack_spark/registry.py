@@ -88,6 +88,8 @@ _WINDOW_PRIORITY = [
     "agg_cramers_v_bias_corrected",
     "agg_contingency",
     "window_running_difference",
+    # --- newly hard-oracled this round (was rows-only) ---
+    "agg_uniq_approx",
     # --- stale re-verification (latest driver row = round 1) ---
     "agg_pricing_summary",
     "agg_count_distinct",
@@ -102,7 +104,6 @@ _WINDOW_PRIORITY = [
     "engine_summing_rollup",
     "filter_comparisons",
     "filter_in_between",
-    "filter_like",
     "filter_null_checks",
     "join_star_multi",
     "join_left_lookup",

@@ -9,9 +9,25 @@ registry.load_all()
 
 
 def test_hll_estimate_within_error_band(spark, sf_dir):
+    # the gate now emits the band check itself (graduated hard oracle);
+    # this pytest additionally pins the RAW estimate against the exact
+    # count so the band column can't drift from the real sketch
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.tables import t
+
     rows = registry.QUERIES["agg_uniq_approx"](spark, sf_dir).collect()
-    assert rows
-    for r in rows:
+    assert rows and all(r.within_band for r in rows)
+    raw = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("uniq_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .collect()
+    )
+    for r in raw:
         err = abs(r.uniq_parts - r.exact_parts) / max(r.exact_parts, 1)
         assert err <= 0.05, f"{r.l_returnflag}: HLL err {err:.3f}"
 
