@@ -114,6 +114,9 @@ EXTRA = [
     "similarity_lsh_bucketed",
     "scalar_json_typed_paths",
     "sample_hash_mod",
+    # round-6 additions
+    "multimodal_webp_features",
+    "agg_uniq_approx",
 ]
 
 

@@ -349,6 +349,10 @@ def decode_image(payload: bytes, strict: bool = True) -> np.ndarray | None:
             from moosestack_spark.ops.tiff import decode_tiff
 
             return decode_tiff(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from moosestack_spark.ops.webp import decode_webp
+
+            return decode_webp(payload)
     except Exception:
         # corrupt payload of a known format: propagate under strict,
         # null-feature under non-strict (the pipeline-filter contract)
@@ -357,8 +361,9 @@ def decode_image(payload: bytes, strict: bool = True) -> np.ndarray | None:
         return None
     if strict:
         raise NotImplementedError(
-            "unrecognized image format (WebP/TIFF/AVIF/...); BMP, PPM, "
-            "baseline JPEG, PNG and GIF decode natively"
+            "unrecognized image format (AVIF/HEIC/...); BMP, PPM, JPEG "
+            "(baseline+progressive), PNG, GIF, TIFF and lossless WebP "
+            "(VP8L) decode natively"
         )
     return None
 

@@ -400,3 +400,97 @@ def multimodal_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# WebP lossless (ops/webp.py): real VP8L round-trip in the pipeline.
+# --------------------------------------------------------------------------
+
+_WEBP_MAX_PX = 16 * 12  # widest (16) x tallest (12) generator image
+
+
+@query(
+    "multimodal_webp_features",
+    oracle=f"""
+WITH img AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 13 = 0
+),
+ts AS (SELECT UNNEST(generate_series(0, {_WEBP_MAX_PX - 1})) AS i),
+px AS (
+  SELECT doc_id, w, h, i
+  FROM img CROSS JOIN ts WHERE i < w * h
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(SUM((doc_id + 3 * i) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((2 * doc_id + 5 * i) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((3 * doc_id + 7 * i) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h
+""",
+)
+def multimodal_webp_features(spark, sf_dir: str) -> DataFrame:
+    """REAL WebP (VP8L lossless) round-trip in the distributed pipeline:
+    deterministic RGB pixels per doc are VP8L-encoded — the transform
+    (none / subtract-green / predictor / cross-color) cycles with doc_id,
+    color cache and LZ77 run references toggle too, so every decoder path
+    runs — then decoded back through the full prefix-code machinery and
+    reduced to integer channel sums.  VP8L is lossless, so the oracle
+    replays the generator arithmetic directly (same policy as the
+    PNG/FLAC/G.711 gates).  Scan-side Arrow kernel, zero shuffle."""
+    from moosestack_spark.ops.webp import decode_webp, encode_webp_lossless
+    from moosestack_spark.tables import t as _t
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 13 == 0
+    )
+    transforms = ["none", "subtract_green", "predictor", "color"]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 9, 6 + did % 7
+                i = np.arange(w * h, dtype=np.int64)
+                src = np.stack(
+                    [
+                        (did + 3 * i) % 256,
+                        (2 * did + 5 * i) % 256,
+                        (3 * did + 7 * i) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8).reshape(h, w, 3)
+                payload = encode_webp_lossless(
+                    src,
+                    transform=transforms[did % 4],
+                    predictor_mode=1 + did % 13,
+                    cache_bits=4 if did % 2 else 0,
+                    use_lz77=(did % 3 == 0),
+                )
+                dec = decode_webp(payload).astype(np.int64)
+                out["media_id"].append(did)
+                out["width"].append(int(dec.shape[1]))
+                out["height"].append(int(dec.shape[0]))
+                out["sum_r"].append(int(dec[:, :, 0].sum()))
+                out["sum_g"].append(int(dec[:, :, 1].sum()))
+                out["sum_b"].append(int(dec[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        kernel,
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("width", IntegerType(), False),
+                StructField("height", IntegerType(), False),
+                StructField("sum_r", LongType(), False),
+                StructField("sum_g", LongType(), False),
+                StructField("sum_b", LongType(), False),
+            ]
+        ),
+    )

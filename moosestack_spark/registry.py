@@ -88,8 +88,9 @@ _WINDOW_PRIORITY = [
     "agg_cramers_v_bias_corrected",
     "agg_contingency",
     "window_running_difference",
-    # --- newly hard-oracled this round (was rows-only) ---
+    # --- new round-6 gates ---
     "agg_uniq_approx",
+    "multimodal_webp_features",
     # --- stale re-verification (latest driver row = round 1) ---
     "agg_pricing_summary",
     "agg_count_distinct",
@@ -120,7 +121,6 @@ _WINDOW_PRIORITY = [
     "scalar_date_bucketing",
     "scalar_json_extract",
     "scalar_string_funcs",
-    "scalar_math_funcs",
     "semantic_dims_metrics_groupby",
     "semantic_join_dimension_having",
     "setop_union_merge",

@@ -50,8 +50,14 @@ def test_decode_image_sniffs_format():
 
     tf = encode_tiff(px, "packbits")
     assert np.array_equal(decode_image(tf), px)
-    with pytest.raises(NotImplementedError):
-        decode_image(b"RIFFxxxxWEBP", strict=True)  # WebP: honestly unsupported
+    # WebP VP8L decodes for real now (ops/webp.py)
+    from moosestack_spark.ops.webp import encode_webp_lossless
+
+    wp = encode_webp_lossless(px, transform="subtract_green")
+    assert np.array_equal(decode_image(wp), px)
+    # chunkless WEBP container = corrupt known format: strict raises
+    with pytest.raises(Exception):
+        decode_image(b"RIFFxxxxWEBP", strict=True)
     assert decode_image(b"RIFFxxxxWEBP", strict=False) is None
     # corrupt TIFF: strict raises, non-strict nulls
     with pytest.raises(Exception):

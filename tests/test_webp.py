@@ -1,0 +1,154 @@
+"""WebP VP8L codec: lossless round-trips across every encoder configuration,
+container/sniffer routing, and the declared honest boundaries."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from moosestack_spark.ops.webp import (
+    BitReader,
+    BitWriter,
+    HuffmanTree,
+    build_code_lengths,
+    decode_vp8l,
+    decode_webp,
+    encode_webp_lossless,
+)
+
+RNG = np.random.RandomState(42)
+
+
+def _images(h, w):
+    rand = RNG.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    grad = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            grad[y, x] = ((x * 3) % 256, (y * 5) % 256, (x + y) % 256)
+    flat = np.tile(np.array([[10, 200, 30]], np.uint8), (h * w, 1)).reshape(h, w, 3)
+    return {"rand": rand, "grad": grad, "flat": flat}
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (3, 5), (16, 16), (13, 31), (64, 48)])
+@pytest.mark.parametrize(
+    "transform", ["none", "subtract_green", "predictor", "color"]
+)
+def test_roundtrip_transforms(shape, transform):
+    h, w = shape
+    for name, img in _images(h, w).items():
+        for cache_bits in (0, 4):
+            for lz in (False, True):
+                data = encode_webp_lossless(
+                    img, transform=transform, cache_bits=cache_bits, use_lz77=lz
+                )
+                out = decode_webp(data)
+                assert out.shape == img.shape
+                assert (out == img).all(), (name, transform, cache_bits, lz)
+
+
+def test_all_predictor_modes_roundtrip():
+    img = RNG.randint(0, 256, (9, 11, 3), dtype=np.uint8)
+    for mode in range(14):
+        data = encode_webp_lossless(img, transform="predictor", predictor_mode=mode)
+        assert (decode_webp(data) == img).all(), f"mode {mode}"
+
+
+def test_rgba_alpha_preserved_in_vp8l():
+    rgba = RNG.randint(0, 256, (5, 7, 4), dtype=np.uint8)
+    data = encode_webp_lossless(rgba)
+    (size,) = struct.unpack("<I", data[16:20])
+    body = data[20 : 20 + size]
+    assert (decode_vp8l(body) == rgba).all()
+    # container decode drops alpha by contract
+    assert (decode_webp(data) == rgba[:, :, :3]).all()
+
+
+def test_compression_is_real():
+    """A flat image must compress far below raw size (cache+LZ77 path)."""
+    flat = np.full((64, 48, 3), 77, dtype=np.uint8)
+    data = encode_webp_lossless(flat, cache_bits=4, use_lz77=True)
+    assert len(data) < 200  # raw would be 9216 bytes
+    assert (decode_webp(data) == flat).all()
+
+
+def test_sniffer_routes_webp():
+    from moosestack_spark.ops.multimodal import decode_image
+
+    img = RNG.randint(0, 256, (6, 8, 3), dtype=np.uint8)
+    data = encode_webp_lossless(img, transform="subtract_green")
+    assert (decode_image(data) == img).all()
+
+
+def test_lossy_and_extended_raise_honestly():
+    # minimal RIFF/WEBP wrapping a VP8 (lossy) chunk
+    body = b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    riff = b"WEBP" + body
+    data = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(NotImplementedError, match="VP8"):
+        decode_webp(data)
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF\x00\x00\x00\x00NOPE")
+
+
+def test_color_indexing_raises_honestly():
+    # hand-built VP8L header announcing a color-indexing transform (type 3)
+    bw = BitWriter()
+    bw.write(3, 14)  # w-1
+    bw.write(3, 14)  # h-1
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # transform present
+    bw.write(3, 2)  # COLOR_INDEXING
+    with pytest.raises(NotImplementedError, match="color-indexing"):
+        decode_vp8l(b"\x2f" + bw.bytes() + b"\x00" * 8)
+
+
+def test_huffman_canonical_agrees_with_deflate_convention():
+    # lengths [2,1,3,3] -> canonical codes 10,0,110,111 (DEFLATE example)
+    tree = HuffmanTree([2, 1, 3, 3])
+    br = BitReader(bytes([0b0_1_011_01 & 0xFF, 0b111_011_0 >> 0]))
+    # stream written MSB-of-code-first, LSB-first bit packing:
+    # sym1 ('0'), sym0 ('10'=bits 1,0), sym2('110'), sym3('111')
+    bw = BitWriter()
+    for bits in ("0", "10", "110", "111"):
+        for b in bits:
+            bw.write(int(b), 1)
+    br = BitReader(bw.bytes())
+    assert [tree.read_symbol(br) for _ in range(4)] == [1, 0, 2, 3]
+
+
+def test_build_code_lengths_limits_depth():
+    # fibonacci frequencies force deep trees; lengths must cap at 15
+    freqs = {}
+    a, b = 1, 1
+    for s in range(40):
+        freqs[s] = a
+        a, b = b, a + b
+    lengths = build_code_lengths(freqs, 40)
+    assert max(lengths) <= 15
+    # Kraft inequality: sum 2^-l <= 1 (decodable)
+    assert sum(2.0 ** -l for l in lengths if l) <= 1.0 + 1e-12
+
+
+def test_backward_reference_decode_direct_distance():
+    """Hand-exercise the LZ77 copy path: a long flat run encoded with
+    use_lz77 emits real length/distance symbols; decode must replay them."""
+    img = np.zeros((4, 64, 3), dtype=np.uint8)
+    img[:, :, 0] = 200
+    data = encode_webp_lossless(img, use_lz77=True)
+    assert (decode_webp(data) == img).all()
+    # mixed content: runs interrupted by noise
+    img2 = img.copy()
+    img2[1, 10] = (1, 2, 3)
+    img2[3, 40] = (9, 8, 7)
+    data2 = encode_webp_lossless(img2, use_lz77=True, cache_bits=6)
+    assert (decode_webp(data2) == img2).all()
+
+
+def test_dimension_validation():
+    with pytest.raises(ValueError):
+        encode_webp_lossless(np.zeros((0, 4, 3), np.uint8))
+    with pytest.raises(ValueError):
+        encode_webp_lossless(np.zeros((4, 4, 2), np.uint8))
