@@ -6,8 +6,8 @@ subframe types CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32) with wasted
 bits, Rice residual partitions (methods 0 and 4/5-bit params, escape
 codes), channel decorrelation (independent, left/side, right/side,
 mid/side), CRC-16 frame check.  16-bit output; other depths decode and
-scale.  That is the complete lossless layer of the format — no honest
-boundary left except Ogg-FLAC encapsulation.
+scale.  That is the complete lossless layer of the format; Ogg-FLAC
+encapsulation is handled by ops/ogg.py (page walk + mapping header).
 
 Encoder: 16-bit mono/stereo with CONSTANT / VERBATIM / FIXED(0-2) / a
 fixed-coefficient LPC mode and single-partition Rice residuals — plants
@@ -410,6 +410,20 @@ def encode_flac(
     """(n,) mono or (n, 2) stereo int16 -> FLAC bytes.  ``modes`` cycles
     per frame (exercising multiple subframe types in one stream);
     ``mid_side`` uses the mid/side channel decorrelation for stereo."""
+    header, frames = encode_flac_parts(samples, rate, block_size, modes, mid_side)
+    return header + b"".join(frames)
+
+
+def encode_flac_parts(
+    samples: np.ndarray,
+    rate: int = 16000,
+    block_size: int = 4096,
+    modes: tuple[str, ...] = ("fixed2",),
+    mid_side: bool = False,
+) -> tuple[bytes, list[bytes]]:
+    """Same as encode_flac but returns (magic+STREAMINFO header bytes,
+    [complete frame bytes...]) — the split the Ogg-FLAC mapping needs
+    (first packet carries the header, then one frame per packet)."""
     s = np.asarray(samples, dtype=np.int64)
     if s.ndim == 1:
         s = s[:, None]
@@ -428,9 +442,9 @@ def encode_flac(
     # 18 parameter bytes + 16-byte unset MD5 = the spec-mandated 34-byte
     # STREAMINFO body (libFLAC validates length == 34).
     body = info.bytes() + b"\x00" * 16
-    out = bytearray(FLAC_MAGIC)
-    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    header = bytes(FLAC_MAGIC) + bytes([0x80]) + len(body).to_bytes(3, "big") + body
 
+    frames: list[bytes] = []
     frame_no = 0
     for off in range(0, n, block_size):
         blk = s[off : off + block_size]
@@ -467,6 +481,6 @@ def encode_flac(
                 _encode_subframe(w, blk[:, c], mode, bps)
         w.align()
         frame = w.bytes()
-        out += frame + _crc16(frame).to_bytes(2, "big")
+        frames.append(frame + _crc16(frame).to_bytes(2, "big"))
         frame_no += 1
-    return bytes(out)
+    return header, frames

@@ -190,10 +190,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     the stdlib wave module rejects compressed format codes).  FLAC
     payloads ("fLaC" magic) route through the full ops/flac.py decoder
     (16-bit mono surface here; stereo callers use decode_flac directly)."""
-    if data[:4] == b"fLaC":
-        from moosestack_spark.ops.flac import decode_flac
+    if data[:4] == b"fLaC" or data[:4] == b"OggS":
+        if data[:4] == b"OggS":
+            from moosestack_spark.ops.ogg import decode_ogg_flac as _dec
+        else:
+            from moosestack_spark.ops.flac import decode_flac as _dec
 
-        samples, rate = decode_flac(data)
+        samples, rate = _dec(data)
         if samples.shape[1] != 1:
             raise NotImplementedError(
                 "decode_wav surfaces mono; use decode_flac for stereo"
