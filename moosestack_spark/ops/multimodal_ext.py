@@ -433,7 +433,8 @@ FROM px GROUP BY doc_id, w, h
 def multimodal_webp_features(spark, sf_dir: str) -> DataFrame:
     """REAL WebP (VP8L lossless) round-trip in the distributed pipeline:
     deterministic RGB pixels per doc are VP8L-encoded — the transform
-    (none / subtract-green / predictor / cross-color) cycles with doc_id,
+    (none / subtract-green / predictor / cross-color / palette) cycles
+    with doc_id,
     color cache and LZ77 run references toggle too, so every decoder path
     runs — then decoded back through the full prefix-code machinery and
     reduced to integer channel sums.  VP8L is lossless, so the oracle
@@ -445,7 +446,9 @@ def multimodal_webp_features(spark, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") % 13 == 0
     )
-    transforms = ["none", "subtract_green", "predictor", "color"]
+    # every gate image has w*h <= 192 < 256 distinct colors, so the
+    # palette (color-indexing) transform is always legal in the cycle
+    transforms = ["none", "subtract_green", "predictor", "color", "palette"]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -467,7 +470,7 @@ def multimodal_webp_features(spark, sf_dir: str) -> DataFrame:
                 ).astype(np.uint8).reshape(h, w, 3)
                 payload = encode_webp_lossless(
                     src,
-                    transform=transforms[did % 4],
+                    transform=transforms[did % 5],
                     predictor_mode=1 + did % 13,
                     cache_bits=4 if did % 2 else 0,
                     use_lz77=(did % 3 == 0),

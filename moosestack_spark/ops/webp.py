@@ -11,18 +11,17 @@ same role as ops/png.py / ops/jpeg.py / ops/flac.py.
 
 Honest boundaries (each raises, never silently wrong):
 - VP8 (lossy) and VP8X (extended/animation) payloads: NotImplementedError.
-- Color-indexing transform (palette + sub-byte pixel bundling): decode
-  raises NotImplementedError (the encoder here never emits it).
 - The 120-entry 2D distance-map table follows the spec's published list;
   the in-repo encoder always emits direct distance codes (plane code =
   dist + 120, always legal), so round-trips never depend on the table.
 
 Encoder subset (``encode_webp_lossless``): literals + optional color cache
-+ optional greedy LZ77 run references, with any of the three supported
-transforms; prefix codes are canonical Huffman written through the
-code-length code (literal lengths 0..15, no RLE symbols) or the 1-/2-symbol
-simple form when possible.  Output decodes under this module's decoder AND
-is spec-conformant for external decoders.
++ optional greedy LZ77 run references, with any of the four transforms
+(subtract-green, constant-plan predictor/cross-color, first-appearance
+palette with sub-byte bundling); prefix codes are canonical Huffman written
+through the code-length code (literal lengths 0..15, no RLE symbols) or the
+1-/2-symbol simple form when possible.  Output decodes under this module's
+decoder AND is spec-conformant for external decoders.
 """
 
 from __future__ import annotations
@@ -535,6 +534,41 @@ def _inv_predictor(img: np.ndarray, modes: np.ndarray, size_bits: int) -> np.nda
     return out.astype(np.uint8)
 
 
+def _palette_width_bits(table_size: int) -> int:
+    """Sub-byte index bundling (spec 7.4): <=2 colors pack 8 px/green byte
+    (width_bits 3), <=4 pack 4 (2), <=16 pack 2 (1), else unbundled (0)."""
+    if table_size <= 2:
+        return 3
+    if table_size <= 4:
+        return 2
+    if table_size <= 16:
+        return 1
+    return 0
+
+
+def _inv_palette(
+    img: np.ndarray,
+    width_bits: int,
+    palette: np.ndarray,
+    full_w: int,
+    table_size: int,
+) -> np.ndarray:
+    """Unbundle packed green-channel indices and map through the palette.
+    Out-of-range indices yield transparent black (libwebp semantics)."""
+    h = img.shape[0]
+    bpp = 8 >> width_bits
+    mask = (1 << bpp) - 1
+    out = np.zeros((h, full_w, 4), dtype=np.uint8)
+    for y in range(h):
+        for x in range(full_w):
+            packed = int(img[y, x >> width_bits, 2])
+            shift = (x & ((1 << width_bits) - 1)) * bpp
+            idx = (packed >> shift) & mask
+            if idx < table_size:
+                out[y, x] = palette[idx]
+    return out
+
+
 def _ct_delta(t: int, c: int) -> int:
     """ColorTransformDelta: (int8)t * (int8)c >> 5 (arithmetic shift)."""
     ts = t - 256 if t > 127 else t
@@ -579,34 +613,44 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     if version != 0:
         raise ValueError(f"unsupported VP8L version {version}")
     transforms: list[tuple] = []
+    cur_w = w  # color-indexing bundling reduces the width for later reads
     while br.read_bit():
         ttype = br.read(2)
         if ttype == 0:  # predictor
             size_bits = br.read(3) + 2
-            mw = (w + (1 << size_bits) - 1) >> size_bits
+            mw = (cur_w + (1 << size_bits) - 1) >> size_bits
             mh = (h + (1 << size_bits) - 1) >> size_bits
             sub = _decode_spatial(br, mw, mh, allow_meta=False)
             transforms.append(("predictor", size_bits, sub[:, :, 2].copy()))
         elif ttype == 1:  # color transform
             size_bits = br.read(3) + 2
-            mw = (w + (1 << size_bits) - 1) >> size_bits
+            mw = (cur_w + (1 << size_bits) - 1) >> size_bits
             mh = (h + (1 << size_bits) - 1) >> size_bits
             sub = _decode_spatial(br, mw, mh, allow_meta=False)
             transforms.append(("color", size_bits, sub))
         elif ttype == 2:
             transforms.append(("subtract_green",))
-        else:
-            raise NotImplementedError(
-                "VP8L color-indexing transform (palette/pixel bundling) "
-                "not implemented — in-repo encoder never emits it"
+        else:  # color indexing (palette), spec 7.4
+            table_size = br.read(8) + 1
+            pal_img = _decode_spatial(br, table_size, 1, allow_meta=False)
+            # palette entries are delta-coded: cumulative sum mod 256
+            palette = np.cumsum(
+                pal_img[0].astype(np.int32), axis=0
+            ) & 0xFF
+            width_bits = _palette_width_bits(table_size)
+            transforms.append(
+                ("palette", width_bits, palette.astype(np.uint8), cur_w, table_size)
             )
-    img = _decode_spatial(br, w, h, allow_meta=True)
+            cur_w = (cur_w + (1 << width_bits) - 1) >> width_bits
+    img = _decode_spatial(br, cur_w, h, allow_meta=True)
     # inverse transforms in reverse order of appearance
     for tr in reversed(transforms):
         if tr[0] == "subtract_green":
             img = _inv_subtract_green(img)
         elif tr[0] == "predictor":
             img = _inv_predictor(img, tr[2], tr[1])
+        elif tr[0] == "palette":
+            img = _inv_palette(img, tr[1], tr[2], tr[3], tr[4])
         else:
             img = _inv_color_transform(img, tr[2], tr[1])
     # ARGB planes -> RGBA
@@ -797,6 +841,56 @@ def _encode_spatial(
             bw.write(dev, deb)
 
 
+def _forward_palette(bw: BitWriter, argb: np.ndarray) -> np.ndarray:
+    """Write the color-indexing transform (type 3) and return the packed
+    reduced-width index image the main encode should operate on.  Palette
+    order is first-appearance (deterministic); raises above 256 colors."""
+    h, w, _ = argb.shape
+    flat = argb.reshape(-1, 4)
+    packed32 = (
+        (flat[:, 0].astype(np.int64) << 24)
+        | (flat[:, 1].astype(np.int64) << 16)
+        | (flat[:, 2].astype(np.int64) << 8)
+        | flat[:, 3].astype(np.int64)
+    )
+    uniq, first_pos = np.unique(packed32, return_index=True)
+    order = np.argsort(first_pos)
+    colors = uniq[order]
+    if len(colors) > 256:
+        raise ValueError(
+            f"palette transform needs <=256 distinct colors, got {len(colors)}"
+        )
+    table_size = len(colors)
+    index_of = {int(c): i for i, c in enumerate(colors)}
+    bw.write(1, 1)
+    bw.write(3, 2)
+    bw.write(table_size - 1, 8)
+    # delta-coded palette image (1 x table_size)
+    pal = np.zeros((1, table_size, 4), dtype=np.uint8)
+    prev = np.zeros(4, dtype=np.int32)
+    for i, c in enumerate(colors):
+        cur = np.array(
+            [(c >> 24) & 0xFF, (c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF],
+            dtype=np.int32,
+        )
+        pal[0, i] = (cur - prev) & 0xFF
+        prev = cur
+    _encode_spatial(bw, pal, top_level=False)
+    # bundle indices into the green channel, LSB-first within the byte
+    width_bits = _palette_width_bits(table_size)
+    bpp = 8 >> width_bits
+    pw = (w + (1 << width_bits) - 1) >> width_bits
+    out = np.zeros((h, pw, 4), dtype=np.uint8)
+    out[:, :, 0] = 255  # libwebp packs 0xff000000 | (code << 8)
+    idx = np.array([index_of[int(p)] for p in packed32], dtype=np.int64).reshape(h, w)
+    for y in range(h):
+        for x in range(w):
+            out[y, x >> width_bits, 2] |= idx[y, x] << (
+                (x & ((1 << width_bits) - 1)) * bpp
+            )
+    return out
+
+
 def _encode_const_subimage(bw: BitWriter, w: int, h: int, argb: tuple) -> None:
     """Sub-image whose every pixel is the constant ``argb`` 4-tuple —
     the 1-mode predictor / 1-element color-transform case."""
@@ -862,6 +956,8 @@ def encode_webp_lossless(
         # r2b -> red
         _encode_const_subimage(bw, mw, mh, (0, r2b, g2b, g2r))
         argb = _forward_color_transform(argb, g2r, g2b, r2b)
+    elif transform == "palette":
+        argb = _forward_palette(bw, argb)
     elif transform != "none":
         raise ValueError(f"unknown transform {transform!r}")
     bw.write(0, 1)  # no more transforms

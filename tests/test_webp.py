@@ -92,17 +92,34 @@ def test_lossy_and_extended_raise_honestly():
         decode_webp(b"RIFF\x00\x00\x00\x00NOPE")
 
 
-def test_color_indexing_raises_honestly():
-    # hand-built VP8L header announcing a color-indexing transform (type 3)
-    bw = BitWriter()
-    bw.write(3, 14)  # w-1
-    bw.write(3, 14)  # h-1
-    bw.write(0, 1)
-    bw.write(0, 3)
-    bw.write(1, 1)  # transform present
-    bw.write(3, 2)  # COLOR_INDEXING
-    with pytest.raises(NotImplementedError, match="color-indexing"):
-        decode_vp8l(b"\x2f" + bw.bytes() + b"\x00" * 8)
+@pytest.mark.parametrize("ncolors", [1, 2, 3, 4, 9, 16, 17, 200])
+def test_palette_roundtrip_every_bundling_tier(ncolors):
+    """Color-indexing transform across the bundling tiers: 8/4/2/1 pixels
+    per green byte for <=2/<=4/<=16/>16 colors."""
+    rng = np.random.RandomState(ncolors)
+    colors = rng.randint(0, 256, (ncolors, 3), dtype=np.uint8)
+    for (h, w) in [(1, 1), (5, 7), (13, 31)]:
+        img = colors[rng.randint(0, ncolors, (h, w))]
+        for lz in (False, True):
+            data = encode_webp_lossless(img, transform="palette", use_lz77=lz)
+            assert (decode_webp(data) == img).all(), (ncolors, h, w, lz)
+
+
+def test_palette_rejects_too_many_colors():
+    img = np.zeros((20, 20, 3), np.uint8)
+    v = np.arange(400)
+    img[:, :, 0] = (v % 256).reshape(20, 20)
+    img[:, :, 1] = (v // 256).reshape(20, 20)  # 400 distinct colors
+    with pytest.raises(ValueError, match="256"):
+        encode_webp_lossless(img, transform="palette")
+
+
+def test_palette_beats_raw_on_two_tone():
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[::2] = (255, 0, 0)
+    data = encode_webp_lossless(img, transform="palette", use_lz77=True)
+    assert len(data) < 300
+    assert (decode_webp(data) == img).all()
 
 
 def test_huffman_canonical_agrees_with_deflate_convention():
