@@ -203,9 +203,12 @@ def main() -> None:
     # replica so directions decorrelate.  Sub-linear wall-clock blowup vs
     # the extras' sf0.1 numbers is the empirical check on the "bucketed,
     # not all-pairs" design claims.
+    # 30x tier (raised from 10x in round 6): high enough that any quadratic
+    # residue in the banded/bucketed paths shows before a real cluster does.
+    SCALE_FACTOR = 30
     scale_queries: dict = {}
     try:
-        scaled_dir = _make_scaled_dir(spark, sf_dir, factor=10)
+        scaled_dir = _make_scaled_dir(spark, sf_dir, factor=SCALE_FACTOR)
         scale_names = [
             "dedup_exact",
             "dedup_minhash_lsh",
@@ -267,7 +270,7 @@ def main() -> None:
     # per-round perf evidence for newer operators is still committed.
     sidecar = {
         "extra_queries": extras,
-        "scale_queries": {"factor": 10, **scale_queries},
+        "scale_queries": {"factor": SCALE_FACTOR, **scale_queries},
         "sf": sf,
     }
     print(json.dumps(sidecar), file=sys.stderr)

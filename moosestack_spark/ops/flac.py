@@ -353,6 +353,13 @@ def _rice_write(w: _BitsW, resid: np.ndarray, plen: int = 4) -> None:
 
 def _encode_subframe(w: _BitsW, samples: np.ndarray, mode: str, bps: int = 16) -> None:
     s = samples.astype(np.int64)
+    # prediction order must not exceed the block length (a final short
+    # block can be smaller than the requested order): fall back to
+    # verbatim, the spec-valid encoding for any block size
+    if mode.startswith("fixed") and int(mode[-1]) >= len(s):
+        mode = "verbatim"
+    if mode == "lpc2" and len(s) <= 2:
+        mode = "verbatim"
     if mode == "constant":
         w.write(0, 1); w.write(0, 6); w.write(0, 1)
         w.write_signed(int(s[0]), bps)

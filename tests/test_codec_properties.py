@@ -186,3 +186,83 @@ def test_tiff_roundtrip_all_compressions():
         assert np.array_equal(
             decode_tiff(encode_tiff(flat, comp))[..., 0], flat
         ), comp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=dims,
+    w=dims,
+    seed=st.integers(0, 2**32 - 1),
+    transform=st.sampled_from(["none", "subtract_green", "predictor", "color"]),
+    cache_bits=st.sampled_from([0, 3, 6]),
+    lz=st.booleans(),
+)
+def test_webp_roundtrip_any_image(h, w, seed, transform, cache_bits, lz):
+    from moosestack_spark.ops.webp import decode_webp, encode_webp_lossless
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    data = encode_webp_lossless(
+        img,
+        transform=transform,
+        predictor_mode=seed % 14,
+        cache_bits=cache_bits,
+        use_lz77=lz,
+    )
+    assert np.array_equal(decode_webp(data), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=dims,
+    w=dims,
+    ncolors=st.integers(1, 20),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_webp_palette_roundtrip_any_image(h, w, ncolors, seed):
+    from moosestack_spark.ops.webp import decode_webp, encode_webp_lossless
+
+    rng = np.random.default_rng(seed)
+    colors = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    img = colors[rng.integers(0, ncolors, (h, w))]
+    data = encode_webp_lossless(img, transform="palette", use_lz77=bool(seed % 2))
+    assert np.array_equal(decode_webp(data), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    packet_lens=st.lists(st.integers(0, 70000), min_size=1, max_size=6),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_ogg_packet_framing_any_lengths(packet_lens, seed):
+    """Page framing must reassemble arbitrary packet lengths — incl. 0,
+    exact multiples of 255, and >255*255 continuation spans."""
+    from moosestack_spark.ops.ogg import parse_ogg, write_ogg
+
+    rng = np.random.default_rng(seed)
+    pkts = [bytes(rng.integers(0, 256, n, dtype=np.uint8)) for n in packet_lens]
+    data = write_ogg([(p, i) for i, p in enumerate(pkts)])
+    assert parse_ogg(data) == pkts
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(1, 3000),
+    block=st.sampled_from([192, 256, 576]),
+    seed=st.integers(0, 2**32 - 1),
+    stereo=st.booleans(),
+)
+def test_ogg_flac_roundtrip_any_signal(n, block, seed, stereo):
+    from moosestack_spark.ops.ogg import decode_ogg_flac, encode_ogg_flac
+
+    rng = np.random.default_rng(seed)
+    shape = (n, 2) if stereo else (n,)
+    sig = rng.integers(-3000, 3000, shape).astype(np.int16)
+    data = encode_ogg_flac(
+        sig, rate=16000, block_size=block,
+        modes=("fixed2", "verbatim", "lpc2", "fixed0"), mid_side=stereo,
+    )
+    out, rate = decode_ogg_flac(data)
+    assert rate == 16000
+    expect = sig if stereo else sig[:, None]
+    assert np.array_equal(out, expect)
