@@ -117,6 +117,7 @@ EXTRA = [
     # round-6 additions
     "multimodal_webp_features",
     "agg_uniq_approx",
+    "sql_ch_dialect_vocab_r6",
 ]
 
 

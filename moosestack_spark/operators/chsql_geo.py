@@ -793,3 +793,117 @@ FROM (
 GROUP BY l_returnflag
 """
     return canon_arrays(spark.sql(translate_ch_sql(ch_sql)), "smallest3")
+
+
+@query(
+    "sql_ch_dialect_vocab_r6",
+    oracle="""
+SELECT o_orderkey,
+       levenshtein(nm, nm2) AS ed,
+       translate(nm, 'part', 'PART') AS tr,
+       array_to_string(list_transform(string_split(nm, ' '),
+           w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ') AS ic,
+       jaccard(nm, nm2) AS jac,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mstart,
+       e - e % 300 AS m5,
+       e - e % 600 AS m10,
+       strftime(CAST(o_orderdate AS DATE) + CAST((8 - (dayofweek(o_orderdate)
+           + 1)) % 7 AS INTEGER), '%Y-%m-%d') AS ldow,
+       list_aggregate(darr, 'product') AS aprod,
+       CAST(length(list_distinct(arr)) AS INT) AS auniq,
+       '[' || array_to_string(list_reverse(list_sort(arr)), ',') || ']' AS arsort,
+       '[' || array_to_string([arr[1], arr[2], arr[2], arr[3], arr[3], arr[4]],
+           ',') || ']' AS aflat,
+       array_to_string(list_transform(
+           [[arr[1], arr[2]], [arr[2], arr[3]], [arr[3], arr[4]]],
+           s -> array_to_string(s, '-')), '|') AS ashing,
+       '[' || array_to_string(list_concat(arr[(k % 4 + 1):], arr[:(k % 4)]),
+           ',') || ']' AS arotl,
+       '[' || array_to_string(list_concat(arr[(5 - k % 4):], arr[:(4 - k % 4)]),
+           ',') || ']' AS arotr,
+       a AS tel,
+       CAST(bit_count(CAST(xor(a, b) AS BIGINT)) AS INT) AS bham,
+       least(greatest(a, 100), 900) AS cl,
+       '[' || array_to_string(list_filter(regexp_split_to_array(txt, '\\s+'),
+           x -> x != ''), ',') || ']' AS swsp,
+       '[' || array_to_string(list_filter(regexp_split_to_array(txt,
+           '[^A-Za-z]+'), x -> x != ''), ',') || ']' AS atok
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         CAST(o_orderkey % 1000 AS BIGINT) AS a,
+         CAST(o_orderkey % 787 AS BIGINT) AS b,
+         CAST(800000000 + o_orderkey % 100000 AS BIGINT) AS e,
+         CAST(o_orderkey % 5 AS BIGINT) AS k,
+         'part ' || CAST(o_orderkey % 97 AS VARCHAR) AS nm,
+         'par ' || CAST(o_orderkey % 89 AS VARCHAR) AS nm2,
+         [CAST(o_orderkey % 7 AS BIGINT), CAST(o_orderkey % 5 + 1 AS BIGINT),
+          CAST(o_orderkey % 3 + 2 AS BIGINT), CAST(o_orderkey % 7 AS BIGINT)]
+             AS arr,
+         [CAST(o_orderkey % 5 + 1 AS DOUBLE), CAST(o_orderkey % 4 + 1 AS DOUBLE),
+          CAST(o_orderkey % 3 + 1 AS DOUBLE)] AS darr,
+         'part ' || CAST(o_orderkey % 97 AS VARCHAR) || ' 42  par '
+             || CAST(o_orderkey % 89 AS VARCHAR) AS txt
+  FROM orders WHERE o_orderkey % 41 = 0
+)
+""",
+)
+def sql_ch_dialect_vocab_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 vocabulary widening end-to-end: editDistance, translate,
+    initcap, stringJaccardIndex (distinct-char Jaccard, byte==char on
+    ASCII), dateTrunc, fromUnixTimestamp/toStartOfFive|TenMinutes (pinned
+    via epoch arithmetic, timezone-free), toLastDayOfWeek (mode-0 Sunday),
+    arrayProduct/Uniq/ReverseSort/Flatten/Shingles/RotateLeft|Right,
+    tuple+tupleElement (named_struct colN fields), bitHammingDistance,
+    clamp, splitByWhitespace, alphaTokens."""
+    from moosestack_spark.registry import canon_arrays
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       editDistance(nm, nm2) AS ed,
+       translate(nm, 'part', 'PART') AS tr,
+       initcap(nm) AS ic,
+       stringJaccardIndex(nm, nm2) AS jac,
+       formatDateTime(dateTrunc('month', o_orderdate), '%F') AS mstart,
+       toUnixTimestamp(toStartOfFiveMinutes(fromUnixTimestamp(e))) AS m5,
+       toUnixTimestamp(toStartOfTenMinutes(fromUnixTimestamp(e))) AS m10,
+       formatDateTime(toLastDayOfWeek(o_orderdate), '%F') AS ldow,
+       arrayProduct(darr) AS aprod,
+       arrayUniq(arr) AS auniq,
+       arrayReverseSort(arr) AS arsort,
+       arrayFlatten(arrayShingles(arr, 2)) AS aflat,
+       arrayStringConcat(arrayMap(s -> arrayStringConcat(s, '-'),
+           arrayShingles(arr, 2)), '|') AS ashing,
+       arrayRotateLeft(arr, k) AS arotl,
+       arrayRotateRight(arr, k) AS arotr,
+       tupleElement(tuple(a, nm), 1) AS tel,
+       bitHammingDistance(a, b) AS bham,
+       clamp(a, 100, 900) AS cl,
+       splitByWhitespace(txt) AS swsp,
+       alphaTokens(txt) AS atok
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         CAST(o_orderkey % 1000 AS BIGINT) AS a,
+         CAST(o_orderkey % 787 AS BIGINT) AS b,
+         CAST(800000000 + o_orderkey % 100000 AS BIGINT) AS e,
+         CAST(o_orderkey % 5 AS BIGINT) AS k,
+         concat('part ', toString(o_orderkey % 97)) AS nm,
+         concat('par ', toString(o_orderkey % 89)) AS nm2,
+         array(CAST(o_orderkey % 7 AS BIGINT),
+               CAST(o_orderkey % 5 + 1 AS BIGINT),
+               CAST(o_orderkey % 3 + 2 AS BIGINT),
+               CAST(o_orderkey % 7 AS BIGINT)) AS arr,
+         array(CAST(o_orderkey % 5 + 1 AS DOUBLE),
+               CAST(o_orderkey % 4 + 1 AS DOUBLE),
+               CAST(o_orderkey % 3 + 1 AS DOUBLE)) AS darr,
+         concat('part ', toString(o_orderkey % 97), ' 42  par ',
+                toString(o_orderkey % 89)) AS txt
+  FROM orders WHERE o_orderkey % 41 = 0
+)
+"""
+    return canon_arrays(
+        spark.sql(translate_ch_sql(ch_sql)),
+        "arsort", "aflat", "arotl", "arotr", "swsp", "atok",
+    )

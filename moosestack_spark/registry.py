@@ -91,13 +91,13 @@ _WINDOW_PRIORITY = [
     # --- new round-6 gates ---
     "agg_uniq_approx",
     "multimodal_webp_features",
+    "sql_ch_dialect_vocab_r6",
     # --- stale re-verification (latest driver row = round 1) ---
     "agg_pricing_summary",
     "agg_count_distinct",
     "agg_having",
     "agg_arg_max",
     "agg_count_if",
-    "agg_rollup",
     "agg_quantile",
     "analytics_shipping_priority",
     "analytics_local_supplier_volume",

@@ -771,6 +771,67 @@ _TEMPLATE = {
     # are re-expressed as conditional aggregation, see
     # operators/chsql_geo.py agg_bitmap_cardinalities
     "groupBitmap": "count(DISTINCT {0})",
+    # ---- round-6 vocabulary widening ----
+    # string similarity / transformation
+    "editDistance": "levenshtein({0}, {1})",
+    "translate": "translate({0}, {1}, {2})",
+    "initcap": "initcap({0})",
+    # char-level Jaccard index: |chars(a) ∩ chars(b)| / |chars(a) ∪ chars(b)|
+    # (CH stringJaccardIndex is byte-level; identical on ASCII inputs)
+    "stringJaccardIndex": (
+        "(CAST(size(array_intersect(array_distinct(split({0}, '')), "
+        "array_distinct(split({1}, '')))) AS DOUBLE) / "
+        "size(array_union(array_distinct(split({0}, '')), "
+        "array_distinct(split({1}, '')))))"
+    ),
+    # date/time truncation (CH dateTrunc takes (unit, ts); Spark date_trunc
+    # takes (fmt, ts) with the same unit names)
+    "dateTrunc": "date_trunc({0}, {1})",
+    "toStartOfFiveMinutes": (
+        "timestamp_seconds(unix_timestamp({0}) - unix_timestamp({0}) % 300)"
+    ),
+    "toStartOfTenMinutes": (
+        "timestamp_seconds(unix_timestamp({0}) - unix_timestamp({0}) % 600)"
+    ),
+    # CH toLastDayOfWeek (mode 0): round up to the Sunday ending the week
+    # (a Sunday maps to itself); dayofweek is 1=Sunday..7=Saturday
+    "toLastDayOfWeek": "date_add({0}, (8 - dayofweek({0})) % 7)",
+    # array utilities
+    "arrayProduct": (
+        "aggregate({0}, cast(1 as double), (__ap_a, __ap_x) -> __ap_a * __ap_x)"
+    ),
+    "arrayUniq": "size(array_distinct({0}))",
+    "arrayReverseSort": "reverse(array_sort({0}))",
+    "arrayFlatten": "flatten({0})",
+    "flatten": "flatten({0})",
+    # rotate by n (n may exceed size; empty-safe via pmod on greatest(size,1))
+    "arrayRotateLeft": (
+        "concat(slice({0}, CAST(pmod({1}, greatest(size({0}), 1)) AS INT) + 1, "
+        "size({0})), slice({0}, 1, CAST(pmod({1}, greatest(size({0}), 1)) AS INT)))"
+    ),
+    "arrayRotateRight": (
+        "concat(slice({0}, size({0}) - CAST(pmod({1}, greatest(size({0}), 1)) "
+        "AS INT) + 1, size({0})), slice({0}, 1, size({0}) - "
+        "CAST(pmod({1}, greatest(size({0}), 1)) AS INT)))"
+    ),
+    # arrayShingles(arr, n): consecutive n-element windows (the shingle
+    # generator behind the dedup family, as a first-class dialect fn)
+    "arrayShingles": (
+        "transform(sequence(1, greatest(size({0}) - ({1}) + 1, 0)), "
+        "__sh_i -> slice({0}, __sh_i, {1}))"
+    ),
+    # tuples: CH tuple(a,b) / tupleElement(t, n) — Spark structs use
+    # 1-based colN field names for unnamed struct(), matching CH indexing
+    # (tuple itself is a variadic rename below)
+    "tupleElement": "({0}).col{1}",
+    # bits / numeric
+    "bitHammingDistance": (
+        "bit_count(CAST({0} AS BIGINT) ^ CAST({1} AS BIGINT))"
+    ),
+    "clamp": "least(greatest({0}, {1}), {2})",
+    # tokenization splits
+    "splitByWhitespace": "filter(split({0}, '\\\\s+'), __sw -> __sw != '')",
+    "alphaTokens": "filter(split({0}, '[^A-Za-z]+'), __at -> __at != '')",
 }
 
 # geo family (CH functions/geo/*): generated cross-engine SQL arithmetic —
@@ -1217,6 +1278,14 @@ def translate_ch_sql(sql: str) -> str:
             )
         elif name == "fromUnixTimestamp" and len(args) == 1:
             out.append(f"timestamp_seconds({args[0]})")
+        elif name == "tuple":
+            # CH tuple(a, b, ...) indexes fields 1..n; Spark struct() would
+            # name fields after source columns, so build named_struct with
+            # explicit colN names to keep tupleElement({0}).colN stable
+            fields = ", ".join(
+                f"'col{i + 1}', {a}" for i, a in enumerate(args)
+            )
+            out.append(f"named_struct({fields})")
         elif name in _TEMPLATE and _TEMPLATE[name] is not None:
             out.append(_TEMPLATE[name].format(*args))
         elif name in _RENAME:
