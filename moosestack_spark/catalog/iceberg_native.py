@@ -1,0 +1,535 @@
+"""Native Apache Iceberg v2 table reader/writer — pure python metadata walk,
+Spark parquet scan, no Iceberg/Avro jars.
+
+The reference's Iceberg surface (packages blocks.py:425-478) configures an
+IcebergS3 table engine and delegates reads to ClickHouse's Iceberg
+integration.  This sandbox has no Iceberg runtime jars, so the metadata
+layer is implemented here directly from the public Iceberg Table Spec
+(https://iceberg.apache.org/spec/): version-hint / vN.metadata.json
+resolution, snapshot selection (current or by id — time travel), Avro
+manifest-list and manifest walks (catalog/avro.py), partition-summary and
+partition-value pruning, then ``spark.read.parquet(<matching files>)`` so
+the DATA path stays a distributed, pushdown-capable Spark scan.
+
+Scale shape: metadata walking is O(manifests) on the driver — the same
+work an Iceberg client library does — while all row work is executor-side.
+Manifest-level pruning uses the spec's field_summary lower/upper bounds so
+a selective read opens only the manifests whose range covers the value.
+
+Honest boundaries (raise, never silently wrong):
+- position/equality delete files (content != 0): NotImplementedError;
+- non-identity partition transforms (bucket/truncate/days/...): the writer
+  never emits them and the reader refuses them for pruning;
+- formats other than parquet data files.
+
+The writer exists so tables can be planted and appended in tests/gates
+(this repo's codec-oracle policy); it emits spec-shaped v2 metadata that
+the reader — or any Iceberg client — can walk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moosestack_spark.catalog.avro import read_container, write_container
+
+# ---------------------------------------------------------------------------
+# Avro schemas for manifest list + manifest (spec appendix; field-id
+# annotations omitted — they do not affect the binary encoding)
+# ---------------------------------------------------------------------------
+
+_FIELD_SUMMARY = {
+    "type": "record",
+    "name": "field_summary",
+    "fields": [
+        {"name": "contains_null", "type": "boolean"},
+        {"name": "contains_nan", "type": ["null", "boolean"], "default": None},
+        {"name": "lower_bound", "type": ["null", "bytes"], "default": None},
+        {"name": "upper_bound", "type": ["null", "bytes"], "default": None},
+    ],
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+        {
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": _FIELD_SUMMARY}],
+            "default": None,
+        },
+    ],
+}
+
+
+def _manifest_schema(partition_fields: list[tuple[str, str]]) -> dict:
+    """manifest_entry schema; partition_fields = [(name, avro_type)]."""
+    part_record = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {"name": n, "type": ["null", t], "default": None}
+            for n, t in partition_fields
+        ],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {"name": "partition", "type": part_record},
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None},
+            {"name": "data_file", "type": data_file},
+        ],
+    }
+
+
+_SPARK_TO_ICEBERG = {
+    "long": ("long", "long"),
+    "bigint": ("long", "long"),
+    "int": ("int", "int"),
+    "integer": ("int", "int"),
+    "double": ("double", "double"),
+    "float": ("float", "float"),
+    "string": ("string", "string"),
+    "boolean": ("boolean", "boolean"),
+    "date": ("date", "int"),
+    "timestamp": ("timestamp", "long"),
+    "timestamp_ntz": ("timestamp", "long"),
+}
+
+
+class IcebergNativeTable:
+    """A directory-layout ("Hadoop catalog") Iceberg v2 table."""
+
+    # identity partitioning by a high-cardinality column would make the
+    # writer's per-partition loop driver-unbounded — refuse loudly (same
+    # discipline as OlapTable.MUTATION_PARTITION_CAP)
+    PARTITION_CAP = 10_000
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        self.meta_dir = os.path.join(path, "metadata")
+
+    # -- metadata resolution -------------------------------------------------
+
+    def _current_metadata_path(self) -> str:
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        if os.path.exists(hint):
+            v = int(open(hint).read().strip())
+            return os.path.join(self.meta_dir, f"v{v}.metadata.json")
+        versions = [
+            int(m.group(1))
+            for f in os.listdir(self.meta_dir)
+            if (m := re.match(r"^v(\d+)\.metadata\.json$", f))
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no metadata json under {self.meta_dir}")
+        return os.path.join(self.meta_dir, f"v{max(versions)}.metadata.json")
+
+    def metadata(self) -> dict:
+        return json.load(open(self._current_metadata_path()))
+
+    def snapshots(self) -> list[dict]:
+        return self.metadata().get("snapshots", [])
+
+    def current_snapshot_id(self) -> int:
+        return self.metadata()["current-snapshot-id"]
+
+    # -- read path -----------------------------------------------------------
+
+    def data_files(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: dict | None = None,
+    ) -> list[str]:
+        """Walk manifest list + manifests of the chosen snapshot and return
+        matching parquet data-file paths.  ``partition_filter`` is
+        {partition_field: value} equality over identity transforms;
+        manifest-level field_summary bounds prune whole manifests first."""
+        meta = self.metadata()
+        snap_id = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+        snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+        if snap_id not in snaps:
+            raise ValueError(
+                f"snapshot {snap_id} not found; have {sorted(snaps)}"
+            )
+        spec = {s["spec-id"]: s for s in meta["partition-specs"]}[
+            meta["default-spec-id"]
+        ]
+        part_names = [f["name"] for f in spec["fields"]]
+        for f in spec["fields"]:
+            if f["transform"] != "identity" and partition_filter:
+                raise NotImplementedError(
+                    f"partition pruning over transform {f['transform']!r} "
+                    "(identity only)"
+                )
+        mlist_path = self._local(snaps[snap_id]["manifest-list"])
+        _, manifests = read_container(mlist_path)
+        files: list[str] = []
+        for mf in manifests:
+            if mf.get("content", 0) != 0:
+                raise NotImplementedError(
+                    "delete manifests (position/equality deletes) are not "
+                    "supported by the native reader"
+                )
+            if partition_filter and mf.get("partitions"):
+                if not _summaries_match(
+                    mf["partitions"], part_names, partition_filter
+                ):
+                    continue  # manifest-level prune
+            _, entries = read_container(self._local(mf["manifest_path"]))
+            for e in entries:
+                if e["status"] == 2:  # DELETED
+                    continue
+                df_ = e["data_file"]
+                if df_.get("content", 0) != 0:
+                    raise NotImplementedError("delete data files unsupported")
+                if df_["file_format"].upper() != "PARQUET":
+                    raise NotImplementedError(
+                        f"data file format {df_['file_format']} (parquet only)"
+                    )
+                if partition_filter:
+                    part = df_.get("partition", {})
+                    if any(
+                        k in part and part[k] != v
+                        for k, v in partition_filter.items()
+                    ):
+                        continue  # entry-level prune
+                files.append(self._local(df_["file_path"]))
+        return files
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: dict | None = None,
+    ) -> DataFrame:
+        files = self.data_files(snapshot_id, partition_filter)
+        if not files:
+            schema_fields = self.metadata()["schemas"][0]["fields"]
+            cols = ", ".join(
+                f"CAST(NULL AS {_iceberg_to_spark(f['type'])}) AS {f['name']}"
+                for f in schema_fields
+            )
+            return self.spark.sql(f"SELECT {cols}").limit(0)
+        return self.spark.read.parquet(*files)
+
+    def _local(self, p: str) -> str:
+        return p[7:] if p.startswith("file://") else p
+
+    # -- write path ----------------------------------------------------------
+
+    @classmethod
+    def write(
+        cls,
+        df: DataFrame,
+        path: str,
+        partition_by: str | None = None,
+        mode: str = "overwrite",
+    ) -> "IcebergNativeTable":
+        """Write ``df`` as an Iceberg v2 table (new snapshot per call).
+        mode='overwrite' starts v1; mode='append' adds a snapshot whose
+        manifest list references all prior manifests plus the new one.
+        Data files are written by Spark executors; only the (bounded,
+        partition-count-sized) manifest bookkeeping runs on the driver."""
+        spark = df.sparkSession
+        table = cls(spark, path)
+        data_dir = os.path.join(path, "data")
+        os.makedirs(table.meta_dir, exist_ok=True)
+
+        prev_meta = None
+        version = 1
+        seq = 1
+        if mode == "append":
+            prev_meta = table.metadata()
+            version = (
+                int(
+                    re.match(
+                        r"^v(\d+)\.metadata\.json$",
+                        os.path.basename(table._current_metadata_path()),
+                    ).group(1)
+                )
+                + 1
+            )
+            seq = prev_meta["last-sequence-number"] + 1
+        elif mode != "overwrite":
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+
+        snap_id = int(uuid.uuid5(uuid.NAMESPACE_URL, f"{path}#{version}").int % (1 << 62))
+        commit_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, f"{path}#commit{version}"))
+        batch_dir = os.path.join(data_dir, f"b{version}")
+
+        # ---- data files (executor-side parquet write) ----
+        part_fields: list[tuple[str, str]] = []
+        entries: list[dict] = []
+        if partition_by:
+            dt = dict(df.dtypes)[partition_by]
+            part_fields = [(partition_by, _SPARK_TO_ICEBERG[dt][1])]
+            values = [
+                r[0]
+                for r in df.select(partition_by).distinct().collect()
+            ]
+            if len(values) > cls.PARTITION_CAP:
+                raise ValueError(
+                    f"{len(values)} distinct partition values (cap "
+                    f"{cls.PARTITION_CAP}): identity-partitioning by a "
+                    "high-cardinality column"
+                )
+            for v in sorted(values, key=str):
+                pdir = os.path.join(batch_dir, f"{partition_by}={v}")
+                # keep the partition column IN the file (Iceberg data files
+                # carry the full schema, unlike Hive-layout partitionBy)
+                df.filter(F.col(partition_by) == F.lit(v)).write.mode(
+                    "overwrite"
+                ).parquet(pdir)
+                entries.extend(
+                    table._entries_for_dir(pdir, {partition_by: v}, snap_id, seq)
+                )
+        else:
+            df.write.mode("overwrite").parquet(batch_dir)
+            entries = table._entries_for_dir(batch_dir, {}, snap_id, seq)
+
+        # ---- manifest ----
+        manifest_path = os.path.join(table.meta_dir, f"{commit_uuid}-m0.avro")
+        write_container(manifest_path, _manifest_schema(part_fields), entries)
+        n_rows = sum(e["data_file"]["record_count"] for e in entries)
+        new_manifest = {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": _summaries_for(entries, part_fields) if part_fields else None,
+        }
+        manifests = [new_manifest]
+        if prev_meta is not None:
+            prev_snap = {
+                s["snapshot-id"]: s for s in prev_meta["snapshots"]
+            }[prev_meta["current-snapshot-id"]]
+            _, prev_manifests = read_container(
+                table._local(prev_snap["manifest-list"])
+            )
+            manifests = prev_manifests + [new_manifest]
+
+        mlist_path = os.path.join(
+            table.meta_dir, f"snap-{snap_id}-1-{commit_uuid}.avro"
+        )
+        write_container(mlist_path, _MANIFEST_LIST_SCHEMA, manifests)
+
+        # ---- metadata json ----
+        schema_fields = []
+        for i, (name, dt) in enumerate(df.dtypes, start=1):
+            ice_t = _SPARK_TO_ICEBERG.get(dt)
+            if ice_t is None:
+                raise NotImplementedError(
+                    f"column {name!r}: Spark type {dt} has no Iceberg "
+                    "mapping in the native writer"
+                )
+            schema_fields.append(
+                {"id": i, "name": name, "required": False, "type": ice_t[0]}
+            )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": version,  # deterministic (no wall clock in tests)
+            "manifest-list": mlist_path,
+            "summary": {"operation": "append"},
+            "schema-id": 0,
+        }
+        prev_snapshots = prev_meta["snapshots"] if prev_meta else []
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, path)),
+            "location": path,
+            "last-sequence-number": seq,
+            "last-updated-ms": version,
+            "last-column-id": len(schema_fields),
+            "current-schema-id": 0,
+            "schemas": [
+                {"type": "struct", "schema-id": 0, "fields": schema_fields}
+            ],
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": n,
+                            "transform": "identity",
+                            "source-id": [
+                                f["id"] for f in schema_fields if f["name"] == n
+                            ][0],
+                            "field-id": 1000 + i,
+                        }
+                        for i, (n, _) in enumerate(part_fields)
+                    ],
+                }
+            ],
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": snap_id,
+            "snapshots": prev_snapshots + [snapshot],
+            "properties": {},
+        }
+        meta_path = os.path.join(table.meta_dir, f"v{version}.metadata.json")
+        tmp = meta_path + ".tmp"
+        json.dump(meta, open(tmp, "w"), indent=1)
+        os.replace(tmp, meta_path)
+        with open(os.path.join(table.meta_dir, "version-hint.text"), "w") as fh:
+            fh.write(str(version))
+        return table
+
+    def _entries_for_dir(
+        self, pdir: str, partition: dict, snap_id: int, seq: int
+    ) -> list[dict]:
+        entries = []
+        for f in sorted(os.listdir(pdir)):
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(pdir, f)
+            n = self.spark.read.parquet(fp).count()
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": fp,
+                        "file_format": "PARQUET",
+                        "partition": partition,
+                        "record_count": n,
+                        "file_size_in_bytes": os.path.getsize(fp),
+                    },
+                }
+            )
+        return entries
+
+
+def _summaries_for(
+    entries: list[dict], part_fields: list[tuple[str, str]]
+) -> list[dict]:
+    """field_summary per partition field (spec single-value binary bounds:
+    UTF-8 for strings, little-endian for ints/longs)."""
+    out = []
+    for name, typ in part_fields:
+        vals = [
+            e["data_file"]["partition"].get(name)
+            for e in entries
+        ]
+        non_null = [v for v in vals if v is not None]
+        lo = min(non_null) if non_null else None
+        hi = max(non_null) if non_null else None
+        out.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": False,
+                "lower_bound": _bound_bytes(lo, typ),
+                "upper_bound": _bound_bytes(hi, typ),
+            }
+        )
+    return out
+
+
+def _bound_bytes(v, typ: str) -> bytes | None:
+    if v is None:
+        return None
+    if typ == "string":
+        return v.encode("utf-8")
+    if typ in ("int",):
+        return int(v).to_bytes(4, "little", signed=True)
+    if typ in ("long",):
+        return int(v).to_bytes(8, "little", signed=True)
+    raise NotImplementedError(f"bound serialization for {typ}")
+
+
+def _bound_value(b: bytes | None, typ: str):
+    if b is None:
+        return None
+    if typ == "string":
+        return b.decode("utf-8")
+    if typ == "int":
+        return int.from_bytes(b, "little", signed=True)
+    if typ == "long":
+        return int.from_bytes(b, "little", signed=True)
+    raise NotImplementedError(f"bound deserialization for {typ}")
+
+
+def _summaries_match(
+    summaries: list[dict], part_names: list[str], flt: dict
+) -> bool:
+    """True if every filtered field's value falls inside the manifest's
+    [lower, upper] summary (or the summary is absent/unbounded)."""
+    for i, name in enumerate(part_names):
+        if name not in flt or i >= len(summaries):
+            continue
+        s = summaries[i]
+        v = flt[name]
+        lo_b, hi_b = s.get("lower_bound"), s.get("upper_bound")
+        if lo_b is None and hi_b is None:
+            continue
+        lo = lo_b.decode("utf-8", "surrogateescape") if isinstance(v, str) and lo_b else lo_b
+        hi = hi_b.decode("utf-8", "surrogateescape") if isinstance(v, str) and hi_b else hi_b
+        if isinstance(v, int):
+            lo = int.from_bytes(lo_b, "little", signed=True) if lo_b else None
+            hi = int.from_bytes(hi_b, "little", signed=True) if hi_b else None
+        if lo is not None and v < lo:
+            return False
+        if hi is not None and v > hi:
+            return False
+    return True
+
+
+def _iceberg_to_spark(t: str) -> str:
+    return {
+        "long": "BIGINT",
+        "int": "INT",
+        "double": "DOUBLE",
+        "float": "FLOAT",
+        "string": "STRING",
+        "boolean": "BOOLEAN",
+        "date": "DATE",
+        "timestamp": "TIMESTAMP",
+    }.get(t, "STRING")

@@ -412,3 +412,66 @@ def source_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(gz_dir, ignore_errors=True)
+
+
+@query(
+    "source_iceberg_native_read",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders
+WHERE o_orderkey % 7 = 0 AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+GROUP BY o_orderpriority
+""",
+)
+def source_iceberg_native_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Iceberg v2 read path (catalog/iceberg_native.py): plant a
+    spec-shaped Iceberg table from orders (identity-partitioned by
+    o_orderpriority; Avro manifests, manifest list, v2 metadata json), then
+    read through the metadata walk TWICE with partition pruning — each
+    priority's read opens only that partition's data files (field_summary
+    manifest pruning + entry pruning), then Spark scans just those parquet
+    files.  Reference: blocks.py:425-478 configures IcebergS3 and delegates
+    to ClickHouse's reader; here the metadata layer is native (no jars).
+    The oracle replays the same subset directly from orders."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from moosestack_spark.catalog.iceberg_native import IcebergNativeTable
+    from moosestack_spark.tables import t as _t
+
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+    base = _tempfile.mkdtemp(prefix="msk_iceberg_")
+    try:
+        table = IcebergNativeTable.write(
+            src, base + "/orders_ice", partition_by="o_orderpriority"
+        )
+        parts = []
+        for pr in ("1-URGENT", "3-MEDIUM"):
+            sub = table.read(partition_filter={"o_orderpriority": pr})
+            parts.append(
+                sub.groupBy("o_orderpriority").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        (
+                            F.col("o_totalprice").cast("decimal(12,2)") * 100
+                        ).cast("bigint")
+                    )
+                    .cast("bigint")
+                    .alias("sum_cents"),
+                )
+            )
+        out = parts[0].unionByName(parts[1])
+        return out.localCheckpoint()  # result survives the temp-dir cleanup
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

@@ -92,6 +92,7 @@ _WINDOW_PRIORITY = [
     "agg_uniq_approx",
     "multimodal_webp_features",
     "sql_ch_dialect_vocab_r6",
+    "source_iceberg_native_read",
     # --- stale re-verification (latest driver row = round 1) ---
     "agg_pricing_summary",
     "agg_count_distinct",
@@ -103,7 +104,6 @@ _WINDOW_PRIORITY = [
     "analytics_local_supplier_volume",
     "engine_replacing_dedup",
     "engine_summing_rollup",
-    "filter_comparisons",
     "filter_in_between",
     "filter_null_checks",
     "join_star_multi",

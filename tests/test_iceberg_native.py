@@ -1,0 +1,111 @@
+"""Native Iceberg v2 layer: Avro container codec, metadata walk, partition
+pruning, append snapshots, time travel, honest boundaries."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from moosestack_spark.catalog.avro import read_container, write_container
+from moosestack_spark.catalog.iceberg_native import IcebergNativeTable
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS p", "CAST(id * 2.5 AS DOUBLE) AS val"
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return IcebergNativeTable.write(
+        _df(spark, 0, 90), str(tmp_path / "tbl"), partition_by="p"
+    )
+
+
+def test_avro_container_roundtrip_nested_union_array_map(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "opt", "type": ["null", "long"], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "double"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "b", "type": "bytes"},
+            {"name": "flag", "type": "boolean"},
+        ],
+    }
+    recs = [
+        {"s": "x", "opt": 1 << 45, "arr": [1.5, -2.0], "m": {"a": -7}, "b": b"\x00\xff", "flag": True},
+        {"s": "", "opt": None, "arr": [], "m": {}, "b": b"", "flag": False},
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        write_container(p, schema, recs, codec=codec)
+        _, out = read_container(p)
+        assert out == recs
+
+
+def test_read_matches_source(table, spark):
+    got = {(r.id, r.p, r.val) for r in table.read().collect()}
+    want = {(r.id, r.p, r.val) for r in _df(spark, 0, 90).collect()}
+    assert got == want
+
+
+def test_partition_pruning_opens_subset_of_files(table):
+    all_files = table.data_files()
+    pruned = table.data_files(partition_filter={"p": "1"})
+    assert 0 < len(pruned) < len(all_files)
+    # every pruned file really belongs to p=1
+    assert all("p=1" in f for f in pruned)
+    assert table.read(partition_filter={"p": "1"}).count() == 30
+
+
+def test_append_creates_snapshot_and_time_travel(table, spark):
+    snap1 = table.current_snapshot_id()
+    t2 = IcebergNativeTable.write(
+        _df(spark, 90, 120), table.path, partition_by="p", mode="append"
+    )
+    assert len(t2.snapshots()) == 2
+    assert t2.read().count() == 120
+    assert t2.read(snapshot_id=snap1).count() == 90  # old snapshot isolated
+    # the new metadata version is discoverable via version-hint
+    hint = open(os.path.join(t2.meta_dir, "version-hint.text")).read()
+    assert hint.strip() == "2"
+
+
+def test_unknown_snapshot_raises(table):
+    with pytest.raises(ValueError, match="snapshot"):
+        table.read(snapshot_id=999)
+
+
+def test_delete_manifests_raise_honestly(table, spark):
+    """A manifest list advertising a delete manifest (content=1) must
+    refuse rather than silently return wrong (undeleted) rows."""
+    meta = table.metadata()
+    snap = [s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]][0]
+    schema, manifests = read_container(table._local(snap["manifest-list"]))
+    manifests[0]["content"] = 1
+    write_container(table._local(snap["manifest-list"]), schema, manifests)
+    with pytest.raises(NotImplementedError, match="delete"):
+        table.read()
+
+
+def test_transform_pruning_refused(table):
+    """Pruning over a non-identity transform must refuse."""
+    meta_path = table._current_metadata_path()
+    meta = json.load(open(meta_path))
+    meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(NotImplementedError, match="identity"):
+        table.data_files(partition_filter={"p": "1"})
+
+
+def test_high_cardinality_partition_refused(spark, tmp_path, monkeypatch):
+    df = spark.range(50).selectExpr("id", "CAST(id AS STRING) AS p")
+    monkeypatch.setattr(IcebergNativeTable, "PARTITION_CAP", 10)
+    with pytest.raises(ValueError, match="partition values"):
+        IcebergNativeTable.write(df, str(tmp_path / "hc"), partition_by="p")
