@@ -651,7 +651,18 @@ class OlapTable(Generic[T]):
         if isinstance(eng, Merge):
             return self._merge_union(eng)
         if isinstance(eng, IcebergS3):
-            return self.spark.read.format("iceberg").load(eng.table)
+            # local directory-layout table -> native metadata walk (no
+            # Iceberg jars needed, catalog/iceberg_native.py); anything
+            # else (catalog refs, s3://) needs the iceberg-spark runtime
+            loc = eng.table
+            loc_path = loc[7:] if loc.startswith("file://") else loc
+            if os.path.isdir(os.path.join(loc_path, "metadata")):
+                from moosestack_spark.catalog.iceberg_native import (
+                    IcebergNativeTable,
+                )
+
+                return IcebergNativeTable(self.spark, loc_path).read()
+            return self.spark.read.format("iceberg").load(loc)
         if isinstance(eng, Kafka):
             raise PermissionError(
                 f"{self.name}: Kafka engine tables are streaming-only — "

@@ -109,3 +109,33 @@ def test_high_cardinality_partition_refused(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(IcebergNativeTable, "PARTITION_CAP", 10)
     with pytest.raises(ValueError, match="partition values"):
         IcebergNativeTable.write(df, str(tmp_path / "hc"), partition_by="p")
+
+
+def test_olap_table_iceberg_engine_uses_native_reader(spark, tmp_path):
+    """An OlapTable configured with the IcebergS3 engine pointing at a
+    local directory-layout table reads through the native metadata walk
+    (no Iceberg jars on the classpath)."""
+    from pydantic import BaseModel
+
+    from moosestack_spark.catalog.engines import IcebergS3, OlapConfig
+    from moosestack_spark.catalog.table import OlapTable
+
+    ice_path = str(tmp_path / "ice_tbl")
+    IcebergNativeTable.write(_df(spark, 0, 40), ice_path, partition_by="p")
+
+    class Row(BaseModel):
+        id: int
+        p: str
+        val: float
+
+    t = OlapTable(
+        "ice_engine_read",
+        Row,
+        spark,
+        str(tmp_path / "wh"),
+        OlapConfig(engine=IcebergS3(table=ice_path)),
+        register=False,
+    )
+    got = t.read()
+    assert got.count() == 40
+    assert {r.p for r in got.select("p").distinct().collect()} == {"0", "1", "2"}
