@@ -118,6 +118,9 @@ EXTRA = [
     "multimodal_webp_features",
     "agg_uniq_approx",
     "sql_ch_dialect_vocab_r6",
+    "source_iceberg_native_read",
+    "agg_kmv_distinct",
+    "agg_kmv_set_ops",
 ]
 
 

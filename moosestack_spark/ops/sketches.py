@@ -1,0 +1,237 @@
+"""KMV (k-minimum-values) distinct sketches with set operations.
+
+Beyond-reference operator (SURVEY.md §8): the reference exposes CH's
+uniq*/HLL family for single-set cardinality; KMV (Bar-Yossef et al. 2002,
+Beyer et al. SIGMOD'07 "distinct sampling") is the mergeable sketch that
+additionally answers SET-OPERATION cardinalities — union, intersection,
+Jaccard — from bounded per-group state: keep the k smallest values of a
+uniform hash of the keys; the k-th smallest estimates the density
+(distinct ~= (k-1) * H / h_(k) over hash space H), merged sketches
+estimate unions, and membership overlap inside the merged k-mins
+estimates Jaccard (the same estimator family the MinHash dedup ops use,
+lifted to cardinalities).
+
+Determinism/oracle: the hash is the portable murmur3-fmix32 used by the
+deterministic HLL (operators/aggregates.py fmix32_expr — same arithmetic
+replays in DuckDB), the k-mins are an exact rank-k prefix (window rank ->
+filter -> bounded collect, the groupArraySorted discipline: state per
+group is k hashes, never the full distinct set), and the estimators are
+single IEEE divisions of exact integers — so every gate hash-matches.
+
+Scale shape (100 TB): one (group, key)-distinct shuffle + one group
+shuffle; per-group state bounded by k; sketches merge associatively, so
+partial aggregation and cross-partition merge both hold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from moosestack_spark.operators.aggregates import fmix32_duckdb_ctes, fmix32_expr
+from moosestack_spark.registry import query
+from moosestack_spark.tables import t
+
+HASH_SPACE = 4294967296  # 2^32: fmix32 output range
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """-> (group_col, kmins array<bigint> sorted asc, n_kept, kth_hash).
+
+    Exact k-minimum distinct hash values per group.  The rank filter runs
+    BEFORE the collect, so driver/executor array state is bounded by k
+    regardless of group cardinality."""
+    hashed = (
+        df.select(group_col, key_col)
+        .distinct()
+        .select(
+            group_col,
+            F.expr(fmix32_expr(key_col)).cast("bigint").alias("h32"),
+        )
+        .distinct()  # fold hash collisions exactly like the oracle does
+    )
+    w = Window.partitionBy(group_col).orderBy("h32")
+    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return topk.groupBy(group_col).agg(
+        F.sort_array(F.collect_list("h32")).alias("kmins"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.max("h32").alias("kth_hash"),
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Append ``est_distinct``: exact n_kept when the group has fewer than
+    k distinct keys (the sketch IS the set), else (k-1) * H / h_(k)."""
+    return sketch.withColumn(
+        "est_distinct",
+        F.when(
+            F.col("n_kept") < k, F.col("n_kept").cast("double")
+        ).otherwise(
+            F.lit(float(k - 1)) * F.lit(float(HASH_SPACE)) / F.col("kth_hash")
+        ),
+    )
+
+
+def kmv_set_ops(
+    sketch: DataFrame, group_col: str, group_a, group_b, k: int = 64
+) -> DataFrame:
+    """Union / intersection / Jaccard estimates for two groups from their
+    sketches alone: X = k smallest of (A ∪ B) k-mins; jaccard ≈
+    |X ∩ A ∩ B| / |X|; union ≈ KMV estimate over X; intersection =
+    jaccard * union.  One broadcast-sized two-row join."""
+    a = sketch.filter(F.col(group_col) == group_a).select(
+        F.col("kmins").alias("ka")
+    )
+    b = sketch.filter(F.col(group_col) == group_b).select(
+        F.col("kmins").alias("kb")
+    )
+    merged = a.crossJoin(b).select(
+        "ka",
+        "kb",
+        F.expr(f"slice(array_sort(array_union(ka, kb)), 1, {k})").alias("x"),
+    )
+    return merged.select(
+        F.size("x").cast("int").alias("x_size"),
+        F.expr(
+            "CAST(size(filter(x, h -> array_contains(ka, h) AND "
+            "array_contains(kb, h))) AS INT)"
+        ).alias("matches"),
+        F.expr(
+            f"CASE WHEN size(x) < {k} THEN CAST(size(x) AS DOUBLE) "
+            f"ELSE {float(k - 1)} * {float(HASH_SPACE)} / element_at(x, -1) END"
+        ).alias("union_est"),
+    ).select(
+        "x_size",
+        "matches",
+        "union_est",
+        (F.col("matches") / F.col("x_size")).alias("jaccard_est"),
+        (
+            (F.col("matches") / F.col("x_size")) * F.col("union_est")
+        ).alias("inter_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gates
+# ---------------------------------------------------------------------------
+
+_K = 64
+
+
+def _oracle_kmin_ctes() -> str:
+    """Shared DuckDB CTE prefix: per-event-type k-minimum fmix32 hashes of
+    distinct user_ids (replays kmv_sketch exactly)."""
+    return f"""
+WITH dk AS (SELECT DISTINCT event_type, user_id FROM events),
+{fmix32_duckdb_ctes("user_id", "event_type", "dk")},
+dh AS (SELECT DISTINCT event_type, h32 FROM hashed),
+ranked AS (
+  SELECT event_type, h32,
+         row_number() OVER (PARTITION BY event_type ORDER BY h32) AS rn
+  FROM dh
+),
+kmins AS (
+  SELECT event_type, list(h32 ORDER BY h32) AS kmins,
+         CAST(COUNT(*) AS INT) AS n_kept, MAX(h32) AS kth_hash
+  FROM ranked WHERE rn <= {_K} GROUP BY event_type
+)"""
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=_oracle_kmin_ctes()
+    + f"""
+SELECT event_type, n_kept, kth_hash,
+       CASE WHEN n_kept < {_K} THEN CAST(n_kept AS DOUBLE)
+            ELSE {float(_K - 1)} * {float(HASH_SPACE)} / kth_hash END
+           AS est_distinct
+FROM kmins
+""",
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate distinct users via a KMV sketch
+    (portable fmix32 k-mins, k=64) — register-exact across engines, so the
+    ESTIMATE itself is hash-gated (same policy as agg_hll_deterministic)."""
+    ev = t(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "event_type", "user_id", k=_K)
+    return kmv_estimate(sk, k=_K).select(
+        "event_type", "n_kept", "kth_hash", "est_distinct"
+    )
+
+
+def _oracle_setop_kmin_ctes() -> str:
+    """CTE prefix for the set-ops gate: two PARTIALLY overlapping derived
+    user sets (evens vs multiples of 3; true Jaccard 1/4) so the
+    intersection estimator is exercised away from the 0/1 extremes."""
+    return f"""
+WITH dk AS (
+  SELECT 'evens' AS event_type, user_id
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 2 = 0)
+  UNION ALL
+  SELECT 'threes' AS event_type, user_id
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0)
+),
+{fmix32_duckdb_ctes("user_id", "event_type", "dk")},
+dh AS (SELECT DISTINCT event_type, h32 FROM hashed),
+ranked AS (
+  SELECT event_type, h32,
+         row_number() OVER (PARTITION BY event_type ORDER BY h32) AS rn
+  FROM dh
+),
+kmins AS (
+  SELECT event_type, list(h32 ORDER BY h32) AS kmins,
+         CAST(COUNT(*) AS INT) AS n_kept, MAX(h32) AS kth_hash
+  FROM ranked WHERE rn <= {_K} GROUP BY event_type
+)"""
+
+
+@query(
+    "agg_kmv_set_ops",
+    oracle=_oracle_setop_kmin_ctes()
+    + f"""
+, ab AS (
+  SELECT (SELECT kmins FROM kmins WHERE event_type = 'evens') AS ka,
+         (SELECT kmins FROM kmins WHERE event_type = 'threes') AS kb
+),
+m AS (
+  SELECT ka, kb,
+         (list_sort(list_distinct(list_concat(ka, kb))))[1:{_K}] AS x
+  FROM ab
+)
+SELECT CAST(length(x) AS INT) AS x_size,
+       CAST(length(list_filter(x, h -> list_contains(ka, h)
+            AND list_contains(kb, h))) AS INT) AS matches,
+       CASE WHEN length(x) < {_K} THEN CAST(length(x) AS DOUBLE)
+            ELSE {float(_K - 1)} * {float(HASH_SPACE)} / x[-1] END AS union_est,
+       CAST(length(list_filter(x, h -> list_contains(ka, h)
+            AND list_contains(kb, h))) AS DOUBLE) / length(x) AS jaccard_est,
+       (CAST(length(list_filter(x, h -> list_contains(ka, h)
+            AND list_contains(kb, h))) AS DOUBLE) / length(x)) *
+       (CASE WHEN length(x) < {_K} THEN CAST(length(x) AS DOUBLE)
+             ELSE {float(_K - 1)} * {float(HASH_SPACE)} / x[-1] END)
+           AS inter_est
+FROM m
+""",
+)
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union / intersection / Jaccard cardinality estimates from KMV
+    sketches alone — the mergeable set-algebra the plain uniq/HLL family
+    cannot answer.  Two partially-overlapping derived user sets (evens vs
+    multiples of 3, true Jaccard 1/4) exercise the estimator away from the
+    degenerate extremes; all arithmetic replays value-exact in DuckDB."""
+    ev = t(spark, sf_dir, "events")
+    evens = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .select(F.lit("evens").alias("grp"), "user_id")
+    )
+    threes = (
+        ev.filter(F.col("user_id") % 3 == 0)
+        .select(F.lit("threes").alias("grp"), "user_id")
+    )
+    sk = kmv_sketch(evens.unionByName(threes), "grp", "user_id", k=_K)
+    return kmv_set_ops(sk, "grp", "evens", "threes", k=_K)

@@ -93,6 +93,8 @@ _WINDOW_PRIORITY = [
     "multimodal_webp_features",
     "sql_ch_dialect_vocab_r6",
     "source_iceberg_native_read",
+    "agg_kmv_distinct",
+    "agg_kmv_set_ops",
     # --- stale re-verification (latest driver row = round 1) ---
     "agg_pricing_summary",
     "agg_count_distinct",
@@ -118,9 +120,7 @@ _WINDOW_PRIORITY = [
     "mv_populate_matches_incremental",
     "query_builder_chain",
     "scalar_conversions",
-    "scalar_date_bucketing",
     "scalar_json_extract",
-    "scalar_string_funcs",
     "semantic_dims_metrics_groupby",
     "semantic_join_dimension_having",
     "setop_union_merge",
@@ -183,6 +183,7 @@ def load_all() -> None:
         profile,
         retrieval,
         similarity,
+        sketches,
         text,
     )
 
