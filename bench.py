@@ -121,6 +121,7 @@ EXTRA = [
     "source_iceberg_native_read",
     "agg_kmv_distinct",
     "agg_kmv_set_ops",
+    "layout_hilbert_index",
 ]
 
 

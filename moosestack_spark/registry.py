@@ -95,6 +95,7 @@ _WINDOW_PRIORITY = [
     "source_iceberg_native_read",
     "agg_kmv_distinct",
     "agg_kmv_set_ops",
+    "layout_hilbert_index",
     # --- stale re-verification (latest driver row = round 1) ---
     "agg_pricing_summary",
     "agg_count_distinct",
@@ -116,7 +117,6 @@ _WINDOW_PRIORITY = [
     "join_asof",
     "join_range_buckets",
     "mv_incremental_daily_rollup",
-    "mv_hypertable_rollup",
     "mv_populate_matches_incremental",
     "query_builder_chain",
     "scalar_conversions",

@@ -214,3 +214,91 @@ def test_url_canonicalization_cases(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+# ---------------------------------------------------------------------------
+# Hilbert layout
+# ---------------------------------------------------------------------------
+
+
+def test_hilbert_reference_bijective_and_adjacent():
+    from moosestack_spark.ops.layout import hilbert_xy2d
+
+    for bits in (1, 2, 3, 4):
+        n = 1 << bits
+        pos = {}
+        for x in range(n):
+            for y in range(n):
+                d = hilbert_xy2d(bits, x, y)
+                assert d not in pos
+                pos[d] = (x, y)
+        assert sorted(pos) == list(range(n * n))
+        # the defining Hilbert property: consecutive keys are grid NEIGHBORS
+        for d in range(1, n * n):
+            (x1, y1), (x2, y2) = pos[d - 1], pos[d]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_spark_expr_matches_reference(spark):
+    from moosestack_spark.ops.layout import hilbert_expr, hilbert_xy2d
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = df.selectExpr("x", "y", hilbert_expr("x", "y", 4) + " AS h").collect()
+    for r in got:
+        assert r.h == hilbert_xy2d(4, r.x, r.y)
+
+
+def test_hilbert_locality_beats_zorder_worst_case(spark):
+    """Per equal-size key-range bucket, the Hilbert curve's bounding boxes
+    are never (in aggregate) worse than Morton's on a full grid — the
+    reason to prefer it for OPTIMIZE clustering.  Compare summed bounding
+    半-perimeters of 16 equal buckets on the 32x32 grid."""
+    from moosestack_spark.ops.layout import hilbert_xy2d, morton_expr
+
+    n, buckets = 32, 16
+    per = (n * n) // buckets
+    import re as _re
+
+    def span_sum(key_of):
+        spans = 0
+        cells = sorted(
+            ((key_of(x, y), x, y) for x in range(n) for y in range(n))
+        )
+        for b in range(buckets):
+            chunk = cells[b * per : (b + 1) * per]
+            xs = [c[1] for c in chunk]
+            ys = [c[2] for c in chunk]
+            spans += (max(xs) - min(xs) + 1) + (max(ys) - min(ys) + 1)
+        return spans
+
+    def morton_key(x, y):
+        out = 0
+        for i in range(5):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    h = span_sum(lambda x, y: hilbert_xy2d(5, x, y))
+    z = span_sum(morton_key)
+    assert h <= z, (h, z)
+
+
+def test_cluster_by_hilbert_files_disjoint(spark):
+    from moosestack_spark.ops.layout import cluster_by_hilbert
+
+    df = spark.range(4096).selectExpr(
+        "id", "id % 64 AS x", "CAST(id / 64 AS BIGINT) AS y"
+    )
+    clustered = cluster_by_hilbert(df, "x", "y", num_partitions=8, bits=6)
+    import pyspark.sql.functions as F2
+
+    ranges = (
+        clustered.withColumn("pid", F2.spark_partition_id())
+        .groupBy("pid")
+        .agg(F2.min("hilbert").alias("lo"), F2.max("hilbert").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    for a, b in zip(ranges, ranges[1:]):
+        assert a.hi <= b.lo  # per-partition key ranges are disjoint
