@@ -44,15 +44,13 @@ def kmv_sketch(
     Exact k-minimum distinct hash values per group.  The rank filter runs
     BEFORE the collect, so driver/executor array state is bounded by k
     regardless of group cardinality."""
-    hashed = (
-        df.select(group_col, key_col)
-        .distinct()
-        .select(
-            group_col,
-            F.expr(fmix32_expr(key_col)).cast("bigint").alias("h32"),
-        )
-        .distinct()  # fold hash collisions exactly like the oracle does
-    )
+    # hash BEFORE the distinct: (group, h32)-distinct both dedups keys and
+    # folds hash collisions in ONE shuffle (the oracle's two-step distinct
+    # produces the same set — fmix32 is a pure function of the key)
+    hashed = df.select(
+        group_col,
+        F.expr(fmix32_expr(key_col)).cast("bigint").alias("h32"),
+    ).distinct()
     w = Window.partitionBy(group_col).orderBy("h32")
     topk = hashed.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
