@@ -808,3 +808,68 @@ def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         sd.alias("stddev_pop"),
         skew.alias("skew_pop"),
     )
+
+
+@query(
+    "agg_moving_window_arrays",
+    oracle="""
+WITH src AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem WHERE l_orderkey % 199 = 0
+),
+mv AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber, q,
+         SUM(q) OVER (PARTITION BY l_returnflag
+                      ORDER BY l_orderkey, l_linenumber, q
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS msum
+  FROM src
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS INT) AS n,
+       '[' || array_to_string(list(msum ORDER BY l_orderkey, l_linenumber,
+           q, msum), ',') || ']' AS moving_sums,
+       '[' || array_to_string(list(msum // 4 ORDER BY l_orderkey,
+           l_linenumber, q, msum), ',') || ']' AS moving_avgs
+FROM mv GROUP BY l_returnflag
+""",
+)
+def agg_moving_window_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH groupArrayMovingSum(4) / groupArrayMovingAvg(4) semantics:
+    per-group array of rolling 4-row sums (and CH's divide-by-window-SIZE
+    integer average — window size, not current count, truncating division)
+    in deterministic (l_orderkey, l_linenumber) order.  The moving sum is
+    one window pass; the array collect runs on a modulus-bounded subset
+    (CH's own groupArrayMovingSum materializes a group-sized array, so the
+    operator is only sane on bounded groups — same discipline as
+    groupArraySorted's pre-collect cap)."""
+    from moosestack_spark.registry import canon_arrays
+
+    li = t(spark, sf_dir, "lineitem").filter("l_orderkey % 199 = 0")
+    src = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    w = (
+        # full tiebreak: the synthetic lineitem has duplicate
+        # (l_orderkey, l_linenumber) pairs, and the frame order must be
+        # total for the rolling sums to be engine-independent
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "q")
+        .rowsBetween(-3, 0)
+    )
+    mv = src.withColumn("msum", F.sum("q").over(w))
+    out = mv.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("int").alias("n"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(l_orderkey, "
+            "l_linenumber, q, msum))), s -> s.msum)"
+        ).alias("moving_sums"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(l_orderkey, "
+            "l_linenumber, q, msum))), s -> s.msum div 4)"
+        ).alias("moving_avgs"),
+    )
+    return canon_arrays(out, "moving_sums", "moving_avgs")

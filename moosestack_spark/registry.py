@@ -96,6 +96,7 @@ _WINDOW_PRIORITY = [
     "agg_kmv_distinct",
     "agg_kmv_set_ops",
     "layout_hilbert_index",
+    "agg_moving_window_arrays",
     # --- stale re-verification (latest driver row = round 1) ---
     "agg_pricing_summary",
     "agg_count_distinct",
@@ -113,7 +114,6 @@ _WINDOW_PRIORITY = [
     "join_left_lookup",
     "join_theta",
     "join_semi_anti",
-    "join_full_outer",
     "join_asof",
     "join_range_buckets",
     "mv_incremental_daily_rollup",
