@@ -122,6 +122,8 @@ EXTRA = [
     "agg_kmv_distinct",
     "agg_kmv_set_ops",
     "layout_hilbert_index",
+    "agg_moving_window_arrays",
+    "source_delta_native_read",
 ]
 
 

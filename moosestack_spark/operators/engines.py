@@ -475,3 +475,70 @@ def source_iceberg_native_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()  # result survives the temp-dir cleanup
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "source_delta_native_read",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders
+WHERE o_orderkey % 7 IN (0, 3)
+  AND o_orderpriority IN ('2-HIGH', '5-LOW')
+GROUP BY o_orderpriority
+""",
+)
+def source_delta_native_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Delta Lake read path (catalog/delta_native.py): plant a
+    protocol-shaped Delta table from orders (partitioned by
+    o_orderpriority, Hive-style dirs WITHOUT the column in-file), APPEND a
+    second commit, then read the latest snapshot through the JSON-log
+    replay with partition pruning — add/remove reconciliation, basePath
+    partition-column reconstruction, and pruning before any file opens are
+    all on the hash-gated path.  The oracle replays both batches' union
+    directly from orders."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from moosestack_spark.catalog.delta_native import DeltaNativeTable
+    from moosestack_spark.tables import t as _t
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    base = _tempfile.mkdtemp(prefix="msk_delta_")
+    try:
+        path = base + "/orders_delta"
+        DeltaNativeTable.write(
+            orders.filter(F.col("o_orderkey") % 7 == 0),
+            path,
+            partition_by="o_orderpriority",
+        )
+        table = DeltaNativeTable.write(
+            orders.filter(F.col("o_orderkey") % 7 == 3),
+            path,
+            partition_by="o_orderpriority",
+            mode="append",
+        )
+        parts = []
+        for pr in ("2-HIGH", "5-LOW"):
+            sub = table.read(partition_filter={"o_orderpriority": pr})
+            parts.append(
+                sub.groupBy("o_orderpriority").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        (
+                            F.col("o_totalprice").cast("decimal(12,2)") * 100
+                        ).cast("bigint")
+                    )
+                    .cast("bigint")
+                    .alias("sum_cents"),
+                )
+            )
+        return parts[0].unionByName(parts[1]).localCheckpoint()
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

@@ -97,6 +97,7 @@ _WINDOW_PRIORITY = [
     "agg_kmv_set_ops",
     "layout_hilbert_index",
     "agg_moving_window_arrays",
+    "source_delta_native_read",
     # --- stale re-verification (latest driver row = round 1) ---
     "agg_pricing_summary",
     "agg_count_distinct",
@@ -119,7 +120,6 @@ _WINDOW_PRIORITY = [
     "mv_incremental_daily_rollup",
     "mv_populate_matches_incremental",
     "query_builder_chain",
-    "scalar_conversions",
     "scalar_json_extract",
     "semantic_dims_metrics_groupby",
     "semantic_join_dimension_having",
