@@ -648,3 +648,108 @@ def streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Streaming bucketized-KMV distinct: same MV pattern as streaming_hll —
+# the streamed state per open window is EXACTLY K bucket-minimum rows
+# (min is algebraic, so Structured Streaming maintains it incrementally),
+# finalized batch-side with the MinCount estimator (Lumbroso 2010) over
+# exact integer minima.  A second mergeable-sketch family in the
+# streaming path, with a different accuracy/state profile than HLL.
+# --------------------------------------------------------------------------
+
+_KMV_K = 256
+
+
+def _kmv_stream_oracle() -> str:
+    from moosestack_spark.operators.aggregates import fmix32_duckdb_ctes
+    from moosestack_spark.ops.sketches import HASH_SPACE
+
+    k = _KMV_K
+    return f"""
+WITH dk AS (
+  SELECT date_trunc('day', ts) AS ws, user_id FROM events
+),
+{fmix32_duckdb_ctes("user_id", "ws", "dk")},
+minima AS (
+  SELECT ws, h32 % {k} AS bucket, MIN(h32) AS m
+  FROM hashed GROUP BY ws, h32 % {k}
+),
+sk AS (
+  SELECT ws, CAST(COUNT(*) AS INT) AS used_buckets,
+         CAST(SUM(m) AS BIGINT) AS sum_min_used
+  FROM minima GROUP BY ws
+)
+SELECT strftime(ws, '%Y-%m-%d') AS window_start,
+       used_buckets,
+       CAST(CASE
+         WHEN used_buckets < {k}
+           THEN -{k} * ln(({k} - used_buckets) / CAST({k} AS DOUBLE))
+         ELSE {float(k * (k - 1))} * {float(HASH_SPACE)}
+                / (sum_min_used + CAST({k} - used_buckets AS BIGINT)
+                   * {HASH_SPACE})
+       END AS FLOAT) AS est_distinct
+FROM sk
+WHERE ws + INTERVAL 1 DAY <= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+"""
+
+
+@query("streaming_kmv_distinct", oracle=_kmv_stream_oracle())
+def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-day tumbling windows whose streamed state is a
+    bucketized-KMV sketch: groupBy(window, h32 % K) min(h32) — exactly K
+    rows of state per open window, append-emitted once per closed window,
+    MinCount-finalized batch-side (ops/sketches.mincount_finalize over
+    exact integer minima).  The oracle replays the identical deterministic
+    sketch in DuckDB, including the availableNow emission cutoff."""
+    from moosestack_spark.operators.aggregates import fmix32_expr
+    from moosestack_spark.ops.sketches import mincount_finalize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="msk_kmv_src_")
+    out_dir = tempfile.mkdtemp(prefix="msk_kmv_out_")
+    ckpt = tempfile.mkdtemp(prefix="msk_kmv_ckpt_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    scope = _stream_state_partitions(spark)
+    scope.__enter__()
+    try:
+        stream = (
+            normalize_event_ts(
+                spark.readStream.schema(events_schema).parquet(src_dir)
+            )
+            .select(
+                "ts", F.expr(fmix32_expr("user_id")).cast("bigint").alias("h32")
+            )
+            .withColumn("bucket", (F.col("h32") % _KMV_K).cast("int"))
+            .withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day"), F.col("bucket"))
+            .agg(F.min("h32").alias("m"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd").alias("window_start"),
+                "bucket",
+                "m",
+            )
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        minima = spark.read.parquet(out_dir)
+        return mincount_finalize(
+            minima, ["window_start"], k=_KMV_K
+        ).localCheckpoint()
+    finally:
+        scope.__exit__()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -233,3 +233,61 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = kmv_sketch(evens.unionByName(threes), "grp", "user_id", k=_K)
     return kmv_set_ops(sk, "grp", "evens", "threes", k=_K)
+
+
+# ---------------------------------------------------------------------------
+# bucketized (stochastic-averaging) variant: min-hash per hash-modulo
+# bucket.  Unlike the rank-k prefix above, the per-bucket MIN is an
+# algebraic aggregate Structured Streaming can maintain incrementally with
+# EXACTLY k rows of state per group/window — the streaming-compatible KMV.
+# Estimator: MinCount (Lumbroso 2010): n̂ = k(k-1)·H / Σ m_i over exact
+# integer minima (empty bucket ⇒ m_i = H), linear counting -k·ln(V/k)
+# while V buckets are still empty.  All internals are exact integers; the
+# single division / single ln surfaces per the float-determinism policy.
+# ---------------------------------------------------------------------------
+
+
+def kmv_bucket_minima(
+    df: DataFrame, group_col, key_col: str, k: int = 256
+) -> DataFrame:
+    """-> (group..., bucket, m): min fmix32 hash per modulo bucket.  Works
+    on batch AND streaming frames (min is an algebraic aggregate)."""
+    group_cols = group_col if isinstance(group_col, list) else [group_col]
+    hashed = df.select(
+        *group_cols,
+        F.expr(fmix32_expr(key_col)).cast("bigint").alias("h32"),
+    )
+    return (
+        hashed.withColumn("bucket", (F.col("h32") % k).cast("int"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.min("h32").alias("m"))
+    )
+
+
+def mincount_finalize(
+    minima: DataFrame, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """(group..., bucket, m) rows -> (group..., used_buckets, est_distinct).
+
+    Exact-integer internals: Σ m_i is a BIGINT sum with empty buckets
+    contributing H exactly; only the final division (or ln) is floating."""
+    agg = minima.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("used_buckets"),
+        F.sum("m").cast("bigint").alias("sum_min_used"),
+    )
+    sum_min = (
+        F.col("sum_min_used")
+        + (F.lit(k) - F.col("used_buckets")).cast("bigint") * F.lit(HASH_SPACE)
+    )
+    est = F.when(
+        F.col("used_buckets") < k,
+        -F.lit(float(k))
+        * F.log((F.lit(k) - F.col("used_buckets")) / F.lit(float(k))),
+    ).otherwise(
+        F.lit(float(k * (k - 1))) * F.lit(float(HASH_SPACE)) / sum_min
+    )
+    return agg.select(
+        *group_cols,
+        "used_buckets",
+        est.cast("float").alias("est_distinct"),
+    )

@@ -98,6 +98,7 @@ _WINDOW_PRIORITY = [
     "layout_hilbert_index",
     "agg_moving_window_arrays",
     "source_delta_native_read",
+    "streaming_kmv_distinct",
     # --- stale re-verification (latest driver row = round 1) ---
     "agg_pricing_summary",
     "agg_count_distinct",
@@ -121,7 +122,6 @@ _WINDOW_PRIORITY = [
     "mv_populate_matches_incremental",
     "query_builder_chain",
     "scalar_json_extract",
-    "semantic_dims_metrics_groupby",
     "semantic_join_dimension_having",
     "setop_union_merge",
     "sql_template_params",
