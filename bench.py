@@ -124,6 +124,7 @@ EXTRA = [
     "layout_hilbert_index",
     "agg_moving_window_arrays",
     "source_delta_native_read",
+    "streaming_kmv_distinct",
 ]
 
 

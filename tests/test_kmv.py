@@ -62,3 +62,17 @@ def test_sketch_merge_is_order_free(spark):
     sk_b = kmv_sketch(b, "g", "key", k=k).collect()[0].kmins
     merged = sorted(set(sk_a) | set(sk_b))[:k]
     assert merged == direct
+
+
+def test_mincount_bucketized_estimator_band(spark):
+    """The streaming-compatible bucketized variant: K bucket minima +
+    MinCount finalize must land near truth across the small/large regimes
+    (linear counting vs harmonic estimator)."""
+    from moosestack_spark.ops.sketches import kmv_bucket_minima, mincount_finalize
+
+    for n, tol in [(100, 0.25), (5000, 0.25), (50000, 0.25)]:
+        df = spark.range(n).selectExpr("'g' AS g", "id AS key")
+        minima = kmv_bucket_minima(df, "g", "key", k=256)
+        assert minima.count() <= 256  # state bound
+        est = mincount_finalize(minima, ["g"], k=256).collect()[0]
+        assert abs(est.est_distinct - n) / n < tol, (n, est.est_distinct)
