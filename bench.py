@@ -125,6 +125,7 @@ EXTRA = [
     "agg_moving_window_arrays",
     "source_delta_native_read",
     "streaming_kmv_distinct",
+    "source_ch_formats_roundtrip",
 ]
 
 

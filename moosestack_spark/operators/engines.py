@@ -542,3 +542,92 @@ def source_delta_native_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return parts[0].unionByName(parts[1]).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "source_ch_formats_roundtrip",
+    oracle="""
+SELECT 'tsv_with_names' AS fmt,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+       CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS nations
+FROM supplier
+UNION ALL
+SELECT 'json_compact_each_row' AS fmt,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+       CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS nations
+FROM supplier
+""",
+)
+def source_ch_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two more ClickHouse wire formats on the S3-table read path
+    (reference: blocks.py S3 table `format` — CH formats doc):
+    TabSeparatedWithNames (CSV reader, sep='\\t', header) and
+    JSONCompactEachRow (one JSON ARRAY per line, positional columns —
+    written as text, read back via from_json(array<string>) + positional
+    casts).  Both round-trips aggregate to the oracle's direct numbers."""
+    import shutil
+    import tempfile
+
+    src = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.col("s_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    tsv_dir = tempfile.mkdtemp(prefix="msk_src_tsv_")
+    jc_dir = tempfile.mkdtemp(prefix="msk_src_jc_")
+    try:
+        # TabSeparatedWithNames
+        src.write.mode("overwrite").option("header", True).option(
+            "sep", "\t"
+        ).csv(tsv_dir)
+        tsv_back = (
+            spark.read.schema(
+                "s_suppkey bigint, s_name string, s_nationkey bigint, "
+                "bal decimal(18,2)"
+            )
+            .option("header", True)
+            .option("sep", "\t")
+            .csv(tsv_dir)
+        )
+        # JSONCompactEachRow: [v1, v2, ...] per line
+        src.select(
+            F.to_json(
+                F.array(
+                    F.col("s_suppkey").cast("string"),
+                    F.col("s_name"),
+                    F.col("s_nationkey").cast("string"),
+                    F.col("bal").cast("string"),
+                )
+            ).alias("value")
+        ).write.mode("overwrite").text(jc_dir)
+        jc_back = (
+            spark.read.text(jc_dir)
+            .select(
+                F.from_json(F.col("value"), "array<string>").alias("a")
+            )
+            .select(
+                F.element_at("a", 1).cast("bigint").alias("s_suppkey"),
+                F.element_at("a", 2).alias("s_name"),
+                F.element_at("a", 3).cast("bigint").alias("s_nationkey"),
+                F.element_at("a", 4).cast("decimal(18,2)").alias("bal"),
+            )
+        )
+        frames = []
+        for fmt, frame in (
+            ("tsv_with_names", tsv_back),
+            ("json_compact_each_row", jc_back),
+        ):
+            frames.append(
+                frame.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("bal").cast("double").alias("total_bal"),
+                    F.count_distinct("s_nationkey").alias("nations"),
+                ).select(F.lit(fmt).alias("fmt"), "n", "total_bal", "nations")
+            )
+        return frames[0].unionByName(frames[1]).localCheckpoint()
+    finally:
+        shutil.rmtree(tsv_dir, ignore_errors=True)
+        shutil.rmtree(jc_dir, ignore_errors=True)

@@ -99,6 +99,7 @@ _WINDOW_PRIORITY = [
     "agg_moving_window_arrays",
     "source_delta_native_read",
     "streaming_kmv_distinct",
+    "source_ch_formats_roundtrip",
     # --- stale re-verification (latest driver row = round 1) ---
     "agg_pricing_summary",
     "agg_count_distinct",
@@ -125,7 +126,6 @@ _WINDOW_PRIORITY = [
     "semantic_join_dimension_having",
     "setop_union_merge",
     "sql_template_params",
-    "sql_guarded_limit",
     "sql_ch_dialect_translated",
 ]
 
