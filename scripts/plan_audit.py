@@ -62,6 +62,9 @@ ALLOWED = {
     "agg_ks_test": {"BNLJ"},
     # Theil's U: three ONE-row aggregates (joint + two marginals) crossed
     "agg_theils_u": {"BNLJ"},
+    # KMV set ops: two ONE-row sketch frames (k-min arrays for the two
+    # groups) crossed — broadcast nested loop of 1x1 rows by construction
+    "agg_kmv_set_ops": {"BNLJ"},
 }
 
 

@@ -169,3 +169,51 @@ def test_dimension_validation():
         encode_webp_lossless(np.zeros((0, 4, 3), np.uint8))
     with pytest.raises(ValueError):
         encode_webp_lossless(np.zeros((4, 4, 2), np.uint8))
+
+
+def test_meta_prefix_codes_decode():
+    """Hand-build a VP8L stream with TWO prefix-code groups selected by an
+    entropy image (meta codes) — the decoder path no in-repo encoder
+    emits.  Left half pixels come from group 0 (solid red), right half
+    from group 1 (solid blue); a decoder ignoring the meta selection
+    produces the wrong halves."""
+    import numpy as np
+
+    from moosestack_spark.ops.webp import (
+        BitWriter,
+        _canonical_codes,
+        _emit,
+        _encode_spatial,
+        _write_huffman_code,
+        build_code_lengths,
+        decode_vp8l,
+    )
+
+    w, h = 8, 4
+    bw = BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta prefix codes PRESENT
+    huffman_bits = 2  # 4-pixel blocks -> entropy image 2x1
+    bw.write(huffman_bits - 2, 3)
+    # entropy image: (red<<8)|green = meta index; left block 0, right block 1
+    ent = np.zeros((1, 2, 4), dtype=np.uint8)
+    ent[0, 0, 2] = 0  # green: meta code 0
+    ent[0, 1, 2] = 1  # meta code 1
+    _encode_spatial(bw, ent, top_level=False)
+    # two groups; group 0 emits red=200, group 1 emits blue=90
+    for g_lit, r_lit, b_lit in [(10, 200, 0), (20, 0, 90)]:
+        for val, size in [(g_lit, 256 + 24), (r_lit, 256), (b_lit, 256), (255, 256), (0, 40)]:
+            lengths = build_code_lengths({val: 1}, size)
+            _write_huffman_code(bw, lengths, _canonical_codes(lengths))
+    # literals: group chosen by x >> huffman_bits (all zero-bit codes, so
+    # nothing to emit per pixel — the stream IS the header)
+    rgba = decode_vp8l(b"\x2f" + bw.bytes() + b"\x00" * 4)
+    left, right = rgba[:, :4], rgba[:, 4:]
+    assert (left[:, :, 0] == 200).all() and (left[:, :, 2] == 0).all()
+    assert (right[:, :, 0] == 0).all() and (right[:, :, 2] == 90).all()
+    assert (rgba[:, :, 1] == np.where(np.arange(w)[None, :] < 4, 10, 20)).all()
