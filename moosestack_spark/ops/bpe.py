@@ -261,3 +261,118 @@ def _register_gate_queries() -> None:
 
 
 _register_gate_queries()
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 style): pre-tokenize with the public GPT-2 split
+# regex, map each pre-token's UTF-8 bytes through the printable
+# byte-to-unicode table (Radford et al. 2019 / openai/gpt-2 encoder.py —
+# public algorithm), then run the SAME merge machinery over byte symbols.
+# No END_OF_WORD marker: whitespace travels inside pre-tokens, which is
+# what makes byte-level BPE lossless over arbitrary text.
+# ---------------------------------------------------------------------------
+
+# Java-regex flavor of the GPT-2 split pattern (\p{L}/\p{N} are
+# unicode-aware in Java by default; the lookahead keeps trailing spaces
+# attached to the following token)
+GPT2_SPLIT_JAVA = (
+    r"(?:'s|'t|'re|'ve|'m|'ll|'d)"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte -> printable-unicode mapping: printable
+    latin ranges map to themselves, everything else shifts past U+0100."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+def _byte_syms_expr(word_col: str) -> Column:
+    """array<string>: the word's UTF-8 bytes mapped through
+    bytes_to_unicode — a pure JVM walk (binary substring + hex lookup in a
+    256-entry map literal), no Python UDF."""
+    b2u = bytes_to_unicode()
+    entries: list[Column] = []
+    for b, ch in b2u.items():
+        entries.append(F.lit(f"{b:02X}"))
+        entries.append(F.lit(ch))
+    m = F.create_map(*entries)
+    bin_col = F.encode(F.col(word_col), "UTF-8")
+    return F.transform(
+        F.sequence(F.lit(1), F.octet_length(F.col(word_col))),
+        lambda i: F.element_at(m, F.upper(F.hex(F.substring(bin_col, i, 1)))),
+    )
+
+
+def byte_pretokens_with_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """corpus -> (syms: array<string> of mapped byte chars, freq), one row
+    per distinct GPT-2 pre-token.  One shuffle with map-side combine —
+    the byte-level twin of words_with_freq."""
+    w = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(GPT2_SPLIT_JAVA), 0
+                )
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return w.select(_byte_syms_expr("word").alias("syms"), "freq")
+
+
+def train_bpe_bytes(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 100,
+    max_words: int = 100_000,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Byte-level BPE training on the sampled path (bounded top-max_words
+    collect + incremental local merges — exact-equivalent whenever the
+    collect covers the pre-token vocabulary, same argument as
+    train_bpe_sampled)."""
+    rows = (
+        byte_pretokens_with_freq(docs, text_col)
+        .orderBy(F.desc("freq"), F.asc("syms"))
+        .limit(max_words)
+        .collect()
+    )
+    wf = [(tuple(r.syms), int(r.freq)) for r in rows]
+    return _local_bpe(wf, n_merges, min_pair_count)
+
+
+def apply_bpe_bytes(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document byte-level BPE token counts with a learned merge table
+    (rank-order inference, pure JVM fold chain)."""
+    word = F.explode(
+        F.regexp_extract_all(F.col(text_col), F.lit(GPT2_SPLIT_JAVA), 0)
+    ).alias("word")
+    w = docs.select(id_col, word).filter(F.col("word") != "")
+    syms = _byte_syms_expr("word")
+    for left, right, _ in merges:
+        syms = _merge_pair(syms, left, right)
+    return (
+        w.select(id_col, F.size(syms).alias("n_tok"))
+        .groupBy(id_col)
+        .agg(F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"))
+    )

@@ -174,3 +174,99 @@ def test_large_merge_count_routes_to_sampled(spark, monkeypatch):
     out = bpe.train_bpe(docs, "text", n_merges=65, allow_sequential=True)
     assert "n_merges" in calls  # sampled NOT called again for this
     assert all(len(m) == 3 for m in out)
+
+
+# ---------------------------------------------------------------------------
+# byte-level (GPT-2 style)
+# ---------------------------------------------------------------------------
+
+
+def _py_gpt2_pretokens(text):
+    import regex
+
+    pat = regex.compile(
+        r"(?:'s|'t|'re|'ve|'m|'ll|'d)"
+        r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+    )
+    return [m.group(0) for m in pat.finditer(text)]
+
+
+def _py_byte_syms(word):
+    from moosestack_spark.ops.bpe import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    return tuple(b2u[b] for b in word.encode("utf-8"))
+
+
+BCORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox  isn't lazy, it's quick!"),
+    (2, "Voilà — naïve café owners über-like the quick fox 42 times"),
+    (3, "the the the quick quick brown dog dog dog"),
+]
+
+
+def test_bytes_to_unicode_reversible():
+    from moosestack_spark.ops.bpe import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    assert len(b2u) == 256 and len(set(b2u.values())) == 256
+    assert b2u[ord("a")] == "a"  # printable range maps to itself
+
+
+def test_byte_pretokens_match_python_reference(spark):
+    from collections import Counter
+
+    from moosestack_spark.ops.bpe import byte_pretokens_with_freq
+
+    docs = spark.createDataFrame(BCORPUS, "doc_id long, text string")
+    got = {
+        tuple(r.syms): r.freq
+        for r in byte_pretokens_with_freq(docs).collect()
+    }
+    want = Counter()
+    for _, text in BCORPUS:
+        for tok in _py_gpt2_pretokens(text):
+            want[_py_byte_syms(tok)] += 1
+    assert got == dict(want)
+
+
+def test_byte_bpe_merge_sequence_matches_local_reference(spark):
+    from collections import Counter
+
+    from moosestack_spark.ops.bpe import _local_bpe, train_bpe_bytes
+
+    docs = spark.createDataFrame(BCORPUS, "doc_id long, text string")
+    got = train_bpe_bytes(docs, n_merges=25, min_pair_count=2)
+    want_freqs = Counter()
+    for _, text in BCORPUS:
+        for tok in _py_gpt2_pretokens(text):
+            want_freqs[_py_byte_syms(tok)] += 1
+    want = _local_bpe(list(want_freqs.items()), 25, 2)
+    assert got == want
+    assert len(got) > 5  # real merges learned
+
+
+def test_apply_bpe_bytes_counts_match_python(spark):
+    from moosestack_spark.ops.bpe import (
+        _greedy_merge,
+        apply_bpe_bytes,
+        train_bpe_bytes,
+    )
+
+    docs = spark.createDataFrame(BCORPUS, "doc_id long, text string")
+    merges = train_bpe_bytes(docs, n_merges=15, min_pair_count=2)
+    got = {r.doc_id: r.n_bpe_tokens for r in apply_bpe_bytes(docs, merges).collect()}
+    want = {}
+    for did, text in BCORPUS:
+        n = 0
+        for tok in _py_gpt2_pretokens(text):
+            syms = list(_py_byte_syms(tok))
+            for left, right, _ in merges:
+                syms = _greedy_merge(syms, left, right)
+            n += len(syms)
+        want[did] = n
+    assert got == want
+    # byte-level is lossless: token count >= pretoken count, and unicode
+    # text (multi-byte chars) still tokenizes without any unknown symbol
+    assert all(v > 0 for v in got.values())
