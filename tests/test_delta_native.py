@@ -91,3 +91,12 @@ def test_newer_reader_protocol_raises(table):
 def test_unknown_version_raises(table):
     with pytest.raises(ValueError, match="version"):
         table.read(version=7)
+
+
+def test_data_filter_pushes_into_parquet_scan(table):
+    """The native reader hands Spark plain parquet files, so Catalyst's
+    predicate pushdown must reach the scan (PushedFilters) — the reader
+    adds no opaque layer in between."""
+    df = table.read().filter("id > 50")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:80]

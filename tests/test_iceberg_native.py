@@ -139,3 +139,11 @@ def test_olap_table_iceberg_engine_uses_native_reader(spark, tmp_path):
     got = t.read()
     assert got.count() == 40
     assert {r.p for r in got.select("p").distinct().collect()} == {"0", "1", "2"}
+
+
+def test_data_filter_pushes_into_parquet_scan(table):
+    """Same pushdown pin as the Delta reader: the metadata walk selects
+    files, Spark's parquet scan still sees PushedFilters."""
+    df = table.read().filter("id > 50")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:80]
