@@ -10,10 +10,13 @@ over mapInPandas — Arrow-batched, schema-stable, partition-parallel.
 Decode is REAL for BMP (24-bit BI_RGB), PPM (P6), WAV (PCM16 + G.711),
 FLAC (ops/flac.py), JPEG (baseline + progressive, ops/jpeg.py), PNG
 (sequential + Adam7, ops/png.py), GIF (ops/gif.py) and TIFF
-(none/PackBits/LZW strips, ops/tiff.py) — the formats real training
-corpora actually contain.  Remaining formats (WebP, MP3, MP4 frames)
-raise NotImplementedError — that boundary is honest, and swapping the
-sniffer's branch for a real call is the only change needed.
+(none/PackBits/LZW strips, ops/tiff.py), lossless WebP (VP8L,
+ops/webp.py) and Ogg-FLAC (ops/ogg.py) — the formats real training
+corpora actually contain.  MP3 container metadata (frame walk + ID3v2)
+is real in ops/mp3.py; MP3/AAC audio DECODE and MP4 frame extraction
+raise NotImplementedError — that boundary is honest (no MDCT/ffmpeg
+stack here), and swapping the sniffer's branch for a real call is the
+only change needed.
 
 Scale notes: media payloads dominate row size, so operators (a) never
 shuffle raw bytes (feature extraction projects bytes away before any wide

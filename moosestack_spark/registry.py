@@ -177,6 +177,7 @@ def load_all() -> None:
         layout,
         linedup,
         lm_score,
+        mp3,
         multimodal,
         multimodal_ext,
         phash,
