@@ -242,6 +242,31 @@ def main() -> None:
     except Exception as exc:
         print(f"BENCH-SCALE-SETUP-ERROR: {exc!r}"[:500], file=sys.stderr)
 
+    # Occupancy-targeted banding vs the fixed gate config, same scaled
+    # corpus and a realistic near-dup threshold (t=0.9, recall 0.9).  The
+    # fixed 4-plane/16-bucket config above is the correctness-gate shape
+    # and grows O(n^2/16) per band (8.3 s at 10x -> 84.6 s at 30x); the
+    # auto config holds expected bucket occupancy constant so verify work
+    # is linear in n.  The pair of numbers is the scale claim, measured.
+    try:
+        from moosestack_spark.ops.dedup import (
+            embedding_cosine_pairs_pruned_auto,
+        )
+
+        semb = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
+        n_emb = semb.count()
+        start = time.perf_counter()
+        embedding_cosine_pairs_pruned_auto(
+            semb, "vec_id", "embedding", threshold=0.9, dim=64, n_rows=n_emb
+        ).count()
+        scale_queries["dedup_embedding_auto_t90"] = round(
+            time.perf_counter() - start, 3
+        )
+    except Exception as exc:
+        print(f"BENCH-SCALE-ERROR dedup_embedding_auto_t90: {exc!r}"[:500],
+              file=sys.stderr)
+        scale_queries["dedup_embedding_auto_t90"] = None
+
     # Chain-heavy CC fixture: 1024 disjoint 64-node chains (diameter 64 —
     # the pathological shape for O(diameter) label propagation, the home
     # turf of the O(log n) star variant).  This is the empirical backing

