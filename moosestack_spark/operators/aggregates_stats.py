@@ -1006,3 +1006,80 @@ def agg_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("contingency"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# quantileTiming (ClickHouse parity): the fixed-resolution timing histogram
+# — 1 ms exact below 1024 ms, 16 ms resolution from 1024 ms up, everything
+# above 30 s counted as 30 s (the documented CH accuracy contract for
+# request-latency quantiles).  State is the bounded histogram (<= 1024 +
+# ~1810 + 1 buckets regardless of row count), which is what makes it the
+# scale answer next to exact percentile: one groupBy on (key, bucket),
+# then a bucket-count cumulative scan — no per-value ordered state.
+# Rank rule: the q-quantile is the smallest bucket whose cumulative count
+# reaches ceil(q * n) — integer-exact, both engines agree bit-for-bit.
+# Reference: CH quantileTiming docs (deterministic, fixed precision bands).
+# --------------------------------------------------------------------------
+
+@query(
+    "agg_quantile_timing",
+    oracle="""
+WITH ms AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 97) AS BIGINT) AS ms
+  FROM events
+),
+bucketed AS (
+  SELECT event_type,
+         CASE WHEN ms >= 30000 THEN 30000
+              WHEN ms < 1024 THEN ms
+              ELSE (ms // 16) * 16 END AS b
+  FROM ms
+),
+hist AS (
+  SELECT event_type, b, COUNT(*) AS cnt
+  FROM bucketed GROUP BY event_type, b
+),
+cum AS (
+  SELECT event_type, b, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY b) AS c,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type,
+       CAST(MIN(CASE WHEN c >= CEIL(0.5 * n) THEN b END) AS BIGINT) AS q50_ms,
+       CAST(MIN(CASE WHEN c >= CEIL(0.9 * n) THEN b END) AS BIGINT) AS q90_ms,
+       CAST(MIN(CASE WHEN c >= CEIL(0.99 * n) THEN b END) AS BIGINT) AS q99_ms
+FROM cum GROUP BY event_type
+""",
+)
+def agg_quantile_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 latency per event type under quantileTiming's histogram
+    contract (value*97 ms synthesizes a latency column that crosses both
+    the 1024 ms resolution break and the 30 s clamp)."""
+    ev = t(spark, sf_dir, "events")
+    ms = F.floor(F.col("value") * 97).cast("bigint")
+    b = (
+        F.when(ms >= 30000, F.lit(30000))
+        .when(ms < 1024, ms)
+        .otherwise(F.expr("(CAST(FLOOR(value * 97) AS BIGINT) DIV 16) * 16"))
+    )
+    hist = ev.groupBy("event_type", b.alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = hist.select(
+        "event_type", "b", "cnt",
+        F.sum("cnt").over(
+            Window.partitionBy("event_type").orderBy("b")
+        ).alias("c"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def q_at(q: float, name: str):
+        return F.min(
+            F.when(F.col("c") >= F.ceil(F.lit(q) * F.col("n")), F.col("b"))
+        ).cast("bigint").alias(name)
+
+    return cum.groupBy("event_type").agg(
+        q_at(0.5, "q50_ms"), q_at(0.9, "q90_ms"), q_at(0.99, "q99_ms")
+    )

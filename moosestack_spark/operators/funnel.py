@@ -435,3 +435,209 @@ def funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("funnel_level")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# windowFunnel mode family (CH parity: strict_increase / strict_dedup) under
+# GREEDY first-match scan semantics: from each step-1 event, step k+1 is the
+# EARLIEST step-(k+1) event after the current chain head (ClickHouse's
+# sorted-scan takes the first match), so every (user, start) has exactly one
+# chain — no witness sets, and each level advance is one min-aggregated join
+# (bounded at one row per (user, start), the skew-safe shape of
+# _advance_level).
+#
+# - default: next event at ts >= prev (equal timestamps chain, as in CH's
+#   sorted scan; distinct step conditions here, so an event never matches
+#   two steps);
+# - strict_increase: ts > prev only;
+# - strict_dedup: built on strict_increase, and the chain DIES if any event
+#   matching an already-matched step occurs strictly between the chain head
+#   and the found next step (CH: a repeating event interrupts processing).
+#   Blocker check = one more min-join per level: first any-earlier-step
+#   event after the head, compared against the found next.
+# --------------------------------------------------------------------------
+
+
+def window_funnel_greedy(
+    events: DataFrame,
+    steps: list[Column],
+    window_expr: str,
+    mode: str = "default",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(user_id, funnel_level) under greedy first-match scan semantics.
+    mode in {'default', 'strict_increase', 'strict_dedup'}."""
+    if mode not in ("default", "strict_increase", "strict_dedup"):
+        raise ValueError(f"unknown windowFunnel mode {mode!r}")
+    w = F.expr(window_expr)
+    frames = [
+        events.filter(cond).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        for cond in steps
+    ]
+    chain = frames[0].select(
+        "u", F.col("t").alias("start"), F.col("t").alias("prev")
+    ).distinct()
+    levels = [chain.select("u").distinct().withColumn("lvl", F.lit(1))]
+    strict = mode != "default"
+    for k in range(1, len(frames)):
+        nxt = frames[k].select(F.col("u").alias("u2"), F.col("t").alias("t2"))
+        t_after = F.col("t2") > F.col("prev") if strict else (
+            F.col("t2") >= F.col("prev")
+        )
+        advanced = (
+            chain.join(
+                nxt,
+                (F.col("u") == F.col("u2"))
+                & t_after
+                & (F.col("t2") <= F.col("start") + w),
+            )
+            .groupBy("u", "start")
+            .agg(F.min("t2").alias("nxt_t"))
+        )
+        if mode == "strict_dedup":
+            # first event matching ANY already-matched step strictly after
+            # the chain head; chain survives only if the next step comes
+            # first (ties: blocker at exactly nxt_t does not kill)
+            matched = frames[0]
+            for fr in frames[1:k]:
+                matched = matched.unionByName(fr)
+            # join back the chain head (prev) to scope the blocker scan
+            headed = advanced.join(
+                chain.select("u", "start", "prev"), ["u", "start"]
+            )
+            blocker = (
+                headed.join(
+                    matched.select(
+                        F.col("u").alias("u3"), F.col("t").alias("t3")
+                    ),
+                    (F.col("u") == F.col("u3")) & (F.col("t3") > F.col("prev")),
+                    "left",
+                )
+                .groupBy("u", "start", "nxt_t")
+                .agg(F.min("t3").alias("blk_t"))
+            )
+            chain = (
+                blocker.filter(
+                    F.col("blk_t").isNull() | (F.col("blk_t") >= F.col("nxt_t"))
+                )
+                .select("u", "start", F.col("nxt_t").alias("prev"))
+            )
+        else:
+            chain = advanced.select("u", "start", F.col("nxt_t").alias("prev"))
+        levels.append(
+            chain.select("u").distinct().withColumn("lvl", F.lit(k + 1))
+        )
+    all_levels = levels[0]
+    for lv in levels[1:]:
+        all_levels = all_levels.unionByName(lv)
+    return (
+        all_levels.groupBy("u")
+        .agg(F.max("lvl").alias("funnel_level"))
+        .select(F.col("u").alias(user_col), "funnel_level")
+    )
+
+
+def _funnel_modes_oracle() -> str:
+    mode_sql = []
+    for mode, op in (("default", ">="), ("strict_increase", ">")):
+        mode_sql.append(f"""
+ch2_{mode} AS (
+  SELECT s.user_id, s.ts AS start, MIN(c.ts) AS prev
+  FROM v s JOIN c ON c.user_id = s.user_id
+   AND c.ts {op} s.ts AND c.ts <= s.ts + INTERVAL 12 HOUR
+  GROUP BY s.user_id, s.ts
+),
+ch3_{mode} AS (
+  SELECT ch.user_id, ch.start, MIN(p.ts) AS prev
+  FROM ch2_{mode} ch JOIN p ON p.user_id = ch.user_id
+   AND p.ts {op} ch.prev AND p.ts <= ch.start + INTERVAL 12 HOUR
+  GROUP BY ch.user_id, ch.start
+),
+ul_{mode} AS (
+  SELECT user_id, MAX(lvl) AS funnel_level FROM (
+    SELECT DISTINCT user_id, 1 AS lvl FROM v
+    UNION ALL SELECT DISTINCT user_id, 2 FROM ch2_{mode}
+    UNION ALL SELECT DISTINCT user_id, 3 FROM ch3_{mode}
+  ) GROUP BY user_id
+)""")
+    dedup_sql = """
+d2 AS (
+  SELECT s.user_id, s.ts AS start, s.ts AS head, MIN(c.ts) AS nxt
+  FROM v s JOIN c ON c.user_id = s.user_id
+   AND c.ts > s.ts AND c.ts <= s.ts + INTERVAL 12 HOUR
+  GROUP BY s.user_id, s.ts
+),
+d2b AS (
+  SELECT d.user_id, d.start, d.nxt AS prev
+  FROM d2 d LEFT JOIN (
+    SELECT d.user_id AS uu, d.start AS ss, MIN(b.ts) AS blk
+    FROM d2 d JOIN v b ON b.user_id = d.user_id AND b.ts > d.head
+    GROUP BY d.user_id, d.start
+  ) bl ON bl.uu = d.user_id AND bl.ss = d.start
+  WHERE bl.blk IS NULL OR bl.blk >= d.nxt
+),
+d3 AS (
+  SELECT d.user_id, d.start, d.prev AS head, MIN(p.ts) AS nxt
+  FROM d2b d JOIN p ON p.user_id = d.user_id
+   AND p.ts > d.prev AND p.ts <= d.start + INTERVAL 12 HOUR
+  GROUP BY d.user_id, d.start, d.prev
+),
+d3b AS (
+  SELECT d.user_id
+  FROM d3 d LEFT JOIN (
+    SELECT d.user_id AS uu, d.start AS ss, MIN(b.ts) AS blk
+    FROM d3 d JOIN (SELECT user_id, ts FROM v UNION ALL
+                    SELECT user_id, ts FROM c) b
+      ON b.user_id = d.user_id AND b.ts > d.head
+    GROUP BY d.user_id, d.start
+  ) bl ON bl.uu = d.user_id AND bl.ss = d.start
+  WHERE bl.blk IS NULL OR bl.blk >= d.nxt
+),
+ul_strict_dedup AS (
+  SELECT user_id, MAX(lvl) AS funnel_level FROM (
+    SELECT DISTINCT user_id, 1 AS lvl FROM v
+    UNION ALL SELECT DISTINCT user_id, 2 FROM d2b
+    UNION ALL SELECT DISTINCT user_id, 3 FROM d3b
+  ) GROUP BY user_id
+)"""
+    return f"""
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+{",".join(mode_sql)},
+{dedup_sql}
+SELECT 'default' AS mode, funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ul_default GROUP BY funnel_level
+UNION ALL
+SELECT 'strict_increase', funnel_level, CAST(COUNT(*) AS BIGINT)
+FROM ul_strict_increase GROUP BY funnel_level
+UNION ALL
+SELECT 'strict_dedup', funnel_level, CAST(COUNT(*) AS BIGINT)
+FROM ul_strict_dedup GROUP BY funnel_level
+"""
+
+
+@query("funnel_modes_compare", oracle=_funnel_modes_oracle())
+def funnel_modes_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase histograms under all three greedy
+    windowFunnel modes side by side; the dedup column shows how many chains
+    a repeat view/click kills."""
+    e = t(spark, sf_dir, "events")
+    steps = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    out = None
+    for mode in ("default", "strict_increase", "strict_dedup"):
+        h = (
+            window_funnel_greedy(e, steps, "INTERVAL 12 HOURS", mode=mode)
+            .groupBy("funnel_level")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            .select(F.lit(mode).alias("mode"), "funnel_level", "n_users")
+        )
+        out = h if out is None else out.unionByName(h)
+    return out

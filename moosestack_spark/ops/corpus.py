@@ -645,3 +645,109 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
         F.sum("ntok").cast("bigint").alias("tokens_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement: priority sampling (Duffield, Lund,
+# Thorup, JACM 2007).  Each doc gets priority w_i / u_i with u_i uniform in
+# (0,1]; the k highest-priority docs are the sample, and max(w_i, tau) with
+# tau = the (k+1)-th priority is an unbiased estimator of any subset's
+# total weight — the right primitive for token-budgeted corpus subsetting
+# where plain Bernoulli sampling over/undershoots the budget.
+#
+# Determinism: u_i = (fmix32(doc_id)+1)/2^32, so priority
+# = w * 2^32 / (h32+1) — exact integer numerator (< 2^53) and denominator,
+# ONE correctly-rounded IEEE division; both engines produce bit-identical
+# doubles, no transcendentals (the -ln(u)/w exponential-key formulation of
+# Efraimidis-Spirakis would hash-diverge on libm ulps).  Ties broken by
+# doc_id.
+# Scale: the top-(k+1) is Spark's TakeOrdered (per-partition partial top-k,
+# no global sort shuffle); the tau window runs on k+1 rows.
+# --------------------------------------------------------------------------
+
+_PS_K = 120
+
+
+def _priority_sample_oracle() -> str:
+    from moosestack_spark.operators.aggregates import fmix32_duckdb_ctes
+
+    ctes = fmix32_duckdb_ctes("doc_id", "doc_id, ntok", "tok")
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
+  FROM documents
+),{ctes},
+scored AS (
+  SELECT doc_id, GREATEST(ntok, 1) AS w,
+         CAST(GREATEST(ntok, 1) * 4294967296 AS DOUBLE) / (h32 + 1) AS priority
+  FROM hashed
+),
+topk1 AS (
+  SELECT * FROM scored ORDER BY priority DESC, doc_id LIMIT {_PS_K + 1}
+),
+ranked AS (
+  SELECT doc_id, w, priority,
+         ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rk
+  FROM topk1
+),
+tau AS (
+  SELECT COALESCE(MAX(CASE WHEN rk = {_PS_K + 1} THEN priority END), 0.0)
+         AS tau
+  FROM ranked
+)
+SELECT doc_id, CAST(w AS BIGINT) AS weight, priority,
+       GREATEST(CAST(w AS DOUBLE), tau) AS est_weight
+FROM ranked, tau WHERE rk <= {_PS_K}
+"""
+
+
+@query("corpus_priority_sample", oracle=_priority_sample_oracle())
+def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted sample of {_PS_K} docs without replacement via
+    priority sampling, with the unbiased max(w, tau) weight estimator —
+    deterministic (portable fmix32 uniforms, division-only float path)
+    and therefore hard-oracled."""
+    from pyspark.sql import Window
+
+    from moosestack_spark.operators.aggregates import fmix32_expr
+
+    d = t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    scored = (
+        d.select("doc_id", ntok.alias("ntok"))
+        .withColumn("h32", F.expr(fmix32_expr("doc_id")))
+        .select(
+            "doc_id",
+            F.greatest("ntok", F.lit(1)).alias("w"),
+            (
+                (F.greatest("ntok", F.lit(1)) * F.lit(4294967296)).cast(
+                    "double"
+                )
+                / (F.col("h32") + 1)
+            ).alias("priority"),
+        )
+    )
+    topk1 = scored.orderBy(F.desc("priority"), "doc_id").limit(_PS_K + 1)
+    w_rank = Window.orderBy(F.desc("priority"), F.col("doc_id"))
+    ranked = topk1.select(
+        "*", F.row_number().over(w_rank).alias("rk")
+    )
+    tau = F.coalesce(
+        F.max(F.when(F.col("rk") == _PS_K + 1, F.col("priority"))).over(
+            Window.partitionBy()
+        ),
+        F.lit(0.0),
+    )
+    return (
+        ranked.withColumn("tau", tau)
+        .filter(F.col("rk") <= _PS_K)
+        .select(
+            "doc_id",
+            F.col("w").cast("bigint").alias("weight"),
+            "priority",
+            F.greatest(F.col("w").cast("double"), F.col("tau")).alias(
+                "est_weight"
+            ),
+        )
+    )
