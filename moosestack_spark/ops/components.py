@@ -325,3 +325,91 @@ def connected_components_star(
         comp.select(F.col("v").alias("cv")), nodes.u == F.col("cv"), "left_anti"
     ).select(F.col("u").alias("v"), F.col("u").alias("cluster_id"))
     return comp.unionByName(roots)
+
+
+# --------------------------------------------------------------------------
+# Quality-keeper selection: production near-dup dedup does NOT keep the
+# min-id doc — it keeps the best doc of each duplicate cluster (longest /
+# highest-quality-score) and drops the rest.  Composition: CC clusters over
+# the Jaccard pair graph + a per-cluster argmax(quality, tiebreak min id).
+# One extra shuffle on cluster_id (clusters are near-cliques, so the
+# window partition is tiny); quality here = exact token count, the
+# deterministic stand-in for a model quality score.
+# --------------------------------------------------------------------------
+
+_KEEPER_ORACLE = f"""
+WITH RECURSIVE {_PAIR_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+reach AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT e.dst AS v, reach.r AS r FROM reach JOIN edges e ON e.src = reach.v
+),
+cc AS (
+  SELECT v AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY v
+),
+q AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT)
+         AS quality
+  FROM documents
+),
+j AS (
+  SELECT cc.doc_id, cc.cluster_id, q.quality
+  FROM cc JOIN q USING (doc_id)
+),
+k AS (
+  SELECT cluster_id, doc_id AS keeper_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+         ) AS rk
+  FROM j
+)
+SELECT j.doc_id, j.cluster_id, j.quality, kk.keeper_id,
+       j.doc_id = kk.keeper_id AS kept
+FROM j JOIN (SELECT cluster_id, keeper_id FROM k WHERE rk = 1) kk
+  USING (cluster_id)
+"""
+
+
+@query("dedup_quality_keeper", oracle=_KEEPER_ORACLE)
+def dedup_quality_keeper(spark, sf_dir: str) -> DataFrame:
+    """Every clustered doc with its cluster, exact token-count quality, the
+    cluster's chosen keeper (max quality, min doc_id tiebreak), and the
+    keep/drop verdict — the decision table a curation pipeline acts on."""
+    from pyspark.sql import Window
+
+    from moosestack_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.5)
+    cc = connected_components_auto(pairs, "doc_a", "doc_b").select(
+        F.col("v").alias("doc_id"), "cluster_id"
+    )
+    quality = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("quality"),
+    )
+    j = cc.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.col("doc_id")
+    )
+    ranked = j.select("*", F.row_number().over(w).alias("rk"))
+    keepers = ranked.filter(F.col("rk") == 1).select(
+        "cluster_id", F.col("doc_id").alias("keeper_id")
+    )
+    return (
+        j.join(keepers, "cluster_id")
+        .select(
+            "doc_id", "cluster_id", "quality", "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("kept"),
+        )
+    )

@@ -77,3 +77,98 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
     return contaminated_docs(train, bench, n=3)
+
+
+# --------------------------------------------------------------------------
+# Embedding-space decontamination: a training doc is contaminated when its
+# embedding is close (cosine >= threshold) to ANY benchmark embedding —
+# catches paraphrased benchmark leakage that exact n-gram overlap misses
+# (the semantic-dedup analogue of contaminated_docs).
+#
+# Scale shape: the benchmark matrix is eval-suite-sized, so it broadcasts
+# (closure-captured numpy array, guarded by a loud count cap); candidates
+# stream through ONE Arrow mapInPandas GEMM per batch — no shuffle at all
+# until the (empty-by-default) aggregation of flagged ids.  Same FP-policy
+# as dedup_embedding_cosine: ids + integer match counts only (pair
+# membership is FP-stable; the raw cosine's last ulp is not).
+# --------------------------------------------------------------------------
+
+DECONTAM_BENCH_CAP = 100_000
+
+
+def contaminated_by_embedding(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """(id, n_matches) for candidates with cosine >= threshold against at
+    least one benchmark vector."""
+    import numpy as np
+    import pandas as pd
+
+    n_bench = benchmark.count()
+    if n_bench == 0:
+        return candidates.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_matches long"
+        )
+    if n_bench > DECONTAM_BENCH_CAP:
+        raise ValueError(
+            f"benchmark set has {n_bench} vectors (> {DECONTAM_BENCH_CAP}): "
+            "a broadcast GEMM against it would not be eval-suite-sized. "
+            "Pre-reduce the benchmark (dedup / centroids) or raise "
+            "DECONTAM_BENCH_CAP deliberately."
+        )
+    bench_rows = benchmark.select(vec_col).collect()
+    B = np.vstack([r[0] for r in bench_rows]).astype(np.float64)
+    B = B / np.linalg.norm(B, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            nm = (V @ B.T >= threshold).sum(axis=1)
+            keep = nm > 0
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["__id"].to_numpy()[keep],
+                    "n_matches": nm[keep].astype("int64"),
+                }
+            )
+
+    e = candidates.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    return e.mapInPandas(kernel, f"{id_col} long, n_matches long")
+
+
+@query(
+    "decontam_embedding_cosine",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, v FROM e WHERE vec_id % 50 != 0)
+SELECT c.vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM c JOIN b
+  ON list_dot_product(c.v, b.v)
+     / (SQRT(list_dot_product(c.v, c.v)) * SQRT(list_dot_product(b.v, b.v)))
+     >= 0.35
+GROUP BY c.vec_id
+""",
+)
+def decontam_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates (98% split) flagged against the benchmark subset
+    (vec_id % 50 == 0) at cosine >= 0.35, with exact match counts."""
+    e = t(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 50 == 0)
+    cand = e.filter(F.col("vec_id") % 50 != 0)
+    return contaminated_by_embedding(
+        cand, bench, "vec_id", "embedding", threshold=0.35
+    )

@@ -440,3 +440,109 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "dsir_weight")
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram LM with Stupid Backoff (Brants et al. 2007, "Large Language
+# Models in Machine Translation"): S(w2|w1) = c2(w1 w2)/c1(w1) when the
+# bigram is attested, else 0.4 * c1(w2)/N.  The backoff actually FIRES
+# here: the model trains on the 3/4 split (doc_id % 4 != 0) and scores the
+# full corpus, so held-out docs hit unseen bigrams (their count is the
+# exact-integer n_backoff column).  OOV words score with a count-1 floor.
+#
+# Scale: the bigram model is NOT broadcastable at corpus scale — the score
+# join on (w1, w2) is a key-sized shuffle (standard for n-gram LMs; prune
+# to top-K bigrams to bound it); the two unigram joins broadcast
+# (vocabulary-sized).  Float policy: exact integer counts, log2 + ordered
+# sum absorbed by the FLOAT surface (same as text_unigram_logprob).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_bigram_backoff_logprob",
+    oracle="""
+WITH lowered AS (SELECT doc_id, lower(trim(text)) AS text FROM documents),
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM lowered),
+tok AS (SELECT doc_id, UNNEST(ws) AS w FROM words),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+  WHERE doc_id % 4 != 0 GROUP BY w
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+big AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM words, UNNEST(range(1, len(ws))) AS t(i)
+),
+big_train AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big
+  WHERE doc_id % 4 != 0 GROUP BY w1, w2
+),
+scored AS (
+  SELECT b.doc_id,
+         CASE WHEN bt.c2 IS NOT NULL
+              THEN log2(CAST(bt.c2 AS DOUBLE)) - log2(CAST(u1.c AS DOUBLE))
+              ELSE log2(0.4) + log2(CAST(COALESCE(u2.c, 1) AS DOUBLE))
+                   - log2(CAST(tot.n AS DOUBLE)) END AS lp,
+         CASE WHEN bt.c2 IS NULL THEN 1 ELSE 0 END AS backoff
+  FROM big b
+  LEFT JOIN big_train bt ON b.w1 = bt.w1 AND b.w2 = bt.w2
+  LEFT JOIN uni u1 ON b.w1 = u1.w
+  LEFT JOIN uni u2 ON b.w2 = u2.w, tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+       CAST(SUM(lp) / COUNT(*) AS FLOAT) AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def text_bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average log2 Stupid-Backoff bigram probability under a
+    3/4-split-trained model, plus the exact count of backoff positions."""
+    from moosestack_spark.ops.corpus import word_bigrams
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("text")
+    )
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    uni = (
+        tok.filter(F.col("doc_id") % 4 != 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    big = word_bigrams(d, "doc_id", "text")
+    big_train = (
+        big.filter(F.col("doc_id") % 4 != 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    joined = (
+        big.join(big_train, ["w1", "w2"], "left")
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_w2"))),
+            "w2",
+            "left",
+        )
+        .join(F.broadcast(tot))
+    )
+    lp = F.when(
+        F.col("c2").isNotNull(),
+        F.log2(F.col("c2").cast("double")) - F.log2(F.col("c_w1").cast("double")),
+    ).otherwise(
+        F.log2(F.lit(0.4))
+        + F.log2(F.coalesce(F.col("c_w2"), F.lit(1)).cast("double"))
+        - F.log2(F.col("n").cast("double"))
+    )
+    backoff = F.when(F.col("c2").isNull(), 1).otherwise(0)
+    return joined.select("doc_id", lp.alias("lp"), backoff.alias("backoff")).groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("backoff").cast("bigint").alias("n_backoff"),
+        (F.sum("lp") / F.count(F.lit(1))).cast("float").alias("avg_logprob"),
+    )
