@@ -907,3 +907,176 @@ FROM (
         spark.sql(translate_ch_sql(ch_sql)),
         "arsort", "aflat", "arotl", "arotr", "swsp", "atok",
     )
+
+
+@query(
+    "sql_ch_dialect_vocab_r6b",
+    oracle=r"""
+SELECT o_orderkey,
+       a AS td,
+       monthname(o_orderdate) AS dn_m,
+       dayname(o_orderdate) AS dn_w,
+       CAST(year(o_orderdate) AS VARCHAR) AS dn_y,
+       e AS sos,
+       CAST(epoch_ms(tsm) % 1000 AS INT) AS msec,
+       CAST(datediff('day', DATE '1970-01-01', o_orderdate) + 719528
+            AS INT) AS dz,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS fdz,
+       regexp_extract(nm, 'part ([0-9]+)', 1) AS rex,
+       CASE WHEN regexp_full_match(ipstr,
+         '((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)')
+         THEN 1 ELSE 0 END AS ipv,
+       COALESCE(array_to_string(list_transform(list_filter(range(0, 63),
+         i -> ((a >> i) & 1) = 1),
+         i -> CAST((CAST(1 AS BIGINT) << i) AS VARCHAR)), ','), '') AS bml,
+       CAST(CASE WHEN a < 0 THEN 0 WHEN a >= 1000 THEN 11
+            ELSE CAST(FLOOR((CAST(a AS DOUBLE) - 0) / (1000 - 0) * 10)
+                 AS BIGINT) + 1 END AS BIGINT) AS wb,
+       CAST(len(list_filter(list_distinct(arr),
+              x -> list_contains(list_distinct(arr2), x))) AS DOUBLE)
+         / (len(list_distinct(arr)) + len(list_distinct(arr2))
+            - len(list_filter(list_distinct(arr),
+                x -> list_contains(list_distinct(arr2), x)))) AS ajac,
+       CAST(len(list_filter(range(1, greatest(length(nm), length(nm2)) + 1),
+         i -> string_split(nm, '')[i] IS DISTINCT FROM
+              string_split(nm2, '')[i])) AS INT) AS ham,
+       substr(nm, 2, 3) AS md,
+       '[' || array_to_string(list_transform(['part', 'zzz', '42'],
+         n -> CAST(strpos(txt, n) AS VARCHAR)), ',') || ']' AS msp,
+       CASE WHEN len(arr[2:3]) > len(arr) THEN 0
+            WHEN len(list_filter(range(1, len(arr) - len(arr[2:3]) + 2),
+              i -> arr[i : i + len(arr[2:3]) - 1] = arr[2:3])) > 0
+            THEN 1 ELSE 0 END AS hs,
+       0 AS hs2,
+       array_to_string(list_filter(
+         string_split_regex(txt, '[^A-Za-z0-9]+'), x -> x != ''), ',') AS tk,
+       array_to_string(string_split_regex(nm, '[0-9]+'), '|') AS sbr,
+       list_dot_product(darr, darr2) AS adp,
+       CASE WHEN e < 1048576 THEN NULL
+            WHEN e < 1073741824 THEN
+              CAST(CAST(e / 1048576 AS DECIMAL(20,2)) AS VARCHAR) || ' MiB'
+            ELSE NULL END AS frs,
+       CAST(CAST(a AS DECIMAL(20,2)) AS VARCHAR) || ' B' AS frs2,
+       CAST(CAST(e / 1000000 AS DECIMAL(20,2)) AS VARCHAR)
+         || ' million' AS frq,
+       repeat('█', CAST(FLOOR(least(greatest(
+           (CAST(a AS DOUBLE) - (0)) / ((1000) - (0)) * (10),
+           CAST(0 AS DOUBLE)), CAST((10) AS DOUBLE))) AS INT))
+         || ['','▏','▎','▍','▌','▋','▊','▉'][
+              CAST(FLOOR((least(greatest(
+                (CAST(a AS DOUBLE) - (0)) / ((1000) - (0)) * (10),
+                CAST(0 AS DOUBLE)), CAST((10) AS DOUBLE))
+                - FLOOR(least(greatest(
+                (CAST(a AS DOUBLE) - (0)) / ((1000) - (0)) * (10),
+                CAST(0 AS DOUBLE)), CAST((10) AS DOUBLE)))) * 8) AS INT) + 1]
+         AS br,
+       nm || nm2 AS cai,
+       upper(substr(nm, 1, 1)) || lower(substr(nm, 2)) AS icu
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         CAST(o_orderkey % 1000 AS BIGINT) AS a,
+         CAST(800000000 + o_orderkey % 100000 AS BIGINT) AS e,
+         make_timestamp(((800000000 + o_orderkey % 100000) * 1000
+            + o_orderkey % 1000) * 1000) AS tsm,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN '10.' || CAST(o_orderkey % 256 AS VARCHAR) || '.0.'
+                   || CAST(o_orderkey % 200 AS VARCHAR)
+              ELSE '299.1.2.' || CAST(o_orderkey % 99 AS VARCHAR) END
+           AS ipstr,
+         'part ' || CAST(o_orderkey % 97 AS VARCHAR) AS nm,
+         'par ' || CAST(o_orderkey % 89 AS VARCHAR) AS nm2,
+         [CAST(o_orderkey % 7 AS BIGINT), CAST(o_orderkey % 5 + 1 AS BIGINT),
+          CAST(o_orderkey % 3 + 2 AS BIGINT), CAST(o_orderkey % 7 AS BIGINT)]
+           AS arr,
+         [CAST(o_orderkey % 5 + 1 AS BIGINT), CAST(o_orderkey % 3 + 2 AS BIGINT),
+          CAST(11 AS BIGINT)] AS arr2,
+         [CAST(o_orderkey % 5 + 1 AS DOUBLE), CAST(o_orderkey % 4 + 1 AS DOUBLE),
+          CAST(o_orderkey % 3 + 1 AS DOUBLE)] AS darr,
+         [CAST(o_orderkey % 6 + 1 AS DOUBLE), CAST(o_orderkey % 7 + 1 AS DOUBLE),
+          CAST(o_orderkey % 2 + 1 AS DOUBLE)] AS darr2,
+         'part ' || CAST(o_orderkey % 97 AS VARCHAR) || ' 42  par '
+           || CAST(o_orderkey % 89 AS VARCHAR) AS txt
+  FROM orders WHERE o_orderkey % 43 = 0
+)
+""",
+)
+def sql_ch_dialect_vocab_r6b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6b vocabulary widening end-to-end: timeDiff, dateName,
+    toStartOfSecond/toMillisecond, to/fromDaysSinceYearZero (CH epoch day
+    719528), regexpExtract, isIPv4String, bitmaskToList, widthBucket,
+    arrayJaccardIndex, hammingDistance (byte-level), mid,
+    multiSearchAllPositions, hasSubstr, tokens, splitByRegexp,
+    arrayDotProduct, formatReadableSize/Quantity (CH unit ladders,
+    2-decimal rendering), bar (eighth-block unicode rendering),
+    concatAssumeInjective, initcapUTF8."""
+    from moosestack_spark.registry import canon_arrays
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       timeDiff(fromUnixTimestamp(e), fromUnixTimestamp(e + a)) AS td,
+       dateName('month', o_orderdate) AS dn_m,
+       dateName('weekday', o_orderdate) AS dn_w,
+       dateName('year', o_orderdate) AS dn_y,
+       toUnixTimestamp(toStartOfSecond(tsm)) AS sos,
+       toMillisecond(tsm) AS msec,
+       toDaysSinceYearZero(o_orderdate) AS dz,
+       formatDateTime(fromDaysSinceYearZero(toDaysSinceYearZero(o_orderdate)),
+           '%F') AS fdz,
+       regexpExtract(nm, 'part ([0-9]+)', 1) AS rex,
+       isIPv4String(ipstr) AS ipv,
+       bitmaskToList(a) AS bml,
+       widthBucket(a, 0, 1000, 10) AS wb,
+       arrayJaccardIndex(arr, arr2) AS ajac,
+       hammingDistance(nm, nm2) AS ham,
+       mid(nm, 2, 3) AS md,
+       multiSearchAllPositions(txt, array('part', 'zzz', '42')) AS msp,
+       if(hasSubstr(arr, arraySlice(arr, 2, 2)), 1, 0) AS hs,
+       if(hasSubstr(arr, array(CAST(99 AS BIGINT))), 1, 0) AS hs2,
+       arrayStringConcat(tokens(txt), ',') AS tk,
+       arrayStringConcat(splitByRegexp('[0-9]+', nm), '|') AS sbr,
+       arrayDotProduct(darr, darr2) AS adp,
+       formatReadableSize(e) AS frs,
+       formatReadableSize(a) AS frs2,
+       formatReadableQuantity(e) AS frq,
+       bar(a, 0, 1000, 10) AS br,
+       concatAssumeInjective(nm, nm2) AS cai,
+       initcapUTF8(nm) AS icu
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         CAST(o_orderkey % 1000 AS BIGINT) AS a,
+         CAST(800000000 + o_orderkey % 100000 AS BIGINT) AS e,
+         timestamp_millis((800000000 + o_orderkey % 100000) * 1000
+            + o_orderkey % 1000) AS tsm,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN concat('10.', toString(o_orderkey % 256), '.0.',
+                   toString(o_orderkey % 200))
+              ELSE concat('299.1.2.', toString(o_orderkey % 99)) END
+           AS ipstr,
+         concat('part ', toString(o_orderkey % 97)) AS nm,
+         concat('par ', toString(o_orderkey % 89)) AS nm2,
+         array(CAST(o_orderkey % 7 AS BIGINT),
+               CAST(o_orderkey % 5 + 1 AS BIGINT),
+               CAST(o_orderkey % 3 + 2 AS BIGINT),
+               CAST(o_orderkey % 7 AS BIGINT)) AS arr,
+         array(CAST(o_orderkey % 5 + 1 AS BIGINT),
+               CAST(o_orderkey % 3 + 2 AS BIGINT),
+               CAST(11 AS BIGINT)) AS arr2,
+         array(CAST(o_orderkey % 5 + 1 AS DOUBLE),
+               CAST(o_orderkey % 4 + 1 AS DOUBLE),
+               CAST(o_orderkey % 3 + 1 AS DOUBLE)) AS darr,
+         array(CAST(o_orderkey % 6 + 1 AS DOUBLE),
+               CAST(o_orderkey % 7 + 1 AS DOUBLE),
+               CAST(o_orderkey % 2 + 1 AS DOUBLE)) AS darr2,
+         concat('part ', toString(o_orderkey % 97), ' 42  par ',
+                toString(o_orderkey % 89)) AS txt
+  FROM orders WHERE o_orderkey % 43 = 0
+)
+"""
+    out = spark.sql(translate_ch_sql(ch_sql))
+    out = canon_arrays(out, "msp")
+    return out.withColumn("wb", F.col("wb").cast("bigint")).withColumn(
+        "dz", F.col("dz").cast("int")
+    ).withColumn("ham", F.col("ham").cast("int"))

@@ -753,3 +753,133 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Streaming quantileTiming: the fixed-resolution timing histogram (see
+# operators/aggregates_stats.py agg_quantile_timing) is a pure counting
+# sketch — counts are algebraic, so Structured Streaming maintains the
+# per-window histogram incrementally with bounded state (<= ~2.9k buckets
+# per open window: 1024 exact 1 ms bins + 16 ms bands to 30 s + the 30 s
+# clamp), append-emits each closed window, and the batch side finalizes
+# p50/p90/p99 with the integer cumulative-rank rule.  Third hard-oracled
+# streaming sketch family next to HLL and bucketized KMV — latency
+# percentiles per event-time window is THE canonical streaming-metrics
+# query.
+# --------------------------------------------------------------------------
+
+
+def _timing_stream_oracle() -> str:
+    return """
+WITH ms AS (
+  SELECT date_trunc('day', ts) AS ws,
+         CAST(FLOOR(value * 97) AS BIGINT) AS ms
+  FROM events
+),
+bucketed AS (
+  SELECT ws,
+         CASE WHEN ms >= 30000 THEN 30000
+              WHEN ms < 1024 THEN ms
+              ELSE (ms // 16) * 16 END AS b
+  FROM ms
+),
+hist AS (SELECT ws, b, COUNT(*) AS cnt FROM bucketed GROUP BY ws, b),
+cum AS (
+  SELECT ws, b, cnt,
+         SUM(cnt) OVER (PARTITION BY ws ORDER BY b) AS c,
+         SUM(cnt) OVER (PARTITION BY ws) AS n
+  FROM hist
+)
+SELECT strftime(ws, '%Y-%m-%d') AS window_start,
+       CAST(MIN(CASE WHEN c >= CEIL(0.5 * n) THEN b END) AS BIGINT) AS q50_ms,
+       CAST(MIN(CASE WHEN c >= CEIL(0.9 * n) THEN b END) AS BIGINT) AS q90_ms,
+       CAST(MIN(CASE WHEN c >= CEIL(0.99 * n) THEN b END) AS BIGINT) AS q99_ms,
+       CAST(MAX(n) AS BIGINT) AS n_events
+FROM cum
+WHERE ws + INTERVAL 1 DAY <= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+GROUP BY ws
+"""
+
+
+@query("streaming_quantile_timing", oracle=_timing_stream_oracle())
+def streaming_quantile_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day p50/p90/p99 latency from a STREAMED timing histogram:
+    state per open window is the bounded bucket-count table, emitted on
+    window close (1-day watermark, availableNow cutoff replayed by the
+    oracle), finalized batch-side with the exact integer rank rule."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="msk_qt_src_")
+    out_dir = tempfile.mkdtemp(prefix="msk_qt_out_")
+    ckpt = tempfile.mkdtemp(prefix="msk_qt_ckpt_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    scope = _stream_state_partitions(spark)
+    scope.__enter__()
+    try:
+        ms = F.floor(F.col("value") * 97).cast("bigint")
+        b = (
+            F.when(ms >= 30000, F.lit(30000))
+            .when(ms < 1024, ms)
+            .otherwise(
+                F.expr("(CAST(FLOOR(value * 97) AS BIGINT) DIV 16) * 16")
+            )
+        )
+        stream = (
+            normalize_event_ts(
+                spark.readStream.schema(events_schema).parquet(src_dir)
+            )
+            .select("ts", b.alias("b"))
+            .withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day"), F.col("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd").alias(
+                    "window_start"
+                ),
+                "b",
+                "cnt",
+            )
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        hist = spark.read.parquet(out_dir)
+        cum = hist.select(
+            "window_start", "b", "cnt",
+            F.sum("cnt").over(
+                Window.partitionBy("window_start").orderBy("b")
+            ).alias("c"),
+            F.sum("cnt").over(Window.partitionBy("window_start")).alias("n"),
+        )
+
+        def q_at(qv: float, name: str):
+            return F.min(
+                F.when(
+                    F.col("c") >= F.ceil(F.lit(qv) * F.col("n")), F.col("b")
+                )
+            ).cast("bigint").alias(name)
+
+        return (
+            cum.groupBy("window_start")
+            .agg(
+                q_at(0.5, "q50_ms"),
+                q_at(0.9, "q90_ms"),
+                q_at(0.99, "q99_ms"),
+                F.max("n").cast("bigint").alias("n_events"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        scope.__exit__()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -100,31 +100,32 @@ _WINDOW_PRIORITY = [
     "source_delta_native_read",
     "streaming_kmv_distinct",
     "source_ch_formats_roundtrip",
+    # --- late round-6 gates (this session) ---
+    "multimodal_mp3_metadata",
+    "corpus_priority_sample",
+    "agg_quantile_timing",
+    "funnel_modes_compare",
+    "text_bigram_backoff_logprob",
+    "decontam_embedding_cosine",
+    "dedup_quality_keeper",
+    "streaming_quantile_timing",
+    "sql_ch_dialect_vocab_r6b",
     # --- stale re-verification (latest driver row = round 1) ---
     "agg_pricing_summary",
-    "agg_count_distinct",
-    "agg_having",
     "agg_arg_max",
-    "agg_count_if",
     "agg_quantile",
     "analytics_shipping_priority",
     "analytics_local_supplier_volume",
     "engine_replacing_dedup",
     "engine_summing_rollup",
-    "filter_in_between",
-    "filter_null_checks",
     "join_star_multi",
-    "join_left_lookup",
-    "join_theta",
     "join_semi_anti",
     "join_asof",
     "join_range_buckets",
     "mv_incremental_daily_rollup",
     "mv_populate_matches_incremental",
     "query_builder_chain",
-    "scalar_json_extract",
     "semantic_join_dimension_having",
-    "setop_union_merge",
     "sql_template_params",
     "sql_ch_dialect_translated",
 ]

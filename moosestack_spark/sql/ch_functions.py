@@ -851,6 +851,110 @@ _TEMPLATE.update(
     }
 )
 
+# ---- round-6b vocabulary widening ----
+# dateName parts limited to year/month/weekday (the CH parts with clean
+# cross-engine names); formatReadable* band edges follow CH's 1024^k /
+# 1000^k ladders with 2-decimal DECIMAL rendering (ties cannot occur:
+# k/1024 quotients are dyadic, and non-dyadic quotients never land exactly
+# on a 2-decimal tie, so HALF_UP vs HALF_EVEN is moot); bar() renders
+# eighth-blocks exactly like CH (U+2588 fulls + U+258F..U+2589 partial).
+_W_BAR = (
+    "least(greatest((CAST({0} AS DOUBLE) - ({1})) / (({2}) - ({1})) * ({3}), "
+    "cast(0 as double)), cast(({3}) as double))"
+)
+_TEMPLATE.update(
+    {
+        "timeDiff": "(unix_timestamp({1}) - unix_timestamp({0}))",
+        "dateName": (
+            "(CASE WHEN {0} = 'year' THEN CAST(year({1}) AS STRING) "
+            "WHEN {0} = 'month' THEN date_format({1}, 'MMMM') "
+            "WHEN {0} = 'weekday' THEN date_format({1}, 'EEEE') END)"
+        ),
+        "toStartOfSecond": "date_trunc('second', {0})",
+        "toMillisecond": "CAST(pmod(unix_millis({0}), 1000) AS INT)",
+        # CH day numbering: 1970-01-01 is day 719528 since year zero
+        "toDaysSinceYearZero": "(datediff({0}, DATE '1970-01-01') + 719528)",
+        "fromDaysSinceYearZero": (
+            "date_add(DATE '1970-01-01', CAST(({0}) - 719528 AS INT))"
+        ),
+        "regexpExtract": "regexp_extract({0}, {1}, {2})",
+        "isIPv4String": (
+            "(CASE WHEN {0} RLIKE "
+            "'^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\\\.){{3}}"
+            "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$' THEN 1 ELSE 0 END)"
+        ),
+        "bitmaskToList": (
+            "array_join(transform(filter(sequence(0, 62), __bm_i -> "
+            "(CAST({0} AS BIGINT) & shiftleft(CAST(1 AS BIGINT), __bm_i)) "
+            "!= 0), __bm_j -> CAST(shiftleft(CAST(1 AS BIGINT), __bm_j) "
+            "AS STRING)), ',')"
+        ),
+        "widthBucket": "width_bucket({0}, {1}, {2}, {3})",
+        "arrayJaccardIndex": (
+            "(CAST(size(array_intersect({0}, {1})) AS DOUBLE) / "
+            "size(array_union({0}, {1})))"
+        ),
+        # byte-level string hamming (== char-level on ASCII); unequal
+        # lengths count the overhang (zip_with NULL padding is DISTINCT
+        # from any char)
+        "hammingDistance": (
+            "size(filter(zip_with(split({0}, ''), split({1}, ''), "
+            "(__ha, __hb) -> __ha IS DISTINCT FROM __hb), __h -> __h))"
+        ),
+        "mid": "substring({0}, {1}, {2})",
+        "multiSearchAllPositions": (
+            "transform({1}, __ms_n -> CAST(locate(__ms_n, {0}) AS BIGINT))"
+        ),
+        "hasSubstr": (
+            "(CASE WHEN size({1}) > size({0}) THEN false ELSE "
+            "exists(sequence(1, size({0}) - size({1}) + 1), __hs_i -> "
+            "slice({0}, __hs_i, size({1})) = {1}) END)"
+        ),
+        "tokens": "filter(split({0}, '[^A-Za-z0-9]+'), __tk -> __tk != '')",
+        "splitByRegexp": "split({1}, {0})",
+        "arrayDotProduct": (
+            "aggregate(zip_with({0}, {1}, (__dp_x, __dp_y) -> "
+            "__dp_x * __dp_y), cast(0 as double), "
+            "(__dp_a, __dp_v) -> __dp_a + __dp_v)"
+        ),
+        "formatReadableSize": (
+            "(CASE WHEN ({0}) < 1024 THEN concat(CAST(CAST(({0}) AS "
+            "DECIMAL(20,2)) AS STRING), ' B') "
+            "WHEN ({0}) < 1048576 THEN concat(CAST(CAST(({0}) / 1024 AS "
+            "DECIMAL(20,2)) AS STRING), ' KiB') "
+            "WHEN ({0}) < 1073741824 THEN concat(CAST(CAST(({0}) / 1048576 "
+            "AS DECIMAL(20,2)) AS STRING), ' MiB') "
+            "WHEN ({0}) < 1099511627776 THEN concat(CAST(CAST(({0}) / "
+            "1073741824 AS DECIMAL(20,2)) AS STRING), ' GiB') "
+            "ELSE concat(CAST(CAST(({0}) / 1099511627776 AS DECIMAL(20,2)) "
+            "AS STRING), ' TiB') END)"
+        ),
+        "formatReadableQuantity": (
+            "(CASE WHEN ({0}) < 1000 THEN CAST(CAST(({0}) AS DECIMAL(20,2)) "
+            "AS STRING) "
+            "WHEN ({0}) < 1000000 THEN concat(CAST(CAST(({0}) / 1000 AS "
+            "DECIMAL(20,2)) AS STRING), ' thousand') "
+            "WHEN ({0}) < 1000000000 THEN concat(CAST(CAST(({0}) / 1000000 "
+            "AS DECIMAL(20,2)) AS STRING), ' million') "
+            "ELSE concat(CAST(CAST(({0}) / 1000000000 AS DECIMAL(20,2)) "
+            "AS STRING), ' billion') END)"
+        ),
+        "bar": (
+            "concat(repeat('█', CAST(floor(" + _W_BAR + ") AS INT)), "
+            "element_at(array('', '▏', '▎', '▍', '▌', '▋', '▊', '▉'), "
+            "CAST(floor((" + _W_BAR + " - floor(" + _W_BAR + ")) * 8) "
+            "AS INT) + 1))"
+        ),
+    }
+)
+
+_RENAME.update(
+    {
+        "concatAssumeInjective": "concat",
+        "initcapUTF8": "initcap",
+    }
+)
+
 _KNOWN_SPARK_PASSTHROUGH = frozenset(
     """select from where group by order having limit offset join on as and or not
     count sum avg min max distinct case when then else end cast between in like
