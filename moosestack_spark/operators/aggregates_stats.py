@@ -1083,3 +1083,131 @@ def agg_quantile_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.groupBy("event_type").agg(
         q_at(0.5, "q50_ms"), q_at(0.9, "q90_ms"), q_at(0.99, "q99_ms")
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC time-series resampling (open/high/low/close per bucket) — the
+# financial-candle shape, but equally the standard "first/last/extremes per
+# window" rollup for any metric stream.  Open/close come from ONE window
+# pass (row_number asc over the (ts, event_id) total order; the desc rank
+# shares the same sort via count-over-partition minus rank), then a single
+# conditional groupBy.  Values in exact cents so H/L hash bit-for-bit.
+# --------------------------------------------------------------------------
+
+@query(
+    "ts_ohlc_daily",
+    oracle="""
+WITH pts AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (
+           PARTITION BY event_type, date_trunc('day', ts)) AS cnt
+  FROM events
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS open_c,
+       CAST(MAX(cents) AS BIGINT) AS high_c,
+       CAST(MIN(cents) AS BIGINT) AS low_c,
+       CAST(MAX(CASE WHEN rn = cnt THEN cents END) AS BIGINT) AS close_c,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM pts GROUP BY event_type, day
+""",
+)
+def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) OHLC candles over the value stream (cents-
+    exact; open/close tie-broken by the (ts, event_id) total order)."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    pts = ev.select(
+        "event_type", day.alias("day"), cents.alias("cents"), "ts", "event_id"
+    ).select(
+        "event_type", "day", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type", "day")
+        ).alias("cnt"),
+    )
+    return pts.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cents"))).cast("bigint")
+        .alias("open_c"),
+        F.max("cents").cast("bigint").alias("high_c"),
+        F.min("cents").cast("bigint").alias("low_c"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("cents")))
+        .cast("bigint").alias("close_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+    )
+
+
+# quantileTimingWeighted: same fixed-resolution histogram, each value
+# carrying an integer weight (e.g. request count per pre-aggregated row) —
+# cumulative WEIGHT replaces cumulative count in the rank rule.
+
+@query(
+    "agg_quantile_timing_weighted",
+    oracle="""
+WITH ms AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 97) AS BIGINT) AS ms,
+         CAST(user_id % 5 + 1 AS BIGINT) AS w
+  FROM events
+),
+bucketed AS (
+  SELECT event_type, w,
+         CASE WHEN ms >= 30000 THEN 30000
+              WHEN ms < 1024 THEN ms
+              ELSE (ms // 16) * 16 END AS b
+  FROM ms
+),
+hist AS (
+  SELECT event_type, b, SUM(w) AS wt
+  FROM bucketed GROUP BY event_type, b
+),
+cum AS (
+  SELECT event_type, b,
+         SUM(wt) OVER (PARTITION BY event_type ORDER BY b) AS c,
+         SUM(wt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type,
+       CAST(MIN(CASE WHEN c >= CEIL(0.5 * n) THEN b END) AS BIGINT) AS q50_ms,
+       CAST(MIN(CASE WHEN c >= CEIL(0.9 * n) THEN b END) AS BIGINT) AS q90_ms,
+       CAST(MIN(CASE WHEN c >= CEIL(0.99 * n) THEN b END) AS BIGINT) AS q99_ms
+FROM cum GROUP BY event_type
+""",
+)
+def agg_quantile_timing_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantileTimingWeighted: weighted p50/p90/p99 under the same
+    histogram contract (weight = user_id%5+1, standing in for a
+    pre-aggregated request count)."""
+    ev = t(spark, sf_dir, "events")
+    ms = F.floor(F.col("value") * 97).cast("bigint")
+    b = (
+        F.when(ms >= 30000, F.lit(30000))
+        .when(ms < 1024, ms)
+        .otherwise(F.expr("(CAST(FLOOR(value * 97) AS BIGINT) DIV 16) * 16"))
+    )
+    w = (F.col("user_id") % 5 + 1).cast("bigint")
+    hist = ev.groupBy("event_type", b.alias("b")).agg(
+        F.sum(w).alias("wt")
+    )
+    cum = hist.select(
+        "event_type", "b",
+        F.sum("wt").over(
+            Window.partitionBy("event_type").orderBy("b")
+        ).alias("c"),
+        F.sum("wt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def q_at(q: float, name: str):
+        return F.min(
+            F.when(F.col("c") >= F.ceil(F.lit(q) * F.col("n")), F.col("b"))
+        ).cast("bigint").alias(name)
+
+    return cum.groupBy("event_type").agg(
+        q_at(0.5, "q50_ms"), q_at(0.9, "q90_ms"), q_at(0.99, "q99_ms")
+    )

@@ -1080,3 +1080,57 @@ FROM (
     return out.withColumn("wb", F.col("wb").cast("bigint")).withColumn(
         "dz", F.col("dz").cast("int")
     ).withColumn("ham", F.col("ham").cast("int"))
+
+
+@query(
+    "agg_sparkbar_hours",
+    oracle="""
+WITH pts AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS bin FROM events
+),
+cnt AS (
+  SELECT event_type, bin, COUNT(*) AS s FROM pts GROUP BY event_type, bin
+),
+keys AS (SELECT DISTINCT event_type FROM cnt),
+bins AS (SELECT i FROM UNNEST(range(0, 24)) AS t(i)),
+dense AS (
+  SELECT k.event_type, b.i, COALESCE(c.s, 0) AS s
+  FROM keys k CROSS JOIN bins b
+  LEFT JOIN cnt c ON c.event_type = k.event_type AND c.bin = b.i
+),
+mx AS (SELECT event_type, MAX(s) AS m FROM dense GROUP BY event_type),
+lv AS (
+  SELECT d.event_type, d.i,
+         CASE WHEN d.s <= 0 THEN ' '
+              ELSE ['▁','▂','▃','▄','▅','▆','▇','█'][
+                CAST(CEIL(d.s * 8.0 / m.m) AS INT)] END AS ch
+  FROM dense d JOIN mx m USING (event_type)
+)
+SELECT event_type, string_agg(ch, '' ORDER BY i) AS spark_hours
+FROM lv GROUP BY event_type
+""",
+)
+def agg_sparkbar_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH sparkbar: per event type, the 24-bin hour-of-day activity
+    profile rendered as U+2581..2588 eighth-blocks (empty bin = space,
+    level = ceil(8 * bin_count / max_count) — integer counts, one
+    exactly-rounded division, so the rendered string hash-matches).
+    One groupBy on (key, bin) + one per-key fold; the render is a
+    map-lookup transform over a 24-element sequence, no extra shuffle."""
+    ev = t(spark, sf_dir, "events")
+    cnt = ev.select(
+        "event_type", F.hour("ts").cast("int").alias("bin")
+    ).groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("s"))
+    agg = cnt.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bin"), F.col("s")))
+        ).alias("m"),
+        F.max("s").alias("mx"),
+    )
+    chars = F.expr(
+        "array_join(transform(sequence(0, 23), i -> "
+        "CASE WHEN element_at(m, i) IS NULL OR element_at(m, i) <= 0 "
+        "THEN ' ' ELSE element_at(array('▁','▂','▃','▄','▅','▆','▇','█'), "
+        "CAST(ceil(element_at(m, i) * 8.0 / mx) AS INT)) END), '')"
+    )
+    return agg.select("event_type", chars.alias("spark_hours"))

@@ -170,3 +170,104 @@ def graph_pagerank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank_int(e1.union(e2), iterations=3)
     return pr.select(F.col("v").alias("doc_id"), "pr")
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (node-iterator on oriented edges): with every edge
+# oriented low->high, each triangle a<b<c is found exactly once by joining
+# (a,b)x(b,c) and probing (a,c).  Per-node counts measure the clique-ness
+# of duplicate clusters (a near-dup cluster that is NOT triangle-dense is a
+# chaining artifact worth inspecting).
+#
+# Scale: two self-joins on the edge key.  For skewed degree distributions
+# the standard fix is orienting by (degree, id) instead of id — the
+# wedge count drops from sum(d_v^2) to O(m^1.5) (Schank-Wagner / MapReduce
+# triangle literature); orient_by_degree=True does exactly that, same
+# triangle set, and stays deterministic via the (degree, id) total order.
+# The gate uses id-orientation so the DuckDB oracle is a literal replay.
+# --------------------------------------------------------------------------
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    orient_by_degree: bool = False,
+) -> DataFrame:
+    """(v, n_triangles) for every vertex on >= 1 triangle; `pairs` holds
+    each undirected edge once with a_col < b_col."""
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    if orient_by_degree:
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionByName(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        ranked = (
+            e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+            .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+        )
+        lo_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        e = ranked.select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("a"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("b"),
+        )
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    tri = wedge.join(
+        e.select(F.col("a").alias("a"), F.col("b").alias("c")),
+        ["a", "c"],
+    )
+    nodes = (
+        tri.select(F.col("a").alias("v"))
+        .unionByName(tri.select(F.col("b").alias("v")))
+        .unionByName(tri.select(F.col("c").alias("v")))
+    )
+    return nodes.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
+def _tri_oracle() -> str:
+    from moosestack_spark.ops.components import _PAIR_CTES
+
+    return f"""
+WITH {_PAIR_CTES},
+tri AS (
+  SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+  FROM pairs p1
+  JOIN pairs p2 ON p2.doc_a = p1.doc_b
+  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+),
+nodes AS (
+  SELECT a AS v FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY v
+"""
+
+
+@query("graph_triangle_count", oracle=_tri_oracle())
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation over the n-gram Jaccard near-dup
+    graph (same edge CTE as the CC gates) — the clique-ness signal for
+    duplicate-cluster quality."""
+    from moosestack_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.5)
+    return triangle_counts(pairs, "doc_a", "doc_b").select(
+        F.col("v").alias("doc_id"), "n_triangles"
+    )

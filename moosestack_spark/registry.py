@@ -136,7 +136,12 @@ _WINDOW_PRIORITY = [
 # head of the window; new round-6 queries are appended here when window
 # swap-ins run out.  The registry-window meta-test enforces that ONLY names
 # listed here may lack both a green row and a window slot.
-_AFTER_WINDOW: list[str] = []
+_AFTER_WINDOW: list[str] = [
+    "ts_ohlc_daily",
+    "agg_quantile_timing_weighted",
+    "graph_triangle_count",
+    "agg_sparkbar_hours",
+]
 
 
 def load_all() -> None:

@@ -302,3 +302,33 @@ def test_cluster_by_hilbert_files_disjoint(spark):
     )
     for a, b in zip(ranges, ranges[1:]):
         assert a.hi <= b.lo  # per-partition key ranges are disjoint
+
+
+def test_triangle_counts_degree_orientation_equivalent(spark):
+    """Degree-orientation changes the join order, not the triangle set:
+    counts must match id-orientation exactly (K4 + pendant + chain)."""
+    from moosestack_spark.ops.graph import triangle_counts
+
+    edges = [
+        # K4 on 1..4 (each node on 3 triangles)
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        # pendant edge and a chain: no triangles
+        (4, 9), (9, 10), (10, 11),
+        # one extra triangle sharing node 1
+        (1, 5), (5, 6), (1, 6),
+    ]
+    e = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    base = {
+        (r.v, r.n_triangles)
+        for r in triangle_counts(e, "doc_a", "doc_b").collect()
+    }
+    deg = {
+        (r.v, r.n_triangles)
+        for r in triangle_counts(
+            e, "doc_a", "doc_b", orient_by_degree=True
+        ).collect()
+    }
+    assert base == deg
+    assert dict(base)[1] == 4  # 3 K4 triangles + the (1,5,6) triangle
+    assert dict(base)[4] == 3
+    assert 9 not in dict(base) and 10 not in dict(base)
