@@ -65,6 +65,22 @@ ALLOWED = {
     # KMV set ops: two ONE-row sketch frames (k-min arrays for the two
     # groups) crossed — broadcast nested loop of 1x1 rows by construction
     "agg_kmv_set_ops": {"BNLJ"},
+    # Stupid-Backoff normalizer: the total-token count is a ONE-row
+    # aggregate broadcast-crossed onto per-bigram scores (same shape as
+    # text_unigram_logprob); the bigram-model join itself is a keyed
+    # shuffle hash/sort join by DESIGN — an n-gram model outgrows
+    # broadcast at corpus scale
+    "text_bigram_backoff_logprob": {"BNLJ"},
+    # cluster->quality and cluster->keeper joins are keyed equi-joins on
+    # doc_id/cluster_id; at 100 TB the near-dup cluster table is NOT
+    # broadcastable, so the key-partitioned sort-merge IS the right plan
+    # (at sf0.001 AQE just doesn't see enough stats to pick BHJ)
+    "dedup_quality_keeper": {"SMJ"},
+    # greedy funnel level advances are equi-joins on the user key with
+    # range predicates; both sides are event-scale (never broadcastable),
+    # so user-key-partitioned SMJ is the correct distributed shape — same
+    # argument as the witness-join funnel, tripled by the 3-mode union
+    "funnel_modes_compare": {"SMJ"},
 }
 
 
