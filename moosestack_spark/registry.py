@@ -141,6 +141,7 @@ _AFTER_WINDOW: list[str] = [
     "agg_quantile_timing_weighted",
     "graph_triangle_count",
     "agg_sparkbar_hours",
+    "source_avro_roundtrip",
 ]
 
 
