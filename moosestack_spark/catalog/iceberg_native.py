@@ -16,11 +16,28 @@ work an Iceberg client library does — while all row work is executor-side.
 Manifest-level pruning uses the spec's field_summary lower/upper bounds so
 a selective read opens only the manifests whose range covers the value.
 
+Iceberg v2 row-level deletes ARE supported, Spark-first:
+
+- POSITION deletes (data_file.content=1): parquet files of
+  (file_path, pos).  The reader scans data files with Spark's parquet
+  ``_metadata.file_path`` / ``_metadata.row_index`` columns — the exact
+  (file, ordinal) identity the spec's ``pos`` refers to — and removes
+  deleted rows with one LEFT ANTI join on (file_path, pos) gated by the
+  spec's sequence-number rule (delete_seq >= data_seq).
+- EQUALITY deletes (data_file.content=2): parquet files of key columns
+  named by ``equality_ids``.  Applied as a null-safe LEFT ANTI join per
+  distinct key-column set, gated by delete_seq > data_seq (strict, per
+  spec).  File→sequence-number attachment on both sides is a broadcast
+  join against the (file-count-bounded) manifest walk, so the delete
+  application itself is fully distributed; Catalyst/AQE picks the join
+  strategy for the delete side (broadcast when small, shuffle when not).
+
 Honest boundaries (raise, never silently wrong):
-- position/equality delete files (content != 0): NotImplementedError;
 - non-identity partition transforms (bucket/truncate/days/...): the writer
   never emits them and the reader refuses them for pruning;
-- formats other than parquet data files.
+- formats other than parquet data and delete files;
+- position delete files carrying the optional ``row`` struct are read for
+  (file_path, pos) only — which is lossless for delete application.
 
 The writer exists so tables can be planted and appended in tests/gates
 (this repo's codec-oracle policy); it emits spec-shaped v2 metadata that
@@ -101,6 +118,11 @@ def _manifest_schema(partition_fields: list[tuple[str, str]]) -> dict:
             {"name": "partition", "type": part_record},
             {"name": "record_count", "type": "long"},
             {"name": "file_size_in_bytes", "type": "long"},
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "default": None,
+            },
         ],
     }
     return {
@@ -171,15 +193,20 @@ class IcebergNativeTable:
 
     # -- read path -----------------------------------------------------------
 
-    def data_files(
+    def _scan(
         self,
         snapshot_id: int | None = None,
         partition_filter: dict | None = None,
-    ) -> list[str]:
-        """Walk manifest list + manifests of the chosen snapshot and return
-        matching parquet data-file paths.  ``partition_filter`` is
-        {partition_field: value} equality over identity transforms;
-        manifest-level field_summary bounds prune whole manifests first."""
+    ) -> dict:
+        """Walk manifest list + manifests of the chosen snapshot.  Returns
+        {"data": [(path, seq)], "pos": [(path, seq)],
+         "eq": [(path, seq, (col, ...))]}.
+
+        ``partition_filter`` is {partition_field: value} equality over
+        identity transforms; manifest-level field_summary bounds prune
+        whole DATA manifests first.  Delete manifests are never pruned —
+        applying a delete file to rows outside its partition is a no-op,
+        so the conservative walk stays correct."""
         meta = self.metadata()
         snap_id = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
         snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
@@ -197,55 +224,160 @@ class IcebergNativeTable:
                     f"partition pruning over transform {f['transform']!r} "
                     "(identity only)"
                 )
+        id_to_col = {
+            f["id"]: f["name"] for f in meta["schemas"][0]["fields"]
+        }
         mlist_path = self._local(snaps[snap_id]["manifest-list"])
         _, manifests = read_container(mlist_path)
-        files: list[str] = []
+        out: dict = {"data": [], "pos": [], "eq": []}
         for mf in manifests:
-            if mf.get("content", 0) != 0:
-                raise NotImplementedError(
-                    "delete manifests (position/equality deletes) are not "
-                    "supported by the native reader"
-                )
-            if partition_filter and mf.get("partitions"):
+            is_delete_manifest = mf.get("content", 0) == 1
+            if (
+                not is_delete_manifest
+                and partition_filter
+                and mf.get("partitions")
+            ):
                 if not _summaries_match(
                     mf["partitions"], part_names, partition_filter
                 ):
-                    continue  # manifest-level prune
+                    continue  # manifest-level prune (data manifests only)
             _, entries = read_container(self._local(mf["manifest_path"]))
             for e in entries:
                 if e["status"] == 2:  # DELETED
                     continue
                 df_ = e["data_file"]
-                if df_.get("content", 0) != 0:
-                    raise NotImplementedError("delete data files unsupported")
                 if df_["file_format"].upper() != "PARQUET":
                     raise NotImplementedError(
-                        f"data file format {df_['file_format']} (parquet only)"
+                        f"file format {df_['file_format']} (parquet only)"
                     )
-                if partition_filter:
-                    part = df_.get("partition", {})
-                    if any(
-                        k in part and part[k] != v
-                        for k, v in partition_filter.items()
-                    ):
-                        continue  # entry-level prune
-                files.append(self._local(df_["file_path"]))
-        return files
+                # sequence-number inheritance: null on an ADDED entry means
+                # the manifest's own sequence number (spec v2)
+                seq = e.get("sequence_number")
+                if seq is None:
+                    seq = mf["sequence_number"]
+                content = df_.get("content", 0)
+                path = self._local(df_["file_path"])
+                if content == 0:
+                    if partition_filter:
+                        part = df_.get("partition", {})
+                        if any(
+                            k in part and part[k] != v
+                            for k, v in partition_filter.items()
+                        ):
+                            continue  # entry-level prune
+                    out["data"].append((path, seq))
+                elif content == 1:
+                    out["pos"].append((path, seq))
+                elif content == 2:
+                    ids = df_.get("equality_ids") or []
+                    if not ids:
+                        raise ValueError(
+                            f"equality delete file {path} without equality_ids"
+                        )
+                    out["eq"].append(
+                        (path, seq, tuple(id_to_col[i] for i in ids))
+                    )
+                else:
+                    raise NotImplementedError(f"data_file content={content}")
+        return out
+
+    def data_files(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: dict | None = None,
+    ) -> list[str]:
+        """Matching parquet data-file paths (pruned).  A path listing alone
+        cannot represent row-level deletes, so this raises when the
+        snapshot carries any — use read(), which applies them."""
+        scan = self._scan(snapshot_id, partition_filter)
+        if scan["pos"] or scan["eq"]:
+            raise NotImplementedError(
+                "snapshot has row-level delete files; a bare file listing "
+                "would over-count — use read()"
+            )
+        return [p for p, _ in scan["data"]]
 
     def read(
         self,
         snapshot_id: int | None = None,
         partition_filter: dict | None = None,
     ) -> DataFrame:
-        files = self.data_files(snapshot_id, partition_filter)
-        if not files:
+        scan = self._scan(snapshot_id, partition_filter)
+        if not scan["data"]:
             schema_fields = self.metadata()["schemas"][0]["fields"]
             cols = ", ".join(
                 f"CAST(NULL AS {_iceberg_to_spark(f['type'])}) AS {f['name']}"
                 for f in schema_fields
             )
             return self.spark.sql(f"SELECT {cols}").limit(0)
-        return self.spark.read.parquet(*files)
+        df = self.spark.read.parquet(*[p for p, _ in scan["data"]])
+        if not scan["pos"] and not scan["eq"]:
+            return df
+        return self._apply_deletes(df, scan)
+
+    # Spark's parquet _metadata.file_path is a URI ("file:/x" or
+    # "file:///x"); manifests store plain local paths — normalize both.
+    @staticmethod
+    def _norm_fp(col):
+        return F.regexp_replace(col, "^file:(//)?", "")
+
+    def _apply_deletes(self, df: DataFrame, scan: dict) -> DataFrame:
+        """Remove rows claimed by position/equality delete files.  All row
+        work is executor-side anti-joins; the only driver-built inputs are
+        the (file path → sequence number) maps, bounded by file count."""
+        spark = self.spark
+        cols = df.columns
+        df = df.withColumn(
+            "__msk_fp", self._norm_fp(F.col("_metadata.file_path"))
+        ).withColumn("__msk_pos", F.col("_metadata.row_index"))
+        seq_df = spark.createDataFrame(
+            [(p, s) for p, s in scan["data"]], "__msk_fp string, __msk_seq long"
+        )
+        df = df.join(F.broadcast(seq_df), "__msk_fp", "left")
+
+        if scan["pos"]:
+            dseq = spark.createDataFrame(
+                [(p, s) for p, s, in scan["pos"]], "__pdf string, __d_seq long"
+            )
+            pos = (
+                spark.read.parquet(*[p for p, _ in scan["pos"]])
+                .select(
+                    self._norm_fp(F.col("file_path")).alias("__d_fp"),
+                    F.col("pos").alias("__d_pos"),
+                    self._norm_fp(F.col("_metadata.file_path")).alias("__pdf"),
+                )
+                .join(F.broadcast(dseq), "__pdf")
+            )
+            # spec: a position delete applies to data files whose sequence
+            # number is <= the delete file's
+            df = df.join(
+                pos,
+                (df["__msk_fp"] == pos["__d_fp"])
+                & (df["__msk_pos"] == pos["__d_pos"])
+                & (pos["__d_seq"] >= df["__msk_seq"]),
+                "left_anti",
+            )
+
+        # one anti-join per distinct equality-column set
+        by_cols: dict[tuple, list[tuple[str, int]]] = {}
+        for p, s, key_cols in scan["eq"]:
+            by_cols.setdefault(key_cols, []).append((p, s))
+        for key_cols, files in by_cols.items():
+            dseq = spark.createDataFrame(files, "__pdf string, __d_seq long")
+            eq = (
+                spark.read.parquet(*[p for p, _ in files])
+                .select(
+                    *[F.col(c).alias(f"__d_{c}") for c in key_cols],
+                    self._norm_fp(F.col("_metadata.file_path")).alias("__pdf"),
+                )
+                .join(F.broadcast(dseq), "__pdf")
+            )
+            cond = eq["__d_seq"] > df["__msk_seq"]  # strict, per spec
+            for c in key_cols:
+                # spec: equality matching is null-safe
+                cond = cond & df[c].eqNullSafe(eq[f"__d_{c}"])
+            df = df.join(eq, cond, "left_anti")
+        return df.select(*cols)
 
     def _local(self, p: str) -> str:
         return p[7:] if p.startswith("file://") else p
@@ -442,10 +574,196 @@ class IcebergNativeTable:
                         "partition": partition,
                         "record_count": n,
                         "file_size_in_bytes": os.path.getsize(fp),
+                        "equality_ids": None,
                     },
                 }
             )
         return entries
+
+    # -- row-level deletes (writer) -------------------------------------------
+
+    def _next_version_seq(self) -> tuple[dict, int, int]:
+        prev_meta = self.metadata()
+        version = (
+            int(
+                re.match(
+                    r"^v(\d+)\.metadata\.json$",
+                    os.path.basename(self._current_metadata_path()),
+                ).group(1)
+            )
+            + 1
+        )
+        return prev_meta, version, prev_meta["last-sequence-number"] + 1
+
+    def _part_avro_fields(self, meta: dict) -> list[tuple[str, str]]:
+        spec = {s["spec-id"]: s for s in meta["partition-specs"]}[
+            meta["default-spec-id"]
+        ]
+        types = {f["id"]: f["type"] for f in meta["schemas"][0]["fields"]}
+        ice_to_avro = {
+            "long": "long", "int": "int", "double": "double",
+            "float": "float", "string": "string", "boolean": "boolean",
+            "date": "int", "timestamp": "long",
+        }
+        return [
+            (f["name"], ice_to_avro[types[f["source-id"]]])
+            for f in spec["fields"]
+        ]
+
+    def _commit_delete_snapshot(
+        self,
+        delete_files: list[tuple[str, int]],
+        content: int,
+        equality_ids: list[int] | None,
+        operation: str,
+    ) -> None:
+        """Append a snapshot whose new manifest (content=1 in the manifest
+        list) carries the given delete files.  Prior manifests are reused
+        untouched, so existing data files keep their sequence numbers."""
+        prev_meta, version, seq = self._next_version_seq()
+        snap_id = int(
+            uuid.uuid5(uuid.NAMESPACE_URL, f"{self.path}#{version}").int % (1 << 62)
+        )
+        commit_uuid = str(
+            uuid.uuid5(uuid.NAMESPACE_URL, f"{self.path}#commit{version}")
+        )
+        part_fields = self._part_avro_fields(prev_meta)
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": content,
+                    "file_path": fp,
+                    "file_format": "PARQUET",
+                    # delete files are not partition-scoped here; the
+                    # reader never prunes delete manifests, so null
+                    # partition values stay correct (see _scan docstring)
+                    "partition": {n: None for n, _ in part_fields},
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(fp),
+                    "equality_ids": equality_ids,
+                },
+            }
+            for fp, n_rows in delete_files
+        ]
+        manifest_path = os.path.join(self.meta_dir, f"{commit_uuid}-m0.avro")
+        write_container(manifest_path, _manifest_schema(part_fields), entries)
+        new_manifest = {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 1,  # deletes
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": 0,
+            "deleted_rows_count": sum(n for _, n in delete_files),
+            "partitions": None,
+        }
+        prev_snap = {s["snapshot-id"]: s for s in prev_meta["snapshots"]}[
+            prev_meta["current-snapshot-id"]
+        ]
+        _, prev_manifests = read_container(self._local(prev_snap["manifest-list"]))
+        mlist_path = os.path.join(
+            self.meta_dir, f"snap-{snap_id}-1-{commit_uuid}.avro"
+        )
+        write_container(
+            mlist_path, _MANIFEST_LIST_SCHEMA, prev_manifests + [new_manifest]
+        )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": version,
+            "manifest-list": mlist_path,
+            "summary": {"operation": operation},
+            "schema-id": 0,
+        }
+        meta = dict(prev_meta)
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = version
+        meta["current-snapshot-id"] = snap_id
+        meta["snapshots"] = prev_meta["snapshots"] + [snapshot]
+        meta_path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        tmp = meta_path + ".tmp"
+        json.dump(meta, open(tmp, "w"), indent=1)
+        os.replace(tmp, meta_path)
+        with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
+            fh.write(str(version))
+
+    def delete_where(self, condition) -> int:
+        """Commit a POSITION-delete snapshot removing current rows matching
+        ``condition`` (SQL string or Column).  The (file_path, pos)
+        identities come from the same executor-side scan the reader uses
+        (_metadata.file_path / row_index), written spec-sorted by
+        (file_path, pos).  Returns the number of deleted positions."""
+        scan = self._scan()
+        if not scan["data"]:
+            return 0
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        matches = (
+            self.spark.read.parquet(*[p for p, _ in scan["data"]])
+            .withColumn(
+                "__msk_fp", self._norm_fp(F.col("_metadata.file_path"))
+            )
+            .withColumn("__msk_pos", F.col("_metadata.row_index"))
+            .filter(cond)
+            .select(
+                F.col("__msk_fp").alias("file_path"),
+                F.col("__msk_pos").alias("pos"),
+            )
+            .orderBy("file_path", "pos")
+        )
+        _, version, _ = self._next_version_seq()
+        out_dir = os.path.join(self.path, "data", f"b{version}_pos_deletes")
+        matches.write.mode("overwrite").parquet(out_dir)
+        files = [
+            (fp, self.spark.read.parquet(fp).count())
+            for f in sorted(os.listdir(out_dir))
+            if f.endswith(".parquet") and (fp := os.path.join(out_dir, f))
+        ]
+        n = sum(c for _, c in files)
+        if n == 0:
+            return 0  # nothing matched: no snapshot to commit
+        self._commit_delete_snapshot(
+            [f for f in files if f[1] > 0], 1, None, "delete"
+        )
+        return n
+
+    def delete_equality(self, keys: DataFrame) -> int:
+        """Commit an EQUALITY-delete snapshot: current and PRIOR-sequence
+        rows whose values null-safely match any row of ``keys`` (a
+        DataFrame whose columns name the equality fields) are deleted.
+        Returns the number of key rows written."""
+        meta = self.metadata()
+        col_ids = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+        missing = [c for c in keys.columns if c not in col_ids]
+        if missing:
+            raise ValueError(f"equality columns not in table schema: {missing}")
+        _, version, _ = self._next_version_seq()
+        out_dir = os.path.join(self.path, "data", f"b{version}_eq_deletes")
+        keys.distinct().write.mode("overwrite").parquet(out_dir)
+        files = [
+            (fp, self.spark.read.parquet(fp).count())
+            for f in sorted(os.listdir(out_dir))
+            if f.endswith(".parquet") and (fp := os.path.join(out_dir, f))
+        ]
+        n = sum(c for _, c in files)
+        if n == 0:
+            return 0
+        self._commit_delete_snapshot(
+            [f for f in files if f[1] > 0],
+            2,
+            [col_ids[c] for c in keys.columns],
+            "delete",
+        )
+        return n
 
 
 def _summaries_for(

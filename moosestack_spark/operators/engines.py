@@ -750,3 +750,74 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(avro_dir, ignore_errors=True)
+
+
+@query(
+    "source_iceberg_deletes_read",
+    oracle="""
+WITH live AS (
+    SELECT * FROM supplier
+    WHERE ((s_suppkey % 2 = 0
+            AND NOT (s_suppkey % 7 = 3)
+            AND s_nationkey NOT IN (4, 9))
+           OR s_suppkey % 2 = 1)
+      AND NOT (s_suppkey % 11 = 5)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS bal_cents,
+       CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS nations,
+       MIN(s_name) AS first_name
+FROM live
+""",
+)
+def source_iceberg_deletes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 ROW-LEVEL DELETES through the native reader
+    (catalog/iceberg_native.py): plant the even-suppkey half of supplier as
+    an Iceberg table, then commit (1) a position-delete snapshot
+    (s_suppkey % 7 = 3 → spec-sorted (file_path, pos) parquet), (2) an
+    equality-delete snapshot (s_nationkey IN (4, 9)), (3) an APPEND of the
+    odd-suppkey half — whose rows must survive the earlier equality delete
+    because equality deletes apply only to strictly-lower data sequence
+    numbers — and (4) a second position delete (s_suppkey % 11 = 5) that
+    spans both batches (>= sequence rule).  The reader applies all of it
+    as executor-side anti-joins keyed on Spark's parquet
+    _metadata.file_path/row_index; the oracle replays the surviving-row
+    algebra directly on supplier.  Reference: blocks.py:425-478 delegates
+    Iceberg reads to ClickHouse; the delete semantics here follow the
+    public Iceberg v2 table spec."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from moosestack_spark.catalog.iceberg_native import IcebergNativeTable
+
+    src = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+        F.col("s_name").alias("s_name"),
+    )
+    base = _tempfile.mkdtemp(prefix="msk_ice_del_")
+    try:
+        path = base + "/supplier_ice"
+        table = IcebergNativeTable.write(
+            src.filter(F.col("s_suppkey") % 2 == 0), path
+        )
+        table.delete_where("s_suppkey % 7 = 3")
+        table.delete_equality(
+            spark.createDataFrame([(4,), (9,)], "s_nationkey long")
+        )
+        IcebergNativeTable.write(
+            src.filter(F.col("s_suppkey") % 2 == 1), path, mode="append"
+        )
+        table.delete_where("s_suppkey % 11 = 5")
+        return table.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_cents").cast("bigint").alias("bal_cents"),
+            F.count_distinct("s_nationkey").alias("nations"),
+            F.min("s_name").alias("first_name"),
+        ).localCheckpoint()
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

@@ -142,6 +142,7 @@ _AFTER_WINDOW: list[str] = [
     "graph_triangle_count",
     "agg_sparkbar_hours",
     "source_avro_roundtrip",
+    "source_iceberg_deletes_read",
 ]
 
 

@@ -82,15 +82,17 @@ def test_unknown_snapshot_raises(table):
         table.read(snapshot_id=999)
 
 
-def test_delete_manifests_raise_honestly(table, spark):
-    """A manifest list advertising a delete manifest (content=1) must
-    refuse rather than silently return wrong (undeleted) rows."""
+def test_unknown_file_content_raises_honestly(table, spark):
+    """Row-level deletes (content 1/2) are supported now; an UNKNOWN
+    data_file.content must still refuse rather than silently misread."""
     meta = table.metadata()
     snap = [s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]][0]
-    schema, manifests = read_container(table._local(snap["manifest-list"]))
-    manifests[0]["content"] = 1
-    write_container(table._local(snap["manifest-list"]), schema, manifests)
-    with pytest.raises(NotImplementedError, match="delete"):
+    _, manifests = read_container(table._local(snap["manifest-list"]))
+    mpath = table._local(manifests[0]["manifest_path"])
+    schema, entries = read_container(mpath)
+    entries[0]["data_file"]["content"] = 3
+    write_container(mpath, schema, entries)
+    with pytest.raises(NotImplementedError, match="content=3"):
         table.read()
 
 
