@@ -1211,3 +1211,71 @@ def agg_quantile_timing_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.groupBy("event_type").agg(
         q_at(0.5, "q50_ms"), q_at(0.9, "q90_ms"), q_at(0.99, "q99_ms")
     )
+
+
+_DELTA_SWEEP_SQL = """
+WITH src AS (
+  SELECT event_type, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CAST(user_id % 997 AS BIGINT) AS s,
+         CAST(user_id % 997 + event_id % 50 + 1 AS BIGINT) AS e
+  FROM events
+),
+d AS (
+  SELECT event_type,
+         greatest(v - lag(v) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id), 0) AS dv
+  FROM src
+),
+ds AS (
+  SELECT event_type, CAST(SUM(dv) AS BIGINT) AS delta_sum
+  FROM d GROUP BY event_type
+),
+pts AS (
+  SELECT event_type, s AS pos, 1 AS delta FROM src
+  UNION ALL
+  SELECT event_type, e AS pos, -1 AS delta FROM src
+),
+run AS (
+  SELECT event_type, pos,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY pos, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running
+  FROM pts
+),
+mx AS (
+  SELECT event_type, CAST(MAX(running) AS BIGINT) AS max_i
+  FROM run GROUP BY event_type
+),
+mip AS (
+  SELECT r.event_type, CAST(MIN(r.pos) AS BIGINT) AS max_pos
+  FROM run r JOIN mx ON r.event_type = mx.event_type
+                     AND r.running = mx.max_i
+  GROUP BY r.event_type
+)
+SELECT ds.event_type, ds.delta_sum, mx.max_i, mip.max_pos
+FROM ds
+JOIN mx ON ds.event_type = mx.event_type
+JOIN mip ON ds.event_type = mip.event_type
+"""
+
+
+@query("agg_delta_max_intersections", oracle=_DELTA_SWEEP_SQL)
+def agg_delta_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH order-dependent aggregates deltaSum, maxIntersections and
+    maxIntersectionsPosition, re-expressed as window algebra instead of
+    streaming state: deltaSum = sum of positive consecutive deltas under a
+    TOTAL order (ts, event_id — CH's result depends on read order; pinning
+    the order makes it deterministic and oracle-replayable); the
+    intersection pair = a boundary sweep (start:+1, end:-1, ends sorted
+    before starts at equal positions — CH's half-open convention), running
+    prefix sums per type, then MAX and the first position attaining it
+    (both invariant under tie reordering: within an equal-(pos,delta)
+    group the extremum sits at the group edge).  Scale shape: two
+    shuffles (one per window partition key) + a broadcast-sized join on
+    event_type; state never exceeds the group's rows, and the same SQL
+    text runs on both engines."""
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["events"])
+    return spark.sql(_DELTA_SWEEP_SQL)

@@ -1134,3 +1134,203 @@ def agg_sparkbar_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(ceil(element_at(m, i) * 8.0 / mx) AS INT)) END), '')"
     )
     return agg.select("event_type", chars.alias("spark_hours"))
+
+
+@query(
+    "sql_ch_dialect_vocab_r6c",
+    oracle=r"""
+SELECT o_orderkey,
+       CAST(list_max(list_filter(range(1, 98),
+            d -> a % d = 0 AND b % d = 0)) AS BIGINT) AS g,
+       CAST((a * b) // list_max(list_filter(range(1, 98),
+            d -> a % d = 0 AND b % d = 0)) AS BIGINT) AS l,
+       CAST(CASE WHEN n <= 1 THEN 1 ELSE list_product(list_transform(
+            range(1, n + 1), x -> CAST(x AS BIGINT))) END AS BIGINT) AS fact,
+       strftime(make_date(yy, mo, dd), '%Y-%m-%d') AS mkd,
+       CAST(epoch(make_timestamp(yy, mo, dd, hh, mi, ss)) AS BIGINT) AS mkts,
+       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+       (CASE WHEN (bs & 255) >= 128 THEN (bs & 255) - 256
+             ELSE (bs & 255) END) * 72057594037927936
+         + ((bs >> 8) & 255) * 281474976710656
+         + ((bs >> 16) & 255) * 1099511627776
+         + ((bs >> 24) & 255) * 4294967296 AS bsw,
+       json_extract_string(js, '$.name') AS jss,
+       CAST(json_array_length(jarr) AS INT) AS jal,
+       list_sum(list_transform(range(1, 4),
+            i -> abs(arr1[i] - arr2[i]))) AS l1,
+       sqrt(list_sum(list_transform(range(1, 4),
+            i -> (arr1[i] - arr2[i]) * (arr1[i] - arr2[i])))) AS l2d,
+       CASE WHEN isnan(dbl) OR abs(dbl) = 'Infinity'::DOUBLE
+            THEN -1.0 ELSE dbl END AS inf,
+       'user:pw@sub.shop' || CAST(o_orderkey % 10 AS VARCHAR)
+         || dom || ':8443' AS nl,
+       CASE WHEN o_orderkey % 2 = 0 THEN 'example.co.uk'
+            ELSE 'example.com' END AS cut,
+       CAST(CASE WHEN a % 2 = 0 THEN a ELSE -1 END AS BIGINT) AS mfa
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         CAST(o_orderkey % 97 + 1 AS BIGINT) AS a,
+         CAST(o_orderkey % 60 + 6 AS BIGINT) AS b,
+         CAST(o_orderkey % 12 AS INT) AS n,
+         CAST(1995 + o_orderkey % 25 AS INT) AS yy,
+         CAST(o_orderkey % 12 + 1 AS INT) AS mo,
+         CAST(o_orderkey % 28 + 1 AS INT) AS dd,
+         CAST(o_orderkey % 24 AS INT) AS hh,
+         CAST(o_orderkey % 60 AS INT) AS mi,
+         CAST(o_orderkey % 59 AS INT) AS ss,
+         CAST(o_orderkey % 100000000 AS BIGINT) AS bs,
+         '{"name":"p' || CAST(o_orderkey % 50 AS VARCHAR) || '"}' AS js,
+         '[1,2,' || CAST(o_orderkey % 9 AS VARCHAR) || ']' AS jarr,
+         [CAST(o_orderkey % 5 + 1 AS DOUBLE), CAST(o_orderkey % 4 AS DOUBLE),
+          CAST(o_orderkey % 3 AS DOUBLE)] AS arr1,
+         [CAST(o_orderkey % 7 AS DOUBLE), CAST(o_orderkey % 6 AS DOUBLE),
+          CAST(o_orderkey % 2 AS DOUBLE)] AS arr2,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'Infinity'::DOUBLE
+              WHEN o_orderkey % 3 = 1 THEN 'NaN'::DOUBLE
+              ELSE CAST(o_orderkey % 1000 AS DOUBLE) END AS dbl,
+         CASE WHEN o_orderkey % 2 = 0 THEN '.example.co.uk'
+              ELSE '.example.com' END AS dom
+  FROM orders WHERE o_orderkey % 37 = 0
+)
+""",
+)
+def sql_ch_dialect_vocab_r6c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6c vocabulary widening, scalar half: gcd/lcm (Euclid inside a
+    bounded aggregate fold — the ORACLE recomputes gcd by max-common-
+    divisor filtering, an independent formulation), factorial, makeDate,
+    makeDateTime, toDayOfYear, byteSwap (unsigned-shift byte reassembly;
+    oracle replays with sign-adjusted multiplications), simpleJSONExtract-
+    String, JSONArrayLength, L1Distance/L2Distance, ifNotFinite, netloc,
+    cutToFirstSignificantSubdomain (documented public-suffix shortlist),
+    mapFilter (CH lambda-first), element_at passthrough."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       gcd(a, b) AS g,
+       lcm(a, b) AS l,
+       factorial(n) AS fact,
+       formatDateTime(makeDate(yy, mo, dd), '%F') AS mkd,
+       toUnixTimestamp(makeDateTime(yy, mo, dd, hh, mi, ss)) AS mkts,
+       toDayOfYear(o_orderdate) AS doy,
+       byteSwap(bs) AS bsw,
+       simpleJSONExtractString(js, 'name') AS jss,
+       JSONArrayLength(jarr) AS jal,
+       L1Distance(arr1, arr2) AS l1,
+       L2Distance(arr1, arr2) AS l2d,
+       ifNotFinite(dbl, -1.0) AS inf,
+       netloc(url) AS nl,
+       cutToFirstSignificantSubdomain(url) AS cut,
+       coalesce(element_at(mapFilter((k, v) -> v % 2 = 0,
+           map('a', a, 'b', b)), 'a'), CAST(-1 AS BIGINT)) AS mfa
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         CAST(o_orderkey % 97 + 1 AS BIGINT) AS a,
+         CAST(o_orderkey % 60 + 6 AS BIGINT) AS b,
+         CAST(o_orderkey % 12 AS INT) AS n,
+         CAST(1995 + o_orderkey % 25 AS INT) AS yy,
+         CAST(o_orderkey % 12 + 1 AS INT) AS mo,
+         CAST(o_orderkey % 28 + 1 AS INT) AS dd,
+         CAST(o_orderkey % 24 AS INT) AS hh,
+         CAST(o_orderkey % 60 AS INT) AS mi,
+         CAST(o_orderkey % 59 AS INT) AS ss,
+         CAST(o_orderkey % 100000000 AS BIGINT) AS bs,
+         concat('{"name":"p', toString(o_orderkey % 50), '"}') AS js,
+         concat('[1,2,', toString(o_orderkey % 9), ']') AS jarr,
+         array(CAST(o_orderkey % 5 + 1 AS DOUBLE),
+               CAST(o_orderkey % 4 AS DOUBLE),
+               CAST(o_orderkey % 3 AS DOUBLE)) AS arr1,
+         array(CAST(o_orderkey % 7 AS DOUBLE),
+               CAST(o_orderkey % 6 AS DOUBLE),
+               CAST(o_orderkey % 2 AS DOUBLE)) AS arr2,
+         CASE WHEN o_orderkey % 3 = 0 THEN double('Infinity')
+              WHEN o_orderkey % 3 = 1 THEN double('NaN')
+              ELSE CAST(o_orderkey % 1000 AS DOUBLE) END AS dbl,
+         concat('https://user:pw@sub.shop', toString(o_orderkey % 10),
+                CASE WHEN o_orderkey % 2 = 0 THEN '.example.co.uk'
+                     ELSE '.example.com' END, ':8443/path?q=1') AS url
+  FROM orders WHERE o_orderkey % 37 = 0
+)
+"""
+    out = spark.sql(translate_ch_sql(ch_sql))
+    return out.withColumn("doy", F.col("doy").cast("int")).withColumn(
+        "jal", F.col("jal").cast("int")
+    )
+
+
+@query(
+    "sql_ch_dialect_vocab_r6c_agg",
+    oracle="""
+SELECT o_orderpriority,
+       (CAST(SUM(x * y) AS BIGINT)
+          - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT)
+            / CAST(COUNT(x) AS BIGINT))
+         / (CAST(COUNT(x) AS BIGINT) - 1) AS cov,
+       (CAST(MAX(y2) AS DOUBLE) - MIN(y2))
+         / (CAST(MAX(x2) AS DOUBLE) - MIN(x2)) AS br,
+       CAST(CAST(COUNT(x) AS BIGINT) * CAST(SUM(x * y) AS BIGINT)
+            - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS DOUBLE)
+         / (CAST(COUNT(x) AS BIGINT) * CAST(SUM(x * x) AS BIGINT)
+            - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT)) AS slr_k,
+       (CAST(SUM(y) AS BIGINT)
+          - (CAST(CAST(COUNT(x) AS BIGINT) * CAST(SUM(x * y) AS BIGINT)
+              - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS DOUBLE)
+             / (CAST(COUNT(x) AS BIGINT) * CAST(SUM(x * x) AS BIGINT)
+                - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT)))
+            * CAST(SUM(x) AS BIGINT))
+         / CAST(COUNT(x) AS BIGINT) AS slr_b,
+       '[' || CAST(MAX(CASE WHEN x < 50 THEN 1 ELSE 0 END) AS VARCHAR)
+         || ',' || CAST(LEAST(MAX(CASE WHEN x < 50 THEN 1 ELSE 0 END),
+                MAX(CASE WHEN x < 20 THEN 1 ELSE 0 END)) AS VARCHAR)
+         || ',' || CAST(LEAST(MAX(CASE WHEN x < 50 THEN 1 ELSE 0 END),
+                MAX(CASE WHEN x < 80 THEN 1 ELSE 0 END)) AS VARCHAR)
+         || ']' AS ret,
+       CAST(SUM(x) AS BIGINT) AS sk,
+       CAST(SUM(x) AS BIGINT) AS sc_s,
+       CAST(COUNT(x) AS BIGINT) AS sc_c
+FROM (
+  SELECT o_orderpriority,
+         CAST(o_orderkey % 100 AS BIGINT) AS x,
+         CAST((o_orderkey % 100) * 3 + o_orderkey % 7 AS BIGINT) AS y,
+         CAST(o_orderkey % 977 AS BIGINT) AS x2,
+         CAST(o_orderkey % 641 AS BIGINT) AS y2
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+GROUP BY o_orderpriority
+""",
+)
+def sql_ch_dialect_vocab_r6c_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6c vocabulary widening, aggregate half: covarSamp,
+    boundingRatio, simpleLinearRegression (tuple surfaced via
+    tupleElement), retention (3-condition ladder, canon-serialized),
+    sumKahan (documented no-op: sums here are already exact), sumCount.
+    Every float output is a +,-,*,/ chain over exact integer power sums —
+    correctly-rounded IEEE ops, so both engines agree bit-for-bit."""
+    from moosestack_spark.registry import canon_arrays
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderpriority,
+       covarSamp(x, y) AS cov,
+       boundingRatio(x2, y2) AS br,
+       tupleElement(simpleLinearRegression(x, y), 1) AS slr_k,
+       tupleElement(simpleLinearRegression(x, y), 2) AS slr_b,
+       retention(x < 50, x < 20, x < 80) AS ret,
+       sumKahan(x) AS sk,
+       tupleElement(sumCount(x), 1) AS sc_s,
+       tupleElement(sumCount(x), 2) AS sc_c
+FROM (
+  SELECT o_orderpriority,
+         CAST(o_orderkey % 100 AS BIGINT) AS x,
+         CAST((o_orderkey % 100) * 3 + o_orderkey % 7 AS BIGINT) AS y,
+         CAST(o_orderkey % 977 AS BIGINT) AS x2,
+         CAST(o_orderkey % 641 AS BIGINT) AS y2
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+GROUP BY o_orderpriority
+"""
+    return canon_arrays(spark.sql(translate_ch_sql(ch_sql)), "ret")

@@ -143,6 +143,9 @@ _AFTER_WINDOW: list[str] = [
     "agg_sparkbar_hours",
     "source_avro_roundtrip",
     "source_iceberg_deletes_read",
+    "sql_ch_dialect_vocab_r6c",
+    "sql_ch_dialect_vocab_r6c_agg",
+    "agg_delta_max_intersections",
 ]
 
 

@@ -955,6 +955,109 @@ _RENAME.update(
     }
 )
 
+# ---- round-6c vocabulary widening ----
+# gcd/lcm run Euclid inside a bounded aggregate() fold (92 iterations cover
+# the 64-bit worst case — consecutive Fibonacci numbers); factorial guards
+# n<=1 because Spark's sequence(1, 0) DESCENDS; byteSwap reassembles the 8
+# bytes with unsigned shifts (disjoint, so + == |); the distance/regression
+# aggregates are spelled from exact integer power sums so both engines
+# compute the identical +,-,*,/,sqrt chain (those IEEE ops are correctly
+# rounded everywhere; log/exp are not, and stay out of this surface).
+_GCD = (
+    "aggregate(sequence(1, 92), named_struct('a', CAST(abs({0}) AS BIGINT), "
+    "'b', CAST(abs({1}) AS BIGINT)), (__g, __gi) -> if(__g.b = 0, __g, "
+    "named_struct('a', __g.b, 'b', __g.a % __g.b)), __g -> __g.a)"
+)
+_SLR_K = (
+    "(CAST(count({0}) * sum(({0}) * ({1})) - sum({0}) * sum({1}) AS DOUBLE)"
+    " / (count({0}) * sum(({0}) * ({0})) - sum({0}) * sum({0})))"
+)
+_CUT_H = "split(parse_url({0}, 'HOST'), '\\\\.')"
+_CUT_TAKE = (
+    f"(CASE WHEN size({_CUT_H}) >= 3 AND length(element_at({_CUT_H}, -1)) = 2"
+    f" AND element_at({_CUT_H}, -2) IN ('co', 'com', 'org', 'gov', 'ac', 'net')"
+    f" THEN 3 ELSE least(size({_CUT_H}), 2) END)"
+)
+_TEMPLATE.update(
+    {
+        "gcd": f"({_GCD})",
+        "lcm": (
+            "(CASE WHEN ({0}) = 0 OR ({1}) = 0 THEN 0 ELSE "
+            f"abs((CAST({{0}} AS BIGINT) div {_GCD}) * CAST({{1}} AS BIGINT)) "
+            "END)"
+        ),
+        "factorial": (
+            "(CASE WHEN ({0}) <= 1 THEN CAST(1 AS BIGINT) ELSE "
+            "aggregate(sequence(1, CAST({0} AS INT)), CAST(1 AS BIGINT), "
+            "(__f_a, __f_x) -> __f_a * __f_x) END)"
+        ),
+        "makeDate": "make_date({0}, {1}, {2})",
+        "makeDateTime": "make_timestamp({0}, {1}, {2}, {3}, {4}, {5})",
+        "toDayOfYear": "dayofyear({0})",
+        "byteSwap": (
+            "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (__bs_a, __bs_i) ->"
+            " __bs_a + shiftleft(shiftrightunsigned(CAST({0} AS BIGINT), "
+            "8 * __bs_i) & 255, 8 * (7 - __bs_i)))"
+        ),
+        # sloppy-scan simpleJSON on clean JSON == path extraction
+        "simpleJSONExtractString": "get_json_object({0}, concat('$.', {1}))",
+        "JSONArrayLength": "json_array_length({0})",
+        "L1Distance": (
+            "aggregate(zip_with({0}, {1}, (__l1x, __l1y) -> "
+            "abs(__l1x - __l1y)), cast(0 as double), "
+            "(__l1a, __l1v) -> __l1a + __l1v)"
+        ),
+        "L2Distance": (
+            "sqrt(aggregate(zip_with({0}, {1}, (__l2x, __l2y) -> "
+            "(__l2x - __l2y) * (__l2x - __l2y)), cast(0 as double), "
+            "(__l2a, __l2v) -> __l2a + __l2v))"
+        ),
+        "covarSamp": (
+            "((sum(({0}) * ({1})) - sum({0}) * sum({1}) / count({0})) / "
+            "(count({0}) - 1))"
+        ),
+        "boundingRatio": (
+            "((CAST(max({1}) AS DOUBLE) - min({1})) / "
+            "(CAST(max({0}) AS DOUBLE) - min({0})))"
+        ),
+        # tuple (k, b) surfaced as a named_struct so tupleElement works
+        "simpleLinearRegression": (
+            f"named_struct('col1', {_SLR_K}, "
+            f"'col2', ((sum({{1}}) - {_SLR_K} * sum({{0}})) / count({{0}})))"
+        ),
+        "sumCount": "named_struct('col1', sum({0}), 'col2', count({0}))",
+        # retention(c1, c2, c3): r[0] = c1 ever held; r[i] = c1 AND ci
+        "retention": (
+            "array(max(if({0}, 1, 0)), "
+            "least(max(if({0}, 1, 0)), max(if({1}, 1, 0))), "
+            "least(max(if({0}, 1, 0)), max(if({2}, 1, 0))))"
+        ),
+        "ifNotFinite": (
+            "(CASE WHEN isnan(CAST({0} AS DOUBLE)) OR "
+            "abs(CAST({0} AS DOUBLE)) = double('Infinity') THEN {1} "
+            "ELSE {0} END)"
+        ),
+        "mapFilter": "map_filter({1}, {0})",
+        # CH netloc = user:pass@host:port, which is exactly the URL
+        # AUTHORITY component (parse_url has no separate PORT part)
+        "netloc": "coalesce(parse_url({0}, 'AUTHORITY'), '')",
+        # public-suffix handling is a documented shortlist (co/com/org/gov/
+        # ac/net under 2-letter ccTLDs), not the full PSL snapshot CH ships
+        "cutToFirstSignificantSubdomain": (
+            f"array_join(slice({_CUT_H}, size({_CUT_H}) - {_CUT_TAKE} + 1, "
+            f"{_CUT_TAKE}), '.')"
+        ),
+    }
+)
+
+_RENAME.update(
+    {
+        # this engine's SUM is already exact where it matters (decimal
+        # internals per operators/_determinism.py) — Kahan is a no-op
+        "sumKahan": "sum",
+    }
+)
+
 _KNOWN_SPARK_PASSTHROUGH = frozenset(
     """select from where group by order having limit offset join on as and or not
     count sum avg min max distinct case when then else end cast between in like
