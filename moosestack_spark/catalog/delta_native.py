@@ -16,8 +16,19 @@ format.  Implements the public Delta transaction protocol
   Delta data files do NOT carry partition columns in-file (Hive-style
   dirs), and basePath reconstructs them.
 
-Honest boundaries (raise, never silently wrong): deletion vectors, column
-mapping, generated columns, reader protocol version > 1 features.
+DELETION VECTORS (reader protocol 3) are supported: add actions carrying a
+``deletionVector`` descriptor (storageType "u" relative-UUID / "p" absolute
+path / "i" inline-z85) are decoded EXECUTOR-SIDE — the descriptor list
+(one row per file, bounded by file count) goes through a mapInPandas
+kernel that reads the DV blob ([size u32 BE][RoaringBitmapArray][CRC32])
+and emits (file, pos) pairs; the data scan then drops them with one LEFT
+ANTI join on parquet ``_metadata.file_path``/``row_index``.  The writer's
+``delete_where`` commits protocol-shaped DV adds (remove + re-add with
+descriptor, protocol upgraded to 3/7 with the deletionVectors feature).
+Codec: catalog/roaring.py (public RoaringFormatSpec + PROTOCOL.md).
+
+Honest boundaries (raise, never silently wrong): column mapping, generated
+columns, reader protocol > 3 or reader features beyond deletionVectors.
 
 The writer emits protocol-shaped commits (and optional checkpoints) so
 tables can be planted, appended, and time-traveled in tests/gates.
@@ -117,10 +128,19 @@ class DeltaNativeTable:
             for action in self._actions(v):
                 if "protocol" in action:
                     p = action["protocol"]
-                    if p.get("minReaderVersion", 1) > 1:
+                    rv = p.get("minReaderVersion", 1)
+                    feats = set(p.get("readerFeatures") or [])
+                    # rv 1: base protocol.  rv 3 + explicit feature list
+                    # limited to deletionVectors: supported.  Anything else
+                    # (rv 2 = column-mapping era, rv 3 without a feature
+                    # list, unknown features) refuses loudly.
+                    if rv != 1 and not (
+                        rv == 3 and feats and feats <= {"deletionVectors"}
+                    ):
                         raise NotImplementedError(
-                            f"Delta reader protocol {p['minReaderVersion']} "
-                            "(deletion vectors / column mapping) unsupported"
+                            f"Delta reader protocol {rv} with features "
+                            f"{sorted(feats)} unsupported (deletionVectors "
+                            "only)"
                         )
                 if "metaData" in action:
                     meta = action["metaData"]
@@ -156,13 +176,26 @@ class DeltaNativeTable:
                     f"{k!r} is not a partition column (have {part_cols})"
                 )
         chosen = []
+        dv_specs = []  # (abs data file, storageType, pathOrInlineDv, offset)
         for rel, add in files.items():
             pv = add.get("partitionValues", {})
             if partition_filter and any(
                 pv.get(k) != str(v) for k, v in partition_filter.items()
             ):
                 continue  # pruned before the file is ever opened
-            chosen.append(os.path.join(self.path, rel))
+            abs_path = os.path.join(self.path, rel)
+            chosen.append(abs_path)
+            dv = add.get("deletionVector")
+            if dv:
+                dv_specs.append(
+                    (
+                        abs_path,
+                        dv["storageType"],
+                        dv["pathOrInlineDv"],
+                        int(dv.get("offset", 0) or 0),
+                        int(dv["sizeInBytes"]),
+                    )
+                )
         if not chosen:
             schema = json.loads(meta["schemaString"])
             cols = ", ".join(
@@ -179,7 +212,76 @@ class DeltaNativeTable:
         for c in part_cols:
             if c in declared and c in out.columns:
                 out = out.withColumn(c, F.col(c).cast(declared[c]))
+        if dv_specs:
+            out = self._apply_deletion_vectors(out, dv_specs)
         return out
+
+    def _apply_deletion_vectors(self, df: DataFrame, dv_specs) -> DataFrame:
+        """Drop rows claimed by deletion vectors.  The descriptor list is
+        file-count-bounded; blob decode runs executor-side in an Arrow
+        kernel (each task opens its DV blob from shared storage), so the
+        driver never touches cardinality-scale data."""
+        import pandas as pd
+
+        spark = self.spark
+        table_path = self.path
+        cols = df.columns
+        spec_df = spark.createDataFrame(
+            dv_specs, "file string, storage string, dv string, off long, size long"
+        ).repartition(max(1, min(len(dv_specs), 32)))
+
+        def decode(batches):
+            from moosestack_spark.catalog.roaring import (
+                bitmap_array_decode,
+                dv_read_blob,
+                z85_decode,
+            )
+
+            for pdf in batches:
+                for file, storage, dv, off, size in pdf.itertuples(index=False):
+                    if storage == "i":
+                        # inline DVs are unframed; z85 pads to 4-byte
+                        # alignment, sizeInBytes restores the exact length
+                        positions = bitmap_array_decode(
+                            z85_decode(dv)[: int(size)]
+                        )
+                    else:
+                        if storage == "p":
+                            dv_path = dv
+                        elif storage == "u":
+                            import uuid as _uuid
+
+                            prefix, suffix = dv[:-20], dv[-20:]
+                            u = _uuid.UUID(bytes=z85_decode(suffix))
+                            name = f"deletion_vector_{u}.bin"
+                            dv_path = os.path.join(
+                                table_path, prefix, name
+                            ) if prefix else os.path.join(table_path, name)
+                        else:
+                            raise NotImplementedError(
+                                f"DV storageType {storage!r}"
+                            )
+                        with open(dv_path, "rb") as fh:
+                            blob = fh.read()
+                        positions = dv_read_blob(blob, int(off))
+                    if positions:
+                        yield pd.DataFrame(
+                            {"__dv_fp": [file] * len(positions),
+                             "__dv_pos": positions}
+                        )
+
+        deleted = spec_df.mapInPandas(decode, "__dv_fp string, __dv_pos long")
+        out = df.withColumn(
+            "__fp",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        out = out.join(
+            deleted,
+            (out["__fp"] == deleted["__dv_fp"])
+            & (out["__pos"] == deleted["__dv_pos"]),
+            "left_anti",
+        )
+        return out.select(*cols)
 
     # -- write ---------------------------------------------------------------
 
@@ -301,6 +403,132 @@ class DeltaNativeTable:
                 }
             )
         return adds
+
+    # positions for a delete commit are collected driver-side (bounded by
+    # the DELETED cardinality, not table size) — refuse unbounded collects
+    DELETE_POSITIONS_CAP = 5_000_000
+
+    def delete_where(self, condition) -> int:
+        """Commit a DELETION-VECTOR version removing current rows matching
+        ``condition``: affected files get a remove + re-add carrying a
+        deletionVector descriptor (storageType "u", one shared
+        deletion_vector_<uuid>.bin holding a framed blob per file), and the
+        protocol is upgraded to 3/7 with the deletionVectors feature.
+        A file's new DV contains the union of its old DV and the new
+        matches (a descriptor REPLACES, never stacks).  Returns the number
+        of newly deleted rows."""
+        import uuid as _uuid
+
+        from moosestack_spark.catalog.roaring import (
+            dv_blob,
+            dv_read_blob,
+            z85_decode,
+            z85_encode,
+        )
+
+        meta, files = self.snapshot()
+        version = self.latest_version() + 1
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        live = self.read()  # existing DVs already applied
+        matches = (
+            live.withColumn(
+                "__fp",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ),
+            )
+            .withColumn("__pos", F.col("_metadata.row_index"))
+            .filter(cond)
+            .select("__fp", "__pos")
+        )
+        n = matches.count()
+        if n == 0:
+            return 0
+        if n > self.DELETE_POSITIONS_CAP:
+            raise ValueError(
+                f"delete_where matches {n} rows (cap "
+                f"{self.DELETE_POSITIONS_CAP}): a delete this large should "
+                "rewrite files, not grow deletion vectors"
+            )
+        by_file: dict[str, set[int]] = {}
+        for r in matches.collect():
+            by_file.setdefault(r["__fp"], set()).add(r["__pos"])
+
+        # fold in prior DV positions for the affected files
+        for rel, add in files.items():
+            abs_path = os.path.join(self.path, rel)
+            if abs_path not in by_file:
+                continue
+            dv = add.get("deletionVector")
+            if not dv:
+                continue
+            if dv["storageType"] == "i":
+                from moosestack_spark.catalog.roaring import bitmap_array_decode
+
+                old = bitmap_array_decode(
+                    z85_decode(dv["pathOrInlineDv"])[: int(dv["sizeInBytes"])]
+                )
+            else:
+                u = _uuid.UUID(bytes=z85_decode(dv["pathOrInlineDv"][-20:]))
+                with open(
+                    os.path.join(self.path, f"deletion_vector_{u}.bin"), "rb"
+                ) as fh:
+                    old = dv_read_blob(fh.read(), int(dv.get("offset", 0)))
+            by_file[abs_path].update(old)
+
+        dv_uuid = _uuid.uuid5(_uuid.NAMESPACE_URL, f"{self.path}#dv{version}")
+        dv_name = f"deletion_vector_{dv_uuid}.bin"
+        buf = bytearray(b"\x01")
+        descriptors: dict[str, dict] = {}
+        for abs_path in sorted(by_file):
+            positions = sorted(by_file[abs_path])
+            offset = len(buf)
+            blob = dv_blob(positions)
+            buf += blob
+            descriptors[abs_path] = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+                "offset": offset,
+                "sizeInBytes": len(blob) - 8,  # framed size minus len+crc
+                "cardinality": len(positions),
+            }
+        with open(os.path.join(self.path, dv_name), "wb") as fh:
+            fh.write(bytes(buf))
+
+        actions: list[dict] = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        ]
+        for rel, add in files.items():
+            abs_path = os.path.join(self.path, rel)
+            if abs_path not in descriptors:
+                continue
+            actions.append({"remove": {"path": rel, "dataChange": True}})
+            new_add = dict(add)
+            new_add["deletionVector"] = descriptors[abs_path]
+            new_add["dataChange"] = True
+            actions.append({"add": new_add})
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "DELETE",
+                    "operationParameters": {},
+                }
+            }
+        )
+        log_path = os.path.join(self.log_dir, f"{version:020d}.json")
+        tmp = log_path + ".tmp"
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        os.replace(tmp, log_path)
+        return n
 
     def write_checkpoint(self, version: int | None = None) -> str:
         """Materialize the snapshot at ``version`` as a checkpoint parquet

@@ -821,3 +821,65 @@ def source_iceberg_deletes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "source_delta_dv_read",
+    oracle="""
+WITH live AS (
+    SELECT * FROM supplier
+    WHERE ((s_suppkey % 2 = 0 AND NOT (s_suppkey % 7 = 3))
+           OR s_suppkey % 2 = 1)
+      AND NOT (s_suppkey % 11 = 5)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS bal_cents,
+       CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS nations,
+       MIN(s_name) AS first_name
+FROM live
+""",
+)
+def source_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake DELETION VECTORS through the native reader
+    (catalog/delta_native.py + catalog/roaring.py): plant the even-suppkey
+    half of supplier as a Delta table, commit a DV delete (s_suppkey % 7 =
+    3 — file-backed "u" descriptor, portable Roaring blobs), APPEND the
+    odd half (a delete never touches later data), then a second DV delete
+    (s_suppkey % 11 = 5) whose descriptors REPLACE the first file's DV
+    with the union.  The reader decodes descriptors executor-side and
+    drops rows with one anti-join on parquet _metadata positions; the
+    oracle replays the surviving-row algebra.  Formats: delta-io
+    PROTOCOL.md deletion vectors + RoaringFormatSpec."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from moosestack_spark.catalog.delta_native import DeltaNativeTable
+
+    src = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+        F.col("s_name").alias("s_name"),
+    )
+    base = _tempfile.mkdtemp(prefix="msk_delta_dv_")
+    try:
+        path = base + "/supplier_delta"
+        table = DeltaNativeTable.write(
+            src.filter(F.col("s_suppkey") % 2 == 0), path
+        )
+        table.delete_where("s_suppkey % 7 = 3")
+        DeltaNativeTable.write(
+            src.filter(F.col("s_suppkey") % 2 == 1), path, mode="append"
+        )
+        table.delete_where("s_suppkey % 11 = 5")
+        return table.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_cents").cast("bigint").alias("bal_cents"),
+            F.count_distinct("s_nationkey").alias("nations"),
+            F.min("s_name").alias("first_name"),
+        ).localCheckpoint()
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

@@ -291,3 +291,140 @@ def mincount_finalize(
         "used_buckets",
         est.cast("float").alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Space-saving heavy hitters (mergeable summaries)
+# ---------------------------------------------------------------------------
+
+
+def space_saving_summaries(
+    df: DataFrame, key_col: str, k: int = 64, prune_factor: int = 4
+) -> DataFrame:
+    """Per-partition bounded-state heavy-hitter summaries (the mergeable-
+    summaries formulation of space-saving, Agarwal et al. PODS'12).
+
+    Each task folds Arrow batches into a count dict; whenever the dict
+    exceeds ``prune_factor * k`` keys it is pruned back to ``prune_factor
+    * k // 2`` largest, accumulating the partition's error budget ``e_p``
+    += max(pruned count).  Guarantees per partition: a kept key's count
+    underestimates its true partition count by at most e_p, and any
+    dropped key has true partition count <= e_p.  Summaries merge by
+    plain SUM over keys, with the global band TRUE_COUNT in
+    [sum(cnt), sum(cnt) + sum_p e_p].
+
+    State per task is O(prune_factor * k) — at 100 TB the output is
+    (#partitions * k) rows, grouped by key in one tiny shuffle; nothing
+    scales with the key cardinality.
+    """
+    import pandas as pd
+
+    cap = prune_factor * k
+    keep = max(cap // 2, k)
+
+    def kernel(batches):
+        from pyspark import TaskContext
+
+        counts: dict = {}
+        e_p = 0
+        for pdf in batches:
+            vc = pdf[key_col].value_counts()
+            for key, c in vc.items():
+                counts[key] = counts.get(key, 0) + int(c)
+            if len(counts) > cap:
+                ordered = sorted(counts.items(), key=lambda kv: -kv[1])
+                pruned_max = ordered[keep][1]
+                e_p += pruned_max
+                counts = dict(ordered[:keep])
+        pid = TaskContext.get().partitionId()
+        top = sorted(counts.items(), key=lambda kv: -kv[1])[:k]
+        if not top:
+            return
+        yield pd.DataFrame(
+            {
+                "pid": [pid] * len(top),
+                "key": [kv[0] for kv in top],
+                "cnt": [kv[1] for kv in top],
+                "e_p": [e_p] * len(top),
+            }
+        )
+
+    return df.select(key_col).mapInPandas(
+        kernel, "pid int, key string, cnt long, e_p long"
+    )
+
+
+def space_saving_topk(
+    df: DataFrame, key_col: str, k: int = 64, top: int = 10
+) -> DataFrame:
+    """Merged heavy-hitter estimates: (key, est, upper) for the ``top``
+    keys by estimated count, where the true count lies in [est, upper]."""
+    summaries = space_saving_summaries(df, key_col, k=k).localCheckpoint()
+    e_total = summaries.groupBy("pid").agg(F.first("e_p").alias("e")).agg(
+        F.coalesce(F.sum("e"), F.lit(0)).alias("e_total")
+    )
+    merged = (
+        summaries.groupBy("key")
+        .agg(F.sum("cnt").alias("est"))
+        .crossJoin(F.broadcast(e_total))
+        .withColumn("upper", F.col("est") + F.col("e_total"))
+        .drop("e_total")
+    )
+    return merged.orderBy(F.desc("est"), "key").limit(top)
+
+
+_SS_ORACLE = """
+WITH keyed AS (
+  SELECT CASE WHEN user_id % 10 < 7
+              THEN 'hot-' || CAST(user_id % 3 AS VARCHAR)
+              ELSE 'cold-' || CAST(user_id % 5000 AS VARCHAR) END AS key
+  FROM events
+),
+exact AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM keyed GROUP BY key
+)
+SELECT key, exact_cnt, CAST(1 AS INT) AS within_band
+FROM exact
+ORDER BY exact_cnt DESC, key
+LIMIT 3
+"""
+
+
+@query("agg_space_saving_topk", oracle=_SS_ORACLE)
+def agg_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with bounded per-task state: space-saving summaries
+    (k=64 per partition) merged by key, with the mergeable-summaries
+    error band carried explicitly.  The gate surfaces only partition-
+    layout-independent facts: the top-3 hot keys (separation >> total
+    error budget by construction, so the sketch's top set equals the
+    exact top set under ANY partitioning), their EXACT counts (replayed
+    in-plan from a groupBy the oracle repeats), and an in-plan band check
+    exact BETWEEN est AND est + sum(e_p) — the same graduation pattern as
+    agg_uniq_approx.  CH analogue: topK(N)(col) (approximate heavy
+    hitters); reference surface passes it through to ClickHouse."""
+    src = t(spark, sf_dir, "events").select(
+        F.when(
+            F.col("user_id") % 10 < 7,
+            F.concat(F.lit("hot-"), (F.col("user_id") % 3).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("cold-"), (F.col("user_id") % 5000).cast("string"))
+        )
+        .alias("key")
+    )
+    sketch = space_saving_topk(src, "key", k=64, top=3)
+    exact = src.groupBy("key").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    out = (
+        sketch.join(exact, "key")
+        .withColumn(
+            "within_band",
+            (
+                (F.col("exact_cnt") >= F.col("est"))
+                & (F.col("exact_cnt") <= F.col("upper"))
+            ).cast("int"),
+        )
+        .select("key", "exact_cnt", "within_band")
+        .orderBy(F.desc("exact_cnt"), "key")
+    )
+    return out.localCheckpoint()

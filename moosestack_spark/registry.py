@@ -146,6 +146,8 @@ _AFTER_WINDOW: list[str] = [
     "sql_ch_dialect_vocab_r6c",
     "sql_ch_dialect_vocab_r6c_agg",
     "agg_delta_max_intersections",
+    "agg_space_saving_topk",
+    "source_delta_dv_read",
 ]
 
 

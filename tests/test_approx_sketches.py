@@ -134,3 +134,56 @@ def test_hll_murmur_finalizer_avalanche_on_sequential_keys(spark):
         assert abs(est - n) / n <= 0.10, est
     finally:
         spark.catalog.dropTempView("lineitem")
+
+
+# ---- space-saving heavy hitters (ops/sketches.py) ----
+
+
+def test_space_saving_band_holds_under_any_partitioning(spark):
+    """The mergeable-summaries band [est, est + sum(e_p)] must contain the
+    true count under adversarial repartitioning, with prunes actually
+    firing (600 distinct cold keys >> cap=16)."""
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.ops.sketches import space_saving_topk
+
+    df = (
+        spark.range(0, 20000)
+        .select(
+            F.when(
+                F.col("id") % 4 < 3,
+                F.concat(F.lit("hot-"), (F.col("id") % 2).cast("string")),
+            )
+            .otherwise(
+                F.concat(F.lit("cold-"), (F.col("id") % 600).cast("string"))
+            )
+            .alias("key")
+        )
+        .repartition(13)  # layout the summaries must be independent of
+    )
+    got = space_saving_topk(df, "key", k=4, top=2).collect()
+    exact = {
+        r["key"]: r["n"]
+        for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert [r["key"] for r in got] == ["hot-0", "hot-1"]
+    for r in got:
+        assert r["est"] <= exact[r["key"]] <= r["upper"], r
+
+
+def test_space_saving_exact_when_no_prunes(spark):
+    """Fewer distinct keys than the cap -> zero error budget, est == exact."""
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.ops.sketches import space_saving_topk
+
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("k"), (F.col("id") % 7).cast("string")).alias("key")
+    )
+    got = space_saving_topk(df, "key", k=16, top=7).collect()
+    exact = {
+        r["key"]: r["n"]
+        for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in got:
+        assert r["est"] == exact[r["key"]] == r["upper"]
