@@ -126,6 +126,13 @@ EXTRA = [
     "source_delta_native_read",
     "streaming_kmv_distinct",
     "source_ch_formats_roundtrip",
+    # round-6 late-session additions
+    "source_iceberg_deletes_read",
+    "source_delta_dv_read",
+    "source_avro_roundtrip",
+    "agg_space_saving_topk",
+    "sql_ch_dialect_vocab_r6c",
+    "agg_delta_max_intersections",
 ]
 
 

@@ -194,6 +194,7 @@ class DeltaNativeTable:
                         dv["pathOrInlineDv"],
                         int(dv.get("offset", 0) or 0),
                         int(dv["sizeInBytes"]),
+                        int(dv.get("cardinality", 0)),
                     )
                 )
         if not chosen:
@@ -227,7 +228,9 @@ class DeltaNativeTable:
         table_path = self.path
         cols = df.columns
         spec_df = spark.createDataFrame(
-            dv_specs, "file string, storage string, dv string, off long, size long"
+            dv_specs,
+            "file string, storage string, dv string, off long, size long, "
+            "card long",
         ).repartition(max(1, min(len(dv_specs), 32)))
 
         def decode(batches):
@@ -238,7 +241,9 @@ class DeltaNativeTable:
             )
 
             for pdf in batches:
-                for file, storage, dv, off, size in pdf.itertuples(index=False):
+                for file, storage, dv, off, size, _card in pdf.itertuples(
+                    index=False
+                ):
                     if storage == "i":
                         # inline DVs are unframed; z85 pads to 4-byte
                         # alignment, sizeInBytes restores the exact length
@@ -271,6 +276,12 @@ class DeltaNativeTable:
                         )
 
         deleted = spec_df.mapInPandas(decode, "__dv_fp string, __dv_pos long")
+        # the kernel output has no stats, so Catalyst would sort-merge; the
+        # descriptors carry the EXACT total cardinality — broadcast when it
+        # is provably small, otherwise leave the strategy to Catalyst/AQE
+        # (a multi-hundred-MB delete side should shuffle, not broadcast)
+        if sum(s[5] for s in dv_specs) <= 2_000_000:
+            deleted = F.broadcast(deleted)
         out = df.withColumn(
             "__fp",
             F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),

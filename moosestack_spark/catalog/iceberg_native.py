@@ -267,7 +267,7 @@ class IcebergNativeTable:
                             continue  # entry-level prune
                     out["data"].append((path, seq))
                 elif content == 1:
-                    out["pos"].append((path, seq))
+                    out["pos"].append((path, seq, df_.get("record_count", 0)))
                 elif content == 2:
                     ids = df_.get("equality_ids") or []
                     if not ids:
@@ -275,7 +275,12 @@ class IcebergNativeTable:
                             f"equality delete file {path} without equality_ids"
                         )
                     out["eq"].append(
-                        (path, seq, tuple(id_to_col[i] for i in ids))
+                        (
+                            path,
+                            seq,
+                            tuple(id_to_col[i] for i in ids),
+                            df_.get("record_count", 0),
+                        )
                     )
                 else:
                     raise NotImplementedError(f"data_file content={content}")
@@ -335,12 +340,19 @@ class IcebergNativeTable:
         )
         df = df.join(F.broadcast(seq_df), "__msk_fp", "left")
 
+        # manifests carry each delete file's exact record_count — hint a
+        # broadcast while the delete side is provably small so the anti-
+        # join never degrades to a sort-merge of the DATA side; above the
+        # bound, Catalyst/AQE picks (a huge delete set should shuffle)
+        def _maybe_broadcast(side, n_rows):
+            return F.broadcast(side) if n_rows <= 2_000_000 else side
+
         if scan["pos"]:
             dseq = spark.createDataFrame(
-                [(p, s) for p, s, in scan["pos"]], "__pdf string, __d_seq long"
+                [(p, s) for p, s, _ in scan["pos"]], "__pdf string, __d_seq long"
             )
             pos = (
-                spark.read.parquet(*[p for p, _ in scan["pos"]])
+                spark.read.parquet(*[p for p, _, _ in scan["pos"]])
                 .select(
                     self._norm_fp(F.col("file_path")).alias("__d_fp"),
                     F.col("pos").alias("__d_pos"),
@@ -348,6 +360,7 @@ class IcebergNativeTable:
                 )
                 .join(F.broadcast(dseq), "__pdf")
             )
+            pos = _maybe_broadcast(pos, sum(rc for _, _, rc in scan["pos"]))
             # spec: a position delete applies to data files whose sequence
             # number is <= the delete file's
             df = df.join(
@@ -359,19 +372,22 @@ class IcebergNativeTable:
             )
 
         # one anti-join per distinct equality-column set
-        by_cols: dict[tuple, list[tuple[str, int]]] = {}
-        for p, s, key_cols in scan["eq"]:
-            by_cols.setdefault(key_cols, []).append((p, s))
+        by_cols: dict[tuple, list[tuple[str, int, int]]] = {}
+        for p, s, key_cols, rc in scan["eq"]:
+            by_cols.setdefault(key_cols, []).append((p, s, rc))
         for key_cols, files in by_cols.items():
-            dseq = spark.createDataFrame(files, "__pdf string, __d_seq long")
+            dseq = spark.createDataFrame(
+                [(p, s) for p, s, _ in files], "__pdf string, __d_seq long"
+            )
             eq = (
-                spark.read.parquet(*[p for p, _ in files])
+                spark.read.parquet(*[p for p, _, _ in files])
                 .select(
                     *[F.col(c).alias(f"__d_{c}") for c in key_cols],
                     self._norm_fp(F.col("_metadata.file_path")).alias("__pdf"),
                 )
                 .join(F.broadcast(dseq), "__pdf")
             )
+            eq = _maybe_broadcast(eq, sum(rc for _, _, rc in files))
             cond = eq["__d_seq"] > df["__msk_seq"]  # strict, per spec
             for c in key_cols:
                 # spec: equality matching is null-safe

@@ -179,3 +179,28 @@ def test_dup_ngram_fraction_two_shuffles_with_broadcast_df(plans):
     assert "BroadcastExchange" in p  # shingle-df table joins broadcast
     tree = plan_tree(p)
     assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 2
+
+
+def test_lake_delete_reads_broadcast_and_keep_pushdown(spark, tmp_path):
+    """Both lake readers' delete application must stay a BROADCAST anti-
+    join (delete side provably small: parquet stats for Iceberg, exact
+    descriptor cardinality for Delta) and must not break predicate
+    pushdown into the data scan."""
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.catalog.delta_native import DeltaNativeTable
+    from moosestack_spark.catalog.iceberg_native import IcebergNativeTable
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    dt = DeltaNativeTable.write(df.repartition(3), str(tmp_path / "d"))
+    dt.delete_where("k % 10 = 3")
+    it = IcebergNativeTable.write(df.repartition(3), str(tmp_path / "i"))
+    it.delete_where("k % 10 = 3")
+    for table in (dt, it):
+        plan = table.read().filter(F.col("v") == 2)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:800]
+        assert "SortMergeJoin" not in plan, plan[:800]
+        assert "DataFilters: [isnotnull(v" in plan, plan[:800]
