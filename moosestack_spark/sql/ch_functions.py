@@ -1182,6 +1182,22 @@ def translate_ch_sql(sql: str) -> str:
             spans.append((start, len(s)))
         return spans
 
+    # FROM t FINAL (read-time ReplacingMergeTree dedup) and FROM t SAMPLE x
+    # (probabilistic sampling) would PARSE in Spark — FINAL as a table
+    # alias, SAMPLE x as garbage — and silently change row multiplicity.
+    # Refuse loudly and point at the deterministic operators.
+    if re.search(r"\bFROM\s+[\w.`\"]+\s+FINAL\b", sql, re.IGNORECASE):
+        raise ValueError(
+            "FINAL reads depend on the table's engine ORDER BY key; use the "
+            "read-time dedup operator (catalog/engine_views.py, gate "
+            "engine_replacing_dedup) instead of the FINAL modifier"
+        )
+    if re.search(r"\bSAMPLE\s+\d", sql, re.IGNORECASE):
+        raise ValueError(
+            "SAMPLE n is probabilistic and engine-specific; use the "
+            "deterministic hash sampler (ops/corpus.py, gate "
+            "sample_hash_mod) for replayable sampling"
+        )
     sql = _ARRAY_JOIN.sub(_aj, sql)
     # PREWHERE is CH's manual pushdown hint; Catalyst pushes WHERE
     # predicates into the scan itself, so PREWHERE IS WHERE here.  When a

@@ -111,3 +111,20 @@ def test_star_except_passes_through():
     # CH `SELECT * EXCEPT(col)` is native Spark 4 syntax — passthrough
     out = translate_ch_sql("SELECT * EXCEPT(a) FROM t")
     assert "EXCEPT(a)" in out
+
+
+def test_final_modifier_refuses_loudly():
+    # FROM t FINAL would PARSE in Spark (FINAL becomes a table alias) and
+    # silently drop the read-time dedup semantics
+    with pytest.raises(ValueError, match="engine_replacing_dedup"):
+        translate_ch_sql("SELECT a FROM t FINAL WHERE b = 1")
+
+
+def test_sample_clause_refuses_loudly():
+    with pytest.raises(ValueError, match="sample_hash_mod"):
+        translate_ch_sql("SELECT a FROM t SAMPLE 0.1")
+
+
+def test_sample_as_identifier_still_fine():
+    out = translate_ch_sql("SELECT sample_col FROM samples WHERE x = 1")
+    assert "sample_col" in out

@@ -141,3 +141,55 @@ def test_delete_nothing_matched_commits_nothing(spark, tmp_path):
     before = table.latest_version()
     assert table.delete_where("k > 999") == 0
     assert table.latest_version() == before
+
+
+# ---- roaring codec property sweep ----
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+
+    @given(
+        st.sets(st.integers(min_value=0, max_value=1 << 20), max_size=600)
+        | st.sets(
+            st.integers(min_value=0, max_value=(1 << 33)), max_size=60
+        )
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_roaring_bitmap_array_roundtrip(values):
+        from moosestack_spark.catalog.roaring import (
+            bitmap_array_decode,
+            bitmap_array_encode,
+        )
+
+        assert bitmap_array_decode(bitmap_array_encode(values)) == sorted(
+            values
+        )
+
+    @given(st.binary(min_size=0, max_size=256).map(lambda b: b + b"\x00" * (-len(b) % 4)))
+    @settings(max_examples=60, deadline=None)
+    def test_z85_roundtrip(data):
+        from moosestack_spark.catalog.roaring import z85_decode, z85_encode
+
+        assert z85_decode(z85_encode(data)) == data
+
+    @given(
+        st.integers(min_value=0, max_value=65535),
+        st.integers(min_value=0, max_value=5000),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_roaring_dense_container_boundary(start, span):
+        """Cardinalities straddling the 4096 array/bitmap container rule."""
+        from moosestack_spark.catalog.roaring import (
+            roaring32_decode,
+            roaring32_encode,
+        )
+
+        vals = set(range(start, min(start + span, 65536)))
+        assert roaring32_decode(roaring32_encode(vals)) == sorted(vals)
