@@ -641,3 +641,46 @@ def funnel_modes_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = h if out is None else out.unionByName(h)
     return out
+
+
+_SEQ_MATCH_TIMED_SQL = """
+WITH src AS (
+  SELECT CAST(user_id % 200 AS BIGINT) AS cohort, ts, event_id, event_type
+  FROM events
+  WHERE event_type IN ('view', 'click')
+),
+timed AS (
+  SELECT cohort, ts, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY cohort ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view_ts
+  FROM src
+)
+SELECT cohort,
+       CAST(MAX(CASE WHEN event_type = 'click' AND last_view_ts IS NOT NULL
+                      AND CAST(ts AS TIMESTAMP) <= last_view_ts
+                          + INTERVAL 2 HOUR
+                     THEN 1 ELSE 0 END) AS INT) AS seq2t
+FROM timed
+GROUP BY cohort
+ORDER BY cohort
+"""
+
+
+@query("agg_sequence_match_timed", oracle=_SEQ_MATCH_TIMED_SQL)
+def agg_sequence_match_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH sequenceMatch with a TIME CONSTRAINT —
+    sequenceMatch('(?1)(?t<=2h)(?2)')(ts, view, click) — the form the
+    unwindowed gate (agg_sequence_match) cannot express.  Greedy earliest-
+    match is WRONG here: the first view can miss the bound while a later
+    view succeeds.  Correct existence on a two-condition alphabet: for
+    each click, the MOST RECENT prior view within bound (any intervening
+    view only tightens the gap; an intervening click within bound would
+    itself be a match), i.e. one lag-max window per cohort + a groupBy on
+    the same key — exchange reused, exact timestamp arithmetic, same SQL
+    on both engines."""
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["events"])
+    return spark.sql(_SEQ_MATCH_TIMED_SQL)

@@ -148,6 +148,7 @@ _AFTER_WINDOW: list[str] = [
     "agg_delta_max_intersections",
     "agg_space_saving_topk",
     "source_delta_dv_read",
+    "agg_sequence_match_timed",
 ]
 
 
