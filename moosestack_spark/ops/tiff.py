@@ -1,18 +1,20 @@
 """Pure-python baseline TIFF image codec.
 
 Builds on the IFD machinery proven by the EXIF walker
-(ops/multimodal_ext.py): this module decodes PIXELS — 8-bit grayscale
-(photometric 0/1) and RGB (2), strip layout, both byte orders, with
+(ops/multimodal_ext.py): this module decodes PIXELS — 8- and 16-bit
+grayscale (photometric 0/1) and RGB (2), BOTH strip and TILE layouts
+(edge tiles padded per spec section 15), both byte orders, with
 compression 1 (none), 32773 (PackBits) and 5 (TIFF LZW: MSB-first codes
-with EarlyChange, plus the horizontal-difference predictor).  Planar
-configuration 1 (chunky) only; tiled TIFF, 16-bit samples and palette
-color raise NotImplementedError — honest boundaries, each checked
-explicitly.
+with EarlyChange, plus the horizontal-difference predictor applied per
+sample at either depth).  Planar configuration 1 (chunky) only; palette
+color raises NotImplementedError — an honest boundary, checked
+explicitly.  decode_tiff returns the uint8 RGB contract (16-bit takes
+the high byte); decode_tiff16 keeps 16-bit planes exact.
 
-Encoder: 8-bit grayscale/RGB, little-endian, one-or-more strips in any of
-the three compressions (+ optional predictor for LZW) — plants real bytes
-so the decoder's round-trip equality is the test oracle (TIFF is
-lossless).
+Encoders: encode_tiff (strips, 8-bit) and encode_tiff_tiled (tiles,
+8/16-bit), little-endian, all three compressions (+ optional predictor
+for LZW) — they plant real bytes so the decoder's round-trip equality is
+the test oracle (TIFF is lossless).
 
 Used by ops/multimodal.decode_image via payload sniffing (II*/MM* magic).
 """
@@ -28,6 +30,8 @@ _TAG = {
     "photometric": 262, "strip_offsets": 273, "spp": 277,
     "rows_per_strip": 278, "strip_counts": 279, "planar": 284,
     "predictor": 317,
+    "tile_width": 322, "tile_length": 323, "tile_offsets": 324,
+    "tile_counts": 325,
 }
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -117,7 +121,31 @@ def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
 
 def decode_tiff(data: bytes) -> np.ndarray:
     """TIFF -> HxWx3 uint8 RGB (grayscale replicated; MinIsWhite
-    inverted)."""
+    inverted; 16-bit planes take the high byte — decode_tiff16 keeps
+    them exact)."""
+    px, depth, photometric, spp = _decode_core(data)
+    if depth == 16:
+        px = (px.astype(np.uint16) >> 8).astype(np.uint8)
+    if spp == 1:
+        g = px[..., 0]
+        if photometric == 0:  # MinIsWhite
+            g = (255 - g.astype(np.int64)).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    if spp < 3:
+        raise NotImplementedError(f"{spp}-sample TIFF not supported")
+    return np.ascontiguousarray(px[..., :3])
+
+
+def decode_tiff16(data: bytes) -> np.ndarray:
+    """Exact 16-bit plane (HxWxspp uint16) — the lossless round-trip
+    surface for 16-bit fixtures."""
+    px, depth, _, _ = _decode_core(data)
+    if depth != 16:
+        raise ValueError("not a 16-bit TIFF")
+    return np.ascontiguousarray(px.astype(np.uint16))
+
+
+def _decode_core(data: bytes) -> tuple[np.ndarray, int, int, int]:
     if data[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF payload")
     e = "<" if data[:2] == b"II" else ">"
@@ -140,8 +168,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError("TIFF missing dimensions")
     spp = one("spp", 1)
     bits = tags.get(_TAG["bits"], [8])
-    if any(b != 8 for b in bits):
-        raise NotImplementedError("only 8-bit TIFF samples supported")
+    if any(b not in (8, 16) for b in bits) or len(set(bits)) != 1:
+        raise NotImplementedError("only uniform 8/16-bit TIFF samples supported")
+    depth = bits[0]
+    bps = depth // 8  # bytes per sample
     if one("planar", 1) != 1:
         raise NotImplementedError("planar TIFF not supported")
     comp = one("compression", 1)
@@ -149,38 +179,60 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if photometric not in (0, 1, 2):
         raise NotImplementedError(f"TIFF photometric {photometric} not supported")
     predictor = one("predictor", 1)
-    offsets = tags.get(_TAG["strip_offsets"])
-    counts = tags.get(_TAG["strip_counts"])
-    if not offsets:
-        raise NotImplementedError("tiled TIFF not supported")
-    rows_per_strip = one("rows_per_strip", h)
 
-    row_bytes = w * spp
-    raw = bytearray()
-    for si, off in enumerate(offsets):
-        cnt = counts[si] if counts and si < len(counts) else len(data) - off
-        rows = min(rows_per_strip, h - si * rows_per_strip)
-        expected = rows * row_bytes
-        seg = data[off : off + cnt]
+    def decompress(seg: bytes, expected: int) -> bytes:
         if comp == 1:
-            raw += seg[:expected]
-        elif comp == 32773:
-            raw += _unpackbits(seg, expected)
-        elif comp == 5:
-            raw += _lzw_decode_tiff(seg, expected)
-        else:
-            raise NotImplementedError(f"TIFF compression {comp} not supported")
-    px = np.frombuffer(bytes(raw), np.uint8, h * row_bytes).reshape(h, w, spp)
-    if predictor == 2:  # horizontal differencing (per sample)
-        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
-    if spp == 1:
-        g = px[..., 0]
-        if photometric == 0:  # MinIsWhite
-            g = 255 - g
-        return np.repeat(g[..., None], 3, axis=2)
-    if spp < 3:
-        raise NotImplementedError(f"{spp}-sample TIFF not supported")
-    return px[..., :3].copy()
+            return seg[:expected]
+        if comp == 32773:
+            return _unpackbits(seg, expected)
+        if comp == 5:
+            return _lzw_decode_tiff(seg, expected)
+        raise NotImplementedError(f"TIFF compression {comp} not supported")
+
+    def undiff(arr: np.ndarray) -> np.ndarray:
+        # horizontal differencing is per SAMPLE, applied after byte
+        # decompression and sample assembly (TIFF spec section 14)
+        if predictor == 2:
+            wrap = np.uint8 if depth == 8 else np.uint16
+            return np.cumsum(arr.astype(np.int64), axis=1).astype(wrap)
+        return arr
+
+    dt = np.dtype(("<u1" if depth == 8 else e + "u2"))
+    tile_offsets = tags.get(_TAG["tile_offsets"])
+    if tile_offsets:
+        tw, tl = one("tile_width"), one("tile_length")
+        if not tw or not tl:
+            raise ValueError("tiled TIFF missing tile dimensions")
+        tcounts = tags.get(_TAG["tile_counts"])
+        tiles_across = (w + tw - 1) // tw
+        out = np.zeros((h, w, spp), dtype=dt.newbyteorder("="))
+        tile_bytes = tw * tl * spp * bps
+        for ti, off in enumerate(tile_offsets):
+            cnt = tcounts[ti] if tcounts and ti < len(tcounts) else len(data) - off
+            raw = decompress(data[off : off + cnt], tile_bytes)
+            tile = np.frombuffer(raw, dt, tw * tl * spp).reshape(tl, tw, spp)
+            tile = undiff(tile)
+            r0 = (ti // tiles_across) * tl
+            c0 = (ti % tiles_across) * tw
+            rows, cols = min(tl, h - r0), min(tw, w - c0)
+            # tiles are padded to full size at the right/bottom edges
+            out[r0 : r0 + rows, c0 : c0 + cols] = tile[:rows, :cols]
+        px = out
+    else:
+        offsets = tags.get(_TAG["strip_offsets"])
+        counts = tags.get(_TAG["strip_counts"])
+        if not offsets:
+            raise ValueError("TIFF has neither strip nor tile offsets")
+        rows_per_strip = one("rows_per_strip", h)
+        row_bytes = w * spp * bps
+        raw = bytearray()
+        for si, off in enumerate(offsets):
+            cnt = counts[si] if counts and si < len(counts) else len(data) - off
+            rows = min(rows_per_strip, h - si * rows_per_strip)
+            raw += decompress(data[off : off + cnt], rows * row_bytes)
+        px = np.frombuffer(bytes(raw), dt, h * w * spp).reshape(h, w, spp)
+        px = undiff(px)
+    return px, depth, photometric, spp
 
 
 # --------------------------------------------------------------------------
@@ -335,6 +387,103 @@ def encode_tiff(
     else:
         off_table = alloc(struct.pack(f"<{n_strips}I", *offs))
         offsets_field = (273, 4, n_strips, off_table)
+    entries += [offsets_field, counts_field]
+    entries.sort()
+    assert len(entries) == n_entries
+
+    out = struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += struct.pack("<H", n_entries)
+    for tag, typ, cnt, val in entries:
+        if typ == 3 and cnt == 1:
+            out += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += bytes(aux)
+    return out
+
+
+def encode_tiff_tiled(
+    pixels: np.ndarray,
+    tile: tuple[int, int] = (16, 16),
+    compression: str = "none",
+    predictor: bool = False,
+    bits: int = 8,
+) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB) -> little-endian TILED TIFF, 8- or
+    16-bit samples.  Tiles are padded to full size at the right/bottom
+    edges (spec section 15); predictor differencing runs per tile row."""
+    if bits not in (8, 16):
+        raise ValueError("bits must be 8 or 16")
+    if predictor and compression != "lzw":
+        raise ValueError("predictor is an LZW option")
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    spp = 1 if gray else 3
+    dt = np.uint8 if bits == 8 else np.dtype("<u2")
+    px = pixels.reshape(h, w, spp).astype(dt)
+    tw, tl = tile
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+
+    tiles = []
+    for y0 in range(0, h, tl):
+        for x0 in range(0, w, tw):
+            block = np.zeros((tl, tw, spp), dtype=dt)
+            sub = px[y0 : y0 + tl, x0 : x0 + tw]
+            block[: sub.shape[0], : sub.shape[1]] = sub
+            if predictor:
+                d = block.astype(np.int64)
+                block = np.concatenate(
+                    [d[:, :1], np.diff(d, axis=1)], axis=1
+                ).astype(dt)
+            seg = block.tobytes()
+            if compression == "none":
+                tiles.append(seg)
+            elif compression == "packbits":
+                rb = tw * spp * (bits // 8)
+                tiles.append(
+                    b"".join(
+                        _packbits(seg[r : r + rb])
+                        for r in range(0, len(seg), rb)
+                    )
+                )
+            else:
+                tiles.append(_lzw_encode_tiff(seg))
+
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (259, 3, 1, comp_code),
+        (262, 3, 1, 1 if gray else 2), (277, 3, 1, spp),
+        (322, 3, 1, tw), (323, 3, 1, tl),
+    ]
+    if predictor:
+        entries.append((317, 3, 1, 2))
+    n_entries = len(entries) + 3  # + bits, tile_offsets, tile_counts
+    ifd_off = 8
+    data_off = ifd_off + 2 + n_entries * 12 + 4
+    aux = bytearray()
+
+    def alloc(buf: bytes) -> int:
+        off = data_off + len(aux)
+        aux.extend(buf)
+        return off
+
+    if spp > 2:
+        entries.append((258, 3, 3, alloc(struct.pack("<3H", bits, bits, bits))))
+    else:
+        entries.append((258, 3, 1, bits))
+    n_tiles = len(tiles)
+    if n_tiles == 1:
+        counts_field = (325, 4, 1, len(tiles[0]))
+    else:
+        counts_field = (
+            325, 4, n_tiles,
+            alloc(struct.pack(f"<{n_tiles}I", *[len(s) for s in tiles])),
+        )
+    offs = [alloc(s) for s in tiles]
+    if n_tiles == 1:
+        offsets_field = (324, 4, 1, offs[0])
+    else:
+        offsets_field = (324, 4, n_tiles, alloc(struct.pack(f"<{n_tiles}I", *offs)))
     entries += [offsets_field, counts_field]
     entries.sort()
     assert len(entries) == n_entries

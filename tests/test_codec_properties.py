@@ -266,3 +266,51 @@ def test_ogg_flac_roundtrip_any_signal(n, block, seed, stereo):
     assert rate == 16000
     expect = sig if stereo else sig[:, None]
     assert np.array_equal(out, expect)
+
+
+def test_tiff_tiled_and_16bit_roundtrips():
+    """Tile layout (padded edge tiles) and 16-bit samples, every
+    compression, both through the exact 16-bit surface and the uint8
+    high-byte contract."""
+    import numpy as np
+
+    from moosestack_spark.ops.tiff import (
+        decode_tiff,
+        decode_tiff16,
+        encode_tiff_tiled,
+    )
+
+    rng = np.random.default_rng(11)
+    for comp in ("none", "packbits", "lzw"):
+        rgb = rng.integers(0, 256, size=(21, 35, 3)).astype(np.uint8)
+        enc = encode_tiff_tiled(rgb, tile=(16, 8), compression=comp)
+        assert np.array_equal(decode_tiff(enc), rgb)
+
+        g16 = rng.integers(0, 65536, size=(19, 13)).astype(np.uint16)
+        enc16 = encode_tiff_tiled(g16, tile=(8, 8), compression=comp, bits=16)
+        assert np.array_equal(decode_tiff16(enc16)[..., 0], g16)
+        assert np.array_equal(decode_tiff(enc16)[..., 0], (g16 >> 8).astype(np.uint8))
+
+    # predictor at 16-bit depth differs per SAMPLE, not per byte
+    rgb16 = rng.integers(0, 65536, size=(17, 23, 3)).astype(np.uint16)
+    enc = encode_tiff_tiled(rgb16, tile=(16, 16), compression="lzw",
+                            predictor=True, bits=16)
+    assert np.array_equal(decode_tiff16(enc), rgb16)
+
+
+def test_tiff_palette_still_refuses():
+    import numpy as np
+    import pytest
+    import struct
+
+    from moosestack_spark.ops.tiff import decode_tiff, encode_tiff
+
+    enc = bytearray(encode_tiff(np.zeros((4, 4), np.uint8), "none"))
+    # patch photometric (tag 262) to 3 = palette
+    (n,) = struct.unpack_from("<H", enc, 8)
+    for i in range(n):
+        tag, = struct.unpack_from("<H", enc, 10 + i * 12)
+        if tag == 262:
+            struct.pack_into("<H", enc, 10 + i * 12 + 8, 3)
+    with pytest.raises(NotImplementedError, match="photometric 3"):
+        decode_tiff(bytes(enc))
