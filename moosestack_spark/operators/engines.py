@@ -883,3 +883,180 @@ def source_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# ClickHouse RowBinaryWithNames wire format (formats.md: little-endian
+# fixed-width numerics, LEB128-varint-prefixed UTF-8 strings; WithNames =
+# varint column count + name strings header).  Same distributed shape as
+# the Avro pair above: per-partition encode in mapInPandas, binaryFile +
+# per-file decode back.  Reference surface: ClickHouse ingest/egress
+# formats the moose HTTP/CLI paths expose.
+# --------------------------------------------------------------------------
+
+
+def _leb128(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_leb128(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def rowbinary_encode(rows, cols: list[tuple[str, str]]) -> bytes:
+    """rows of python values -> RowBinaryWithNames (types: int64, float64,
+    string)."""
+    import struct as _struct
+
+    out = bytearray(_leb128(len(cols)))
+    for name, _ in cols:
+        nb = name.encode("utf-8")
+        out += _leb128(len(nb)) + nb
+    for row in rows:
+        for (name, typ), v in zip(cols, row):
+            if typ == "int64":
+                out += _struct.pack("<q", int(v))
+            elif typ == "float64":
+                out += _struct.pack("<d", float(v))
+            elif typ == "string":
+                vb = str(v).encode("utf-8")
+                out += _leb128(len(vb)) + vb
+            else:
+                raise NotImplementedError(f"RowBinary type {typ}")
+    return bytes(out)
+
+
+def rowbinary_decode(buf: bytes, types: list[str]) -> tuple[list[str], list[tuple]]:
+    """RowBinaryWithNames -> (column names, rows).  ``types`` supplies the
+    column types (the WithNames header carries names only)."""
+    import struct as _struct
+
+    ncols, pos = _read_leb128(buf, 0)
+    if ncols != len(types):
+        raise ValueError(f"RowBinary header has {ncols} cols, expected {len(types)}")
+    names = []
+    for _ in range(ncols):
+        ln, pos = _read_leb128(buf, pos)
+        names.append(buf[pos : pos + ln].decode("utf-8"))
+        pos += ln
+    rows = []
+    end = len(buf)
+    while pos < end:
+        row = []
+        for typ in types:
+            if typ == "int64":
+                row.append(_struct.unpack_from("<q", buf, pos)[0])
+                pos += 8
+            elif typ == "float64":
+                row.append(_struct.unpack_from("<d", buf, pos)[0])
+                pos += 8
+            elif typ == "string":
+                ln, pos = _read_leb128(buf, pos)
+                row.append(buf[pos : pos + ln].decode("utf-8"))
+                pos += ln
+            else:
+                raise NotImplementedError(f"RowBinary type {typ}")
+        rows.append(tuple(row))
+    return names, rows
+
+
+@query(
+    "source_rowbinary_roundtrip",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS bal_cents,
+       MIN(s_name) AS first_name,
+       MAX(repeat(s_name, CAST(s_suppkey % 40 + 1 AS INT))) AS last_comment
+FROM supplier
+""",
+)
+def source_rowbinary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier rows written partition-per-file as RowBinaryWithNames
+    (LEB128 string lengths incl. multi-byte varints on long comments),
+    read back via binaryFile + per-file decode, aggregated in exact
+    integer cents — value-hash-checked against the parquet original."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    cols = [
+        ("s_suppkey", "int64"),
+        ("bal_cents", "int64"),
+        ("s_name", "string"),
+        ("s_comment", "string"),
+    ]
+    # the synthetic supplier has no comment column; build a long string
+    # (up to 40x name, > 128 bytes) so LEB128 lengths go multi-byte
+    src = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long"),
+        (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+        "s_name",
+        F.expr("repeat(s_name, CAST(s_suppkey % 40 + 1 AS INT))").alias(
+            "s_comment"
+        ),
+    )
+    out_dir = tempfile.mkdtemp(prefix="msk_rowbin_")
+
+    def sink(batches):
+        from pyspark import TaskContext
+
+        rows = []
+        for pdf in batches:
+            rows.extend(map(tuple, pdf.itertuples(index=False)))
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.rowbinary")
+        with open(path, "wb") as fh:
+            fh.write(rowbinary_encode(rows, cols))
+        yield pd.DataFrame({"file": [path], "n": [len(rows)]})
+
+    def decode(batches):
+        for pdf in batches:
+            for fpath in pdf["path"]:
+                local = fpath[len("file:"):] if fpath.startswith("file:") else fpath
+                with open(local, "rb") as fh:
+                    names, rows = rowbinary_decode(
+                        fh.read(), [c[1] for c in cols]
+                    )
+                assert names == [c[0] for c in cols]
+                yield pd.DataFrame(rows, columns=names)
+
+    try:
+        n_files = src.mapInPandas(sink, "file string, n long").count()
+        assert n_files >= 1
+        files = (
+            spark.read.format("binaryFile")
+            .load(out_dir + "/*.rowbinary")
+            .select("path")
+        )
+        back = files.mapInPandas(
+            decode,
+            "s_suppkey long, bal_cents long, s_name string, s_comment string",
+        )
+        return back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_cents").cast("bigint").alias("bal_cents"),
+            F.min("s_name").alias("first_name"),
+            F.max("s_comment").alias("last_comment"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -271,3 +271,99 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs, "doc_a", "doc_b").select(
         F.col("v").alias("doc_id"), "n_triangles"
     )
+
+
+# --------------------------------------------------------------------------
+# BFS hop distance (multi-source shortest unweighted path, bounded depth).
+# Frontier expansion with visited-set pruning: each hop is one join of the
+# CURRENT FRONTIER (shrinking) with the edge list partitioned on src, plus
+# an anti-join against the visited set — the canonical distributed BFS; a
+# scalar isEmpty() per hop is the only driver touch, and localCheckpoint
+# truncates the iterated lineage (same discipline as ops/components.py).
+# The pruned construction yields min-distance directly, which is what the
+# oracle's recursive-CTE MIN(d) computes.
+# --------------------------------------------------------------------------
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(v, dist) — minimum hop count from any seed vertex along directed
+    edges, vertices beyond ``max_hops`` omitted.  ``seeds`` must have a
+    single column ``v``."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    dist = seeds.select("v", F.lit(0).alias("dist")).localCheckpoint()
+    frontier = dist.select("v")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["v"] == e["src"])
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(dist.select("v"), "v", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint()
+        frontier = nxt.select("v")
+    return dist
+
+
+_BFS_ORACLE = """
+WITH RECURSIVE dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS i,
+         COUNT(*) OVER () AS n
+  FROM documents
+), edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM dense a JOIN dense b ON b.i = (a.i * 7 + 3) % a.n
+  UNION ALL
+  SELECT a.doc_id, c.doc_id
+  FROM dense a JOIN dense c ON c.i = (a.i * 13 + 5) % a.n
+), bfs(v, d) AS (
+  SELECT doc_id, 0 FROM dense WHERE i < 3
+  UNION
+  SELECT e.dst, b.d + 1
+  FROM bfs b JOIN edges e ON e.src = b.v
+  WHERE b.d < 4
+)
+SELECT v AS doc_id, CAST(MIN(d) AS INT) AS dist
+FROM bfs GROUP BY v ORDER BY doc_id
+"""
+
+
+@query("graph_bfs_distance", oracle=_BFS_ORACLE)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (<= 4 hops) over the same synthetic
+    expander link graph as graph_pagerank_quality, seeded at the 3 lowest
+    dense ids.  The oracle is a recursive CTE whose MIN(d) equals the
+    pruned-frontier construction's first-visit distance."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy("doc_id")
+    dense = d.withColumn("i", F.row_number().over(w) - 1).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    a = dense.select(
+        F.col("doc_id").alias("s_doc"), "i", "n",
+        F.expr("(i * 7 + 3) % n").alias("t1"),
+        F.expr("(i * 13 + 5) % n").alias("t2"),
+    )
+    ids = dense.select(F.col("i").alias("ti"), F.col("doc_id").alias("t_doc"))
+    e1 = a.join(ids, a.t1 == ids.ti).select(
+        F.col("s_doc").alias("src"), F.col("t_doc").alias("dst")
+    )
+    e2 = a.join(ids, a.t2 == ids.ti).select(
+        F.col("s_doc").alias("src"), F.col("t_doc").alias("dst")
+    )
+    seeds = dense.filter(F.col("i") < 3).select(F.col("doc_id").alias("v"))
+    out = bfs_hops(e1.union(e2), seeds, max_hops=4)
+    return out.select(
+        F.col("v").alias("doc_id"), F.col("dist").cast("int").alias("dist")
+    ).orderBy("doc_id")

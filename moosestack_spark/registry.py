@@ -149,6 +149,8 @@ _AFTER_WINDOW: list[str] = [
     "agg_space_saving_topk",
     "source_delta_dv_read",
     "agg_sequence_match_timed",
+    "graph_bfs_distance",
+    "source_rowbinary_roundtrip",
 ]
 
 
