@@ -873,3 +873,74 @@ def agg_moving_window_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("moving_avgs"),
     )
     return canon_arrays(out, "moving_sums", "moving_avgs")
+
+
+# Shared moment-sum clause for the 2-feature OLS gate: x1/x2/y are exact
+# integers, the nine sums are exact BIGINTs, and the normal-equation solve
+# (Cramer's rule) happens in DOUBLE over those exact sums with one fixed
+# expression tree — correctly-rounded *,-,/ make both engines agree
+# bit-for-bit (the same discipline as agg_linreg_exact; bigint Cramer
+# would overflow, double Cramer is deterministic).
+_OLS_SUMS = """
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS s1,
+         CAST(SUM(x2) AS DOUBLE) AS s2,
+         CAST(SUM(y)  AS DOUBLE) AS sy,
+         CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+         CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+         CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+         CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+         CAST(SUM(x2 * y) AS DOUBLE) AS s2y
+  FROM (
+    SELECT o_orderpriority,
+           CAST(o_orderkey % 100 AS BIGINT) AS x1,
+           CAST(o_orderkey % 37 AS BIGINT) AS x2,
+           CAST(3 * (o_orderkey % 100) - 2 * (o_orderkey % 37)
+                + o_orderkey % 11 AS BIGINT) AS y
+    FROM orders WHERE o_orderkey % 3 = 0
+  )
+  GROUP BY o_orderpriority
+"""
+
+_OLS_SOLVE = """
+SELECT o_orderpriority,
+       (sy * (s11 * s22 - s12 * s12)
+        - s1y * (s1 * s22 - s12 * s2)
+        + s2y * (s1 * s12 - s11 * s2))
+       / (n * (s11 * s22 - s12 * s12)
+          - s1 * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s12 - s11 * s2)) AS b0,
+       (n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2))
+       / (n * (s11 * s22 - s12 * s12)
+          - s1 * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s12 - s11 * s2)) AS b1,
+       (n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2))
+       / (n * (s11 * s22 - s12 * s12)
+          - s1 * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s12 - s11 * s2)) AS b2
+FROM sums
+ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "agg_ols_multifeature",
+    oracle=f"WITH sums AS ({_OLS_SUMS})\n{_OLS_SOLVE}",
+)
+def agg_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ordinary least squares per group — the DETERMINISTIC
+    closed form of CH's stochasticLinearRegression surface: y is planted
+    as 3*x1 - 2*x2 + small residue, so b1/b2 land near (3, -2) while the
+    residue keeps the system honest.  One grouped aggregation produces
+    the nine exact moment sums; Cramer's rule runs in double over them
+    with one fixed expression tree (replayed verbatim by the oracle).
+    Scale: single map-side-combined groupBy, solve cost is per-GROUP."""
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    return spark.sql(f"WITH sums AS ({_OLS_SUMS})\n{_OLS_SOLVE}")

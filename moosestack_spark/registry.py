@@ -151,6 +151,7 @@ _AFTER_WINDOW: list[str] = [
     "agg_sequence_match_timed",
     "graph_bfs_distance",
     "source_rowbinary_roundtrip",
+    "agg_ols_multifeature",
 ]
 
 
