@@ -47,6 +47,40 @@ _LOG_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 
 
+def _dv_positions(
+    table_path: str, storage: str, dv: str, off: int, size: int
+) -> list[int]:
+    """Decode one deletionVector descriptor to its deleted row indices.
+    Handles all three storage types: inline ("i", unframed + padded z85,
+    ``size`` restores the exact byte length), absolute path ("p"), and
+    relative UUID ("u", optional prefix directory + 20-char z85 UUID)."""
+    from moosestack_spark.catalog.roaring import (
+        bitmap_array_decode,
+        dv_read_blob,
+        z85_decode,
+    )
+
+    if storage == "i":
+        return bitmap_array_decode(z85_decode(dv)[:size])
+    if storage == "p":
+        dv_path = dv
+    elif storage == "u":
+        import uuid as _uuid
+
+        prefix, suffix = dv[:-20], dv[-20:]
+        u = _uuid.UUID(bytes=z85_decode(suffix))
+        name = f"deletion_vector_{u}.bin"
+        dv_path = (
+            os.path.join(table_path, prefix, name)
+            if prefix
+            else os.path.join(table_path, name)
+        )
+    else:
+        raise NotImplementedError(f"DV storageType {storage!r}")
+    with open(dv_path, "rb") as fh:
+        return dv_read_blob(fh.read(), off)
+
+
 def _spark_type_name(dt: str) -> str:
     return {
         "bigint": "long",
@@ -234,41 +268,13 @@ class DeltaNativeTable:
         ).repartition(max(1, min(len(dv_specs), 32)))
 
         def decode(batches):
-            from moosestack_spark.catalog.roaring import (
-                bitmap_array_decode,
-                dv_read_blob,
-                z85_decode,
-            )
-
             for pdf in batches:
                 for file, storage, dv, off, size, _card in pdf.itertuples(
                     index=False
                 ):
-                    if storage == "i":
-                        # inline DVs are unframed; z85 pads to 4-byte
-                        # alignment, sizeInBytes restores the exact length
-                        positions = bitmap_array_decode(
-                            z85_decode(dv)[: int(size)]
-                        )
-                    else:
-                        if storage == "p":
-                            dv_path = dv
-                        elif storage == "u":
-                            import uuid as _uuid
-
-                            prefix, suffix = dv[:-20], dv[-20:]
-                            u = _uuid.UUID(bytes=z85_decode(suffix))
-                            name = f"deletion_vector_{u}.bin"
-                            dv_path = os.path.join(
-                                table_path, prefix, name
-                            ) if prefix else os.path.join(table_path, name)
-                        else:
-                            raise NotImplementedError(
-                                f"DV storageType {storage!r}"
-                            )
-                        with open(dv_path, "rb") as fh:
-                            blob = fh.read()
-                        positions = dv_read_blob(blob, int(off))
+                    positions = _dv_positions(
+                        table_path, storage, dv, int(off), int(size)
+                    )
                     if positions:
                         yield pd.DataFrame(
                             {"__dv_fp": [file] * len(positions),
@@ -430,12 +436,7 @@ class DeltaNativeTable:
         of newly deleted rows."""
         import uuid as _uuid
 
-        from moosestack_spark.catalog.roaring import (
-            dv_blob,
-            dv_read_blob,
-            z85_decode,
-            z85_encode,
-        )
+        from moosestack_spark.catalog.roaring import dv_blob, z85_encode
 
         meta, files = self.snapshot()
         version = self.latest_version() + 1
@@ -473,19 +474,15 @@ class DeltaNativeTable:
             dv = add.get("deletionVector")
             if not dv:
                 continue
-            if dv["storageType"] == "i":
-                from moosestack_spark.catalog.roaring import bitmap_array_decode
-
-                old = bitmap_array_decode(
-                    z85_decode(dv["pathOrInlineDv"])[: int(dv["sizeInBytes"])]
+            by_file[abs_path].update(
+                _dv_positions(
+                    self.path,
+                    dv["storageType"],
+                    dv["pathOrInlineDv"],
+                    int(dv.get("offset", 0) or 0),
+                    int(dv["sizeInBytes"]),
                 )
-            else:
-                u = _uuid.UUID(bytes=z85_decode(dv["pathOrInlineDv"][-20:]))
-                with open(
-                    os.path.join(self.path, f"deletion_vector_{u}.bin"), "rb"
-                ) as fh:
-                    old = dv_read_blob(fh.read(), int(dv.get("offset", 0)))
-            by_file[abs_path].update(old)
+            )
 
         dv_uuid = _uuid.uuid5(_uuid.NAMESPACE_URL, f"{self.path}#dv{version}")
         dv_name = f"deletion_vector_{dv_uuid}.bin"

@@ -349,7 +349,9 @@ def space_saving_summaries(
             }
         )
 
-    return df.select(key_col).mapInPandas(
+    # the summary schema declares key:string — cast up front so numeric
+    # key columns work instead of failing in Arrow conversion
+    return df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
         kernel, "pid int, key string, cnt long, e_p long"
     )
 
