@@ -1684,3 +1684,106 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_dups"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# algorithm).  Local fingerprint selection with a GUARANTEE the sparse
+# fingerprint families above don't give: any shared token run of length
+# >= w + n - 1 contributes at least one COMMON selected fingerprint.  Each
+# window of w consecutive shingle hashes selects its minimum (rightmost on
+# ties — encoded as one integer key h * 2^21 + (2^21 - 1 - pos) so a
+# single window MIN does min-hash-then-max-pos); the distinct selected
+# (h, pos) pairs are the document's fingerprint sketch, ~2/(w+1) the
+# shingle count.  One exchange on doc_id for the window, reused by the
+# groupBy.
+# --------------------------------------------------------------------------
+
+_WIN_W = 4  # window size (in shingles)
+_WIN_POS_M = 1 << 21  # position capacity inside the encoded key
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, w: int = _WIN_W
+) -> DataFrame:
+    """(doc, h, pos) — winnowing-selected fingerprints over n-token
+    shingles (portable hash family, replayable in SQL)."""
+    from pyspark.sql import Window
+
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.expr(portable_shingle_hash_array_expr(text_col, n))
+        ).alias("pos", "h"),
+    )
+    keyed = sh.withColumn(
+        "key",
+        F.col("h") * F.lit(_WIN_POS_M)
+        + (F.lit(_WIN_POS_M - 1) - F.col("pos")),
+    )
+    seq = Window.partitionBy("doc").orderBy("pos")
+    win = seq.rowsBetween(-(w - 1), 0)
+    sel = (
+        keyed.withColumn("rn", F.row_number().over(seq))
+        .withColumn("mkey", F.min("key").over(win))
+        .filter(F.col("rn") >= w)  # complete windows only
+        .select("doc", "mkey")
+        .distinct()
+    )
+    return sel.select(
+        "doc",
+        (F.col("mkey") / _WIN_POS_M).cast("bigint").alias("h"),
+        (
+            F.lit(_WIN_POS_M - 1) - F.col("mkey") % _WIN_POS_M
+        ).cast("bigint").alias("pos"),
+    )
+
+
+def _winnow_oracle() -> str:
+    return f"""
+WITH {_portable_shingle_ctes(3).lstrip()},
+pe AS (
+  SELECT doc, i, sa[i] AS h
+  FROM sh, UNNEST(range(1, len(sa) + 1)) AS u(i)
+),
+keyed AS (
+  SELECT doc, i,
+         h * {_WIN_POS_M} + ({_WIN_POS_M - 1} - (i - 1)) AS key
+  FROM pe
+),
+sel AS (
+  SELECT DISTINCT doc,
+         MIN(key) OVER (PARTITION BY doc ORDER BY i
+                        ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW)
+           AS mkey
+  FROM keyed
+  QUALIFY i >= {_WIN_W}
+),
+fp AS (
+  SELECT doc, mkey // {_WIN_POS_M} AS h,
+         {_WIN_POS_M - 1} - (mkey % {_WIN_POS_M}) AS pos
+  FROM sel
+)
+SELECT doc AS doc_id,
+       CAST(COUNT(*) AS INT) AS n_fp,
+       CAST(SUM(h * (pos + 1)) AS BIGINT) AS digest
+FROM fp GROUP BY doc ORDER BY doc
+"""
+
+
+@query("dedup_winnowing_fingerprints", oracle=_winnow_oracle())
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing sketch per document: fingerprint count and an order-
+    insensitive exact integer digest of the selected (hash, position)
+    set.  Docs with fewer than w shingles yield no complete window and
+    are absent on both engines."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = winnow_fingerprints(d, "doc_id", "text", n=3, w=_WIN_W)
+    return (
+        fp.groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_fp"),
+            F.sum(F.col("h") * (F.col("pos") + 1)).cast("bigint").alias("digest"),
+        )
+        .orderBy("doc_id")
+    )

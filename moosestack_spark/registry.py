@@ -152,6 +152,7 @@ _AFTER_WINDOW: list[str] = [
     "graph_bfs_distance",
     "source_rowbinary_roundtrip",
     "agg_ols_multifeature",
+    "dedup_winnowing_fingerprints",
 ]
 
 

@@ -301,3 +301,42 @@ def test_auto_pruned_subset_of_exact_and_finds_planted_dups(spark, sf_dir):
     assert must_find <= auto or found == must_find
     assert len(must_find) >= 20  # every planted copy pairs with its source
     assert must_find <= auto
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """Schleimer et al. theorem: any shared token run of length
+    >= w + n - 1 (= 6 tokens at n=3, w=4) produces at least one common
+    selected fingerprint HASH, regardless of surrounding text."""
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.ops.dedup import winnow_fingerprints
+
+    shared = "quick brown foxes jump over lazy"  # 6 tokens = w + n - 1
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta epsilon"),
+        (2, "one two three four " + shared + " five six"),
+        (3, "totally different words without any common run here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(df, "doc_id", "text", n=3, w=4)
+    rows = fp.collect()
+    h1 = {r["h"] for r in rows if r["doc"] == 1}
+    h2 = {r["h"] for r in rows if r["doc"] == 2}
+    h3 = {r["h"] for r in rows if r["doc"] == 3}
+    assert h1 & h2, "shared 6-token run must share a fingerprint"
+    assert not (h1 & h3) and not (h2 & h3)
+
+
+def test_winnowing_density(spark):
+    """Selected fingerprints are a sparse subset: expected density 2/(w+1)
+    of windows; sanity-check the sketch is much smaller than the shingle
+    count but non-empty."""
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.ops.dedup import winnow_fingerprints
+
+    text = " ".join(f"tok{(i * 17) % 101}" for i in range(300))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_fp = winnow_fingerprints(df, "doc_id", "text", n=3, w=4).count()
+    n_shingles = 300 - 2
+    assert 0 < n_fp < n_shingles * 0.8
