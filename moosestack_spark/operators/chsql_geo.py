@@ -1334,3 +1334,30 @@ FROM (
 GROUP BY o_orderpriority
 """
     return canon_arrays(spark.sql(translate_ch_sql(ch_sql)), "ret")
+
+
+@query(
+    "sql_ch_dialect_numbers",
+    oracle="""
+SELECT n1.number AS a, n2.number AS b,
+       CAST(n1.number * n2.number AS BIGINT) AS prod
+FROM (SELECT i AS number FROM UNNEST(range(0, 8)) AS t(i)) n1
+JOIN (SELECT i AS number FROM UNNEST(range(100, 104)) AS u(i)) n2
+  ON n1.number % 4 = n2.number % 4
+ORDER BY a, b
+""",
+)
+def sql_ch_dialect_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH numbers(N) / numbers(offset, N) table functions end-to-end
+    through the translator (rewritten to Spark's range() TVF with the
+    column renamed to CH's `number`), joined and ordered."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+
+    ch_sql = """
+SELECT n1.number AS a, n2.number AS b,
+       CAST(n1.number * n2.number AS BIGINT) AS prod
+FROM numbers(8) n1
+JOIN numbers(100, 4) n2 ON n1.number % 4 = n2.number % 4
+ORDER BY a, b
+"""
+    return spark.sql(translate_ch_sql(ch_sql))

@@ -367,3 +367,162 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("v").alias("doc_id"), F.col("dist").cast("int").alias("dist")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (iterative peeling): repeatedly drop vertices whose
+# degree within the surviving set is < k until a fixpoint.  Peeling SHRINKS
+# the vertex set, which recursive SQL cannot express (recursive CTEs grow
+# monotonically and bar aggregation over the recursive reference), so the
+# oracle is a GENERATED unrolled CTE chain and the Spark side asserts
+# convergence within the same unroll depth — a non-converged run raises
+# loudly instead of hash-mismatching.  Per iteration: two semi-joins of the
+# undirected edge list against the survivors (both hash-partitioned on
+# vertex id, partitioning reused) + one groupBy count; localCheckpoint
+# truncates the iterated lineage.
+# --------------------------------------------------------------------------
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iters: int = 12,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """(v, deg) — vertices of the k-core of the UNDIRECTED simple graph
+    ``edges`` with their degree inside the core.  Raises if the peel has
+    not reached a fixpoint within ``max_iters``."""
+    ue = edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+    alive = (
+        ue.select(F.col("u").alias("x"))
+        .union(ue.select("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = None
+    for _ in range(max_iters):
+        live_e = (
+            ue.join(alive.select(F.col("x").alias("u")), "u", "left_semi")
+            .join(alive.select(F.col("x").alias("v")), "v", "left_semi")
+        )
+        deg = (
+            live_e.select(F.col("u").alias("x"))
+            .union(live_e.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint()
+        )
+        nxt = deg.filter(F.col("deg") >= k).select("x").localCheckpoint()
+        n_alive, n_nxt = alive.count(), nxt.count()
+        alive = nxt
+        if n_nxt == n_alive or n_nxt == 0:
+            return deg.filter(F.col("deg") >= k).select(
+                F.col("x").alias("v"), "deg"
+            )
+    raise RuntimeError(
+        f"k-core peel did not converge within {max_iters} iterations"
+    )
+
+
+_KC_EXTRA = "(a.n - a.n % 4)"  # hub links stay on i % 4 == 0 vertices
+
+
+def _kcore_edges_sql() -> str:
+    """Shared synthetic graph: the 2-out expander + three extra links
+    among the i%4==0 quarter (degree variance so the 4-core is a proper
+    nontrivial subset)."""
+    return f"""
+dense AS MATERIALIZED (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS i,
+         COUNT(*) OVER () AS n
+  FROM documents
+), de AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM dense a JOIN dense b ON b.i = (a.i * 7 + 3) % a.n
+  UNION ALL
+  SELECT a.doc_id, c.doc_id
+  FROM dense a JOIN dense c ON c.i = (a.i * 13 + 5) % a.n
+  UNION ALL
+  SELECT a.doc_id, d.doc_id FROM dense a JOIN dense d
+    ON a.i % 4 = 0 AND d.i % 4 = 0 AND d.i = (a.i * 3 + 4) % {_KC_EXTRA}
+  UNION ALL
+  SELECT a.doc_id, e2.doc_id FROM dense a JOIN dense e2
+    ON a.i % 4 = 0 AND e2.i % 4 = 0 AND e2.i = (a.i * 5 + 8) % {_KC_EXTRA}
+  UNION ALL
+  SELECT a.doc_id, f.doc_id FROM dense a JOIN dense f
+    ON a.i % 4 = 0 AND f.i % 4 = 0 AND f.i = (a.i * 9 + 12) % {_KC_EXTRA}
+), ue AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM de WHERE src <> dst
+)"""
+
+
+def _kcore_oracle(k: int = 4, iters: int = 12) -> str:
+    parts = [
+        "WITH " + _kcore_edges_sql().lstrip(),
+        """, s0 AS MATERIALIZED (
+  SELECT DISTINCT x FROM (SELECT u AS x FROM ue UNION ALL SELECT v FROM ue)
+)""",
+    ]
+    prev = "s0"
+    for r in range(1, iters + 1):
+        parts.append(f""", d{r} AS MATERIALIZED (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT e.u AS x FROM ue e
+    JOIN {prev} a ON e.u = a.x JOIN {prev} b ON e.v = b.x
+    UNION ALL
+    SELECT e.v FROM ue e
+    JOIN {prev} a ON e.u = a.x JOIN {prev} b ON e.v = b.x
+  ) GROUP BY x
+), s{r} AS MATERIALIZED (SELECT x FROM d{r} WHERE deg >= {k})""")
+        prev = f"s{r}"
+    parts.append(
+        f"\nSELECT x AS doc_id, deg FROM d{iters} WHERE deg >= {k} "
+        "ORDER BY doc_id"
+    )
+    return "".join(parts)
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the degree-varied synthetic document graph (124 of 500
+    vertices survive after 11 peels at the gate data): iterative peeling
+    on the Spark side with a loud convergence assert, a 12-step unrolled
+    CTE chain on the oracle side."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy("doc_id")
+    dense = d.withColumn("i", F.row_number().over(w) - 1).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    ids = dense.select(F.col("i").alias("ti"), F.col("doc_id").alias("t_doc"))
+
+    def link(expr: str, quarter: bool) -> DataFrame:
+        a = dense
+        if quarter:
+            a = a.filter(F.col("i") % 4 == 0)
+        a = a.select(F.col("doc_id").alias("s_doc"), F.expr(expr).alias("t"))
+        tgt = ids if not quarter else ids.filter(F.col("ti") % 4 == 0)
+        return a.join(tgt, a.t == tgt.ti).select(
+            F.col("s_doc").alias("src"), F.col("t_doc").alias("dst")
+        )
+
+    de = (
+        link("(i * 7 + 3) % n", False)
+        .union(link("(i * 13 + 5) % n", False))
+        .union(link("(i * 3 + 4) % (n - n % 4)", True))
+        .union(link("(i * 5 + 8) % (n - n % 4)", True))
+        .union(link("(i * 9 + 12) % (n - n % 4)", True))
+    )
+    ue = (
+        de.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    core = k_core(ue, k=4, max_iters=12)
+    return core.select(F.col("v").alias("doc_id"), "deg").orderBy("doc_id")

@@ -153,6 +153,8 @@ _AFTER_WINDOW: list[str] = [
     "source_rowbinary_roundtrip",
     "agg_ols_multifeature",
     "dedup_winnowing_fingerprints",
+    "graph_kcore",
+    "sql_ch_dialect_numbers",
 ]
 
 

@@ -1198,6 +1198,27 @@ def translate_ch_sql(sql: str) -> str:
             "deterministic hash sampler (ops/corpus.py, gate "
             "sample_hash_mod) for replayable sampling"
         )
+    # CH numbers(N) / numbers(offset, N) table function -> an exploded
+    # sequence subquery named `number` (spelled with Spark passthrough
+    # names so the function rewriter below leaves it alone — `range` has a
+    # CH template meaning)
+    sql = re.sub(
+        r"\bnumbers\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)",
+        lambda m: (
+            f"(SELECT explode(sequence({m.group(1)}, "
+            f"{int(m.group(1)) + int(m.group(2)) - 1})) AS number)"
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\bnumbers\s*\(\s*(\d+)\s*\)",
+        lambda m: (
+            f"(SELECT explode(sequence(0, {int(m.group(1)) - 1})) AS number)"
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
     sql = _ARRAY_JOIN.sub(_aj, sql)
     # PREWHERE is CH's manual pushdown hint; Catalyst pushes WHERE
     # predicates into the scan itself, so PREWHERE IS WHERE here.  When a
