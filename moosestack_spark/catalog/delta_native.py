@@ -538,6 +538,112 @@ class DeltaNativeTable:
         os.replace(tmp, log_path)
         return n
 
+    # -- maintenance -----------------------------------------------------------
+
+    def compact(self, target_partitions: int | None = None) -> int:
+        """OPTIMIZE: materialize the current LIVE rows (deletion vectors
+        applied) into fresh data files and commit remove-all + add-new —
+        small files merge and DVs stop being consulted.  Prior versions
+        stay time-travelable until vacuum().  Returns the new version."""
+        meta, files = self.snapshot()
+        part_cols = meta.get("partitionColumns", [])
+        version = self.latest_version() + 1
+        live = self.read()
+        if target_partitions:
+            live = live.repartition(target_partitions)
+        batch = f"b{version}_compact"
+        adds: list[dict] = []
+        if part_cols:
+            pcol = part_cols[0]
+            values = [r[0] for r in live.select(pcol).distinct().collect()]
+            if len(values) > self.PARTITION_CAP:
+                raise ValueError(
+                    f"{len(values)} distinct partition values (cap "
+                    f"{self.PARTITION_CAP})"
+                )
+            for v in sorted(values, key=str):
+                rel_dir = f"{pcol}={v}"
+                out_dir = os.path.join(self.path, rel_dir, batch)
+                live.filter(F.col(pcol) == F.lit(v)).drop(pcol).write.mode(
+                    "overwrite"
+                ).parquet(out_dir)
+                adds.extend(
+                    self._adds_for_dir(self.path, out_dir, {pcol: str(v)})
+                )
+        else:
+            out_dir = os.path.join(self.path, batch)
+            live.write.mode("overwrite").parquet(out_dir)
+            adds = self._adds_for_dir(self.path, out_dir, {})
+        actions: list[dict] = [
+            {"remove": {"path": rel, "dataChange": False}} for rel in files
+        ]
+        actions.extend(adds)
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {},
+                }
+            }
+        )
+        log_path = os.path.join(self.log_dir, f"{version:020d}.json")
+        tmp = log_path + ".tmp"
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        os.replace(tmp, log_path)
+        return version
+
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Delete data and deletion-vector files not referenced by the
+        newest ``keep_last`` versions' snapshots (Delta VACUUM semantics:
+        older versions stop being readable; the log itself is kept).
+        Returns the number of files removed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self.versions()
+        referenced: set[str] = set()
+        for v in versions[-keep_last:]:
+            _, files = self.snapshot(v)
+            for rel, add in files.items():
+                referenced.add(os.path.abspath(os.path.join(self.path, rel)))
+                dv = add.get("deletionVector")
+                if dv and dv["storageType"] in ("u", "p"):
+                    # resolve via the shared helper; positions are not
+                    # needed, only the backing file path — recompute it
+                    if dv["storageType"] == "p":
+                        referenced.add(os.path.abspath(dv["pathOrInlineDv"]))
+                    else:
+                        import uuid as _uuid
+
+                        from moosestack_spark.catalog.roaring import z85_decode
+
+                        d = dv["pathOrInlineDv"]
+                        u = _uuid.UUID(bytes=z85_decode(d[-20:]))
+                        prefix = d[:-20]
+                        name = f"deletion_vector_{u}.bin"
+                        referenced.add(
+                            os.path.abspath(
+                                os.path.join(self.path, prefix, name)
+                                if prefix
+                                else os.path.join(self.path, name)
+                            )
+                        )
+        removed = 0
+        for root, dirs, fnames in os.walk(self.path):
+            if os.path.abspath(root).startswith(
+                os.path.abspath(self.log_dir)
+            ):
+                continue
+            for f in fnames:
+                if not (f.endswith(".parquet") or f.endswith(".bin")):
+                    continue
+                fp = os.path.abspath(os.path.join(root, f))
+                if fp not in referenced:
+                    os.remove(fp)
+                    removed += 1
+        return removed
+
     def write_checkpoint(self, version: int | None = None) -> str:
         """Materialize the snapshot at ``version`` as a checkpoint parquet
         + _last_checkpoint pointer (readers then skip the JSON prefix)."""

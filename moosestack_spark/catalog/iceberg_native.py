@@ -781,6 +781,154 @@ class IcebergNativeTable:
         )
         return n
 
+    # -- maintenance -----------------------------------------------------------
+
+    def compact(self, target_partitions: int | None = None) -> "IcebergNativeTable":
+        """OPTIMIZE: materialize the CURRENT live rows (all position and
+        equality deletes applied) into fresh data files and commit a
+        REPLACE snapshot whose manifest list holds ONLY the new manifest —
+        delete files stop being consulted, small files merge, and prior
+        snapshots stay time-travelable until expire_snapshots().  The row
+        rewrite is a distributed Spark write; only manifest bookkeeping
+        runs on the driver."""
+        prev_meta, version, seq = self._next_version_seq()
+        spec = {s["spec-id"]: s for s in prev_meta["partition-specs"]}[
+            prev_meta["default-spec-id"]
+        ]
+        part_names = [f["name"] for f in spec["fields"]]
+        live = self.read()
+        if target_partitions:
+            live = live.repartition(target_partitions)
+        batch_dir = os.path.join(self.path, "data", f"b{version}_compact")
+        part_fields = self._part_avro_fields(prev_meta)
+        entries: list[dict] = []
+        snap_id = int(
+            uuid.uuid5(uuid.NAMESPACE_URL, f"{self.path}#{version}").int % (1 << 62)
+        )
+        if part_names:
+            values = [
+                r[0] for r in live.select(part_names[0]).distinct().collect()
+            ]
+            if len(values) > self.PARTITION_CAP:
+                raise ValueError(
+                    f"{len(values)} distinct partition values (cap "
+                    f"{self.PARTITION_CAP})"
+                )
+            for v in sorted(values, key=str):
+                pdir = os.path.join(batch_dir, f"{part_names[0]}={v}")
+                live.filter(F.col(part_names[0]) == F.lit(v)).write.mode(
+                    "overwrite"
+                ).parquet(pdir)
+                entries.extend(
+                    self._entries_for_dir(pdir, {part_names[0]: v}, snap_id, seq)
+                )
+        else:
+            live.write.mode("overwrite").parquet(batch_dir)
+            entries = self._entries_for_dir(batch_dir, {}, snap_id, seq)
+        commit_uuid = str(
+            uuid.uuid5(uuid.NAMESPACE_URL, f"{self.path}#commit{version}")
+        )
+        manifest_path = os.path.join(self.meta_dir, f"{commit_uuid}-m0.avro")
+        write_container(manifest_path, _manifest_schema(part_fields), entries)
+        n_rows = sum(e["data_file"]["record_count"] for e in entries)
+        new_manifest = {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": _summaries_for(entries, part_fields)
+            if part_fields
+            else None,
+        }
+        mlist_path = os.path.join(
+            self.meta_dir, f"snap-{snap_id}-1-{commit_uuid}.avro"
+        )
+        write_container(mlist_path, _MANIFEST_LIST_SCHEMA, [new_manifest])
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": version,
+            "manifest-list": mlist_path,
+            "summary": {"operation": "replace"},
+            "schema-id": 0,
+        }
+        meta = dict(prev_meta)
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = version
+        meta["current-snapshot-id"] = snap_id
+        meta["snapshots"] = prev_meta["snapshots"] + [snapshot]
+        meta_path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        tmp = meta_path + ".tmp"
+        json.dump(meta, open(tmp, "w"), indent=1)
+        os.replace(tmp, meta_path)
+        with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
+            fh.write(str(version))
+        return self
+
+    def expire_snapshots(self, keep_last: int = 1) -> tuple[int, int]:
+        """Drop all but the newest ``keep_last`` snapshots from the
+        metadata and delete files no kept snapshot references (data files,
+        delete files, manifests, manifest lists) — the expire_snapshots +
+        remove_orphan_files maintenance pair.  Returns (snapshots_dropped,
+        files_deleted).  Time travel to expired snapshots stops working,
+        exactly as in Iceberg."""
+        prev_meta, version, _ = self._next_version_seq()
+        snaps = prev_meta["snapshots"]
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if len(snaps) <= keep_last:
+            return (0, 0)
+        kept = snaps[-keep_last:]
+        if prev_meta["current-snapshot-id"] not in {
+            s["snapshot-id"] for s in kept
+        }:
+            raise ValueError("expire would drop the current snapshot")
+        referenced: set[str] = set()
+        for snap in kept:
+            mlist = self._local(snap["manifest-list"])
+            referenced.add(os.path.abspath(mlist))
+            _, manifests = read_container(mlist)
+            for mf in manifests:
+                mpath = self._local(mf["manifest_path"])
+                referenced.add(os.path.abspath(mpath))
+                _, entries = read_container(mpath)
+                for e in entries:
+                    referenced.add(
+                        os.path.abspath(self._local(e["data_file"]["file_path"]))
+                    )
+        deleted = 0
+        data_root = os.path.join(self.path, "data")
+        for root, _dirs, fnames in os.walk(data_root):
+            for f in fnames:
+                fp = os.path.abspath(os.path.join(root, f))
+                if f.endswith(".parquet") and fp not in referenced:
+                    os.remove(fp)
+                    deleted += 1
+        for f in os.listdir(self.meta_dir):
+            fp = os.path.abspath(os.path.join(self.meta_dir, f))
+            if f.endswith(".avro") and fp not in referenced:
+                os.remove(fp)
+                deleted += 1
+        meta = dict(prev_meta)
+        meta["snapshots"] = kept
+        meta["last-updated-ms"] = version
+        meta_path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        tmp = meta_path + ".tmp"
+        json.dump(meta, open(tmp, "w"), indent=1)
+        os.replace(tmp, meta_path)
+        with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
+            fh.write(str(version))
+        return (len(snaps) - len(kept), deleted)
+
 
 def _summaries_for(
     entries: list[dict], part_fields: list[tuple[str, str]]

@@ -1060,3 +1060,57 @@ def source_rowbinary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@query(
+    "source_iceberg_compact_read",
+    oracle="""
+WITH live AS (
+    SELECT * FROM supplier
+    WHERE NOT (s_suppkey % 7 = 3) AND s_nationkey NOT IN (2, 11)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS bal_cents,
+       CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS nations
+FROM live
+""",
+)
+def source_iceberg_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lake MAINTENANCE pipeline on the native Iceberg layer: plant
+    supplier, position-delete, equality-delete, COMPACT (replace snapshot
+    materializing the deletes into fresh files — data_files() works again,
+    proving no delete files remain), EXPIRE old snapshots (orphan data,
+    delete files and manifests physically removed), then read and
+    aggregate.  The oracle replays the surviving-row algebra; matching
+    values prove the rewrite lost and invented nothing."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from moosestack_spark.catalog.iceberg_native import IcebergNativeTable
+
+    src = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    base = _tempfile.mkdtemp(prefix="msk_ice_opt_")
+    try:
+        path = base + "/supplier_ice"
+        table = IcebergNativeTable.write(src.repartition(4), path)
+        table.delete_where("s_suppkey % 7 = 3")
+        table.delete_equality(
+            spark.createDataFrame([(2,), (11,)], "s_nationkey long")
+        )
+        table.compact(target_partitions=2)
+        assert len(table.data_files()) <= 2  # deletes gone, files merged
+        table.expire_snapshots(keep_last=1)
+        return table.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_cents").cast("bigint").alias("bal_cents"),
+            F.count_distinct("s_nationkey").alias("nations"),
+        ).localCheckpoint()
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

@@ -155,6 +155,7 @@ _AFTER_WINDOW: list[str] = [
     "dedup_winnowing_fingerprints",
     "graph_kcore",
     "sql_ch_dialect_numbers",
+    "source_iceberg_compact_read",
 ]
 
 
