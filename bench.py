@@ -136,6 +136,11 @@ EXTRA = [
 ]
 
 
+class _HeadlineOnly(Exception):
+    """Control-flow marker: SPARK_GRAFT_BENCH_HEADLINE_ONLY=1 skips the
+    extras and scale tiers for fast variance re-measurement."""
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -205,10 +210,14 @@ def main() -> None:
         return out
 
     timings = run_suite(HEADLINE)
+    # SPARK_GRAFT_BENCH_HEADLINE_ONLY=1 skips extras + the scale tier — a
+    # fast re-measurement knob for variance checks; the driver's default
+    # invocation (no env) is unchanged.
+    headline_only = os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY") == "1"
     # Newer operators measured OUTSIDE the headline total: the HEADLINE list
     # and its `value` stay frozen for round-over-round comparability, while
     # extra_queries still gives per-round perf evidence for recent work.
-    extras = run_suite(EXTRA)
+    extras = {} if headline_only else run_suite(EXTRA)
 
     # Scale-shape validation for the dedup/similarity/curation family: run
     # the same gate queries on a 10x corpus (sf1-equivalent; the driver only
@@ -224,6 +233,8 @@ def main() -> None:
     SCALE_FACTOR = 30
     scale_queries: dict = {}
     try:
+        if headline_only:
+            raise _HeadlineOnly
         scaled_dir = _make_scaled_dir(spark, sf_dir, factor=SCALE_FACTOR)
         scale_names = [
             "dedup_exact",
@@ -246,6 +257,8 @@ def main() -> None:
             except Exception as exc:
                 print(f"BENCH-SCALE-ERROR {name}: {exc!r}"[:500], file=sys.stderr)
                 scale_queries[name] = None
+    except _HeadlineOnly:
+        pass
     except Exception as exc:
         print(f"BENCH-SCALE-SETUP-ERROR: {exc!r}"[:500], file=sys.stderr)
 
@@ -256,6 +269,8 @@ def main() -> None:
     # auto config holds expected bucket occupancy constant so verify work
     # is linear in n.  The pair of numbers is the scale claim, measured.
     try:
+        if headline_only:
+            raise _HeadlineOnly
         from moosestack_spark.ops.dedup import (
             embedding_cosine_pairs_pruned_auto,
         )
@@ -269,6 +284,8 @@ def main() -> None:
         scale_queries["dedup_embedding_auto_t90"] = round(
             time.perf_counter() - start, 3
         )
+    except _HeadlineOnly:
+        pass
     except Exception as exc:
         print(f"BENCH-SCALE-ERROR dedup_embedding_auto_t90: {exc!r}"[:500],
               file=sys.stderr)
@@ -280,6 +297,8 @@ def main() -> None:
     # for the star/hybrid scale claim: star/hybrid round counts are
     # logarithmic in chain length, propagation pays 2 shuffles per hop.
     try:
+        if headline_only:
+            raise _HeadlineOnly
         from moosestack_spark.ops.components import (
             connected_components,
             connected_components_auto,
@@ -301,6 +320,8 @@ def main() -> None:
             except Exception as exc:
                 print(f"BENCH-SCALE-ERROR {cname}: {exc!r}"[:500], file=sys.stderr)
                 scale_queries[cname] = None
+    except _HeadlineOnly:
+        pass
     except Exception as exc:
         print(f"BENCH-SCALE-SETUP-ERROR chain: {exc!r}"[:500], file=sys.stderr)
 
@@ -316,11 +337,15 @@ def main() -> None:
     }
     print(json.dumps(sidecar), file=sys.stderr)
     try:
+        if headline_only:
+            raise _HeadlineOnly  # never clobber the committed sidecar
         sidecar_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_extras.json"
         )
         with open(sidecar_path, "w") as fh:
             json.dump(sidecar, fh, indent=1)
+    except _HeadlineOnly:
+        pass
     except OSError as exc:
         print(f"BENCH-SIDECAR-ERROR: {exc!r}", file=sys.stderr)
     line = json.dumps(

@@ -1361,3 +1361,80 @@ JOIN numbers(100, 4) n2 ON n1.number % 4 = n2.number % 4
 ORDER BY a, b
 """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_vocab_r6d",
+    oracle=r"""
+SELECT o_orderkey,
+       '[' || array_to_string(list_transform(arr,
+           x -> CAST(len(list_distinct(arr[1 : list_position(arr, x)]))
+                AS VARCHAR)), ',') || ']' AS aed,
+       '[' || array_to_string(list_transform(range(1, len(arr) + 1),
+           i -> CAST(COALESCE(list_filter(arr[1:i], y -> y % 2 = 0)[-1],
+                              arr[i]) AS VARCHAR)), ',') || ']' AS afl,
+       '[' || array_to_string(list_transform(range(1, len(arr) + 1),
+           i -> CAST(COALESCE(list_filter(arr[i:], y -> y % 2 = 0)[1],
+                              arr[i]) AS VARCHAR)), ',') || ']' AS arf,
+       CAST((a >> 1) & (a >> 3) & 1 AS BIGINT) AS bta,
+       CAST(((a >> 1) | (a >> 3)) & 1 AS BIGINT) AS bto,
+       array_to_string((string_split(host, '.'))[1:2], '.') AS si2,
+       array_to_string((string_split(host, '.'))[-1:], '.') AS sim1,
+       CAST(len(regexp_extract_all(txt, '[0-9]+')) AS BIGINT) AS cm,
+       lg AS lgf, ld AS ldf
+FROM (
+  SELECT o_orderkey,
+         [CAST(o_orderkey % 5 AS BIGINT), CAST(o_orderkey % 3 AS BIGINT),
+          CAST(o_orderkey % 5 AS BIGINT), CAST(o_orderkey % 7 AS BIGINT)]
+           AS arr,
+         CAST(o_orderkey % 16 AS BIGINT) AS a,
+         'shop' || CAST(o_orderkey % 9 AS VARCHAR) || '.example.com' AS host,
+         'a' || CAST(o_orderkey % 10 AS VARCHAR) || ' b'
+           || CAST(o_orderkey % 7 AS VARCHAR) AS txt,
+         lag(o_orderkey) OVER (PARTITION BY o_orderkey % 4
+                               ORDER BY o_orderkey) AS lg,
+         lead(o_orderkey) OVER (PARTITION BY o_orderkey % 4
+                                ORDER BY o_orderkey) AS ld
+  FROM orders WHERE o_orderkey % 29 = 0
+)
+""",
+)
+def sql_ch_dialect_vocab_r6d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6d vocabulary: arrayEnumerateDense (first-occurrence dense
+    ranks), arrayFill/arrayReverseFill (lambda spliced into a slice
+    filter — CH lambda-first order), bitTestAll/bitTestAny (two-index
+    form), substringIndex (negative counts too), countMatches,
+    lagInFrame/leadInFrame renames inside real OVER frames."""
+    from moosestack_spark.registry import canon_arrays
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       arrayEnumerateDense(arr) AS aed,
+       arrayFill(x -> x % 2 = 0, arr) AS afl,
+       arrayReverseFill(x -> x % 2 = 0, arr) AS arf,
+       bitTestAll(a, 1, 3) AS bta,
+       bitTestAny(a, 1, 3) AS bto,
+       substringIndex(host, '.', 2) AS si2,
+       substringIndex(host, '.', -1) AS sim1,
+       countMatches(txt, '[0-9]+') AS cm,
+       lagInFrame(o_orderkey) OVER (PARTITION BY o_orderkey % 4
+                                    ORDER BY o_orderkey) AS lgf,
+       leadInFrame(o_orderkey) OVER (PARTITION BY o_orderkey % 4
+                                     ORDER BY o_orderkey) AS ldf
+FROM (
+  SELECT o_orderkey,
+         array(CAST(o_orderkey % 5 AS BIGINT), CAST(o_orderkey % 3 AS BIGINT),
+               CAST(o_orderkey % 5 AS BIGINT), CAST(o_orderkey % 7 AS BIGINT))
+           AS arr,
+         CAST(o_orderkey % 16 AS BIGINT) AS a,
+         concat('shop', toString(o_orderkey % 9), '.example.com') AS host,
+         concat('a', toString(o_orderkey % 10), ' b',
+                toString(o_orderkey % 7)) AS txt
+  FROM orders WHERE o_orderkey % 29 = 0
+)
+"""
+    out = spark.sql(translate_ch_sql(ch_sql))
+    return canon_arrays(out, "aed", "afl", "arf")

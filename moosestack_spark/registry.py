@@ -156,6 +156,7 @@ _AFTER_WINDOW: list[str] = [
     "graph_kcore",
     "sql_ch_dialect_numbers",
     "source_iceberg_compact_read",
+    "sql_ch_dialect_vocab_r6d",
 ]
 
 

@@ -1058,6 +1058,52 @@ _RENAME.update(
     }
 )
 
+# ---- round-6d vocabulary widening ----
+# arrayFill/arrayReverseFill SPLICE the user's (translated) lambda into a
+# filter() over a growing/shrinking slice — O(n^2) per array, fine for the
+# dialect surface (documents carry short arrays; bulk fills belong in
+# window operators).  arrayEnumerateDense ranks each element by first
+# occurrence via array_position.
+_TEMPLATE.update(
+    {
+        "arrayEnumerateDense": (
+            "transform({0}, __ed_x -> size(array_distinct(slice({0}, 1, "
+            "CAST(array_position({0}, __ed_x) AS INT)))))"
+        ),
+        # CH arrayFill(cond, arr): where cond(x) is false, carry the last
+        # PRIOR element satisfying cond; leading non-matches keep their
+        # original value
+        "arrayFill": (
+            "transform({1}, (__af_v, __af_i) -> coalesce(try_element_at("
+            "filter(slice({1}, 1, __af_i + 1), {0}), -1), __af_v))"
+        ),
+        "arrayReverseFill": (
+            "transform({1}, (__ar_v, __ar_i) -> coalesce(try_element_at("
+            "filter(slice({1}, __ar_i + 1, size({1}) - __ar_i), {0}), 1), "
+            "__ar_v))"
+        ),
+        "bitTestAll": (
+            "((shiftrightunsigned(CAST({0} AS BIGINT), CAST({1} AS INT)) & 1)"
+            " & (shiftrightunsigned(CAST({0} AS BIGINT), CAST({2} AS INT)) & 1))"
+        ),
+        "bitTestAny": (
+            "((shiftrightunsigned(CAST({0} AS BIGINT), CAST({1} AS INT)) & 1)"
+            " | (shiftrightunsigned(CAST({0} AS BIGINT), CAST({2} AS INT)) & 1))"
+        ),
+        "substringIndex": "substring_index({0}, {1}, {2})",
+        "countMatches": "CAST(regexp_count({0}, {1}) AS BIGINT)",
+    }
+)
+
+_RENAME.update(
+    {
+        # frame-respecting lag/lead: Spark's lag/lead are already
+        # frame-bound within the OVER clause that follows the call
+        "lagInFrame": "lag",
+        "leadInFrame": "lead",
+    }
+)
+
 _KNOWN_SPARK_PASSTHROUGH = frozenset(
     """select from where group by order having limit offset join on as and or not
     count sum avg min max distinct case when then else end cast between in like
