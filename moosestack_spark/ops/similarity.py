@@ -892,3 +892,80 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         qs, cs, m=8, ks=64, k=5, codebooks=deterministic_pq_codebooks(8, 64, 8)
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep): for each query,
+# the top-k most-similar candidates INSIDE a similarity band (hi bound
+# excludes near-duplicates/positives, lo bound excludes easy negatives) —
+# the standard batch shape for mining hard negatives.  Same broadcast x
+# scan + per-query window as brute_force_topk; the band filter prunes
+# before ranking.
+# --------------------------------------------------------------------------
+
+
+def hard_negatives(
+    queries_df: DataFrame,
+    candidates_df: DataFrame,
+    lo: float,
+    hi: float,
+    k: int = 10,
+    query_id: str = "q_id",
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    q = queries_df.select(F.col(query_id), F.col(vec).alias("__qv"))
+    c = candidates_df.select(F.col(cand_id), F.col(vec).alias("__cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .filter((F.col("cos_sim") >= lo) & (F.col("cos_sim") < hi))
+        .filter(F.col(query_id) != F.col(cand_id))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, cand_id, "rnk", "cos_sim")
+    )
+
+
+@query(
+    "similarity_hard_negatives",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT q_id, c_id,
+         list_dot_product(LIST_TRANSFORM(qv, x -> CAST(x AS DOUBLE)),
+                          LIST_TRANSFORM(cv, x -> CAST(x AS DOUBLE)))
+         / (SQRT(list_dot_product(LIST_TRANSFORM(qv, x -> CAST(x AS DOUBLE)),
+                                  LIST_TRANSFORM(qv, x -> CAST(x AS DOUBLE))))
+          * SQRT(list_dot_product(LIST_TRANSFORM(cv, x -> CAST(x AS DOUBLE)),
+                                  LIST_TRANSFORM(cv, x -> CAST(x AS DOUBLE)))))
+           AS cos_sim
+  FROM q, c
+)
+SELECT q_id, c_id, rnk FROM (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC)
+           AS rnk
+  FROM scored
+  WHERE cos_sim >= 0.05 AND cos_sim < 0.55 AND q_id <> c_id
+) WHERE rnk <= 5
+""",
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hard negatives per probe inside the [0.05, 0.55) cosine band
+    (hi excludes near-positives, lo excludes easy negatives, self
+    excluded).  ids + rank compared only — the float similarity stays
+    engine-internal, same discipline as similarity_bruteforce_topk."""
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cs = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return hard_negatives(
+        qs, cs, lo=0.05, hi=0.55, k=5, query_id="q_id", cand_id="c_id"
+    ).select("q_id", "c_id", "rnk")

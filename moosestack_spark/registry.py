@@ -157,6 +157,7 @@ _AFTER_WINDOW: list[str] = [
     "sql_ch_dialect_numbers",
     "source_iceberg_compact_read",
     "sql_ch_dialect_vocab_r6d",
+    "similarity_hard_negatives",
 ]
 
 
