@@ -68,11 +68,11 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # The driver's CORRECTNESS run checks the first 50 registered queries per
 # round.  Rounds 1-5 hard-verified 240 distinct queries (236 latest-green +
 # 4 rows-only-by-design).  The round-6 window leads with the 13 oracled
-# gates that have never received a driver row (11 late-r5 additions + the 2
-# post-index gates) — after this round every oracled gate will have been
-# driver-verified at least once.  New round-6 gates follow; the remaining
-# slots re-verify the most-stale gates (latest driver row = round 1), so the
-# cumulative record also stays fresh.
+# gates that had never received a driver row, then the round's new gates in
+# landing order (a first driver hash on NEW code beats re-confirming stable
+# r1-green queries, so most stale re-verification slots were displaced as
+# the round grew); four stale slots remain at the tail.  New gates that no
+# longer fit queue in _AFTER_WINDOW for the round-7 rotation.
 _WINDOW_PRIORITY = [
     # --- 13 never-driver-sampled oracled gates ---
     "sql_ch_dialect_time_windows",
@@ -110,24 +110,27 @@ _WINDOW_PRIORITY = [
     "dedup_quality_keeper",
     "streaming_quantile_timing",
     "sql_ch_dialect_vocab_r6b",
+    # --- second-session round-6 gates (displacing most of the stale
+    # re-verification slots: a first driver hash on NEW code beats
+    # re-confirming r1-green stable queries) ---
+    "source_iceberg_deletes_read",
+    "source_delta_dv_read",
+    "source_iceberg_compact_read",
+    "agg_space_saving_topk",
+    "dedup_winnowing_fingerprints",
+    "graph_kcore",
+    "graph_bfs_distance",
+    "source_rowbinary_roundtrip",
+    "source_avro_roundtrip",
+    "agg_ols_multifeature",
+    "sql_ch_dialect_vocab_r6c",
+    "agg_delta_max_intersections",
+    "similarity_hard_negatives",
     # --- stale re-verification (latest driver row = round 1) ---
     "agg_pricing_summary",
-    "agg_arg_max",
-    "agg_quantile",
     "analytics_shipping_priority",
-    "analytics_local_supplier_volume",
     "engine_replacing_dedup",
-    "engine_summing_rollup",
-    "join_star_multi",
-    "join_semi_anti",
-    "join_asof",
-    "join_range_buckets",
-    "mv_incremental_daily_rollup",
-    "mv_populate_matches_incremental",
     "query_builder_chain",
-    "semantic_join_dimension_having",
-    "sql_template_params",
-    "sql_ch_dialect_translated",
 ]
 
 # The explicit rotation backlog, pinned to positions 51+: oracled queries
@@ -141,23 +144,10 @@ _AFTER_WINDOW: list[str] = [
     "agg_quantile_timing_weighted",
     "graph_triangle_count",
     "agg_sparkbar_hours",
-    "source_avro_roundtrip",
-    "source_iceberg_deletes_read",
-    "sql_ch_dialect_vocab_r6c",
     "sql_ch_dialect_vocab_r6c_agg",
-    "agg_delta_max_intersections",
-    "agg_space_saving_topk",
-    "source_delta_dv_read",
     "agg_sequence_match_timed",
-    "graph_bfs_distance",
-    "source_rowbinary_roundtrip",
-    "agg_ols_multifeature",
-    "dedup_winnowing_fingerprints",
-    "graph_kcore",
     "sql_ch_dialect_numbers",
-    "source_iceberg_compact_read",
     "sql_ch_dialect_vocab_r6d",
-    "similarity_hard_negatives",
 ]
 
 
