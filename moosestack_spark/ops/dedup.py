@@ -1728,7 +1728,13 @@ def winnow_fingerprints(
         .withColumn("mkey", F.min("key").over(win))
         .filter(F.col("rn") >= w)  # complete windows only
         .select("doc", "mkey")
-        .distinct()
+        # dedup of per-window selections happens inside the doc-keyed
+        # aggregation (collect_set) so the window's exchange on doc is the
+        # plan's ONLY exchange — a standalone distinct() would shuffle a
+        # second time on (doc, mkey)
+        .groupBy("doc")
+        .agg(F.collect_set("mkey").alias("mkeys"))
+        .select("doc", F.explode("mkeys").alias("mkey"))
     )
     return sel.select(
         "doc",

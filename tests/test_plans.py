@@ -204,3 +204,34 @@ def test_lake_delete_reads_broadcast_and_keep_pushdown(spark, tmp_path):
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:800]
         assert "SortMergeJoin" not in plan, plan[:800]
         assert "DataFilters: [isnotnull(v" in plan, plan[:800]
+
+
+def test_session_gate_plan_shapes(spark, sf_dir):
+    """Plan pins for the second-session operators: winnowing keeps ONE
+    data exchange (window on doc reused by the aggregation; the gate's
+    final orderBy adds only a range partition), the OLS and sweep gates
+    stay sort-merge-free, and hard-negative mining broadcasts the query
+    side."""
+    import re
+
+    from moosestack_spark import registry
+
+    registry.load_all()
+
+    def plan_of(name):
+        return registry.QUERIES[name](spark, sf_dir)._jdf.queryExecution(
+        ).executedPlan().toString()
+
+    p = plan_of("dedup_winnowing_fingerprints")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p[:600]
+    assert "SortMergeJoin" not in p
+
+    p = plan_of("agg_ols_multifeature")
+    assert "SortMergeJoin" not in p
+    # nine moment sums in ONE grouped aggregate: partial_ before the
+    # exchange proves map-side combine
+    assert "partial_" in p.lower() or "HashAggregate" in p
+
+    p = plan_of("similarity_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p[:600]
+    assert "SortMergeJoin" not in p
