@@ -538,3 +538,110 @@ def analytics_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap join (interval x interval — join_range_buckets above is
+# point-in-range with a broadcast dimension; this is the symmetric case
+# where BOTH sides are big interval sets and a theta join would be
+# quadratic).  Scalable shape: decompose each interval into coarse grid
+# cells (duplication bounded by span/grid per row), equi-join on the cell,
+# verify exact overlap, and keep each pair ONLY at its canonical cell —
+# floor(max(starts)/grid), the first overlapping cell — so no distinct()
+# pass is needed (the standard dedup-free spatial-join trick).
+# --------------------------------------------------------------------------
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    grid: int,
+    a_cols: tuple[str, str, str] = ("a_id", "a_start", "a_end"),
+    b_cols: tuple[str, str, str] = ("b_id", "b_start", "b_end"),
+) -> DataFrame:
+    """Pairs of half-open intervals [start, end) that overlap, with the
+    exact overlap length.  One equi-join shuffle on the grid cell."""
+    aid, as_, ae = a_cols
+    bid, bs, be = b_cols
+
+    def cells(df, s, e):
+        return df.withColumn(
+            "__cell",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / grid), F.floor((F.col(e) - 1) / grid)
+                )
+            ),
+        )
+
+    ac = cells(a.select(aid, as_, ae), as_, ae)
+    bc = cells(b.select(bid, bs, be), bs, be)
+    joined = ac.join(bc, "__cell")
+    overlap = joined.filter(
+        (F.col(as_) < F.col(be)) & (F.col(bs) < F.col(ae))
+    ).filter(
+        F.col("__cell") == F.floor(F.greatest(F.col(as_), F.col(bs)) / grid)
+    )
+    return overlap.select(
+        aid,
+        bid,
+        (
+            F.least(F.col(ae), F.col(be))
+            - F.greatest(F.col(as_), F.col(bs))
+        ).alias("overlap_len"),
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+WITH a AS (
+  SELECT event_id AS a_id,
+         CAST(user_id % 997 AS BIGINT) AS a_start,
+         CAST(user_id % 997 + event_id % 50 + 1 AS BIGINT) AS a_end
+  FROM events WHERE event_id % 7 = 0
+),
+b AS (
+  SELECT o_orderkey AS b_id,
+         CAST(o_orderkey % 1009 AS BIGINT) AS b_start,
+         CAST(o_orderkey % 1009 + o_orderkey % 40 + 1 AS BIGINT) AS b_end
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+pairs AS (
+  SELECT a_id, b_id,
+         LEAST(a_end, b_end) - GREATEST(a_start, b_start) AS ov
+  FROM a JOIN b ON a_start < b_end AND b_start < a_end
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ov) AS BIGINT) AS total_overlap,
+       CAST(COUNT(DISTINCT a_id) AS BIGINT) AS a_touched,
+       CAST(COUNT(DISTINCT b_id) AS BIGINT) AS b_touched
+FROM pairs
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join via grid decomposition with
+    canonical-cell dedup (one equi-join shuffle; a theta join — which the
+    ORACLE deliberately uses as the independent formulation — would be
+    O(|A| * |B|))."""
+    a = t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("a_id"),
+        (F.col("user_id") % 997).cast("bigint").alias("a_start"),
+        (F.col("user_id") % 997 + F.col("event_id") % 50 + 1)
+        .cast("bigint")
+        .alias("a_end"),
+    )
+    b = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 == 0).select(
+        F.col("o_orderkey").alias("b_id"),
+        (F.col("o_orderkey") % 1009).cast("bigint").alias("b_start"),
+        (F.col("o_orderkey") % 1009 + F.col("o_orderkey") % 40 + 1)
+        .cast("bigint")
+        .alias("b_end"),
+    )
+    pairs = interval_overlap_join(a, b, grid=64)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("overlap_len").cast("bigint").alias("total_overlap"),
+        F.count_distinct("a_id").alias("a_touched"),
+        F.count_distinct("b_id").alias("b_touched"),
+    )

@@ -148,6 +148,7 @@ _AFTER_WINDOW: list[str] = [
     "agg_sequence_match_timed",
     "sql_ch_dialect_numbers",
     "sql_ch_dialect_vocab_r6d",
+    "join_interval_overlap",
 ]
 
 
