@@ -133,6 +133,14 @@ EXTRA = [
     "agg_space_saving_topk",
     "sql_ch_dialect_vocab_r6c",
     "agg_delta_max_intersections",
+    "source_iceberg_compact_read",
+    "dedup_winnowing_fingerprints",
+    "graph_kcore",
+    "graph_bfs_distance",
+    "join_interval_overlap",
+    "similarity_hard_negatives",
+    "source_rowbinary_roundtrip",
+    "agg_ols_multifeature",
 ]
 
 
@@ -248,6 +256,8 @@ def main() -> None:
             "dedup_connected_components",
             "dedup_connected_components_star",
             "dedup_connected_components_hybrid",
+            # round-6 second session: winnowing is shingle-linear
+            "dedup_winnowing_fingerprints",
         ]
         for name in scale_names:
             start = time.perf_counter()
@@ -290,6 +300,64 @@ def main() -> None:
         print(f"BENCH-SCALE-ERROR dedup_embedding_auto_t90: {exc!r}"[:500],
               file=sys.stderr)
         scale_queries["dedup_embedding_auto_t90"] = None
+
+    # k-core peel at 30x vertices: the scaled graph needs 15 peels (vs 11
+    # at gate scale), past the gate's 12-iteration oracle unroll — so the
+    # scale tier calls the operator directly with a higher bound.  What
+    # this measures: per-round cost stays two semi-joins + one groupBy on
+    # a SHRINKING vertex set.
+    try:
+        if headline_only:
+            raise _HeadlineOnly
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        from moosestack_spark.ops.graph import k_core
+
+        d30 = spark.read.parquet(f"{scaled_dir}/documents.parquet").select(
+            "doc_id"
+        )
+        w_ = _W.orderBy("doc_id")
+        dense = d30.withColumn(
+            "i", _F.row_number().over(w_) - 1
+        ).withColumn("n", _F.count(_F.lit(1)).over(_W.partitionBy()))
+        ids = dense.select(
+            _F.col("i").alias("ti"), _F.col("doc_id").alias("t_doc")
+        )
+
+        def _lk(expr, quarter):
+            a_ = dense.filter(_F.col("i") % 4 == 0) if quarter else dense
+            a_ = a_.select(
+                _F.col("doc_id").alias("s_doc"), _F.expr(expr).alias("t")
+            )
+            tgt = ids.filter(_F.col("ti") % 4 == 0) if quarter else ids
+            return a_.join(tgt, a_.t == tgt.ti).select(
+                _F.col("s_doc").alias("src"), _F.col("t_doc").alias("dst")
+            )
+
+        de30 = (
+            _lk("(i * 7 + 3) % n", False)
+            .union(_lk("(i * 13 + 5) % n", False))
+            .union(_lk("(i * 3 + 4) % (n - n % 4)", True))
+            .union(_lk("(i * 5 + 8) % (n - n % 4)", True))
+            .union(_lk("(i * 9 + 12) % (n - n % 4)", True))
+        )
+        ue30 = (
+            de30.filter(_F.col("src") != _F.col("dst"))
+            .select(
+                _F.least("src", "dst").alias("u"),
+                _F.greatest("src", "dst").alias("v"),
+            )
+            .distinct()
+        )
+        start = time.perf_counter()
+        k_core(ue30, k=4, max_iters=25).count()
+        scale_queries["graph_kcore"] = round(time.perf_counter() - start, 3)
+    except _HeadlineOnly:
+        pass
+    except Exception as exc:
+        print(f"BENCH-SCALE-ERROR graph_kcore: {exc!r}"[:500], file=sys.stderr)
+        scale_queries["graph_kcore"] = None
 
     # Chain-heavy CC fixture: 1024 disjoint 64-node chains (diameter 64 —
     # the pathological shape for O(diameter) label propagation, the home

@@ -243,6 +243,52 @@ def cmd_changed_files(args) -> int:
     return 0
 
 
+def cmd_lake(args) -> int:
+    """Maintenance for native lake-format tables at a PATH (outside the
+    app's managed warehouse): compact / expire / vacuum / snapshots."""
+    from moosestack_spark.session import get_spark
+
+    spark = get_spark("moose-lake")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.format == "iceberg":
+        from moosestack_spark.catalog.iceberg_native import IcebergNativeTable
+
+        table = IcebergNativeTable(spark, args.path)
+        if args.action == "compact":
+            table.compact(target_partitions=args.target_partitions)
+            print(f"compacted {args.path}")
+        elif args.action == "expire":
+            dropped, deleted = table.expire_snapshots(args.keep_last)
+            print(f"expired {dropped} snapshot(s), removed {deleted} file(s)")
+        elif args.action == "snapshots":
+            for s in table.snapshots():
+                print(json.dumps(
+                    {k: s[k] for k in ("snapshot-id", "sequence-number",
+                                       "summary") if k in s}))
+        else:
+            print("iceberg supports: compact, expire, snapshots",
+                  file=sys.stderr)
+            return 2
+    else:
+        from moosestack_spark.catalog.delta_native import DeltaNativeTable
+
+        table = DeltaNativeTable(spark, args.path)
+        if args.action == "compact":
+            v = table.compact(target_partitions=args.target_partitions)
+            print(f"compacted {args.path} at version {v}")
+        elif args.action == "vacuum":
+            n = table.vacuum(args.keep_last)
+            print(f"vacuumed {args.path}: {n} file(s) removed")
+        elif args.action == "snapshots":
+            for v in table.versions():
+                print(v)
+        else:
+            print("delta supports: compact, vacuum, snapshots",
+                  file=sys.stderr)
+            return 2
+    return 0
+
+
 def cmd_truncate(args) -> int:
     _, table = _table(args)
     table.truncate()
@@ -371,6 +417,18 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("openapi", help="print the consumption-API OpenAPI spec")
     common(sp)
     sp.set_defaults(fn=cmd_openapi)
+
+    sp = sub.add_parser(
+        "lake", help="maintain a native Iceberg/Delta table at a path"
+    )
+    sp.add_argument("action",
+                    choices=["compact", "expire", "vacuum", "snapshots"])
+    sp.add_argument("--format", required=True, choices=["iceberg", "delta"])
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--keep-last", type=int, default=1, dest="keep_last")
+    sp.add_argument("--target-partitions", type=int, default=None,
+                    dest="target_partitions")
+    sp.set_defaults(fn=cmd_lake)
 
     args = p.parse_args(argv)
     return args.fn(args)

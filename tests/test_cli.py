@@ -348,3 +348,36 @@ def test_dev_watch_loop_applies_changes(app_module, tmp_path, capsys, spark):
         _time.sleep(0.2)
     th.join(timeout=30)
     assert (Path(wh) / "default" / "extra").is_dir()
+
+
+def test_cli_lake_maintenance_e2e(spark, tmp_path, capsys):
+    """moose lake compact/expire/vacuum/snapshots drive the native lake
+    layers end-to-end from the CLI."""
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.__main__ import main as cli_main
+    from moosestack_spark.catalog.delta_native import DeltaNativeTable
+    from moosestack_spark.catalog.iceberg_native import IcebergNativeTable
+
+    df = spark.range(0, 40).select(F.col("id").alias("k"))
+    ice = str(tmp_path / "ice")
+    t1 = IcebergNativeTable.write(df.repartition(4), ice)
+    t1.delete_where("k % 5 = 1")
+    assert cli_main(["lake", "compact", "--format", "iceberg",
+                     "--path", ice]) == 0
+    assert cli_main(["lake", "expire", "--format", "iceberg", "--path", ice,
+                     "--keep-last", "1"]) == 0
+    assert cli_main(["lake", "snapshots", "--format", "iceberg",
+                     "--path", ice]) == 0
+    assert t1.read().count() == 32
+
+    dl = str(tmp_path / "dl")
+    t2 = DeltaNativeTable.write(df.repartition(4), dl)
+    t2.delete_where("k % 5 = 1")
+    assert cli_main(["lake", "compact", "--format", "delta",
+                     "--path", dl]) == 0
+    assert cli_main(["lake", "vacuum", "--format", "delta", "--path", dl,
+                     "--keep-last", "1"]) == 0
+    assert t2.read().count() == 32
+    out = capsys.readouterr().out
+    assert "compacted" in out and "vacuumed" in out and "expired" in out
