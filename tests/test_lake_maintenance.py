@@ -128,3 +128,101 @@ def test_delta_vacuum_keeps_referenced_dvs(spark, tmp_path):
     assert sorted(r.k for r in table.read().collect()) == [
         k for k in range(80) if k % 7 != 2
     ]
+
+
+# ---- randomized delete-semantics sweep (both formats) ----
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+    # each example plants a table and runs Spark jobs — keep the example
+    # count small; the value is the RANDOM INTERLEAVING of deletes/appends
+    _ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("pos"), st.integers(2, 9)),   # delete k % m == 1
+            st.tuples(st.just("eq"), st.integers(0, 4)),    # delete grp == g
+            st.tuples(st.just("append"), st.integers(0, 3)),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    def _simulate(ops, n0=30):
+        """Python model: rows = {k: grp}; eq deletes apply only to rows
+        present BEFORE the delete (strict-sequence rule), pos deletes to
+        rows present at delete time."""
+        rows = {k: k % 5 for k in range(n0)}
+        next_base = 100
+        for op, arg in ops:
+            if op == "pos":
+                rows = {k: g for k, g in rows.items() if k % arg != 1}
+            elif op == "eq":
+                rows = {k: g for k, g in rows.items() if g != arg}
+            else:
+                rows.update({next_base + j: (next_base + j) % 5
+                             for j in range(10)})
+                next_base += 100
+        return sorted(rows)
+
+    @given(_ops)
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    def test_iceberg_random_delete_interleavings(spark, tmp_path_factory, ops):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path_factory.mktemp("ice_hyp") / "t")
+        df0 = spark.range(0, 30).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+        )
+        table = IcebergNativeTable.write(df0.repartition(3), path)
+        next_base = 100
+        for op, arg in ops:
+            if op == "pos":
+                table.delete_where(f"k % {arg} = 1")
+            elif op == "eq":
+                table.delete_equality(
+                    spark.createDataFrame([(arg,)], "grp long")
+                )
+            else:
+                app = spark.range(next_base, next_base + 10).select(
+                    F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+                )
+                IcebergNativeTable.write(app, path, mode="append")
+                next_base += 100
+        got = sorted(r.k for r in table.read().collect())
+        assert got == _simulate(ops), ops
+
+    @given(_ops)
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    def test_delta_random_delete_interleavings(spark, tmp_path_factory, ops):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path_factory.mktemp("dl_hyp") / "t")
+        df0 = spark.range(0, 30).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+        )
+        table = DeltaNativeTable.write(df0.repartition(3), path)
+        next_base = 100
+        for op, arg in ops:
+            if op == "pos":
+                table.delete_where(f"k % {arg} = 1")
+            elif op == "eq":
+                # delta DVs are positional; the equality-style delete is
+                # delete_where on the value predicate — applies to rows
+                # present AT DELETE TIME, same as the simulator
+                table.delete_where(f"grp = {arg}")
+            else:
+                app = spark.range(next_base, next_base + 10).select(
+                    F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+                )
+                DeltaNativeTable.write(app, path, mode="append")
+                next_base += 100
+        got = sorted(r.k for r in table.read().collect())
+        assert got == _simulate(ops), ops
