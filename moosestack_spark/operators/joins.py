@@ -645,3 +645,90 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("a_id").alias("a_touched"),
         F.count_distinct("b_id").alias("b_touched"),
     )
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+WITH clean AS (
+  SELECT s_suppkey AS c_key, s_name AS c_name,
+         substr(s_name, 10, 3) AS blk
+  FROM supplier
+),
+dirty AS (
+  SELECT s_suppkey AS d_key,
+         CASE CAST(s_suppkey % 3 AS INT)
+           WHEN 0 THEN substr(s_name, 1, length(s_name) - 1)
+           WHEN 1 THEN substr(s_name, 1, length(s_name) - 2)
+                    || substr(s_name, length(s_name), 1)
+                    || substr(s_name, length(s_name) - 1, 1)
+           ELSE substr(s_name, 1, length(s_name) - 1) || 'X'
+         END AS d_name,
+         substr(s_name, 10, 3) AS blk
+  FROM supplier
+),
+cand AS (
+  SELECT d_key, c_key, levenshtein(d_name, c_name) AS dist
+  FROM dirty JOIN clean USING (blk)
+  WHERE levenshtein(d_name, c_name) <= 2
+),
+best AS (
+  SELECT d_key, c_key, dist FROM (
+    SELECT d_key, c_key, dist,
+           ROW_NUMBER() OVER (PARTITION BY d_key
+                              ORDER BY dist, c_key) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN d_key = c_key THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_recovered,
+       CAST(SUM(dist) AS BIGINT) AS total_dist
+FROM best
+""",
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join with BLOCKING: deterministically
+    perturbed supplier names (truncate / adjacent swap / trailing
+    replace) matched back to the clean list — equi-join on a blocking key
+    (digit prefix, stable under the perturbations) bounds candidate pairs
+    to block sizes instead of |A|x|B|, then exact Levenshtein <= 2 verify
+    and best-match-per-dirty-row (min distance, id tiebreak).  Outputs
+    exact integers: matches, correct recoveries, total edit distance."""
+    sup = t(spark, sf_dir, "supplier")
+    clean = sup.select(
+        F.col("s_suppkey").alias("c_key"),
+        F.col("s_name").alias("c_name"),
+        F.expr("substr(s_name, 10, 3)").alias("blk"),
+    )
+    dirty = sup.select(
+        F.col("s_suppkey").alias("d_key"),
+        F.expr(
+            "CASE CAST(s_suppkey % 3 AS INT) "
+            "WHEN 0 THEN substr(s_name, 1, length(s_name) - 1) "
+            "WHEN 1 THEN concat(substr(s_name, 1, length(s_name) - 2), "
+            "substr(s_name, length(s_name), 1), "
+            "substr(s_name, length(s_name) - 1, 1)) "
+            "ELSE concat(substr(s_name, 1, length(s_name) - 1), 'X') END"
+        ).alias("d_name"),
+        F.expr("substr(s_name, 10, 3)").alias("blk"),
+    )
+    cand = (
+        dirty.join(clean, "blk")
+        .withColumn("dist", F.levenshtein("d_name", "c_name"))
+        .filter(F.col("dist") <= 2)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("d_key").orderBy("dist", "c_key")
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return best.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum((F.col("d_key") == F.col("c_key")).cast("int"))
+        .cast("bigint")
+        .alias("n_recovered"),
+        F.sum("dist").cast("bigint").alias("total_dist"),
+    )
