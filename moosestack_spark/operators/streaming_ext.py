@@ -883,3 +883,185 @@ def streaming_quantile_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# STREAMING space-saving heavy hitters: the fourth hard-oracled streaming
+# sketch family (after HLL, bucketized KMV and the timing histogram), and
+# the first built on applyInPandasWithState rather than an algebraic
+# windowed aggregate — per cohort, GroupState holds a BOUNDED space-saving
+# dict (cap entries + the explicit error budget e, serialized as joined
+# strings), pruned on every update exactly like the batch operator
+# (ops/sketches.py).  The gate surfaces only layout-independent facts:
+# each cohort's top hot keys by EXACT count (replayed batch-side and by
+# the oracle) and an in-plan band check exact BETWEEN est AND est + e —
+# the agg_uniq_approx graduation pattern, so the stream's bounded state
+# is hash-verified without pinning arrival order.
+# --------------------------------------------------------------------------
+
+_SS_STREAM_ORACLE = """
+WITH keyed AS (
+  SELECT CAST(user_id % 4 AS BIGINT) AS cohort,
+         CASE WHEN user_id % 10 < 7
+              THEN 'hot-' || CAST(user_id % 3 AS VARCHAR)
+              ELSE 'cold-' || CAST(user_id % 5000 AS VARCHAR) END AS key
+  FROM events
+),
+exact AS (
+  SELECT cohort, key, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM keyed GROUP BY cohort, key
+),
+ranked AS (
+  SELECT cohort, key, exact_cnt,
+         ROW_NUMBER() OVER (PARTITION BY cohort
+                            ORDER BY exact_cnt DESC, key) AS rn
+  FROM exact
+)
+SELECT cohort, key, exact_cnt, CAST(1 AS INT) AS within_band
+FROM ranked WHERE rn <= 2
+ORDER BY cohort, key
+"""
+
+
+@query("streaming_space_saving_topk", oracle=_SS_STREAM_ORACLE)
+def streaming_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort heavy hitters maintained as bounded GroupState across the
+    stream; top-2 hot keys verified against exact batch counts with the
+    explicit error band."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    CAP, KEEP = 128, 64
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="msk_sss_src_")
+    ckpt = tempfile.mkdtemp(prefix="msk_sss_ckpt_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    sink_name = f"msk_sss_{abs(hash(src_dir)) % 10**9}"
+    out_schema = "cohort bigint, key string, est bigint, e bigint"
+    state_schema = "keys string, cnts string, e bigint"
+
+    def update(key, pdfs, state: GroupState):
+        (cohort,) = key
+        if state.exists:
+            keys_s, cnts_s, e = state.get
+            counts = dict(
+                zip(
+                    keys_s.split("\x1f") if keys_s else [],
+                    map(int, cnts_s.split("\x1f")) if cnts_s else [],
+                )
+            )
+        else:
+            counts, e = {}, 0
+        for pdf in pdfs:
+            for k, c in pdf["key"].value_counts().items():
+                counts[k] = counts.get(k, 0) + int(c)
+            if len(counts) > CAP:
+                ordered = sorted(counts.items(), key=lambda kv: -kv[1])
+                e += ordered[KEEP][1]
+                counts = dict(ordered[:KEEP])
+        top = sorted(counts.items(), key=lambda kv: -kv[1])[:KEEP]
+        state.update(
+            (
+                "\x1f".join(k for k, _ in top),
+                "\x1f".join(str(c) for _, c in top),
+                e,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "cohort": [cohort] * len(top),
+                "key": [k for k, _ in top],
+                "est": [c for _, c in top],
+                "e": [e] * len(top),
+            }
+        )
+
+    scope = _stream_state_partitions(spark)
+    scope.__enter__()
+    try:
+        keyed = (
+            spark.readStream.schema(events_schema)
+            .parquet(src_dir)
+            .select(
+                (F.col("user_id") % 4).cast("bigint").alias("cohort"),
+                F.when(
+                    F.col("user_id") % 10 < 7,
+                    F.concat(
+                        F.lit("hot-"), (F.col("user_id") % 3).cast("string")
+                    ),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("cold-"),
+                        (F.col("user_id") % 5000).cast("string"),
+                    )
+                )
+                .alias("key"),
+            )
+        )
+        stream = keyed.groupBy("cohort").applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sketch = spark.table(sink_name)
+        # batch-side exact counts (what the oracle replays)
+        exact = (
+            normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            .select(
+                (F.col("user_id") % 4).cast("bigint").alias("cohort"),
+                F.when(
+                    F.col("user_id") % 10 < 7,
+                    F.concat(
+                        F.lit("hot-"), (F.col("user_id") % 3).cast("string")
+                    ),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("cold-"),
+                        (F.col("user_id") % 5000).cast("string"),
+                    )
+                )
+                .alias("key"),
+            )
+            .groupBy("cohort", "key")
+            .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        )
+        w = Window.partitionBy("cohort").orderBy(
+            F.desc("exact_cnt"), F.asc("key")
+        )
+        top_exact = (
+            exact.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .drop("rn")
+        )
+        out = (
+            top_exact.join(sketch, ["cohort", "key"])
+            .withColumn(
+                "within_band",
+                (
+                    (F.col("exact_cnt") >= F.col("est"))
+                    & (F.col("exact_cnt") <= F.col("est") + F.col("e"))
+                ).cast("int"),
+            )
+            .select("cohort", "key", "exact_cnt", "within_band")
+            .orderBy("cohort", "key")
+        )
+        return out.localCheckpoint()
+    finally:
+        scope.__exit__()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

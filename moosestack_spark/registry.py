@@ -150,6 +150,7 @@ _AFTER_WINDOW: list[str] = [
     "sql_ch_dialect_vocab_r6d",
     "join_interval_overlap",
     "join_fuzzy_blocked",
+    "streaming_space_saving_topk",
 ]
 
 
