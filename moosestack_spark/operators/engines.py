@@ -1114,3 +1114,57 @@ def source_iceberg_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "source_iceberg_bucket_read",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders
+WHERE o_orderkey IN (7, 4000, 29988)
+""",
+)
+def source_iceberg_bucket_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg bucket[N] partition transform end-to-end: orders written
+    bucketed by o_orderkey into 8 buckets (murmur3 of the long's
+    little-endian bytes per the spec — appendix B vector pinned in
+    pytest; at most 8 partitions regardless of key cardinality, the
+    high-cardinality answer identity partitioning refuses), then three
+    key lookups each read through partition_filter on the SOURCE column —
+    the metadata walk hashes the key and opens only that bucket's files
+    (asserted in-gate).  The oracle replays the plain IN filter."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from moosestack_spark.catalog.iceberg_native import IcebergNativeTable
+
+    src = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    base = _tempfile.mkdtemp(prefix="msk_ice_bkt_")
+    try:
+        path = base + "/orders_ice"
+        table = IcebergNativeTable.write(src, path, bucket_by=("o_orderkey", 8))
+        n_dirs = {f.rsplit("/", 1)[0] for f in table.data_files()}
+        parts = []
+        for key in (7, 4000, 29988):
+            pruned = table.data_files(partition_filter={"o_orderkey": key})
+            assert 0 < len(pruned) < len(table.data_files()), "no pruning"
+            parts.append(
+                table.read(partition_filter={"o_orderkey": key}).filter(
+                    F.col("o_orderkey") == key
+                )
+            )
+        assert len(n_dirs) <= 8
+        out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        return out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).localCheckpoint()
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

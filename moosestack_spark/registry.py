@@ -151,6 +151,7 @@ _AFTER_WINDOW: list[str] = [
     "join_interval_overlap",
     "join_fuzzy_blocked",
     "streaming_space_saving_topk",
+    "source_iceberg_bucket_read",
 ]
 
 

@@ -97,12 +97,14 @@ def test_unknown_file_content_raises_honestly(table, spark):
 
 
 def test_transform_pruning_refused(table):
-    """Pruning over a non-identity transform must refuse."""
+    """Pruning over an UNSUPPORTED transform must refuse (bucket[N] and
+    identity are handled; truncate etc. are not)."""
     meta_path = table._current_metadata_path()
     meta = json.load(open(meta_path))
-    meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
+    meta["partition-specs"][0]["fields"][0]["transform"] = "truncate[4]"
+    meta["partition-specs"][0]["fields"][0]["name"] = "p_trunc"
     json.dump(meta, open(meta_path, "w"))
-    with pytest.raises(NotImplementedError, match="identity"):
+    with pytest.raises(NotImplementedError, match="truncate"):
         table.data_files(partition_filter={"p": "1"})
 
 
@@ -149,3 +151,97 @@ def test_data_filter_pushes_into_parquet_scan(table):
     df = table.read().filter("id > 50")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:80]
+
+
+# ---- bucket[N] partition transform ----
+
+
+def test_bucket_hash_matches_spec_vector():
+    from moosestack_spark.catalog.iceberg_native import murmur3_32_long
+
+    # Iceberg spec appendix B: hash of long 34 = 2017239379
+    assert murmur3_32_long(34) == 2017239379
+
+
+def test_bucket_sql_equals_python(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.catalog.iceberg_native import (
+        iceberg_bucket,
+        iceberg_bucket_sql,
+    )
+
+    random.seed(11)
+    vals = [0, 1, -1, 34, 2**62, -(2**62)] + [
+        random.randint(-(2**62), 2**62) for _ in range(100)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [r[0] for r in df.select(F.expr(iceberg_bucket_sql("v", 16))).collect()]
+    assert got == [iceberg_bucket(v, 16) for v in vals]
+
+
+def test_bucket_partitioned_write_read_prune(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.catalog.iceberg_native import (
+        IcebergNativeTable,
+        iceberg_bucket,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    table = IcebergNativeTable.write(
+        df, str(tmp_path / "t"), bucket_by=("k", 8)
+    )
+    # high-cardinality key, but at most 8 bucket DIRS — no PARTITION_CAP
+    all_files = table.data_files()
+    dirs = {f.rsplit("/", 1)[0] for f in all_files}
+    assert len(dirs) == 8
+    # pruned read on the SOURCE column: only k=1234's bucket is opened
+    pruned = table.data_files(partition_filter={"k": 1234})
+    b = iceberg_bucket(1234, 8)
+    assert pruned and all(f"k_bucket={b}" in f for f in pruned)
+    assert len(pruned) < len(all_files) / 4
+    got = (
+        table.read(partition_filter={"k": 1234})
+        .filter(F.col("k") == 1234)
+        .collect()
+    )
+    assert len(got) == 1 and got[0]["v"] == 3702
+    assert table.read().count() == 4000
+
+
+def test_bucket_table_deletes_and_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.catalog.iceberg_native import IcebergNativeTable
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    table = IcebergNativeTable.write(
+        df, str(tmp_path / "t"), bucket_by=("k", 4)
+    )
+    table.delete_where("k % 10 = 3")
+    expect = [k for k in range(500) if k % 10 != 3]
+    assert sorted(r.k for r in table.read().collect()) == expect
+    table.compact()
+    assert sorted(r.k for r in table.read().collect()) == expect
+    dirs = {f.rsplit("/", 1)[0] for f in table.data_files()}
+    assert len(dirs) == 4  # bucket layout preserved
+
+
+def test_unknown_filter_key_raises(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.catalog.iceberg_native import IcebergNativeTable
+
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    table = IcebergNativeTable.write(
+        df, str(tmp_path / "t"), bucket_by=("k", 4)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="match no partition"):
+        table.read(partition_filter={"nope": 1})
