@@ -191,6 +191,58 @@ def iceberg_bucket(v: int, n: int) -> int:
     return (murmur3_32_long(v) & 0x7FFFFFFF) % n
 
 
+def iceberg_transform(tf: str, val) -> int:
+    """Apply a non-identity partition transform to a FILTER value at
+    prune time (python side; the writer's per-row spelling is the
+    matching Spark expression in iceberg_transform_sql).  Date transforms
+    take a datetime.date or 'YYYY-MM-DD' string."""
+    import datetime as _dt
+
+    m = re.match(r"^bucket\[(\d+)\]$", tf)
+    if m:
+        return iceberg_bucket(int(val), int(m.group(1)))
+    m = re.match(r"^truncate\[(\d+)\]$", tf)
+    if m:
+        w = int(m.group(1))
+        v = int(val)
+        return v - (v % w)  # python % is floor-mod: correct for negatives
+    if tf in ("year", "month", "day"):
+        d = (
+            _dt.date.fromisoformat(val)
+            if isinstance(val, str)
+            else (val.date() if isinstance(val, _dt.datetime) else val)
+        )
+        if tf == "year":
+            return d.year - 1970
+        if tf == "month":
+            return (d.year - 1970) * 12 + d.month - 1
+        return (d - _dt.date(1970, 1, 1)).days
+    raise NotImplementedError(
+        f"partition pruning over transform {tf!r} "
+        "(identity, bucket[N], truncate[W], year, month, day)"
+    )
+
+
+def iceberg_transform_sql(tf: str, col: str) -> str:
+    """Spark SQL expression computing a partition transform per row —
+    value-identical to iceberg_transform on the filter side."""
+    m = re.match(r"^bucket\[(\d+)\]$", tf)
+    if m:
+        return iceberg_bucket_sql(col, int(m.group(1)))
+    m = re.match(r"^truncate\[(\d+)\]$", tf)
+    if m:
+        w = int(m.group(1))
+        # Spark pmod gives the floor-mod the spec requires for negatives
+        return f"CAST({col} - pmod({col}, {w}) AS BIGINT)"
+    if tf == "year":
+        return f"CAST(year({col}) - 1970 AS INT)"
+    if tf == "month":
+        return f"CAST((year({col}) - 1970) * 12 + month({col}) - 1 AS INT)"
+    if tf == "day":
+        return f"CAST(datediff({col}, DATE '1970-01-01') AS INT)"
+    raise NotImplementedError(f"writer transform {tf!r}")
+
+
 def iceberg_bucket_sql(col: str, n: int) -> str:
     """Spark SQL expression computing iceberg_bucket(col, n) for a BIGINT
     column — pure JVM arithmetic (32-bit multiplies via the 16-bit split
@@ -326,15 +378,7 @@ class IcebergNativeTable:
                     if tf == "identity":
                         resolved[f["name"]] = val
                     else:
-                        m_b = re.match(r"^bucket\[(\d+)\]$", tf)
-                        if not m_b:
-                            raise NotImplementedError(
-                                f"partition pruning over transform {tf!r} "
-                                "(identity and bucket[N] only)"
-                            )
-                        resolved[f["name"]] = iceberg_bucket(
-                            int(val), int(m_b.group(1))
-                        )
+                        resolved[f["name"]] = iceberg_transform(tf, val)
             if unresolved:
                 raise ValueError(
                     f"filter keys {sorted(unresolved)} match no partition "
@@ -525,6 +569,7 @@ class IcebergNativeTable:
         partition_by: str | None = None,
         mode: str = "overwrite",
         bucket_by: tuple[str, int] | None = None,
+        transform_by: tuple[str, str] | None = None,
     ) -> "IcebergNativeTable":
         """Write ``df`` as an Iceberg v2 table (new snapshot per call).
         mode='overwrite' starts v1; mode='append' adds a snapshot whose
@@ -564,24 +609,33 @@ class IcebergNativeTable:
         commit_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, f"{path}#commit{version}"))
         batch_dir = os.path.join(data_dir, f"b{version}")
 
-        if partition_by and bucket_by:
-            raise ValueError("pass partition_by or bucket_by, not both")
+        if sum(x is not None for x in (partition_by, bucket_by, transform_by)) > 1:
+            raise ValueError(
+                "pass exactly one of partition_by, bucket_by, transform_by"
+            )
+        if bucket_by:
+            transform_by = (f"bucket[{bucket_by[1]}]", bucket_by[0])
         # ---- data files (executor-side parquet write) ----
         part_fields: list[tuple[str, str]] = []
         spec_transform, spec_source = "identity", partition_by
         entries: list[dict] = []
-        if bucket_by:
-            bcol, n_buckets = bucket_by
-            fname = f"{bcol}_bucket"
-            part_fields = [(fname, "int")]
-            spec_transform, spec_source = f"bucket[{n_buckets}]", bcol
-            bdf = df.withColumn(
-                "__ib", F.expr(iceberg_bucket_sql(bcol, n_buckets))
-            )
-            buckets = sorted(
+        if transform_by:
+            tf, bcol = transform_by
+            suffix = re.sub(r"\W+", "", tf.split("[")[0])
+            fname = f"{bcol}_{suffix}"
+            avro_t = "int" if tf.startswith(("bucket", "year", "month", "day")) else "long"
+            part_fields = [(fname, avro_t)]
+            spec_transform, spec_source = tf, bcol
+            bdf = df.withColumn("__ib", F.expr(iceberg_transform_sql(tf, bcol)))
+            values = sorted(
                 r[0] for r in bdf.select("__ib").distinct().collect()
             )
-            for bv in buckets:
+            if len(values) > cls.PARTITION_CAP:
+                raise ValueError(
+                    f"{len(values)} distinct transformed partition values "
+                    f"(cap {cls.PARTITION_CAP})"
+                )
+            for bv in values:
                 pdir = os.path.join(batch_dir, f"{fname}={bv}")
                 bdf.filter(F.col("__ib") == bv).drop("__ib").write.mode(
                     "overwrite"
@@ -961,17 +1015,16 @@ class IcebergNativeTable:
         snap_id = int(
             uuid.uuid5(uuid.NAMESPACE_URL, f"{self.path}#{version}").int % (1 << 62)
         )
-        if part_names and spec["fields"][0]["transform"].startswith("bucket["):
-            # bucket partitioning: the partition value is not a data
+        if part_names and spec["fields"][0]["transform"] != "identity":
+            # transformed partitioning: the partition value is not a data
             # column — recompute it from the source column with the same
-            # JVM bucket expression the writer used
+            # JVM expression the writer used
             fld = spec["fields"][0]
-            n_buckets = int(re.match(r"^bucket\[(\d+)\]$", fld["transform"]).group(1))
             src = {
                 f["id"]: f["name"] for f in prev_meta["schemas"][0]["fields"]
             }[fld["source-id"]]
             bdf = live.withColumn(
-                "__ib", F.expr(iceberg_bucket_sql(src, n_buckets))
+                "__ib", F.expr(iceberg_transform_sql(fld["transform"], src))
             )
             for bv in sorted(
                 r[0] for r in bdf.select("__ib").distinct().collect()

@@ -35,6 +35,9 @@ ALLOWED = {
     # candidate scan: BroadcastNestedLoopJoin IS the broadcast-side plan
     "similarity_bruteforce_topk": {"BNLJ"},
     "similarity_quantized_topk": {"BNLJ"},
+    # same deliberate 8-row broadcast-query cross join, band-filtered —
+    # the hard-negative miner shares the brute-force kernel's shape
+    "similarity_hard_negatives": {"BNLJ"},
     # scalar-subquery shape: a ONE-row aggregate (the avg-balance
     # threshold) broadcast-crossed into customer — the broadcast side is a
     # single row at any SF

@@ -97,14 +97,14 @@ def test_unknown_file_content_raises_honestly(table, spark):
 
 
 def test_transform_pruning_refused(table):
-    """Pruning over an UNSUPPORTED transform must refuse (bucket[N] and
-    identity are handled; truncate etc. are not)."""
+    """Pruning over an UNSUPPORTED transform must refuse (identity,
+    bucket[N], truncate[W] and year/month/day are handled; hour is not)."""
     meta_path = table._current_metadata_path()
     meta = json.load(open(meta_path))
-    meta["partition-specs"][0]["fields"][0]["transform"] = "truncate[4]"
-    meta["partition-specs"][0]["fields"][0]["name"] = "p_trunc"
+    meta["partition-specs"][0]["fields"][0]["transform"] = "hour"
+    meta["partition-specs"][0]["fields"][0]["name"] = "p_hour"
     json.dump(meta, open(meta_path, "w"))
-    with pytest.raises(NotImplementedError, match="truncate"):
+    with pytest.raises(NotImplementedError, match="hour"):
         table.data_files(partition_filter={"p": "1"})
 
 
@@ -245,3 +245,48 @@ def test_unknown_filter_key_raises(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="match no partition"):
         table.read(partition_filter={"nope": 1})
+
+
+def test_truncate_and_date_transforms(spark, tmp_path):
+    """truncate[W] (floor-mod, exact for negatives) and year/month/day
+    transforms: write, prune on the source column, compact preserves."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.catalog.iceberg_native import (
+        IcebergNativeTable,
+        iceberg_transform,
+    )
+
+    # truncate[100] over a column with negatives
+    df = spark.range(0, 300).select((F.col("id") - 150).alias("k"))
+    t1 = IcebergNativeTable.write(
+        df, str(tmp_path / "tr"), transform_by=("truncate[100]", "k")
+    )
+    pruned = t1.data_files(partition_filter={"k": -101})
+    assert pruned and all("k_truncate=-200" in f for f in pruned)
+    assert iceberg_transform("truncate[100]", -101) == -200
+    got = sorted(
+        r.k for r in t1.read(partition_filter={"k": -101}).collect()
+    )
+    # data spans [-150, 150): the -200 partition holds [-150, -100)
+    assert got == list(range(-150, -100))
+    assert t1.read().count() == 300
+
+    # month transform over dates
+    df2 = spark.range(0, 120).select(
+        F.expr("date_add(DATE '2021-11-15', CAST(id AS INT) * 10)").alias("d"),
+        F.col("id").alias("k"),
+    )
+    t2 = IcebergNativeTable.write(
+        df2, str(tmp_path / "mo"), transform_by=("month", "d")
+    )
+    assert iceberg_transform("month", "2021-11-20") == (2021 - 1970) * 12 + 10
+    sub = t2.read(partition_filter={"d": "2021-11-20"})
+    months = {
+        (r.d.year, r.d.month) for r in sub.select("d").distinct().collect()
+    }
+    assert months == {(2021, 11)}
+    t2.compact()
+    assert t2.read().count() == 120
