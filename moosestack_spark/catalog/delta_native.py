@@ -27,8 +27,16 @@ ANTI join on parquet ``_metadata.file_path``/``row_index``.  The writer's
 descriptor, protocol upgraded to 3/7 with the deletionVectors feature).
 Codec: catalog/roaring.py (public RoaringFormatSpec + PROTOCOL.md).
 
-Honest boundaries (raise, never silently wrong): column mapping, generated
-columns, reader protocol > 3 or reader features beyond deletionVectors.
+COLUMN MAPPING (reader protocol 2 / the columnMapping feature) is
+supported: data files carry physical column names
+(delta.columnMapping.physicalName in the schemaString field metadata);
+the reader selects them back to logical names after deletes apply, maps
+partition filters and casts through the physical names, and refuses
+unknown mapping modes.
+
+Honest boundaries (raise, never silently wrong): generated columns,
+reader protocol > 3 or reader features beyond
+deletionVectors/columnMapping (e.g. v2Checkpoint).
 
 The writer emits protocol-shaped commits (and optional checkpoints) so
 tables can be planted, appended, and time-traveled in tests/gates.
@@ -164,17 +172,20 @@ class DeltaNativeTable:
                     p = action["protocol"]
                     rv = p.get("minReaderVersion", 1)
                     feats = set(p.get("readerFeatures") or [])
-                    # rv 1: base protocol.  rv 3 + explicit feature list
-                    # limited to deletionVectors: supported.  Anything else
-                    # (rv 2 = column-mapping era, rv 3 without a feature
-                    # list, unknown features) refuses loudly.
-                    if rv != 1 and not (
-                        rv == 3 and feats and feats <= {"deletionVectors"}
+                    # rv 1: base.  rv 2: column mapping (supported — the
+                    # reader maps physical->logical names).  rv 3 +
+                    # explicit feature list limited to deletionVectors/
+                    # columnMapping: supported.  Anything else (rv 3
+                    # without a feature list, unknown features) refuses.
+                    if rv not in (1, 2) and not (
+                        rv == 3
+                        and feats
+                        and feats <= {"deletionVectors", "columnMapping"}
                     ):
                         raise NotImplementedError(
                             f"Delta reader protocol {rv} with features "
                             f"{sorted(feats)} unsupported (deletionVectors "
-                            "only)"
+                            "and columnMapping only)"
                         )
                 if "metaData" in action:
                     meta = action["metaData"]
@@ -204,6 +215,14 @@ class DeltaNativeTable:
     ) -> DataFrame:
         meta, files = self.snapshot(version)
         part_cols = meta.get("partitionColumns", [])
+        schema0 = json.loads(meta["schemaString"])
+        # logical -> physical name map (identity when no column mapping)
+        phys_of = {
+            f["name"]: (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            for f in schema0["fields"]
+        }
         for k in partition_filter or {}:
             if k not in part_cols:
                 raise ValueError(
@@ -214,7 +233,9 @@ class DeltaNativeTable:
         for rel, add in files.items():
             pv = add.get("partitionValues", {})
             if partition_filter and any(
-                pv.get(k) != str(v) for k, v in partition_filter.items()
+                # partitionValues keys are PHYSICAL names under mapping
+                pv.get(phys_of.get(k, k)) != str(v)
+                for k, v in partition_filter.items()
             ):
                 continue  # pruned before the file is ever opened
             abs_path = os.path.join(self.path, rel)
@@ -242,13 +263,37 @@ class DeltaNativeTable:
         # Spark's partition-dir discovery type-infers values (a "2" dir
         # becomes INT); Delta's schemaString is authoritative — cast the
         # partition columns back to their declared types
-        schema = json.loads(meta["schemaString"])
+        schema = schema0
         declared = {f["name"]: _delta_to_sql(f["type"]) for f in schema["fields"]}
         for c in part_cols:
-            if c in declared and c in out.columns:
-                out = out.withColumn(c, F.col(c).cast(declared[c]))
+            pc = phys_of.get(c, c)
+            if c in declared and pc in out.columns:
+                out = out.withColumn(pc, F.col(pc).cast(declared[c]))
         if dv_specs:
             out = self._apply_deletion_vectors(out, dv_specs)
+        # COLUMN MAPPING (protocol 2 / the columnMapping reader feature):
+        # data files carry PHYSICAL column names; each schema field's
+        # metadata gives delta.columnMapping.physicalName — select the
+        # physical columns back to their logical names (deletes were
+        # applied first: the DV path touches only _metadata, never names)
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        )
+        if mode in ("name", "id"):
+            sel = []
+            for f in schema["fields"]:
+                phys = (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName", f["name"]
+                )
+                if phys not in out.columns:
+                    raise ValueError(
+                        f"mapped physical column {phys!r} (logical "
+                        f"{f['name']!r}) missing from the data files"
+                    )
+                sel.append(F.col(phys).alias(f["name"]))
+            out = out.select(*sel)
+        elif mode is not None:
+            raise NotImplementedError(f"columnMapping mode {mode!r}")
         return out
 
     def _apply_deletion_vectors(self, df: DataFrame, dv_specs) -> DataFrame:

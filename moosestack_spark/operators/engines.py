@@ -1168,3 +1168,87 @@ def source_iceberg_bucket_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "source_delta_mapped_read",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS bal_cents,
+       MIN(s_name) AS first_name
+FROM supplier
+WHERE NOT (s_suppkey % 9 = 2)
+""",
+)
+def source_delta_mapped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COLUMN MAPPING end-to-end: supplier planted as a mapped table
+    (physical names col-1/col-2/col-3, logical names restored from the
+    schemaString field metadata, protocol 2), a DV delete issued against
+    a LOGICAL column name, then read + aggregate.  The oracle replays the
+    surviving rows from the unmapped original."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from moosestack_spark.catalog.delta_native import DeltaNativeTable
+
+    src = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("col-1"),
+        (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("col-2"),
+        F.col("s_name").alias("col-3"),
+    )
+    base = _tempfile.mkdtemp(prefix="msk_delta_map_")
+    try:
+        path = base + "/supplier_mapped"
+        _os.makedirs(_os.path.join(path, "_delta_log"))
+        src.coalesce(2).write.mode("overwrite").parquet(
+            _os.path.join(path, "b0")
+        )
+        adds = [
+            {"add": {"path": f"b0/{f}", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}}
+            for f in sorted(_os.listdir(_os.path.join(path, "b0")))
+            if f.endswith(".parquet")
+        ]
+        fields = [
+            {"name": "s_suppkey", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-1",
+                          "delta.columnMapping.id": 1}},
+            {"name": "bal_cents", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-2",
+                          "delta.columnMapping.id": 2}},
+            {"name": "s_name", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-3",
+                          "delta.columnMapping.id": 3}},
+        ]
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "mapped-sup",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }},
+            *adds,
+        ]
+        with open(
+            _os.path.join(path, "_delta_log", f"{0:020d}.json"), "w"
+        ) as fh:
+            for a in actions:
+                fh.write(_json.dumps(a) + "\n")
+        table = DeltaNativeTable(spark, path)
+        table.delete_where("s_suppkey % 9 = 2")  # logical-name predicate
+        return table.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_cents").cast("bigint").alias("bal_cents"),
+            F.min("s_name").alias("first_name"),
+        ).localCheckpoint()
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

@@ -152,6 +152,7 @@ _AFTER_WINDOW: list[str] = [
     "join_fuzzy_blocked",
     "streaming_space_saving_topk",
     "source_iceberg_bucket_read",
+    "source_delta_mapped_read",
 ]
 
 

@@ -120,10 +120,10 @@ def test_unknown_reader_feature_refuses(spark, tmp_path):
     ) as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors", "columnMapping"],
+            "readerFeatures": ["deletionVectors", "v2Checkpoint"],
             "writerFeatures": []}}) + "\n")
         fh.write(json.dumps({"commitInfo": {"operation": "UPGRADE"}}) + "\n")
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         table.read()
 
 
