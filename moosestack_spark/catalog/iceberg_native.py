@@ -32,7 +32,9 @@ Iceberg v2 row-level deletes ARE supported, Spark-first:
   application itself is fully distributed; Catalyst/AQE picks the join
   strategy for the delete side (broadcast when small, shuffle when not).
 
-The bucket[N] partition transform IS supported (write + pruned read):
+ALL scalar partition transforms are supported (write + pruned read):
+bucket[N], truncate[W] (floor-mod, exact for negatives), and the
+year/month/day/hour epoch-relative ordinals.  bucket[N]:
 murmur3_x86_32 of the long's little-endian bytes per the spec (appendix B
 vector pinned in tests), computed JVM-side by iceberg_bucket_sql for
 writes and python-side for prune-time filter hashing — the
@@ -40,8 +42,7 @@ high-cardinality partitioning the identity PARTITION_CAP refusal points
 at.
 
 Honest boundaries (raise, never silently wrong):
-- remaining partition transforms (truncate/year/month/day/hour): the
-  writer never emits them and the reader refuses to prune over them;
+- the void transform and multi-field partition specs beyond one field;
 - formats other than parquet data and delete files;
 - position delete files carrying the optional ``row`` struct are read for
   (file_path, pos) only — which is lossless for delete application.
@@ -206,6 +207,16 @@ def iceberg_transform(tf: str, val) -> int:
         w = int(m.group(1))
         v = int(val)
         return v - (v % w)  # python % is floor-mod: correct for negatives
+    if tf == "hour":
+        ts = (
+            _dt.datetime.fromisoformat(val)
+            if isinstance(val, str)
+            else val
+        )
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return int((ts - epoch).total_seconds()) // 3600
     if tf in ("year", "month", "day"):
         d = (
             _dt.date.fromisoformat(val)
@@ -219,7 +230,7 @@ def iceberg_transform(tf: str, val) -> int:
         return (d - _dt.date(1970, 1, 1)).days
     raise NotImplementedError(
         f"partition pruning over transform {tf!r} "
-        "(identity, bucket[N], truncate[W], year, month, day)"
+        "(identity, bucket[N], truncate[W], year, month, day, hour)"
     )
 
 
@@ -240,6 +251,9 @@ def iceberg_transform_sql(tf: str, col: str) -> str:
         return f"CAST((year({col}) - 1970) * 12 + month({col}) - 1 AS INT)"
     if tf == "day":
         return f"CAST(datediff({col}, DATE '1970-01-01') AS INT)"
+    if tf == "hour":
+        # session tz is UTC in this environment; unix_timestamp is exact
+        return f"CAST(FLOOR(unix_timestamp({col}) / 3600) AS INT)"
     raise NotImplementedError(f"writer transform {tf!r}")
 
 

@@ -97,14 +97,14 @@ def test_unknown_file_content_raises_honestly(table, spark):
 
 
 def test_transform_pruning_refused(table):
-    """Pruning over an UNSUPPORTED transform must refuse (identity,
-    bucket[N], truncate[W] and year/month/day are handled; hour is not)."""
+    """Pruning over an UNSUPPORTED transform must refuse (all scalar
+    transforms are handled now; void is not)."""
     meta_path = table._current_metadata_path()
     meta = json.load(open(meta_path))
-    meta["partition-specs"][0]["fields"][0]["transform"] = "hour"
-    meta["partition-specs"][0]["fields"][0]["name"] = "p_hour"
+    meta["partition-specs"][0]["fields"][0]["transform"] = "void"
+    meta["partition-specs"][0]["fields"][0]["name"] = "p_void"
     json.dump(meta, open(meta_path, "w"))
-    with pytest.raises(NotImplementedError, match="hour"):
+    with pytest.raises(NotImplementedError, match="void"):
         table.data_files(partition_filter={"p": "1"})
 
 
@@ -290,3 +290,32 @@ def test_truncate_and_date_transforms(spark, tmp_path):
     assert months == {(2021, 11)}
     t2.compact()
     assert t2.read().count() == 120
+
+
+def test_hour_transform(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.catalog.iceberg_native import (
+        IcebergNativeTable,
+        iceberg_transform,
+    )
+
+    df = spark.range(0, 96).select(
+        F.expr(
+            "timestamp_seconds(1700000000 + CAST(id AS BIGINT) * 1800)"
+        ).alias("ts"),
+        F.col("id").alias("k"),
+    )
+    table = IcebergNativeTable.write(
+        df, str(tmp_path / "t"), transform_by=("hour", "ts")
+    )
+    probe = "2023-11-14T23:00:00+00:00"
+    want_hour = 1700000000 // 3600 + 1  # 1700000000 is 22:13:20 UTC
+    assert iceberg_transform("hour", probe) == want_hour
+    sub = table.read(partition_filter={"ts": probe})
+    hours = {
+        r.ts.replace(minute=0, second=0)
+        for r in sub.select("ts").collect()
+    }
+    assert len(hours) == 1
+    assert table.read().count() == 96
