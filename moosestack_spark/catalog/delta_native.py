@@ -594,12 +594,26 @@ class DeltaNativeTable:
         part_cols = meta.get("partitionColumns", [])
         version = self.latest_version() + 1
         live = self.read()
+        # column mapping: read() returned LOGICAL names, but rewritten
+        # data files must carry PHYSICAL names or the next read's mapping
+        # select would find nothing — rename back before writing
+        schema_m = json.loads(meta["schemaString"])
+        phys_of = {
+            f["name"]: (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            for f in schema_m["fields"]
+        }
+        if (meta.get("configuration") or {}).get("delta.columnMapping.mode"):
+            live = live.select(
+                *[F.col(c).alias(phys_of.get(c, c)) for c in live.columns]
+            )
         if target_partitions:
             live = live.repartition(target_partitions)
         batch = f"b{version}_compact"
         adds: list[dict] = []
         if part_cols:
-            pcol = part_cols[0]
+            pcol = phys_of.get(part_cols[0], part_cols[0])
             values = [r[0] for r in live.select(pcol).distinct().collect()]
             if len(values) > self.PARTITION_CAP:
                 raise ValueError(

@@ -117,3 +117,17 @@ def test_unknown_mapping_mode_refuses(spark, tmp_path):
             fh.write(json.dumps(a) + "\n")
     with pytest.raises(NotImplementedError, match="weird"):
         table.read()
+
+
+def test_mapped_compact_and_vacuum_roundtrip(spark, tmp_path):
+    """compact() on a mapped table must rewrite files with PHYSICAL names
+    (logical names in fresh files would break the next read's mapping)."""
+    table = _plant_mapped(spark, str(tmp_path / "t"))
+    table.delete_where("k % 10 = 4")
+    table.compact(target_partitions=1)
+    got = table.read()
+    assert sorted(got.columns) == ["k", "v"]
+    ks = sorted(r.k for r in got.collect())
+    assert ks == [i for i in range(50) if i % 10 != 4]
+    table.vacuum(keep_last=1)
+    assert sorted(r.k for r in table.read().collect()) == ks
