@@ -635,6 +635,22 @@ class IcebergNativeTable:
         entries: list[dict] = []
         if transform_by:
             tf, bcol = transform_by
+            dt = dict(df.dtypes).get(bcol)
+            if tf.startswith(("bucket[", "truncate[")) and dt not in (
+                "bigint", "int", "smallint", "tinyint",
+            ):
+                raise NotImplementedError(
+                    f"{tf} over {dt} column {bcol!r}: this writer hashes/"
+                    "truncates INTEGER keys only (string/decimal bucket "
+                    "hashing is not implemented — a silent CAST would "
+                    "null out the key)"
+                )
+            if tf in ("year", "month", "day", "hour") and dt not in (
+                "date", "timestamp", "timestamp_ntz",
+            ):
+                raise NotImplementedError(
+                    f"{tf} over {dt} column {bcol!r} (date/timestamp only)"
+                )
             suffix = re.sub(r"\W+", "", tf.split("[")[0])
             fname = f"{bcol}_{suffix}"
             avro_t = "int" if tf.startswith(("bucket", "year", "month", "day")) else "long"

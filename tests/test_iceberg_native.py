@@ -319,3 +319,20 @@ def test_hour_transform(spark, tmp_path):
     }
     assert len(hours) == 1
     assert table.read().count() == 96
+
+
+def test_bucket_non_integer_column_refused(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.catalog.iceberg_native import IcebergNativeTable
+
+    df = spark.range(0, 10).select(F.col("id").cast("string").alias("s"))
+    with pytest.raises(NotImplementedError, match="INTEGER keys only"):
+        IcebergNativeTable.write(
+            df, str(tmp_path / "t"), bucket_by=("s", 4)
+        )
+    df2 = spark.range(0, 10).select(F.col("id").alias("k"))
+    with pytest.raises(NotImplementedError, match="date/timestamp only"):
+        IcebergNativeTable.write(
+            df2, str(tmp_path / "t2"), transform_by=("month", "k")
+        )
