@@ -1559,6 +1559,24 @@ def translate_ch_sql(sql: str) -> str:
             out.append(f"slice({args[0]}, 1, greatest(size({args[0]}) - 1, 0))")
         elif name == "arrayPopFront":
             out.append(f"slice({args[0]}, 2, greatest(size({args[0]}) - 1, 0))")
+        elif name == "extractGroups":
+            # CH extractGroups(s, 'pattern') returns the capture groups of
+            # the FIRST match as an array.  The group count is read from
+            # the LITERAL pattern (unescaped, non-(?:...) open parens), so
+            # the rewrite can emit one regexp_extract per group.
+            if len(args) != 2 or not re.match(r"^'.*'$", args[1].strip()):
+                raise ValueError(
+                    "extractGroups needs (expr, 'literal pattern')"
+                )
+            pat = args[1].strip()[1:-1]
+            n_groups = len(re.findall(r"(?<!\\)\((?!\?)", pat))
+            if n_groups == 0:
+                raise ValueError("extractGroups pattern has no capture group")
+            parts = ", ".join(
+                f"regexp_extract({args[0]}, {args[1]}, {g})"
+                for g in range(1, n_groups + 1)
+            )
+            out.append(f"array({parts})")
         elif name == "arrayEnumerateUniq":
             # occurrence index of each element among its equals so far
             a = args[0]

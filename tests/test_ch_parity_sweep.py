@@ -128,3 +128,14 @@ def test_sample_clause_refuses_loudly():
 def test_sample_as_identifier_still_fine():
     out = translate_ch_sql("SELECT sample_col FROM samples WHERE x = 1")
     assert "sample_col" in out
+
+
+def test_extract_groups_rewrite():
+    out = translate_ch_sql(
+        "SELECT extractGroups(s, '(\\\\d+)-(\\\\w+)') FROM t"
+    )
+    assert out.count("regexp_extract") == 2 and out.startswith("SELECT array(")
+    with pytest.raises(ValueError, match="no capture group"):
+        translate_ch_sql("SELECT extractGroups(s, 'abc') FROM t")
+    with pytest.raises(ValueError, match="literal pattern"):
+        translate_ch_sql("SELECT extractGroups(s, p) FROM t")

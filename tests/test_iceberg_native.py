@@ -336,3 +336,21 @@ def test_bucket_non_integer_column_refused(spark, tmp_path):
         IcebergNativeTable.write(
             df2, str(tmp_path / "t2"), transform_by=("month", "k")
         )
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.integers(min_value=1, max_value=10**6),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_truncate_transform_matches_python_floor_mod(v, w):
+        from moosestack_spark.catalog.iceberg_native import iceberg_transform
+
+        t = iceberg_transform(f"truncate[{w}]", v)
+        assert t <= v < t + w and t % w == 0
+except ImportError:  # pragma: no cover
+    pass
