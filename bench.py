@@ -141,6 +141,10 @@ EXTRA = [
     "similarity_hard_negatives",
     "source_rowbinary_roundtrip",
     "agg_ols_multifeature",
+    "source_iceberg_bucket_read",
+    "source_delta_mapped_read",
+    "streaming_space_saving_topk",
+    "join_fuzzy_blocked",
 ]
 
 

@@ -708,21 +708,53 @@ class DeltaNativeTable:
         + _last_checkpoint pointer (readers then skip the JSON prefix)."""
         v = version if version is not None else self.latest_version()
         meta, files = self.snapshot(v)
-        rows = [{"metaData": meta, "add": None}] + [
-            {"metaData": None, "add": add} for add in files.values()
-        ]
-        import pandas as pd
-
-        pdf = pd.DataFrame(
-            {
-                "metaData": [json.dumps(r["metaData"]) if r["metaData"] else None for r in rows],
-                "add": [json.dumps(r["add"]) if r["add"] else None for r in rows],
-            }
+        # the protocol's checkpoint layout: one row per action with TYPED
+        # struct columns (metaData / add), absent action = null struct.
+        # snapshot() handles both this and the older JSON-string layout.
+        meta_struct = (
+            "metaData struct<id string, "
+            "format struct<provider string>, "
+            "schemaString string, partitionColumns array<string>, "
+            "configuration map<string,string>>"
         )
-        # store the actions as JSON strings inside the checkpoint (decoded
-        # symmetrically in snapshot()) — a simplification of the struct
-        # checkpoint layout, documented here and in snapshot()
-        sdf = self.spark.createDataFrame(pdf)
+        add_struct = (
+            "add struct<path string, partitionValues map<string,string>, "
+            "size long, modificationTime long, dataChange boolean, "
+            "deletionVector struct<storageType string, "
+            "pathOrInlineDv string, offset long, sizeInBytes long, "
+            "cardinality long>>"
+        )
+        rows = [
+            (
+                {
+                    "id": meta.get("id"),
+                    "format": {"provider": meta["format"]["provider"]},
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": meta.get("partitionColumns", []),
+                    "configuration": meta.get("configuration", {}) or {},
+                },
+                None,
+            )
+        ] + [
+            (
+                None,
+                {
+                    "path": add["path"],
+                    "partitionValues": {
+                        k: str(val)
+                        for k, val in (add.get("partitionValues") or {}).items()
+                    },
+                    "size": int(add.get("size", 0)),
+                    "modificationTime": int(add.get("modificationTime", 0)),
+                    "dataChange": bool(add.get("dataChange", True)),
+                    "deletionVector": add.get("deletionVector"),
+                },
+            )
+            for add in files.values()
+        ]
+        sdf = self.spark.createDataFrame(
+            rows, f"{meta_struct}, {add_struct}"
+        )
         ckpt_dir = os.path.join(self.log_dir, f"__ckpt_{v}")
         sdf.coalesce(1).write.mode("overwrite").parquet(ckpt_dir)
         part = [f for f in os.listdir(ckpt_dir) if f.endswith(".parquet")][0]

@@ -131,3 +131,13 @@ def test_mapped_compact_and_vacuum_roundtrip(spark, tmp_path):
     assert ks == [i for i in range(50) if i % 10 != 4]
     table.vacuum(keep_last=1)
     assert sorted(r.k for r in table.read().collect()) == ks
+
+
+def test_mapped_table_survives_struct_checkpoint(spark, tmp_path):
+    """The typed-struct checkpoint must carry configuration (mapping mode)
+    and field metadata through schemaString."""
+    table = _plant_mapped(spark, str(tmp_path / "t"))
+    table.write_checkpoint()
+    got = table.read()
+    assert sorted(got.columns) == ["k", "v"]
+    assert got.count() == 50
