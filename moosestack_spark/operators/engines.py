@@ -1123,7 +1123,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
             AS BIGINT) AS sum_cents
 FROM orders
-WHERE o_orderkey IN (7, 4000, 29988)
+WHERE o_orderkey % 3 = 0 AND o_orderkey IN (9, 4002, 29988)
 """,
 )
 def source_iceberg_bucket_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1140,7 +1140,11 @@ def source_iceberg_bucket_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from moosestack_spark.catalog.iceberg_native import IcebergNativeTable
 
-    src = t(spark, sf_dir, "orders").select(
+    # one-third subsample keeps the 8 per-bucket write passes cheap at
+    # sf0.1 while still exercising every bucket
+    src = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0
+    ).select(
         F.col("o_orderkey").cast("long").alias("o_orderkey"),
         (F.col("o_totalprice").cast("decimal(12,2)") * 100)
         .cast("long")
@@ -1152,7 +1156,7 @@ def source_iceberg_bucket_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         table = IcebergNativeTable.write(src, path, bucket_by=("o_orderkey", 8))
         n_dirs = {f.rsplit("/", 1)[0] for f in table.data_files()}
         parts = []
-        for key in (7, 4000, 29988):
+        for key in (9, 4002, 29988):
             pruned = table.data_files(partition_filter={"o_orderkey": key})
             assert 0 < len(pruned) < len(table.data_files()), "no pruning"
             parts.append(
