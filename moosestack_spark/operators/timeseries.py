@@ -1,0 +1,337 @@
+"""Round-7 time-series operators: dyadic EWMA smoothing, Brown's double
+exponential (Holt-shaped) forecast, integer-exact CUSUM changepoint, and
+MAD-based anomaly flags.
+
+ClickHouse parity: ``exponentialMovingAverage`` /
+``exponentialTimeDecayedAvg`` (EWMA), the forecast shapes users build on
+top of it, and the medianExact-based robust-outlier recipes the reference
+exposes through its OlapTable SQL passthrough (SURVEY.md §2.4).
+
+Determinism discipline (aggregates_stats.py header): EWMA recursions are
+NOT window-expressible exactly (S_t depends on S_{t-1} with a float
+multiplier), so each smoother here uses a TRUNCATED DYADIC KERNEL — an
+8-term weight vector (2^7, 2^6, …, 2^0)/255 realized as an explicit
+lag-chain of integer multiplies.  The weighted numerator is an exact
+BIGINT; the single final division by the constant weight mass (255, or
+255^2 for the cascaded smoother) is one correctly-rounded IEEE op over
+identical operands — hash-exact doubles with zero order-dependence.
+Truncation error vs the infinite EWMA kernel is <= (1/2)^8 of the weight
+mass, documented as part of the operator contract rather than hidden.
+
+CUSUM is the max-drawup identity: S_t = max(0, S_{t-1} + (x_t - mu))
+equals P_t - min_{i<=t} P_i for the prefix sums P of (x_t - mu); scaling
+by n clears the division (mu = T/n), so the whole statistic — including
+the argmax day — is BIGINT-exact.
+
+Scale: each gate aggregates to a per-day series first (map-side
+combinable groupBy; the series is calendar-bounded — ~2.5k rows for 7
+years — NOT row-count-bounded, so the single-partition ordered window
+over the series stays O(days) at any SF; the cost center at 100 TB is
+the upstream groupBy, which shuffles once on the date key).  MAD is two
+cascaded groupBys + a broadcast join back — no sort of the raw sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from moosestack_spark.registry import query
+from moosestack_spark.tables import t
+
+# Shared oracle prefix: daily order revenue in exact cents.
+_DAILY_SQL = """
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  GROUP BY CAST(o_orderdate AS DATE)
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+
+
+def _dyadic_numerator(col: str, w: Window) -> F.Column:
+    """Sum_{k=0..7} lag(col, k) * 2^(7-k) — exact BIGINT, full windows
+    only (callers filter rn >= 8)."""
+    expr = F.col(col) * F.lit(128)
+    for k in range(1, 8):
+        expr = expr + F.lag(col, k).over(w) * F.lit(1 << (7 - k))
+    return expr
+
+
+# --------------------------------------------------------------------------
+# exponentialMovingAverage (CH aggregate-functions) — truncated dyadic
+# kernel: ewma_t = (sum_{k=0..7} x_{t-k} * 2^(7-k)) / 255 over the daily
+# revenue series.  The numerator is an exact bigint (order-independent);
+# one final division by the constant mass.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_ewma_smoothing",
+    oracle=f"""
+WITH d AS ({_DAILY_SQL}),
+r AS (
+  SELECT day, cents,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         cents * 128
+           + LAG(cents, 1) OVER (ORDER BY day) * 64
+           + LAG(cents, 2) OVER (ORDER BY day) * 32
+           + LAG(cents, 3) OVER (ORDER BY day) * 16
+           + LAG(cents, 4) OVER (ORDER BY day) * 8
+           + LAG(cents, 5) OVER (ORDER BY day) * 4
+           + LAG(cents, 6) OVER (ORDER BY day) * 2
+           + LAG(cents, 7) OVER (ORDER BY day) * 1 AS num
+  FROM d
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, cents,
+       CAST(num AS BIGINT) AS ewma_num,
+       CAST(num AS DOUBLE) / 255 AS ewma_cents
+FROM r WHERE rn >= 8
+""",
+)
+def ts_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``exponentialMovingAverage``-shaped smoother over daily order
+    revenue: 8-term dyadic kernel, integer-exact numerator."""
+    d = _daily(spark, sf_dir)
+    w = Window.orderBy("day")
+    r = d.select(
+        "day",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        _dyadic_numerator("cents", w).alias("num"),
+    )
+    return r.filter(F.col("rn") >= 8).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cents",
+        F.col("num").cast("bigint").alias("ewma_num"),
+        (F.col("num").cast("double") / 255).alias("ewma_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brown's double exponential smoothing (the Holt-shaped linear-trend
+# forecast built from two cascaded EWMAs): s1 = K*x, s2 = K*s1 for the
+# same dyadic kernel K; level = 2*s1 - s2, trend = s1 - s2 (alpha=1/2),
+# one-step forecast = level + trend.  Numerators stay BIGINT through the
+# cascade (max ~2^51 at sf100); the final divisions by 255 / 255^2 are
+# single IEEE ops.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_holt_linear",
+    oracle=f"""
+WITH d AS ({_DAILY_SQL}),
+r1 AS (
+  SELECT day, cents,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         cents * 128
+           + LAG(cents, 1) OVER (ORDER BY day) * 64
+           + LAG(cents, 2) OVER (ORDER BY day) * 32
+           + LAG(cents, 3) OVER (ORDER BY day) * 16
+           + LAG(cents, 4) OVER (ORDER BY day) * 8
+           + LAG(cents, 5) OVER (ORDER BY day) * 4
+           + LAG(cents, 6) OVER (ORDER BY day) * 2
+           + LAG(cents, 7) OVER (ORDER BY day) * 1 AS s1
+  FROM d
+),
+r2 AS (
+  SELECT day, rn, s1,
+         s1 * 128
+           + LAG(s1, 1) OVER (ORDER BY day) * 64
+           + LAG(s1, 2) OVER (ORDER BY day) * 32
+           + LAG(s1, 3) OVER (ORDER BY day) * 16
+           + LAG(s1, 4) OVER (ORDER BY day) * 8
+           + LAG(s1, 5) OVER (ORDER BY day) * 4
+           + LAG(s1, 6) OVER (ORDER BY day) * 2
+           + LAG(s1, 7) OVER (ORDER BY day) * 1 AS s2
+  FROM r1 WHERE rn >= 8
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(2 * s1 * 255 - s2 AS BIGINT) AS level_num,
+       CAST(s1 * 255 - s2 AS BIGINT) AS trend_num,
+       CAST(2 * s1 * 255 - s2 AS DOUBLE) / 65025 AS level_cents,
+       CAST(s1 * 255 - s2 AS DOUBLE) / 65025 AS trend_cents,
+       CAST((2 * s1 * 255 - s2) + (s1 * 255 - s2) AS DOUBLE) / 65025
+         AS forecast_cents
+FROM r2 WHERE rn >= 15
+""",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing over daily revenue: cascaded
+    dyadic EWMAs -> level/trend/one-step forecast, integer-exact
+    numerators."""
+    d = _daily(spark, sf_dir)
+    w = Window.orderBy("day")
+    r1 = d.select(
+        "day",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        _dyadic_numerator("cents", w).alias("s1"),
+    )
+    r2 = r1.filter(F.col("rn") >= 8).select(
+        "day",
+        "rn",
+        "s1",
+        _dyadic_numerator("s1", w).alias("s2"),
+    )
+    lvl = 2 * F.col("s1") * 255 - F.col("s2")
+    trd = F.col("s1") * 255 - F.col("s2")
+    return r2.filter(F.col("rn") >= 15).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        lvl.cast("bigint").alias("level_num"),
+        trd.cast("bigint").alias("trend_num"),
+        (lvl.cast("double") / 65025).alias("level_cents"),
+        (trd.cast("double") / 65025).alias("trend_cents"),
+        ((lvl + trd).cast("double") / 65025).alias("forecast_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint via the max-drawup identity, scaled integer-exact:
+# with P'_t = sum_{i<=t} (n*x_i - T)  (T = total, so mean drift is
+# cleared without division), S'_t = P'_t - min_{i<=t} P'_i equals
+# n * CUSUM_t.  The changepoint is argmax S'_t (day tiebreak) — a fully
+# BIGINT-deterministic argmax.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle=f"""
+WITH d AS ({_DAILY_SQL}),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t_sum,
+               CAST(COUNT(*) AS BIGINT) AS n FROM d),
+p AS (
+  SELECT day,
+         SUM(n * cents - t_sum) OVER (ORDER BY day
+           ROWS UNBOUNDED PRECEDING) AS pfx
+  FROM d, tot
+),
+s AS (
+  SELECT day, pfx,
+         pfx - MIN(pfx) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           AS cusum_scaled
+  FROM p
+),
+rk AS (
+  SELECT day, cusum_scaled,
+         ROW_NUMBER() OVER (ORDER BY cusum_scaled DESC, day ASC) AS rk
+  FROM s
+)
+SELECT strftime(day, '%Y-%m-%d') AS changepoint_day,
+       CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days
+FROM rk WHERE rk = 1
+""",
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upward-shift CUSUM changepoint over daily revenue (integer-exact
+    via the n-scaled max-drawup identity)."""
+    d = _daily(spark, sf_dir)
+    tot = d.agg(
+        F.sum("cents").cast("bigint").alias("t_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    j = d.crossJoin(F.broadcast(tot))
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = j.select(
+        "day",
+        "n",
+        F.sum(F.col("n") * F.col("cents") - F.col("t_sum"))
+        .over(w_run)
+        .alias("pfx"),
+    )
+    s = p.select(
+        "day",
+        "n",
+        (F.col("pfx") - F.min("pfx").over(w_run)).alias("cusum_scaled"),
+    )
+    rk = s.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("cusum_scaled").desc(), F.col("day").asc())
+        ),
+    )
+    return rk.filter(F.col("rk") == 1).select(
+        F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+        F.col("cusum_scaled").cast("bigint").alias("cusum_scaled"),
+        F.col("n").cast("bigint").alias("n_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MAD anomaly flags: per event_type, median (exact interpolated, cents ->
+# half-integers) and MAD = median(|x - med|) (quarter-integers), both
+# exact doubles; anomalies = count(|x - med| > 3 * MAD).  Two cascaded
+# groupBys + broadcast joins back — never a global sort of the raw
+# sample (medianExact / robust-outlier CH recipe).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle="""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), med AS (
+  SELECT event_type,
+         quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med
+  FROM v GROUP BY event_type
+), dev AS (
+  SELECT v.event_type, v.cents, med.med,
+         abs(CAST(v.cents AS DOUBLE) - med.med) AS adev
+  FROM v JOIN med ON v.event_type = med.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       MAX(dev.med) AS median_cents,
+       MAX(mad.mad) AS mad_cents,
+       CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+GROUP BY dev.event_type
+""",
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event_type: exact median/MAD (cents),
+    anomaly = |x - med| > 3*MAD."""
+    v = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile(cast(cents as double), 0.5)").alias("med")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("cents").cast("double") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        F.max("med").alias("median_cents"),
+        F.max("mad").alias("mad_cents"),
+        F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_anomalies"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

@@ -153,6 +153,17 @@ _AFTER_WINDOW: list[str] = [
     "streaming_space_saving_topk",
     "source_iceberg_bucket_read",
     "source_delta_mapped_read",
+    # --- round-7 gates ---
+    "agg_student_ttest",
+    "agg_mean_z_test",
+    "agg_kruskal_wallis",
+    "agg_categorical_iv",
+    "agg_sequence_next_node",
+    "window_ntile_cume",
+    "ts_ewma_smoothing",
+    "ts_holt_linear",
+    "ts_changepoint_cusum",
+    "ts_anomaly_mad",
 ]
 
 
@@ -179,8 +190,10 @@ def load_all() -> None:
         setops,
         skew,
         sortlimit,
+        stats_tests,
         streaming_ext,
         streaming_ops,
+        timeseries,
         windows,
     )
     from moosestack_spark.ops import (  # noqa: F401

@@ -52,6 +52,12 @@ ALLOWED = {
     "analytics_important_parts": {"BNLJ"},
     # TPC-H Q15 shape: scalar MAX(total_rev) — same one-row broadcast cross
     "analytics_top_supplier": {"BNLJ"},
+    # good/bad totals: a ONE-row aggregate broadcast-crossed onto the
+    # 5-row per-category counts (operators/stats_tests.py)
+    "agg_categorical_iv": {"BNLJ"},
+    # (sum, n) scalars: a ONE-row aggregate broadcast-crossed onto the
+    # calendar-bounded daily series (operators/timeseries.py)
+    "ts_changepoint_cusum": {"BNLJ"},
     # unigram-LM normalizer: the total-token count is a ONE-row aggregate
     # broadcast-crossed onto the per-doc scores (ops/lm_score.py:71)
     "text_unigram_logprob": {"BNLJ"},
