@@ -1,0 +1,212 @@
+"""Round-7 ClickHouse dialect vocabulary gates (SURVEY.md §2.9).
+
+Two gates exercising the round-7 translator additions end-to-end through
+``translate_ch_sql`` on generated-from-orderkey fixtures, with closed-form
+DuckDB replays (the generative integers make every expected value a modular
+arithmetic expression — no DuckDB map/URL machinery needed):
+
+- ``sql_ch_dialect_vocab_r7``: arrayFold, arrayShiftLeft/Right, mapUpdate,
+  mapContainsKeyLike, mapExtractKeyLike, max2/min2, negate, sqrtOrNull,
+  innerProduct, LpNorm, leftUTF8/rightUTF8/startsWithUTF8/endsWithUTF8,
+  multiSearchFirstPosition, multiSearchAnyCaseInsensitive;
+- ``sql_ch_dialect_vocab_r7b``: queryStringAndFragment,
+  cutQueryStringAndFragment, cutWWW, URLHierarchy, URLPathHierarchy,
+  extractURLParameters(+Names), isIPv6String, isIPAddressInRange,
+  IPv4CIDRToRange, addQuarters/subtractQuarters, toRelativeQuarterNum,
+  toRelativeWeekNum, snowflakeToDateTime/dateTimeToSnowflake, timeSlots.
+
+All expressions stay JVM-side (templates compile to built-in Spark SQL);
+the gates prune to a ~1/29 orderkey sample so the dialect surface stays a
+cheap smoke at any SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
+
+from moosestack_spark.registry import canon_arrays, query
+
+
+@query(
+    "sql_ch_dialect_vocab_r7",
+    oracle=r"""
+SELECT o_orderkey,
+       8 * a1 + 4 * a2 + 2 * a3 + a4 AS fold_sum,
+       '[' || a2 || ',' || a3 || ',' || a4 || ',-1]' AS asl,
+       '[-1,' || a1 || ',' || a2 || ',' || a3 || ']' AS asr,
+       a3 AS mu_b,
+       'a,b,c' AS mu_keys,
+       TRUE AS mckl,
+       'b' AS mekl,
+       GREATEST(a1, a2) AS mx, LEAST(a1, a2) AS mn,
+       -a1 AS ng,
+       CASE WHEN a1 - 2 < 0 THEN NULL ELSE sqrt(a1 - 2) END AS sq,
+       CAST(a1 * a2 + a2 * a4 AS DOUBLE) AS ip,
+       CAST(pow(CAST(a1 * a1 * a1 + a2 * a2 * a2 AS DOUBLE),
+                CAST(1.0 AS DOUBLE) / 3) AS FLOAT) AS lp3,
+       substring(txt, 1, 3) AS lu,
+       substring(txt, length(txt) - 1, 2) AS ru,
+       txt LIKE 'a%' AS sw,
+       CAST(a4 AS VARCHAR) = substring(txt, length(txt), 1) AS ew,
+       CASE WHEN position('b' IN txt) > 0 AND position('9' IN txt) > 0
+              THEN LEAST(position('b' IN txt), position('9' IN txt))
+            WHEN position('b' IN txt) > 0 THEN position('b' IN txt)
+            WHEN position('9' IN txt) > 0 THEN position('9' IN txt)
+            ELSE 0 END AS msfp,
+       position('b' IN txt) > 0 OR position('q' IN txt) > 0 AS msany
+FROM (
+  SELECT o_orderkey,
+         CAST(o_orderkey % 5 AS BIGINT) AS a1,
+         CAST(o_orderkey % 3 AS BIGINT) AS a2,
+         CAST(o_orderkey % 5 AS BIGINT) AS a3,
+         CAST(o_orderkey % 7 AS BIGINT) AS a4,
+         'a' || CAST(o_orderkey % 10 AS VARCHAR) || ' b'
+           || CAST(o_orderkey % 7 AS VARCHAR) AS txt
+  FROM orders WHERE o_orderkey % 29 = 0
+)
+""",
+)
+def sql_ch_dialect_vocab_r7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 vocabulary batch A: array folds/shifts, map update/filter
+    helpers, two-arg max/min, guarded sqrt, vector norms, UTF8 aliases,
+    multiSearch variants."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       arrayFold((acc, x) -> acc * 2 + x, arr, 0L) AS fold_sum,
+       arrayShiftLeft(arr, 1, -1L) AS asl,
+       arrayShiftRight(arr, 1, -1L) AS asr,
+       arrayElement(mapUpdate(m1, m2), 'b') AS mu_b,
+       arrayStringConcat(arraySort(mapKeys(mapUpdate(m1, m2))), ',')
+         AS mu_keys,
+       mapContainsKeyLike(m1, 'a%') AS mckl,
+       arrayStringConcat(arraySort(mapKeys(
+         mapExtractKeyLike(m1, '%b%'))), ',') AS mekl,
+       max2(a1, a2) AS mx, min2(a1, a2) AS mn,
+       negate(a1) AS ng,
+       sqrtOrNull(a1 - 2) AS sq,
+       innerProduct(va, vb) AS ip,
+       toFloat32(LpNorm(va, 3)) AS lp3,
+       leftUTF8(txt, 3) AS lu,
+       rightUTF8(txt, 2) AS ru,
+       startsWithUTF8(txt, 'a') AS sw,
+       endsWithUTF8(txt, toString(a4)) AS ew,
+       multiSearchFirstPosition(txt, array('b', '9')) AS msfp,
+       multiSearchAnyCaseInsensitive(txt, array('B', 'q')) AS msany
+FROM (
+  SELECT o_orderkey,
+         array(toInt64(o_orderkey % 5), toInt64(o_orderkey % 3),
+               toInt64(o_orderkey % 5), toInt64(o_orderkey % 7)) AS arr,
+         toInt64(o_orderkey % 5) AS a1,
+         toInt64(o_orderkey % 3) AS a2,
+         toInt64(o_orderkey % 7) AS a4,
+         array(toFloat64(o_orderkey % 5), toFloat64(o_orderkey % 3)) AS va,
+         array(toFloat64(o_orderkey % 3), toFloat64(o_orderkey % 7)) AS vb,
+         map('a', toInt64(o_orderkey % 10), 'b', toInt64(o_orderkey % 7))
+           AS m1,
+         map('b', toInt64(o_orderkey % 5), 'c', 1L) AS m2,
+         concat('a', toString(o_orderkey % 10), ' b',
+                toString(o_orderkey % 7)) AS txt
+  FROM orders WHERE o_orderkey % 29 = 0
+)
+"""
+    out = spark.sql(translate_ch_sql(ch_sql))
+    return canon_arrays(out, "asl", "asr")
+
+
+@query(
+    "sql_ch_dialect_vocab_r7b",
+    oracle=r"""
+SELECT o_orderkey,
+       'x=1&y=' || k3 || '#f' || k2 AS qsf,
+       'https://www.shop' || k9 || '.example.com/p' AS cqs,
+       'https://shop' || k9 || '.example.com/cat' || k5 || '/item' || k7
+         AS cw,
+       '[https://www.shop' || k9 || '.example.com/,'
+         || 'https://www.shop' || k9 || '.example.com/cat' || k5 || '/,'
+         || 'https://www.shop' || k9 || '.example.com/cat' || k5
+         || '/item' || k7 || ']' AS uh,
+       '[/cat' || k5 || '/,/cat' || k5 || '/item' || k7 || ']' AS uph,
+       '[x=1,y=' || k3 || ']' AS eup,
+       '[x,y]' AS eupn,
+       (k2 = 0) AS ip6,
+       (k4 < 2) AS inr,
+       '10.' || (k4 * 16) || '.4.0' AS cidr_lo,
+       '10.' || (k4 * 16) || '.4.255' AS cidr_hi,
+       strftime(CAST(d AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS aq,
+       strftime(CAST(d AS DATE) - INTERVAL 6 MONTH, '%Y-%m-%d') AS sq2,
+       CAST(year(d) * 4 + quarter(d) - 1 AS BIGINT) AS rqn,
+       CAST(floor((date_diff('day', DATE '1970-01-01', CAST(d AS DATE)) + 4)
+                  / 7) AS BIGINT) AS rwn,
+       1288834974657 + o_orderkey AS sf_ms,
+       (1640995200000 + o_orderkey * 1000 - 1288834974657) * 4194304
+         AS dts,
+       '[' || CAST(1640995200 + (o_orderkey % 2) * 1800 AS VARCHAR) || ','
+           || CAST(1640997000 + (o_orderkey % 2) * 1800 AS VARCHAR) || ','
+           || CAST(1640998800 + (o_orderkey % 2) * 1800 AS VARCHAR) || ']'
+         AS tsl
+FROM (
+  SELECT o_orderkey, o_orderdate AS d,
+         CAST(o_orderkey % 2 AS VARCHAR) AS k2,
+         CAST(o_orderkey % 3 AS VARCHAR) AS k3,
+         CAST(o_orderkey % 4 AS BIGINT) AS k4,
+         CAST(o_orderkey % 5 AS VARCHAR) AS k5,
+         CAST(o_orderkey % 7 AS VARCHAR) AS k7,
+         CAST(o_orderkey % 9 AS VARCHAR) AS k9
+  FROM orders WHERE o_orderkey % 29 = 0
+)
+""",
+)
+def sql_ch_dialect_vocab_r7b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 vocabulary batch B: URL cut/hierarchy/parameter family,
+    IPv6/CIDR predicates, quarter/week arithmetic, snowflake ids,
+    timeSlots."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       queryStringAndFragment(url2) AS qsf,
+       cutQueryStringAndFragment(url2) AS cqs,
+       cutWWW(url) AS cw,
+       URLHierarchy(url) AS uh,
+       URLPathHierarchy(url) AS uph,
+       extractURLParameters(url2) AS eup,
+       extractURLParameterNames(url2) AS eupn,
+       isIPv6String(CASE WHEN k2 = 0 THEN '2001:db8::1'
+                         ELSE '10.0.0.1' END) AS ip6,
+       isIPAddressInRange(ip, '10.0.0.0/11') AS inr,
+       IPv4CIDRToRange(ip, 24) AS cidr,
+       toString(addQuarters(toDate(d), 1)) AS aq,
+       toString(subtractQuarters(toDate(d), 2)) AS sq2,
+       toInt64(toRelativeQuarterNum(d)) AS rqn,
+       toRelativeWeekNum(toDate(d)) AS rwn,
+       toUnixTimestamp64Milli(snowflakeToDateTime(
+         o_orderkey * 4194304 + 123456)) AS sf_ms,
+       dateTimeToSnowflake(ts) AS dts,
+       arrayMap(t -> toUnixTimestamp(t), timeSlots(ts0, 3600, 1800)) AS tsl
+FROM (
+  SELECT o_orderkey, o_orderdate AS d,
+         o_orderkey % 2 AS k2,
+         concat('https://www.shop', toString(o_orderkey % 9),
+                '.example.com/cat', toString(o_orderkey % 5),
+                '/item', toString(o_orderkey % 7)) AS url,
+         concat('https://www.shop', toString(o_orderkey % 9),
+                '.example.com/p?x=1&y=', toString(o_orderkey % 3),
+                '#f', toString(o_orderkey % 2)) AS url2,
+         concat('10.', toString((o_orderkey % 4) * 16), '.4.25') AS ip,
+         toDateTime(1640995200 + o_orderkey) AS ts,
+         toDateTime(1640995200 + (o_orderkey % 2) * 1800) AS ts0
+  FROM orders WHERE o_orderkey % 29 = 0
+)
+"""
+    out = spark.sql(translate_ch_sql(ch_sql))
+    out = out.withColumn("cidr_lo", F.col("cidr.col1")).withColumn(
+        "cidr_hi", F.col("cidr.col2")
+    ).drop("cidr")
+    return canon_arrays(out, "uh", "uph", "eup", "eupn", "tsl")

@@ -164,6 +164,8 @@ _AFTER_WINDOW: list[str] = [
     "ts_holt_linear",
     "ts_changepoint_cusum",
     "ts_anomaly_mad",
+    "sql_ch_dialect_vocab_r7",
+    "sql_ch_dialect_vocab_r7b",
 ]
 
 
@@ -178,6 +180,7 @@ def load_all() -> None:
         bucketed,
         chsql_ext,
         chsql_geo,
+        chsql_r7,
         downsample,
         engines,
         filters,

@@ -1104,6 +1104,157 @@ _RENAME.update(
     }
 )
 
+# ---- round-7 vocabulary widening ----
+# Array/map/scalar batch.  arrayFold is CH's lambda-first left fold —
+# Spark's aggregate() with the argument order rotated; the map helpers
+# compose map_filter/map_concat (map_concat alone would collide on
+# duplicate keys under the default EXCEPTION dedup policy, so mapUpdate
+# filters the overridden keys out of the left map first).
+_TEMPLATE.update(
+    {
+        # CH arrayFold((acc, x) -> ..., arr, init): Spark aggregate(arr,
+        # init, (acc, x) -> ...) — same (acc, element) lambda parameter
+        # order, so the lambda text passes straight through
+        "arrayFold": "aggregate({1}, {2}, {0})",
+        # arrayShiftLeft/Right(arr, n, fill): drop n from one end, pad the
+        # other with fill (CH defaults fill to the type default; the
+        # 3-arg explicit-fill form is the supported contract here)
+        "arrayShiftLeft": (
+            "concat(slice({0}, CAST({1} AS INT) + 1, "
+            "greatest(size({0}) - CAST({1} AS INT), 0)), "
+            "array_repeat({2}, least(CAST({1} AS INT), size({0}))))"
+        ),
+        "arrayShiftRight": (
+            "concat(array_repeat({2}, least(CAST({1} AS INT), size({0}))), "
+            "slice({0}, 1, greatest(size({0}) - CAST({1} AS INT), 0)))"
+        ),
+        # mapUpdate(m1, m2): m2 wins on key collisions
+        "mapUpdate": (
+            "map_concat(map_filter({0}, (__mu_k, __mu_v) -> "
+            "NOT array_contains(map_keys({1}), __mu_k)), {1})"
+        ),
+        "mapContainsKeyLike": "exists(map_keys({0}), __mk_k -> __mk_k LIKE {1})",
+        "mapExtractKeyLike": "map_filter({0}, (__me_k, __me_v) -> __me_k LIKE {1})",
+        # scalar two-arg max/min and guarded sqrt
+        "max2": "greatest({0}, {1})",
+        "min2": "least({0}, {1})",
+        "negate": "(-({0}))",
+        "sqrtOrNull": "(CASE WHEN ({0}) < 0 THEN NULL ELSE sqrt({0}) END)",
+        # innerProduct is dotProduct under its tuple-surface name
+        "innerProduct": (
+            "aggregate(zip_with({0}, {1}, (x, y) -> x * y), "
+            "cast(0 as double), (a, b) -> a + b)"
+        ),
+        # LpNorm(arr, p) for numeric literal p
+        "LpNorm": (
+            "power(aggregate({0}, cast(0 as double), "
+            "(a, x) -> a + power(abs(x), {1})), cast(1.0 as double) / ({1}))"
+        ),
+        # UTF8-suffixed aliases (Spark strings are codepoint-based already)
+        "leftUTF8": "left({0}, {1})",
+        "rightUTF8": "right({0}, {1})",
+        "startsWithUTF8": "startswith({0}, {1})",
+        "endsWithUTF8": "endswith({0}, {1})",
+        # multiSearch* over an array literal of needles
+        "multiSearchFirstPosition": (
+            "coalesce(array_min(filter(transform({1}, "
+            "__ms_n -> locate(__ms_n, {0})), __ms_p -> __ms_p > 0)), 0)"
+        ),
+        "multiSearchAnyCaseInsensitive": (
+            "exists({1}, __ms_n -> locate(lower(__ms_n), lower({0})) > 0)"
+        ),
+    }
+)
+
+# URL / IP / time widening (round 7).  URLHierarchy follows the CH
+# contract — ['proto://host/', 'proto://host/seg1/', ...,
+# full URL last] — for no-query/no-fragment URLs (the documented subset;
+# query-bearing hierarchies need CH's byte-walk).  The IPv4 CIDR pair is
+# pure integer/bit algebra over the existing IPv4StringToNum fold;
+# isIPv6String accepts full and '::'-compressed colon-hex forms (no
+# IPv4-mapped tails — documented subset).
+_URL_BASE = "regexp_extract({0}, '^([a-z]+://[^/?#]+)', 1)"
+_URL_SEGS = (
+    "filter(split(regexp_extract(substring({0}, "
+    f"length({_URL_BASE}) + 1), '^[^?#]*', 0), '/'), __uh_s -> __uh_s != '')"
+)
+_ATON = (
+    "aggregate(transform(split({{{n}}}, '\\\\.'), __ip_x -> "
+    "cast(__ip_x as bigint)), 0L, (__ip_a, __ip_b) -> __ip_a * 256 + __ip_b)"
+)
+_CIDR_BITS = "CAST({1} AS INT)"
+_TEMPLATE.update(
+    {
+        "queryStringAndFragment": (
+            "concat(coalesce(parse_url({0}, 'QUERY'), ''), "
+            "CASE WHEN parse_url({0}, 'REF') IS NOT NULL "
+            "THEN concat('#', parse_url({0}, 'REF')) ELSE '' END)"
+        ),
+        "cutQueryStringAndFragment": "regexp_replace({0}, '[?#].*$', '')",
+        "cutQueryString": "regexp_replace({0}, '\\\\?.*$', '')",
+        "cutFragment": "regexp_replace({0}, '#.*$', '')",
+        "cutWWW": "regexp_replace({0}, '^([a-z]+://)?www\\\\.', '$1')",
+        "URLHierarchy": (
+            f"concat(array(concat({_URL_BASE}, '/')), "
+            f"transform(sequence(1, size({_URL_SEGS})), __uh_i -> "
+            f"concat({_URL_BASE}, '/', "
+            f"array_join(slice({_URL_SEGS}, 1, __uh_i), '/'), "
+            f"IF(__uh_i < size({_URL_SEGS}), '/', ''))))"
+        ),
+        "URLPathHierarchy": (
+            f"transform(sequence(1, size({_URL_SEGS})), __uh_i -> "
+            f"concat('/', array_join(slice({_URL_SEGS}, 1, __uh_i), '/'), "
+            f"IF(__uh_i < size({_URL_SEGS}), '/', '')))"
+        ),
+        "extractURLParameters": (
+            "filter(split(coalesce(parse_url({0}, 'QUERY'), ''), '&'), "
+            "__up_p -> __up_p != '')"
+        ),
+        "extractURLParameterNames": (
+            "transform(filter(split(coalesce(parse_url({0}, 'QUERY'), ''), "
+            "'&'), __up_p -> __up_p != ''), "
+            "__up_p -> regexp_extract(__up_p, '^([^=]*)', 1))"
+        ),
+        "isIPv6String": (
+            "({0} RLIKE '^(([0-9a-fA-F]{{1,4}}:){{7}}[0-9a-fA-F]{{1,4}}"
+            "|([0-9a-fA-F]{{1,4}}:)+:([0-9a-fA-F]{{1,4}}:)*[0-9a-fA-F]{{0,4}})$')"
+        ),
+        "isIPAddressInRange": (
+            f"(shiftrightunsigned({_ATON.format(n=0)}, "
+            f"32 - cast(element_at(split({{1}}, '/'), 2) as int)) = "
+            f"shiftrightunsigned("
+            "aggregate(transform(split(element_at(split({1}, '/'), 1), "
+            "'\\\\.'), __ip_x -> cast(__ip_x as bigint)), 0L, "
+            "(__ip_a, __ip_b) -> __ip_a * 256 + __ip_b), "
+            "32 - cast(element_at(split({1}, '/'), 2) as int)))"
+        ),
+        # epoch-seconds (or string) -> timestamp, the CH constructor form
+        "toDateTime": "cast({0} as timestamp)",
+        "addQuarters": "add_months({0}, 3 * ({1}))",
+        "subtractQuarters": "add_months({0}, -3 * ({1}))",
+        # quarters numbered year*4 + (q-1) — matches CH's fixed-point count
+        "toRelativeQuarterNum": "(year({0}) * 4 + quarter({0}) - 1)",
+        # Sunday-start weeks anchored so 1970-01-04 begins week 1
+        "toRelativeWeekNum": (
+            "CAST(floor((datediff({0}, DATE '1970-01-01') + 4) / 7) AS BIGINT)"
+        ),
+        "snowflakeToDateTime": (
+            "timestamp_millis(1288834974657 + "
+            "shiftright(CAST({0} AS BIGINT), 22))"
+        ),
+        "dateTimeToSnowflake": (
+            "shiftleft(unix_millis({0}) - 1288834974657, 22)"
+        ),
+        # 3-arg form: slots of {2} seconds covering [start, start+duration]
+        "timeSlots": (
+            "transform(sequence("
+            "CAST(floor(unix_timestamp({0}) / ({2})) AS BIGINT), "
+            "CAST(floor((unix_timestamp({0}) + ({1})) / ({2})) AS BIGINT)), "
+            "__tsl -> timestamp_seconds(__tsl * ({2})))"
+        ),
+    }
+)
+
 _KNOWN_SPARK_PASSTHROUGH = frozenset(
     """select from where group by order having limit offset join on as and or not
     count sum avg min max distinct case when then else end cast between in like
@@ -1583,6 +1734,30 @@ def translate_ch_sql(sql: str) -> str:
             out.append(
                 f"transform({a}, (x, i) -> "
                 f"size(filter(slice({a}, 1, i + 1), y -> y <=> x)))"
+            )
+        elif name == "IPv4CIDRToRange":
+            # (ip, bits) -> tuple of dotted-quad range bounds.  Pure
+            # integer/bit algebra over the IPv4StringToNum fold; built
+            # programmatically because lo/hi each appear four times
+            aton = (
+                f"aggregate(transform(split({args[0]}, '\\\\.'), "
+                "__ip_x -> cast(__ip_x as bigint)), 0L, "
+                "(__ip_a, __ip_b) -> __ip_a * 256 + __ip_b)"
+            )
+            nbits = f"cast({args[1]} as int)"
+            lo = f"(shiftleft(shiftrightunsigned({aton}, 32 - {nbits}), 32 - {nbits}))"
+            hi = f"({lo} | (shiftleft(1L, 32 - {nbits}) - 1))"
+
+            def _ntoa(v: str) -> str:
+                return (
+                    f"concat(cast(shiftright({v}, 24) & 255 as string), '.', "
+                    f"cast(shiftright({v}, 16) & 255 as string), '.', "
+                    f"cast(shiftright({v}, 8) & 255 as string), '.', "
+                    f"cast({v} & 255 as string))"
+                )
+
+            out.append(
+                f"named_struct('col1', {_ntoa(lo)}, 'col2', {_ntoa(hi)})"
             )
         elif name == "fromUnixTimestamp" and len(args) == 1:
             out.append(f"timestamp_seconds({args[0]})")
