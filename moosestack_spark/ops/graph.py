@@ -528,3 +528,138 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     core = k_core(ue, k=4, max_iters=18)
     return core.select(F.col("v").alias("doc_id"), "deg").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Label propagation community detection (synchronous, fixed rounds): each
+# vertex adopts the most frequent label among its neighbors AND itself,
+# ties broken by the smallest label — both choices deterministic, so a
+# fixed round count hash-matches a SQL replay.  The self-vote is the
+# standard damping against synchronous-LPA oscillation (a bare 2-cycle
+# flips labels forever without it; with it, ties resolve toward the
+# smaller label and bipartite structures converge).  Per round: one join of the
+# neighbor list with the label vector on vertex id + one groupBy argmax —
+# both hash-partitioned on vertex id, partitioning reused across rounds,
+# localCheckpoint truncating the iterated lineage (the ops/components.py
+# discipline).  State is one label per vertex — linear, never quadratic.
+# --------------------------------------------------------------------------
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(v, lbl) after ``iterations`` synchronous label-propagation rounds
+    over the undirected simple graph induced by ``edges`` (both directions
+    added, self-loops dropped, duplicates ignored).  Isolated vertices —
+    and any vertex in a degenerate round — keep their own id as label."""
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    verts = sym.select(F.col("a").alias("v")).distinct().localCheckpoint()
+    # self-vote: every vertex is its own neighbor in the ballot
+    nbr = sym.union(
+        verts.select(F.col("v").alias("a"), F.col("v").alias("b"))
+    ).localCheckpoint()
+    labels = verts.select("v", F.col("v").alias("lbl"))
+    w = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(iterations):
+        cand = (
+            nbr.join(labels.select(F.col("v").alias("b"), "lbl"), "b")
+            .groupBy("a", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        new = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a").alias("v"), "lbl")
+        )
+        labels = (
+            verts.join(new, "v", "left")
+            .select("v", F.coalesce("lbl", F.col("v")).alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels
+
+
+_LPA_ORACLE = """
+WITH dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS i,
+         COUNT(*) OVER () AS n
+  FROM documents
+), eraw AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM dense a JOIN dense b ON b.i = (a.i * 7 + 3) % a.n
+  UNION ALL
+  SELECT a.doc_id, c.doc_id
+  FROM dense a JOIN dense c ON c.i = (a.i * 13 + 5) % a.n
+), sym AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM eraw
+    UNION ALL SELECT dst, src FROM eraw)
+  WHERE a != b
+), verts AS (
+  SELECT DISTINCT a AS v FROM sym
+), und AS (
+  SELECT a, b FROM sym UNION SELECT v, v FROM verts
+), l0 AS (
+  SELECT v, v AS lbl FROM verts
+), l1 AS (
+  SELECT verts.v, COALESCE(nw.lbl, verts.v) AS lbl
+  FROM verts LEFT JOIN (
+    SELECT v, lbl FROM (
+      SELECT u.a AS v, l.lbl,
+             ROW_NUMBER() OVER (PARTITION BY u.a
+               ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+      FROM und u JOIN l0 l ON u.b = l.v
+      GROUP BY u.a, l.lbl) WHERE rn = 1) nw ON verts.v = nw.v
+), l2 AS (
+  SELECT verts.v, COALESCE(nw.lbl, verts.v) AS lbl
+  FROM verts LEFT JOIN (
+    SELECT v, lbl FROM (
+      SELECT u.a AS v, l.lbl,
+             ROW_NUMBER() OVER (PARTITION BY u.a
+               ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+      FROM und u JOIN l1 l ON u.b = l.v
+      GROUP BY u.a, l.lbl) WHERE rn = 1) nw ON verts.v = nw.v
+)
+SELECT v AS doc_id, CAST(lbl AS BIGINT) AS community FROM l2
+"""
+
+
+@query("graph_label_propagation", oracle=_LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous LPA rounds over the undirected version of the same
+    synthetic expander link graph as graph_pagerank_quality; the oracle
+    unrolls both rounds with the identical (max count, min label)
+    tie-break."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy("doc_id")
+    dense = d.withColumn("i", F.row_number().over(w) - 1).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    a = dense.select(
+        F.col("doc_id").alias("s_doc"), "i", "n",
+        F.expr("(i * 7 + 3) % n").alias("t1"),
+        F.expr("(i * 13 + 5) % n").alias("t2"),
+    )
+    ids = dense.select(F.col("i").alias("ti"), F.col("doc_id").alias("t_doc"))
+    e1 = a.join(ids, a.t1 == ids.ti).select(
+        F.col("s_doc").alias("src"), F.col("t_doc").alias("dst")
+    )
+    e2 = a.join(ids, a.t2 == ids.ti).select(
+        F.col("s_doc").alias("src"), F.col("t_doc").alias("dst")
+    )
+    out = label_propagation(e1.union(e2), iterations=2)
+    return out.select(
+        F.col("v").alias("doc_id"), F.col("lbl").cast("bigint").alias("community")
+    )

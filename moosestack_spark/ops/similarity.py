@@ -969,3 +969,89 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(
         qs, cs, lo=0.05, hi=0.55, k=5, query_id="q_id", cand_id="c_id"
     ).select("q_id", "c_id", "rnk")
+
+
+# --------------------------------------------------------------------------
+# k-NN graph construction: every vector's exact-cosine top-k restricted to
+# its LSH sign-bucket — the all-nodes generalization of lsh_topk (which
+# broadcasts a small query set).  The bucket SELF-join is the 100 TB shape:
+# both sides shuffle once on bucket id, every bucket compares locally, no
+# all-pairs blowup (fewer planes -> bigger buckets -> higher recall; the
+# plane count is the recall/cost dial).  Downstream consumers: kNN-graph
+# dedup sweeps, hard-negative mining, graph-based ANN index seeds.
+# --------------------------------------------------------------------------
+
+KNN_PLANES = 6
+
+
+def knn_graph(
+    df: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = KNN_PLANES,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """(q_id, c_id, rnk) — each vector's top-k same-bucket neighbors by
+    exact cosine, ties broken by min neighbor id.  Vectors alone in their
+    bucket emit no rows (deterministic; the plane dial controls recall)."""
+    b = df.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec).alias("__qv"),
+        lsh_bucket(F.col(vec), dim, n_planes).alias("__qb"),
+    )
+    c = df.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec).alias("__cv"),
+        lsh_bucket(F.col(vec), dim, n_planes).alias("__cb"),
+    )
+    scored = b.join(
+        c, (F.col("__qb") == F.col("__cb")) & (F.col("q_id") != F.col("c_id"))
+    ).withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "rnk")
+    )
+
+
+def _knn_graph_oracle(dim: int = 64, k: int = 5, n_planes: int = KNN_PLANES) -> str:
+    """Replays the sign-bucket self-join with the same plane literals
+    (the _lsh_bucketed_oracle technique, all nodes, self excluded)."""
+    bits = []
+    for p in range(n_planes):
+        lits = ", ".join(repr(c) for c in _plane_coeffs(dim, p))
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket_sql = " + ".join(bits)
+    return f"""
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, v, {bucket_sql} AS bkt,
+         SQRT(list_dot_product(v, v)) AS nrm
+  FROM e
+),
+ranked AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                    c.vec_id ASC
+         ) AS rnk
+  FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id != c.vec_id
+)
+SELECT q_id, c_id, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+@query("similarity_knn_graph", oracle=_knn_graph_oracle())
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-plane bucketed k-NN graph (k=5) over the embeddings table — the
+    all-nodes bucket self-join; oracle replays the identical prune."""
+    return knn_graph(t(spark, sf_dir, "embeddings"), dim=64, k=5)

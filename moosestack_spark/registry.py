@@ -166,6 +166,10 @@ _AFTER_WINDOW: list[str] = [
     "ts_anomaly_mad",
     "sql_ch_dialect_vocab_r7",
     "sql_ch_dialect_vocab_r7b",
+    "cluster_kmeans_embeddings",
+    "embedding_random_projection",
+    "graph_label_propagation",
+    "similarity_knn_graph",
 ]
 
 
@@ -202,6 +206,7 @@ def load_all() -> None:
     from moosestack_spark.ops import (  # noqa: F401
         bpe,
         chunking,
+        clustering,
         components,
         corpus,
         decontaminate,
