@@ -170,6 +170,12 @@ _AFTER_WINDOW: list[str] = [
     "embedding_random_projection",
     "graph_label_propagation",
     "similarity_knn_graph",
+    "table_scd2_build",
+    "cohort_retention_matrix",
+    "attribution_last_touch",
+    "basket_pair_lift",
+    "agg_gini_revenue",
+    "agg_markov_transitions",
 ]
 
 
@@ -181,6 +187,7 @@ def load_all() -> None:
         aggregates_stats,
         analytics,
         analytics3,
+        analytics_classics,
         bucketed,
         chsql_ext,
         chsql_geo,
