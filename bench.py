@@ -145,6 +145,24 @@ EXTRA = [
     "source_delta_mapped_read",
     "streaming_space_saving_topk",
     "join_fuzzy_blocked",
+    # round-7 additions
+    "sql_ch_dialect_vocab_r7",
+    "sql_ch_dialect_vocab_r7b",
+    "agg_student_ttest",
+    "agg_kruskal_wallis",
+    "ts_ewma_smoothing",
+    "ts_changepoint_cusum",
+    "ts_anomaly_mad",
+    "cluster_kmeans_embeddings",
+    "embedding_random_projection",
+    "graph_label_propagation",
+    "similarity_knn_graph",
+    "table_scd2_build",
+    "cohort_retention_matrix",
+    "attribution_last_touch",
+    "basket_pair_lift",
+    "agg_gini_revenue",
+    "agg_markov_transitions",
 ]
 
 
@@ -262,6 +280,13 @@ def main() -> None:
             "dedup_connected_components_hybrid",
             # round-6 second session: winnowing is shingle-linear
             "dedup_winnowing_fingerprints",
+            # round-7 ML/graph family: k-means is iterations x one scan +
+            # model-sized collects; LPA is rounds x (vertex join + argmax
+            # groupBy).  knn-graph runs occupancy-targeted below (the
+            # 6-plane gate config is the correctness shape; at 30x the
+            # plane count must grow with n to hold bucket occupancy).
+            "cluster_kmeans_embeddings",
+            "graph_label_propagation",
         ]
         for name in scale_names:
             start = time.perf_counter()
@@ -362,6 +387,32 @@ def main() -> None:
     except Exception as exc:
         print(f"BENCH-SCALE-ERROR graph_kcore: {exc!r}"[:500], file=sys.stderr)
         scale_queries["graph_kcore"] = None
+
+    # knn-graph at 30x with occupancy-targeted planes: planes =
+    # ceil(log2(n / 64)) holds expected bucket occupancy ~64, so the
+    # bucket self-join stays linear in n instead of n^2/buckets — the
+    # same dial documented on the operator (plane count = recall/cost).
+    try:
+        if headline_only:
+            raise _HeadlineOnly
+        import math as _math
+
+        from moosestack_spark.ops.similarity import knn_graph
+
+        semb = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
+        n_emb = semb.count()
+        planes = max(6, _math.ceil(_math.log2(max(n_emb, 128) / 64)))
+        start = time.perf_counter()
+        knn_graph(semb, dim=64, k=5, n_planes=planes).count()
+        scale_queries["similarity_knn_graph"] = round(
+            time.perf_counter() - start, 3
+        )
+    except _HeadlineOnly:
+        pass
+    except Exception as exc:
+        print(f"BENCH-SCALE-ERROR similarity_knn_graph: {exc!r}"[:500],
+              file=sys.stderr)
+        scale_queries["similarity_knn_graph"] = None
 
     # Chain-heavy CC fixture: 1024 disjoint 64-node chains (diameter 64 —
     # the pathological shape for O(diameter) label propagation, the home

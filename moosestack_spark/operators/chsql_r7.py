@@ -210,3 +210,123 @@ FROM (
         "cidr_hi", F.col("cidr.col2")
     ).drop("cidr")
     return canon_arrays(out, "uh", "uph", "eup", "eupn", "tsl")
+
+
+def _duck_morton(x: str, y: str) -> str:
+    """DuckDB bit-interleave replay of the translator's 2D x 16-bit
+    mortonEncode (same disjoint-bit sum)."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _duck_frtd(secs: str) -> str:
+    """DuckDB replay of formatReadableTimeDelta's day/hour/minute/second
+    subset (concat_ws skips NULL components in both engines)."""
+    def part(cnt: str, cond: str, unit: str) -> str:
+        return (
+            f"CASE WHEN {cnt} {cond} THEN CAST({cnt} AS VARCHAR) || ' {unit}' || "
+            f"(CASE WHEN {cnt} = 1 THEN '' ELSE 's' END) END"
+        )
+
+    return (
+        "concat_ws(', ', "
+        + part(f"(({secs}) // 86400)", "> 0", "day")
+        + ", "
+        + part(f"((({secs}) // 3600) % 24)", "> 0", "hour")
+        + ", "
+        + part(f"((({secs}) // 60) % 60)", "> 0", "minute")
+        + ", "
+        + part(f"(({secs}) % 60)", f"> 0 OR ({secs}) = 0", "second")
+        + ")"
+    )
+
+
+_R7C_ORACLE = f"""
+SELECT o_orderkey,
+       {_duck_frtd("secs")} AS frtd,
+       bin(a1 * 37 + 5) AS bn,
+       a1 * 37 + 5 AS ub,
+       'a,b,c' AS msk,
+       CAST(a5 AS VARCHAR) || ',' || CAST(a3 AS VARCHAR) || ',9' AS msv,
+       datediff('day', DATE '1858-11-17', CAST(d AS DATE)) AS mjd,
+       strftime(CAST(d AS DATE), '%Y-%m-%d') AS fmjd,
+       strftime(CAST(d AS DATE) + INTERVAL 5 DAY, '%Y-%m-%d') AS ad,
+       strftime(CAST(d AS DATE) - INTERVAL 3 DAY, '%Y-%m-%d') AS sd,
+       CASE idx4 WHEN 0 THEN 'R163' WHEN 1 THEN 'A261'
+                 WHEN 2 THEN 'T522' ELSE 'P236' END AS sx,
+       repeat('ab', a3 + 1) AS rp,
+       CAST(a5 AS BIGINT) AS spl,
+       CASE k2 WHEN 0 THEN 0.5555555555555556
+               ELSE 0.4666666666666667 END AS nd,
+       {_duck_morton("mx", "my")} AS me,
+       mx AS mdx, my AS mdy
+FROM (
+  SELECT o_orderkey,
+         (o_orderkey % 5) * 23456 + (o_orderkey % 7) * 61 AS secs,
+         CAST(o_orderkey % 5 AS BIGINT) AS a1,
+         CAST(o_orderkey % 3 AS BIGINT) AS a3,
+         CAST(o_orderkey % 4 AS BIGINT) AS idx4,
+         CAST(o_orderkey % 6 AS BIGINT) AS a5,
+         CAST(o_orderkey % 2 AS BIGINT) AS k2,
+         CAST(o_orderkey % 1000 AS BIGINT) AS mx,
+         CAST((o_orderkey * 7) % 1000 AS BIGINT) AS my,
+         o_orderdate AS d
+  FROM orders WHERE o_orderkey % 29 = 0
+)
+"""
+
+
+@query("sql_ch_dialect_vocab_r7c", oracle=_R7C_ORACLE)
+def sql_ch_dialect_vocab_r7c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 vocabulary batch C: formatReadableTimeDelta (d/h/m/s
+    subset), bin/unbin, mapSort, Modified-Julian-day pair, addDate/
+    subDate, soundex, repeat/space, set-based ngramDistance, and the 2D
+    morton encode/decode roundtrip."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       formatReadableTimeDelta(secs) AS frtd,
+       bin(a1 * 37 + 5) AS bn,
+       unbin(bin(a1 * 37 + 5)) AS ub,
+       arrayStringConcat(mapKeys(mapSort(m)), ',') AS msk,
+       arrayStringConcat(arrayMap(v -> toString(v),
+                                  mapValues(mapSort(m))), ',') AS msv,
+       toModifiedJulianDay(toDate(d)) AS mjd,
+       toString(fromModifiedJulianDay(toModifiedJulianDay(toDate(d))))
+         AS fmjd,
+       toString(addDate(toDate(d), toIntervalDay(5))) AS ad,
+       toString(subDate(toDate(d), toIntervalDay(3))) AS sd,
+       soundex(arrayElement(
+         array('Robert', 'Ashcraft', 'Tymczak', 'Pfister'), idx4 + 1)) AS sx,
+       repeat('ab', a3 + 1) AS rp,
+       toInt64(length(space(a5))) AS spl,
+       ngramDistance(arrayElement(array('clickhouse', 'spark analytics'),
+                                  k2 + 1),
+                     arrayElement(array('clickhome', 'spark analysis'),
+                                  k2 + 1)) AS nd,
+       mortonEncode(mx, my) AS me,
+       mortonDecode(2, mortonEncode(mx, my)).col1 AS mdx,
+       mortonDecode(2, mortonEncode(mx, my)).col2 AS mdy
+FROM (
+  SELECT o_orderkey,
+         (o_orderkey % 5) * 23456 + (o_orderkey % 7) * 61 AS secs,
+         toInt64(o_orderkey % 5) AS a1,
+         toInt64(o_orderkey % 3) AS a3,
+         toInt32(o_orderkey % 4) AS idx4,
+         toInt64(o_orderkey % 6) AS a5,
+         toInt32(o_orderkey % 2) AS k2,
+         toInt64(o_orderkey % 1000) AS mx,
+         toInt64((o_orderkey * 7) % 1000) AS my,
+         map('b', toInt64(o_orderkey % 3), 'a', toInt64(o_orderkey % 6),
+             'c', 9L) AS m,
+         o_orderdate AS d
+  FROM orders WHERE o_orderkey % 29 = 0
+)
+"""
+    return spark.sql(translate_ch_sql(ch_sql))

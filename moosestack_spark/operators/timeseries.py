@@ -335,3 +335,174 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_anomalies"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function (lags 1..7) of daily revenue — the CH
+# `seriesPeriodDetect`-adjacent diagnostic users run before picking a
+# seasonal window.  Exactness: deviations are taken from the FLOORED mean
+# (mu = S div n — off by < 1 unit from the true mean, deterministic and
+# replayed), in floored whole dollars so the lag-product sums stay BIGINT
+# (|dev| <= ~1e5 at sf0.1 -> products*days ~ 1e13; int64-safe through
+# sf~30).  acf is ONE final division per lag over exact integers.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_autocorrelation",
+    oracle=f"""
+WITH d AS ({_DAILY_SQL}),
+dol AS (
+  SELECT day, cents // 100 AS x FROM d
+),
+mu AS (
+  SELECT (SUM(x) - (((SUM(x) % COUNT(*)) + COUNT(*)) % COUNT(*)))
+           // COUNT(*) AS m
+  FROM dol
+),
+dev AS (
+  SELECT day, x - (SELECT m FROM mu) AS dv FROM dol
+),
+lagged AS (
+  SELECT lag.k, dev.dv * LAG(dev.dv, lag.k) OVER (PARTITION BY lag.k ORDER BY dev.day) AS prod,
+         dev.dv * dev.dv AS sq
+  FROM dev CROSS JOIN (SELECT UNNEST(range(1, 8)) AS k) lag
+)
+SELECT k AS lag, CAST(SUM(prod) AS BIGINT) AS num,
+       CAST(SUM(sq) AS BIGINT) AS den,
+       CAST(SUM(prod) AS DOUBLE) / CAST(SUM(sq) AS DOUBLE) AS acf
+FROM lagged GROUP BY k
+""",
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1..7 of daily order revenue in floored dollars around
+    the floored mean: num = sum(dv_t * dv_{t-k}), den = sum(dv^2) (the
+    full-series denominator; NULL lag products drop from num exactly as
+    the oracle's SUM ignores them).  Series is calendar-bounded, so the
+    per-lag ordered window is O(days) at any SF."""
+    d = _daily(spark, sf_dir).select("day", F.expr("cents div 100").alias("x"))
+    agg = d.agg(
+        F.expr("(sum(x) - pmod(sum(x), count(*))) div count(*)").alias("m")
+    )
+    dev = d.crossJoin(F.broadcast(agg)).select(
+        "day", (F.col("x") - F.col("m")).alias("dv")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    lagged = dev.crossJoin(F.broadcast(lags))
+    w = Window.partitionBy("k").orderBy("day")
+    # per-lag product via a rank self-shift: lag(dv, k) needs a dynamic
+    # offset, which Spark's lag() can't take — use rn-k join instead
+    rn = lagged.withColumn("rn", F.row_number().over(w))
+    cur = rn.select("k", "rn", "dv")
+    prev = rn.select(
+        F.col("k").alias("k2"), (F.col("rn") + F.col("k")).alias("rn2"),
+        F.col("dv").alias("dv_prev"),
+    )
+    joined = cur.join(
+        prev, (cur.k == prev.k2) & (cur.rn == prev.rn2), "left"
+    )
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.sum(F.col("dv") * F.col("dv_prev")).cast("bigint").alias("num"),
+            F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("den"),
+        )
+        .select(
+            F.col("k").alias("lag"),
+            "num",
+            "den",
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+                "acf"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Classical additive seasonal decomposition with a weekly period: seasonal
+# = floored day-of-week mean of the detrended-free series, trend = centered
+# 7-day moving average (integer sum div 7 over full windows), residual =
+# x - trend - (seasonal - overall floored mean).  Every component is exact
+# BIGINT arithmetic (floored means documented as the contract).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=f"""
+WITH d AS ({_DAILY_SQL}),
+r AS (
+  SELECT day, cents,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         COUNT(*) OVER () AS n,
+         dayofweek(day) AS dow,
+         SUM(cents) OVER (ORDER BY day
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win_sum,
+         COUNT(*) OVER (ORDER BY day
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win_n
+  FROM d
+),
+dowm AS (
+  SELECT dow,
+         (SUM(cents) - (((SUM(cents) % COUNT(*)) + COUNT(*)) % COUNT(*)))
+           // COUNT(*) AS dow_mean
+  FROM r GROUP BY dow
+),
+mu AS (
+  SELECT (SUM(cents) - (((SUM(cents) % COUNT(*)) + COUNT(*)) % COUNT(*)))
+           // COUNT(*) AS m
+  FROM r
+)
+SELECT strftime(r.day, '%Y-%m-%d') AS day, r.cents,
+       CAST(dowm.dow_mean - (SELECT m FROM mu) AS BIGINT) AS seasonal,
+       CAST(CASE WHEN r.win_n = 7 THEN
+         (r.win_sum - (((r.win_sum % 7) + 7) % 7)) // 7 END AS BIGINT)
+         AS trend,
+       CAST(CASE WHEN r.win_n = 7 THEN
+         r.cents - (r.win_sum - (((r.win_sum % 7) + 7) % 7)) // 7
+           - (dowm.dow_mean - (SELECT m FROM mu)) END AS BIGINT) AS resid
+FROM r JOIN dowm USING (dow)
+""",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive weekly decomposition of daily revenue: seasonal = floored
+    day-of-week mean minus floored overall mean, trend = centered 7-day
+    moving average over FULL windows only (edges NULL), residual = x -
+    trend - seasonal.  All BIGINT-exact via floored means."""
+    d = _daily(spark, sf_dir)
+    wo = Window.orderBy("day")
+    r = d.select(
+        "day",
+        "cents",
+        F.dayofweek("day").alias("dow"),
+        F.sum("cents").over(wo.rowsBetween(-3, 3)).alias("win_sum"),
+        F.count(F.lit(1)).over(wo.rowsBetween(-3, 3)).alias("win_n"),
+    )
+    dowm = r.groupBy("dow").agg(
+        F.expr(
+            "(sum(cents) - pmod(sum(cents), count(*))) div count(*)"
+        ).alias("dow_mean")
+    )
+    mu = r.agg(
+        F.expr("(sum(cents) - pmod(sum(cents), count(*))) div count(*)").alias("m")
+    )
+    out = (
+        r.join(F.broadcast(dowm), "dow")
+        .crossJoin(F.broadcast(mu))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cents",
+            (F.col("dow_mean") - F.col("m")).cast("bigint").alias("seasonal"),
+            F.when(
+                F.col("win_n") == 7,
+                F.expr("(win_sum - pmod(win_sum, 7)) div 7"),
+            ).cast("bigint").alias("trend"),
+            F.when(
+                F.col("win_n") == 7,
+                F.col("cents")
+                - F.expr("(win_sum - pmod(win_sum, 7)) div 7")
+                - (F.col("dow_mean") - F.col("m")),
+            ).cast("bigint").alias("resid"),
+        )
+    )
+    return out

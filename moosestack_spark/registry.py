@@ -176,6 +176,9 @@ _AFTER_WINDOW: list[str] = [
     "basket_pair_lift",
     "agg_gini_revenue",
     "agg_markov_transitions",
+    "ts_autocorrelation",
+    "ts_seasonal_decompose",
+    "sql_ch_dialect_vocab_r7c",
 ]
 
 

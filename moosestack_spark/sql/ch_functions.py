@@ -1255,6 +1255,84 @@ _TEMPLATE.update(
     }
 )
 
+# ---- round-7 batch c: readable formats, bit/string/date vocabulary ----
+# formatReadableTimeDelta covers the days/hours/minutes/seconds subset
+# (CH adds years/months above that — documented boundary); concat_ws
+# skips the NULL components, and the seconds component also fires when
+# the whole delta is zero so the output is never empty.
+_FRTD_PART = (
+    "CASE WHEN {cnt} {cond} THEN concat(CAST({cnt} AS STRING), ' {unit}', "
+    "IF({cnt} = 1, '', 's')) END"
+)
+_TEMPLATE.update(
+    {
+        "formatReadableTimeDelta": (
+            "concat_ws(', ', "
+            + _FRTD_PART.format(cnt="(CAST({0} AS BIGINT) div 86400)", cond="> 0", unit="day")
+            + ", "
+            + _FRTD_PART.format(cnt="((CAST({0} AS BIGINT) div 3600) % 24)", cond="> 0", unit="hour")
+            + ", "
+            + _FRTD_PART.format(cnt="((CAST({0} AS BIGINT) div 60) % 60)", cond="> 0", unit="minute")
+            + ", "
+            + _FRTD_PART.format(
+                cnt="(CAST({0} AS BIGINT) % 60)",
+                cond="> 0 OR CAST({0} AS BIGINT) = 0",
+                unit="second",
+            )
+            + ")"
+        ),
+        "bin": "bin({0})",
+        "unbin": "cast(conv({0}, 2, 10) as bigint)",
+        # map sorted by key (struct ordering: key is the first entry field)
+        "mapSort": "map_from_entries(array_sort(map_entries({0})))",
+        # days since the Modified Julian epoch 1858-11-17
+        "toModifiedJulianDay": "datediff({0}, DATE '1858-11-17')",
+        "fromModifiedJulianDay": "date_add(DATE '1858-11-17', cast({0} as int))",
+        "addDate": "({0} + {1})",
+        "subDate": "({0} - {1})",
+        # CH interval constructors -> Spark make_interval(y, mo, w, d, h, mi, s)
+        "toIntervalYear": "make_interval({0})",
+        "toIntervalMonth": "make_interval(0, {0})",
+        "toIntervalWeek": "make_interval(0, 0, {0})",
+        "toIntervalDay": "make_interval(0, 0, 0, {0})",
+        "toIntervalHour": "make_interval(0, 0, 0, 0, {0})",
+        "toIntervalMinute": "make_interval(0, 0, 0, 0, 0, {0})",
+        "toIntervalSecond": "make_interval(0, 0, 0, 0, 0, 0, {0})",
+        "soundex": "soundex({0})",
+        "repeat": "repeat({0}, {1})",
+        "space": "repeat(' ', {0})",
+    }
+)
+
+# ngramDistance: DISTINCT-4-gram symmetric-difference ratio (CH uses the
+# multiset variant; the set-based subset is the documented contract here):
+# 1 - |A ∩ B| / |A ∪ B|, 0.0 when both sides have no 4-grams.
+_NGRAMS = (
+    "IF(length({n}) >= 4, array_distinct(transform("
+    "sequence(1, length({n}) - 3), __ng_i -> substring({n}, __ng_i, 4))), "
+    "array())"
+)
+_TEMPLATE.update(
+    {
+        "ngramDistance": (
+            "(CASE WHEN size(array_union("
+            + _NGRAMS.format(n="{0}")
+            + ", "
+            + _NGRAMS.format(n="{1}")
+            + ")) = 0 THEN cast(0.0 as double) ELSE "
+            "1.0 - cast(size(array_intersect("
+            + _NGRAMS.format(n="{0}")
+            + ", "
+            + _NGRAMS.format(n="{1}")
+            + ")) as double) / cast(size(array_union("
+            + _NGRAMS.format(n="{0}")
+            + ", "
+            + _NGRAMS.format(n="{1}")
+            + ")) as double) END)"
+        ),
+    }
+)
+
 _KNOWN_SPARK_PASSTHROUGH = frozenset(
     """select from where group by order having limit offset join on as and or not
     count sum avg min max distinct case when then else end cast between in like
@@ -1735,6 +1813,34 @@ def translate_ch_sql(sql: str) -> str:
                 f"transform({a}, (x, i) -> "
                 f"size(filter(slice({a}, 1, i + 1), y -> y <=> x)))"
             )
+        elif name == "mortonEncode" and len(args) == 2:
+            # 2D x 16-bit subset (documented; CH supports wider tuples):
+            # bit-interleave via 32 disjoint-bit terms summed.  Built
+            # programmatically — a template would be unreadable.
+            terms = []
+            for i in range(16):
+                terms.append(
+                    f"shiftleft(shiftright(CAST({args[0]} AS BIGINT), {i}) & 1, {2 * i})"
+                )
+                terms.append(
+                    f"shiftleft(shiftright(CAST({args[1]} AS BIGINT), {i}) & 1, {2 * i + 1})"
+                )
+            out.append("(" + " + ".join(terms) + ")")
+        elif name == "mortonDecode":
+            # mortonDecode(2, code) -> tuple(x, y); only the 2D form maps
+            if args[0].strip() != "2":
+                raise NotImplementedError(
+                    "mortonDecode: only dimension 2 is supported"
+                )
+            xs = " + ".join(
+                f"shiftleft(shiftright(CAST({args[1]} AS BIGINT), {2 * i}) & 1, {i})"
+                for i in range(16)
+            )
+            ys = " + ".join(
+                f"shiftleft(shiftright(CAST({args[1]} AS BIGINT), {2 * i + 1}) & 1, {i})"
+                for i in range(16)
+            )
+            out.append(f"named_struct('col1', ({xs}), 'col2', ({ys}))")
         elif name == "IPv4CIDRToRange":
             # (ip, bits) -> tuple of dotted-quad range bounds.  Pure
             # integer/bit algebra over the IPv4StringToNum fold; built
