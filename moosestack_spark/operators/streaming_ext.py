@@ -1065,3 +1065,150 @@ def streaming_space_saving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scope.__exit__()
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Streaming SCD Type-2 maintenance: the change stream lands into a history
+# table of [valid_from, valid_to) intervals, merged per micro-batch with
+# AFFECTED-KEY-BOUNDED work — untouched keys' history is carried through an
+# anti join; only keys present in the batch get their interval chain
+# recomputed (union old history + new rows, one lead() window per key).
+# Because the merge recomputes each affected key from its FULL per-key
+# history, the final table is independent of batch order and count — which
+# is exactly what makes a hard oracle possible for a streaming DDL op:
+# the batch SCD2 build over the same events is the replay.
+# At 100 TB: per-batch cost is O(batch + history of touched keys), the
+# production MERGE shape (Delta/Iceberg SCD2 pipelines); state is the
+# history table itself, not executor memory.
+# --------------------------------------------------------------------------
+
+
+def scd2_merge_batch(table_dir: str, key: str, order_cols: list[str]):
+    """foreachBatch hook: merge a micro-batch of (key, order_cols, payload)
+    rows into the SCD2 history at ``table_dir`` (affected keys only)."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cur_path = os.path.join(table_dir, "current")
+        new_rows = batch.select(key, *order_cols, "cents")
+        if os.path.exists(cur_path):
+            old = spark.read.parquet(cur_path)
+            affected = new_rows.select(key).distinct()
+            # untouched keys: materialized intervals carried through as-is
+            keep = old.join(affected, key, "left_anti")
+            redo_src = (
+                old.join(affected, key, "left_semi")
+                .select(key, *order_cols, "cents")
+                .unionByName(new_rows)
+            )
+        else:
+            keep = None
+            redo_src = new_rows
+        # recompute the interval chain ONLY for keys present in the batch
+        w = Window.partitionBy(key).orderBy(*order_cols)
+        nxt = F.lead(order_cols[0]).over(w)
+        redone = redo_src.select(
+            key,
+            *order_cols,
+            "cents",
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        merged = redone if keep is None else keep.unionByName(redone)
+        out = os.path.join(table_dir, f"stage_{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        if os.path.exists(cur_path):
+            shutil.rmtree(cur_path)
+        os.rename(out, cur_path)
+
+    return apply
+
+
+@query(
+    "streaming_scd2_apply",
+    oracle="""
+SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM events
+""",
+)
+def streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 intervals maintained INCREMENTALLY over a 3-batch file stream
+    (events time-sliced into three files, maxFilesPerTrigger=1): each
+    micro-batch merges only its affected keys' history.  The final table
+    equals the one-shot batch build (table_scd2_build's oracle) because
+    per-key recompute is order-independent — the hard-oracle contract
+    for this streaming op."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="msk_scd2_src_")
+    table_dir = tempfile.mkdtemp(prefix="msk_scd2_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="msk_scd2_ckpt_")
+    scope = _stream_state_partitions(spark)
+    scope.__enter__()
+    try:
+        ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        # three deterministic time slices -> three ordered source files
+        bounds = ev.agg(
+            F.expr("percentile_approx(event_id, 0.34, 10000)").alias("b1"),
+            F.expr("percentile_approx(event_id, 0.67, 10000)").alias("b2"),
+        ).collect()[0]
+        slices = [
+            ev.filter(F.col("event_id") <= bounds.b1),
+            ev.filter(
+                (F.col("event_id") > bounds.b1) & (F.col("event_id") <= bounds.b2)
+            ),
+            ev.filter(F.col("event_id") > bounds.b2),
+        ]
+        for i, sl in enumerate(slices):
+            tmp = os.path.join(src_dir, f"_tmp{i}")
+            sl.coalesce(1).write.parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            os.rename(
+                os.path.join(tmp, part), os.path.join(src_dir, f"batch{i}.parquet")
+            )
+            shutil.rmtree(tmp)
+        stream = (
+            spark.readStream.schema(slices[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .select(
+                "user_id",
+                "ts",
+                "event_id",
+                F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            )
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                scd2_merge_batch(table_dir, "user_id", ["ts", "event_id"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the intervals are MATERIALIZED by the merges — the read is a
+        # plain projection, no window (that's the point of SCD2 storage)
+        hist = spark.read.parquet(os.path.join(table_dir, "current"))
+        return (
+            hist.select(
+                "user_id",
+                "cents",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+                F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias(
+                    "valid_to"
+                ),
+                "is_current",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        scope.__exit__()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(table_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -179,6 +179,7 @@ _AFTER_WINDOW: list[str] = [
     "ts_autocorrelation",
     "ts_seasonal_decompose",
     "sql_ch_dialect_vocab_r7c",
+    "streaming_scd2_apply",
 ]
 
 
