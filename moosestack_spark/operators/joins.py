@@ -732,3 +732,103 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_recovered"),
         F.sum("dist").cast("bigint").alias("total_dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest-event join (both directions): each purchase matches the error
+# event of the same user with minimum |Δt|, ties to the EARLIER side.
+# Not an asof join (asof looks one way); implemented as ONE interleaved
+# per-user window pass — carry the last error backward and the first error
+# forward, then pick the nearer — instead of a range join, so the cost is
+# a single shuffle on user_id and O(1) carried state per row.  Reference
+# parity: CH users write this as ASOF JOIN pairs + argMin; the reference
+# has no native nearest join either (SURVEY.md §2.3).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_nearest_event",
+    oracle="""
+WITH tagged AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) AS us,
+         CASE WHEN event_type = 'error' THEN epoch_us(ts) END AS err_us,
+         CASE WHEN event_type = 'error' THEN event_id END AS err_id
+  FROM events
+), carried AS (
+  SELECT event_id, user_id, event_type, us,
+         LAST_VALUE(err_us IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS before_us,
+         LAST_VALUE(err_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS before_id,
+         FIRST_VALUE(err_us IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS after_us,
+         FIRST_VALUE(err_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS after_id
+  FROM tagged
+)
+SELECT event_id AS purchase_id,
+       CASE
+         WHEN before_us IS NULL AND after_us IS NULL THEN NULL
+         WHEN after_us IS NULL THEN before_id
+         WHEN before_us IS NULL THEN after_id
+         WHEN us - before_us <= after_us - us THEN before_id
+         ELSE after_id
+       END AS error_id,
+       CASE
+         WHEN before_us IS NULL AND after_us IS NULL THEN NULL
+         WHEN after_us IS NULL THEN us - before_us
+         WHEN before_us IS NULL THEN after_us - us
+         ELSE LEAST(us - before_us, after_us - us)
+       END AS delta_us
+FROM carried WHERE event_type = 'purchase'
+""",
+)
+def join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(purchase_id, nearest error_id, |Δt| in microseconds) per purchase.
+    Purchases with no error on either side emit NULLs.  A purchase at the
+    exact instant of an error matches it with delta 0 (the 'before' carry
+    includes the current row; purchase rows never populate the carry
+    columns, so self-match is impossible)."""
+    e = t(spark, sf_dir, "events")
+    is_err = F.col("event_type") == "error"
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.when(is_err, F.unix_micros("ts")).alias("err_us"),
+        F.when(is_err, F.col("event_id")).alias("err_id"),
+    )
+    base = _W.partitionBy("user_id").orderBy("us", "event_id")
+    wb = base.rowsBetween(_W.unboundedPreceding, 0)
+    wa = base.rowsBetween(0, _W.unboundedFollowing)
+    carried = tagged.select(
+        "event_id",
+        "event_type",
+        "us",
+        F.last("err_us", ignorenulls=True).over(wb).alias("before_us"),
+        F.last("err_id", ignorenulls=True).over(wb).alias("before_id"),
+        F.first("err_us", ignorenulls=True).over(wa).alias("after_us"),
+        F.first("err_id", ignorenulls=True).over(wa).alias("after_id"),
+    )
+    before_d = F.col("us") - F.col("before_us")
+    after_d = F.col("after_us") - F.col("us")
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.when(F.col("before_us").isNull() & F.col("after_us").isNull(), F.lit(None))
+        .when(F.col("after_us").isNull(), F.col("before_id"))
+        .when(F.col("before_us").isNull(), F.col("after_id"))
+        .when(before_d <= after_d, F.col("before_id"))
+        .otherwise(F.col("after_id"))
+        .alias("error_id"),
+        F.when(F.col("before_us").isNull() & F.col("after_us").isNull(), F.lit(None))
+        .when(F.col("after_us").isNull(), before_d)
+        .when(F.col("before_us").isNull(), after_d)
+        .otherwise(F.least(before_d, after_d))
+        .alias("delta_us"),
+    )

@@ -88,3 +88,71 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently — five scans there vs ONE here."""
     d = t(spark, sf_dir, "documents")
     return profile_columns(d, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index drift between the first and second half of the
+# event stream (rank split on the dense event_id, so the split is
+# SF-stable) over fixed-width value buckets.  The ML-ops drift metric a
+# training pipeline runs between snapshots before trusting a feature.
+# Counts are exact integers; each bucket's PSI term is ONE fixed FP tree
+# ((p2-p1)*ln(p2/p1) with add-1 smoothing so empty buckets stay finite),
+# surfaced as float32 per the house log-output rule — no cross-bucket FP
+# sum (the per-bucket matrix is the deliverable; summing 10 floats is the
+# caller's one-liner).  Scale: one scan, one groupBy on the bucket id.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "profile_psi_drift",
+    oracle="""
+WITH half AS (
+  SELECT (MAX(event_id) + 1) // 2 AS h FROM events
+), bucketed AS (
+  SELECT LEAST(CAST(FLOOR(value / 5) AS INT), 9) AS bucket,
+         CASE WHEN event_id < (SELECT h FROM half) THEN 1 ELSE 0 END AS in1
+  FROM events
+), cnts AS (
+  SELECT bucket,
+         CAST(SUM(in1) AS BIGINT) AS cnt1,
+         CAST(SUM(1 - in1) AS BIGINT) AS cnt2
+  FROM bucketed GROUP BY bucket
+), tot AS (
+  SELECT SUM(cnt1) AS t1, SUM(cnt2) AS t2, COUNT(*) AS nb FROM cnts
+)
+SELECT bucket, cnt1, cnt2,
+       CAST(
+         (CAST(cnt2 + 1 AS DOUBLE) / (t2 + nb)
+          - CAST(cnt1 + 1 AS DOUBLE) / (t1 + nb))
+         * ln((CAST(cnt2 + 1 AS DOUBLE) / (t2 + nb))
+              / (CAST(cnt1 + 1 AS DOUBLE) / (t1 + nb)))
+       AS FLOAT) AS psi_term
+FROM cnts, tot
+""",
+)
+def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket PSI terms between event-stream halves (rank split on
+    event_id, 10 fixed-width value buckets, add-1 smoothing)."""
+    e = t(spark, sf_dir, "events")
+    half = e.agg(F.expr("(MAX(event_id) + 1) div 2").alias("h"))
+    bucketed = e.crossJoin(F.broadcast(half)).select(
+        F.expr("LEAST(CAST(FLOOR(value / 5) AS INT), 9)").alias("bucket"),
+        F.when(F.col("event_id") < F.col("h"), 1).otherwise(0).alias("in1"),
+    )
+    cnts = bucketed.groupBy("bucket").agg(
+        F.sum("in1").cast("bigint").alias("cnt1"),
+        F.sum(F.lit(1) - F.col("in1")).cast("bigint").alias("cnt2"),
+    )
+    tot = cnts.agg(
+        F.sum("cnt1").alias("t1"),
+        F.sum("cnt2").alias("t2"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    p1 = (F.col("cnt1") + 1).cast("double") / (F.col("t1") + F.col("nb"))
+    p2 = (F.col("cnt2") + 1).cast("double") / (F.col("t2") + F.col("nb"))
+    return cnts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "cnt1",
+        "cnt2",
+        ((p2 - p1) * F.log(p2 / p1)).cast("float").alias("psi_term"),
+    )

@@ -180,6 +180,8 @@ _AFTER_WINDOW: list[str] = [
     "ts_seasonal_decompose",
     "sql_ch_dialect_vocab_r7c",
     "streaming_scd2_apply",
+    "join_nearest_event",
+    "profile_psi_drift",
 ]
 
 
