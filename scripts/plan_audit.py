@@ -58,6 +58,15 @@ ALLOWED = {
     # (sum, n) scalars: a ONE-row aggregate broadcast-crossed onto the
     # calendar-bounded daily series (operators/timeseries.py)
     "ts_changepoint_cusum": {"BNLJ"},
+    # half-split scalar + (t1, t2, nb) totals: two ONE-row aggregates
+    # broadcast-crossed onto the 10-row bucket matrix (ops/profile.py)
+    "profile_psi_drift": {"BNLJ"},
+    # floored-mean scalar + the 7-row lag spine, both broadcast-crossed
+    # onto the calendar-bounded daily series (operators/timeseries.py)
+    "ts_autocorrelation": {"BNLJ"},
+    # overall floored-mean: ONE-row aggregate broadcast-crossed onto the
+    # daily series; dow means join is a 7-row broadcast hash join
+    "ts_seasonal_decompose": {"BNLJ"},
     # unigram-LM normalizer: the total-token count is a ONE-row aggregate
     # broadcast-crossed onto the per-doc scores (ops/lm_score.py:71)
     "text_unigram_logprob": {"BNLJ"},
