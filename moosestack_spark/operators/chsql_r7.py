@@ -330,3 +330,75 @@ FROM (
 )
 """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_vocab_r7d",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(o_orderkey % 5 AS BIGINT) AS a1,
+         CAST(o_orderkey % 3 AS BIGINT) AS a2,
+         CAST(o_orderkey % 7 AS BIGINT) AS a3,
+         CAST(o_orderkey % 7 AS VARCHAR) AS k7,
+         CAST(o_orderkey % 5 AS VARCHAR) AS k5
+  FROM orders WHERE o_orderkey % 29 = 0
+), auc_ex AS (
+  SELECT o_orderkey,
+         UNNEST([CAST(a1 * 4 AS DOUBLE), CAST(a2 * 4 + 1 AS DOUBLE),
+                 CAST(a1 * 4 + 2 AS DOUBLE), CAST(a3 * 4 + 3 AS DOUBLE)]) AS s,
+         UNNEST([1, 0, 1, 0]) AS l
+  FROM base
+), auc_r AS (
+  SELECT o_orderkey, l,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY s) AS rk
+  FROM auc_ex
+), auc AS (
+  SELECT o_orderkey,
+         CAST(SUM(CASE WHEN l = 1 THEN rk ELSE 0 END) - 3 AS DOUBLE) / 4
+           AS auc
+  FROM auc_r GROUP BY o_orderkey
+)
+SELECT b.o_orderkey,
+       '[' || b.a1 || ',' || GREATEST(b.a1 - b.a2, 0) || ','
+           || (GREATEST(b.a1 - b.a2, 0) + b.a3) || ']' AS csnn,
+       CASE WHEN b.a3 > 1 THEN b.a3 WHEN b.a1 > 1 THEN b.a1 END AS al,
+       CASE WHEN b.a3 > 1 THEN 3 WHEN b.a1 > 1 THEN 1 ELSE 0 END AS ali,
+       CASE WHEN b.k7 = b.k5 THEN 0 ELSE 1 END AS bh,
+       2 AS bh2,
+       auc.auc AS auc
+FROM base b JOIN auc USING (o_orderkey)
+""",
+)
+def sql_ch_dialect_vocab_r7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 vocabulary batch D: arrayCumSumNonNegative (true running
+    clamp via array-accumulator fold), lambda-first arrayLast/
+    arrayLastIndex, byteHammingDistance (length-difference counting),
+    tie-free arrayAUC.  The AUC oracle REPLAYS the rank arithmetic via
+    unnest+window (scores use distinct mod-4 residues, so no ties at any
+    SF); the rest are closed-form."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       arrayCumSumNonNegative(array(a1, -a2, a3)) AS csnn,
+       arrayLast(x -> x > 1, array(a1, -a2, a3)) AS al,
+       arrayLastIndex(x -> x > 1, array(a1, -a2, a3)) AS ali,
+       byteHammingDistance(concat('ab', toString(a3)),
+                           concat('ab', toString(a1))) AS bh,
+       byteHammingDistance('abc', 'abcde') AS bh2,
+       arrayAUC(array(toFloat64(a1 * 4), toFloat64(a2 * 4 + 1),
+                      toFloat64(a1 * 4 + 2), toFloat64(a3 * 4 + 3)),
+                array(1, 0, 1, 0)) AS auc
+FROM (
+  SELECT o_orderkey,
+         toInt64(o_orderkey % 5) AS a1,
+         toInt64(o_orderkey % 3) AS a2,
+         toInt64(o_orderkey % 7) AS a3
+  FROM orders WHERE o_orderkey % 29 = 0
+)
+"""
+    out = spark.sql(translate_ch_sql(ch_sql))
+    return canon_arrays(out, "csnn")

@@ -182,6 +182,7 @@ _AFTER_WINDOW: list[str] = [
     "streaming_scd2_apply",
     "join_nearest_event",
     "profile_psi_drift",
+    "sql_ch_dialect_vocab_r7d",
 ]
 
 

@@ -1301,6 +1301,53 @@ _TEMPLATE.update(
         "soundex": "soundex({0})",
         "repeat": "repeat({0}, {1})",
         "space": "repeat(' ', {0})",
+        # running clamp s_i = max(0, s_{i-1} + x_i): a true recursion, so
+        # an array-accumulator fold (not the slice-resum trick arrayCumSum
+        # uses — clamping is order-dependent)
+        "arrayCumSumNonNegative": (
+            "slice(aggregate({0}, array(0L), (__cs_acc, __cs_x) -> "
+            "array_append(__cs_acc, "
+            "greatest(element_at(__cs_acc, -1) + __cs_x, 0L))), "
+            "2, size({0}))"
+        ),
+        # lambda-first like arrayFirst
+        "arrayLast": "try_element_at(filter({1}, {0}), -1)",
+        "arrayLastIndex": (
+            "coalesce(array_max(transform(transform({1}, {0}), "
+            "(__al_b, __al_i) -> IF(__al_b, __al_i + 1, 0))), 0)"
+        ),
+        # positions past the shorter string count as differing (CH counts
+        # the length difference); both-empty guarded (sequence(1,0) would
+        # run DESCENDING in Spark)
+        "byteHammingDistance": (
+            "IF(greatest(length({0}), length({1})) = 0, 0L, "
+            "aggregate(transform(sequence(1, greatest(length({0}), "
+            "length({1}))), __bh_i -> IF(substring({0}, __bh_i, 1) <=> "
+            "substring({1}, __bh_i, 1), 0L, 1L)), 0L, "
+            "(__bh_a, __bh_b) -> __bh_a + __bh_b))"
+        ),
+    }
+)
+
+# arrayAUC(scores, labels) — TIE-FREE contract (distinct scores; CH
+# averages tied ranks, gates construct residue-distinct fixtures): rank
+# positives by ascending score, AUC = (rank_sum - P(P+1)/2) / (P*N).
+_AUC_SORTED = (
+    "array_sort(zip_with({0}, {1}, (__au_s, __au_l) -> "
+    "named_struct('s', cast(__au_s as double), 'l', __au_l)))"
+)
+_AUC_RS = (
+    "aggregate(transform(" + _AUC_SORTED + ", (__au_e, __au_i) -> "
+    "IF(__au_e.l = 1, cast(__au_i as bigint) + 1, 0L)), 0L, "
+    "(__au_a, __au_b) -> __au_a + __au_b)"
+)
+_AUC_P = "aggregate({1}, 0L, (__au_a, __au_x) -> __au_a + IF(__au_x = 1, 1L, 0L))"
+_TEMPLATE.update(
+    {
+        "arrayAUC": (
+            f"(cast({_AUC_RS} - {_AUC_P} * ({_AUC_P} + 1) div 2 as double) "
+            f"/ cast({_AUC_P} * (size({{1}}) - {_AUC_P}) as double))"
+        ),
     }
 )
 
