@@ -684,3 +684,64 @@ def agg_sequence_match_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, only=["events"])
     return spark.sql(_SEQ_MATCH_TIMED_SQL)
+
+
+# --------------------------------------------------------------------------
+# Time-to-convert distribution: per user, first view -> first purchase AT OR
+# AFTER that view; exact integer microsecond deltas aggregated to count /
+# min / max (BIGINT) and exact interpolated median / p90 (Spark
+# `percentile` == DuckDB `quantile_cont` on integer-valued doubles — the
+# ts_anomaly_mad precedent).  Two groupBys + one user-id join — never a
+# global sort of raw events.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+WITH v0 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS v_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) - MAX(v0.v_us) AS delta_us
+  FROM events e JOIN v0 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v0.v_us
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v0) AS BIGINT) AS n_viewers,
+       CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(MIN(delta_us) AS BIGINT) AS min_us,
+       quantile_cont(CAST(delta_us AS DOUBLE), 0.5) AS median_us,
+       quantile_cont(CAST(delta_us AS DOUBLE), 0.9) AS p90_us,
+       CAST(MAX(delta_us) AS BIGINT) AS max_us
+FROM conv
+""",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view -> first-subsequent-purchase latency distribution.
+    MAX(v_us) inside the per-user group is a no-op (v0 has one row per
+    user) kept so Spark and DuckDB aggregate identically."""
+    e = t(spark, sf_dir, "events")
+    v0 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("v_us"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v0, "user_id")
+        .filter(F.unix_micros("ts") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(
+            (F.min(F.unix_micros("ts")) - F.max("v_us")).alias("delta_us")
+        )
+    )
+    n_viewers = v0.count()
+    return conv.agg(
+        F.lit(n_viewers).cast("bigint").alias("n_viewers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min("delta_us").cast("bigint").alias("min_us"),
+        F.expr("percentile(cast(delta_us as double), 0.5)").alias("median_us"),
+        F.expr("percentile(cast(delta_us as double), 0.9)").alias("p90_us"),
+        F.max("delta_us").cast("bigint").alias("max_us"),
+    )

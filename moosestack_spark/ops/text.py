@@ -749,3 +749,58 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stop_hits") >= 1)
         ).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus n-gram diversity: distinct word-3-grams / total word-3-grams per
+# source — the self-repetition metric curation pipelines track next to the
+# dup-n-gram fraction (a LOW ratio flags template/boilerplate sources).
+# One explode + one groupBy(source) with countDistinct; the canonical
+# two-shuffle shape (explode is map-side, distinct adds the second
+# exchange).  Ratio is ONE division of exact counts.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_diversity",
+    oracle="""
+WITH w AS (
+  SELECT source, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT source,
+         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram
+  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+)
+SELECT source,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_grams,
+       CAST(COUNT(*) AS BIGINT) AS total_grams,
+       CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*) AS diversity
+FROM g GROUP BY source
+""",
+)
+def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, distinct word-3-grams, total, ratio) — single-space
+    tokenization matching the corpus text format."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select("source", F.split("text", " ").alias("ws"))
+    g = (
+        w.filter(F.size("ws") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2), i -> "
+                    "concat_ws(' ', element_at(ws, i), "
+                    "element_at(ws, i + 1), element_at(ws, i + 2)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    return g.groupBy("source").agg(
+        F.countDistinct("gram").cast("bigint").alias("distinct_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("total_grams"),
+        (F.countDistinct("gram").cast("double") / F.count(F.lit(1))).alias(
+            "diversity"
+        ),
+    )

@@ -183,6 +183,8 @@ _AFTER_WINDOW: list[str] = [
     "join_nearest_event",
     "profile_psi_drift",
     "sql_ch_dialect_vocab_r7d",
+    "funnel_time_to_convert",
+    "text_ngram_diversity",
 ]
 
 
