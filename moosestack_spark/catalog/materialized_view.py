@@ -153,3 +153,66 @@ class IncrementalAggregateView:
         """Initial backfill (blocks.py:776-780 INSERT INTO target SELECT)."""
         self.state = self._partial(full)
         return self
+
+
+class IncrementalJoinView:
+    """Materialized two-source JOIN maintained under append-only inserts to
+    EITHER side via the delta rule: for inserts dA, dB,
+
+        d(A ⋈ B) = dA ⋈ B_old  ∪  A_old ⋈ dB  ∪  dA ⋈ dB
+
+    — the join-MV counterpart of IncrementalAggregateView (the reference
+    materializes join-shaped views by re-running the SELECT per inserted
+    block against the already-loaded tables; same contract, reference
+    packages/py-moose-lib MaterializedView SELECT-over-block semantics).
+
+    Scale shape (100 TB): each refresh joins only the DELTA against the
+    accumulated other side (one shuffle on the join key per term; the
+    dA ⋈ dB term is delta-sized on both sides).  Retained state is the two
+    input relations partitioned on the join key — exactly the state a
+    stream-stream join keeps; localCheckpoint truncates the per-refresh
+    lineage so the plan never re-derives old batches."""
+
+    def __init__(self, on: Sequence[str]):
+        self.on = list(on)
+        self._a: Optional[DataFrame] = None
+        self._b: Optional[DataFrame] = None
+        self._out: Optional[DataFrame] = None
+
+    @staticmethod
+    def _union(acc: Optional[DataFrame], d: DataFrame) -> DataFrame:
+        return d if acc is None else acc.unionByName(d)
+
+    def refresh(
+        self,
+        da: Optional[DataFrame] = None,
+        db: Optional[DataFrame] = None,
+    ) -> "IncrementalJoinView":
+        """Fold one inserted block per side (either may be None)."""
+        parts: list[DataFrame] = []
+        if da is not None and self._b is not None:
+            parts.append(da.join(self._b, self.on))
+        if db is not None and self._a is not None:
+            parts.append(self._a.join(db, self.on))
+        if da is not None and db is not None:
+            parts.append(da.join(db, self.on))
+        for p in parts:
+            self._out = self._union(self._out, p)
+        if da is not None:
+            self._a = self._union(self._a, da).localCheckpoint()
+        if db is not None:
+            self._b = self._union(self._b, db).localCheckpoint()
+        if self._out is not None:
+            self._out = self._out.localCheckpoint()
+        return self
+
+    def read(self) -> DataFrame:
+        assert self._out is not None, "empty materialized join view"
+        return self._out
+
+    def populate(self, full_a: DataFrame, full_b: DataFrame) -> "IncrementalJoinView":
+        """One-shot backfill; subsequent refresh() calls stay incremental."""
+        self._a = full_a.localCheckpoint()
+        self._b = full_b.localCheckpoint()
+        self._out = full_a.join(full_b, self.on).localCheckpoint()
+        return self

@@ -132,3 +132,47 @@ def mv_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return day
+
+
+@query(
+    "mv_incremental_join",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+       c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def mv_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-MV delta maintenance: orders arrive in 3 batches and customer
+    in 2, interleaved; every refresh applies d(A ⋈ B) = dA⋈B ∪ A⋈dB ∪
+    dA⋈dB (catalog/materialized_view.py IncrementalJoinView).  The final
+    materialized join must equal the one-shot join oracle REGARDLESS of
+    the interleaving — each (order, customer) pair lands in exactly one
+    delta term."""
+    from moosestack_spark.catalog.materialized_view import IncrementalJoinView
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).withColumnRenamed("o_custkey", "custkey")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
+    )
+    view = IncrementalJoinView(on=["custkey"])
+    # interleaved insert schedule: o0 | c0 | o1+c1 | o2
+    view.refresh(da=o.filter(F.col("o_orderkey") % 3 == 0))
+    view.refresh(db=c.filter(F.col("custkey") % 2 == 0))
+    view.refresh(
+        da=o.filter(F.col("o_orderkey") % 3 == 1),
+        db=c.filter(F.col("custkey") % 2 == 1),
+    )
+    view.refresh(da=o.filter(F.col("o_orderkey") % 3 == 2))
+    return view.read().select(
+        "o_orderkey",
+        F.col("custkey").alias("o_custkey"),
+        "cents",
+        "c_name",
+        "c_mktsegment",
+    )

@@ -185,6 +185,7 @@ _AFTER_WINDOW: list[str] = [
     "sql_ch_dialect_vocab_r7d",
     "funnel_time_to_convert",
     "text_ngram_diversity",
+    "mv_incremental_join",
 ]
 
 

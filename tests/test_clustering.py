@@ -102,3 +102,37 @@ def test_lpa_drops_self_loops_and_merges_two_cycle(spark):
     # a bare edge is the oscillation case WITHOUT the self-vote; with it,
     # both endpoints settle on the smaller label in one round
     assert got[8] == got[9] == 8
+
+
+def test_incremental_join_view_delta_rule(spark):
+    from moosestack_spark.catalog.materialized_view import IncrementalJoinView
+
+    a1 = spark.createDataFrame([(1, "a1"), (2, "a2")], ["k", "av"])
+    a2 = spark.createDataFrame([(2, "a3"), (3, "a4")], ["k", "av"])
+    b1 = spark.createDataFrame([(2, "b1")], ["k", "bv"])
+    b2 = spark.createDataFrame([(1, "b2"), (2, "b3")], ["k", "bv"])
+
+    v = IncrementalJoinView(on=["k"])
+    v.refresh(da=a1)           # B empty: no output yet, state only
+    v.refresh(db=b1)           # A_old x dB
+    v.refresh(da=a2, db=b2)    # all three delta terms at once
+    got = sorted((r.k, r.av, r.bv) for r in v.read().collect())
+
+    full_a = a1.unionByName(a2)
+    full_b = b1.unionByName(b2)
+    want = sorted(
+        (r.k, r.av, r.bv) for r in full_a.join(full_b, ["k"]).collect()
+    )
+    # k=1: 1x1, k=2: 2x2, k=3: unmatched -> 5 pairs
+    assert got == want and len(got) == 5
+
+
+def test_incremental_join_view_populate_then_refresh(spark):
+    from moosestack_spark.catalog.materialized_view import IncrementalJoinView
+
+    a = spark.createDataFrame([(1, "x")], ["k", "av"])
+    b = spark.createDataFrame([(1, "y")], ["k", "bv"])
+    v = IncrementalJoinView(on=["k"]).populate(a, b)
+    v.refresh(da=spark.createDataFrame([(1, "x2")], ["k", "av"]))
+    got = sorted((r.av, r.bv) for r in v.read().collect())
+    assert got == [("x", "y"), ("x2", "y")]
