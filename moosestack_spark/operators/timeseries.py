@@ -506,3 +506,57 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast skill: compare the weekly seasonal-naive
+# predictor (x_{t-7}) against the naive-1 predictor (x_{t-1}) over the
+# daily series — the MASE-style ratio every forecast pipeline baselines
+# against before trusting a model.  Absolute-error sums are exact BIGINTs
+# over full-lag rows; the ratio is one final division.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ts_seasonal_naive_skill",
+    oracle=f"""
+WITH d AS ({_DAILY_SQL}),
+r AS (
+  SELECT day, cents,
+         LAG(cents, 7) OVER (ORDER BY day) AS l7,
+         LAG(cents, 1) OVER (ORDER BY day) AS l1,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn
+  FROM d
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(cents - l7)) AS BIGINT) AS snaive_abs_err,
+       CAST(SUM(ABS(cents - l1)) AS BIGINT) AS naive_abs_err,
+       CAST(SUM(ABS(cents - l7)) AS DOUBLE)
+         / CAST(SUM(ABS(cents - l1)) AS DOUBLE) AS mase
+FROM r WHERE rn >= 8
+""",
+)
+def ts_seasonal_naive_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE-style skill of the weekly seasonal-naive predictor vs naive-1
+    over daily revenue (full-lag rows only, exact integer error sums)."""
+    d = _daily(spark, sf_dir)
+    w = Window.orderBy("day")
+    r = d.select(
+        "cents",
+        F.lag("cents", 7).over(w).alias("l7"),
+        F.lag("cents", 1).over(w).alias("l1"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") >= 8)
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.abs(F.col("cents") - F.col("l7"))).cast("bigint").alias(
+            "snaive_abs_err"
+        ),
+        F.sum(F.abs(F.col("cents") - F.col("l1"))).cast("bigint").alias(
+            "naive_abs_err"
+        ),
+        (
+            F.sum(F.abs(F.col("cents") - F.col("l7"))).cast("double")
+            / F.sum(F.abs(F.col("cents") - F.col("l1"))).cast("double")
+        ).alias("mase"),
+    )

@@ -186,6 +186,7 @@ _AFTER_WINDOW: list[str] = [
     "funnel_time_to_convert",
     "text_ngram_diversity",
     "mv_incremental_join",
+    "ts_seasonal_naive_skill",
 ]
 
 
