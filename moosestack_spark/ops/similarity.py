@@ -163,20 +163,27 @@ def lsh_topk(
     """ANN: exact cosine re-rank restricted to candidates sharing the
     query's LSH bucket.  At scale: shuffle on bucket id co-locates each
     bucket; queries broadcast."""
+    # norms once per row before the join (the oracle's `nrm` column):
+    # cosine per surviving pair is then one dot fold, not three
     q = queries_df.select(
         F.col(query_id),
         F.col(vec).alias("__qv"),
         lsh_bucket(F.col(vec), dim).alias("__qb"),
+        _norm(F.col(vec)).alias("__qn"),
     )
     c = candidates_df.select(
         F.col(cand_id),
         F.col(vec).alias("__cv"),
         lsh_bucket(F.col(vec), dim).alias("__cb"),
+        _norm(F.col(vec)).alias("__cn"),
     )
     scored = (
         F.broadcast(q)
         .join(c, F.col("__qb") == F.col("__cb"))
-        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cos_sim",
+            _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
     return (
