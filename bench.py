@@ -163,6 +163,18 @@ EXTRA = [
     "basket_pair_lift",
     "agg_gini_revenue",
     "agg_markov_transitions",
+    # round-7 late-session additions
+    "ts_autocorrelation",
+    "ts_seasonal_decompose",
+    "ts_seasonal_naive_skill",
+    "sql_ch_dialect_vocab_r7c",
+    "sql_ch_dialect_vocab_r7d",
+    "streaming_scd2_apply",
+    "join_nearest_event",
+    "profile_psi_drift",
+    "funnel_time_to_convert",
+    "text_ngram_diversity",
+    "mv_incremental_join",
 ]
 
 
