@@ -321,3 +321,55 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(cnt * 1000000L) div tot").cast("bigint").alias("p_ppm"),
         )
     )
+
+
+@query(
+    "cohort_churn_weekly",
+    oracle="""
+WITH aw AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+           AS BIGINT) AS w
+  FROM events
+), nxt AS (
+  SELECT a.user_id, a.w,
+         CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS churned
+  FROM aw a LEFT JOIN aw b
+    ON a.user_id = b.user_id AND b.w = a.w + 1
+), last_w AS (
+  SELECT MAX(w) AS mw FROM aw
+)
+SELECT w, CAST(COUNT(*) AS BIGINT) AS active_users,
+       CAST(SUM(churned) AS BIGINT) AS churned_users,
+       CAST((SUM(churned) * 1000000) // COUNT(*) AS BIGINT) AS churn_ppm
+FROM nxt WHERE w < (SELECT mw FROM last_w)
+GROUP BY w
+""",
+)
+def cohort_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn: fraction of week-w actives with NO activity in week
+    w+1 (last week excluded — its successor is unobserved).  One distinct
+    projection + one self anti-probe on (user, week+1) + one groupBy;
+    churn as a ppm-scaled integer (positive operands, div == floor)."""
+    e = t(spark, sf_dir, "events")
+    week = (F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")) / 7).cast(
+        "int"
+    ).cast("bigint")
+    aw = e.select("user_id", week.alias("w")).distinct().localCheckpoint()
+    nxt = aw.select(F.col("user_id").alias("nu"), (F.col("w") - 1).alias("nw"))
+    probed = aw.join(
+        nxt, (aw.user_id == nxt.nu) & (aw.w == nxt.nw), "left"
+    ).select("user_id", "w", F.when(F.col("nu").isNull(), 1).otherwise(0).alias("churned"))
+    last_w = aw.agg(F.max("w").alias("mw"))
+    return (
+        probed.crossJoin(F.broadcast(last_w))
+        .filter(F.col("w") < F.col("mw"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_users"),
+            F.sum("churned").cast("bigint").alias("churned_users"),
+            F.expr("(sum(churned) * 1000000) div count(*)")
+            .cast("bigint")
+            .alias("churn_ppm"),
+        )
+    )

@@ -187,6 +187,7 @@ _AFTER_WINDOW: list[str] = [
     "text_ngram_diversity",
     "mv_incremental_join",
     "ts_seasonal_naive_skill",
+    "cohort_churn_weekly",
 ]
 
 
