@@ -242,10 +242,13 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     max_shingle_df: int | None = MAX_SHINGLE_DF,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Jaccard over distinct n-gram shingle sets for every candidate
+    """Set-similarity over distinct n-gram shingle sets for every candidate
     pair (pairs sharing >= 1 surviving shingle).  Returns
-    (doc_a, doc_b, jaccard).
+    (doc_a, doc_b, <metric>) with metric 'jaccard' (symmetric) or
+    'containment' (|A∩B| / min|A|,|B| — the subset/quote-duplication
+    detector Jaccard structurally misses on length-skewed pairs).
 
     Plan shape: explode -> document-frequency prune -> self-equi-join on
     shingle (shuffle on shingle) -> per-pair intersection counts -> join
@@ -326,16 +329,24 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"))
+    joined = inter.join(sa, "doc_a").join(sb, "doc_b")
+    if metric == "jaccard":
+        score = F.col("inter").cast("double") / (
+            F.col("size_a") + F.col("size_b") - F.col("inter")
+        ).cast("double")
+    elif metric == "containment":
+        # |A ∩ B| / min(|A|, |B|): catches subset/quote duplication where
+        # a short doc is wholly contained in a long one — Jaccard dilutes
+        # such pairs by the LARGE doc's size and misses them
+        score = F.col("inter").cast("double") / F.least(
+            "size_a", "size_b"
+        ).cast("double")
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        joined.withColumn(metric, score)
+        .filter(F.col(metric) >= threshold)
+        .select("doc_a", "doc_b", metric)
     )
 
 
@@ -1792,4 +1803,49 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("h") * (F.col("pos") + 1)).cast("bigint").alias("digest"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_containment",
+    oracle=r"""
+WITH sh_all AS (
+  SELECT DISTINCT doc_id AS doc, shingle FROM (
+    SELECT doc_id,
+           array_to_string(toks[i : i + 4], ' ') AS shingle
+    FROM (
+      SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents
+    ), LATERAL (SELECT UNNEST(generate_series(1, GREATEST(LEN(toks) - 4, 0))) AS i)
+  )
+),
+sh AS (
+  SELECT doc, shingle FROM (
+    SELECT doc, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM sh_all
+  ) WHERE df <= 100
+),
+sizes AS (SELECT doc, COUNT(*) AS set_size FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / LEAST(sa.set_size, sb.set_size) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(inter AS DOUBLE) / LEAST(sa.set_size, sb.set_size) >= 0.8
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup over 5-gram shingle sets (threshold 0.8):
+    |A∩B| / min(|A|,|B|) flags a short document wholly quoted inside a
+    long one — the length-skewed duplication Jaccard dilutes away.  Same
+    df-capped pair pipeline (and the same 100 TB skew bound) as
+    dedup_ngram_jaccard."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", n=5, threshold=0.8, metric="containment"
     )

@@ -188,6 +188,7 @@ _AFTER_WINDOW: list[str] = [
     "mv_incremental_join",
     "ts_seasonal_naive_skill",
     "cohort_churn_weekly",
+    "dedup_containment",
 ]
 
 
