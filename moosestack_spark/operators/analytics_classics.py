@@ -373,3 +373,78 @@ def cohort_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("churn_ppm"),
         )
     )
+
+
+@query(
+    "attribution_linear",
+    oracle=f"""
+WITH tagged AS (
+  SELECT event_type, {_CENTS} AS cents,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hv,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hc
+  FROM events
+), conv AS (
+  SELECT cents, COALESCE(hv, 0) AS hv, COALESCE(hc, 0) AS hc
+  FROM tagged WHERE event_type = 'purchase'
+)
+SELECT channel,
+       CAST(SUM(micros) AS BIGINT) AS credit_micros,
+       CAST(COUNT(*) AS BIGINT) AS touches
+FROM (
+  SELECT 'view' AS channel, (cents * 1000000) // (hv + hc) AS micros
+  FROM conv WHERE hv = 1
+  UNION ALL
+  SELECT 'click', (cents * 1000000) // (hv + hc) FROM conv WHERE hc = 1
+  UNION ALL
+  SELECT 'none', cents * 1000000 FROM conv WHERE hv = 0 AND hc = 0
+) GROUP BY channel
+""",
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) attribution: each purchase's cents split
+    evenly across the channels (view/click) touched strictly before it;
+    shares are micro-cent integers (cents*1e6 div n_channels — positive
+    operands, div == floor) so the per-channel credit sums are exact
+    BIGINTs.  Untouched purchases credit 'none' whole.  Same single
+    per-user window pass as last-touch."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flag = lambda et: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("event_type") == et, 1).otherwise(0)).over(w),
+        F.lit(0),
+    )
+    conv = e.select(
+        "event_type",
+        F.expr(_CENTS).alias("cents"),
+        flag("view").alias("hv"),
+        flag("click").alias("hc"),
+    ).filter(F.col("event_type") == "purchase")
+    n = F.col("hv") + F.col("hc")
+    share = F.expr("(cents * 1000000L) div (hv + hc)")
+    v = conv.filter(F.col("hv") == 1).select(
+        F.lit("view").alias("channel"), share.alias("micros")
+    )
+    c = conv.filter(F.col("hc") == 1).select(
+        F.lit("click").alias("channel"), share.alias("micros")
+    )
+    z = conv.filter((F.col("hv") == 0) & (F.col("hc") == 0)).select(
+        F.lit("none").alias("channel"),
+        F.expr("cents * 1000000L").alias("micros"),
+    )
+    return (
+        v.unionByName(c)
+        .unionByName(z)
+        .groupBy("channel")
+        .agg(
+            F.sum("micros").cast("bigint").alias("credit_micros"),
+            F.count(F.lit(1)).cast("bigint").alias("touches"),
+        )
+    )

@@ -189,6 +189,7 @@ _AFTER_WINDOW: list[str] = [
     "ts_seasonal_naive_skill",
     "cohort_churn_weekly",
     "dedup_containment",
+    "attribution_linear",
 ]
 
 
