@@ -89,6 +89,10 @@ ALLOWED = {
     # shuffle hash/sort join by DESIGN — an n-gram model outgrows
     # broadcast at corpus scale
     "text_bigram_backoff_logprob": {"BNLJ"},
+    # cohort churn: the last-complete-week cutoff is a ONE-row max(week)
+    # aggregate broadcast-crossed onto the weekly activity rows — the
+    # reviewed scalar-subquery shape (operators/analytics_classics.py)
+    "cohort_churn_weekly": {"BNLJ"},
     # cluster->quality and cluster->keeper joins are keyed equi-joins on
     # doc_id/cluster_id; at 100 TB the near-dup cluster table is NOT
     # broadcastable, so the key-partitioned sort-merge IS the right plan
