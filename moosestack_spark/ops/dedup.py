@@ -1301,6 +1301,41 @@ def embedding_cosine_pairs_pruned(
     )
 
 
+def _auto_planes(
+    n_rows: int,
+    target_occupancy: int,
+    min_planes: int = PRUNE_PLANES_PER_BAND,
+    max_planes: int = 20,
+) -> int:
+    """Smallest P with target_occupancy * 2**P >= n_rows, clamped to
+    [min_planes, max_planes].  Integer-exact on purpose: the oracle SQL
+    replays this choice as a CASE over COUNT(*) with integer thresholds,
+    so a float ceil(log2(...)) that rounds differently at an exact
+    power-of-two boundary would break the hash-exact contract."""
+    p = 0
+    while (target_occupancy << p) < n_rows and p < max_planes:
+        p += 1
+    return max(min_planes, min(max_planes, p))
+
+
+def _auto_bands(
+    threshold: float, planes: int, recall: float = 0.9, max_bands: int = 64
+) -> tuple[int, int]:
+    """(capped, uncapped) band count for hyperplane-LSH pair recall >=
+    ``recall`` at cosine ``threshold``: a plane agrees on a pair with
+    p = 1 - arccos(t)/pi, so bands = ceil(ln(1-recall)/ln(1-p^planes)).
+    Shared by the runtime auto config and the oracle generator so the two
+    can never drift."""
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    pr = p**planes
+    if pr >= 1.0 - 1e-12:
+        return 1, 1
+    needed = math.ceil(math.log(max(1e-12, 1.0 - recall)) / math.log(1.0 - pr))
+    return int(min(max_bands, max(1, needed))), int(needed)
+
+
 def embedding_cosine_pairs_pruned_auto(
     df: DataFrame,
     id_col: str,
@@ -1341,22 +1376,13 @@ def embedding_cosine_pairs_pruned_auto(
 
     if n_rows is None:
         n_rows = df.count()
-    planes = int(
-        max(
-            PRUNE_PLANES_PER_BAND,
-            min(max_planes, math.ceil(math.log2(max(2.0, n_rows / target_occupancy)))),
-        )
+    planes = _auto_planes(
+        n_rows, target_occupancy, PRUNE_PLANES_PER_BAND, max_planes
     )
-    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    pr = p**planes
-    if pr >= 1.0 - 1e-12:
-        bands_needed = 1
-    else:
-        bands_needed = math.ceil(
-            math.log(max(1e-12, 1.0 - recall)) / math.log(1.0 - pr)
-        )
-    n_bands = int(min(max_bands, max(1, bands_needed)))
+    n_bands, bands_needed = _auto_bands(threshold, planes, recall, max_bands)
     if bands_needed > max_bands:
+        p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        pr = p**planes
         achieved = 1.0 - (1.0 - pr) ** n_bands
         warnings.warn(
             f"embedding_cosine_pairs_pruned_auto: recall target {recall} at "
@@ -1414,14 +1440,117 @@ WHERE list_dot_product(va, vb)
 
 @query("dedup_embedding_cosine_pruned", oracle=_pruned_oracle())
 def dedup_embedding_cosine_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB embedding-dedup path: banded-LSH candidate generation
-    composed in front of the exact cosine verify (threshold 0.35, 8 bands x
-    4 planes ~ 0.71 per-pair candidate recall at cos 0.35; recall rises
-    steeply with similarity — 0.97 at cos 0.6).  The oracle replays the
-    same prune, so ids hash-match exactly."""
+    """Fixed-config banded-LSH prune + exact cosine verify (threshold 0.35,
+    8 bands x 4 planes ~ 0.71 per-pair candidate recall at cos 0.35; recall
+    rises steeply with similarity — 0.97 at cos 0.6).  The oracle replays
+    the same prune, so ids hash-match exactly.
+
+    CORRECTNESS GATE ONLY: the fixed 4-plane config keeps bucket occupancy
+    ~n/16, so verify work is O(n^2/16) — measured super-linear at the bench
+    30x tier.  The production default is the occupancy-targeted
+    dedup_embedding_cosine_pruned_auto below, whose verify work is linear
+    in n (planes grow with log n)."""
     e = t(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs_pruned(
         e, "vec_id", "embedding", threshold=0.35, dim=PRUNE_DIM
+    )
+
+
+# --------------------------------------------------------------------------
+# Occupancy-targeted gate: the AUTO config is the production default, so it
+# gets its own hash-exact oracle.  The config choice is a deterministic
+# integer function of COUNT(*) (_auto_planes), so the oracle replays the
+# choice itself as a CASE over n and carries the full per-config band menu —
+# whichever arm Spark picks at any gate SF, DuckDB picks the same one.
+# Gate knobs are pinned small so the menu stays enumerable: occupancy 64
+# makes n=500 (sf0.001/0.01) choose 4 planes and n=2000 (sf0.1) choose 5 —
+# the n-dependent switch is genuinely exercised across the test SFs.
+# --------------------------------------------------------------------------
+
+AUTO_GATE_THRESHOLD = 0.4  # 59-920 true pairs across the gate SFs
+AUTO_GATE_OCC = 64
+AUTO_GATE_RECALL = 0.9
+AUTO_GATE_MAX_PLANES = 5  # oracle menu covers planes in [4, 5]
+
+
+def _pruned_auto_oracle() -> str:
+    """DuckDB SQL replaying the occupancy-targeted banding END TO END:
+    COUNT(*) picks the plane count with the same integer thresholds as
+    _auto_planes, the per-config band counts are inlined from _auto_bands
+    (generated by the SAME helper the runtime uses, so they cannot drift),
+    and the plane literals match the Spark-side F.lit coefficients."""
+    from moosestack_spark.ops.similarity import _plane_coeffs
+
+    sig_cols, arms = [], []
+    for planes in range(PRUNE_PLANES_PER_BAND, AUTO_GATE_MAX_PLANES + 1):
+        bands, _ = _auto_bands(AUTO_GATE_THRESHOLD, planes, AUTO_GATE_RECALL)
+        names = []
+        for b in range(bands):
+            bits = []
+            for r in range(planes):
+                coeffs = _plane_coeffs(PRUNE_DIM, b * planes + r)
+                lits = ", ".join(repr(c) for c in coeffs)
+                bits.append(
+                    f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+                    f"THEN {1 << r} ELSE 0 END)"
+                )
+            sig_cols.append(" + ".join(bits) + f" AS p{planes}_b{b}")
+            names.append(f"p{planes}_b{b}")
+        collide = " OR ".join(f"a.{c} = b.{c}" for c in names)
+        arms.append(f"(cfg.planes = {planes} AND ({collide}))")
+    plane_case = " ".join(
+        f"WHEN n <= {AUTO_GATE_OCC << p} THEN {p}"
+        for p in range(PRUNE_PLANES_PER_BAND, AUTO_GATE_MAX_PLANES)
+    )
+    sig_sql = ",\n         ".join(sig_cols)
+    arm_sql = "\n        OR ".join(arms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cfg AS (
+  SELECT CASE {plane_case} ELSE {AUTO_GATE_MAX_PLANES} END AS planes
+  FROM (SELECT COUNT(*) AS n FROM e)
+), sig AS (
+  SELECT vec_id, v,
+         {sig_sql}
+  FROM e
+), cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM sig a, sig b, cfg
+  WHERE a.vec_id < b.vec_id AND (
+        {arm_sql})
+)
+SELECT id_a, id_b FROM cand
+WHERE list_dot_product(va, vb)
+      / (SQRT(list_dot_product(va, va)) * SQRT(list_dot_product(vb, vb)))
+      >= {AUTO_GATE_THRESHOLD}
+"""
+
+
+@query("dedup_embedding_cosine_pruned_auto", oracle=_pruned_auto_oracle())
+def dedup_embedding_cosine_pruned_auto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION embedding near-dup path: occupancy-targeted banding
+    (planes ~ log2(n/occupancy), so expected bucket occupancy — and with it
+    per-bucket verify work — stays constant as n grows; total work linear)
+    in front of the exact per-bucket GEMM verify.  Measured at the bench
+    30x tier: 15.2 s vs the fixed config's 48-85 s.  The oracle replays the
+    config CHOICE itself (CASE over COUNT(*)), so this gate hash-verifies
+    the auto path end to end, not just one frozen configuration."""
+    e = t(spark, sf_dir, "embeddings")
+    n = e.count()
+    return embedding_cosine_pairs_pruned_auto(
+        e,
+        "vec_id",
+        "embedding",
+        threshold=AUTO_GATE_THRESHOLD,
+        dim=PRUNE_DIM,
+        n_rows=n,
+        target_occupancy=AUTO_GATE_OCC,
+        recall=AUTO_GATE_RECALL,
+        max_planes=AUTO_GATE_MAX_PLANES,
     )
 
 
