@@ -183,9 +183,41 @@ class _HeadlineOnly(Exception):
     extras and scale tiers for fast variance re-measurement."""
 
 
+def _calibrate(n: int = 15_000_000) -> float:
+    """Fixed-work single-thread loop (~1-2 s on an idle host): emitted as
+    calib_sec so any reader can normalize host speed mechanically.  Round 7
+    shipped hot-machine numbers (headline 26.9 s vs 23.4 s idle, 120 s vs
+    5.5 s minhash at 30x) because nothing in the artifact recorded how fast
+    the host actually was; this constant makes cross-round comparison
+    load-aware.  Pure integer LCG so the work is identical on every run."""
+    start = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x = (x * 1664525 + 1013904223 + i) & 0xFFFFFFFF
+    assert x >= 0
+    return round(time.perf_counter() - start, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # Host-state annotations BEFORE the JVM spins up: a 1-min load average
+    # over ~2 means another workload (e.g. the correctness sweep) is still
+    # draining and every timing below will be inflated — annotate loudly
+    # rather than refuse, so the driver's invocation always yields a line.
+    try:
+        loadavg = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg = None
+    calib = _calibrate()
+    if loadavg is not None and loadavg > 2.0:
+        print(
+            f"BENCH-HOST-WARNING: 1-min load average {loadavg} > 2 at start "
+            f"— timings in this run are likely inflated by a concurrent "
+            f"workload (calib_sec={calib}). Re-run on an idle machine for "
+            f"comparable numbers.",
+            file=sys.stderr,
+        )
     registry.load_all()
     spark = get_spark("moosestack-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -479,6 +511,8 @@ def main() -> None:
         "extra_queries": extras,
         "scale_queries": {"factor": SCALE_FACTOR, **scale_queries},
         "sf": sf,
+        "calib_sec": calib,
+        "loadavg_start": loadavg,
     }
     print(json.dumps(sidecar), file=sys.stderr)
     try:
@@ -500,6 +534,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "calib_sec": calib,
+            "loadavg_start": loadavg,
         }
     )
     if len(line) > 1900:  # hard guard: never regress the driver's parse again
@@ -509,6 +545,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
+                "calib_sec": calib,
+                "loadavg_start": loadavg,
             }
         )
     print(line)
