@@ -133,7 +133,7 @@ SELECT o_orderkey,
        '[/cat' || k5 || '/,/cat' || k5 || '/item' || k7 || ']' AS uph,
        '[x=1,y=' || k3 || ']' AS eup,
        '[x,y]' AS eupn,
-       (k2 = 0) AS ip6,
+       (k4 < 2) AS ip6,
        (k4 < 2) AS inr,
        '10.' || (k4 * 16) || '.4.0' AS cidr_lo,
        '10.' || (k4 * 16) || '.4.255' AS cidr_hi,
@@ -178,7 +178,9 @@ SELECT o_orderkey,
        URLPathHierarchy(url) AS uph,
        extractURLParameters(url2) AS eup,
        extractURLParameterNames(url2) AS eupn,
-       isIPv6String(CASE WHEN k2 = 0 THEN '2001:db8::1'
+       isIPv6String(CASE WHEN k4 = 0 THEN '::1'
+                         WHEN k4 = 1 THEN '2001:db8::1'
+                         WHEN k4 = 2 THEN '1:2:3:4:5:6:7:8:9::'
                          ELSE '10.0.0.1' END) AS ip6,
        isIPAddressInRange(ip, '10.0.0.0/11') AS inr,
        IPv4CIDRToRange(ip, 24) AS cidr,
@@ -193,6 +195,7 @@ SELECT o_orderkey,
 FROM (
   SELECT o_orderkey, o_orderdate AS d,
          o_orderkey % 2 AS k2,
+         o_orderkey % 4 AS k4,
          concat('https://www.shop', toString(o_orderkey % 9),
                 '.example.com/cat', toString(o_orderkey % 5),
                 '/item', toString(o_orderkey % 7)) AS url,

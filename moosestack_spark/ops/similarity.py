@@ -1003,6 +1003,14 @@ def knn_graph(
     exact cosine, ties broken by min neighbor id.  Vectors alone in their
     bucket emit no rows (deterministic; the plane dial controls recall).
 
+    Ranking determinism: scores are quantized to a 2^-30 grid (np.rint)
+    BEFORE ordering.  The kernel computes cosine via BLAS GEMM while the
+    oracle folds sequentially (list_dot_product); summation order can
+    differ in the last ulp, and mathematically-tied neighbors (duplicate
+    vectors) would otherwise rank nondeterministically across BLAS builds.
+    On the grid, ulp-level divergence collapses to the same value and the
+    id tie-break decides — identically in both engines.
+
     Kernel shape: one Arrow-batched per-bucket GEMM (the
     embedding_cosine_pairs discipline — ~1000x a per-pair expression
     fold; measured 50s -> ~3s at n=60k).  Occupancy-targeted plane
@@ -1027,6 +1035,8 @@ def knn_graph(
         v = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(v, axis=1)
         c = (v @ v.T) / np.outer(nrm, nrm)
+        # 2^-30 quantization grid — see the docstring's determinism note
+        c = np.rint(c * 1073741824.0)
         np.fill_diagonal(c, -np.inf)
         kk = min(k, m - 1)
         qs, cs, rs = [], [], []
@@ -1072,7 +1082,8 @@ ranked AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          ROW_NUMBER() OVER (
            PARTITION BY q.vec_id
-           ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+           ORDER BY ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+                          * 1073741824.0, 0) DESC,
                     c.vec_id ASC
          ) AS rnk
   FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id != c.vec_id

@@ -1215,9 +1215,21 @@ _TEMPLATE.update(
             "'&'), __up_p -> __up_p != ''), "
             "__up_p -> regexp_extract(__up_p, '^([^=]*)', 1))"
         ),
+        # Hex-group forms only (full 8-group and '::'-compressed anywhere,
+        # incl. leading '::1' and bare '::', with group counts bounded so
+        # 9-group strings are rejected).  Documented deviation: the
+        # IPv4-mapped dotted tail ('::ffff:1.2.3.4') and zone ids ('%eth0')
+        # are not accepted; CH accepts both.
         "isIPv6String": (
-            "({0} RLIKE '^(([0-9a-fA-F]{{1,4}}:){{7}}[0-9a-fA-F]{{1,4}}"
-            "|([0-9a-fA-F]{{1,4}}:)+:([0-9a-fA-F]{{1,4}}:)*[0-9a-fA-F]{{0,4}})$')"
+            "({0} RLIKE '^(([0-9A-Fa-f]{{1,4}}:){{7}}[0-9A-Fa-f]{{1,4}}"
+            "|([0-9A-Fa-f]{{1,4}}:){{1,7}}:"
+            "|([0-9A-Fa-f]{{1,4}}:){{1,6}}:[0-9A-Fa-f]{{1,4}}"
+            "|([0-9A-Fa-f]{{1,4}}:){{1,5}}(:[0-9A-Fa-f]{{1,4}}){{1,2}}"
+            "|([0-9A-Fa-f]{{1,4}}:){{1,4}}(:[0-9A-Fa-f]{{1,4}}){{1,3}}"
+            "|([0-9A-Fa-f]{{1,4}}:){{1,3}}(:[0-9A-Fa-f]{{1,4}}){{1,4}}"
+            "|([0-9A-Fa-f]{{1,4}}:){{1,2}}(:[0-9A-Fa-f]{{1,4}}){{1,5}}"
+            "|[0-9A-Fa-f]{{1,4}}:(:[0-9A-Fa-f]{{1,4}}){{1,6}}"
+            "|:((:[0-9A-Fa-f]{{1,4}}){{1,7}}|:))$')"
         ),
         "isIPAddressInRange": (
             f"(shiftrightunsigned({_ATON.format(n=0)}, "
@@ -1310,7 +1322,10 @@ _TEMPLATE.update(
             "greatest(element_at(__cs_acc, -1) + __cs_x, 0L))), "
             "2, size({0}))"
         ),
-        # lambda-first like arrayFirst
+        # lambda-first like arrayFirst; same documented deviation as
+        # arrayFirst: CH returns the element type's default (0 for
+        # numerics) when nothing matches, this vocabulary returns NULL
+        # (Spark has no default-value notion for arbitrary types)
         "arrayLast": "try_element_at(filter({1}, {0}), -1)",
         "arrayLastIndex": (
             "coalesce(array_max(transform(transform({1}, {0}), "

@@ -139,3 +139,28 @@ def test_extract_groups_rewrite():
         translate_ch_sql("SELECT extractGroups(s, 'abc') FROM t")
     with pytest.raises(ValueError, match="literal pattern"):
         translate_ch_sql("SELECT extractGroups(s, p) FROM t")
+
+
+def test_is_ipv6_string_edge_cases(spark):
+    # '::'-compressed forms anywhere (incl. leading), bounded group counts;
+    # dotted-quad tails and zone ids are the documented out-of-subset cases
+    cases = [
+        ("::1", True),
+        ("::", True),
+        ("1::", True),
+        ("fe80::1", True),
+        ("2001:db8::1", True),
+        ("1:2:3:4:5:6:7:8", True),
+        ("1:2:3:4:5:6:7:8:9", False),  # 9 groups, no compression
+        ("1:2:3:4:5:6:7:8:9::", False),  # >8 groups with compression
+        ("2001:db8::1::2", False),  # double compression
+        ("10.0.0.1", False),
+        ("", False),
+        ("g::1", False),  # non-hex digit
+    ]
+    exprs = ", ".join(
+        f"isIPv6String('{s}') AS c{i}" for i, (s, _) in enumerate(cases)
+    )
+    row = spark.sql(translate_ch_sql(f"SELECT {exprs}")).collect()[0]
+    for i, (s, want) in enumerate(cases):
+        assert row[f"c{i}"] is want, f"isIPv6String({s!r}) != {want}"
