@@ -41,8 +41,13 @@ writes and python-side for prune-time filter hashing — the
 high-cardinality partitioning the identity PARTITION_CAP refusal points
 at.
 
+Multi-field partition specs (the shape real tables use, e.g.
+(day(ts), bucket[N](key))) are supported in write + prune via
+``spec_by=[(transform, source), ...]``; the PARTITION_CAP bounds the
+distinct transformed-combination count.
+
 Honest boundaries (raise, never silently wrong):
-- the void transform and multi-field partition specs beyond one field;
+- the void transform;
 - formats other than parquet data and delete files;
 - position delete files carrying the optional ``row`` struct are read for
   (file_path, pos) only — which is lossless for delete application.
@@ -584,6 +589,7 @@ class IcebergNativeTable:
         mode: str = "overwrite",
         bucket_by: tuple[str, int] | None = None,
         transform_by: tuple[str, str] | None = None,
+        spec_by: list[tuple[str, str]] | None = None,
     ) -> "IcebergNativeTable":
         """Write ``df`` as an Iceberg v2 table (new snapshot per call).
         mode='overwrite' starts v1; mode='append' adds a snapshot whose
@@ -595,7 +601,13 @@ class IcebergNativeTable:
         transform (murmur3 of the long's little-endian bytes, computed
         JVM-side by iceberg_bucket_sql) — the high-cardinality answer the
         identity PARTITION_CAP refusal points at: at most N partitions
-        regardless of key cardinality."""
+        regardless of key cardinality.
+
+        ``spec_by=[(transform, source_col), ...]`` writes a MULTI-FIELD
+        partition spec — the shape real tables use, e.g.
+        ``[("day", "ts"), ("bucket[4]", "key")]`` — with 'identity'
+        accepted as a transform name.  The PARTITION_CAP applies to the
+        count of distinct transformed COMBINATIONS."""
         spark = df.sparkSession
         table = cls(spark, path)
         data_dir = os.path.join(path, "data")
@@ -623,80 +635,100 @@ class IcebergNativeTable:
         commit_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, f"{path}#commit{version}"))
         batch_dir = os.path.join(data_dir, f"b{version}")
 
-        if sum(x is not None for x in (partition_by, bucket_by, transform_by)) > 1:
+        if sum(
+            x is not None for x in (partition_by, bucket_by, transform_by, spec_by)
+        ) > 1:
             raise ValueError(
-                "pass exactly one of partition_by, bucket_by, transform_by"
+                "pass exactly one of partition_by, bucket_by, transform_by, "
+                "spec_by"
             )
+        # every legacy single-field knob is sugar for a 1-entry spec_by
         if bucket_by:
-            transform_by = (f"bucket[{bucket_by[1]}]", bucket_by[0])
+            spec_by = [(f"bucket[{bucket_by[1]}]", bucket_by[0])]
+        elif transform_by:
+            spec_by = [transform_by]
+        elif partition_by:
+            spec_by = [("identity", partition_by)]
         # ---- data files (executor-side parquet write) ----
         part_fields: list[tuple[str, str]] = []
-        spec_transform, spec_source = "identity", partition_by
+        spec_fields_meta: list[tuple[str, str, str]] = []  # (fname, tf, src)
         entries: list[dict] = []
-        if transform_by:
-            tf, bcol = transform_by
-            dt = dict(df.dtypes).get(bcol)
-            if tf.startswith(("bucket[", "truncate[")) and dt not in (
-                "bigint", "int", "smallint", "tinyint",
-            ):
-                raise NotImplementedError(
-                    f"{tf} over {dt} column {bcol!r}: this writer hashes/"
-                    "truncates INTEGER keys only (string/decimal bucket "
-                    "hashing is not implemented — a silent CAST would "
-                    "null out the key)"
-                )
-            if tf in ("year", "month", "day", "hour") and dt not in (
-                "date", "timestamp", "timestamp_ntz",
-            ):
-                raise NotImplementedError(
-                    f"{tf} over {dt} column {bcol!r} (date/timestamp only)"
-                )
-            suffix = re.sub(r"\W+", "", tf.split("[")[0])
-            fname = f"{bcol}_{suffix}"
-            avro_t = "int" if tf.startswith(("bucket", "year", "month", "day")) else "long"
-            part_fields = [(fname, avro_t)]
-            spec_transform, spec_source = tf, bcol
-            bdf = df.withColumn("__ib", F.expr(iceberg_transform_sql(tf, bcol)))
-            values = sorted(
-                r[0] for r in bdf.select("__ib").distinct().collect()
-            )
-            if len(values) > cls.PARTITION_CAP:
-                raise ValueError(
-                    f"{len(values)} distinct transformed partition values "
-                    f"(cap {cls.PARTITION_CAP})"
-                )
-            for bv in values:
-                pdir = os.path.join(batch_dir, f"{fname}={bv}")
-                bdf.filter(F.col("__ib") == bv).drop("__ib").write.mode(
-                    "overwrite"
-                ).parquet(pdir)
-                entries.extend(
-                    table._entries_for_dir(
-                        pdir, {fname: int(bv)}, snap_id, seq
+        if spec_by:
+            dts = dict(df.dtypes)
+            bdf = df
+            fnames: list[str] = []
+            for j, (tf, bcol) in enumerate(spec_by):
+                dt = dts.get(bcol)
+                if dt is None:
+                    raise ValueError(f"partition source column {bcol!r} not in df")
+                if tf == "identity":
+                    fname, avro_t = bcol, _SPARK_TO_ICEBERG[dt][1]
+                    bdf = bdf.withColumn(f"__ib{j}", F.col(bcol))
+                else:
+                    if tf.startswith(("bucket[", "truncate[")) and dt not in (
+                        "bigint", "int", "smallint", "tinyint",
+                    ):
+                        raise NotImplementedError(
+                            f"{tf} over {dt} column {bcol!r}: this writer "
+                            "hashes/truncates INTEGER keys only (string/"
+                            "decimal bucket hashing is not implemented — a "
+                            "silent CAST would null out the key)"
+                        )
+                    if tf in ("year", "month", "day", "hour") and dt not in (
+                        "date", "timestamp", "timestamp_ntz",
+                    ):
+                        raise NotImplementedError(
+                            f"{tf} over {dt} column {bcol!r} (date/timestamp only)"
+                        )
+                    suffix = re.sub(r"\W+", "", tf.split("[")[0])
+                    fname = f"{bcol}_{suffix}"
+                    avro_t = (
+                        "int"
+                        if tf.startswith(("bucket", "year", "month", "day"))
+                        else "long"
                     )
-                )
-        elif partition_by:
-            dt = dict(df.dtypes)[partition_by]
-            part_fields = [(partition_by, _SPARK_TO_ICEBERG[dt][1])]
-            values = [
-                r[0]
-                for r in df.select(partition_by).distinct().collect()
-            ]
-            if len(values) > cls.PARTITION_CAP:
+                    bdf = bdf.withColumn(
+                        f"__ib{j}", F.expr(iceberg_transform_sql(tf, bcol))
+                    )
+                part_fields.append((fname, avro_t))
+                spec_fields_meta.append((fname, tf, bcol))
+                fnames.append(fname)
+            ibcols = [f"__ib{j}" for j in range(len(spec_by))]
+            combos = sorted(
+                (tuple(r) for r in bdf.select(*ibcols).distinct().collect()),
+                key=lambda tup: tuple(str(x) for x in tup),
+            )
+            if len(combos) > cls.PARTITION_CAP:
                 raise ValueError(
-                    f"{len(values)} distinct partition values (cap "
-                    f"{cls.PARTITION_CAP}): identity-partitioning by a "
-                    "high-cardinality column"
+                    f"{len(combos)} distinct partition values "
+                    f"({len(spec_by)}-field combinations; cap "
+                    f"{cls.PARTITION_CAP}): partitioning by a "
+                    "high-cardinality key"
                 )
-            for v in sorted(values, key=str):
-                pdir = os.path.join(batch_dir, f"{partition_by}={v}")
-                # keep the partition column IN the file (Iceberg data files
-                # carry the full schema, unlike Hive-layout partitionBy)
-                df.filter(F.col(partition_by) == F.lit(v)).write.mode(
+            for combo in combos:
+                pdir = os.path.join(
+                    batch_dir,
+                    *[f"{fn}={v}" for fn, v in zip(fnames, combo)],
+                )
+                cond = F.lit(True)
+                for c, v in zip(ibcols, combo):
+                    # eqNullSafe: a NULL partition value must keep its rows
+                    cond = cond & F.col(c).eqNullSafe(F.lit(v))
+                # keep source columns IN the file (Iceberg data files carry
+                # the full schema, unlike Hive-layout partitionBy)
+                bdf.filter(cond).drop(*ibcols).write.mode(
                     "overwrite"
                 ).parquet(pdir)
+                part_dict = {
+                    fn: (
+                        int(v)
+                        if v is not None and (tf_ != "identity")
+                        else v
+                    )
+                    for (fn, tf_, _), v in zip(spec_fields_meta, combo)
+                }
                 entries.extend(
-                    table._entries_for_dir(pdir, {partition_by: v}, snap_id, seq)
+                    table._entries_for_dir(pdir, part_dict, snap_id, seq)
                 )
         else:
             df.write.mode("overwrite").parquet(batch_dir)
@@ -776,15 +808,15 @@ class IcebergNativeTable:
                     "fields": [
                         {
                             "name": n,
-                            "transform": spec_transform,
+                            "transform": tf,
                             "source-id": [
                                 f["id"]
                                 for f in schema_fields
-                                if f["name"] == (spec_source or n)
+                                if f["name"] == src
                             ][0],
                             "field-id": 1000 + i,
                         }
-                        for i, (n, _) in enumerate(part_fields)
+                        for i, (n, tf, src) in enumerate(spec_fields_meta)
                     ],
                 }
             ],
@@ -855,16 +887,17 @@ class IcebergNativeTable:
             "float": "float", "string": "string", "boolean": "boolean",
             "date": "int", "timestamp": "long",
         }
-        return [
-            (
-                f["name"],
-                # bucket[N] partition values are ints whatever the source
-                "int"
-                if f["transform"].startswith("bucket[")
-                else ice_to_avro[types[f["source-id"]]],
-            )
-            for f in spec["fields"]
-        ]
+        def avro_t(f: dict) -> str:
+            tf = f["transform"]
+            # mirror the writer's rule exactly, so appended manifests use
+            # the same partition-value avro types as the original ones
+            if tf.startswith(("bucket[", "year", "month", "day")):
+                return "int"
+            if tf.startswith(("truncate[", "hour")):
+                return "long"
+            return ice_to_avro[types[f["source-id"]]]
+
+        return [(f["name"], avro_t(f)) for f in spec["fields"]]
 
     def _commit_delete_snapshot(
         self,

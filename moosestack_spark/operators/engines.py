@@ -1175,6 +1175,76 @@ def source_iceberg_bucket_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_iceberg_multifield_read",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1995-04-01'
+  AND o_orderdate >= TIMESTAMP '1995-02-01'
+  AND o_orderdate < TIMESTAMP '1995-03-01'
+  AND o_custkey IN (28, 29)
+""",
+)
+def source_iceberg_multifield_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field Iceberg partition spec end-to-end — the shape real
+    tables use: orders (first three months) written with
+    spec_by=[(month, o_orderdate), (bucket[2], o_custkey)], then two
+    (month, custkey) lookups each read through partition_filter on BOTH
+    source columns — the metadata walk month-ordinals the date, murmur3s
+    the key, and opens only the files of that one (month, bucket)
+    combination (pruning asserted in-gate).  The oracle replays the plain
+    filters; the re-applied exact predicate makes values bucket-independent
+    the same way source_iceberg_bucket_read's is."""
+    import datetime as _dt
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from moosestack_spark.catalog.iceberg_native import IcebergNativeTable
+
+    src = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-04-01"
+    ).select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderdate"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    base = _tempfile.mkdtemp(prefix="msk_ice_mf_")
+    try:
+        path = base + "/orders_ice"
+        table = IcebergNativeTable.write(
+            src,
+            path,
+            spec_by=[("month", "o_orderdate"), ("bucket[2]", "o_custkey")],
+        )
+        spec = table.metadata()["partition-specs"][0]["fields"]
+        assert [f["transform"] for f in spec] == ["month", "bucket[2]"]
+        all_files = table.data_files()
+        feb = _dt.date(1995, 2, 15)
+        parts = []
+        for key in (28, 29):
+            flt = {"o_orderdate": feb, "o_custkey": key}
+            pruned = table.data_files(partition_filter=flt)
+            assert 0 < len(pruned) < len(all_files), "no multi-field pruning"
+            parts.append(
+                table.read(partition_filter=flt).filter(
+                    (F.col("o_custkey") == key)
+                    & (F.col("o_orderdate") >= "1995-02-01")
+                    & (F.col("o_orderdate") < "1995-03-01")
+                )
+            )
+        return parts[0].unionByName(parts[1]).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).localCheckpoint()
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
     "source_delta_mapped_read",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n,

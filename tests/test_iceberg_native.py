@@ -354,3 +354,31 @@ try:
         assert t <= v < t + w and t % w == 0
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_multifield_spec_write_append_prune(spark, tmp_path):
+    """2-field spec (identity(cat), bucket[2](id)): write, append a second
+    snapshot (exercising _part_avro_fields on a multi-field spec), read
+    back everything, and prune on both source columns at once."""
+    df = spark.range(40).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS cat", "id * 10 AS v"
+    )
+    path = str(tmp_path / "mf")
+    table = IcebergNativeTable.write(
+        df, path, spec_by=[("identity", "cat"), ("bucket[2]", "id")]
+    )
+    more = spark.range(40, 50).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS cat", "id * 10 AS v"
+    )
+    table = IcebergNativeTable.write(
+        more, path, mode="append", spec_by=[("identity", "cat"), ("bucket[2]", "id")]
+    )
+    got = table.read().selectExpr("CAST(SUM(v) AS BIGINT)").collect()[0][0]
+    assert got == sum(i * 10 for i in range(50))
+    all_files = table.data_files()
+    pruned = table.data_files(partition_filter={"cat": "1", "id": 7})
+    assert 0 < len(pruned) < len(all_files)
+    rows = table.read(partition_filter={"cat": "1", "id": 7}).filter(
+        "id = 7"
+    ).collect()
+    assert [(r.id, r.cat, r.v) for r in rows] == [(7, "1", 70)]
