@@ -66,80 +66,23 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 # The driver's CORRECTNESS run checks the first 50 registered queries per
-# round.  Rounds 1-5 hard-verified 240 distinct queries (236 latest-green +
-# 4 rows-only-by-design).  The round-6 window leads with the 13 oracled
-# gates that had never received a driver row, then the round's new gates in
-# landing order (a first driver hash on NEW code beats re-confirming stable
-# r1-green queries, so most stale re-verification slots were displaced as
-# the round grew); four stale slots remain at the tail.  New gates that no
-# longer fit queue in _AFTER_WINDOW for the round-7 rotation.
+# round.  Rounds 1-7 hard-verified 285 distinct queries (282 latest-green +
+# 3 rows-only-by-design); the round-7 window cleared the whole round-6
+# backlog.  The round-8 window leads with this round's NEW gates (a first
+# driver hash on new code beats re-confirming stable queries), then the two
+# gates whose expressions CHANGED this round (vocab_r7b's widened IPv6
+# cases, knn_graph's quantized ranking), then the never-driver-sampled
+# round-7 backlog in landing order.  The two that do not fit stay in
+# _AFTER_WINDOW for round 9.
 _WINDOW_PRIORITY = [
-    # --- 13 never-driver-sampled oracled gates ---
-    "sql_ch_dialect_time_windows",
-    "sql_ch_dialect_transform_case",
-    "sql_ch_dialect_vocab_r5",
-    "sql_ch_dialect_parametric",
-    "graph_pagerank_quality",
-    "source_gzip_jsonl_roundtrip",
-    "text_gopher_rules",
-    "dedup_url_canonical",
-    "multimodal_flac_features",
-    "agg_anova_f",
-    "agg_cramers_v_bias_corrected",
-    "agg_contingency",
-    "window_running_difference",
-    # --- new round-6 gates ---
-    "agg_uniq_approx",
-    "multimodal_webp_features",
-    "sql_ch_dialect_vocab_r6",
-    "source_iceberg_native_read",
-    "agg_kmv_distinct",
-    "agg_kmv_set_ops",
-    "layout_hilbert_index",
-    "agg_moving_window_arrays",
-    "source_delta_native_read",
-    "streaming_kmv_distinct",
-    "source_ch_formats_roundtrip",
-    # --- late round-6 gates (this session) ---
-    "multimodal_mp3_metadata",
-    "corpus_priority_sample",
-    "agg_quantile_timing",
-    "funnel_modes_compare",
-    "text_bigram_backoff_logprob",
-    "decontam_embedding_cosine",
-    "dedup_quality_keeper",
-    "streaming_quantile_timing",
-    "sql_ch_dialect_vocab_r6b",
-    # --- second-session round-6 gates (displacing most of the stale
-    # re-verification slots: a first driver hash on NEW code beats
-    # re-confirming r1-green stable queries) ---
-    "source_iceberg_deletes_read",
-    "source_delta_dv_read",
-    "source_iceberg_compact_read",
-    "agg_space_saving_topk",
-    "dedup_winnowing_fingerprints",
-    "graph_kcore",
-    "graph_bfs_distance",
-    "source_rowbinary_roundtrip",
-    "source_avro_roundtrip",
-    "agg_ols_multifeature",
-    "sql_ch_dialect_vocab_r6c",
-    "agg_delta_max_intersections",
-    "similarity_hard_negatives",
-    # --- stale re-verification (latest driver row = round 1) ---
-    "agg_pricing_summary",
-    "analytics_shipping_priority",
-    "engine_replacing_dedup",
-    "query_builder_chain",
-]
-
-# The explicit rotation backlog, pinned to positions 51+: oracled queries
-# without a recorded green row that did not fit this round's 50 slots.
-# Empty at the start of round 6 — the 13 never-sampled gates all sit at the
-# head of the window; new round-6 queries are appended here when window
-# swap-ins run out.  The registry-window meta-test enforces that ONLY names
-# listed here may lack both a green row and a window slot.
-_AFTER_WINDOW: list[str] = [
+    # --- new round-8 gates ---
+    "dedup_embedding_cosine_pruned_auto",
+    "source_iceberg_multifield_read",
+    "multimodal_ogg_metadata",
+    # --- changed this round: first hash lands on the NEW expression ---
+    "sql_ch_dialect_vocab_r7b",
+    "similarity_knn_graph",
+    # --- never-driver-sampled backlog (rounds 6-7), landing order ---
     "ts_ohlc_daily",
     "agg_quantile_timing_weighted",
     "graph_triangle_count",
@@ -153,7 +96,6 @@ _AFTER_WINDOW: list[str] = [
     "streaming_space_saving_topk",
     "source_iceberg_bucket_read",
     "source_delta_mapped_read",
-    # --- round-7 gates ---
     "agg_student_ttest",
     "agg_mean_z_test",
     "agg_kruskal_wallis",
@@ -165,11 +107,9 @@ _AFTER_WINDOW: list[str] = [
     "ts_changepoint_cusum",
     "ts_anomaly_mad",
     "sql_ch_dialect_vocab_r7",
-    "sql_ch_dialect_vocab_r7b",
     "cluster_kmeans_embeddings",
     "embedding_random_projection",
     "graph_label_propagation",
-    "similarity_knn_graph",
     "table_scd2_build",
     "cohort_retention_matrix",
     "attribution_last_touch",
@@ -188,6 +128,13 @@ _AFTER_WINDOW: list[str] = [
     "mv_incremental_join",
     "ts_seasonal_naive_skill",
     "cohort_churn_weekly",
+]
+
+# The explicit rotation backlog, pinned to positions 51+: oracled queries
+# without a recorded green row that did not fit this round's 50 slots.
+# The registry-window meta-test enforces that ONLY names listed here may
+# lack both a green row and a window slot.
+_AFTER_WINDOW: list[str] = [
     "dedup_containment",
     "attribution_linear",
 ]
@@ -240,6 +187,7 @@ def load_all() -> None:
         mp3,
         multimodal,
         multimodal_ext,
+        ogg,
         phash,
         profile,
         retrieval,

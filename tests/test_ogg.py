@@ -111,3 +111,70 @@ def test_native_flac_unchanged_by_parts_refactor():
     out, rate = decode_flac(data)
     assert rate == 16000
     assert np.array_equal(out[:, 0], mono)
+
+
+# ---- Vorbis / Opus metadata walk ----
+
+
+def test_ogg_vorbis_metadata_walk():
+    from moosestack_spark.ops.ogg import encode_ogg_vorbis_meta, ogg_stream_meta
+
+    data = encode_ogg_vorbis_meta(
+        44100 * 3 + 17, 44100, 2,
+        {"TITLE": "t", "artist": "someone", "ALBUM": "a=b"},
+        vendor="v1",
+    )
+    meta = ogg_stream_meta(data)
+    assert meta["codec"] == "vorbis"
+    assert meta["channels"] == 2
+    assert meta["sample_rate"] == 44100
+    assert meta["duration_ms"] == (44100 * 3 + 17) * 1000 // 44100
+    assert meta["vendor"] == "v1"
+    # field names are case-insensitive per spec; values keep '=' intact
+    assert meta["tags"] == {"TITLE": "t", "ARTIST": "someone", "ALBUM": "a=b"}
+
+
+def test_ogg_opus_metadata_walk_pre_skip():
+    from moosestack_spark.ops.ogg import encode_ogg_opus_meta, ogg_stream_meta
+
+    data = encode_ogg_opus_meta(48000 * 2, 1, {"TITLE": "x"}, pre_skip=312)
+    meta = ogg_stream_meta(data)
+    assert meta["codec"] == "opus"
+    assert meta["channels"] == 1
+    assert meta["sample_rate"] == 48000  # granule clock, not input rate
+    # last granule = pre_skip + samples; duration excludes pre-skip
+    assert meta["duration_ms"] == 2000
+    assert meta["tags"]["TITLE"] == "x"
+
+
+def test_ogg_flac_metadata_branch():
+    import numpy as np
+
+    from moosestack_spark.ops.ogg import encode_ogg_flac, ogg_stream_meta
+
+    s = (np.sin(np.arange(16000) / 10) * 1000).astype(np.int16).reshape(-1, 1)
+    data = encode_ogg_flac(s, rate=16000)
+    meta = ogg_stream_meta(data)
+    assert meta["codec"] == "flac"
+    assert meta["sample_rate"] == 16000
+    assert meta["channels"] == 1
+    assert meta["duration_ms"] == 1000
+
+
+def test_ogg_decode_still_refuses_lossy():
+    import pytest as _pytest
+
+    from moosestack_spark.ops.ogg import (
+        decode_ogg_flac,
+        encode_ogg_opus_meta,
+        encode_ogg_vorbis_meta,
+        sniff_is_ogg,
+    )
+
+    v = encode_ogg_vorbis_meta(1024, 48000, 1, {})
+    o = encode_ogg_opus_meta(960, 1, {})
+    assert sniff_is_ogg(v) and sniff_is_ogg(o)
+    with _pytest.raises(NotImplementedError, match="Vorbis"):
+        decode_ogg_flac(v)
+    with _pytest.raises(NotImplementedError, match="Opus"):
+        decode_ogg_flac(o)
