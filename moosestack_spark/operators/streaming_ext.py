@@ -1100,6 +1100,13 @@ def scd2_merge_batch(table_dir: str, key: str, order_cols: list[str]):
                 old.join(affected, key, "left_semi")
                 .select(key, *order_cols, "cents")
                 .unionByName(new_rows)
+                # foreachBatch is at-least-once: a replayed micro-batch
+                # (sink renamed, checkpoint commit lost in a crash) must be
+                # a no-op.  A version row is identified by (key, order
+                # cols), so deduping here makes the merge idempotent under
+                # replay — the exactly-once half of the kill-and-resume
+                # contract (tests/test_streaming_resume.py).
+                .dropDuplicates([key, *order_cols])
             )
         else:
             keep = None

@@ -176,3 +176,95 @@ def test_capped_backlog_kill_and_resume(spark, tmp_path):
         if not f.startswith(".")
     ]
     assert len(commits) >= 3, f"expected >=3 committed batches, got {commits}"
+
+
+def test_scd2_kill_and_resume(spark, sf_dir, tmp_path):
+    """SCD2 streaming merge under kill-and-resume: a 4-file backlog under
+    maxFilesPerTrigger=1 is killed after the first committed batch and
+    resumed against the same checkpoint; the final history table must equal
+    the one-shot batch build exactly.  Two properties carry it: the merge
+    recomputes each affected key from its FULL history (batch-order
+    independence) and dedupes on (key, order cols) so a replayed
+    micro-batch is a no-op (idempotence)."""
+    import time
+
+    from moosestack_spark.operators.streaming_ext import scd2_merge_batch
+    from moosestack_spark.operators.streaming_ops import _stream_state_partitions
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    src = str(tmp_path / "src")
+    table_dir = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # 4 modulo slices: the merge is batch-order independent, so any slicing
+    # works; modulo maximizes cross-batch key overlap (the hard case)
+    for i in range(4):
+        tmp = f"{src}/_tmp{i}"
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp, part), f"{src}/batch{i}.parquet")
+        shutil.rmtree(tmp)
+
+    def start():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.foreachBatch(
+                scd2_merge_batch(table_dir, "user_id", ["ts", "event_id"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    scope = _stream_state_partitions(spark)
+    scope.__enter__()
+    try:
+        # Run 1: kill as soon as at least one batch has committed.
+        q = start()
+        deadline = time.time() + 120
+        committed = 0
+        commits_dir = os.path.join(ckpt, "commits")
+        while time.time() < deadline:
+            committed = (
+                len(os.listdir(commits_dir)) if os.path.isdir(commits_dir) else 0
+            )
+            if committed >= 1:
+                break
+            time.sleep(0.05)
+        q.stop()
+        q.awaitTermination()
+        assert committed >= 1, "no batch committed before kill"
+
+        # Run 2: resume; the remaining backlog merges exactly once.
+        q2 = start()
+        q2.awaitTermination()
+        commits = [f for f in os.listdir(commits_dir) if not f.startswith(".")]
+        assert len(commits) >= 3, f"expected >=3 committed batches, got {commits}"
+
+        got = spark.read.parquet(os.path.join(table_dir, "current"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        want = ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "cents",
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        cols = ["user_id", "ts", "event_id", "cents", "valid_to", "is_current"]
+        assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+            map(tuple, want.select(*cols).collect())
+        )
+    finally:
+        scope.__exit__()
