@@ -175,6 +175,15 @@ EXTRA = [
     "funnel_time_to_convert",
     "text_ngram_diversity",
     "mv_incremental_join",
+    # round-8 additions
+    "dedup_embedding_cosine_pruned_auto",
+    "source_iceberg_multifield_read",
+    "multimodal_ogg_metadata",
+    "sql_ch_dialect_vocab_r8",
+    "sql_ch_dialect_vocab_r8b",
+    "text_bm25_retrieval",
+    "corpus_stratified_sample",
+    "text_keyword_topk",
 ]
 
 
@@ -293,214 +302,36 @@ def main() -> None:
     # extra_queries still gives per-round perf evidence for recent work.
     extras = {} if headline_only else run_suite(EXTRA)
 
-    # Fresh JVM for the scale tier: after ~130 headline+extra queries the
-    # long-lived session inflates late timings up to 5x (measured:
-    # dedup_minhash_lsh 30x at 103s in-session vs 22s on a fresh session,
-    # same code and corpus — accumulated listener/cleaner state, not our
-    # plans).  The scale tier is the artifact the 100 TB claims rest on,
-    # so it gets an isolated session; startup cost is outside the timers.
-    if not headline_only:
-        spark.stop()
-        spark = get_spark("moosestack-spark-bench-scale")
-
-    # Scale-shape validation for the dedup/similarity/curation family: run
-    # the same gate queries on a 10x corpus (sf1-equivalent; the driver only
-    # ships sf<=0.1) synthesized from the sf_dir tables — text word-order is
-    # hash-permuted per replica so replicas are NOT near-dups of each other
-    # (replicating verbatim would measure an adversarial mass-duplicate
-    # corpus, a different claim), and embeddings are circularly rotated per
-    # replica so directions decorrelate.  Sub-linear wall-clock blowup vs
-    # the extras' sf0.1 numbers is the empirical check on the "bucketed,
-    # not all-pairs" design claims.
-    # 30x tier (raised from 10x in round 6): high enough that any quadratic
-    # residue in the banded/bucketed paths shows before a real cluster does.
+    # TRUE fresh JVM for the scale tier, via a SUBPROCESS.  Round 7 tried
+    # spark.stop() + get_spark() in-process, but PySpark reuses the same
+    # JVM through the persistent py4j gateway, so the "fresh session" kept
+    # the hot JVM's accumulated JIT/GC/listener state and the early scale
+    # queries still ran 2-10x slow (measured this round: minhash 30x at
+    # 69 s in-tier vs 9.8 s in a genuinely fresh process, idle machine both
+    # times).  The scale tier is the artifact the 100 TB claims rest on, so
+    # it now runs in its own python+JVM; startup is outside every timer.
     SCALE_FACTOR = 30
     scale_queries: dict = {}
-    try:
-        if headline_only:
-            raise _HeadlineOnly
-        scaled_dir = _make_scaled_dir(spark, sf_dir, factor=SCALE_FACTOR)
-        scale_names = [
-            "dedup_exact",
-            "dedup_minhash_lsh",
-            "dedup_ngram_jaccard",
-            "dedup_embedding_cosine_pruned",
-            "corpus_curation_pipeline",
-            "similarity_ivf",
-            # CC family at 10x: near-clique dedup graph, so propagation
-            # should stay ahead; the chain fixture below is where star wins
-            "dedup_connected_components",
-            "dedup_connected_components_star",
-            "dedup_connected_components_hybrid",
-            # round-6 second session: winnowing is shingle-linear
-            "dedup_winnowing_fingerprints",
-            # round-7 ML/graph family: k-means is iterations x one scan +
-            # model-sized collects; LPA is rounds x (vertex join + argmax
-            # groupBy).  knn-graph runs occupancy-targeted below (the
-            # 6-plane gate config is the correctness shape; at 30x the
-            # plane count must grow with n to hold bucket occupancy).
-            "cluster_kmeans_embeddings",
-            "graph_label_propagation",
-        ]
-        for name in scale_names:
-            start = time.perf_counter()
-            try:
-                registry.QUERIES[name](spark, scaled_dir).count()
-                scale_queries[name] = round(time.perf_counter() - start, 3)
-            except Exception as exc:
-                print(f"BENCH-SCALE-ERROR {name}: {exc!r}"[:500], file=sys.stderr)
-                scale_queries[name] = None
-    except _HeadlineOnly:
-        pass
-    except Exception as exc:
-        print(f"BENCH-SCALE-SETUP-ERROR: {exc!r}"[:500], file=sys.stderr)
+    if not headline_only:
+        spark.stop()
+        import subprocess
 
-    # Occupancy-targeted banding vs the fixed gate config, same scaled
-    # corpus and a realistic near-dup threshold (t=0.9, recall 0.9).  The
-    # fixed 4-plane/16-bucket config above is the correctness-gate shape
-    # and grows O(n^2/16) per band (8.3 s at 10x -> 84.6 s at 30x); the
-    # auto config holds expected bucket occupancy constant so verify work
-    # is linear in n.  The pair of numbers is the scale claim, measured.
-    try:
-        if headline_only:
-            raise _HeadlineOnly
-        from moosestack_spark.ops.dedup import (
-            embedding_cosine_pairs_pruned_auto,
-        )
-
-        semb = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
-        n_emb = semb.count()
-        start = time.perf_counter()
-        embedding_cosine_pairs_pruned_auto(
-            semb, "vec_id", "embedding", threshold=0.9, dim=64, n_rows=n_emb
-        ).count()
-        scale_queries["dedup_embedding_auto_t90"] = round(
-            time.perf_counter() - start, 3
-        )
-    except _HeadlineOnly:
-        pass
-    except Exception as exc:
-        print(f"BENCH-SCALE-ERROR dedup_embedding_auto_t90: {exc!r}"[:500],
-              file=sys.stderr)
-        scale_queries["dedup_embedding_auto_t90"] = None
-
-    # k-core peel at 30x vertices: the scaled graph needs 15 peels (vs 11
-    # at gate scale), past the gate's 12-iteration oracle unroll — so the
-    # scale tier calls the operator directly with a higher bound.  What
-    # this measures: per-round cost stays two semi-joins + one groupBy on
-    # a SHRINKING vertex set.
-    try:
-        if headline_only:
-            raise _HeadlineOnly
-        from pyspark.sql import Window as _W
-        from pyspark.sql import functions as _F
-
-        from moosestack_spark.ops.graph import k_core
-
-        d30 = spark.read.parquet(f"{scaled_dir}/documents.parquet").select(
-            "doc_id"
-        )
-        w_ = _W.orderBy("doc_id")
-        dense = d30.withColumn(
-            "i", _F.row_number().over(w_) - 1
-        ).withColumn("n", _F.count(_F.lit(1)).over(_W.partitionBy()))
-        ids = dense.select(
-            _F.col("i").alias("ti"), _F.col("doc_id").alias("t_doc")
-        )
-
-        def _lk(expr, quarter):
-            a_ = dense.filter(_F.col("i") % 4 == 0) if quarter else dense
-            a_ = a_.select(
-                _F.col("doc_id").alias("s_doc"), _F.expr(expr).alias("t")
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--scale-tier",
+                    sf_dir,
+                ],
+                capture_output=True,
+                text=True,
+                timeout=3600,
             )
-            tgt = ids.filter(_F.col("ti") % 4 == 0) if quarter else ids
-            return a_.join(tgt, a_.t == tgt.ti).select(
-                _F.col("s_doc").alias("src"), _F.col("t_doc").alias("dst")
-            )
-
-        de30 = (
-            _lk("(i * 7 + 3) % n", False)
-            .union(_lk("(i * 13 + 5) % n", False))
-            .union(_lk("(i * 3 + 4) % (n - n % 4)", True))
-            .union(_lk("(i * 5 + 8) % (n - n % 4)", True))
-            .union(_lk("(i * 9 + 12) % (n - n % 4)", True))
-        )
-        ue30 = (
-            de30.filter(_F.col("src") != _F.col("dst"))
-            .select(
-                _F.least("src", "dst").alias("u"),
-                _F.greatest("src", "dst").alias("v"),
-            )
-            .distinct()
-        )
-        start = time.perf_counter()
-        k_core(ue30, k=4, max_iters=25).count()
-        scale_queries["graph_kcore"] = round(time.perf_counter() - start, 3)
-    except _HeadlineOnly:
-        pass
-    except Exception as exc:
-        print(f"BENCH-SCALE-ERROR graph_kcore: {exc!r}"[:500], file=sys.stderr)
-        scale_queries["graph_kcore"] = None
-
-    # knn-graph at 30x with occupancy-targeted planes: planes =
-    # ceil(log2(n / 64)) holds expected bucket occupancy ~64, so the
-    # bucket self-join stays linear in n instead of n^2/buckets — the
-    # same dial documented on the operator (plane count = recall/cost).
-    try:
-        if headline_only:
-            raise _HeadlineOnly
-        import math as _math
-
-        from moosestack_spark.ops.similarity import knn_graph
-
-        semb = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
-        n_emb = semb.count()
-        planes = max(6, _math.ceil(_math.log2(max(n_emb, 128) / 64)))
-        start = time.perf_counter()
-        knn_graph(semb, dim=64, k=5, n_planes=planes).count()
-        scale_queries["similarity_knn_graph"] = round(
-            time.perf_counter() - start, 3
-        )
-    except _HeadlineOnly:
-        pass
-    except Exception as exc:
-        print(f"BENCH-SCALE-ERROR similarity_knn_graph: {exc!r}"[:500],
-              file=sys.stderr)
-        scale_queries["similarity_knn_graph"] = None
-
-    # Chain-heavy CC fixture: 1024 disjoint 64-node chains (diameter 64 —
-    # the pathological shape for O(diameter) label propagation, the home
-    # turf of the O(log n) star variant).  This is the empirical backing
-    # for the star/hybrid scale claim: star/hybrid round counts are
-    # logarithmic in chain length, propagation pays 2 shuffles per hop.
-    try:
-        if headline_only:
-            raise _HeadlineOnly
-        from moosestack_spark.ops.components import (
-            connected_components,
-            connected_components_auto,
-            connected_components_star,
-        )
-
-        chain = spark.range(1024 * 64).selectExpr(
-            "id AS src", "id + 1 AS dst"
-        ).where("pmod(id, 64) != 63").localCheckpoint()
-        for cname, cfn in [
-            ("cc_chain_propagation", lambda e: connected_components(e, max_rounds=70)),
-            ("cc_chain_star", connected_components_star),
-            ("cc_chain_hybrid", connected_components_auto),
-        ]:
-            start = time.perf_counter()
-            try:
-                cfn(chain).count()
-                scale_queries[cname] = round(time.perf_counter() - start, 3)
-            except Exception as exc:
-                print(f"BENCH-SCALE-ERROR {cname}: {exc!r}"[:500], file=sys.stderr)
-                scale_queries[cname] = None
-    except _HeadlineOnly:
-        pass
-    except Exception as exc:
-        print(f"BENCH-SCALE-SETUP-ERROR chain: {exc!r}"[:500], file=sys.stderr)
+            sys.stderr.write(proc.stderr[-4000:])
+            scale_queries = json.loads(proc.stdout.strip().splitlines()[-1])
+        except Exception as exc:
+            print(f"BENCH-SCALE-SETUP-ERROR: {exc!r}"[:500], file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     # The driver records only a ~2000-char tail of stdout and parses the
@@ -596,5 +427,217 @@ def _make_scaled_dir(spark, sf_dir: str, factor: int) -> str:
     return out
 
 
+
+
+def _run_scale_tier(sf_dir: str) -> dict:
+    """Scale-shape validation for the dedup/similarity/curation family in
+    an ISOLATED python+JVM (invoked as `bench.py --scale-tier <dir>` by
+    main; importable for ad-hoc runs).  Runs the gate queries on a 30x
+    corpus synthesized from sf_dir (text word-order hash-permuted per
+    replica so replicas are NOT near-dups of each other; embeddings
+    circularly rotated so directions decorrelate).  Sub-linear wall-clock
+    blowup vs the sf0.1 extras is the empirical check on the "bucketed,
+    not all-pairs" design claims; 30x is high enough that any quadratic
+    residue shows before a real cluster does."""
+    # The tier always starts right after the 130-query headline+extras
+    # suite; even in a fresh process the still-draining host inflates the
+    # first queries 2-3x (measured: minhash 28.7 s at 1-min load 1.6 vs
+    # 8.0 s at load 0.02, same code/corpus/protocol).  Wait for the load
+    # to drain (cap 4 min) before any timer starts.
+    try:
+        waited = 0.0
+        while os.getloadavg()[0] > 1.0 and waited < 240.0:
+            time.sleep(5.0)
+            waited += 5.0
+        if waited:
+            print(
+                f"BENCH-SCALE-DRAIN: waited {waited:.0f}s for load "
+                f"{os.getloadavg()[0]:.2f}",
+                file=sys.stderr,
+            )
+    except OSError:
+        pass
+    registry.load_all()
+    spark = get_spark("moosestack-spark-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        # spin up the Arrow worker pool outside the timers
+        spark.range(64, numPartitions=8).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
+    except Exception:
+        pass
+    scale_queries: dict = {}
+    try:
+        scaled_dir = _make_scaled_dir(spark, sf_dir, factor=30)
+        scale_names = [
+            "dedup_exact",
+            "dedup_minhash_lsh",
+            "dedup_ngram_jaccard",
+            "dedup_embedding_cosine_pruned",
+            "corpus_curation_pipeline",
+            "similarity_ivf",
+            # CC family at 10x: near-clique dedup graph, so propagation
+            # should stay ahead; the chain fixture below is where star wins
+            "dedup_connected_components",
+            "dedup_connected_components_star",
+            "dedup_connected_components_hybrid",
+            # round-6 second session: winnowing is shingle-linear
+            "dedup_winnowing_fingerprints",
+            # round-7 ML/graph family: k-means is iterations x one scan +
+            # model-sized collects; LPA is rounds x (vertex join + argmax
+            # groupBy).  knn-graph runs occupancy-targeted below (the
+            # 6-plane gate config is the correctness shape; at 30x the
+            # plane count must grow with n to hold bucket occupancy).
+            "cluster_kmeans_embeddings",
+            "graph_label_propagation",
+        ]
+        for name in scale_names:
+            start = time.perf_counter()
+            try:
+                registry.QUERIES[name](spark, scaled_dir).count()
+                scale_queries[name] = round(time.perf_counter() - start, 3)
+            except Exception as exc:
+                print(f"BENCH-SCALE-ERROR {name}: {exc!r}"[:500], file=sys.stderr)
+                scale_queries[name] = None
+    except Exception as exc:
+        print(f"BENCH-SCALE-SETUP-ERROR: {exc!r}"[:500], file=sys.stderr)
+
+    # Occupancy-targeted banding vs the fixed gate config, same scaled
+    # corpus and a realistic near-dup threshold (t=0.9, recall 0.9).  The
+    # fixed 4-plane/16-bucket config above is the correctness-gate shape
+    # and grows O(n^2/16) per band (8.3 s at 10x -> 84.6 s at 30x); the
+    # auto config holds expected bucket occupancy constant so verify work
+    # is linear in n.  The pair of numbers is the scale claim, measured.
+    try:
+        from moosestack_spark.ops.dedup import (
+            embedding_cosine_pairs_pruned_auto,
+        )
+
+        semb = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
+        n_emb = semb.count()
+        start = time.perf_counter()
+        embedding_cosine_pairs_pruned_auto(
+            semb, "vec_id", "embedding", threshold=0.9, dim=64, n_rows=n_emb
+        ).count()
+        scale_queries["dedup_embedding_auto_t90"] = round(
+            time.perf_counter() - start, 3
+        )
+    except Exception as exc:
+        print(f"BENCH-SCALE-ERROR dedup_embedding_auto_t90: {exc!r}"[:500],
+              file=sys.stderr)
+        scale_queries["dedup_embedding_auto_t90"] = None
+
+    # k-core peel at 30x vertices: the scaled graph needs 15 peels (vs 11
+    # at gate scale), past the gate's 12-iteration oracle unroll — so the
+    # scale tier calls the operator directly with a higher bound.  What
+    # this measures: per-round cost stays two semi-joins + one groupBy on
+    # a SHRINKING vertex set.
+    try:
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        from moosestack_spark.ops.graph import k_core
+
+        d30 = spark.read.parquet(f"{scaled_dir}/documents.parquet").select(
+            "doc_id"
+        )
+        w_ = _W.orderBy("doc_id")
+        dense = d30.withColumn(
+            "i", _F.row_number().over(w_) - 1
+        ).withColumn("n", _F.count(_F.lit(1)).over(_W.partitionBy()))
+        ids = dense.select(
+            _F.col("i").alias("ti"), _F.col("doc_id").alias("t_doc")
+        )
+
+        def _lk(expr, quarter):
+            a_ = dense.filter(_F.col("i") % 4 == 0) if quarter else dense
+            a_ = a_.select(
+                _F.col("doc_id").alias("s_doc"), _F.expr(expr).alias("t")
+            )
+            tgt = ids.filter(_F.col("ti") % 4 == 0) if quarter else ids
+            return a_.join(tgt, a_.t == tgt.ti).select(
+                _F.col("s_doc").alias("src"), _F.col("t_doc").alias("dst")
+            )
+
+        de30 = (
+            _lk("(i * 7 + 3) % n", False)
+            .union(_lk("(i * 13 + 5) % n", False))
+            .union(_lk("(i * 3 + 4) % (n - n % 4)", True))
+            .union(_lk("(i * 5 + 8) % (n - n % 4)", True))
+            .union(_lk("(i * 9 + 12) % (n - n % 4)", True))
+        )
+        ue30 = (
+            de30.filter(_F.col("src") != _F.col("dst"))
+            .select(
+                _F.least("src", "dst").alias("u"),
+                _F.greatest("src", "dst").alias("v"),
+            )
+            .distinct()
+        )
+        start = time.perf_counter()
+        k_core(ue30, k=4, max_iters=25).count()
+        scale_queries["graph_kcore"] = round(time.perf_counter() - start, 3)
+    except Exception as exc:
+        print(f"BENCH-SCALE-ERROR graph_kcore: {exc!r}"[:500], file=sys.stderr)
+        scale_queries["graph_kcore"] = None
+
+    # knn-graph at 30x with occupancy-targeted planes: planes =
+    # ceil(log2(n / 64)) holds expected bucket occupancy ~64, so the
+    # bucket self-join stays linear in n instead of n^2/buckets — the
+    # same dial documented on the operator (plane count = recall/cost).
+    try:
+        import math as _math
+
+        from moosestack_spark.ops.similarity import knn_graph
+
+        semb = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
+        n_emb = semb.count()
+        planes = max(6, _math.ceil(_math.log2(max(n_emb, 128) / 64)))
+        start = time.perf_counter()
+        knn_graph(semb, dim=64, k=5, n_planes=planes).count()
+        scale_queries["similarity_knn_graph"] = round(
+            time.perf_counter() - start, 3
+        )
+    except Exception as exc:
+        print(f"BENCH-SCALE-ERROR similarity_knn_graph: {exc!r}"[:500],
+              file=sys.stderr)
+        scale_queries["similarity_knn_graph"] = None
+
+    # Chain-heavy CC fixture: 1024 disjoint 64-node chains (diameter 64 —
+    # the pathological shape for O(diameter) label propagation, the home
+    # turf of the O(log n) star variant).  This is the empirical backing
+    # for the star/hybrid scale claim: star/hybrid round counts are
+    # logarithmic in chain length, propagation pays 2 shuffles per hop.
+    try:
+        from moosestack_spark.ops.components import (
+            connected_components,
+            connected_components_auto,
+            connected_components_star,
+        )
+
+        chain = spark.range(1024 * 64).selectExpr(
+            "id AS src", "id + 1 AS dst"
+        ).where("pmod(id, 64) != 63").localCheckpoint()
+        for cname, cfn in [
+            ("cc_chain_propagation", lambda e: connected_components(e, max_rounds=70)),
+            ("cc_chain_star", connected_components_star),
+            ("cc_chain_hybrid", connected_components_auto),
+        ]:
+            start = time.perf_counter()
+            try:
+                cfn(chain).count()
+                scale_queries[cname] = round(time.perf_counter() - start, 3)
+            except Exception as exc:
+                print(f"BENCH-SCALE-ERROR {cname}: {exc!r}"[:500], file=sys.stderr)
+                scale_queries[cname] = None
+    except Exception as exc:
+        print(f"BENCH-SCALE-SETUP-ERROR chain: {exc!r}"[:500], file=sys.stderr)
+    return scale_queries
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scale-tier":
+        print(json.dumps(_run_scale_tier(sys.argv[2])))
+    else:
+        main()
