@@ -751,3 +751,102 @@ def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling with EXACT largest-remainder allocation.  Hash-mod
+# sampling (corpus_temperature_sample) holds rates only in expectation;
+# an eval-set builder needs exact per-stratum counts that sum to the exact
+# total.  Allocation: T = N div 10 rows overall; stratum s gets
+# base_s = n_s*T div N plus one extra for the (T - Σ base) largest
+# remainders (ties broken by stratum key asc) — the classic
+# largest-remainder method, all-integer and therefore hash-replayable.
+# Row choice within a stratum is the fmix32(doc_id) order (the portable
+# murmur3 finalizer both engines compute bit-identically), tie doc_id asc.
+# Scale: one groupBy(lang) count, one |strata|-row allocation frame
+# broadcast back, one window rank per stratum (single shuffle on lang).
+# --------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, stratum_col: str, denom: int = 10
+) -> DataFrame:
+    """Exactly ``count(df) div denom`` rows, allocated across strata by
+    largest remainder, chosen within each stratum by fmix32(id) order."""
+    from moosestack_spark.operators.aggregates import fmix32_expr
+
+    d = df.select(id_col, stratum_col)
+    counts = d.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_s"))
+    tot = d.agg(
+        F.count(F.lit(1)).alias("N"),
+        (F.count(F.lit(1)) / denom).cast("bigint").alias("T"),
+    )
+    alloc = counts.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        F.expr("(n_s * T) div N").alias("base"),
+        F.expr("(n_s * T) % N").alias("rem"),
+    )
+    # leftover = T - sum(base), carried as a one-row broadcast
+    leftover = alloc.crossJoin(F.broadcast(tot)).agg(
+        (F.first("T") - F.sum("base")).cast("bigint").alias("x")
+    )
+    w_rem = Window.orderBy(F.col("rem").desc(), F.col(stratum_col).asc())
+    quota = (
+        alloc.withColumn("rk", F.row_number().over(w_rem))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            stratum_col,
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("x"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+    )
+    w_in = Window.partitionBy(stratum_col).orderBy("__h", id_col)
+    return (
+        d.withColumn("__h", F.expr(fmix32_expr(id_col)))
+        .withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(quota), stratum_col)
+        .filter(F.col("rn") <= F.col("quota"))
+        .select(id_col, stratum_col)
+    )
+
+
+def _stratified_oracle() -> str:
+    from moosestack_spark.operators.aggregates import fmix32_duckdb_ctes
+
+    ctes = fmix32_duckdb_ctes("doc_id", "doc_id, lang", "documents")
+    return f"""
+WITH {ctes},
+counts AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+tot AS (SELECT COUNT(*) AS N, COUNT(*) // 10 AS T FROM documents),
+alloc AS (
+  SELECT lang, (n_s * T) // N AS base, (n_s * T) % N AS rem
+  FROM counts, tot
+),
+lo AS (
+  SELECT (SELECT T FROM tot) - (SELECT SUM(base) FROM alloc) AS x
+),
+quota AS (
+  SELECT lang,
+         base + CASE WHEN row_number()
+                          OVER (ORDER BY rem DESC, lang ASC) <= lo.x
+                     THEN 1 ELSE 0 END AS q
+  FROM alloc, lo
+),
+picked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h32, doc_id) AS rn
+  FROM hashed
+)
+SELECT doc_id, lang FROM picked JOIN quota USING (lang) WHERE rn <= q
+"""
+
+
+@query("corpus_stratified_sample", oracle=_stratified_oracle())
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1/10 stratified sample of documents by lang: largest-remainder
+    quotas (Σ quotas = N div 10 exactly), fmix32-ordered row choice inside
+    each stratum — deterministic and hash-replayable end to end."""
+    d = t(spark, sf_dir, "documents")
+    return stratified_sample(d, "doc_id", "lang", denom=10)

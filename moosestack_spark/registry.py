@@ -79,6 +79,11 @@ _WINDOW_PRIORITY = [
     "dedup_embedding_cosine_pruned_auto",
     "source_iceberg_multifield_read",
     "multimodal_ogg_metadata",
+    "sql_ch_dialect_vocab_r8",
+    "text_bm25_retrieval",
+    "corpus_stratified_sample",
+    "sql_ch_dialect_vocab_r8b",
+    "text_keyword_topk",
     # --- changed this round: first hash lands on the NEW expression ---
     "sql_ch_dialect_vocab_r7b",
     "similarity_knn_graph",
@@ -123,11 +128,6 @@ _WINDOW_PRIORITY = [
     "join_nearest_event",
     "profile_psi_drift",
     "sql_ch_dialect_vocab_r7d",
-    "funnel_time_to_convert",
-    "text_ngram_diversity",
-    "mv_incremental_join",
-    "ts_seasonal_naive_skill",
-    "cohort_churn_weekly",
 ]
 
 # The explicit rotation backlog, pinned to positions 51+: oracled queries
@@ -135,6 +135,11 @@ _WINDOW_PRIORITY = [
 # The registry-window meta-test enforces that ONLY names listed here may
 # lack both a green row and a window slot.
 _AFTER_WINDOW: list[str] = [
+    "funnel_time_to_convert",
+    "text_ngram_diversity",
+    "mv_incremental_join",
+    "ts_seasonal_naive_skill",
+    "cohort_churn_weekly",
     "dedup_containment",
     "attribution_linear",
 ]
@@ -153,6 +158,7 @@ def load_all() -> None:
         chsql_ext,
         chsql_geo,
         chsql_r7,
+        chsql_r8,
         downsample,
         engines,
         filters,

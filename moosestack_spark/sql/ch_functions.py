@@ -1395,6 +1395,80 @@ _TEMPLATE.update(
     }
 )
 
+# ---- round-8 vocabulary widening: vector distances, subsequence/split
+# string ops, millisecond arithmetic, URL significant-subdomain ----
+_L2NORM_SUM = (
+    "aggregate(transform({0}, __l2n_t -> __l2n_t * __l2n_t), "
+    "cast(0 as double), (__l2n_a, __l2n_v) -> __l2n_a + __l2n_v)"
+)
+_TEMPLATE.update(
+    {
+        "splitByNonAlpha": (
+            "filter(split({0}, '[^A-Za-z]+'), __sna_x -> __sna_x != '')"
+        ),
+        "L2SquaredDistance": (
+            "aggregate(zip_with({0}, {1}, (__l2sx, __l2sy) -> "
+            "(__l2sx - __l2sy) * (__l2sx - __l2sy)), cast(0 as double), "
+            "(__l2sa, __l2sv) -> __l2sa + __l2sv)"
+        ),
+        "LinfDistance": (
+            "aggregate(zip_with({0}, {1}, (__lix, __liy) -> "
+            "abs(__lix - __liy)), cast(0 as double), "
+            "(__lia, __liv) -> greatest(__lia, __liv))"
+        ),
+        "L2Normalize": (
+            f"transform({{0}}, __l2n_x -> __l2n_x / sqrt({_L2NORM_SUM}))"
+        ),
+        # subsequence test as a matched-prefix fold over haystack chars
+        # (split('', '') yields a trailing '' element — it matches no
+        # needle char, so the count is unaffected)
+        "hasSubsequence": (
+            "(aggregate(split({0}, ''), 0, (__hs_a, __hs_c) -> __hs_a + "
+            "IF(__hs_a < length({1}) AND __hs_c = substring({1}, "
+            "__hs_a + 1, 1), 1, 0)) >= length({1}))"
+        ),
+        "translateUTF8": "translate({0}, {1}, {2})",
+        "ascii": "ascii({0})",
+        "rightPadUTF8": "rpad({0}, {1}, {2})",
+        "regexpQuoteMeta": (
+            r"regexp_replace({0}, '([\\.^$|?*+()\\[\\]{{}}\\\\])', "
+            r"'\\\\$1')"
+        ),
+        "addMilliseconds": "timestampadd(MILLISECOND, {1}, {0})",
+        "subtractMilliseconds": "timestampadd(MILLISECOND, -({1}), {0})",
+        "toUnixTimestamp64Nano": "(unix_micros({0}) * 1000)",
+        "toYYYYMMDDhhmmss": (
+            "CAST(date_format({0}, 'yyyyMMddHHmmss') AS BIGINT)"
+        ),
+        "toDecimalString": "CAST(CAST({0} AS DECIMAL(38, {1})) AS STRING)",
+        # same documented public-suffix shortlist as
+        # cutToFirstSignificantSubdomain above
+        "firstSignificantSubdomain": (
+            f"element_at({_CUT_H}, size({_CUT_H}) - {_CUT_TAKE} + 1)"
+        ),
+        # aggregate half: population covariance (same power-sum spelling
+        # as covarSamp), weighted mean, bitwise aggregate family
+        "covarPop": (
+            "((sum(({0}) * ({1})) - sum({0}) * sum({1}) / count({0})) / "
+            "count({0}))"
+        ),
+        "avgWeighted": "(sum(({0}) * ({1})) / sum({1}))",
+        "groupBitAnd": "bit_and({0})",
+        "groupBitOr": "bit_or({0})",
+        "groupBitXor": "bit_xor({0})",
+    }
+)
+
+_RENAME.update(
+    {
+        # sketch-surface aliases: CH's theta/t-digest sketches land on the
+        # same approximate operators as uniq/quantile (documented — the
+        # sketch FORMAT differs, the query surface is the estimate)
+        "uniqTheta": "approx_count_distinct",
+        "quantileTDigest": "percentile_approx",
+    }
+)
+
 _KNOWN_SPARK_PASSTHROUGH = frozenset(
     """select from where group by order having limit offset join on as and or not
     count sum avg min max distinct case when then else end cast between in like

@@ -75,6 +75,13 @@ ALLOWED = {
     # (ops/retrieval.py — plan pinned no-SMJ in
     # tests/test_layout_profile_retrieval.py)
     "text_tfidf_retrieval": {"BNLJ"},
+    # BM25: the (N, L) totals ride as a one-row broadcast cross (same
+    # shape); the tf<->dl doc-length join is keyed (ops/retrieval.py)
+    "text_bm25_retrieval": {"BNLJ"},
+    # stratified sampler: the (N, T) totals and the leftover count are
+    # one-row broadcast crosses onto the |strata|-row allocation frame
+    # (ops/corpus.py stratified_sample)
+    "corpus_stratified_sample": {"BNLJ"},
     # KS statistic: the (n1, n2) totals are a ONE-row aggregate
     # broadcast-crossed onto the distinct-value ECDF rows
     "agg_ks_test": {"BNLJ"},

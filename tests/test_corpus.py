@@ -65,3 +65,31 @@ def test_semantic_dedup_sound_and_recalls(spark, sf_dir):
     # at 0.35 some true pairs straddle cells; the bulk must survive
     if exact:
         assert len(got) >= 0.8 * len(exact)
+
+
+def test_stratified_sample_exact_quotas(spark):
+    """Largest-remainder invariants: total sampled == N div 10 exactly,
+    per-stratum counts differ from exact proportion by < 1, and the
+    selection is deterministic (same frame twice -> same ids)."""
+    from moosestack_spark.ops.corpus import stratified_sample
+
+    df = spark.range(997).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 7 = 0 THEN 'a' WHEN id % 7 < 4 THEN 'b' "
+        "ELSE 'c' END AS lang",
+    )
+    s1 = stratified_sample(df, "doc_id", "lang", denom=10)
+    rows = s1.collect()
+    assert len(rows) == 997 // 10
+    got = {}
+    for r in rows:
+        got[r.lang] = got.get(r.lang, 0) + 1
+    n_s = {r.lang: r.cnt for r in df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    T, N = 997 // 10, 997
+    for lang, n in n_s.items():
+        exact = n * T / N
+        assert abs(got.get(lang, 0) - exact) < 1.0, (lang, got.get(lang), exact)
+    ids2 = {r.doc_id for r in stratified_sample(
+        df, "doc_id", "lang", denom=10).collect()}
+    assert ids2 == {r.doc_id for r in rows}
