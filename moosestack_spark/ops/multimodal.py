@@ -327,6 +327,77 @@ def parse_mp4_metadata(data: bytes) -> dict:
     return out
 
 
+def audio_metadata(payload: bytes) -> dict:
+    """Sniff an audio payload and walk its container metadata WITHOUT
+    decoding audio: (codec, channels, sample_rate, duration_ms, tags).
+    Routes by magic — Ogg (Vorbis/Opus/FLAC mappings, ops/ogg.py), MP3
+    (ID3v2 + MPEG frame walk, ops/mp3.py), native FLAC (STREAMINFO), and
+    RIFF/WAVE (fmt chunk).  This is the metadata half of the honest
+    decode split: every field here derives from container structure the
+    public specs define, never from codec DSP."""
+    import struct as _struct
+
+    if payload[:4] == b"OggS":
+        from moosestack_spark.ops.ogg import ogg_stream_meta
+
+        return ogg_stream_meta(payload)
+    from moosestack_spark.ops.mp3 import sniff_is_mp3
+
+    if sniff_is_mp3(payload):
+        from moosestack_spark.ops.mp3 import parse_mp3_metadata
+
+        m = parse_mp3_metadata(payload)
+        return {
+            "codec": "mp3",
+            "channels": None,  # frame-header mode field not parsed
+            "sample_rate": m["sample_rate"],
+            "duration_ms": m["duration_ms"],
+            "tags": {} if m["title"] is None else {"TITLE": m["title"]},
+        }
+    if payload[:4] == b"fLaC":
+        si = payload[8:]
+        rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+        channels = ((si[12] >> 1) & 0x07) + 1
+        # 36-bit total: low nibble of byte 13 is the top 4 bits
+        total = ((si[13] & 0x0F) << 32) | int.from_bytes(si[14:18], "big")
+        return {
+            "codec": "flac",
+            "channels": channels,
+            "sample_rate": rate,
+            "duration_ms": total * 1000 // rate if rate else 0,
+            "tags": {},
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, fmt, data_len = 12, None, 0
+        while pos + 8 <= len(payload):
+            ctype = payload[pos : pos + 4]
+            size = _struct.unpack_from("<I", payload, pos + 4)[0]
+            if ctype == b"fmt ":
+                fmt = _struct.unpack_from(
+                    "<HHIIHH", payload, pos + 8
+                )
+            elif ctype == b"data":
+                data_len = size
+            pos += 8 + size + (size & 1)
+        if fmt is None:
+            raise ValueError("RIFF/WAVE payload missing fmt chunk")
+        channels, rate, block_align = fmt[1], fmt[2], fmt[4]
+        n = data_len // block_align if block_align else 0
+        return {
+            "codec": {1: "pcm16", 6: "alaw", 7: "mulaw"}.get(
+                fmt[0], f"wav_fmt_{fmt[0]}"
+            ),
+            "channels": channels,
+            "sample_rate": rate,
+            "duration_ms": n * 1000 // rate if rate else 0,
+            "tags": {},
+        }
+    raise NotImplementedError(
+        "unrecognized audio container (AAC/MP4-audio/...); Ogg, MP3, "
+        "native FLAC and RIFF/WAVE metadata walk natively"
+    )
+
+
 def decode_image(payload: bytes, strict: bool = True) -> np.ndarray | None:
     """Sniff + decode an image payload to HxWx3 uint8 RGB.
 

@@ -178,3 +178,37 @@ def test_ogg_decode_still_refuses_lossy():
         decode_ogg_flac(v)
     with _pytest.raises(NotImplementedError, match="Opus"):
         decode_ogg_flac(o)
+
+
+def test_audio_metadata_sniffer_routes():
+    """The unified audio_metadata router: Ogg (vorbis/opus), MP3, native
+    FLAC STREAMINFO, RIFF/WAVE — and an honest raise on unknown bytes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from moosestack_spark.ops.flac import encode_flac
+    from moosestack_spark.ops.mp3 import encode_mp3
+    from moosestack_spark.ops.multimodal import audio_metadata, encode_wav_g711
+    from moosestack_spark.ops.ogg import encode_ogg_opus_meta
+
+    m = audio_metadata(encode_ogg_opus_meta(48000, 2, {"TITLE": "t"}))
+    assert (m["codec"], m["channels"], m["duration_ms"]) == ("opus", 2, 1000)
+
+    m = audio_metadata(encode_mp3(10, 9, 1, title="song"))
+    assert m["codec"] == "mp3" and m["sample_rate"] == 48000
+    assert m["tags"]["TITLE"] == "song"
+
+    s = (np.sin(np.arange(32000) / 9) * 999).astype(np.int16).reshape(-1, 1)
+    m = audio_metadata(encode_flac(s, rate=16000))
+    assert (m["codec"], m["channels"], m["sample_rate"]) == ("flac", 1, 16000)
+    assert m["duration_ms"] == 2000
+
+    m = audio_metadata(
+        encode_wav_g711(np.zeros(8000, dtype=np.uint8), 8000, "mulaw")
+    )
+    assert (m["codec"], m["sample_rate"], m["duration_ms"]) == (
+        "mulaw", 8000, 1000,
+    )
+
+    with _pytest.raises(NotImplementedError, match="audio container"):
+        audio_metadata(b"\x00\x01\x02\x03 definitely not audio")
