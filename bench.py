@@ -184,6 +184,7 @@ EXTRA = [
     "text_bm25_retrieval",
     "corpus_stratified_sample",
     "text_keyword_topk",
+    "source_iceberg_clustered_read",
 ]
 
 

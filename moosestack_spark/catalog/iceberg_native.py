@@ -590,6 +590,8 @@ class IcebergNativeTable:
         bucket_by: tuple[str, int] | None = None,
         transform_by: tuple[str, str] | None = None,
         spec_by: list[tuple[str, str]] | None = None,
+        cluster_by: tuple[str, str] | None = None,
+        cluster_files: int = 8,
     ) -> "IcebergNativeTable":
         """Write ``df`` as an Iceberg v2 table (new snapshot per call).
         mode='overwrite' starts v1; mode='append' adds a snapshot whose
@@ -607,7 +609,15 @@ class IcebergNativeTable:
         partition spec — the shape real tables use, e.g.
         ``[("day", "ts"), ("bucket[4]", "key")]`` — with 'identity'
         accepted as a transform name.  The PARTITION_CAP applies to the
-        count of distinct transformed COMBINATIONS."""
+        count of distinct transformed COMBINATIONS.
+
+        ``cluster_by=(x, y)`` Hilbert-clusters an UNPARTITIONED write
+        (the Delta OPTIMIZE ZORDER / Iceberg rewrite_data_files
+        sort-order shape): rows are range-partitioned + sorted by the
+        Hilbert distance of (x, y) into ``cluster_files`` files, so each
+        file's parquet min/max stats cover a small rectangle of BOTH
+        columns and Spark's scan-side row-group pruning becomes selective
+        on either — results are identical, only the layout changes."""
         spark = df.sparkSession
         table = cls(spark, path)
         data_dir = os.path.join(path, "data")
@@ -641,6 +651,12 @@ class IcebergNativeTable:
             raise ValueError(
                 "pass exactly one of partition_by, bucket_by, transform_by, "
                 "spec_by"
+            )
+        if cluster_by and (partition_by or bucket_by or transform_by or spec_by):
+            raise ValueError(
+                "cluster_by applies to unpartitioned writes (cluster "
+                "WITHIN partitions is not implemented — partition pruning "
+                "already covers the partitioned dims)"
             )
         # every legacy single-field knob is sugar for a 1-entry spec_by
         if bucket_by:
@@ -731,7 +747,17 @@ class IcebergNativeTable:
                     table._entries_for_dir(pdir, part_dict, snap_id, seq)
                 )
         else:
-            df.write.mode("overwrite").parquet(batch_dir)
+            out_df = df
+            if cluster_by:
+                from moosestack_spark.ops.layout import cluster_by_hilbert
+
+                cx, cy = cluster_by
+                out_df = cluster_by_hilbert(
+                    df, cx, cy,
+                    num_partitions=cluster_files,
+                    out_col="__ice_hilbert",
+                ).drop("__ice_hilbert")
+            out_df.write.mode("overwrite").parquet(batch_dir)
             entries = table._entries_for_dir(batch_dir, {}, snap_id, seq)
 
         # ---- manifest ----

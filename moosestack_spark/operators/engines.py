@@ -1245,6 +1245,64 @@ def source_iceberg_multifield_read(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "source_iceberg_clustered_read",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders
+WHERE o_orderkey % 5 = 0
+  AND o_custkey BETWEEN 100 AND 200
+  AND o_orderkey BETWEEN 1000 AND 100000
+""",
+)
+def source_iceberg_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-clustered Iceberg write end-to-end (the Delta OPTIMIZE
+    ZORDER / Iceberg rewrite_data_files sort-order shape): orders (1/5
+    sample) written unpartitioned but cluster_by=(o_custkey, o_orderkey),
+    so each data file's parquet min/max covers a small rectangle of BOTH
+    keys and the 2-D range predicate prunes at row-group level
+    scan-side.  The in-gate assertion pins that the filtered columns'
+    pushed filters reach the parquet scan; the oracle replays the plain
+    predicate — clustering must change the LAYOUT only."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from moosestack_spark.catalog.iceberg_native import IcebergNativeTable
+
+    src = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 5 == 0
+    ).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    base = _tempfile.mkdtemp(prefix="msk_ice_clus_")
+    try:
+        path = base + "/orders_ice"
+        table = IcebergNativeTable.write(
+            path=path, df=src, cluster_by=("o_custkey", "o_orderkey"),
+            cluster_files=8,
+        )
+        out = table.read().filter(
+            F.col("o_custkey").between(100, 200)
+            & F.col("o_orderkey").between(1000, 100000)
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "o_custkey" in plan.split(
+            "PushedFilters"
+        )[1][:200], "range predicate did not reach the parquet scan"
+        return out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).localCheckpoint()
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
     "source_delta_mapped_read",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n,

@@ -382,3 +382,47 @@ def test_multifield_spec_write_append_prune(spark, tmp_path):
         "id = 7"
     ).collect()
     assert [(r.id, r.cat, r.v) for r in rows] == [(7, "1", 70)]
+
+
+def test_clustered_write_narrows_file_stats(spark, tmp_path):
+    """cluster_by=(x, y): each data file's parquet min/max must cover a
+    small rectangle of BOTH columns (vs an unclustered shuffled write),
+    with identical table contents — layout only."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(20000).selectExpr(
+        "pmod(id * 2654435761, 4096) AS x",
+        "pmod(id * 40503, 4096) AS y",
+        "id AS v",
+    )
+    plain = IcebergNativeTable.write(
+        df.repartition(8), str(tmp_path / "plain")
+    )
+    clus = IcebergNativeTable.write(
+        df, str(tmp_path / "clus"), cluster_by=("x", "y"), cluster_files=8
+    )
+
+    def mean_span(table, col):
+        spans = []
+        for f in table.data_files():
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    # a shuffled write's files each span ~the full 0..4095 domain; the
+    # Hilbert-clustered files must be at least 2x tighter on BOTH dims
+    assert mean_span(clus, "x") < mean_span(plain, "x") / 2
+    assert mean_span(clus, "y") < mean_span(plain, "y") / 2
+    got = clus.read().selectExpr("CAST(SUM(v) AS BIGINT)").collect()[0][0]
+    want = plain.read().selectExpr("CAST(SUM(v) AS BIGINT)").collect()[0][0]
+    assert got == want
+
+    with pytest.raises(ValueError, match="unpartitioned"):
+        IcebergNativeTable.write(
+            df, str(tmp_path / "bad"), partition_by="x", cluster_by=("x", "y")
+        )
