@@ -355,11 +355,21 @@ class DeltaNativeTable:
         partition_by: str | None = None,
         mode: str = "overwrite",
         checkpoint: bool = False,
+        cluster_by: tuple[str, str] | None = None,
+        cluster_files: int = 8,
     ) -> "DeltaNativeTable":
         """Commit ``df`` as a new Delta version.  overwrite on an existing
         table emits remove actions for every live file first (the protocol
         shape of INSERT OVERWRITE); append only adds.  ``checkpoint``
-        additionally writes a <version>.checkpoint.parquet + _last_checkpoint."""
+        additionally writes a <version>.checkpoint.parquet + _last_checkpoint.
+        ``cluster_by=(x, y)`` Hilbert-clusters an unpartitioned write into
+        ``cluster_files`` stat-tight files — the OPTIMIZE ZORDER layout
+        shape, same semantics as IcebergNativeTable.write(cluster_by=...)."""
+        if cluster_by and partition_by:
+            raise ValueError(
+                "cluster_by applies to unpartitioned writes (same boundary "
+                "as IcebergNativeTable.write)"
+            )
         spark = df.sparkSession
         table = cls(spark, path)
         os.makedirs(table.log_dir, exist_ok=True)
@@ -421,8 +431,18 @@ class DeltaNativeTable:
                     cls._adds_for_dir(path, out_dir, {partition_by: str(v)})
                 )
         else:
+            out_df = df
+            if cluster_by:
+                from moosestack_spark.ops.layout import cluster_by_hilbert
+
+                cx, cy = cluster_by
+                out_df = cluster_by_hilbert(
+                    df, cx, cy,
+                    num_partitions=cluster_files,
+                    out_col="__delta_hilbert",
+                ).drop("__delta_hilbert")
             out_dir = os.path.join(path, batch)
-            df.write.mode("overwrite").parquet(out_dir)
+            out_df.write.mode("overwrite").parquet(out_dir)
             adds = cls._adds_for_dir(path, out_dir, {})
 
         actions.append(meta_action)

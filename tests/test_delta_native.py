@@ -100,3 +100,46 @@ def test_data_filter_pushes_into_parquet_scan(table):
     df = table.read().filter("id > 50")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:80]
+
+
+def test_delta_clustered_write_narrows_file_stats(spark, tmp_path):
+    """cluster_by parity with the Iceberg writer: stat-tight files on both
+    clustered columns, identical contents, loud refusal with partition_by."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from moosestack_spark.catalog.delta_native import DeltaNativeTable
+
+    df = spark.range(20000).selectExpr(
+        "pmod(id * 2654435761, 4096) AS x",
+        "pmod(id * 40503, 4096) AS y",
+        "id AS v",
+    )
+    plain = DeltaNativeTable.write(df.repartition(8), str(tmp_path / "p"))
+    clus = DeltaNativeTable.write(
+        df, str(tmp_path / "c"), cluster_by=("x", "y"), cluster_files=8
+    )
+
+    def mean_span(table, root, col):
+        spans = []
+        _, live = table.snapshot()
+        for rel in live:
+            md = pq.read_metadata(f"{root}/{rel}")
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    assert mean_span(clus, str(tmp_path / "c"), "x") < mean_span(
+        plain, str(tmp_path / "p"), "x") / 2
+    assert mean_span(clus, str(tmp_path / "c"), "y") < mean_span(
+        plain, str(tmp_path / "p"), "y") / 2
+    got = clus.read().selectExpr("CAST(SUM(v) AS BIGINT)").collect()[0][0]
+    assert got == sum(range(20000))
+    with _pytest.raises(ValueError, match="unpartitioned"):
+        DeltaNativeTable.write(
+            df, str(tmp_path / "bad"), partition_by="x", cluster_by=("x", "y")
+        )
