@@ -710,41 +710,63 @@ class IcebergNativeTable:
                 spec_fields_meta.append((fname, tf, bcol))
                 fnames.append(fname)
             ibcols = [f"__ib{j}" for j in range(len(spec_by))]
-            combos = sorted(
-                (tuple(r) for r in bdf.select(*ibcols).distinct().collect()),
-                key=lambda tup: tuple(str(x) for x in tup),
-            )
-            if len(combos) > cls.PARTITION_CAP:
+            n_combos = bdf.select(*ibcols).distinct().count()
+            if n_combos > cls.PARTITION_CAP:
                 raise ValueError(
-                    f"{len(combos)} distinct partition values "
+                    f"{n_combos} distinct partition values "
                     f"({len(spec_by)}-field combinations; cap "
                     f"{cls.PARTITION_CAP}): partitioning by a "
                     "high-cardinality key"
                 )
-            for combo in combos:
-                pdir = os.path.join(
-                    batch_dir,
-                    *[f"{fn}={v}" for fn, v in zip(fnames, combo)],
-                )
-                cond = F.lit(True)
-                for c, v in zip(ibcols, combo):
-                    # eqNullSafe: a NULL partition value must keep its rows
-                    cond = cond & F.col(c).eqNullSafe(F.lit(v))
-                # keep source columns IN the file (Iceberg data files carry
-                # the full schema, unlike Hive-layout partitionBy)
-                bdf.filter(cond).drop(*ibcols).write.mode(
-                    "overwrite"
-                ).parquet(pdir)
+            # ONE data pass: Hive-layout partitionBy on the SYNTHETIC
+            # transform columns.  They are copies, so the source columns
+            # stay in the data files as Iceberg requires — partitionBy
+            # drops only the __ib* helpers.  The old spelling ran one full
+            # filter+write job PER partition value (P scans of the input —
+            # unusable at scale and the dominant cost of the bucket gate);
+            # this is a single job regardless of P.  Dirs are then renamed
+            # from __ibJ=v to <field>=v for the spec-shaped layout.
+            bdf.write.partitionBy(*ibcols).mode("overwrite").parquet(
+                batch_dir
+            )
+            import urllib.parse as _up
+
+            def _parse_part_val(s: str, avro_t: str):
+                if s == "__HIVE_DEFAULT_PARTITION__":
+                    return None
+                s = _up.unquote(s)
+                if avro_t in ("int", "long"):
+                    return int(s)
+                if avro_t in ("double", "float"):
+                    return float(s)
+                if avro_t == "boolean":
+                    return s == "true"
+                return s
+
+            levels: list[list[str]] = [[batch_dir]]
+            for j in range(len(ibcols)):
+                nxt: list[str] = []
+                for parent in levels[-1]:
+                    for child in sorted(os.listdir(parent)):
+                        if not child.startswith(f"__ib{j}="):
+                            continue
+                        new_name = f"{fnames[j]}={child.split('=', 1)[1]}"
+                        os.rename(
+                            os.path.join(parent, child),
+                            os.path.join(parent, new_name),
+                        )
+                        nxt.append(os.path.join(parent, new_name))
+                levels.append(nxt)
+            for leaf in levels[-1]:
+                rel = os.path.relpath(leaf, batch_dir).split(os.sep)
                 part_dict = {
-                    fn: (
-                        int(v)
-                        if v is not None and (tf_ != "identity")
-                        else v
+                    part_fields[j][0]: _parse_part_val(
+                        p.split("=", 1)[1], part_fields[j][1]
                     )
-                    for (fn, tf_, _), v in zip(spec_fields_meta, combo)
+                    for j, p in enumerate(rel)
                 }
                 entries.extend(
-                    table._entries_for_dir(pdir, part_dict, snap_id, seq)
+                    table._entries_for_dir(leaf, part_dict, snap_id, seq)
                 )
         else:
             out_df = df
