@@ -414,22 +414,44 @@ class DeltaNativeTable:
         batch = f"b{version}"
         adds: list[dict] = []
         if partition_by:
-            values = [r[0] for r in df.select(partition_by).distinct().collect()]
-            if len(values) > cls.PARTITION_CAP:
+            n_vals = df.select(partition_by).distinct().count()
+            if n_vals > cls.PARTITION_CAP:
                 raise ValueError(
-                    f"{len(values)} distinct partition values (cap "
+                    f"{n_vals} distinct partition values (cap "
                     f"{cls.PARTITION_CAP})"
                 )
-            for v in sorted(values, key=str):
-                rel_dir = f"{partition_by}={v}"
-                out_dir = os.path.join(path, rel_dir, batch)
-                # delta data files do NOT contain partition columns
-                df.filter(F.col(partition_by) == F.lit(v)).drop(
-                    partition_by
-                ).write.mode("overwrite").parquet(out_dir)
-                adds.extend(
-                    cls._adds_for_dir(path, out_dir, {partition_by: str(v)})
+            # ONE data pass (the old spelling ran a full filter+write job
+            # per partition value): Hive partitionBy drops the partition
+            # column from the files — exactly Delta's physical contract —
+            # then each partition dir moves into the table's
+            # <col>=<v>/<batch> layout the reader's basePath discovery
+            # expects.  NULL partition rows land in the Hive default dir
+            # and keep a null partitionValue (the old filter dropped them).
+            import shutil as _shutil
+            import urllib.parse as _up
+
+            tmp_dir = os.path.join(path, f"_tmp_{batch}")
+            df.write.partitionBy(partition_by).mode("overwrite").parquet(
+                tmp_dir
+            )
+            for child in sorted(os.listdir(tmp_dir)):
+                if not child.startswith(f"{partition_by}="):
+                    continue
+                raw = child.split("=", 1)[1]
+                val = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else _up.unquote(raw)
                 )
+                dest = os.path.join(path, child, batch)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                if os.path.exists(dest):
+                    _shutil.rmtree(dest)
+                os.rename(os.path.join(tmp_dir, child), dest)
+                adds.extend(
+                    cls._adds_for_dir(path, dest, {partition_by: val})
+                )
+            _shutil.rmtree(tmp_dir, ignore_errors=True)
         else:
             out_df = df
             if cluster_by:
