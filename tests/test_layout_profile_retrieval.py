@@ -332,3 +332,23 @@ def test_triangle_counts_degree_orientation_equivalent(spark):
     assert dict(base)[1] == 4  # 3 K4 triangles + the (1,5,6) triangle
     assert dict(base)[4] == 3
     assert 9 not in dict(base) and 10 not in dict(base)
+
+
+def test_bm25_length_normalization_and_exactness(spark):
+    """Two docs with identical tf for the query term: the shorter one must
+    score higher (the property tf-idf lacks); and the emitted double must
+    equal num/SCALE exactly (single final division contract)."""
+    from moosestack_spark.ops.retrieval import BM25_SCALE, bm25_topk
+
+    rows = [
+        (1, "scan " + "filler " * 50),
+        (2, "scan " + "filler " * 5),
+        (3, "other words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bm25_topk(df, "doc_id", "text", ("scan",), k=5).collect()}
+    assert set(out) == {1, 2}  # doc 3 has no hit
+    assert out[2].score > out[1].score  # shorter doc wins at equal tf
+    for r in out.values():
+        # score is an exact multiple of 1/BM25_SCALE
+        assert abs(r.score * BM25_SCALE - round(r.score * BM25_SCALE)) < 1e-9
