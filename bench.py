@@ -185,6 +185,7 @@ EXTRA = [
     "corpus_stratified_sample",
     "text_keyword_topk",
     "source_iceberg_clustered_read",
+    "corpus_export_report",
 ]
 
 

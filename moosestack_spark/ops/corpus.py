@@ -850,3 +850,94 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     each stratum — deterministic and hash-replayable end to end."""
     d = t(spark, sf_dir, "documents")
     return stratified_sample(d, "doc_id", "lang", denom=10)
+
+
+# --------------------------------------------------------------------------
+# Composed export report: filter -> exact dedup -> stratified 1/10 sample ->
+# per-language doc/token totals, as ONE lineage.  Demonstrates that the
+# gated stages COMPOSE (the curation-pipeline property) with the round-8
+# exact-quota sampler in the middle; every stage is deterministic integer
+# logic, so the whole composition stays hash-replayable.
+# --------------------------------------------------------------------------
+
+
+def _export_report_oracle() -> str:
+    from moosestack_spark.operators.aggregates import fmix32_duckdb_ctes
+
+    ctes = fmix32_duckdb_ctes("doc_id", "doc_id, lang, text", "uniq")
+    return f"""
+WITH kept AS (
+  SELECT doc_id, text, lang FROM documents
+  WHERE lang IN ('en', 'es') AND n_chars BETWEEN 50 AND 2000
+), normed AS (
+  SELECT doc_id, text, lang,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+  FROM kept
+), uniq AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+           row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+    FROM normed
+  ) WHERE rn = 1
+), {ctes},
+counts AS (SELECT lang, COUNT(*) AS n_s FROM uniq GROUP BY lang),
+tot AS (SELECT COUNT(*) AS N, COUNT(*) // 10 AS T FROM uniq),
+alloc AS (
+  SELECT lang, (n_s * T) // N AS base, (n_s * T) % N AS rem
+  FROM counts, tot
+),
+lo AS (
+  SELECT (SELECT T FROM tot) - (SELECT SUM(base) FROM alloc) AS x
+),
+quota AS (
+  SELECT lang,
+         base + CASE WHEN row_number()
+                          OVER (ORDER BY rem DESC, lang ASC) <= lo.x
+                     THEN 1 ELSE 0 END AS q
+  FROM alloc, lo
+),
+picked AS (
+  SELECT doc_id, lang, text,
+         row_number() OVER (PARTITION BY lang ORDER BY h32, doc_id) AS rn
+  FROM hashed
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM picked JOIN quota USING (lang) WHERE rn <= q
+GROUP BY lang
+"""
+
+
+@query("corpus_export_report", oracle=_export_report_oracle())
+def corpus_export_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter -> exact dedup (normalized text, min-id survivor) ->
+    stratified exact-quota 1/10 sample by lang -> per-language doc and
+    token totals, one composed plan.  Scale shape: scan-side filters, one
+    hash shuffle for dedup, one lang shuffle for the sampler's rank
+    window, a |strata|-row quota broadcast, and a final tiny aggregate —
+    each stage shrinks the next stage's input."""
+    d = t(spark, sf_dir, "documents")
+    kept = d.filter(
+        F.col("lang").isin("en", "es") & F.col("n_chars").between(50, 2000)
+    ).select("doc_id", "text", "lang")
+    w = Window.partitionBy("__norm").orderBy("doc_id")
+    uniq = (
+        kept.withColumn(
+            "__norm",
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "text", "lang")
+    )
+    sampled = stratified_sample(uniq, "doc_id", "lang", denom=10)
+    return (
+        sampled.join(uniq, ["doc_id", "lang"])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )

@@ -85,6 +85,7 @@ _WINDOW_PRIORITY = [
     "sql_ch_dialect_vocab_r8b",
     "text_keyword_topk",
     "source_iceberg_clustered_read",
+    "corpus_export_report",
     # --- changed this round: first hash lands on the NEW expression ---
     "sql_ch_dialect_vocab_r7b",
     "similarity_knn_graph",
@@ -127,7 +128,6 @@ _WINDOW_PRIORITY = [
     "sql_ch_dialect_vocab_r7c",
     "streaming_scd2_apply",
     "join_nearest_event",
-    "profile_psi_drift",
 ]
 
 # The explicit rotation backlog, pinned to positions 51+: oracled queries
@@ -135,6 +135,7 @@ _WINDOW_PRIORITY = [
 # The registry-window meta-test enforces that ONLY names listed here may
 # lack both a green row and a window slot.
 _AFTER_WINDOW: list[str] = [
+    "profile_psi_drift",
     "sql_ch_dialect_vocab_r7d",
     "funnel_time_to_convert",
     "text_ngram_diversity",

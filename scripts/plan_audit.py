@@ -82,6 +82,8 @@ ALLOWED = {
     # one-row broadcast crosses onto the |strata|-row allocation frame
     # (ops/corpus.py stratified_sample)
     "corpus_stratified_sample": {"BNLJ"},
+    # composed export report embeds the same sampler, same one-row crosses
+    "corpus_export_report": {"BNLJ"},
     # KS statistic: the (n1, n2) totals are a ONE-row aggregate
     # broadcast-crossed onto the distinct-value ECDF rows
     "agg_ks_test": {"BNLJ"},
