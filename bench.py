@@ -186,6 +186,9 @@ EXTRA = [
     "text_keyword_topk",
     "source_iceberg_clustered_read",
     "corpus_export_report",
+    "sql_ch_dialect_vocab_r8c",
+    "window_nonnegative_derivative",
+    "agg_proportions_ztest",
 ]
 
 

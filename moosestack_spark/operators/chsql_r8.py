@@ -163,3 +163,48 @@ FROM (
 GROUP BY o_orderpriority
 """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_vocab_r8c",
+    oracle="""
+SELECT o_orderkey,
+       CAST(trunc(v) AS BIGINT) AS tr,
+       round_even(CAST((o_orderkey % 100) + 0.5 AS DOUBLE), 0) AS rb,
+       round_even(v, 2) AS rb2,
+       CAST((o_orderkey % 10000) // 3600 AS BIGINT) AS td_h,
+       CAST((o_orderkey % 10000) // 60 AS BIGINT) AS td_m,
+       CAST((1640995200 + o_orderkey % 10000) AS BIGINT) * 1000000 AS micro
+FROM (
+  SELECT o_orderkey,
+         CAST((o_orderkey % 100) - 50 AS DOUBLE) / 7 AS v
+  FROM orders WHERE o_orderkey % 37 = 0
+)
+""",
+)
+def sql_ch_dialect_vocab_r8c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 batch c: trunc (toward zero), roundBankers (HALF_EVEN =
+    Spark bround vs DuckDB round_even), timestampDiff (complete-unit
+    counting, the documented dateDiff semantics), toStartOfMicrosecond
+    (identity at Spark's microsecond timestamp precision)."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       trunc(v) AS tr,
+       roundBankers(toFloat64((o_orderkey % 100) + 0.5), 0) AS rb,
+       roundBankers(v, 2) AS rb2,
+       timestampDiff('hour', ts0, ts1) AS td_h,
+       timestampDiff('minute', ts0, ts1) AS td_m,
+       toUnixTimestamp64Micro(toStartOfMicrosecond(ts1)) AS micro
+FROM (
+  SELECT o_orderkey,
+         ((o_orderkey % 100) - 50) / 7 AS v,
+         toDateTime(1640995200) AS ts0,
+         toDateTime(1640995200 + (o_orderkey % 10000)) AS ts1
+  FROM orders WHERE o_orderkey % 37 = 0
+)
+"""
+    return spark.sql(translate_ch_sql(ch_sql))

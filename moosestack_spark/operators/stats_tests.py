@@ -468,3 +468,59 @@ def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "agg_proportions_ztest",
+    oracle="""
+WITH f AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) % 2 = 0 AS succ
+  FROM events WHERE event_type IN ('view', 'click')
+), c AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN event_type = 'view' AND succ THEN 1 ELSE 0 END)
+         AS BIGINT) AS s1,
+    CAST(SUM(CASE WHEN event_type = 'click' AND succ THEN 1 ELSE 0 END)
+         AS BIGINT) AS s2
+  FROM f
+)
+SELECT n1, n2, s1, s2,
+       (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+         / SQRT((CAST(s1 + s2 AS DOUBLE) / (n1 + n2))
+                * (1.0 - CAST(s1 + s2 AS DOUBLE) / (n1 + n2))
+                * (1.0 / n1 + 1.0 / n2)) AS z
+FROM c
+""",
+)
+def agg_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH proportionsZTest shape: pooled two-proportion z statistic between
+    the view and click cohorts (success := even integer cents — a
+    deterministic, non-degenerate split).  All counts are exact bigints in
+    ONE aggregate (no joins, no scalar crosses); the z value is the same
+    correctly-rounded +,-,*,/,sqrt chain in both engines."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    succ = (F.round(F.col("value") * 100).cast("bigint") % 2 == 0)
+    is_v = F.col("event_type") == "view"
+    c = e.agg(
+        F.sum(F.when(is_v, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(~is_v, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(is_v & succ, 1).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when((~is_v) & succ, 1).otherwise(0))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    pp = (F.col("s1") + F.col("s2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    z = (
+        F.col("s1").cast("double") / F.col("n1")
+        - F.col("s2").cast("double") / F.col("n2")
+    ) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return c.select("n1", "n2", "s1", "s2", z.alias("z"))

@@ -449,3 +449,47 @@ def window_running_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("neighbor3_delta"),
     )
+
+
+@query(
+    "window_nonnegative_derivative",
+    oracle="""
+SELECT user_id, event_id,
+       CASE WHEN lag_c IS NULL OR dt_ms <= 0 THEN NULL
+            ELSE GREATEST(0.0, CAST(c - lag_c AS DOUBLE) / dt_ms) END
+         AS rate_per_ms
+FROM (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         lag(CAST(round(value * 100) AS BIGINT)) OVER w AS lag_c,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS dt_ms
+  FROM events WHERE event_id % 11 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+""",
+)
+def window_nonnegative_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH nonNegativeDerivative re-expressed as window algebra: per user
+    in (ts, event_id) order, the clamped-at-zero rate of change of the
+    exact integer cents per MILLISECOND of elapsed time.  Pinned
+    definition (documented): the first row and rows with non-positive
+    elapsed time emit NULL; dt is exact epoch-millis arithmetic, so the
+    only float is the final division of two exact bigints."""
+    ev = t(spark, sf_dir, "events").filter("event_id % 11 = 0")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_c = F.lag(cents).over(w)
+    dt_ms = F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.when(
+            lag_c.isNull() | (dt_ms <= 0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.greatest(
+                F.lit(0.0), (cents - lag_c).cast("double") / dt_ms
+            )
+        )
+        .alias("rate_per_ms"),
+    )

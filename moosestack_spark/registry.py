@@ -86,6 +86,9 @@ _WINDOW_PRIORITY = [
     "text_keyword_topk",
     "source_iceberg_clustered_read",
     "corpus_export_report",
+    "sql_ch_dialect_vocab_r8c",
+    "window_nonnegative_derivative",
+    "agg_proportions_ztest",
     # --- changed this round: first hash lands on the NEW expression ---
     "sql_ch_dialect_vocab_r7b",
     "similarity_knn_graph",
@@ -125,9 +128,6 @@ _WINDOW_PRIORITY = [
     "agg_markov_transitions",
     "ts_autocorrelation",
     "ts_seasonal_decompose",
-    "sql_ch_dialect_vocab_r7c",
-    "streaming_scd2_apply",
-    "join_nearest_event",
 ]
 
 # The explicit rotation backlog, pinned to positions 51+: oracled queries
@@ -135,6 +135,9 @@ _WINDOW_PRIORITY = [
 # The registry-window meta-test enforces that ONLY names listed here may
 # lack both a green row and a window slot.
 _AFTER_WINDOW: list[str] = [
+    "sql_ch_dialect_vocab_r7c",
+    "streaming_scd2_apply",
+    "join_nearest_event",
     "profile_psi_drift",
     "sql_ch_dialect_vocab_r7d",
     "funnel_time_to_convert",

@@ -510,6 +510,7 @@ _TEMPLATE = {
     "JSONExtractInt": "cast(get_json_object({0}, concat('$.', {1})) as bigint)",
     "JSONExtractFloat": "cast(get_json_object({0}, concat('$.', {1})) as double)",
     "dateDiff": None,  # handled specially
+    "timestampDiff": None,  # alias of dateDiff (same special handler)
     "sumIf": None,
     "avgIf": None,
     # CH position(haystack, needle) is 1-based with swapped args vs locate
@@ -1446,6 +1447,21 @@ _TEMPLATE.update(
         "firstSignificantSubdomain": (
             f"element_at({_CUT_H}, size({_CUT_H}) - {_CUT_TAKE} + 1)"
         ),
+        # math truncate toward zero (CH trunc 1-arg form)
+        "trunc": (
+            "(CASE WHEN ({0}) >= 0 THEN FLOOR({0}) ELSE CEIL({0}) END)"
+        ),
+        # banker's rounding = Spark bround (HALF_EVEN)
+        "roundBankers": "bround({0}, {1})",
+        # Spark timestamps are microsecond-precision: truncation to the
+        # microsecond is the identity (documented)
+        "toStartOfMicrosecond": "cast({0} as timestamp)",
+        # 'Stable' variants are numeric-stability implementation choices in
+        # CH; this engine's power-sum spellings are exact, so they alias
+        "covarSampStable": (
+            "((sum(({0}) * ({1})) - sum({0}) * sum({1}) / count({0})) / "
+            "(count({0}) - 1))"
+        ),
         # aggregate half: population covariance (same power-sum spelling
         # as covarSamp), weighted mean, bitwise aggregate family
         "covarPop": (
@@ -1466,6 +1482,8 @@ _RENAME.update(
         # sketch FORMAT differs, the query surface is the estimate)
         "uniqTheta": "approx_count_distinct",
         "quantileTDigest": "percentile_approx",
+        # exactness makes the 'Stable' numeric variants plain aliases
+        "corrStable": "corr",
     }
 )
 
@@ -1731,7 +1749,7 @@ def translate_ch_sql(sql: str) -> str:
                 parts.append(f"WHEN {args[j]} THEN {args[j+1]}")
             parts.append(f"ELSE {args[-1]} END")
             out.append(" ".join(parts))
-        elif name in ("dateDiff", "age"):
+        elif name in ("dateDiff", "age", "timestampDiff"):
             unit = args[0].strip("'\"")
             out.append(f"timestampdiff({unit}, {args[1]}, {args[2]})")
         elif name == "sumIf":
