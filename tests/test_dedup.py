@@ -340,3 +340,39 @@ def test_winnowing_density(spark):
     n_fp = winnow_fingerprints(df, "doc_id", "text", n=3, w=4).count()
     n_shingles = 300 - 2
     assert 0 < n_fp < n_shingles * 0.8
+
+
+def test_auto_planes_matches_oracle_case_thresholds():
+    """The auto gate's oracle replays plane selection as integer CASE
+    thresholds (n <= occ<<P); _auto_planes must agree for every n,
+    including exact power-of-two boundaries (the reason it is integer
+    arithmetic, not float ceil(log2))."""
+    from hypothesis import given, strategies as st
+
+    from moosestack_spark.ops.dedup import (
+        AUTO_GATE_MAX_PLANES,
+        AUTO_GATE_OCC,
+        PRUNE_PLANES_PER_BAND,
+        _auto_planes,
+    )
+
+    def case_replay(n: int) -> int:
+        for p in range(PRUNE_PLANES_PER_BAND, AUTO_GATE_MAX_PLANES):
+            if n <= (AUTO_GATE_OCC << p):
+                return p
+        return AUTO_GATE_MAX_PLANES
+
+    @given(st.integers(min_value=1, max_value=1 << 20))
+    def check(n):
+        assert _auto_planes(
+            n, AUTO_GATE_OCC, PRUNE_PLANES_PER_BAND, AUTO_GATE_MAX_PLANES
+        ) == case_replay(n)
+
+    check()
+    # boundary pins: exact powers of two around every threshold
+    for p in range(PRUNE_PLANES_PER_BAND, AUTO_GATE_MAX_PLANES):
+        edge = AUTO_GATE_OCC << p
+        for n in (edge - 1, edge, edge + 1):
+            assert _auto_planes(
+                n, AUTO_GATE_OCC, PRUNE_PLANES_PER_BAND, AUTO_GATE_MAX_PLANES
+            ) == case_replay(n)
