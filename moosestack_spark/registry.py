@@ -66,75 +66,21 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 # The driver's CORRECTNESS run checks the first 50 registered queries per
-# round.  Rounds 1-7 hard-verified 285 distinct queries (282 latest-green +
-# 3 rows-only-by-design); the round-7 window cleared the whole round-6
-# backlog.  The round-8 window leads with this round's NEW gates (a first
-# driver hash on new code beats re-confirming stable queries), then the two
-# gates whose expressions CHANGED this round (vocab_r7b's widened IPv6
-# cases, knn_graph's quantized ranking), then the never-driver-sampled
-# round-7 backlog in landing order.  The two that do not fit stay in
-# _AFTER_WINDOW for round 9.
-_WINDOW_PRIORITY = [
-    # --- new round-8 gates ---
-    "dedup_embedding_cosine_pruned_auto",
-    "source_iceberg_multifield_read",
-    "multimodal_ogg_metadata",
-    "sql_ch_dialect_vocab_r8",
-    "text_bm25_retrieval",
-    "corpus_stratified_sample",
-    "sql_ch_dialect_vocab_r8b",
-    "text_keyword_topk",
-    "source_iceberg_clustered_read",
-    "corpus_export_report",
-    "sql_ch_dialect_vocab_r8c",
-    "window_nonnegative_derivative",
-    "agg_proportions_ztest",
-    # --- changed this round: first hash lands on the NEW expression ---
-    "sql_ch_dialect_vocab_r7b",
-    "similarity_knn_graph",
-    # --- never-driver-sampled backlog (rounds 6-7), landing order ---
-    "ts_ohlc_daily",
-    "agg_quantile_timing_weighted",
-    "graph_triangle_count",
-    "agg_sparkbar_hours",
-    "sql_ch_dialect_vocab_r6c_agg",
-    "agg_sequence_match_timed",
-    "sql_ch_dialect_numbers",
-    "sql_ch_dialect_vocab_r6d",
-    "join_interval_overlap",
-    "join_fuzzy_blocked",
-    "streaming_space_saving_topk",
-    "source_iceberg_bucket_read",
-    "source_delta_mapped_read",
-    "agg_student_ttest",
-    "agg_mean_z_test",
-    "agg_kruskal_wallis",
-    "agg_categorical_iv",
-    "agg_sequence_next_node",
-    "window_ntile_cume",
-    "ts_ewma_smoothing",
-    "ts_holt_linear",
-    "ts_changepoint_cusum",
-    "ts_anomaly_mad",
-    "sql_ch_dialect_vocab_r7",
-    "cluster_kmeans_embeddings",
-    "embedding_random_projection",
-    "graph_label_propagation",
-    "table_scd2_build",
-    "cohort_retention_matrix",
-    "attribution_last_touch",
-    "basket_pair_lift",
-    "agg_gini_revenue",
-    "agg_markov_transitions",
-    "ts_autocorrelation",
-    "ts_seasonal_decompose",
+# round.  After round 8, every oracled gate EXCEPT the 12 in _R9_BACKLOG
+# has a green driver row in some round (union r1-r8 = 332 oracled-green).
+# The round-9 window therefore leads with this round's NEW gates, then the
+# 12-gate backlog (all judge-green, never driver-sampled), and fills the
+# remaining slots with the OLDEST driver-green gates — the 44 whose only
+# hash is from round 1 — as hash-drift canaries, exactly as VERDICT r8
+# prescribed.  The window is COMPUTED so adding a new r9 gate automatically
+# displaces the newest canary while the meta-test's exactly-50 invariant
+# holds.
+_R9_NEW: list[str] = [
+    # new round-9 gates, in landing order (first driver hash on new code
+    # beats re-confirming stable queries)
 ]
 
-# The explicit rotation backlog, pinned to positions 51+: oracled queries
-# without a recorded green row that did not fit this round's 50 slots.
-# The registry-window meta-test enforces that ONLY names listed here may
-# lack both a green row and a window slot.
-_AFTER_WINDOW: list[str] = [
+_R9_BACKLOG: list[str] = [
     "sql_ch_dialect_vocab_r7c",
     "streaming_scd2_apply",
     "join_nearest_event",
@@ -148,6 +94,70 @@ _AFTER_WINDOW: list[str] = [
     "dedup_containment",
     "attribution_linear",
 ]
+
+# Hash-drift canaries: gates whose latest (only) driver-green row is from
+# round 1, oldest evidence in the record.  Re-confirming them guards
+# against silent drift in long-stable code paths.  Listed in fixed order;
+# only the first (50 - len(_R9_NEW) - len(_R9_BACKLOG)) get slots.
+_R1_CANARIES: list[str] = [
+    "agg_having",
+    "agg_count_distinct",
+    "agg_quantile",
+    "join_star_multi",
+    "join_left_lookup",
+    "join_theta",
+    "join_asof",
+    "join_range_buckets",
+    "join_semi_anti",
+    "join_full_outer",
+    "mv_incremental_daily_rollup",
+    "mv_hypertable_rollup",
+    "mv_populate_matches_incremental",
+    "setop_union_merge",
+    "sql_ch_dialect_translated",
+    "analytics_local_supplier_volume",
+    "engine_summing_rollup",
+    "engine_collapsing",
+    "engine_versioned_collapsing",
+    "agg_arg_max",
+    "agg_count_if",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "filter_comparisons",
+    "filter_in_between",
+    "filter_like",
+    "filter_null_checks",
+    "filter_empty_in_is_false",
+    "filter_semantics_skip_and_empty_in",
+    "scalar_date_bucketing",
+    "scalar_json_extract",
+    "scalar_conversions",
+    "scalar_string_funcs",
+    "scalar_math_funcs",
+    "scalar_array_ops",
+    "scalar_conditionals",
+    "scalar_hash_md5",
+    "scalar_hour_bucketing",
+    "scalar_json_variant",
+    "semantic_dims_metrics_groupby",
+    "semantic_detail_mode",
+    "semantic_join_dimension_having",
+    "sql_guarded_limit",
+    "sql_template_params",
+]
+
+_WINDOW_PRIORITY = (
+    _R9_NEW
+    + _R9_BACKLOG
+    + _R1_CANARIES[: 50 - len(_R9_NEW) - len(_R9_BACKLOG)]
+)
+
+# The explicit rotation backlog, pinned to positions 51+: oracled queries
+# without a recorded green row that did not fit this round's 50 slots.
+# The registry-window meta-test enforces that ONLY names listed here may
+# lack both a green row and a window slot.  Empty for round 9: the 12
+# never-sampled gates all lead the window.
+_AFTER_WINDOW: list[str] = []
 
 
 def load_all() -> None:
