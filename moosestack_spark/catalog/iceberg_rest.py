@@ -1,0 +1,525 @@
+"""Iceberg REST-catalog protocol: loopback server + client + table handle.
+
+Implements the subset of the public Iceberg REST Catalog OpenAPI
+(apache/iceberg open-api rest-catalog-open-api.yaml) that a lake client
+actually exercises:
+
+- ``GET  /v1/config``                                  — CatalogConfig
+- ``GET/POST /v1/{prefix}/namespaces``                 — list / create
+- ``GET  /v1/{prefix}/namespaces/{ns}/tables``         — list tables
+- ``POST /v1/{prefix}/namespaces/{ns}/register``       — RegisterTableRequest
+  (name + metadata-location; the spec-blessed way to adopt an existing
+  table, used here for CREATE so staging reuses the native writer)
+- ``GET  /v1/{prefix}/namespaces/{ns}/tables/{tbl}``    — LoadTableResult
+- ``POST /v1/{prefix}/namespaces/{ns}/tables/{tbl}``    — CommitTableRequest:
+  requirements (``assert-create``, ``assert-table-uuid``,
+  ``assert-ref-snapshot-id``) validated against the server's CURRENT
+  metadata; on failure the server answers **409 CommitFailedException**
+  and the client must reload + rebase + retry (optimistic concurrency).
+  On success the SERVER authors the new metadata file (applies
+  ``add-snapshot`` / ``set-snapshot-ref`` / ``set-properties`` updates)
+  and advances its metadata-location pointer — the commit pointer is
+  catalog-owned, exactly as in Polaris/Lakekeeper/Glue.
+
+Reference semantics: the reference delegates Iceberg access to
+ClickHouse's read-only IcebergS3 engine and always queries the catalog's
+latest snapshot (packages/py-moose-lib/moose_lib/blocks.py:425-478).
+Here the same data path is the native metadata walk
+(catalog/iceberg_native.py); this module adds the *catalog protocol* so
+tables resolve by (namespace, name) through REST instead of a directory
+version-hint.
+
+Scale notes (100 TB): the catalog exchange is O(metadata) — a LoadTable
+response carries one JSON document and commits carry one snapshot; no
+data moves through the catalog.  All data-file I/O stays on executors via
+IcebergNativeTable.  The optimistic-concurrency loop is the standard
+multi-writer story: conflicts cost one re-stage of *manifest bookkeeping*
+(driver-side, manifest-count-sized), never a rewrite of data files
+already staged — the rebase reuses them only when partitioning allows;
+this implementation restages the batch, which is the safe general answer
+for the append-only shapes it serves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+import urllib.error
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from moosestack_spark.catalog.iceberg_native import IcebergNativeTable
+
+
+class CommitConflict(Exception):
+    """Server rejected a commit requirement (HTTP 409): reload and rebase."""
+
+
+class _CatalogState:
+    """In-memory namespace/table registry; metadata FILES live on disk.
+
+    The authoritative pointer is ``tables[(ns, name)] = metadata_location``;
+    server-authored metadata versions are written next to the table under
+    ``<location>/rest-metadata/v{n}.metadata.json`` so they never collide
+    with client STAGED files in ``<location>/metadata/``.
+    """
+
+    def __init__(self) -> None:
+        self.namespaces: set[str] = set()
+        self.tables: dict[tuple[str, str], str] = {}
+        self.lock = threading.Lock()
+
+
+def _meta_version(metadata_location: str) -> int:
+    m = re.match(r"^v(\d+)\.metadata\.json$", os.path.basename(metadata_location))
+    if not m:
+        raise ValueError(f"unparseable metadata filename: {metadata_location}")
+    return int(m.group(1))
+
+
+def _check_requirements(reqs: list[dict], current: Optional[dict]) -> Optional[str]:
+    """Return an error string if any requirement fails against the CURRENT
+    table metadata (None = table does not exist yet)."""
+    for r in reqs:
+        typ = r.get("type")
+        if typ == "assert-create":
+            if current is not None:
+                return "assert-create failed: table already exists"
+        elif typ == "assert-table-uuid":
+            if current is None or current.get("table-uuid") != r.get("uuid"):
+                return "assert-table-uuid failed"
+        elif typ == "assert-ref-snapshot-id":
+            if current is None:
+                return "assert-ref-snapshot-id failed: no table"
+            want = r.get("snapshot-id")
+            have = current.get("current-snapshot-id")
+            if want != have:
+                return (
+                    f"assert-ref-snapshot-id failed: ref {r.get('ref')!r} is "
+                    f"at {have}, commit based on {want}"
+                )
+        else:
+            return f"unsupported requirement type {typ!r}"
+    return None
+
+
+def _apply_updates(meta: dict, updates: list[dict]) -> dict:
+    """Server-side metadata evolution for the update actions an append
+    commit carries.  Unknown actions are refused loudly (never silently
+    dropped — a dropped update would corrupt the table's history)."""
+    out = json.loads(json.dumps(meta))  # deep copy
+    for u in updates:
+        act = u.get("action")
+        if act == "add-snapshot":
+            snap = u["snapshot"]
+            if any(
+                s["snapshot-id"] == snap["snapshot-id"]
+                for s in out.get("snapshots", [])
+            ):
+                raise ValueError(
+                    f"snapshot {snap['snapshot-id']} already present"
+                )
+            out.setdefault("snapshots", []).append(snap)
+            out["last-sequence-number"] = max(
+                out.get("last-sequence-number", 0), snap.get("sequence-number", 0)
+            )
+            out["last-updated-ms"] = snap.get("timestamp-ms", 0)
+        elif act == "set-snapshot-ref":
+            if u.get("ref-name") != "main" or u.get("type") != "branch":
+                raise ValueError("only the main branch ref is supported")
+            sid = u["snapshot-id"]
+            if not any(
+                s["snapshot-id"] == sid for s in out.get("snapshots", [])
+            ):
+                raise ValueError(f"set-snapshot-ref to unknown snapshot {sid}")
+            out["current-snapshot-id"] = sid
+            out.setdefault("refs", {})["main"] = {
+                "snapshot-id": sid,
+                "type": "branch",
+            }
+        elif act == "set-properties":
+            out.setdefault("properties", {}).update(u.get("updates", {}))
+        else:
+            raise ValueError(f"unsupported update action {act!r}")
+    return out
+
+
+class IcebergRestCatalogServer:
+    """Loopback REST catalog backed by local metadata files.
+
+    ``token``: when set, every request must carry
+    ``Authorization: Bearer <token>`` (401 otherwise) — same auth shape
+    real catalogs use for OAuth bearer flows.
+    """
+
+    def __init__(self, prefix: str = "lake", token: Optional[str] = None) -> None:
+        self.prefix = prefix
+        self.token = token
+        self.state = _CatalogState()
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+        self.port: Optional[int] = None
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a) -> None:  # quiet
+                pass
+
+            def _send(self, code: int, body: dict) -> None:
+                data = json.dumps(body).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _err(self, code: int, msg: str, etype: str) -> None:
+                self._send(
+                    code,
+                    {"error": {"message": msg, "type": etype, "code": code}},
+                )
+
+            def _authed(self) -> bool:
+                if server.token is None:
+                    return True
+                got = self.headers.get("Authorization", "")
+                if got == f"Bearer {server.token}":
+                    return True
+                self._err(401, "missing or bad bearer token", "NotAuthorizedException")
+                return False
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def do_GET(self) -> None:
+                if not self._authed():
+                    return
+                parts = [p for p in self.path.split("/") if p]
+                st = server.state
+                if parts == ["v1", "config"]:
+                    self._send(
+                        200,
+                        {"defaults": {}, "overrides": {"prefix": server.prefix}},
+                    )
+                elif parts == ["v1", server.prefix, "namespaces"]:
+                    with st.lock:
+                        ns = sorted(st.namespaces)
+                    self._send(200, {"namespaces": [[n] for n in ns]})
+                elif (
+                    len(parts) == 5
+                    and parts[:2] == ["v1", server.prefix]
+                    and parts[2] == "namespaces"
+                    and parts[4] == "tables"
+                ):
+                    ns = parts[3]
+                    with st.lock:
+                        if ns not in st.namespaces:
+                            return self._err(
+                                404, f"namespace {ns}", "NoSuchNamespaceException"
+                            )
+                        tbls = sorted(t for (n, t) in st.tables if n == ns)
+                    self._send(
+                        200,
+                        {
+                            "identifiers": [
+                                {"namespace": [ns], "name": t} for t in tbls
+                            ]
+                        },
+                    )
+                elif (
+                    len(parts) == 6
+                    and parts[:2] == ["v1", server.prefix]
+                    and parts[2] == "namespaces"
+                    and parts[4] == "tables"
+                ):
+                    ns, tbl = parts[3], parts[5]
+                    with st.lock:
+                        loc = st.tables.get((ns, tbl))
+                    if loc is None:
+                        return self._err(
+                            404, f"table {ns}.{tbl}", "NoSuchTableException"
+                        )
+                    self._send(
+                        200,
+                        {
+                            "metadata-location": loc,
+                            "metadata": json.load(open(loc)),
+                            "config": {},
+                        },
+                    )
+                else:
+                    self._err(404, self.path, "NotFoundException")
+
+            def do_POST(self) -> None:
+                if not self._authed():
+                    return
+                parts = [p for p in self.path.split("/") if p]
+                st = server.state
+                if parts == ["v1", server.prefix, "namespaces"]:
+                    body = self._body()
+                    ns = body["namespace"][0]
+                    with st.lock:
+                        if ns in st.namespaces:
+                            return self._err(
+                                409, f"namespace {ns}", "AlreadyExistsException"
+                            )
+                        st.namespaces.add(ns)
+                    self._send(200, {"namespace": [ns], "properties": {}})
+                elif (
+                    len(parts) == 5
+                    and parts[2] == "namespaces"
+                    and parts[4] == "register"
+                ):
+                    ns = parts[3]
+                    body = self._body()
+                    name, loc = body["name"], body["metadata-location"]
+                    with st.lock:
+                        if ns not in st.namespaces:
+                            return self._err(
+                                404, f"namespace {ns}", "NoSuchNamespaceException"
+                            )
+                        if (ns, name) in st.tables:
+                            return self._err(
+                                409,
+                                f"table {ns}.{name} exists",
+                                "AlreadyExistsException",
+                            )
+                        if not os.path.exists(loc):
+                            return self._err(
+                                400, f"no metadata at {loc}", "BadRequestException"
+                            )
+                        st.tables[(ns, name)] = loc
+                    self._send(
+                        200,
+                        {
+                            "metadata-location": loc,
+                            "metadata": json.load(open(loc)),
+                        },
+                    )
+                elif (
+                    len(parts) == 6
+                    and parts[2] == "namespaces"
+                    and parts[4] == "tables"
+                ):
+                    ns, tbl = parts[3], parts[5]
+                    body = self._body()
+                    with st.lock:
+                        loc = st.tables.get((ns, tbl))
+                        current = json.load(open(loc)) if loc else None
+                        fail = _check_requirements(
+                            body.get("requirements", []), current
+                        )
+                        if fail:
+                            return self._err(409, fail, "CommitFailedException")
+                        if current is None:
+                            return self._err(
+                                404, f"table {ns}.{tbl}", "NoSuchTableException"
+                            )
+                        try:
+                            new_meta = _apply_updates(
+                                current, body.get("updates", [])
+                            )
+                        except ValueError as exc:
+                            return self._err(400, str(exc), "BadRequestException")
+                        # server authors the new metadata version
+                        out_dir = os.path.join(
+                            new_meta["location"], "rest-metadata"
+                        )
+                        os.makedirs(out_dir, exist_ok=True)
+                        new_v = _meta_version(loc) + 1
+                        new_loc = os.path.join(
+                            out_dir, f"v{new_v}.metadata.json"
+                        )
+                        tmp = new_loc + ".tmp"
+                        json.dump(new_meta, open(tmp, "w"), indent=1)
+                        os.replace(tmp, new_loc)
+                        st.tables[(ns, tbl)] = new_loc
+                    self._send(
+                        200,
+                        {"metadata-location": new_loc, "metadata": new_meta},
+                    )
+                else:
+                    self._err(404, self.path, "NotFoundException")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+
+class IcebergRestCatalog:
+    """Minimal stdlib client for the REST catalog protocol."""
+
+    def __init__(self, uri: str, token: Optional[str] = None) -> None:
+        self.uri = uri.rstrip("/")
+        self.token = token
+        cfg = self._req("GET", "/v1/config")
+        self.prefix = cfg.get("overrides", {}).get("prefix", "")
+
+    def _req(self, method: str, path: str, body: Optional[dict] = None) -> dict:
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(
+            self.uri + path, data=data, method=method
+        )
+        req.add_header("Content-Type", "application/json")
+        if self.token:
+            req.add_header("Authorization", f"Bearer {self.token}")
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return json.loads(resp.read() or b"{}")
+        except urllib.error.HTTPError as exc:
+            payload = exc.read().decode(errors="replace")
+            if exc.code == 409:
+                raise CommitConflict(payload) from None
+            raise RuntimeError(f"HTTP {exc.code} on {method} {path}: {payload}")
+
+    def _t(self, path: str) -> str:
+        return f"/v1/{self.prefix}{path}"
+
+    def create_namespace(self, ns: str) -> None:
+        self._req("POST", self._t("/namespaces"), {"namespace": [ns]})
+
+    def list_namespaces(self) -> list[str]:
+        out = self._req("GET", self._t("/namespaces"))
+        return [n[0] for n in out["namespaces"]]
+
+    def list_tables(self, ns: str) -> list[str]:
+        out = self._req("GET", self._t(f"/namespaces/{ns}/tables"))
+        return [i["name"] for i in out["identifiers"]]
+
+    def register_table(self, ns: str, name: str, metadata_location: str) -> dict:
+        return self._req(
+            "POST",
+            self._t(f"/namespaces/{ns}/register"),
+            {"name": name, "metadata-location": metadata_location},
+        )
+
+    def load_table(self, ns: str, name: str) -> dict:
+        return self._req("GET", self._t(f"/namespaces/{ns}/tables/{name}"))
+
+    def commit_table(
+        self, ns: str, name: str, requirements: list[dict], updates: list[dict]
+    ) -> dict:
+        return self._req(
+            "POST",
+            self._t(f"/namespaces/{ns}/tables/{name}"),
+            {"requirements": requirements, "updates": updates},
+        )
+
+
+def _pinned_table_cls(metadata_path: str) -> type:
+    """An IcebergNativeTable subclass whose current metadata is the
+    CATALOG-provided location (not the directory's version-hint) — reads
+    and staged appends both base on the catalog's view of the table."""
+
+    class _Pinned(IcebergNativeTable):
+        def _current_metadata_path(self) -> str:
+            return metadata_path
+
+    return _Pinned
+
+
+class IcebergRestTable:
+    """Catalog-resolved table handle: reads via the native metadata walk,
+    writes via stage-locally + REST-commit with the optimistic-concurrency
+    retry loop."""
+
+    def __init__(self, catalog: IcebergRestCatalog, ns: str, name: str) -> None:
+        self.catalog = catalog
+        self.ns = ns
+        self.name = name
+
+    @classmethod
+    def create(
+        cls,
+        catalog: IcebergRestCatalog,
+        ns: str,
+        name: str,
+        df: DataFrame,
+        path: str,
+        **write_kwargs,
+    ) -> "IcebergRestTable":
+        """Stage an initial table with the native writer, then register its
+        metadata-location with the catalog (RegisterTableRequest)."""
+        staged = IcebergNativeTable.write(df, path, mode="overwrite", **write_kwargs)
+        catalog.register_table(ns, name, staged._current_metadata_path())
+        return cls(catalog, ns, name)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        loaded = self.catalog.load_table(self.ns, self.name)
+        loc = loaded["metadata-location"]
+        table_path = loaded["metadata"]["location"]
+        return _pinned_table_cls(loc)(spark, table_path).read()
+
+    def append(self, df: DataFrame, max_retries: int = 3) -> dict:
+        """Load → stage append on the loaded metadata → commit with
+        ``assert-ref-snapshot-id``; on 409 reload and rebase (restage).
+        Returns the server's CommitTableResponse."""
+        last: Exception | None = None
+        for _ in range(max_retries):
+            loaded = self.catalog.load_table(self.ns, self.name)
+            reqs, updates = self._stage(df, loaded)
+            try:
+                return self.catalog.commit_table(
+                    self.ns, self.name, reqs, updates
+                )
+            except CommitConflict as exc:
+                last = exc
+        raise CommitConflict(
+            f"append to {self.ns}.{self.name} lost {max_retries} optimistic "
+            f"races; last server answer: {last}"
+        )
+
+    def _stage(self, df: DataFrame, loaded: dict) -> tuple[list[dict], list[dict]]:
+        """Write data files + manifests + a staged metadata json BASED ON
+        the loaded metadata-location, and build the commit body from the
+        staged snapshot."""
+        base_meta = loaded["metadata"]
+        base_snap = base_meta.get("current-snapshot-id")
+        table_path = base_meta["location"]
+        staged = _pinned_table_cls(loaded["metadata-location"]).write(
+            df, table_path, mode="append"
+        )
+        # the staged file the native writer just produced: always
+        # base_version + 1 (the writer parses the pinned basename)
+        staged_v = _meta_version(loaded["metadata-location"]) + 1
+        staged_meta = json.load(
+            open(os.path.join(staged.meta_dir, f"v{staged_v}.metadata.json"))
+        )
+        snap = staged_meta["snapshots"][-1]
+        reqs = [
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": "main",
+                "snapshot-id": base_snap,
+            }
+        ]
+        updates = [
+            {"action": "add-snapshot", "snapshot": snap},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": snap["snapshot-id"],
+            },
+        ]
+        return reqs, updates

@@ -1384,3 +1384,75 @@ def source_delta_mapped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "source_iceberg_rest_read",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS bal_cents,
+       MIN(s_name) AS first_name
+FROM supplier
+""",
+)
+def source_iceberg_rest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg REST-catalog protocol end-to-end (catalog/iceberg_rest.py;
+    reference delegates catalog access to ClickHouse IcebergS3,
+    py-moose-lib blocks.py:425-478): a loopback REST server (bearer-token
+    auth) is stood up, the even-suppkey half of supplier is staged with
+    the native writer and REGISTERED (RegisterTableRequest), the odd half
+    is APPENDED through the commit protocol (assert-ref-snapshot-id +
+    add-snapshot/set-snapshot-ref, server-authored metadata), a STALE
+    commit is replayed and must 409 (CommitFailedException), and the
+    final read resolves the table by (namespace, name) through the
+    catalog.  The oracle is the full supplier aggregate — the catalog
+    protocol must change WHERE metadata lives, never the rows."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from moosestack_spark.catalog.iceberg_rest import (
+        CommitConflict,
+        IcebergRestCatalog,
+        IcebergRestCatalogServer,
+        IcebergRestTable,
+    )
+
+    src = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        F.col("s_name"),
+        (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    base = _tempfile.mkdtemp(prefix="msk_ice_rest_")
+    server = IcebergRestCatalogServer(prefix="lake", token="gate-token")
+    try:
+        port = server.start()
+        cat = IcebergRestCatalog(f"http://127.0.0.1:{port}", token="gate-token")
+        cat.create_namespace("tpch")
+        handle = IcebergRestTable.create(
+            cat, "tpch", "supplier", src.filter("s_suppkey % 2 = 0"),
+            base + "/supplier_ice",
+        )
+        loaded_v1 = cat.load_table("tpch", "supplier")
+        handle.append(src.filter("s_suppkey % 2 = 1"))
+        # replaying a commit based on the PRE-append snapshot must conflict
+        stale_reqs = [{
+            "type": "assert-ref-snapshot-id", "ref": "main",
+            "snapshot-id": loaded_v1["metadata"]["current-snapshot-id"],
+        }]
+        try:
+            cat.commit_table("tpch", "supplier", stale_reqs, [])
+            raise AssertionError("stale commit did not 409")
+        except CommitConflict:
+            pass
+        assert cat.list_tables("tpch") == ["supplier"]
+        return handle.read(spark).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_cents").cast("bigint").alias("bal_cents"),
+            F.min("s_name").alias("first_name"),
+        ).localCheckpoint()
+    finally:
+        server.stop()
+        _shutil.rmtree(base, ignore_errors=True)

@@ -78,6 +78,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 _R9_NEW: list[str] = [
     # new round-9 gates, in landing order (first driver hash on new code
     # beats re-confirming stable queries)
+    "source_iceberg_rest_read",
 ]
 
 _R9_BACKLOG: list[str] = [

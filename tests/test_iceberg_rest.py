@@ -1,0 +1,175 @@
+"""Iceberg REST-catalog protocol e2e (catalog/iceberg_rest.py): register,
+load, commit with optimistic concurrency (genuine interleaved-writer 409 +
+rebase), read-after-commit, bearer auth, and server-side update validation.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from moosestack_spark.catalog.iceberg_rest import (
+    CommitConflict,
+    IcebergRestCatalog,
+    IcebergRestCatalogServer,
+    IcebergRestTable,
+    _apply_updates,
+    _check_requirements,
+)
+
+
+@pytest.fixture()
+def server():
+    s = IcebergRestCatalogServer(prefix="lake", token="tok")
+    s.start()
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def cat(server):
+    return IcebergRestCatalog(f"http://127.0.0.1:{server.port}", token="tok")
+
+
+@pytest.fixture()
+def warehouse():
+    d = tempfile.mkdtemp(prefix="msk_rest_wh_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS k", "CAST(id * 10 AS LONG) AS v"
+    )
+
+
+def test_config_and_namespaces(cat):
+    assert cat.prefix == "lake"
+    cat.create_namespace("a")
+    cat.create_namespace("b")
+    assert cat.list_namespaces() == ["a", "b"]
+    with pytest.raises(CommitConflict):  # 409 AlreadyExists surfaces as conflict
+        cat.create_namespace("a")
+
+
+def test_auth_rejected_without_token(server):
+    with pytest.raises(RuntimeError, match="HTTP 401"):
+        IcebergRestCatalog(f"http://127.0.0.1:{server.port}")
+    with pytest.raises(RuntimeError, match="HTTP 401"):
+        IcebergRestCatalog(f"http://127.0.0.1:{server.port}", token="wrong")
+
+
+def test_register_load_read(spark, cat, warehouse):
+    cat.create_namespace("ns")
+    h = IcebergRestTable.create(
+        cat, "ns", "t1", _rows(spark, 0, 50), warehouse + "/t1"
+    )
+    assert cat.list_tables("ns") == ["t1"]
+    loaded = cat.load_table("ns", "t1")
+    assert loaded["metadata"]["current-snapshot-id"] is not None
+    assert h.read(spark).count() == 50
+    # duplicate register refused
+    with pytest.raises(CommitConflict):
+        cat.register_table("ns", "t1", loaded["metadata-location"])
+
+
+def test_append_commit_advances_pointer(spark, cat, warehouse):
+    cat.create_namespace("ns")
+    h = IcebergRestTable.create(
+        cat, "ns", "t2", _rows(spark, 0, 30), warehouse + "/t2"
+    )
+    loc1 = cat.load_table("ns", "t2")["metadata-location"]
+    resp = h.append(_rows(spark, 30, 80))
+    loc2 = resp["metadata-location"]
+    assert loc2 != loc1 and "rest-metadata" in loc2  # server-authored
+    assert cat.load_table("ns", "t2")["metadata-location"] == loc2
+    df = h.read(spark)
+    assert df.count() == 80
+    assert df.agg({"v": "sum"}).collect()[0][0] == sum(i * 10 for i in range(80))
+
+
+def test_interleaved_writers_conflict_then_rebase(spark, cat, warehouse):
+    """Writer A stages on snapshot S1; writer B commits first; A's stale
+    commit must 409; A's append() retry loop rebases on B's snapshot and
+    lands, with BOTH appends present in the final table."""
+    cat.create_namespace("ns")
+    hA = IcebergRestTable.create(
+        cat, "ns", "t3", _rows(spark, 0, 10), warehouse + "/t3"
+    )
+    hB = IcebergRestTable(cat, "ns", "t3")
+    loadedA = cat.load_table("ns", "t3")
+    reqsA, updatesA = hA._stage(_rows(spark, 10, 20), loadedA)
+    # B wins the race with its own full append
+    hB.append(_rows(spark, 100, 110))
+    with pytest.raises(CommitConflict):
+        cat.commit_table("ns", "t3", reqsA, updatesA)
+    # A's retry loop (load -> restage -> commit) now lands cleanly
+    hA.append(_rows(spark, 10, 20))
+    ks = sorted(r.k for r in hA.read(spark).select("k").collect())
+    assert ks == list(range(0, 20)) + list(range(100, 110))
+
+
+def test_commit_on_missing_table_404(cat):
+    cat.create_namespace("ns")
+    with pytest.raises(RuntimeError, match="HTTP 404"):
+        cat.load_table("ns", "nope")
+
+
+def test_requirements_unit():
+    assert _check_requirements([{"type": "assert-create"}], None) is None
+    assert _check_requirements([{"type": "assert-create"}], {}) is not None
+    meta = {"table-uuid": "u", "current-snapshot-id": 7}
+    assert (
+        _check_requirements(
+            [{"type": "assert-table-uuid", "uuid": "u"}], meta
+        )
+        is None
+    )
+    assert (
+        _check_requirements(
+            [{"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 7}],
+            meta,
+        )
+        is None
+    )
+    assert "assert-ref-snapshot-id" in _check_requirements(
+        [{"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 6}],
+        meta,
+    )
+    assert "unsupported" in _check_requirements([{"type": "assert-weird"}], meta)
+
+
+def test_apply_updates_refuses_unknown_and_duplicates():
+    meta = {
+        "location": "/tmp/x",
+        "snapshots": [{"snapshot-id": 1, "sequence-number": 1}],
+        "current-snapshot-id": 1,
+        "last-sequence-number": 1,
+    }
+    with pytest.raises(ValueError, match="unsupported update action"):
+        _apply_updates(meta, [{"action": "remove-snapshots"}])
+    with pytest.raises(ValueError, match="already present"):
+        _apply_updates(
+            meta,
+            [{"action": "add-snapshot", "snapshot": {"snapshot-id": 1, "sequence-number": 2}}],
+        )
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        _apply_updates(
+            meta,
+            [{"action": "set-snapshot-ref", "ref-name": "main", "type": "branch", "snapshot-id": 99}],
+        )
+    out = _apply_updates(
+        meta,
+        [
+            {"action": "add-snapshot", "snapshot": {"snapshot-id": 2, "sequence-number": 2}},
+            {"action": "set-snapshot-ref", "ref-name": "main", "type": "branch", "snapshot-id": 2},
+            {"action": "set-properties", "updates": {"k": "v"}},
+        ],
+    )
+    assert out["current-snapshot-id"] == 2
+    assert out["last-sequence-number"] == 2
+    assert out["properties"]["k"] == "v"
+    assert meta["current-snapshot-id"] == 1  # input untouched
