@@ -343,21 +343,85 @@ def main() -> None:
     # final JSON line.  Keep that line to the frozen headline set only
     # (~1.3 kB); extras + scale tiers go to stderr AND a sidecar file so
     # per-round perf evidence for newer operators is still committed.
+    try:
+        import subprocess as _sp
+
+        git_rev = _sp.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        git_rev = None
     sidecar = {
         "extra_queries": extras,
         "scale_queries": {"factor": SCALE_FACTOR, **scale_queries},
         "sf": sf,
         "calib_sec": calib,
         "loadavg_start": loadavg,
+        "git_rev": git_rev,
+        # Calib-normalized work-units (seconds / calib_sec) so cross-round
+        # and cross-host comparison is mechanical (VERDICT r8 #2d): r8's
+        # idle anchor is headline 23.573 s at calib 1.602 = 14.72 units.
+        "headline_total_sec": total,
+        "headline_norm_units": round(total / calib, 3) if calib else None,
+        "scale_norm_units": {
+            k: (round(v / calib, 3) if isinstance(v, (int, float)) and calib else v)
+            for k, v in scale_queries.items()
+            if not k.endswith("_raw") and k != "factor"
+        },
     }
     print(json.dumps(sidecar), file=sys.stderr)
     try:
         if headline_only:
             raise _HeadlineOnly  # never clobber the committed sidecar
-        sidecar_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_extras.json"
-        )
-        with open(sidecar_path, "w") as fh:
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+        sidecar_path = os.path.join(repo_dir, "BENCH_extras.json")
+        # Clobber guard (VERDICT r8 "what's wrong" #1): the driver's
+        # end-of-round invocation runs right after the correctness sweep,
+        # so its scale numbers can be load-inflated; round 8's run
+        # overwrote the committed idle median-of-3 record with
+        # loadavg-6.38 numbers.  If a sidecar from the SAME code revision
+        # with a LOWER starting load already exists, this run's record
+        # goes to BENCH_extras.hot.json instead — the clean record
+        # survives, the hot one is still persisted with its provenance.
+        target = sidecar_path
+        try:
+            with open(sidecar_path) as fh:
+                prev = json.load(fh)
+            same_rev = (
+                git_rev is None
+                or prev.get("git_rev") is None
+                or prev.get("git_rev") == git_rev
+            )
+            prev_load = prev.get("loadavg_start")
+            if prev.get("sf") is not None and prev.get("sf") != sf:
+                # A smoke run at another SF must never displace the
+                # committed record for the driver's SF.
+                target = os.path.join(repo_dir, f"BENCH_extras.sf{sf}.json")
+                print(
+                    f"BENCH-SIDECAR-GUARD: existing sidecar is sf="
+                    f"{prev.get('sf')}, this run is sf={sf}; writing "
+                    f"{os.path.basename(target)}.",
+                    file=sys.stderr,
+                )
+            elif (
+                same_rev
+                and isinstance(prev_load, (int, float))
+                and loadavg is not None
+                and loadavg > max(2.0, prev_load)
+            ):
+                target = os.path.join(repo_dir, "BENCH_extras.hot.json")
+                print(
+                    f"BENCH-SIDECAR-GUARD: existing sidecar has "
+                    f"loadavg_start={prev_load} < this run's {loadavg}; "
+                    f"writing {os.path.basename(target)} instead of "
+                    f"overwriting the cleaner record.",
+                    file=sys.stderr,
+                )
+        except (OSError, ValueError):
+            pass  # no prior sidecar or unreadable: write fresh
+        with open(target, "w") as fh:
             json.dump(sidecar, fh, indent=1)
     except _HeadlineOnly:
         pass
@@ -434,6 +498,28 @@ def _make_scaled_dir(spark, sf_dir: str, factor: int) -> str:
 
 
 
+def _timed3(name: str, fn) -> tuple:
+    """Median-of-3 with raw runs (VERDICT r8 #5: the 30x tier's 2.6-3.7x
+    run-to-run spread across single-pass records made scale regressions
+    unfalsifiable).  The 3 runs are consecutive per query so host drift
+    between queries doesn't leak into one query's spread; callers persist
+    the raw list next to the median so any reader can audit the spread
+    without trusting the median.  Run 1 includes the codegen compile; the
+    median therefore usually reports a warm-plan run — same philosophy as
+    the r8 headline warmups (measure the plan, not JIT)."""
+    runs: list = []
+    for _ in range(3):
+        start = time.perf_counter()
+        try:
+            fn()
+            runs.append(round(time.perf_counter() - start, 3))
+        except Exception as exc:
+            print(f"BENCH-SCALE-ERROR {name}: {exc!r}"[:500], file=sys.stderr)
+            runs.append(None)
+    ok = sorted(r for r in runs if r is not None)
+    return (ok[len(ok) // 2] if ok else None), runs
+
+
 def _run_scale_tier(sf_dir: str) -> dict:
     """Scale-shape validation for the dedup/similarity/curation family in
     an ISOLATED python+JVM (invoked as `bench.py --scale-tier <dir>` by
@@ -498,13 +584,11 @@ def _run_scale_tier(sf_dir: str) -> dict:
             "graph_label_propagation",
         ]
         for name in scale_names:
-            start = time.perf_counter()
-            try:
-                registry.QUERIES[name](spark, scaled_dir).count()
-                scale_queries[name] = round(time.perf_counter() - start, 3)
-            except Exception as exc:
-                print(f"BENCH-SCALE-ERROR {name}: {exc!r}"[:500], file=sys.stderr)
-                scale_queries[name] = None
+            med, runs = _timed3(
+                name, lambda n=name: registry.QUERIES[n](spark, scaled_dir).count()
+            )
+            scale_queries[name] = med
+            scale_queries[name + "_raw"] = runs
     except Exception as exc:
         print(f"BENCH-SCALE-SETUP-ERROR: {exc!r}"[:500], file=sys.stderr)
 
@@ -521,13 +605,14 @@ def _run_scale_tier(sf_dir: str) -> dict:
 
         semb = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
         n_emb = semb.count()
-        start = time.perf_counter()
-        embedding_cosine_pairs_pruned_auto(
-            semb, "vec_id", "embedding", threshold=0.9, dim=64, n_rows=n_emb
-        ).count()
-        scale_queries["dedup_embedding_auto_t90"] = round(
-            time.perf_counter() - start, 3
+        med, runs = _timed3(
+            "dedup_embedding_auto_t90",
+            lambda: embedding_cosine_pairs_pruned_auto(
+                semb, "vec_id", "embedding", threshold=0.9, dim=64, n_rows=n_emb
+            ).count(),
         )
+        scale_queries["dedup_embedding_auto_t90"] = med
+        scale_queries["dedup_embedding_auto_t90_raw"] = runs
     except Exception as exc:
         print(f"BENCH-SCALE-ERROR dedup_embedding_auto_t90: {exc!r}"[:500],
               file=sys.stderr)
@@ -580,9 +665,11 @@ def _run_scale_tier(sf_dir: str) -> dict:
             )
             .distinct()
         )
-        start = time.perf_counter()
-        k_core(ue30, k=4, max_iters=25).count()
-        scale_queries["graph_kcore"] = round(time.perf_counter() - start, 3)
+        med, runs = _timed3(
+            "graph_kcore", lambda: k_core(ue30, k=4, max_iters=25).count()
+        )
+        scale_queries["graph_kcore"] = med
+        scale_queries["graph_kcore_raw"] = runs
     except Exception as exc:
         print(f"BENCH-SCALE-ERROR graph_kcore: {exc!r}"[:500], file=sys.stderr)
         scale_queries["graph_kcore"] = None
@@ -599,11 +686,12 @@ def _run_scale_tier(sf_dir: str) -> dict:
         semb = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
         n_emb = semb.count()
         planes = max(6, _math.ceil(_math.log2(max(n_emb, 128) / 64)))
-        start = time.perf_counter()
-        knn_graph(semb, dim=64, k=5, n_planes=planes).count()
-        scale_queries["similarity_knn_graph"] = round(
-            time.perf_counter() - start, 3
+        med, runs = _timed3(
+            "similarity_knn_graph",
+            lambda: knn_graph(semb, dim=64, k=5, n_planes=planes).count(),
         )
+        scale_queries["similarity_knn_graph"] = med
+        scale_queries["similarity_knn_graph_raw"] = runs
     except Exception as exc:
         print(f"BENCH-SCALE-ERROR similarity_knn_graph: {exc!r}"[:500],
               file=sys.stderr)
@@ -629,13 +717,9 @@ def _run_scale_tier(sf_dir: str) -> dict:
             ("cc_chain_star", connected_components_star),
             ("cc_chain_hybrid", connected_components_auto),
         ]:
-            start = time.perf_counter()
-            try:
-                cfn(chain).count()
-                scale_queries[cname] = round(time.perf_counter() - start, 3)
-            except Exception as exc:
-                print(f"BENCH-SCALE-ERROR {cname}: {exc!r}"[:500], file=sys.stderr)
-                scale_queries[cname] = None
+            med, runs = _timed3(cname, lambda f=cfn: f(chain).count())
+            scale_queries[cname] = med
+            scale_queries[cname + "_raw"] = runs
     except Exception as exc:
         print(f"BENCH-SCALE-SETUP-ERROR chain: {exc!r}"[:500], file=sys.stderr)
     return scale_queries
