@@ -327,6 +327,23 @@ def parse_mp4_metadata(data: bytes) -> dict:
     return out
 
 
+def video_metadata(payload: bytes) -> dict:
+    """Sniff a video payload and walk its container metadata: routes by
+    magic — RIFF/AVI (MJPEG frame walk, ops/avi.py) and ISO-BMFF/MP4 (box
+    tree).  Same honest split as audio_metadata: everything here derives
+    from container structure; frame DSP beyond MJPEG needs ffmpeg and
+    stays a loud boundary."""
+    from moosestack_spark.ops.avi import avi_stream_meta, sniff_is_avi
+
+    if sniff_is_avi(payload):
+        return avi_stream_meta(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        m = parse_mp4_metadata(payload)
+        return {"codec": "mp4", "rate": None, "scale": None,
+                "n_frames": None, **m}
+    raise ValueError("unrecognized video container (not AVI or ISO-BMFF)")
+
+
 def audio_metadata(payload: bytes) -> dict:
     """Sniff an audio payload and walk its container metadata WITHOUT
     decoding audio: (codec, channels, sample_rate, duration_ms, tags).

@@ -79,6 +79,7 @@ _R9_NEW: list[str] = [
     # new round-9 gates, in landing order (first driver hash on new code
     # beats re-confirming stable queries)
     "source_iceberg_rest_read",
+    "multimodal_avi_frames",
 ]
 
 _R9_BACKLOG: list[str] = [
@@ -194,6 +195,7 @@ def load_all() -> None:
         windows,
     )
     from moosestack_spark.ops import (  # noqa: F401
+        avi,
         bpe,
         chunking,
         clustering,

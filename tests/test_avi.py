@@ -1,0 +1,108 @@
+"""MJPEG-in-AVI container walk + frame decode (ops/avi.py)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from moosestack_spark.ops.avi import (
+    avi_stream_meta,
+    encode_avi_mjpeg,
+    parse_avi,
+    sample_avi_frames,
+    sniff_is_avi,
+)
+from moosestack_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+
+def _flat(v: int, gray: bool = False) -> bytes:
+    px = np.full((16, 16) if gray else (16, 16, 3), v, dtype=np.uint8)
+    return encode_jpeg(px)
+
+
+def test_roundtrip_frames_and_meta():
+    frames = [_flat(v) for v in (0, 77, 200, 255)]
+    avi = encode_avi_mjpeg(frames, 16, 16, rate=25, scale=1)
+    assert sniff_is_avi(avi)
+    p = parse_avi(avi)
+    assert (p["width"], p["height"], p["rate"], p["scale"]) == (16, 16, 25, 1)
+    assert p["n_frames"] == 4
+    for orig, got in zip(frames, p["frames"]):
+        assert got == orig  # container must not touch the JPEG bytes
+    for v, f in zip((0, 77, 200, 255), p["frames"]):
+        assert int(decode_jpeg(f)[0, 0, 0]) == v
+    meta = avi_stream_meta(avi)
+    assert meta["codec"] == "mjpeg"
+    assert meta["duration_ms"] == 4 * 1000 // 25
+
+
+def test_odd_length_frame_padding():
+    # JPEG bytes of odd length exercise the RIFF even-padding rule
+    frames = [_flat(3, gray=True)]
+    if len(frames[0]) % 2 == 0:
+        # force an odd payload by appending a comment segment of odd size
+        frames = [frames[0][:-2] + b"\xff\xfe\x00\x03a" + b"\xff\xd9"]
+    assert len(frames[0]) % 2 == 1
+    p = parse_avi(encode_avi_mjpeg(frames, 16, 16, rate=4))
+    assert p["frames"][0] == frames[0]
+
+
+def test_non_mjpeg_handler_refused():
+    avi = bytearray(encode_avi_mjpeg([_flat(1)], 16, 16, rate=4))
+    i = avi.find(b"vids") + 4
+    avi[i : i + 4] = b"XVID"
+    j = avi.find(b"MJPG", i + 4)  # biCompression in strf
+    avi[j : j + 4] = b"XVID"
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        parse_avi(bytes(avi))
+
+
+def test_truncated_and_garbage_refused():
+    avi = encode_avi_mjpeg([_flat(1)], 16, 16, rate=4)
+    with pytest.raises(ValueError):
+        parse_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    with pytest.raises(ValueError):
+        parse_avi(avi[:40])  # header cut mid-hdrl
+    # frame-count lie in strh must be caught
+    bad = bytearray(avi)
+    i = bad.find(b"vids")
+    # dwLength is at offset 32 into the strh body (after the two fourccs,
+    # dwFlags, wPriority+wLanguage, dwInitialFrames, dwScale, dwRate, dwStart)
+    struct.pack_into("<I", bad, i + 32, 9)
+    with pytest.raises(ValueError, match="movi carries"):
+        parse_avi(bytes(bad))
+
+
+def test_sample_avi_frames_kernel(spark):
+    rows = []
+    for mid in (0, 1):
+        frames = [
+            _flat((mid * 7 + i * 13) % 256, gray=bool(mid % 2))
+            for i in range(4)
+        ]
+        rows.append((mid, encode_avi_mjpeg(frames, 16, 16, rate=4, scale=1)))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = sample_avi_frames(df, every_ms=300).toPandas()
+    # duration 1000ms, samples at 0,300,600,900 -> idx 0,1,2,3
+    assert len(out) == 8
+    for _, r in out.iterrows():
+        v = (r.media_id * 7 + r.frame_idx * 13) % 256
+        assert r.mean_r == r.mean_g == r.mean_b == float(v)
+        assert r.frame_idx == min(r.frame_ms * 4 // 1000, 3)
+
+
+def test_video_metadata_sniffer_routes():
+    from moosestack_spark.ops.multimodal import (
+        encode_minimal_mp4,
+        video_metadata,
+    )
+
+    avi_meta = video_metadata(encode_avi_mjpeg([_flat(9)], 16, 16, rate=10))
+    assert avi_meta["codec"] == "mjpeg" and avi_meta["n_frames"] == 1
+    mp4 = encode_minimal_mp4(duration_ms=1500, width=32, height=16)
+    mp4_meta = video_metadata(mp4)
+    assert mp4_meta["codec"] == "mp4" and mp4_meta["duration_ms"] == 1500
+    with pytest.raises(ValueError, match="unrecognized video container"):
+        video_metadata(b"\x00" * 32)
