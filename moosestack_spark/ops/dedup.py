@@ -1695,6 +1695,208 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_token_runs(d.unionByName(planted))
 
 
+def substring_dedup_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_run: int = 15,
+    max_gram_df: int = 50,
+) -> DataFrame:
+    """The REWRITE half of exact-substring dedup (Lee et al. 2022 remove
+    the duplicated span; finding it alone — shared_token_runs — leaves the
+    corpus unchanged): every shared token run of >= min_run tokens is CUT
+    from all but the min-id owner.  Returns one row per input doc:
+    (id_col, clean_text, n_tokens_before, n_tokens_after); docs whose
+    every token was duplicated come back with clean_text = ''.
+
+    Relational rewrite discipline (same as linedup's clean pass): the
+    delete set is materialized as (doc, token_pos) rows and removed with
+    ONE anti-join against the posexploded tokens — no per-doc Python, no
+    interval logic in the hot path.  Scale shape: the delete set is the
+    duplicated-token volume (df-capped upstream), the anti-join shuffles
+    on doc, and text is rebuilt with one ordered-struct array_sort per
+    doc — all JVM-side.
+    """
+    from moosestack_spark.ops.text import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ").cast("binary"))
+    )
+    g = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(grams).alias("pos", "gh")
+    ).withColumn("pos", F.col("pos") + 1)
+    rare = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_gram_df)
+        .select("gh")
+    )
+    g = g.join(rare, "gh")
+    pairs = (
+        g.alias("x")
+        .join(g.alias("y"), "gh")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.pos").alias("pa"),
+            F.col("y.pos").alias("pb"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("doc_a", "doc_b", F.col("pa") - F.col("pb")).orderBy(
+        F.col("pa").asc()
+    )
+    runs = (
+        pairs.withColumn("__isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", F.col("pa") - F.col("pb"), "__isl")
+        .agg(
+            F.min("pb").alias("pb_start"),
+            (F.count(F.lit(1)) + (k - 1)).alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_run)
+    )
+    # min-id ownership: doc_a < doc_b by construction, so doc_b loses the
+    # span; a doc that is the smaller side of one pair and the larger side
+    # of another keeps the first span and loses the second, pair-wise.
+    dels = runs.select(
+        F.col("doc_b").alias("doc"),
+        F.explode(
+            F.sequence(
+                F.col("pb_start"), F.col("pb_start") + F.col("run_len") - 1
+            )
+        ).alias("pos"),
+    ).distinct()
+    tokpos = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(toks).alias("pos", "tok")
+    ).withColumn("pos", F.col("pos") + 1)
+    kept = (
+        tokpos.join(dels, ["doc", "pos"], "left_anti")
+        .groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_tokens_after"),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).cast("bigint").alias("n_tokens_before"),
+    )
+    return (
+        base.join(kept, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens_before",
+            F.coalesce(F.col("n_tokens_after"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_after"),
+        )
+    )
+
+
+@query(
+    "dedup_substring_clean",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           string_split(regexp_replace(TRIM(text), '\s+', ' ', 'g'), ' ')[1:40],
+           ' ') AS text
+  FROM documents WHERE doc_id % 5 = 0
+), toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(TRIM(LOWER(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM corpus
+), grams AS (
+  SELECT doc_id AS doc, CAST(i AS INTEGER) AS pos,
+         md5(array_to_string(w[CAST(i AS BIGINT):CAST(i + 9 AS BIGINT)], ' ')) AS gh
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, CAST(len(w) - 9 AS BIGINT))) AS i
+  )
+  WHERE len(w) >= 10
+), rare AS (
+  SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) <= 50
+), g AS (
+  SELECT grams.* FROM grams JOIN rare USING (gh)
+), pairs AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b, x.pos AS pa, y.pos AS pb
+  FROM g x JOIN g y ON x.gh = y.gh AND x.doc < y.doc
+), isl AS (
+  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa ASC) AS island
+  FROM pairs
+), runs AS (
+  SELECT doc_a, doc_b, MIN(pb) AS pb_start, COUNT(*) + 9 AS run_len
+  FROM isl GROUP BY doc_a, doc_b, diag, island
+  HAVING COUNT(*) + 9 >= 15
+), dels AS (
+  SELECT DISTINCT doc_b AS doc, CAST(p AS INTEGER) AS pos
+  FROM runs, LATERAL (
+    SELECT UNNEST(generate_series(pb_start, pb_start + run_len - 1)) AS p
+  )
+), tokpos AS (
+  SELECT doc_id AS doc, CAST(i AS INTEGER) AS pos, w[i] AS tok
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, CAST(len(w) AS BIGINT))) AS i
+  )
+), marked AS (
+  SELECT t.doc, t.pos, t.tok,
+         EXISTS (SELECT 1 FROM dels d
+                 WHERE d.doc = t.doc AND d.pos = t.pos) AS deleted
+  FROM tokpos t
+)
+SELECT doc AS doc_id,
+       md5(COALESCE(
+         string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT deleted), ''
+       )) AS clean_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens_before,
+       CAST(COUNT(*) FILTER (WHERE NOT deleted) AS BIGINT) AS n_tokens_after
+FROM marked GROUP BY doc
+""",
+)
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup REWRITE over the planted-partial-copy corpus of
+    dedup_substring_runs: every shared >=15-token run is cut from the
+    larger-id doc, so each planted 40-token prefix copy comes back EMPTY
+    while its original keeps full text.  (doc_id, md5(clean_text),
+    before/after token counts) hash-checked against the full relational
+    replay."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    prefix40 = F.array_join(
+        F.slice(
+            F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " "),
+            1,
+            40,
+        ),
+        " ",
+    )
+    planted = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), prefix40.alias("text")
+    )
+    cleaned = substring_dedup_clean(d.unionByName(planted))
+    return cleaned.select(
+        "doc_id",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_hash"),
+        "n_tokens_before",
+        "n_tokens_after",
+    )
+
+
 # --------------------------------------------------------------------------
 # Incremental dedup: dedup a NEW batch against an existing (already-deduped)
 # corpus without rescanning corpus content — the day-2 shape of every

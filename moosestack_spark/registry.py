@@ -80,6 +80,7 @@ _R9_NEW: list[str] = [
     # beats re-confirming stable queries)
     "source_iceberg_rest_read",
     "multimodal_avi_frames",
+    "dedup_substring_clean",
 ]
 
 _R9_BACKLOG: list[str] = [

@@ -376,3 +376,54 @@ def test_auto_planes_matches_oracle_case_thresholds():
             assert _auto_planes(
                 n, AUTO_GATE_OCC, PRUNE_PLANES_PER_BAND, AUTO_GATE_MAX_PLANES
             ) == case_replay(n)
+
+
+def test_substring_clean_no_run_survives(spark, sf_dir):
+    """The rewrite's whole point (Lee et al. 2022): after one clean pass,
+    NO >=min_run token run is shared across docs — verified by re-running
+    the finder on the cleaned corpus.  Also pins min-id ownership: every
+    planted prefix-copy (larger id) is emptied or shortened, never its
+    original."""
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.ops.dedup import (
+        shared_token_runs,
+        substring_dedup_clean,
+    )
+    from moosestack_spark.tables import t
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    prefix40 = F.array_join(
+        F.slice(
+            F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " "),
+            1, 40,
+        ),
+        " ",
+    )
+    planted = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), prefix40.alias("text")
+    )
+    corpus = d.unionByName(planted)
+    cleaned = substring_dedup_clean(corpus)
+    assert (
+        shared_token_runs(
+            cleaned.select("doc_id", F.col("clean_text").alias("text"))
+        ).count()
+        == 0
+    )
+    rows = {r.doc_id: r for r in cleaned.collect()}
+    originals = {i for i in rows if i < 1000000}
+    for did, r in rows.items():
+        if did >= 1000000:
+            assert r.n_tokens_after < r.n_tokens_before or r.n_tokens_before < 15
+            assert (did - 1000000) in originals
+        else:
+            # originals are only ever OWNERS of the planted runs
+            pass
+    # owners keep their text intact unless they organically duplicate a
+    # smaller-id doc: every original that is no pair's larger side is unchanged
+    runs = shared_token_runs(corpus).collect()
+    losers = {r.doc_b for r in runs}
+    for did, r in rows.items():
+        if did not in losers:
+            assert r.n_tokens_after == r.n_tokens_before, did
