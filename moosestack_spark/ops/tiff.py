@@ -6,15 +6,17 @@ grayscale (photometric 0/1) and RGB (2), BOTH strip and TILE layouts
 (edge tiles padded per spec section 15), both byte orders, with
 compression 1 (none), 32773 (PackBits) and 5 (TIFF LZW: MSB-first codes
 with EarlyChange, plus the horizontal-difference predictor applied per
-sample at either depth).  Planar configuration 1 (chunky) only; palette
-color raises NotImplementedError — an honest boundary, checked
-explicitly.  decode_tiff returns the uint8 RGB contract (16-bit takes
+sample at either depth), and PALETTE color (photometric 3: 4-bit packed
+or 8-bit indices mapped through the 3x2^depth SHORT ColorMap).  Planar
+configuration 1 (chunky) and palette-with-tiles are the remaining loud
+boundaries.  decode_tiff returns the uint8 RGB contract (16-bit takes
 the high byte); decode_tiff16 keeps 16-bit planes exact.
 
-Encoders: encode_tiff (strips, 8-bit) and encode_tiff_tiled (tiles,
-8/16-bit), little-endian, all three compressions (+ optional predictor
-for LZW) — they plant real bytes so the decoder's round-trip equality is
-the test oracle (TIFF is lossless).
+Encoders: encode_tiff (strips, 8-bit), encode_tiff_tiled (tiles,
+8/16-bit) and encode_tiff_palette (strips, 4/8-bit indices + ColorMap),
+little-endian, all three compressions (+ optional predictor for LZW) —
+they plant real bytes so the decoder's round-trip equality is the test
+oracle (TIFF is lossless).
 
 Used by ops/multimodal.decode_image via payload sniffing (II*/MM* magic).
 """
@@ -30,6 +32,7 @@ _TAG = {
     "photometric": 262, "strip_offsets": 273, "spp": 277,
     "rows_per_strip": 278, "strip_counts": 279, "planar": 284,
     "predictor": 317,
+    "colormap": 320,
     "tile_width": 322, "tile_length": 323, "tile_offsets": 324,
     "tile_counts": 325,
 }
@@ -168,17 +171,31 @@ def _decode_core(data: bytes) -> tuple[np.ndarray, int, int, int]:
         raise ValueError("TIFF missing dimensions")
     spp = one("spp", 1)
     bits = tags.get(_TAG["bits"], [8])
-    if any(b not in (8, 16) for b in bits) or len(set(bits)) != 1:
-        raise NotImplementedError("only uniform 8/16-bit TIFF samples supported")
+    if len(set(bits)) != 1:
+        raise NotImplementedError("only uniform TIFF sample depths supported")
     depth = bits[0]
-    bps = depth // 8  # bytes per sample
     if one("planar", 1) != 1:
         raise NotImplementedError("planar TIFF not supported")
     comp = one("compression", 1)
     photometric = one("photometric", 1)
-    if photometric not in (0, 1, 2):
+    if photometric not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photometric} not supported")
+    palette = photometric == 3
+    if palette:
+        if spp != 1:
+            raise ValueError("palette TIFF must be 1 sample/pixel")
+        if depth not in (4, 8):
+            raise NotImplementedError(
+                f"{depth}-bit palette TIFF not supported (4/8 only)"
+            )
+        if _TAG["colormap"] not in tags:
+            raise ValueError("palette TIFF missing ColorMap tag")
+    elif depth not in (8, 16):
+        raise NotImplementedError("only uniform 8/16-bit TIFF samples supported")
+    bps = max(depth // 8, 1)  # bytes per assembled sample (4-bit handled below)
     predictor = one("predictor", 1)
+    if palette and predictor == 2:
+        raise NotImplementedError("horizontal predictor over palette indices")
 
     def decompress(seg: bytes, expected: int) -> bytes:
         if comp == 1:
@@ -196,6 +213,49 @@ def _decode_core(data: bytes) -> tuple[np.ndarray, int, int, int]:
             wrap = np.uint8 if depth == 8 else np.uint16
             return np.cumsum(arr.astype(np.int64), axis=1).astype(wrap)
         return arr
+
+    if palette:
+        # Palette color (spec section 5): strip-layout indices, 4-bit
+        # packed two-per-byte high-nibble-first with row byte-alignment,
+        # mapped through the 3x2^depth SHORT ColorMap (high byte is the
+        # 8-bit display value, the same 257-multiple convention real
+        # writers use).  Reuses the GIF-path palette discipline.
+        if tags.get(_TAG["tile_offsets"]):
+            raise NotImplementedError("palette TIFF with tile layout")
+        offsets = tags.get(_TAG["strip_offsets"])
+        counts = tags.get(_TAG["strip_counts"])
+        if not offsets:
+            raise ValueError("TIFF has neither strip nor tile offsets")
+        rows_per_strip = one("rows_per_strip", h)
+        row_bytes = (w * depth + 7) // 8
+        raw = bytearray()
+        for si, off in enumerate(offsets):
+            cnt = counts[si] if counts and si < len(counts) else len(data) - off
+            rows = min(rows_per_strip, h - si * rows_per_strip)
+            raw += decompress(data[off : off + cnt], rows * row_bytes)
+        rowdat = np.frombuffer(bytes(raw), np.uint8, h * row_bytes).reshape(
+            h, row_bytes
+        )
+        if depth == 4:
+            idx = np.empty((h, row_bytes * 2), np.uint8)
+            idx[:, 0::2] = rowdat >> 4
+            idx[:, 1::2] = rowdat & 0x0F
+            idx = idx[:, :w]
+        else:
+            idx = rowdat[:, :w]
+        ncol = 1 << depth
+        cmap = tags[_TAG["colormap"]]
+        if len(cmap) != 3 * ncol:
+            raise ValueError(
+                f"ColorMap carries {len(cmap)} values, expected {3 * ncol}"
+            )
+        if int(idx.max(initial=0)) >= ncol:
+            raise ValueError("palette index out of ColorMap range")
+        lut = (np.asarray(cmap, np.uint16).reshape(3, ncol) >> 8).astype(
+            np.uint8
+        )
+        px = np.stack([lut[0][idx], lut[1][idx], lut[2][idx]], axis=-1)
+        return px, 8, 2, 3
 
     dt = np.dtype(("<u1" if depth == 8 else e + "u2"))
     tile_offsets = tags.get(_TAG["tile_offsets"])
@@ -484,6 +544,100 @@ def encode_tiff_tiled(
         offsets_field = (324, 4, 1, offs[0])
     else:
         offsets_field = (324, 4, n_tiles, alloc(struct.pack(f"<{n_tiles}I", *offs)))
+    entries += [offsets_field, counts_field]
+    entries.sort()
+    assert len(entries) == n_entries
+
+    out = struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += struct.pack("<H", n_entries)
+    for tag, typ, cnt, val in entries:
+        if typ == 3 and cnt == 1:
+            out += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += bytes(aux)
+    return out
+
+
+def encode_tiff_palette(
+    indices: np.ndarray,
+    colormap: np.ndarray,
+    bits: int = 8,
+    compression: str = "none",
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """HxW palette indices + (2^bits, 3) uint8 colormap -> little-endian
+    palette TIFF (photometric 3).  4-bit indices pack two-per-byte
+    high-nibble-first with row byte-alignment; ColorMap SHORTs use the
+    value*257 convention so the decoder's >>8 recovers the exact uint8."""
+    if bits not in (4, 8):
+        raise ValueError("palette bits must be 4 or 8")
+    ncol = 1 << bits
+    cmap = np.asarray(colormap, np.uint8)
+    if cmap.shape != (ncol, 3):
+        raise ValueError(f"colormap must be ({ncol}, 3), got {cmap.shape}")
+    idx = np.asarray(indices, np.uint8)
+    h, w = idx.shape
+    if int(idx.max(initial=0)) >= ncol:
+        raise ValueError("palette index out of colormap range")
+    if bits == 4:
+        padded = idx if w % 2 == 0 else np.pad(idx, ((0, 0), (0, 1)))
+        rowdat = (padded[:, 0::2] << 4) | padded[:, 1::2]
+    else:
+        rowdat = idx
+    row_bytes = rowdat.shape[1]
+    rows_per_strip = rows_per_strip or h
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        seg = rowdat[y0 : y0 + rows_per_strip].tobytes()
+        if compression == "none":
+            strips.append(seg)
+        elif compression == "packbits":
+            strips.append(
+                b"".join(
+                    _packbits(seg[r : r + row_bytes])
+                    for r in range(0, len(seg), row_bytes)
+                )
+            )
+        else:
+            strips.append(_lzw_encode_tiff(seg))
+
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
+        (259, 3, 1, comp_code), (262, 3, 1, 3), (277, 3, 1, 1),
+        (278, 3, 1, rows_per_strip),
+    ]
+    n_strips = len(strips)
+    n_entries = len(entries) + 3  # + colormap, strip_offsets, strip_counts
+    ifd_off = 8
+    data_off = ifd_off + 2 + n_entries * 12 + 4
+    aux = bytearray()
+
+    def alloc(buf: bytes) -> int:
+        off = data_off + len(aux)
+        aux.extend(buf)
+        return off
+
+    # ColorMap: all R values, then G, then B, as SHORTs (spec section 5)
+    cm_shorts = (cmap.T.astype(np.uint16) * 257).reshape(-1)
+    entries.append(
+        (320, 3, 3 * ncol, alloc(struct.pack(f"<{3 * ncol}H", *cm_shorts)))
+    )
+    if n_strips == 1:
+        counts_field = (279, 4, 1, len(strips[0]))
+    else:
+        counts_field = (
+            279, 4, n_strips,
+            alloc(struct.pack(f"<{n_strips}I", *[len(s) for s in strips])),
+        )
+    offs = [alloc(s) for s in strips]
+    if n_strips == 1:
+        offsets_field = (273, 4, 1, offs[0])
+    else:
+        offsets_field = (273, 4, n_strips, alloc(struct.pack(f"<{n_strips}I", *offs)))
     entries += [offsets_field, counts_field]
     entries.sort()
     assert len(entries) == n_entries

@@ -298,7 +298,9 @@ def test_tiff_tiled_and_16bit_roundtrips():
     assert np.array_equal(decode_tiff16(enc), rgb16)
 
 
-def test_tiff_palette_still_refuses():
+def test_tiff_palette_without_colormap_refuses():
+    # palette DECODES for real now (encode_tiff_palette round-trips below);
+    # a photometric-3 file without its ColorMap tag is still a loud error
     import numpy as np
     import pytest
     import struct
@@ -306,11 +308,62 @@ def test_tiff_palette_still_refuses():
     from moosestack_spark.ops.tiff import decode_tiff, encode_tiff
 
     enc = bytearray(encode_tiff(np.zeros((4, 4), np.uint8), "none"))
-    # patch photometric (tag 262) to 3 = palette
+    # patch photometric (tag 262) to 3 = palette, leaving no ColorMap
     (n,) = struct.unpack_from("<H", enc, 8)
     for i in range(n):
         tag, = struct.unpack_from("<H", enc, 10 + i * 12)
         if tag == 262:
             struct.pack_into("<H", enc, 10 + i * 12 + 8, 3)
-    with pytest.raises(NotImplementedError, match="photometric 3"):
+    with pytest.raises(ValueError, match="missing ColorMap"):
         decode_tiff(bytes(enc))
+
+
+def test_tiff_palette_roundtrips():
+    """Palette TIFF (photometric 3): 4-bit packed (odd widths exercise the
+    row byte-alignment) and 8-bit indices, all three compressions,
+    multi-strip, exact through the ColorMap (value*257 SHORT convention)."""
+    import numpy as np
+
+    from moosestack_spark.ops.tiff import decode_tiff, encode_tiff_palette
+
+    rng = np.random.RandomState(11)
+    for bits in (4, 8):
+        ncol = 1 << bits
+        cmap = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+        for w in (7, 8, 33):
+            idx = rng.randint(0, ncol, (13, w)).astype(np.uint8)
+            for comp in ("none", "packbits", "lzw"):
+                got = decode_tiff(
+                    encode_tiff_palette(
+                        idx, cmap, bits=bits, compression=comp, rows_per_strip=5
+                    )
+                )
+                assert np.array_equal(got, cmap[idx]), (bits, w, comp)
+
+
+def test_tiff_palette_boundaries_loud():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from moosestack_spark.ops.tiff import decode_tiff, encode_tiff_palette
+
+    cmap = np.zeros((16, 3), np.uint8)
+    idx = np.zeros((4, 4), np.uint8)
+    with _pytest.raises(ValueError, match="colormap must be"):
+        encode_tiff_palette(idx, np.zeros((8, 3), np.uint8), bits=4)
+    with _pytest.raises(ValueError, match="out of colormap range"):
+        encode_tiff_palette(np.full((2, 2), 16, np.uint8), cmap, bits=4)
+    # 2-bit palette refused on decode
+    data = bytearray(encode_tiff_palette(idx, cmap, bits=4))
+    i = data.find(struct.pack("<HHIHH", 258, 3, 1, 4, 0))
+    struct.pack_into("<HHIHH", data, i, 258, 3, 1, 2, 0)
+    with _pytest.raises(NotImplementedError, match="palette TIFF not supported"):
+        decode_tiff(bytes(data))
+    # missing ColorMap refused
+    data = bytearray(encode_tiff_palette(idx, cmap, bits=4))
+    j = data.find(struct.pack("<HH", 320, 3))
+    struct.pack_into("<H", data, j, 32000)  # rename the tag away
+    with _pytest.raises(ValueError, match="missing ColorMap"):
+        decode_tiff(bytes(data))
