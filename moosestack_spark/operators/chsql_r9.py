@@ -1,0 +1,146 @@
+"""Round-9 ClickHouse dialect vocabulary gates (SURVEY.md §2.9).
+
+Two gates exercising the round-9 translator additions end-to-end through
+``translate_ch_sql`` on generated-from-orderkey fixtures with closed-form
+DuckDB replays:
+
+- scalar half: toRelativeMinuteNum/HourNum/DayNum (epoch bucket numbers),
+  isValidJSON (variant try-parse; valid and broken payloads both
+  asserted), normalizeQuery (literal masking with identifier
+  preservation — the regex is lookbehind-free so the SAME pattern runs
+  under RE2 in the oracle);
+- aggregate half: skewSamp/kurtSamp (unbiased sample moments over exact
+  integer power sums — the Spark template and the oracle share ONE
+  expression builder, sql/stats_moments.py, so the double chains are
+  textually identical), boundingRatio (leftmost→rightmost slope),
+  sumKahan (exact-sum equivalence documented on the template), and
+  deltaSumTimestamp (timestamp-ordered positive-delta sum; the
+  insertion-order-dependent deltaSum is a loud REFUSAL pointing here,
+  pinned in tests/test_ch_parity_sweep.py).
+
+All expressions stay JVM-side; both gates prune to a sparse orderkey
+sample so the dialect surface stays a cheap smoke at any SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from moosestack_spark.registry import query
+from moosestack_spark.sql import stats_moments as _sm
+
+
+@query(
+    "sql_ch_dialect_vocab_r9",
+    oracle=r"""
+SELECT o_orderkey,
+       CAST(FLOOR(CAST(epoch(ts) AS DOUBLE) / 60) AS BIGINT) AS rmin,
+       CAST(FLOOR(CAST(epoch(ts) AS DOUBLE) / 3600) AS BIGINT) AS rhour,
+       CAST(FLOOR(CAST(epoch(ts) AS DOUBLE) / 86400) AS BIGINT) AS rday,
+       json_valid(js) AS vj,
+       json_valid(bad) AS vjb,
+       regexp_replace(regexp_replace(q, '''[^'']*''', '?', 'g'),
+                      '(^|[^A-Za-z_0-9])[0-9]+(\.[0-9]+)?', '\1?',
+                      'g') AS nq
+FROM (
+  SELECT o_orderkey,
+         TIMESTAMP '2022-01-01 00:00:00'
+           + to_seconds(o_orderkey * 37 % 40000000) AS ts,
+         '{"a":' || CAST(o_orderkey % 50 AS VARCHAR) || '}' AS js,
+         '{oops' || CAST(o_orderkey % 3 AS VARCHAR) AS bad,
+         'SELECT col' || CAST(o_orderkey % 7 AS VARCHAR)
+           || ' FROM t WHERE a = ' || CAST(o_orderkey % 100 AS VARCHAR)
+           || ' AND s = ''v' || CAST(o_orderkey % 5 AS VARCHAR)
+           || ''' AND b IN (1, 2.5)' AS q
+  FROM orders WHERE o_orderkey % 31 = 0
+)
+""",
+)
+def sql_ch_dialect_vocab_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 scalar vocabulary through the dialect translator."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       toRelativeMinuteNum(ts) AS rmin,
+       toRelativeHourNum(ts) AS rhour,
+       toRelativeDayNum(ts) AS rday,
+       isValidJSON(js) AS vj,
+       isValidJSON(bad) AS vjb,
+       normalizeQuery(q) AS nq
+FROM (
+  SELECT o_orderkey,
+         toDateTime(1640995200 + o_orderkey * 37 % 40000000) AS ts,
+         concat('{"a":', toString(o_orderkey % 50), '}') AS js,
+         concat('{oops', toString(o_orderkey % 3)) AS bad,
+         concat('SELECT col', toString(o_orderkey % 7),
+                ' FROM t WHERE a = ', toString(o_orderkey % 100),
+                ' AND s = ''v', toString(o_orderkey % 5),
+                ''' AND b IN (1, 2.5)') AS q
+  FROM orders WHERE o_orderkey % 31 = 0
+)
+"""
+    return spark.sql(translate_ch_sql(ch_sql))
+
+
+_SK = _sm.skew_samp_sql("x")
+_KU = _sm.kurt_samp_sql("x")
+
+@query(
+    "sql_ch_dialect_vocab_r9b",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(o_orderkey % 97 AS BIGINT)
+           + CAST((o_orderkey % 13) * (o_orderkey % 7) AS BIGINT) AS x,
+         CAST(o_orderkey AS BIGINT) AS t,
+         CAST((o_orderkey * 7919) % 1000 AS BIGINT) AS v
+  FROM orders WHERE o_orderkey % 11 = 0
+), dst AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN dv > 0 THEN dv ELSE 0 END) AS BIGINT) AS dst
+  FROM (
+    SELECT o_orderpriority,
+           v - LAG(v) OVER (PARTITION BY o_orderpriority ORDER BY t) AS dv
+    FROM base
+  ) GROUP BY o_orderpriority
+), agg AS (
+  SELECT o_orderpriority,
+         CAST(ROUND({_SK} * 1000000) AS BIGINT) AS sk,
+         CAST(ROUND({_KU} * 1000000) AS BIGINT) AS ku,
+         CAST(ROUND(((CAST(arg_max(v, t) AS DOUBLE)
+                      - CAST(arg_min(v, t) AS DOUBLE))
+                     / (CAST(max(t) AS DOUBLE) - CAST(min(t) AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS br,
+         CAST(SUM(x) AS BIGINT) AS skh
+  FROM base GROUP BY o_orderpriority
+)
+SELECT agg.o_orderpriority, sk, ku, br, skh, dst
+FROM agg JOIN dst USING (o_orderpriority)
+""",
+)
+def sql_ch_dialect_vocab_r9b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 aggregate vocabulary through the dialect translator."""
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderpriority,
+       toInt64(round(skewSamp(x) * 1000000)) AS sk,
+       toInt64(round(kurtSamp(x) * 1000000)) AS ku,
+       toInt64(round(boundingRatio(t, v) * 1000000)) AS br,
+       toInt64(sumKahan(x)) AS skh,
+       deltaSumTimestamp(v, t) AS dst
+FROM (
+  SELECT o_orderpriority,
+         toInt64(o_orderkey % 97) + toInt64((o_orderkey % 13) * (o_orderkey % 7)) AS x,
+         toInt64(o_orderkey) AS t,
+         toInt64((o_orderkey * 7919) % 1000) AS v
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+GROUP BY o_orderpriority
+"""
+    return spark.sql(translate_ch_sql(ch_sql))

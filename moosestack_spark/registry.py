@@ -81,6 +81,8 @@ _R9_NEW: list[str] = [
     "source_iceberg_rest_read",
     "multimodal_avi_frames",
     "dedup_substring_clean",
+    "sql_ch_dialect_vocab_r9",
+    "sql_ch_dialect_vocab_r9b",
 ]
 
 _R9_BACKLOG: list[str] = [
@@ -177,6 +179,7 @@ def load_all() -> None:
         chsql_geo,
         chsql_r7,
         chsql_r8,
+        chsql_r9,
         downsample,
         engines,
         filters,

@@ -1475,6 +1475,87 @@ _TEMPLATE.update(
     }
 )
 
+# ---- round-9 vocabulary widening ----
+# relative-epoch bucket numbers, JSON validity (variant try-parse),
+# normalizeQuery literal masking, bounding-box slope, Kahan sum (exact sums
+# make compensation moot here), timestamp-ordered delta sum (the
+# deterministic spelling of CH deltaSum — explicit order column), and the
+# unbiased sample skewness/kurtosis over exact integer power sums (shared
+# builder, sql/stats_moments.py, so the DuckDB oracle replays the
+# IDENTICAL double chain).
+from moosestack_spark.sql import stats_moments as _sm  # noqa: E402
+
+_TEMPLATE.update(
+    {
+        "toRelativeMinuteNum": (
+            "CAST(FLOOR(unix_timestamp({0}) / 60) AS BIGINT)"
+        ),
+        "toRelativeHourNum": (
+            "CAST(FLOOR(unix_timestamp({0}) / 3600) AS BIGINT)"
+        ),
+        "toRelativeDayNum": (
+            "CAST(FLOOR(unix_timestamp({0}) / 86400) AS BIGINT)"
+        ),
+        "isValidJSON": "(try_parse_json({0}) IS NOT NULL)",
+        # CH normalizeQuery masks literals with '?': quoted strings first,
+        # then standalone numbers (token-boundary guarded WITHOUT
+        # lookbehind so the same regex runs under RE2 in the oracle);
+        # identifiers like x12 are preserved.
+        "normalizeQuery": (
+            "regexp_replace(regexp_replace({0}, \"'[^']*'\", '?'), "
+            "'(^|[^A-Za-z_0-9])[0-9]+(\\\\.[0-9]+)?', '$1?')"
+        ),
+        # CH boundingRatio(x, y): slope between the leftmost and rightmost
+        # points — (y at max x - y at min x) / (max x - min x).  Ties on x
+        # are resolved arbitrarily by max_by/min_by; gate data keeps x
+        # unique per group.
+        "boundingRatio": (
+            "((CAST(max_by({1}, {0}) AS DOUBLE) - "
+            "CAST(min_by({1}, {0}) AS DOUBLE)) / "
+            "(CAST(max({0}) AS DOUBLE) - CAST(min({0}) AS DOUBLE)))"
+        ),
+        # compensated float summation is about non-exact accumulation;
+        # this engine's aggregate discipline keeps hot sums exact
+        # (integers/decimals), so sumKahan IS sum here
+        "sumKahan": "sum({0})",
+        # CH deltaSumTimestamp(value, ts): sum of positive deltas of value
+        # in ts order.  Spelled as an ordered fold over the collected
+        # group (struct accumulator carries the running sum + previous
+        # value); bounded by group size — same contract as groupArray.
+        "deltaSumTimestamp": (
+            "aggregate(array_sort(collect_list(struct({1} AS __dst_t, "
+            "CAST({0} AS BIGINT) AS __dst_v))), "
+            "struct(CAST(0 AS BIGINT) AS s, CAST(NULL AS BIGINT) AS p), "
+            "(__dst_a, __dst_e) -> struct(__dst_a.s + (CASE WHEN "
+            "__dst_a.p IS NOT NULL AND __dst_e.__dst_v > __dst_a.p THEN "
+            "__dst_e.__dst_v - __dst_a.p ELSE CAST(0 AS BIGINT) END), "
+            "__dst_e.__dst_v), __dst_a -> __dst_a.s)"
+        ),
+        "skewSamp": _sm.skew_samp_sql("{0}"),
+        "kurtSamp": _sm.kurt_samp_sql("{0}"),
+    }
+)
+
+# Functions whose CH semantics depend on insertion order or randomness —
+# a blind rewrite would be nondeterministic; refuse with a pointer to the
+# deterministic operator that covers the use case.
+_REFUSE = {
+    "anyHeavy": (
+        "anyHeavy is insertion-order-dependent (heavy-hitter guess); use "
+        "the deterministic space-saving top-k "
+        "(agg_space_saving_topk, operators/aggregates_ext.py)"
+    ),
+    "arrayShuffle": (
+        "arrayShuffle is nondeterministic; sort by a keyed hash instead "
+        "(array_sort over xxhash64(element, seed)) for replayable "
+        "permutation"
+    ),
+    "deltaSum": (
+        "deltaSum depends on insertion order; use "
+        "deltaSumTimestamp(value, ts), which orders explicitly"
+    ),
+}
+
 _RENAME.update(
     {
         # sketch-surface aliases: CH's theta/t-digest sketches land on the
@@ -2029,6 +2110,8 @@ def translate_ch_sql(sql: str) -> str:
                 f"'col{i + 1}', {a}" for i, a in enumerate(args)
             )
             out.append(f"named_struct({fields})")
+        elif name in _REFUSE:
+            raise ValueError(f"ClickHouse function {name!r}: {_REFUSE[name]}")
         elif name in _TEMPLATE and _TEMPLATE[name] is not None:
             out.append(_TEMPLATE[name].format(*args))
         elif name in _RENAME:

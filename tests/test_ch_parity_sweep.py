@@ -164,3 +164,36 @@ def test_is_ipv6_string_edge_cases(spark):
     row = spark.sql(translate_ch_sql(f"SELECT {exprs}")).collect()[0]
     for i, (s, want) in enumerate(cases):
         assert row[f"c{i}"] is want, f"isIPv6String({s!r}) != {want}"
+
+
+def test_order_dependent_aggs_refuse_with_pointer():
+    """anyHeavy/arrayShuffle/deltaSum are insertion-order- or
+    randomness-dependent: a blind rewrite would silently change results,
+    so the translator refuses and names the deterministic replacement."""
+    import pytest
+
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+
+    with pytest.raises(ValueError, match="space-saving"):
+        translate_ch_sql("SELECT anyHeavy(x) FROM t")
+    with pytest.raises(ValueError, match="xxhash64"):
+        translate_ch_sql("SELECT arrayShuffle(a) FROM t")
+    with pytest.raises(ValueError, match="deltaSumTimestamp"):
+        translate_ch_sql("SELECT deltaSum(v) FROM t")
+
+
+def test_r9_scalar_vocab_values(spark):
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+
+    row = spark.sql(
+        translate_ch_sql(
+            "SELECT toRelativeMinuteNum(toDateTime(3600)) AS m, "
+            "toRelativeHourNum(toDateTime(7205)) AS h, "
+            "toRelativeDayNum(toDateTime(200000)) AS d, "
+            "isValidJSON('[1,2]') AS v1, isValidJSON('nope') AS v2, "
+            "normalizeQuery('WHERE a=42 AND s=''x'' OR col7>1.5') AS nq"
+        )
+    ).collect()[0]
+    assert (row.m, row.h, row.d) == (60, 2, 2)
+    assert row.v1 is True and row.v2 is False
+    assert row.nq == "WHERE a=? AND s=? OR col7>?"
