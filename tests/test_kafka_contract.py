@@ -258,3 +258,94 @@ def test_offset_commit_property_random_failures():
         assert flat == set(records)
 
     run()
+
+
+# ---- consumer-group rebalance contract (brokerless) ----
+
+
+def _logs(nparts=4, per=100):
+    return {
+        p: [f"p{p}-r{i}" for i in range(per)] for p in range(nparts)
+    }
+
+
+def test_rebalance_mid_flight_fences_and_resumes():
+    """Member B joins while A is between insert and commit: A's commit is
+    fenced (stale generation), A re-syncs, the uncommitted batch is
+    re-delivered to the new owner — at-least-once with ZERO loss, and the
+    duplicate is visible (that is the contract, not a bug)."""
+    from moosestack_spark.streaming.kafka_sync import (
+        FencedGeneration,
+        GroupCoordinator,
+        group_member_loop,
+    )
+
+    logs = _logs()
+    coord = GroupCoordinator(logs)
+    seen: list = []
+    calls = {"n": 0}
+
+    def insert_a(p, rows):
+        calls["n"] += 1
+        seen.extend(rows)
+        if calls["n"] == 3:  # join lands BETWEEN A's insert and commit
+            coord.join("B")
+
+    group_member_loop(coord, "A", insert_a, batch_size=30)
+    # A is done with ITS partitions; stale-generation commit is rejected
+    with _pytest_raises(FencedGeneration):
+        coord.commit("A", 1, 0, 99)
+    group_member_loop(coord, "B", lambda p, rows: seen.extend(rows), batch_size=30)
+    assert coord.done()
+    every = [r for log in logs.values() for r in log]
+    assert set(seen) == set(every), "records lost across the rebalance"
+    assert len(seen) > len(every), (
+        "the fenced batch must be re-delivered (at-least-once duplicate)"
+    )
+
+
+def test_member_leave_hands_partitions_back():
+    from moosestack_spark.streaming.kafka_sync import (
+        GroupCoordinator,
+        group_member_loop,
+    )
+
+    logs = _logs(nparts=3, per=40)
+    coord = GroupCoordinator(logs)
+    seen: list = []
+    # B joins, consumes ONE batch of its assignment, then crashes (leave)
+    genB, partsB = coord.join("B")
+    endB, rowsB = coord.poll("B", genB, partsB[0], 0, 25)
+    seen.extend(rowsB)
+    coord.commit("B", genB, partsB[0], endB)
+    coord.leave("B")
+    # A joins the now-empty group and must finish EVERYTHING, resuming
+    # B's partition at B's committed offset (no re-read of committed rows)
+    group_member_loop(coord, "A", lambda p, rows: seen.extend(rows), batch_size=25)
+    assert coord.done()
+    every = [r for log in logs.values() for r in log]
+    assert sorted(seen) == sorted(every), "loss or duplicate after clean handoff"
+
+
+def test_unassigned_partition_poll_and_commit_fenced():
+    from moosestack_spark.streaming.kafka_sync import (
+        FencedGeneration,
+        GroupCoordinator,
+    )
+
+    coord = GroupCoordinator(_logs(nparts=2, per=10))
+    genA, _ = coord.join("A")
+    genB, partsB = coord.join("B")  # bumps generation: A's handle is stale
+    with _pytest_raises(FencedGeneration):
+        coord.poll("A", genA, 0, 0, 5)
+    genA2, partsA2 = coord.sync("A")
+    assert genA2 == genB and set(partsA2).isdisjoint(partsB)
+    other = partsB[0]
+    with _pytest_raises(FencedGeneration):
+        coord.commit("A", genA2, other, 5)
+
+
+def _pytest_raises(exc):
+    import pytest
+
+    return pytest.raises(exc)
