@@ -464,11 +464,24 @@ class IcebergRestTable:
         catalog.register_table(ns, name, staged._current_metadata_path())
         return cls(catalog, ns, name)
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(
+        self, spark: SparkSession, snapshot_id: Optional[int] = None
+    ) -> DataFrame:
+        """Read the table as resolved by the catalog; ``snapshot_id`` time-
+        travels within the catalog-served metadata (every snapshot the
+        current metadata retains is readable — same contract as the
+        directory-catalog reader)."""
         loaded = self.catalog.load_table(self.ns, self.name)
         loc = loaded["metadata-location"]
         table_path = loaded["metadata"]["location"]
-        return _pinned_table_cls(loc)(spark, table_path).read()
+        return _pinned_table_cls(loc)(spark, table_path).read(
+            snapshot_id=snapshot_id
+        )
+
+    def snapshots(self, spark: SparkSession = None) -> list[dict]:
+        return self.catalog.load_table(self.ns, self.name)["metadata"].get(
+            "snapshots", []
+        )
 
     def append(self, df: DataFrame, max_retries: int = 3) -> dict:
         """Load → stage append on the loaded metadata → commit with

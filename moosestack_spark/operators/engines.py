@@ -1456,3 +1456,56 @@ def source_iceberg_rest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         server.stop()
         _shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "source_iceberg_rest_timetravel",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS bal_cents
+FROM supplier WHERE s_suppkey % 2 = 0
+""",
+)
+def source_iceberg_rest_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel THROUGH the REST catalog: after an append commit, read
+    the FIRST snapshot by id from the catalog-served metadata — the
+    server-authored add-snapshot history must retain every prior snapshot
+    (readers pin analysis-time views while writers commit).  The oracle
+    replays only the pre-append half."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from moosestack_spark.catalog.iceberg_rest import (
+        IcebergRestCatalog,
+        IcebergRestCatalogServer,
+        IcebergRestTable,
+    )
+
+    src = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    base = _tempfile.mkdtemp(prefix="msk_ice_rest_tt_")
+    server = IcebergRestCatalogServer(prefix="lake")
+    try:
+        server.start()
+        cat = IcebergRestCatalog(f"http://127.0.0.1:{server.port}")
+        cat.create_namespace("tpch")
+        handle = IcebergRestTable.create(
+            cat, "tpch", "supplier", src.filter("s_suppkey % 2 = 0"),
+            base + "/supplier_ice",
+        )
+        first_snap = handle.snapshots()[0]["snapshot-id"]
+        handle.append(src.filter("s_suppkey % 2 = 1"))
+        snaps = handle.snapshots()
+        assert len(snaps) == 2 and snaps[0]["snapshot-id"] == first_snap
+        return handle.read(spark, snapshot_id=first_snap).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_cents").cast("bigint").alias("bal_cents"),
+        ).localCheckpoint()
+    finally:
+        server.stop()
+        _shutil.rmtree(base, ignore_errors=True)

@@ -83,6 +83,7 @@ _R9_NEW: list[str] = [
     "dedup_substring_clean",
     "sql_ch_dialect_vocab_r9",
     "sql_ch_dialect_vocab_r9b",
+    "source_iceberg_rest_timetravel",
 ]
 
 _R9_BACKLOG: list[str] = [
