@@ -941,3 +941,85 @@ def corpus_export_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-domain quality-quantile filter (the FineWeb/RefinedWeb-style curation
+# step: keep the best q fraction of each SOURCE, not of the global pool —
+# a global cut starves low-resource domains).
+# --------------------------------------------------------------------------
+
+
+def domain_quality_topq(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q: float = 0.3,
+) -> DataFrame:
+    """Keep the top-``q`` fraction of each domain by quality_score
+    (ops/text.py), deterministic ordering (score desc, id asc), threshold
+    ceil(q * domain_count) — exact integers, so the boundary doc is the
+    same on every run and engine.  Scale shape: one window over the
+    domain-partitioned shuffle; no collect, no second scan."""
+    from moosestack_spark.ops.text import quality_score
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("__q").desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy(domain_col)
+    scored = df.select(
+        id_col, domain_col, quality_score(F.col(text_col)).alias("__q")
+    )
+    ranked = scored.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(wc)
+    )
+    return ranked.filter(
+        F.col("__rn") <= F.ceil(F.lit(q) * F.col("__cnt")).cast("bigint")
+    ).select(
+        id_col,
+        domain_col,
+        F.round(F.col("__q") * 1000000).cast("bigint").alias("score_micro"),
+    )
+
+
+@query(
+    "corpus_domain_quality_filter",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id, source,
+         (LEAST(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 0.4
+          + (1.0 - LEAST(CAST(n_punct AS DOUBLE)
+                         / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 10.0,
+                         1.0)) * 0.3
+          + (CASE WHEN CAST(n_chars AS DOUBLE)
+                       / GREATEST(CAST(n_tok AS DOUBLE), 1.0) >= 2.0
+                   AND CAST(n_chars AS DOUBLE)
+                       / GREATEST(CAST(n_tok AS DOUBLE), 1.0) <= 12.0
+              THEN 1.0 ELSE 0.5 END) * 0.3) AS q
+  FROM (
+    SELECT doc_id, source,
+           CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+                ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS n_tok,
+           LEN(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS n_punct,
+           LEN(text) AS n_chars
+    FROM documents
+  )
+), r AS (
+  SELECT doc_id, source, q,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY q DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM s
+)
+SELECT doc_id, source, CAST(ROUND(q * 1000000) AS BIGINT) AS score_micro
+FROM r WHERE rn <= CAST(CEIL(0.3 * cnt) AS BIGINT)
+""",
+)
+def corpus_domain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30%-per-source quality filter, membership AND score
+    hash-checked: the oracle replays quality_score's exact double chain
+    (integer inputs n_tok/n_punct/n_chars, textually matched arithmetic)
+    and the (score desc, doc_id) ordering with the ceil threshold."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return domain_quality_topq(d, q=0.3)
