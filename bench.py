@@ -189,6 +189,14 @@ EXTRA = [
     "sql_ch_dialect_vocab_r8c",
     "window_nonnegative_derivative",
     "agg_proportions_ztest",
+    # round-9 additions
+    "source_iceberg_rest_read",
+    "source_iceberg_rest_timetravel",
+    "multimodal_avi_frames",
+    "dedup_substring_clean",
+    "sql_ch_dialect_vocab_r9",
+    "sql_ch_dialect_vocab_r9b",
+    "corpus_domain_quality_filter",
 ]
 
 
@@ -575,6 +583,10 @@ def _run_scale_tier(sf_dir: str) -> dict:
             "dedup_connected_components_hybrid",
             # round-6 second session: winnowing is shingle-linear
             "dedup_winnowing_fingerprints",
+            # round-9: substring REWRITE is gram-linear with the df cap
+            # bounding the pair fan-out, same contract as minhash
+            "dedup_substring_clean",
+            "corpus_domain_quality_filter",
             # round-7 ML/graph family: k-means is iterations x one scan +
             # model-sized collects; LPA is rounds x (vertex join + argmax
             # groupBy).  knn-graph runs occupancy-targeted below (the
