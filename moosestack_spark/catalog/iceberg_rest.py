@@ -502,21 +502,51 @@ class IcebergRestTable:
             f"races; last server answer: {last}"
         )
 
+    def delete_where(self, spark: SparkSession, condition, max_retries: int = 3) -> int:
+        """Row-level delete through the commit protocol: stage a position-
+        delete snapshot with the native writer (pinned to the catalog's
+        metadata), then commit it with the same optimistic retry loop as
+        append.  Returns the number of deleted positions."""
+        last: Exception | None = None
+        for _ in range(max_retries):
+            loaded = self.catalog.load_table(self.ns, self.name)
+            pinned = _pinned_table_cls(loaded["metadata-location"])(
+                spark, loaded["metadata"]["location"]
+            )
+            n = pinned.delete_where(condition)
+            if n == 0:
+                return 0  # nothing matched: no snapshot staged, no commit
+            reqs, updates = self._commit_body_from_staged(loaded)
+            try:
+                self.catalog.commit_table(self.ns, self.name, reqs, updates)
+                return n
+            except CommitConflict as exc:
+                last = exc
+        raise CommitConflict(
+            f"delete on {self.ns}.{self.name} lost {max_retries} optimistic "
+            f"races; last server answer: {last}"
+        )
+
     def _stage(self, df: DataFrame, loaded: dict) -> tuple[list[dict], list[dict]]:
         """Write data files + manifests + a staged metadata json BASED ON
         the loaded metadata-location, and build the commit body from the
         staged snapshot."""
-        base_meta = loaded["metadata"]
-        base_snap = base_meta.get("current-snapshot-id")
-        table_path = base_meta["location"]
-        staged = _pinned_table_cls(loaded["metadata-location"]).write(
+        table_path = loaded["metadata"]["location"]
+        _pinned_table_cls(loaded["metadata-location"]).write(
             df, table_path, mode="append"
         )
-        # the staged file the native writer just produced: always
-        # base_version + 1 (the writer parses the pinned basename)
+        return self._commit_body_from_staged(loaded)
+
+    def _commit_body_from_staged(self, loaded: dict) -> tuple[list[dict], list[dict]]:
+        """Build (requirements, updates) from the staged metadata file the
+        native writer just produced: always base_version + 1 (the writer
+        parses the pinned basename)."""
+        base_meta = loaded["metadata"]
+        base_snap = base_meta.get("current-snapshot-id")
+        meta_dir = os.path.join(base_meta["location"], "metadata")
         staged_v = _meta_version(loaded["metadata-location"]) + 1
         staged_meta = json.load(
-            open(os.path.join(staged.meta_dir, f"v{staged_v}.metadata.json"))
+            open(os.path.join(meta_dir, f"v{staged_v}.metadata.json"))
         )
         snap = staged_meta["snapshots"][-1]
         reqs = [

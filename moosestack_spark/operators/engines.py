@@ -1509,3 +1509,57 @@ def source_iceberg_rest_timetravel(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         server.stop()
         _shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "source_iceberg_rest_delete",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS bal_cents
+FROM supplier WHERE NOT (s_suppkey % 3 = 1)
+""",
+)
+def source_iceberg_rest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level delete THROUGH the REST commit protocol: supplier
+    registered, a position-delete snapshot staged against the
+    catalog-pinned metadata and committed (add-snapshot carrying a
+    content=1 manifest), then the catalog-resolved read applies the
+    deletes.  The oracle keeps the surviving rows."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from moosestack_spark.catalog.iceberg_rest import (
+        IcebergRestCatalog,
+        IcebergRestCatalogServer,
+        IcebergRestTable,
+    )
+
+    src = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    base = _tempfile.mkdtemp(prefix="msk_ice_rest_del_")
+    server = IcebergRestCatalogServer(prefix="lake")
+    try:
+        server.start()
+        cat = IcebergRestCatalog(f"http://127.0.0.1:{server.port}")
+        cat.create_namespace("tpch")
+        handle = IcebergRestTable.create(
+            cat, "tpch", "supplier", src, base + "/supplier_ice"
+        )
+        loc_before = cat.load_table("tpch", "supplier")["metadata-location"]
+        n = handle.delete_where(spark, "s_suppkey % 3 = 1")
+        assert n > 0
+        loc_after = cat.load_table("tpch", "supplier")["metadata-location"]
+        assert loc_after != loc_before and "rest-metadata" in loc_after
+        assert handle.delete_where(spark, "s_suppkey < 0") == 0  # no-op path
+        return handle.read(spark).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_cents").cast("bigint").alias("bal_cents"),
+        ).localCheckpoint()
+    finally:
+        server.stop()
+        _shutil.rmtree(base, ignore_errors=True)

@@ -85,6 +85,7 @@ _R9_NEW: list[str] = [
     "sql_ch_dialect_vocab_r9b",
     "source_iceberg_rest_timetravel",
     "corpus_domain_quality_filter",
+    "source_iceberg_rest_delete",
 ]
 
 _R9_BACKLOG: list[str] = [

@@ -173,3 +173,21 @@ def test_apply_updates_refuses_unknown_and_duplicates():
     assert out["last-sequence-number"] == 2
     assert out["properties"]["k"] == "v"
     assert meta["current-snapshot-id"] == 1  # input untouched
+
+
+def test_delete_through_commit_protocol(spark, cat, warehouse):
+    cat.create_namespace("ns")
+    h = IcebergRestTable.create(
+        cat, "ns", "t4", _rows(spark, 0, 60), warehouse + "/t4"
+    )
+    n = h.delete_where(spark, "k % 4 = 2")
+    assert n == 15
+    ks = sorted(r.k for r in h.read(spark).select("k").collect())
+    assert ks == [k for k in range(60) if k % 4 != 2]
+    # history retained: the pre-delete snapshot still reads all 60
+    first = h.snapshots()[0]["snapshot-id"]
+    assert h.read(spark, snapshot_id=first).count() == 60
+    # no-op delete stages nothing and leaves the pointer alone
+    loc = cat.load_table("ns", "t4")["metadata-location"]
+    assert h.delete_where(spark, "k > 1000") == 0
+    assert cat.load_table("ns", "t4")["metadata-location"] == loc
