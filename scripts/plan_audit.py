@@ -107,6 +107,12 @@ ALLOWED = {
     # broadcastable, so the key-partitioned sort-merge IS the right plan
     # (at sf0.001 AQE just doesn't see enough stats to pick BHJ)
     "dedup_quality_keeper": {"SMJ"},
+    # substring REWRITE: the gram self-join and the (doc, pos) anti-join
+    # against the delete set are equi-joins whose BOTH sides are
+    # corpus-scale (grams ~ tokens, delete set ~ duplicated tokens) — at
+    # 100 TB neither side broadcasts, so the key-partitioned sort-merge IS
+    # the right plan (same argument as dedup_quality_keeper)
+    "dedup_substring_clean": {"SMJ"},
     # greedy funnel level advances are equi-joins on the user key with
     # range predicates; both sides are event-scale (never broadcastable),
     # so user-key-partitioned SMJ is the correct distributed shape — same
