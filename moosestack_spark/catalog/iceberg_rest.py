@@ -548,6 +548,19 @@ class IcebergRestTable:
         staged_meta = json.load(
             open(os.path.join(meta_dir, f"v{staged_v}.metadata.json"))
         )
+        # The commit body carries ONLY snapshot updates; a staged write
+        # whose schema drifted from the catalog's would silently leave the
+        # server metadata describing columns the new files don't have (or
+        # miss ones they do).  Spec-correct schema evolution is an
+        # add-schema/set-current-schema update pair — not wired yet, so
+        # refuse loudly instead of corrupting the table description.
+        if staged_meta["schemas"] != base_meta.get("schemas"):
+            raise NotImplementedError(
+                "staged write changes the table schema; schema evolution "
+                "through the REST commit protocol (add-schema/"
+                "set-current-schema updates) is not implemented — evolve "
+                "the schema first or write a new table"
+            )
         snap = staged_meta["snapshots"][-1]
         reqs = [
             {

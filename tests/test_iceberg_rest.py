@@ -191,3 +191,17 @@ def test_delete_through_commit_protocol(spark, cat, warehouse):
     loc = cat.load_table("ns", "t4")["metadata-location"]
     assert h.delete_where(spark, "k > 1000") == 0
     assert cat.load_table("ns", "t4")["metadata-location"] == loc
+
+
+def test_schema_drift_refused_on_commit(spark, cat, warehouse):
+    cat.create_namespace("ns")
+    h = IcebergRestTable.create(
+        cat, "ns", "t5", _rows(spark, 0, 10), warehouse + "/t5"
+    )
+    widened = spark.range(10, 20).selectExpr(
+        "id AS k", "CAST(id * 10 AS LONG) AS v", "'x' AS extra"
+    )
+    with pytest.raises(NotImplementedError, match="schema evolution"):
+        h.append(widened)
+    # the refused append left the catalog untouched and readable
+    assert h.read(spark).count() == 10
