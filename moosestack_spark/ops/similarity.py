@@ -901,6 +901,281 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_pq_topk(
+    queries_df: DataFrame,
+    candidates_df: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 64,
+    k: int = 5,
+    rerank_factor: int = 8,
+    query_id: str = "q_id",
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+    codebooks: list | None = None,
+    centroids: list | None = None,
+    max_queries: int = 1024,
+) -> DataFrame:
+    """IVF-PQ: the billion-vector ANN composition (FAISS IndexIVFPQ shape,
+    Jegou et al. 2011) — coarse quantizer routes candidates to cells, each
+    query probes its nprobe nearest cells, the ADC scan runs ONLY over
+    probed cells, and exact cosine re-ranks the shortlist.
+
+    Plan shape at scale: cell assignment and PQ scoring are shuffle-free
+    Arrow projections over the candidate scan; the probe map and ADC
+    tables ride as task closures (queries and codebooks both
+    driver-bounded, enforced).  vs plain pq_topk the scored volume drops
+    from |candidates| x Q to sum over probed cells — nprobe/n_cells of the
+    corpus per query; vs plain ivf_topk the per-pair exact GEMM is
+    replaced by table lookups, with exact vectors traveling only for the
+    k*rerank_factor shortlist."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    v = F.col(vec).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(v, lambda x: x / nrm)
+    c = candidates_df.select(F.col(cand_id), unit.alias("__v"))
+    q = queries_df.select(F.col(query_id), unit.alias("__qv"))
+
+    if centroids is not None:
+        cent = sorted((int(cid), list(cv)) for cid, cv in centroids)
+    else:
+        cent = sorted(
+            (r[0], list(r[1])) for r in c.orderBy(cand_id).limit(n_cells).collect()
+        )
+    assigned = ivf_assign(c, cent, vec="__v")
+    probed = _ivf_probe(q, cent, nprobe, vec="__qv")
+
+    if codebooks is None:
+        codebooks = pq_train_codebooks(c, "__v", m=m, ks=ks)
+    B = np.array(codebooks, dtype=np.float64)
+    sub = B.shape[2]
+
+    q_rows = q.orderBy(query_id).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivf_pq_topk: queries_df exceeds max_queries={max_queries}; "
+            "batch the query set or raise max_queries explicitly"
+        )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qpos = {int(qid): i for i, qid in enumerate(qids)}
+    Q = np.vstack([np.array(r[1], dtype=np.float64) for r in q_rows])
+    T = np.einsum("qms,mks->qmk", Q.reshape(len(qids), m, sub), B)
+    # probe map: cell -> query positions (bounded: |queries| x nprobe rows)
+    cell_queries: dict[int, list[int]] = {}
+    for r in probed.select(query_id, "__cell").collect():
+        cell_queries.setdefault(int(r[1]), []).append(qpos[int(r[0])])
+    shortlist = k * rerank_factor
+
+    out_schema = StructType(
+        [
+            StructField(query_id, LongType()),
+            StructField(cand_id, c.schema[cand_id].dataType),
+            StructField("est_dot", DoubleType()),
+            StructField("__v", ArrayType(DoubleType())),
+        ]
+    )
+
+    def score_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for cell, grp in pdf.groupby("__cell"):
+                qlist = cell_queries.get(int(cell))
+                if not qlist:
+                    continue  # cell probed by no query: zero ADC work
+                V = np.vstack(grp["__v"].to_numpy()).astype(np.float64)
+                Vs = V.reshape(len(grp), m, sub)
+                codes = np.empty((len(grp), m), dtype=np.int64)
+                for mi in range(m):
+                    d2 = (
+                        (Vs[:, mi, None, :] - B[None, mi, :, :]) ** 2
+                    ).sum(axis=2)
+                    codes[:, mi] = d2.argmin(axis=1)
+                est = np.zeros((len(grp), len(qids)), dtype=np.float64)
+                for mi in range(m):
+                    est += T[:, mi, :][:, codes[:, mi]].T
+                cand_ids = grp[cand_id].to_numpy()
+                for qi in qlist:
+                    emitted = 0
+                    for j in np.argsort(-est[:, qi], kind="stable"):
+                        if cand_ids[j] == qids[qi]:
+                            continue
+                        rows.append(
+                            (
+                                int(qids[qi]),
+                                cand_ids[j],
+                                float(est[j, qi]),
+                                V[j],
+                            )
+                        )
+                        emitted += 1
+                        if emitted >= shortlist:
+                            break
+            yield pd.DataFrame(
+                rows, columns=[query_id, cand_id, "est_dot", "__v"]
+            )
+
+    scored = assigned.mapInPandas(score_kernel, out_schema)
+    w_est = Window.partitionBy(query_id).orderBy(
+        F.desc("est_dot"), F.asc(cand_id)
+    )
+    short = (
+        scored.withColumn("__r", F.row_number().over(w_est))
+        .filter(F.col("__r") <= shortlist)
+        .drop("__r")
+    )
+    qv = q.select(F.col(query_id), F.col("__qv"))
+    joined = short.join(F.broadcast(qv), query_id)
+    exact = joined.select(
+        query_id,
+        cand_id,
+        _dot(F.col("__qv"), F.col("__v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, cand_id, "rnk")
+    )
+
+
+def _ivf_pq_oracle(
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 64,
+    k: int = 5,
+    rerank_factor: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the full IVF-PQ pipeline: unit-normalize, assign to
+    the argmax-cosine cell (ties to smaller cid), probe nprobe cells per
+    query, PQ-encode only probed-cell candidates, ADC-estimate, shortlist
+    (est DESC, id ASC), exact-cosine re-rank."""
+    sub = dim // m
+    books = deterministic_pq_codebooks(m, ks, sub)
+    rows = []
+    for mi in range(m):
+        for cc in range(ks):
+            lits = ", ".join(repr(x) for x in books[mi][cc])
+            rows.append(f"({mi}, {cc}, [{lits}])")
+    cb_values = ",\n".join(rows)
+    shortlist = k * rerank_factor
+    return f"""
+WITH cb(mi, code, cv) AS (VALUES {cb_values}),
+e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+unit AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(v, x -> x / SQRT(list_dot_product(v, v))) AS v
+  FROM e
+),
+cent AS (SELECT vec_id AS cid, v AS cv FROM unit WHERE vec_id < {n_cells}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT a.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.v, c.cv) DESC, c.cid ASC
+           ) AS rn
+    FROM unit a, cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT q_id, cid FROM (
+    SELECT q.vec_id AS q_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.cv) DESC, c.cid ASC
+           ) AS rn
+    FROM unit q, cent c WHERE q.vec_id < 8
+  ) WHERE rn <= {nprobe}
+),
+cands AS (
+  SELECT p.q_id, a.vec_id AS c_id
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  WHERE a.vec_id <> p.q_id
+),
+codes AS (
+  SELECT vec_id, mi, code FROM (
+    SELECT u.vec_id, cb.mi, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vec_id, cb.mi
+             ORDER BY list_dot_product(
+                        u.v[cb.mi * {sub} + 1 : cb.mi * {sub} + {sub}], cb.cv
+                      ) * -2 + list_dot_product(cb.cv, cb.cv) ASC,
+                      cb.code ASC
+           ) AS rk
+    FROM unit u CROSS JOIN cb
+    WHERE u.vec_id IN (SELECT c_id FROM cands)
+  ) WHERE rk = 1
+),
+est AS (
+  SELECT cd.q_id, cd.c_id,
+         SUM(list_dot_product(
+               q.v[co.mi * {sub} + 1 : co.mi * {sub} + {sub}], cb.cv
+             )) AS est_dot
+  FROM cands cd
+  JOIN codes co ON co.vec_id = cd.c_id
+  JOIN cb ON cb.mi = co.mi AND cb.code = co.code
+  JOIN unit q ON q.vec_id = cd.q_id
+  GROUP BY cd.q_id, cd.c_id
+),
+short AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q_id ORDER BY est_dot DESC, c_id ASC
+           ) AS rk
+    FROM est
+  ) WHERE rk <= {shortlist}
+)
+SELECT q_id, c_id, CAST(rnk AS INT) AS rnk FROM (
+  SELECT s.q_id, s.c_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.q_id
+           ORDER BY list_dot_product(qu.v, cu.v) DESC, s.c_id ASC
+         ) AS rnk
+  FROM short s
+  JOIN unit qu ON qu.vec_id = s.q_id
+  JOIN unit cu ON cu.vec_id = s.c_id
+) WHERE rnk <= {k}
+"""
+
+
+@query("similarity_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition over embeddings (16 cells / probe 4 / 8x64
+    deterministic codebooks / shortlist 8x / exact re-rank): top-5 per
+    query for 8 probe vectors, ids + ranks hash-matched against the full
+    relational replay.  The production path swaps in Lloyd-trained
+    codebooks and k-means centroids; every stage downstream is shared."""
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cs = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return ivf_pq_topk(
+        qs, cs, n_cells=16, nprobe=4, m=8, ks=64, k=5,
+        codebooks=deterministic_pq_codebooks(8, 64, 8),
+    )
+
+
 # --------------------------------------------------------------------------
 # Hard-negative mining (contrastive-training data prep): for each query,
 # the top-k most-similar candidates INSIDE a similarity band (hi bound

@@ -86,6 +86,7 @@ _R9_NEW: list[str] = [
     "source_iceberg_rest_timetravel",
     "corpus_domain_quality_filter",
     "source_iceberg_rest_delete",
+    "similarity_ivf_pq_topk",
 ]
 
 _R9_BACKLOG: list[str] = [

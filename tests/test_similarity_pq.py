@@ -79,3 +79,43 @@ def test_pq_query_collect_is_clamped(spark):
     # under the clamp it runs
     n = pq_topk(queries, cands, m=2, ks=4, k=2, max_queries=5).count()
     assert n > 0
+
+
+def test_ivf_pq_recall_and_probe_all_equals_pq(spark, sf_dir):
+    """IVF-PQ composition: recall must stay useful at the 4/16 probe
+    budget, and probing ALL cells must reproduce plain PQ exactly (the
+    coarse layer prunes candidates, never re-scores them)."""
+    registry.load_all()
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.ops.similarity import (
+        deterministic_pq_codebooks,
+        ivf_pq_topk,
+        pq_topk,
+    )
+    from moosestack_spark.tables import t
+
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cs = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    books = deterministic_pq_codebooks(8, 64, 8)
+    pq = _topk_sets(pq_topk(qs, cs, m=8, ks=64, k=5, codebooks=books).collect())
+    ivfpq = _topk_sets(
+        ivf_pq_topk(
+            qs, cs, n_cells=16, nprobe=4, m=8, ks=64, k=5, codebooks=books
+        ).collect()
+    )
+    assert set(ivfpq) == set(pq)
+    # vs the PQ-only result the probe budget may drop candidates whose
+    # cell was not probed — but the overlap must stay substantial
+    hits = sum(len(pq[q] & ivfpq[q]) for q in pq)
+    total = sum(len(pq[q]) for q in pq)
+    assert hits / total >= 0.4, f"overlap {hits}/{total}"
+    all_cells = _topk_sets(
+        ivf_pq_topk(
+            qs, cs, n_cells=16, nprobe=16, m=8, ks=64, k=5, codebooks=books
+        ).collect()
+    )
+    assert all_cells == pq, "probe-all IVF-PQ must equal plain PQ"
