@@ -197,6 +197,8 @@ EXTRA = [
     "sql_ch_dialect_vocab_r9",
     "sql_ch_dialect_vocab_r9b",
     "corpus_domain_quality_filter",
+    "source_iceberg_rest_delete",
+    "similarity_ivf_pq_topk",
 ]
 
 
