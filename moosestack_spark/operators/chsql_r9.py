@@ -12,11 +12,10 @@ DuckDB replays:
 - aggregate half: skewSamp/kurtSamp (unbiased sample moments over exact
   integer power sums — the Spark template and the oracle share ONE
   expression builder, sql/stats_moments.py, so the double chains are
-  textually identical), boundingRatio (leftmost→rightmost slope),
-  sumKahan (exact-sum equivalence documented on the template), and
-  deltaSumTimestamp (timestamp-ordered positive-delta sum; the
-  insertion-order-dependent deltaSum is a loud REFUSAL pointing here,
-  pinned in tests/test_ch_parity_sweep.py).
+  textually identical) and deltaSumTimestamp (timestamp-ordered
+  positive-delta sum; the insertion-order-dependent deltaSum is a loud
+  REFUSAL pointing here, pinned in tests/test_ch_parity_sweep.py).
+  boundingRatio/sumKahan keep their round-6 definitions (r6c_agg).
 
 All expressions stay JVM-side; both gates prune to a sparse orderkey
 sample so the dialect surface stays a cheap smoke at any SF.
@@ -110,14 +109,10 @@ WITH base AS (
   SELECT o_orderpriority,
          CAST(ROUND({_SK} * 1000000) AS BIGINT) AS sk,
          CAST(ROUND({_KU} * 1000000) AS BIGINT) AS ku,
-         CAST(ROUND(((CAST(arg_max(v, t) AS DOUBLE)
-                      - CAST(arg_min(v, t) AS DOUBLE))
-                     / (CAST(max(t) AS DOUBLE) - CAST(min(t) AS DOUBLE)))
-                    * 1000000) AS BIGINT) AS br,
-         CAST(SUM(x) AS BIGINT) AS skh
+         CAST(SUM(x) AS BIGINT) AS sx
   FROM base GROUP BY o_orderpriority
 )
-SELECT agg.o_orderpriority, sk, ku, br, skh, dst
+SELECT agg.o_orderpriority, sk, ku, sx, dst
 FROM agg JOIN dst USING (o_orderpriority)
 """,
 )
@@ -131,8 +126,7 @@ def sql_ch_dialect_vocab_r9b(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderpriority,
        toInt64(round(skewSamp(x) * 1000000)) AS sk,
        toInt64(round(kurtSamp(x) * 1000000)) AS ku,
-       toInt64(round(boundingRatio(t, v) * 1000000)) AS br,
-       toInt64(sumKahan(x)) AS skh,
+       toInt64(sum(x)) AS sx,
        deltaSumTimestamp(v, t) AS dst
 FROM (
   SELECT o_orderpriority,

@@ -574,9 +574,6 @@ _TEMPLATE = {
         "regexp_replace(parse_url({0}, 'HOST'), '^www\\.', '')"
     ),
     "fragment": "parse_url({0}, 'REF')",
-    "JSONLength": (
-        "coalesce(json_array_length({0}), size(json_object_keys({0})))"
-    ),
     "arrayEnumerate": "transform({0}, (x, i) -> i + 1)",
     "arrayReverse": "reverse({0})",
     "arraySlice": "slice({0}, {1}, {2})",
@@ -641,7 +638,6 @@ _TEMPLATE = {
     # regex / string-matching helpers
     "match": "({0} RLIKE {1})",
     "extractAll": "regexp_extract_all({0}, {1}, 1)",
-    "countMatches": "regexp_count({0}, {1})",
     "replaceAll": "replace({0}, {1}, {2})",
     "replaceRegexpAll": "regexp_replace({0}, {1}, {2})",
     # character n-grams ({0} referenced per window — a plain column leaf,
@@ -1096,15 +1092,6 @@ _TEMPLATE.update(
     }
 )
 
-_RENAME.update(
-    {
-        # frame-respecting lag/lead: Spark's lag/lead are already
-        # frame-bound within the OVER clause that follows the call
-        "lagInFrame": "lag",
-        "leadInFrame": "lead",
-    }
-)
-
 # ---- round-7 vocabulary widening ----
 # Array/map/scalar batch.  arrayFold is CH's lambda-first left fold —
 # Spark's aggregate() with the argument order rotated; the map helpers
@@ -1192,7 +1179,6 @@ _TEMPLATE.update(
             "THEN concat('#', parse_url({0}, 'REF')) ELSE '' END)"
         ),
         "cutQueryStringAndFragment": "regexp_replace({0}, '[?#].*$', '')",
-        "cutQueryString": "regexp_replace({0}, '\\\\?.*$', '')",
         "cutFragment": "regexp_replace({0}, '#.*$', '')",
         "cutWWW": "regexp_replace({0}, '^([a-z]+://)?www\\\\.', '$1')",
         "URLHierarchy": (
@@ -1451,8 +1437,6 @@ _TEMPLATE.update(
         "trunc": (
             "(CASE WHEN ({0}) >= 0 THEN FLOOR({0}) ELSE CEIL({0}) END)"
         ),
-        # banker's rounding = Spark bround (HALF_EVEN)
-        "roundBankers": "bround({0}, {1})",
         # Spark timestamps are microsecond-precision: truncation to the
         # microsecond is the identity (documented)
         "toStartOfMicrosecond": "cast({0} as timestamp)",
@@ -1505,19 +1489,10 @@ _TEMPLATE.update(
             "regexp_replace(regexp_replace({0}, \"'[^']*'\", '?'), "
             "'(^|[^A-Za-z_0-9])[0-9]+(\\\\.[0-9]+)?', '$1?')"
         ),
-        # CH boundingRatio(x, y): slope between the leftmost and rightmost
-        # points — (y at max x - y at min x) / (max x - min x).  Ties on x
-        # are resolved arbitrarily by max_by/min_by; gate data keeps x
-        # unique per group.
-        "boundingRatio": (
-            "((CAST(max_by({1}, {0}) AS DOUBLE) - "
-            "CAST(min_by({1}, {0}) AS DOUBLE)) / "
-            "(CAST(max({0}) AS DOUBLE) - CAST(min({0}) AS DOUBLE)))"
-        ),
-        # compensated float summation is about non-exact accumulation;
-        # this engine's aggregate discipline keeps hot sums exact
-        # (integers/decimals), so sumKahan IS sum here
-        "sumKahan": "sum({0})",
+        # (boundingRatio / sumKahan are NOT redefined here: they were
+        # registered in the round-6 batch — chsql_geo.py — with a
+        # tie-robust range-ratio spelling that the green r6c_agg gate pins;
+        # redefining them round-9 silently changed that gate's values)
         # CH deltaSumTimestamp(value, ts): sum of positive deltas of value
         # in ts order.  Spelled as an ordered fold over the collected
         # group (struct accumulator carries the running sum + previous

@@ -197,3 +197,50 @@ def test_r9_scalar_vocab_values(spark):
     assert (row.m, row.h, row.d) == (60, 2, 2)
     assert row.v1 is True and row.v2 is False
     assert row.nq == "WHERE a=? AND s=? OR col7>?"
+
+
+def test_template_keys_registered_exactly_once():
+    """dict.update silently overwrites: a round-9 re-registration of
+    boundingRatio changed the green r6c_agg gate's values without any
+    test failing until the oracle sweep.  Parse every _TEMPLATE.update /
+    _RENAME.update literal (plus the initial dict literals) and assert no
+    key is registered twice."""
+    import ast
+    import os
+    from collections import Counter
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "moosestack_spark", "sql", "ch_functions.py",
+    )
+    tree = ast.parse(open(path).read())
+    keys = {"_TEMPLATE": Counter(), "_RENAME": Counter()}
+
+    def dict_keys(node):
+        return [
+            k.value for k in node.keys
+            if isinstance(k, ast.Constant) and isinstance(k.value, str)
+        ]
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                if (
+                    isinstance(tgt, ast.Name)
+                    and tgt.id in keys
+                    and isinstance(node.value, ast.Dict)
+                ):
+                    keys[tgt.id].update(dict_keys(node.value))
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "update"
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id in keys
+            and node.args
+            and isinstance(node.args[0], ast.Dict)
+        ):
+            keys[node.func.value.id].update(dict_keys(node.args[0]))
+    for table, counter in keys.items():
+        dupes = sorted(k for k, c in counter.items() if c > 1)
+        assert not dupes, f"{table} keys registered more than once: {dupes}"
