@@ -40,11 +40,19 @@ SELECT o_orderkey,
        json_valid(bad) AS vjb,
        regexp_replace(regexp_replace(q, '''[^'']*''', '?', 'g'),
                       '(^|[^A-Za-z_0-9])[0-9]+(\.[0-9]+)?', '\1?',
-                      'g') AS nq
+                      'g') AS nq,
+       array_to_string(
+         list_transform(
+           list_zip(regexp_extract_all(kv, '([a-z])=([0-9]+)', 1),
+                    regexp_extract_all(kv, '([a-z])=([0-9]+)', 2)),
+           s -> s[1] || ':' || s[2]), '|') AS eag
 FROM (
   SELECT o_orderkey,
          TIMESTAMP '2022-01-01 00:00:00'
            + to_seconds(o_orderkey * 37 % 40000000) AS ts,
+         'x=' || CAST(o_orderkey % 9 AS VARCHAR)
+           || ';y=' || CAST(o_orderkey % 77 AS VARCHAR)
+           || ';z=' || CAST(o_orderkey % 500 AS VARCHAR) AS kv,
          '{"a":' || CAST(o_orderkey % 50 AS VARCHAR) || '}' AS js,
          '{oops' || CAST(o_orderkey % 3 AS VARCHAR) AS bad,
          'SELECT col' || CAST(o_orderkey % 7 AS VARCHAR)
@@ -68,10 +76,17 @@ SELECT o_orderkey,
        toRelativeDayNum(ts) AS rday,
        isValidJSON(js) AS vj,
        isValidJSON(bad) AS vjb,
-       normalizeQuery(q) AS nq
+       normalizeQuery(q) AS nq,
+       arrayStringConcat(
+         arrayMap(g -> arrayStringConcat(g, ':'),
+                  extractAllGroupsVertical(kv, '([a-z])=([0-9]+)')),
+         '|') AS eag
 FROM (
   SELECT o_orderkey,
          toDateTime(1640995200 + o_orderkey * 37 % 40000000) AS ts,
+         concat('x=', toString(o_orderkey % 9),
+                ';y=', toString(o_orderkey % 77),
+                ';z=', toString(o_orderkey % 500)) AS kv,
          concat('{"a":', toString(o_orderkey % 50), '}') AS js,
          concat('{oops', toString(o_orderkey % 3)) AS bad,
          concat('SELECT col', toString(o_orderkey % 7),

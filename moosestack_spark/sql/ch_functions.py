@@ -2075,6 +2075,34 @@ def translate_ch_sql(sql: str) -> str:
             out.append(
                 f"named_struct('col1', {_ntoa(lo)}, 'col2', {_ntoa(hi)})"
             )
+        elif name == "extractAllGroupsVertical":
+            # per-MATCH array of capture groups.  The group count must be
+            # known at translate time, so the pattern must be a string
+            # LITERAL (the overwhelmingly common spelling; a dynamic
+            # pattern has no static arity and is refused loudly).
+            pat = args[1].strip()
+            if not (pat.startswith("'") and pat.endswith("'")):
+                raise ValueError(
+                    "extractAllGroupsVertical needs a literal pattern "
+                    "(the capture-group count fixes the output arity)"
+                )
+            n_groups = re.compile(pat[1:-1]).groups
+            if n_groups == 0:
+                raise ValueError(
+                    "extractAllGroupsVertical pattern has no capture group"
+                )
+            inner = ", ".join(
+                ["__eag_x"]
+                + [
+                    f"element_at(regexp_extract_all({args[0]}, {args[1]}, "
+                    f"{g}), __eag_i + 1)"
+                    for g in range(2, n_groups + 1)
+                ]
+            )
+            out.append(
+                f"transform(regexp_extract_all({args[0]}, {args[1]}, 1), "
+                f"(__eag_x, __eag_i) -> array({inner}))"
+            )
         elif name == "fromUnixTimestamp" and len(args) == 1:
             out.append(f"timestamp_seconds({args[0]})")
         elif name == "tuple":

@@ -244,3 +244,25 @@ def test_template_keys_registered_exactly_once():
     for table, counter in keys.items():
         dupes = sorted(k for k, c in counter.items() if c > 1)
         assert not dupes, f"{table} keys registered more than once: {dupes}"
+
+
+def test_extract_all_groups_vertical(spark):
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+
+    row = spark.sql(
+        translate_ch_sql(
+            "SELECT arrayStringConcat(arrayMap(g -> arrayStringConcat(g, ':'), "
+            "extractAllGroupsVertical('x=1;y=22;z=333', "
+            "'([a-z])=([0-9]+)')), '|') AS eag, "
+            "extractAllGroupsVertical('no pairs here!', "
+            "'([a-z])=([0-9]+)') AS empty"
+        )
+    ).collect()[0]
+    assert row.eag == "x:1|y:22|z:333"
+    assert row.empty == []
+    import pytest
+
+    with pytest.raises(ValueError, match="literal pattern"):
+        translate_ch_sql("SELECT extractAllGroupsVertical(s, p) FROM t")
+    with pytest.raises(ValueError, match="no capture group"):
+        translate_ch_sql("SELECT extractAllGroupsVertical(s, 'abc') FROM t")
