@@ -589,6 +589,8 @@ def _run_scale_tier(sf_dir: str) -> dict:
             # bounding the pair fan-out, same contract as minhash
             "dedup_substring_clean",
             "corpus_domain_quality_filter",
+            # round-9: IVF-PQ — ADC volume is nprobe/n_cells of the corpus
+            "similarity_ivf_pq_topk",
             # round-7 ML/graph family: k-means is iterations x one scan +
             # model-sized collects; LPA is rounds x (vertex join + argmax
             # groupBy).  knn-graph runs occupancy-targeted below (the

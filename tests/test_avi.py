@@ -106,3 +106,45 @@ def test_video_metadata_sniffer_routes():
     assert mp4_meta["codec"] == "mp4" and mp4_meta["duration_ms"] == 1500
     with pytest.raises(ValueError, match="unrecognized video container"):
         video_metadata(b"\x00" * 32)
+
+
+def test_interleaved_audio_stream_skipped():
+    """A leading 'auds' stream must not confuse the walk: the vids stream
+    is stream 1, so frames live in '01dc' chunks and '00wb' audio chunks
+    are ignored."""
+    import struct as _s
+
+    from moosestack_spark.ops.avi import _chunk, _list, parse_avi
+
+    frames = [_flat(40), _flat(200)]
+    auds_strh = (
+        b"auds" + b"\x00" * 4
+        + _s.pack("<IHHIIIIIIII4h", 0, 0, 0, 0, 1, 16000, 0, 320, 0, 0, 2,
+                  0, 0, 0, 0)
+    )
+    auds_strf = _s.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)  # PCM fmt
+    vids_strh = (
+        b"vids" + b"MJPG"
+        + _s.pack("<IHHIIIIIIII4h", 0, 0, 0, 0, 1, 5, 0, len(frames),
+                  max(len(f) for f in frames), 10000, 0, 0, 0, 16, 16)
+    )
+    vids_strf = _s.pack("<IiiHH4sIiiII", 40, 16, 16, 1, 24, b"MJPG",
+                        16 * 16 * 3, 0, 0, 0, 0)
+    avih = _s.pack("<14I", 200000, 0, 0, 0x10, len(frames), 0, 2,
+                   max(len(f) for f in frames), 16, 16, 0, 0, 0, 0)
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", auds_strh) + _chunk(b"strf", auds_strf))
+        + _list(b"strl", _chunk(b"strh", vids_strh) + _chunk(b"strf", vids_strf)),
+    )
+    movi_body = b""
+    for i, f in enumerate(frames):
+        movi_body += _chunk(b"00wb", b"\x01\x02" * 160)  # audio chunk
+        movi_body += _chunk(b"01dc", f)                      # video frame
+    movi = _list(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + _s.pack("<I", len(body)) + body
+    p = parse_avi(avi)
+    assert p["n_frames"] == 2 and p["rate"] == 5
+    assert p["frames"] == frames
