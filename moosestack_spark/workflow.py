@@ -257,3 +257,223 @@ def cron_next_after(schedule: str, after: "dt.datetime") -> "dt.datetime":
             return t
         t += dt.timedelta(minutes=1)
     raise ValueError(f"cron {schedule!r} never fires within a year")
+
+
+# ---------------------------------------------------------------------------
+# Multi-worker durable runs: the reference delegates this to Temporal task
+# queues (py dmv2/workflow.py:116-189 — many workers poll, the server
+# leases activities and re-dispatches on worker death).  Brokerless
+# equivalent on the same JSONL journal: task identity stays (DFS seq :
+# name) — a run_durable journal resumes under a pool and vice versa — and
+# mutual exclusion is a per-task LEASE file (atomic tmp+replace, expiry
+# clock injectable for deterministic tests).  Completed tasks never
+# re-execute (journal); an in-flight task whose worker dies is re-leased
+# after expiry and re-runs — at-least-once, exactly Temporal's activity
+# contract.
+# ---------------------------------------------------------------------------
+
+
+def _task_table(workflow: "Workflow") -> list[tuple[str, "Task", Optional[str]]]:
+    """DFS pre-order (the run_durable numbering): [(key, task, parent_key)]."""
+    table: list[tuple[str, Task, Optional[str]]] = []
+    seq = 0
+
+    def walk(task: Task, parent_key: Optional[str]) -> None:
+        nonlocal seq
+        key = f"{seq}:{task.name}"
+        seq += 1
+        table.append((key, task, parent_key))
+        for nxt in task.on_complete:
+            walk(nxt, key)
+
+    walk(workflow.starting_task, None)
+    return table
+
+
+class LeaseStore:
+    """Per-task lease files next to the journal.  Acquisition is
+    last-writer-wins via atomic replace, then a read-back confirms
+    ownership — good enough for single-host workers (the reference's
+    multi-host story is Temporal's server, which this deliberately does
+    not re-implement)."""
+
+    def __init__(self, journal_path: str, now: Callable[[], float] = time.time):
+        import os
+
+        self.dir = journal_path + ".leases"
+        os.makedirs(self.dir, exist_ok=True)
+        self.now = now
+
+    def _path(self, key: str) -> str:
+        import hashlib
+        import os
+
+        return os.path.join(
+            self.dir, hashlib.md5(key.encode()).hexdigest() + ".lease"
+        )
+
+    def try_acquire(self, key: str, worker: str, lease_seconds: float) -> bool:
+        """Atomic acquisition via os.link of a fully-written temp file —
+        link fails with EEXIST if any lease is present, so there is no
+        window where two writers both read back their own write (the
+        replace+read-back spelling had exactly that race) and no window
+        where a reader sees a half-written lease."""
+        import json
+        import os
+
+        path = self._path(key)
+        tmp = path + f".{worker}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"worker": worker, "expires": self.now() + lease_seconds}, fh
+            )
+        try:
+            for _ in range(3):  # takeover needs one unlink + re-link round
+                try:
+                    os.link(tmp, path)
+                    return True
+                except FileExistsError:
+                    pass
+                try:
+                    with open(path) as fh:
+                        cur = json.load(fh)
+                except FileNotFoundError:
+                    continue  # holder released between link and read: retry
+                except ValueError:
+                    return False  # unreadable: treat as held, retry later
+                if cur["worker"] == worker and cur["expires"] > self.now():
+                    return True  # already mine and live
+                if cur["expires"] > self.now():
+                    return False  # live lease held by someone else
+                # expired: remove and retry the exclusive link — two
+                # racing takers both unlink (one wins, one ENOENT), then
+                # exactly one link succeeds
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+            return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def release(self, key: str) -> None:
+        import os
+
+        try:
+            os.unlink(self._path(key))
+        except OSError:
+            pass
+
+
+class DurableWorker:
+    """One worker of a durable pool: step() claims and executes ONE ready
+    task (parent journaled, not yet completed, lease acquirable) and
+    returns its key, or None when nothing is claimable right now.  Crash
+    simulation for tests: die_after_claim makes step() lease a task and
+    stop — the lease must expire before another worker can take over."""
+
+    def __init__(
+        self,
+        workflow: "Workflow",
+        journal_path: str,
+        worker_id: str,
+        lease_seconds: float = 30.0,
+        now: Callable[[], float] = time.time,
+        die_after_claim: bool = False,
+    ):
+        self.table = _task_table(workflow)
+        self.journal_path = journal_path
+        self.worker_id = worker_id
+        self.lease_seconds = lease_seconds
+        self.leases = LeaseStore(journal_path, now=now)
+        self.die_after_claim = die_after_claim
+
+    def step(self) -> Optional[str]:
+        journal = WorkflowJournal(self.journal_path)  # re-read: see peers
+        done = {k for k in journal.completed_keys if journal.lookup(k)}
+        for key, task, parent in self.table:
+            if key in done:
+                continue
+            if parent is not None and parent not in done:
+                continue  # not ready
+            if not self.leases.try_acquire(
+                key, self.worker_id, self.lease_seconds
+            ):
+                continue  # someone else is (or was recently) on it
+            if self.die_after_claim:
+                return key  # simulated crash: lease held, work never done
+            # post-lease journal re-check: a peer may have completed this
+            # task between our journal read and our acquisition (it
+            # records BEFORE releasing, so holding the lease means any
+            # completed peer's record is already visible)
+            journal = WorkflowJournal(self.journal_path)
+            if journal.lookup(key) is not None:
+                self.leases.release(key)
+                continue
+            rec = journal.lookup(parent) if parent else None
+            inp = rec.get("result") if rec else None
+            result = task.attempt(inp)
+            journal.record(key, result)
+            self.leases.release(key)
+            return key
+        return None
+
+    def run_until_idle(self, max_steps: int = 10_000) -> int:
+        n = 0
+        while self.step() is not None:
+            n += 1
+            if n > max_steps:
+                raise RuntimeError("worker did not converge")
+        return n
+
+
+def run_durable_pool(
+    workflow: "Workflow",
+    journal_path: str,
+    input_value: Any = None,
+    n_workers: int = 2,
+    lease_seconds: float = 30.0,
+) -> Any:
+    """Drive the whole DAG to completion with n_workers concurrent threads
+    sharing the journal + lease files, then return the starting task's
+    journaled result (run_durable's contract).  input_value is only
+    honored for a FRESH root (matching run_durable: a resumed root task
+    replays its journaled result)."""
+    import threading
+
+    table = _task_table(workflow)
+    root_key = table[0][0]
+    journal = WorkflowJournal(journal_path)
+    if journal.lookup(root_key) is None and input_value is not None:
+        # seed the root input by running the root inline (leased, so a
+        # concurrent pool on the same journal cannot double-run it)
+        w0 = DurableWorker(workflow, journal_path, "pool-seed", lease_seconds)
+        if w0.leases.try_acquire(root_key, "pool-seed", lease_seconds):
+            result = workflow.starting_task.attempt(input_value)
+            WorkflowJournal(journal_path).record(root_key, result)
+            w0.leases.release(root_key)
+
+    workers = [
+        DurableWorker(workflow, journal_path, f"w{i}", lease_seconds)
+        for i in range(n_workers)
+    ]
+    threads = [
+        threading.Thread(target=w.run_until_idle, daemon=True) for w in workers
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=workflow.timeout_seconds or 300.0)
+    final = WorkflowJournal(journal_path)
+    missing = [
+        k for k, _, p in _task_table(workflow) if final.lookup(k) is None
+    ]
+    if missing:
+        raise TaskFailed(
+            f"pool finished with incomplete tasks (crashed workers whose "
+            f"leases have not expired?): {missing}"
+        )
+    return final.lookup(root_key).get("result")

@@ -193,3 +193,83 @@ def test_durable_opaque_results_rerun(tmp_path):
     run_durable(wf, journal)
     run_durable(wf, journal)
     assert calls["a"] == 2
+
+
+# ---- multi-worker durable pool ----
+
+
+def _chain_workflow(log):
+    from moosestack_spark.workflow import Task, Workflow
+
+    t3 = Task(name="load", run=lambda x: (log.append(("load", x)), x + 100)[1])
+    t2 = Task(
+        name="transform",
+        run=lambda x: (log.append(("transform", x)), x * 2)[1],
+        on_complete=[t3],
+    )
+    t1 = Task(
+        name="extract",
+        run=lambda x: (log.append(("extract", x)), (x or 0) + 1)[1],
+        on_complete=[t2],
+    )
+    return Workflow(name="wf", starting_task=t1)
+
+
+def test_pool_runs_dag_once_across_workers(tmp_path):
+    from moosestack_spark.workflow import run_durable_pool
+
+    log = []
+    out = run_durable_pool(
+        _chain_workflow(log), str(tmp_path / "j.jsonl"), input_value=5, n_workers=3
+    )
+    assert out == 6  # starting task's result, same contract as run_durable
+    assert sorted(n for n, _ in log) == ["extract", "load", "transform"]
+
+
+def test_pool_journal_interchangeable_with_run_durable(tmp_path):
+    """Same task keys: a run_durable journal resumes under the pool with
+    zero re-execution, and the pool's journal replays under run_durable."""
+    from moosestack_spark.workflow import run_durable, run_durable_pool
+
+    jp = str(tmp_path / "j.jsonl")
+    log1: list = []
+    run_durable(_chain_workflow(log1), jp, input_value=5)
+    log2: list = []
+    out = run_durable_pool(_chain_workflow(log2), jp, n_workers=2)
+    assert out == 6
+    assert log2 == []  # everything replayed from the journal
+    log3: list = []
+    assert run_durable(_chain_workflow(log3), jp, input_value=5) == 6
+    assert log3 == []
+
+
+def test_worker_crash_lease_expiry_takeover(tmp_path):
+    """Worker A leases 'transform' and dies; B cannot claim it until the
+    lease expires, then takes over and finishes — completed tasks are
+    never re-run, the crashed in-flight task re-runs (at-least-once)."""
+    from moosestack_spark.workflow import DurableWorker, run_durable
+
+    jp = str(tmp_path / "j.jsonl")
+    clock = {"t": 1000.0}
+    now = lambda: clock["t"]  # noqa: E731
+
+    log: list = []
+    wf = _chain_workflow(log)
+    # complete the root first so 'transform' is the next ready task
+    a = DurableWorker(wf, jp, "A", lease_seconds=30, now=now)
+    assert a.step() == "0:extract"
+    a_crash = DurableWorker(
+        wf, jp, "A", lease_seconds=30, now=now, die_after_claim=True
+    )
+    assert a_crash.step() == "1:transform"  # leased, never executed
+    b = DurableWorker(wf, jp, "B", lease_seconds=30, now=now)
+    assert b.step() is None, "live lease must block takeover"
+    clock["t"] += 31.0  # lease expires
+    assert b.step() == "1:transform"
+    assert b.step() == "2:load"
+    assert b.step() is None
+    # extract ran once, transform ran once (by B), load once
+    assert sorted(n for n, _ in log) == ["extract", "load", "transform"]
+    log4: list = []
+    assert run_durable(_chain_workflow(log4), jp, input_value=5) == 1
+    assert log4 == []  # fully journaled
