@@ -508,7 +508,24 @@ def _make_scaled_dir(spark, sf_dir: str, factor: int) -> str:
 
 
 
-def _timed3(name: str, fn) -> tuple:
+def _scale_run_cleanup(spark) -> None:
+    """Between-run hygiene for the 30x tier: the iterative ops
+    (k-means/CC/k-core) localCheckpoint per round, and those cached RDD
+    blocks accumulate across the 3x loops — the round-9 record showed
+    LATER runs degrading (cc_hybrid 20->84 s, embedding prune 33->69 s),
+    which is memory pressure, not plan shape.  Unpersist everything no
+    longer referenced and nudge the JVM GC so each run starts clean."""
+    try:
+        jsc = spark.sparkContext._jsc
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+    except Exception as exc:  # hygiene must never fail a measurement
+        print(f"BENCH-SCALE-CLEANUP-WARNING: {exc!r}"[:200], file=sys.stderr)
+
+
+def _timed3(name: str, fn, cleanup=None) -> tuple:
     """Median-of-3 with raw runs (VERDICT r8 #5: the 30x tier's 2.6-3.7x
     run-to-run spread across single-pass records made scale regressions
     unfalsifiable).  The 3 runs are consecutive per query so host drift
@@ -516,7 +533,8 @@ def _timed3(name: str, fn) -> tuple:
     the raw list next to the median so any reader can audit the spread
     without trusting the median.  Run 1 includes the codegen compile; the
     median therefore usually reports a warm-plan run — same philosophy as
-    the r8 headline warmups (measure the plan, not JIT)."""
+    the r8 headline warmups (measure the plan, not JIT).  ``cleanup``
+    (if given) runs between attempts, outside every timer."""
     runs: list = []
     for _ in range(3):
         start = time.perf_counter()
@@ -526,6 +544,8 @@ def _timed3(name: str, fn) -> tuple:
         except Exception as exc:
             print(f"BENCH-SCALE-ERROR {name}: {exc!r}"[:500], file=sys.stderr)
             runs.append(None)
+        if cleanup is not None:
+            cleanup()
     ok = sorted(r for r in runs if r is not None)
     return (ok[len(ok) // 2] if ok else None), runs
 
@@ -568,7 +588,22 @@ def _run_scale_tier(sf_dir: str) -> dict:
         ).count()
     except Exception:
         pass
+    try:
+        # warm whole-stage-codegen on the minhash expression SHAPE, same
+        # as main(): this subprocess is a FRESH JVM, and without the
+        # warmup the first minhash run at 30x paid ~20 s of one-time
+        # compile (r9 raw triple 28.5/5.5/9.8) that is not plan cost.
+        from moosestack_spark.ops.dedup import minhash_lsh_pairs
+
+        tiny = spark.createDataFrame(
+            [(i, "w%d x y z q r s t u v" % (i % 3)) for i in range(20)],
+            "doc_id long, text string",
+        )
+        minhash_lsh_pairs(tiny, "doc_id", "text", n=5, threshold=0.5).count()
+    except Exception:
+        pass
     scale_queries: dict = {}
+    cleanup = lambda: _scale_run_cleanup(spark)  # noqa: E731
     try:
         scaled_dir = _make_scaled_dir(spark, sf_dir, factor=30)
         scale_names = [
@@ -601,7 +636,9 @@ def _run_scale_tier(sf_dir: str) -> dict:
         ]
         for name in scale_names:
             med, runs = _timed3(
-                name, lambda n=name: registry.QUERIES[n](spark, scaled_dir).count()
+                name,
+                lambda n=name: registry.QUERIES[n](spark, scaled_dir).count(),
+                cleanup=cleanup,
             )
             scale_queries[name] = med
             scale_queries[name + "_raw"] = runs
@@ -626,6 +663,7 @@ def _run_scale_tier(sf_dir: str) -> dict:
             lambda: embedding_cosine_pairs_pruned_auto(
                 semb, "vec_id", "embedding", threshold=0.9, dim=64, n_rows=n_emb
             ).count(),
+            cleanup=cleanup,
         )
         scale_queries["dedup_embedding_auto_t90"] = med
         scale_queries["dedup_embedding_auto_t90_raw"] = runs
@@ -682,7 +720,9 @@ def _run_scale_tier(sf_dir: str) -> dict:
             .distinct()
         )
         med, runs = _timed3(
-            "graph_kcore", lambda: k_core(ue30, k=4, max_iters=25).count()
+            "graph_kcore",
+            lambda: k_core(ue30, k=4, max_iters=25).count(),
+            cleanup=cleanup,
         )
         scale_queries["graph_kcore"] = med
         scale_queries["graph_kcore_raw"] = runs
@@ -705,6 +745,7 @@ def _run_scale_tier(sf_dir: str) -> dict:
         med, runs = _timed3(
             "similarity_knn_graph",
             lambda: knn_graph(semb, dim=64, k=5, n_planes=planes).count(),
+            cleanup=cleanup,
         )
         scale_queries["similarity_knn_graph"] = med
         scale_queries["similarity_knn_graph_raw"] = runs
@@ -733,7 +774,9 @@ def _run_scale_tier(sf_dir: str) -> dict:
             ("cc_chain_star", connected_components_star),
             ("cc_chain_hybrid", connected_components_auto),
         ]:
-            med, runs = _timed3(cname, lambda f=cfn: f(chain).count())
+            med, runs = _timed3(
+                cname, lambda f=cfn: f(chain).count(), cleanup=cleanup
+            )
             scale_queries[cname] = med
             scale_queries[cname + "_raw"] = runs
     except Exception as exc:
