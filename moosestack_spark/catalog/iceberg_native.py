@@ -592,6 +592,7 @@ class IcebergNativeTable:
         spec_by: list[tuple[str, str]] | None = None,
         cluster_by: tuple[str, str] | None = None,
         cluster_files: int = 8,
+        staging_salt: str | None = None,
     ) -> "IcebergNativeTable":
         """Write ``df`` as an Iceberg v2 table (new snapshot per call).
         mode='overwrite' starts v1; mode='append' adds a snapshot whose
@@ -641,9 +642,20 @@ class IcebergNativeTable:
         elif mode != "overwrite":
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
 
-        snap_id = int(uuid.uuid5(uuid.NAMESPACE_URL, f"{path}#{version}").int % (1 << 62))
-        commit_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, f"{path}#commit{version}"))
-        batch_dir = os.path.join(data_dir, f"b{version}")
+        # staging_salt: CONCURRENT stagers (REST-catalog optimistic
+        # writers) must not collide on file names before the commit
+        # protocol picks a winner — real Iceberg writers embed a unique
+        # write UUID in every file name for exactly this reason.  The
+        # salt feeds snapshot id, manifest names, the data batch dir and
+        # the staged metadata filename; it never updates version-hint, so
+        # directory-catalog readers cannot observe a half-staged write.
+        tag = f"{version}" if staging_salt is None else f"{version}#{staging_salt}"
+        snap_id = int(uuid.uuid5(uuid.NAMESPACE_URL, f"{path}#{tag}").int % (1 << 62))
+        commit_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, f"{path}#commit{tag}"))
+        batch_dir = os.path.join(
+            data_dir,
+            f"b{version}" if staging_salt is None else f"b{version}_{staging_salt}",
+        )
 
         if sum(
             x is not None for x in (partition_by, bucket_by, transform_by, spec_by)
@@ -874,12 +886,20 @@ class IcebergNativeTable:
             "snapshots": prev_snapshots + [snapshot],
             "properties": {},
         }
-        meta_path = os.path.join(table.meta_dir, f"v{version}.metadata.json")
+        meta_name = (
+            f"v{version}.metadata.json"
+            if staging_salt is None
+            else f"v{version}-{staging_salt}.metadata.json"
+        )
+        meta_path = os.path.join(table.meta_dir, meta_name)
         tmp = meta_path + ".tmp"
         json.dump(meta, open(tmp, "w"), indent=1)
         os.replace(tmp, meta_path)
-        with open(os.path.join(table.meta_dir, "version-hint.text"), "w") as fh:
-            fh.write(str(version))
+        if staging_salt is None:
+            with open(
+                os.path.join(table.meta_dir, "version-hint.text"), "w"
+            ) as fh:
+                fh.write(str(version))
         return table
 
     def _entries_for_dir(

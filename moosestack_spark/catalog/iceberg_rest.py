@@ -76,7 +76,10 @@ class _CatalogState:
 
 
 def _meta_version(metadata_location: str) -> int:
-    m = re.match(r"^v(\d+)\.metadata\.json$", os.path.basename(metadata_location))
+    m = re.match(
+        r"^v(\d+)(-[\w.-]+)?\.metadata\.json$",
+        os.path.basename(metadata_location),
+    )
     if not m:
         raise ValueError(f"unparseable metadata filename: {metadata_location}")
     return int(m.group(1))
@@ -506,7 +509,13 @@ class IcebergRestTable:
         """Row-level delete through the commit protocol: stage a position-
         delete snapshot with the native writer (pinned to the catalog's
         metadata), then commit it with the same optimistic retry loop as
-        append.  Returns the number of deleted positions."""
+        append.  Returns the number of deleted positions.
+
+        Staging-collision note: delete staging reuses the directory
+        writer's deterministic file names (no salt), so CONCURRENT delete
+        stagers on one table can collide before commit; appends are
+        salt-isolated.  Single-deleter-per-table is the documented
+        assumption here."""
         last: Exception | None = None
         for _ in range(max_retries):
             loaded = self.catalog.load_table(self.ns, self.name)
@@ -530,24 +539,37 @@ class IcebergRestTable:
     def _stage(self, df: DataFrame, loaded: dict) -> tuple[list[dict], list[dict]]:
         """Write data files + manifests + a staged metadata json BASED ON
         the loaded metadata-location, and build the commit body from the
-        staged snapshot."""
+        staged snapshot.  Every attempt stages under a UNIQUE salt so
+        concurrent writers (or a retry racing its own past attempt) never
+        collide on staged file names — the commit protocol alone decides
+        the winner, exactly the real-Iceberg model."""
+        import threading
+
+        self._attempt = getattr(self, "_attempt", 0) + 1
+        salt = f"w{os.getpid()}t{threading.get_ident() % 100000}a{self._attempt}"
         table_path = loaded["metadata"]["location"]
         _pinned_table_cls(loaded["metadata-location"]).write(
-            df, table_path, mode="append"
+            df, table_path, mode="append", staging_salt=salt
         )
-        return self._commit_body_from_staged(loaded)
+        return self._commit_body_from_staged(loaded, salt=salt)
 
-    def _commit_body_from_staged(self, loaded: dict) -> tuple[list[dict], list[dict]]:
+    def _commit_body_from_staged(
+        self, loaded: dict, salt: Optional[str] = None
+    ) -> tuple[list[dict], list[dict]]:
         """Build (requirements, updates) from the staged metadata file the
         native writer just produced: always base_version + 1 (the writer
-        parses the pinned basename)."""
+        parses the pinned basename), salt-suffixed when staged via
+        _stage."""
         base_meta = loaded["metadata"]
         base_snap = base_meta.get("current-snapshot-id")
         meta_dir = os.path.join(base_meta["location"], "metadata")
         staged_v = _meta_version(loaded["metadata-location"]) + 1
-        staged_meta = json.load(
-            open(os.path.join(meta_dir, f"v{staged_v}.metadata.json"))
+        staged_name = (
+            f"v{staged_v}.metadata.json"
+            if salt is None
+            else f"v{staged_v}-{salt}.metadata.json"
         )
+        staged_meta = json.load(open(os.path.join(meta_dir, staged_name)))
         # The commit body carries ONLY snapshot updates; a staged write
         # whose schema drifted from the catalog's would silently leave the
         # server metadata describing columns the new files don't have (or

@@ -205,3 +205,45 @@ def test_schema_drift_refused_on_commit(spark, cat, warehouse):
         h.append(widened)
     # the refused append left the catalog untouched and readable
     assert h.read(spark).count() == 10
+
+
+def test_concurrent_appenders_all_land_exactly_once(spark, cat, warehouse):
+    """4 threads x 2 appends race on one table through the commit
+    protocol: salted staging means no writer ever overwrites another's
+    staged files, 409s force rebases, and the final table holds every
+    batch exactly once with 1 + 8 snapshots."""
+    import threading
+
+    cat.create_namespace("ns")
+    h0 = IcebergRestTable.create(
+        cat, "ns", "t6", _rows(spark, 0, 10), warehouse + "/t6"
+    )
+    errors: list = []
+
+    def writer(wi: int) -> None:
+        try:
+            h = IcebergRestTable(cat, "ns", "t6")
+            for b in range(2):
+                lo = 1000 * (wi + 1) + 100 * b
+                h.append(_rows(spark, lo, lo + 10), max_retries=20)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    ks = sorted(r.k for r in h0.read(spark).select("k").collect())
+    want = sorted(
+        list(range(10))
+        + [
+            1000 * (wi + 1) + 100 * b + j
+            for wi in range(4)
+            for b in range(2)
+            for j in range(10)
+        ]
+    )
+    assert ks == want, "rows lost or duplicated across racing commits"
+    assert len(h0.snapshots()) == 9
