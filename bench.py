@@ -528,14 +528,23 @@ def _scale_run_cleanup(spark) -> None:
 def _timed3(name: str, fn, cleanup=None) -> tuple:
     """Median-of-3 with raw runs (VERDICT r8 #5: the 30x tier's 2.6-3.7x
     run-to-run spread across single-pass records made scale regressions
-    unfalsifiable).  The 3 runs are consecutive per query so host drift
-    between queries doesn't leak into one query's spread; callers persist
-    the raw list next to the median so any reader can audit the spread
-    without trusting the median.  Run 1 includes the codegen compile; the
-    median therefore usually reports a warm-plan run — same philosophy as
-    the r8 headline warmups (measure the plan, not JIT).  ``cleanup``
-    (if given) runs between attempts, outside every timer."""
+    unfalsifiable).  One UNTIMED warmup lap runs first — each query's
+    generated whole-stage-codegen classes are shape-specific, so the
+    first execution pays a 2-8 s one-time compile that is JIT cost, not
+    plan cost (measured: minhash raw triple 12.0/4.6/4.5 without the lap,
+    ~1.1x spread with it) — then 3 timed runs, consecutive per query so
+    host drift between queries doesn't leak into one query's spread;
+    callers persist the raw list next to the median so any reader can
+    audit the spread without trusting the median.  Same philosophy as the
+    r8 headline warmups: measure the plan, not JIT.  ``cleanup`` (if
+    given) runs between attempts, outside every timer."""
     runs: list = []
+    try:
+        fn()  # warmup lap: codegen/JIT compile, untimed
+    except Exception as exc:
+        print(f"BENCH-SCALE-ERROR {name} (warmup): {exc!r}"[:500], file=sys.stderr)
+    if cleanup is not None:
+        cleanup()
     for _ in range(3):
         start = time.perf_counter()
         try:
