@@ -380,6 +380,22 @@ def main() -> None:
             for k, v in scale_queries.items()
             if not k.endswith("_raw") and k != "factor"
         },
+        # self-reported raw spread (max/min of the timed triple) per scale
+        # query: after the warmup lap removed per-shape codegen, residual
+        # spread is single-run host/GC spikes on this shared VM — the
+        # MEDIAN is the comparable statistic, and a spread near 1.0 marks
+        # queries whose raw numbers can be compared directly
+        "scale_spread": {
+            k[: -len("_raw")]: (
+                round(max(v) / min(v), 2)
+                if isinstance(v, list) and v and all(
+                    isinstance(x, (int, float)) and x > 0 for x in v
+                )
+                else None
+            )
+            for k, v in scale_queries.items()
+            if k.endswith("_raw")
+        },
     }
     print(json.dumps(sidecar), file=sys.stderr)
     try:
