@@ -14,8 +14,12 @@ DuckDB replays:
   expression builder, sql/stats_moments.py, so the double chains are
   textually identical) and deltaSumTimestamp (timestamp-ordered
   positive-delta sum; the insertion-order-dependent deltaSum is a loud
-  REFUSAL pointing here, pinned in tests/test_ch_parity_sweep.py).
-  boundingRatio/sumKahan keep their round-6 definitions (r6c_agg).
+  REFUSAL pointing here, pinned in tests/test_ch_parity_sweep.py),
+  plus quantileExactWeighted (exact integer-weighted quantile via a
+  bound-struct fold — aggregates stay outside the lambda) and
+  extractAllGroupsVertical in the scalar half (translate-time capture
+  arity over literal patterns).  boundingRatio/sumKahan keep their
+  round-6 definitions (r6c_agg).
 
 All expressions stay JVM-side; both gates prune to a sparse orderkey
 sample so the dialect surface stays a cheap smoke at any SF.
@@ -110,7 +114,8 @@ WITH base AS (
          CAST(o_orderkey % 97 AS BIGINT)
            + CAST((o_orderkey % 13) * (o_orderkey % 7) AS BIGINT) AS x,
          CAST(o_orderkey AS BIGINT) AS t,
-         CAST((o_orderkey * 7919) % 1000 AS BIGINT) AS v
+         CAST((o_orderkey * 7919) % 1000 AS BIGINT) AS v,
+         CAST(1 + o_orderkey % 9 AS BIGINT) AS w
   FROM orders WHERE o_orderkey % 11 = 0
 ), dst AS (
   SELECT o_orderpriority,
@@ -126,9 +131,20 @@ WITH base AS (
          CAST(ROUND({_KU} * 1000000) AS BIGINT) AS ku,
          CAST(SUM(x) AS BIGINT) AS sx
   FROM base GROUP BY o_orderpriority
+), qw AS (
+  SELECT o_orderpriority,
+         MIN(CASE WHEN cw >= t THEN xd END) AS qw
+  FROM (
+    SELECT o_orderpriority, CAST(x AS DOUBLE) AS xd,
+           SUM(w) OVER (PARTITION BY o_orderpriority ORDER BY x, w
+                        ROWS UNBOUNDED PRECEDING) AS cw,
+           CAST(CEIL(0.5 * SUM(w) OVER (PARTITION BY o_orderpriority))
+                AS BIGINT) AS t
+    FROM base
+  ) GROUP BY o_orderpriority
 )
-SELECT agg.o_orderpriority, sk, ku, sx, dst
-FROM agg JOIN dst USING (o_orderpriority)
+SELECT agg.o_orderpriority, sk, ku, sx, dst, qw
+FROM agg JOIN dst USING (o_orderpriority) JOIN qw USING (o_orderpriority)
 """,
 )
 def sql_ch_dialect_vocab_r9b(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,12 +158,14 @@ SELECT o_orderpriority,
        toInt64(round(skewSamp(x) * 1000000)) AS sk,
        toInt64(round(kurtSamp(x) * 1000000)) AS ku,
        toInt64(sum(x)) AS sx,
-       deltaSumTimestamp(v, t) AS dst
+       deltaSumTimestamp(v, t) AS dst,
+       quantileExactWeighted(0.5)(x, w) AS qw
 FROM (
   SELECT o_orderpriority,
          toInt64(o_orderkey % 97) + toInt64((o_orderkey % 13) * (o_orderkey % 7)) AS x,
          toInt64(o_orderkey) AS t,
-         toInt64((o_orderkey * 7919) % 1000) AS v
+         toInt64((o_orderkey * 7919) % 1000) AS v,
+         toInt64(1 + o_orderkey % 9) AS w
   FROM orders WHERE o_orderkey % 11 = 0
 )
 GROUP BY o_orderpriority

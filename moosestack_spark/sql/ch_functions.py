@@ -1555,8 +1555,32 @@ _FN_CALL = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(")
 
 # CH parametric aggregates f(params)(args) -> Spark rewrites.
 # Handlers take (params, args) as already-translated strings.
+def _qexact_weighted(p: list[str], a: list[str]) -> str:
+    """quantileExactWeighted(level)(x, w): smallest x whose cumulative
+    weight (in x-ascending order) reaches ceil(level * total_weight) —
+    exact, integer-weighted.  Both aggregates (SUM of weights, the sorted
+    pair list) are bound OUTSIDE the fold lambda via the single-element
+    struct trick, because Spark refuses aggregate calls inside lambda
+    bodies; the fold itself is a plain scan with a (cum, answer) struct
+    accumulator — group-size-bounded like groupArray."""
+    x = f"CAST({a[0]} AS DOUBLE)"
+    w = f"CAST({a[1]} AS BIGINT)"
+    thr = f"CAST(ceil({p[0]} * SUM({w})) AS BIGINT)"
+    arr = f"array_sort(collect_list(struct({x} AS x, {w} AS w)))"
+    return (
+        f"element_at(transform(array(struct({thr} AS t, {arr} AS arr)), "
+        "__qw -> aggregate(__qw.arr, "
+        "struct(CAST(0 AS BIGINT) AS c, CAST(NULL AS DOUBLE) AS a), "
+        "(__qw_acc, __qw_e) -> struct(__qw_acc.c + __qw_e.w, "
+        "CASE WHEN __qw_acc.a IS NULL AND __qw_acc.c + __qw_e.w >= __qw.t "
+        "THEN __qw_e.x ELSE __qw_acc.a END), "
+        "__qw_acc -> __qw_acc.a)), 1)"
+    )
+
+
 _PARAMETRIC = {
     "quantile": lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
+    "quantileExactWeighted": _qexact_weighted,
     "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantiles": lambda p, a: f"percentile_approx({a[0]}, array({', '.join(p)}))",
     "quantilesExact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
