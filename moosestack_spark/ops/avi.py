@@ -394,3 +394,191 @@ FROM f
 
 
 _register_gate_queries()
+
+
+def sample_motion_frames(
+    df: DataFrame,
+    every_ms: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Sniffer-routed frame sampling over MIXED motion payloads: RIFF/AVI
+    goes through the MJPEG walk, GIF through the animation compositor
+    (ops/gif.py decode_gif_frames — variable per-frame delays honored);
+    anything else raises loudly inside the kernel.  Output schema is
+    AVI_FRAME_SCHEMA for both containers."""
+    from moosestack_spark.ops.gif import decode_gif_frames
+    from moosestack_spark.ops.jpeg import decode_jpeg
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in AVI_FRAME_SCHEMA}
+
+            def emit(mid, ms, idx, n, px):
+                npix = px.shape[0] * px.shape[1]
+                out["media_id"].append(int(mid))
+                out["frame_ms"].append(ms)
+                out["frame_idx"].append(idx)
+                out["n_frames"].append(n)
+                for j, ch in enumerate(("mean_r", "mean_g", "mean_b")):
+                    out[ch].append(
+                        float(int(px[:, :, j].sum(dtype=np.int64))) / npix
+                    )
+
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p)
+                if sniff_is_avi(p):
+                    parsed = parse_avi(p)
+                    n = parsed["n_frames"]
+                    rate, scale = parsed["rate"], parsed["scale"]
+                    duration_ms = n * 1000 * scale // rate
+                    cache: dict[int, np.ndarray] = {}
+                    for ms in range(0, duration_ms, every_ms):
+                        idx = min(ms * rate // (1000 * scale), n - 1)
+                        if idx not in cache:
+                            px = decode_jpeg(parsed["frames"][idx])
+                            if px.ndim == 2:
+                                px = np.repeat(px[:, :, None], 3, axis=2)
+                            cache[idx] = px
+                        emit(mid, ms, idx, n, cache[idx])
+                elif p[:6] in (b"GIF87a", b"GIF89a"):
+                    frames = decode_gif_frames(p)
+                    n = len(frames)
+                    starts = []
+                    t = 0
+                    for f in frames:
+                        starts.append(t)
+                        t += f["delay_cs"] * 10
+                    duration_ms = t
+                    for ms in range(0, duration_ms, every_ms):
+                        idx = max(
+                            i for i, s in enumerate(starts) if s <= ms
+                        )
+                        emit(mid, ms, idx, n, frames[idx]["pixels"])
+                else:
+                    raise ValueError(
+                        "unrecognized motion payload (not AVI or GIF)"
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "frame_ms": pd.Series(out["frame_ms"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "mean_r": pd.Series(out["mean_r"], dtype="float64"),
+                    "mean_g": pd.Series(out["mean_g"], dtype="float64"),
+                    "mean_b": pd.Series(out["mean_b"], dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, AVI_FRAME_SCHEMA)
+
+
+def _register_motion_gate() -> None:
+    from pyspark.sql import functions as F
+
+    from moosestack_spark.registry import query
+
+    # per-quadrant last-paint arithmetic for the GIF composite (q = 0..3):
+    # quadrant q is painted by frames j with (j-1) % 4 == q, value
+    # (d*7 + 13*j) % 256; before any paint it holds frame 0's value.
+    def _quad(q: int) -> str:
+        return (
+            f"CASE WHEN frame_idx >= {q + 1} THEN "
+            f"CAST((doc_id * 7 + 13 * (frame_idx - "
+            f"((frame_idx - {q + 1}) % 4))) % 256 AS DOUBLE) "
+            f"ELSE CAST((doc_id * 7) % 256 AS DOUBLE) END"
+        )
+
+    _gif_mean = f"(({_quad(0)}) + ({_quad(1)}) + ({_quad(2)}) + ({_quad(3)})) / 4"
+
+    @query(
+        "multimodal_motion_frames",
+        oracle=f"""
+WITH vid AS (
+  SELECT doc_id, CAST(3 + doc_id % 4 AS BIGINT) AS n
+  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 400
+),
+s AS (
+  SELECT doc_id, n,
+         UNNEST(generate_series(0, n * 250 - 1, 400)) AS frame_ms
+  FROM vid
+),
+f AS (
+  SELECT doc_id, n, frame_ms,
+         LEAST(frame_ms // 250, n - 1) AS frame_idx
+  FROM s
+),
+m AS (
+  SELECT doc_id, n, frame_ms, frame_idx,
+         CASE WHEN doc_id % 2 = 0
+              THEN CAST((doc_id * 7 + frame_idx * 13) % 256 AS DOUBLE)
+              ELSE {_gif_mean} END AS mean
+  FROM f
+)
+SELECT doc_id AS media_id, frame_ms,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(n AS INTEGER) AS n_frames,
+       mean AS mean_r, mean AS mean_g, mean AS mean_b
+FROM m
+""",
+    )
+    def multimodal_motion_frames(spark, sf_dir: str) -> DataFrame:
+        """Sniffer-routed frame sampling over a MIXED motion corpus: even
+        video docs carry MJPEG-in-AVI (flat gray frames — pixel-exact
+        through the near-lossless JPEG roundtrip), odd docs carry ANIMATED
+        GIF whose frames after the first paint one 8x8 quadrant each
+        (disposal 1, per-frame local color tables) — so the sampled means
+        pin the full compositing walk: GCE delays, sub-rect placement,
+        overwrite semantics.  GIF is lossless, so the oracle replays the
+        quadrant last-paint arithmetic in closed form; both containers run
+        at 250 ms/frame, sampled every 400 ms."""
+        from moosestack_spark.ops.gif import encode_gif_animation
+        from moosestack_spark.ops.jpeg import encode_jpeg
+        from moosestack_spark.tables import t as _t
+
+        d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+            (F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 400)
+        )
+
+        def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, payloads = [], []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    n = 3 + did % 4
+                    if did % 2 == 0:
+                        frames = []
+                        for i in range(n):
+                            v = (did * 7 + i * 13) % 256
+                            frames.append(
+                                encode_jpeg(np.full((16, 16, 3), v, np.uint8))
+                            )
+                        payload = encode_avi_mjpeg(frames, 16, 16, rate=4)
+                    else:
+                        gframes = []
+                        v0 = (did * 7) % 256
+                        gframes.append(dict(
+                            idx=np.zeros((16, 16), np.uint8),
+                            ct=np.array([[v0] * 3], np.uint8),
+                            x=0, y=0, delay_cs=25, disposal=1,
+                        ))
+                        for j in range(1, n):
+                            vj = (did * 7 + 13 * j) % 256
+                            q = (j - 1) % 4
+                            gframes.append(dict(
+                                idx=np.zeros((8, 8), np.uint8),
+                                ct=np.array([[vj] * 3], np.uint8),
+                                x=(q % 2) * 8, y=(q // 2) * 8,
+                                delay_cs=25, disposal=1,
+                            ))
+                        payload = encode_gif_animation(gframes, (16, 16))
+                    ids.append(did)
+                    payloads.append(payload)
+                yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+        media = d.mapInPandas(build, "media_id long, payload binary")
+        return sample_motion_frames(media, every_ms=400)
+
+
+_register_motion_gate()

@@ -87,6 +87,7 @@ _R9_NEW: list[str] = [
     "corpus_domain_quality_filter",
     "source_iceberg_rest_delete",
     "similarity_ivf_pq_topk",
+    "multimodal_motion_frames",
 ]
 
 _R9_BACKLOG: list[str] = [

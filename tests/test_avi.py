@@ -148,3 +148,96 @@ def test_interleaved_audio_stream_skipped():
     p = parse_avi(avi)
     assert p["n_frames"] == 2 and p["rate"] == 5
     assert p["frames"] == frames
+
+
+def test_gif_animation_compositing():
+    import numpy as np
+
+    from moosestack_spark.ops.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+        gif_animation_meta,
+    )
+
+    frames = [
+        dict(idx=np.zeros((16, 16), np.uint8),
+             ct=np.array([[10, 20, 30]], np.uint8),
+             x=0, y=0, delay_cs=25, disposal=1),
+        dict(idx=np.zeros((8, 8), np.uint8),
+             ct=np.array([[200, 0, 0]], np.uint8),
+             x=8, y=0, delay_cs=50, disposal=1),
+    ]
+    data = encode_gif_animation(frames, (16, 16))
+    fs = decode_gif_frames(data)
+    assert [f["delay_cs"] for f in fs] == [25, 50]
+    assert (fs[0]["pixels"] == [10, 20, 30]).all()
+    # frame 1 composites the red patch over the top-right quadrant only
+    assert (fs[1]["pixels"][0:8, 8:16] == [200, 0, 0]).all()
+    assert (fs[1]["pixels"][8:16, :] == [10, 20, 30]).all()
+    meta = gif_animation_meta(data)
+    assert meta["n_frames"] == 2 and meta["duration_ms"] == 750
+
+
+def test_gif_transparency_and_disposal2():
+    import numpy as np
+    import pytest
+
+    from moosestack_spark.ops.gif import decode_gif_frames, encode_gif_animation
+
+    base = dict(idx=np.zeros((8, 8), np.uint8),
+                ct=np.array([[50, 50, 50]], np.uint8),
+                x=0, y=0, delay_cs=10, disposal=1)
+    # transparent patch: index 1 marked transparent -> prior canvas shows
+    patch_idx = np.zeros((8, 8), np.uint8)
+    patch_idx[:, 4:] = 1
+    transparent = dict(idx=patch_idx,
+                       ct=np.array([[255, 0, 0], [9, 9, 9]], np.uint8),
+                       x=0, y=0, delay_cs=10, disposal=2,
+                       transparent_idx=1)
+    after = dict(idx=np.zeros((4, 4), np.uint8),
+                 ct=np.array([[0, 0, 255]], np.uint8),
+                 x=0, y=0, delay_cs=10, disposal=0)
+    fs = decode_gif_frames(
+        encode_gif_animation([base, transparent, after], (8, 8))
+    )
+    assert (fs[1]["pixels"][:, :4] == [255, 0, 0]).all()
+    assert (fs[1]["pixels"][:, 4:] == [50, 50, 50]).all()  # transparency
+    # disposal 2 restored the rect to white before frame 3's small patch
+    assert (fs[2]["pixels"][:4, :4] == [0, 0, 255]).all()
+    assert (fs[2]["pixels"][4:, :] == 255).all()
+    # disposal 3 refused loudly
+    bad = dict(base, disposal=3)
+    with pytest.raises(NotImplementedError, match="disposal 3"):
+        decode_gif_frames(encode_gif_animation([bad, base], (8, 8)))
+
+
+def test_motion_sampler_routes_mixed_payloads(spark):
+    import numpy as np
+
+    from moosestack_spark.ops.avi import encode_avi_mjpeg, sample_motion_frames
+    from moosestack_spark.ops.gif import encode_gif_animation
+
+    avi = encode_avi_mjpeg([_flat(30), _flat(60)], 16, 16, rate=4)
+    gif = encode_gif_animation(
+        [dict(idx=np.zeros((16, 16), np.uint8),
+              ct=np.array([[77] * 3], np.uint8),
+              x=0, y=0, delay_cs=25, disposal=1),
+         dict(idx=np.zeros((16, 16), np.uint8),
+              ct=np.array([[99] * 3], np.uint8),
+              x=0, y=0, delay_cs=25, disposal=1)],
+        (16, 16),
+    )
+    df = spark.createDataFrame(
+        [(0, avi), (1, gif)], "media_id long, payload binary"
+    )
+    out = sample_motion_frames(df, every_ms=250).toPandas()
+    m = {(r.media_id, r.frame_idx): r.mean_r for _, r in out.iterrows()}
+    assert m[(0, 0)] == 30.0 and m[(0, 1)] == 60.0
+    assert m[(1, 0)] == 77.0 and m[(1, 1)] == 99.0
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(2, b"\x00" * 64)], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="unrecognized motion payload"):
+        sample_motion_frames(bad, every_ms=100).collect()
