@@ -199,6 +199,7 @@ EXTRA = [
     "corpus_domain_quality_filter",
     "source_iceberg_rest_delete",
     "similarity_ivf_pq_topk",
+    "multimodal_motion_frames",
 ]
 
 
