@@ -171,3 +171,71 @@ FROM (
 GROUP BY o_orderpriority
 """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@query(
+    "sql_ch_dialect_vocab_r9c",
+    oracle=r"""
+SELECT o_orderkey,
+       CAST(FLOOR(epoch_us(TIMESTAMP '2022-01-01 00:00:00'
+                           + to_seconds(o_orderkey % 50)
+                           + to_microseconds((o_orderkey * 977) % 1000000))
+                  / 1000) AS BIGINT) AS dt64ms,
+       '[' || array_to_string(list_transform(
+           generate_series(lo, lo + 2), k -> CAST(k AS VARCHAR)), ',')
+           || ']' AS mk,
+       '[' || array_to_string(list_transform(generate_series(lo, lo + 2),
+           k -> CAST(CASE WHEN k = lo THEN va
+                          WHEN k = lo + 2 THEN vb ELSE 0 END AS VARCHAR)),
+           ',') || ']' AS mv,
+       regexp_matches(txt, '(^|[^0-9A-Za-z])tok($|[^0-9A-Za-z])') AS ht,
+       regexp_matches(txt2, '(^|[^0-9A-Za-z])tok($|[^0-9A-Za-z])') AS ht2,
+       'v' || CAST(o_orderkey % 50 AS VARCHAR) AS b64ok,
+       '' AS b64bad
+FROM (
+  SELECT o_orderkey,
+         CAST(o_orderkey % 5 + 1 AS BIGINT) AS lo,
+         CAST(o_orderkey % 90 AS BIGINT) AS va,
+         CAST(o_orderkey % 70 AS BIGINT) AS vb,
+         'a tok-' || CAST(o_orderkey % 3 AS VARCHAR) AS txt,
+         'atok ' || CAST(o_orderkey % 3 AS VARCHAR) AS txt2
+  FROM orders WHERE o_orderkey % 31 = 0
+)
+""",
+)
+def sql_ch_dialect_vocab_r9c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 third vocabulary batch: toDateTime64 precision truncation
+    (surfaced as epoch millis), mapPopulateSeries (dense-key fill,
+    serialized via mapKeys/mapValues), hasToken (token-boundary literal
+    search, needle regexp-quoted), tryBase64Decode ('' on undecodable
+    input).  The map is built with mapFromArrays so population and
+    serialization both run through the dialect."""
+    from moosestack_spark.registry import canon_arrays
+    from moosestack_spark.sql.ch_functions import translate_ch_sql
+    from moosestack_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=["orders"])
+    ch_sql = """
+SELECT o_orderkey,
+       toUnixTimestamp64Milli(toDateTime64(ts_s, 3)) AS dt64ms,
+       mapKeys(mapPopulateSeries(m)) AS mk,
+       mapValues(mapPopulateSeries(m)) AS mv,
+       hasToken(txt, 'tok') AS ht,
+       hasToken(txt2, 'tok') AS ht2,
+       tryBase64Decode(base64Encode(concat('v', toString(o_orderkey % 50)))) AS b64ok,
+       tryBase64Decode(concat('!!', toString(o_orderkey % 7))) AS b64bad
+FROM (
+  SELECT o_orderkey,
+         concat('2022-01-01 00:00:',
+                leftPad(toString(o_orderkey % 50), 2, '0'),
+                '.', leftPad(toString((o_orderkey * 977) % 1000000), 6, '0')
+               ) AS ts_s,
+         mapFromArrays(
+           array(toInt64(o_orderkey % 5 + 1), toInt64(o_orderkey % 5 + 3)),
+           array(toInt64(o_orderkey % 90), toInt64(o_orderkey % 70))) AS m,
+         concat('a tok-', toString(o_orderkey % 3)) AS txt,
+         concat('atok ', toString(o_orderkey % 3)) AS txt2
+  FROM orders WHERE o_orderkey % 31 = 0
+)
+"""
+    return canon_arrays(spark.sql(translate_ch_sql(ch_sql)), "mk", "mv")

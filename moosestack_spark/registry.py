@@ -88,6 +88,7 @@ _R9_NEW: list[str] = [
     "source_iceberg_rest_delete",
     "similarity_ivf_pq_topk",
     "multimodal_motion_frames",
+    "sql_ch_dialect_vocab_r9c",
 ]
 
 _R9_BACKLOG: list[str] = [

@@ -1508,6 +1508,33 @@ _TEMPLATE.update(
         ),
         "skewSamp": _sm.skew_samp_sql("{0}"),
         "kurtSamp": _sm.kurt_samp_sql("{0}"),
+        # DateTime64 with explicit precision: truncate micros to 10^(6-p)
+        # (unix_micros fits double exactly below 2^53, so the FLOOR chain
+        # is exact)
+        "toDateTime64": (
+            "timestamp_micros(CAST(FLOOR(unix_micros(to_timestamp({0})) "
+            "/ power(10, 6 - ({1}))) * power(10, 6 - ({1})) AS BIGINT))"
+        ),
+        # fill integer-key gaps between min and max key with 0 (the CH
+        # two-array form's default); pure HOF, no shuffle
+        "mapPopulateSeries": (
+            "map_from_arrays("
+            "sequence(array_min(map_keys({0})), array_max(map_keys({0}))), "
+            "transform(sequence(array_min(map_keys({0})), "
+            "array_max(map_keys({0}))), "
+            "__mp_k -> coalesce(element_at({0}, __mp_k), 0)))"
+        ),
+        # token = maximal alphanumeric run; the needle is regexp-quoted so
+        # any constant string is matched literally at token boundaries
+        "hasToken": (
+            "(({0}) RLIKE concat('(^|[^0-9A-Za-z])', "
+            "regexp_replace({1}, '([\\\\.^$|?*+()\\\\[\\\\]{{}}\\\\\\\\])', "
+            "'\\\\\\\\$1'), '($|[^0-9A-Za-z])'))"
+        ),
+        # CH returns '' for undecodable input (vs base64Decode's throw)
+        "tryBase64Decode": (
+            "coalesce(CAST(try_to_binary({0}, 'base64') AS STRING), '')"
+        ),
     }
 )
 
