@@ -416,11 +416,6 @@ def main() -> None:
         try:
             with open(sidecar_path) as fh:
                 prev = json.load(fh)
-            same_rev = (
-                git_rev is None
-                or prev.get("git_rev") is None
-                or prev.get("git_rev") == git_rev
-            )
             prev_load = prev.get("loadavg_start")
             if prev.get("sf") is not None and prev.get("sf") != sf:
                 # A smoke run at another SF must never displace the
@@ -433,11 +428,16 @@ def main() -> None:
                     file=sys.stderr,
                 )
             elif (
-                same_rev
-                and isinstance(prev_load, (int, float))
+                isinstance(prev_load, (int, float))
                 and loadavg is not None
                 and loadavg > max(2.0, prev_load)
             ):
+                # REGARDLESS of revision: a loaded-host run is a bad
+                # record for any code version (round 8's driver run
+                # clobbered the clean sidecar with loadavg-6.38 numbers,
+                # and the driver's end-of-round invocation always carries
+                # a newer revision, so a same-rev condition cannot
+                # protect against exactly that case)
                 target = os.path.join(repo_dir, "BENCH_extras.hot.json")
                 print(
                     f"BENCH-SIDECAR-GUARD: existing sidecar has "
