@@ -200,6 +200,7 @@ EXTRA = [
     "source_iceberg_rest_delete",
     "similarity_ivf_pq_topk",
     "multimodal_motion_frames",
+    "sql_ch_dialect_vocab_r9c",
 ]
 
 
