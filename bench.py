@@ -224,6 +224,43 @@ def _calibrate(n: int = 15_000_000) -> float:
     return round(time.perf_counter() - start, 3)
 
 
+def _sidecar_target(prev, sf, loadavg, repo_dir: str) -> tuple:
+    """Where this run's sidecar goes, given the existing committed one.
+
+    - another-SF smoke must never displace the driver-SF record;
+    - a loaded-host run (loadavg > 2 and hotter than the committed record)
+      goes to .hot.json REGARDLESS of code revision — round 8's driver run
+      clobbered the clean record with loadavg-6.38 numbers, and the
+      driver's end-of-round invocation always carries a newer revision, so
+      a same-rev condition cannot protect against exactly that case.
+    Returns (path, reason-or-None).  Pure so tests pin every branch.
+    """
+    import os as _os
+
+    base = _os.path.join(repo_dir, "BENCH_extras.json")
+    if prev is None:
+        return base, None
+    if prev.get("sf") is not None and prev.get("sf") != sf:
+        return (
+            _os.path.join(repo_dir, f"BENCH_extras.sf{sf}.json"),
+            f"existing sidecar is sf={prev.get('sf')}, this run is sf={sf}; "
+            f"writing the SF-suffixed file.",
+        )
+    prev_load = prev.get("loadavg_start")
+    if (
+        isinstance(prev_load, (int, float))
+        and loadavg is not None
+        and loadavg > max(2.0, prev_load)
+    ):
+        return (
+            _os.path.join(repo_dir, "BENCH_extras.hot.json"),
+            f"existing sidecar has loadavg_start={prev_load} < this run's "
+            f"{loadavg}; writing the hot file instead of overwriting the "
+            f"cleaner record.",
+        )
+    return base, None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -413,42 +450,14 @@ def main() -> None:
         # with a LOWER starting load already exists, this run's record
         # goes to BENCH_extras.hot.json instead — the clean record
         # survives, the hot one is still persisted with its provenance.
-        target = sidecar_path
         try:
             with open(sidecar_path) as fh:
                 prev = json.load(fh)
-            prev_load = prev.get("loadavg_start")
-            if prev.get("sf") is not None and prev.get("sf") != sf:
-                # A smoke run at another SF must never displace the
-                # committed record for the driver's SF.
-                target = os.path.join(repo_dir, f"BENCH_extras.sf{sf}.json")
-                print(
-                    f"BENCH-SIDECAR-GUARD: existing sidecar is sf="
-                    f"{prev.get('sf')}, this run is sf={sf}; writing "
-                    f"{os.path.basename(target)}.",
-                    file=sys.stderr,
-                )
-            elif (
-                isinstance(prev_load, (int, float))
-                and loadavg is not None
-                and loadavg > max(2.0, prev_load)
-            ):
-                # REGARDLESS of revision: a loaded-host run is a bad
-                # record for any code version (round 8's driver run
-                # clobbered the clean sidecar with loadavg-6.38 numbers,
-                # and the driver's end-of-round invocation always carries
-                # a newer revision, so a same-rev condition cannot
-                # protect against exactly that case)
-                target = os.path.join(repo_dir, "BENCH_extras.hot.json")
-                print(
-                    f"BENCH-SIDECAR-GUARD: existing sidecar has "
-                    f"loadavg_start={prev_load} < this run's {loadavg}; "
-                    f"writing {os.path.basename(target)} instead of "
-                    f"overwriting the cleaner record.",
-                    file=sys.stderr,
-                )
         except (OSError, ValueError):
-            pass  # no prior sidecar or unreadable: write fresh
+            prev = None  # no prior sidecar or unreadable: write fresh
+        target, why = _sidecar_target(prev, sf, loadavg, repo_dir)
+        if why:
+            print(f"BENCH-SIDECAR-GUARD: {why}", file=sys.stderr)
         with open(target, "w") as fh:
             json.dump(sidecar, fh, indent=1)
     except _HeadlineOnly:
