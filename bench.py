@@ -201,6 +201,7 @@ EXTRA = [
     "similarity_ivf_pq_topk",
     "multimodal_motion_frames",
     "sql_ch_dialect_vocab_r9c",
+    "graph_pagerank_personalized",
 ]
 
 

@@ -45,12 +45,20 @@ def pagerank_int(
     dst: str = "dst",
     iterations: int = 3,
     scale: int = SCALE,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(v, pr) with pr the ``scale``-scaled integer PageRank after
     ``iterations`` exact power iterations over the directed edge list.
     Raises when n_vertices · scale could overflow int64 accumulation —
     pass a smaller ``scale`` for very large graphs (rank resolution
-    trades off against headroom)."""
+    trades off against headroom).
+
+    ``seeds`` (a one-column DataFrame of vertex ids) switches to
+    PERSONALIZED PageRank: rank mass starts on the seeds and the teleport
+    term returns mass ONLY to seeds — the trusted-seed importance
+    propagation used for seed-based corpus quality scoring (TrustRank /
+    Harmonic-seed family).  Same integer arithmetic, same conservation
+    bound, so the DuckDB oracle replays it exactly."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     verts = (
         e.select(F.col("src").alias("v"))
@@ -67,8 +75,28 @@ def pagerank_int(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # edge list annotated with the source's out-degree, partitioned once
     ed = e.join(deg, "src").localCheckpoint()
-    ranks = verts.withColumn("pr", F.lit(scale).cast("bigint"))
     teleport = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    if seeds is not None:
+        seed_v = seeds.select(
+            F.col(seeds.columns[0]).alias("v")
+        ).distinct().withColumn("__seed", F.lit(True))
+        verts = verts.join(seed_v, "v", "left").select(
+            "v", F.coalesce("__seed", F.lit(False)).alias("__seed")
+        ).localCheckpoint()
+        ranks = verts.select(
+            "v",
+            F.when(F.col("__seed"), F.lit(scale))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("pr"),
+        )
+        teleport_col = F.when(F.col("__seed"), F.lit(teleport)).otherwise(
+            F.lit(0)
+        )
+    else:
+        verts = verts.withColumn("__seed", F.lit(True))
+        ranks = verts.select("v", F.lit(scale).cast("bigint").alias("pr"))
+        teleport_col = F.lit(teleport)
     for _ in range(iterations):
         # damping applied per edge BEFORE the sum: every addend <= r(u),
         # so the accumulator is bounded by the conserved mass n*scale
@@ -87,13 +115,13 @@ def pagerank_int(
             verts.join(contrib, verts.v == contrib.dst, "left")
             .select(
                 "v",
-                (F.lit(teleport) + F.coalesce(F.col("contrib"), F.lit(0)))
+                (teleport_col + F.coalesce(F.col("contrib"), F.lit(0)))
                 .cast("bigint")
                 .alias("pr"),
             )
             .localCheckpoint()
         )
-    return ranks
+    return ranks.select("v", "pr")
 
 
 _PR_ORACLE = f"""
@@ -169,6 +197,82 @@ def graph_pagerank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_doc").alias("src"), F.col("t_doc").alias("dst")
     )
     pr = pagerank_int(e1.union(e2), iterations=3)
+    return pr.select(F.col("v").alias("doc_id"), "pr")
+
+
+_PPR_TELEPORT = (SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+_PPR_ITER = """r{k} AS (
+  SELECT verts.v,
+    CAST(CASE WHEN verts.v % 17 = 0 THEN {tp} ELSE 0 END +
+         COALESCE(c.contrib, 0) AS BIGINT) AS pr
+  FROM verts LEFT JOIN (
+    SELECT dst, CAST(SUM({dn} * ((pr // outdeg) // {dd})) AS BIGINT) AS contrib
+    FROM ed JOIN r{p} ON ed.src = r{p}.v GROUP BY dst) c ON verts.v = c.dst
+)"""
+_PPR_ORACLE = (
+    f"""
+WITH dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS i,
+         COUNT(*) OVER () AS n
+  FROM documents
+), edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM dense a JOIN dense b ON b.i = (a.i * 7 + 3) % a.n
+  UNION ALL
+  SELECT a.doc_id, c.doc_id
+  FROM dense a JOIN dense c ON c.i = (a.i * 13 + 5) % a.n
+), verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)
+), deg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), ed AS (
+  SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)
+), r0 AS (
+  SELECT v, CAST(CASE WHEN v % 17 = 0 THEN {SCALE} ELSE 0 END AS BIGINT) AS pr
+  FROM verts
+), """
+    + ", ".join(
+        _PPR_ITER.format(
+            k=k, p=k - 1, tp=_PPR_TELEPORT, dn=DAMP_NUM, dd=DAMP_DEN
+        )
+        for k in (1, 2, 3)
+    )
+    + """
+SELECT v AS doc_id, pr FROM r3
+"""
+)
+
+
+@query("graph_pagerank_personalized", oracle=_PPR_ORACLE)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the same synthetic link graph as
+    graph_pagerank_quality, seeded on doc_id % 17 == 0: mass starts on
+    the seeds and teleports ONLY back to them, so rank measures 3-hop
+    proximity to the trusted set — the seed-propagation primitive for
+    corpus quality scoring.  Integer-exact; the oracle unrolls the same
+    three iterations with the seed-conditional teleport."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy("doc_id")
+    dense = d.withColumn("i", F.row_number().over(w) - 1).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    a = dense.select(
+        F.col("doc_id").alias("s_doc"), "i", "n",
+        F.expr("(i * 7 + 3) % n").alias("t1"),
+        F.expr("(i * 13 + 5) % n").alias("t2"),
+    )
+    ids = dense.select(F.col("i").alias("ti"), F.col("doc_id").alias("t_doc"))
+    e1 = a.join(ids, a.t1 == ids.ti).select(
+        F.col("s_doc").alias("src"), F.col("t_doc").alias("dst")
+    )
+    e2 = a.join(ids, a.t2 == ids.ti).select(
+        F.col("s_doc").alias("src"), F.col("t_doc").alias("dst")
+    )
+    seeds = d.filter(F.col("doc_id") % 17 == 0)
+    pr = pagerank_int(e1.union(e2), iterations=3, seeds=seeds)
     return pr.select(F.col("v").alias("doc_id"), "pr")
 
 

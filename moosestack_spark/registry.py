@@ -89,6 +89,7 @@ _R9_NEW: list[str] = [
     "similarity_ivf_pq_topk",
     "multimodal_motion_frames",
     "sql_ch_dialect_vocab_r9c",
+    "graph_pagerank_personalized",
 ]
 
 _R9_BACKLOG: list[str] = [
