@@ -973,16 +973,24 @@ class IcebergNativeTable:
         content: int,
         equality_ids: list[int] | None,
         operation: str,
+        staging_salt: str | None = None,
     ) -> None:
         """Append a snapshot whose new manifest (content=1 in the manifest
         list) carries the given delete files.  Prior manifests are reused
-        untouched, so existing data files keep their sequence numbers."""
+        untouched, so existing data files keep their sequence numbers.
+
+        staging_salt: same contract as the append writer's (line ~645) —
+        a salted commit writes `v{version}-{salt}.metadata.json` and does
+        NOT touch version-hint.text, so a REST-catalog deleter whose
+        commit is ultimately rejected stays invisible to directory-catalog
+        readers of the same path."""
         prev_meta, version, seq = self._next_version_seq()
+        tag = f"{version}" if staging_salt is None else f"{version}#{staging_salt}"
         snap_id = int(
-            uuid.uuid5(uuid.NAMESPACE_URL, f"{self.path}#{version}").int % (1 << 62)
+            uuid.uuid5(uuid.NAMESPACE_URL, f"{self.path}#{tag}").int % (1 << 62)
         )
         commit_uuid = str(
-            uuid.uuid5(uuid.NAMESPACE_URL, f"{self.path}#commit{version}")
+            uuid.uuid5(uuid.NAMESPACE_URL, f"{self.path}#commit{tag}")
         )
         part_fields = self._part_avro_fields(prev_meta)
         entries = [
@@ -1047,14 +1055,22 @@ class IcebergNativeTable:
         meta["last-updated-ms"] = version
         meta["current-snapshot-id"] = snap_id
         meta["snapshots"] = prev_meta["snapshots"] + [snapshot]
-        meta_path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        meta_name = (
+            f"v{version}.metadata.json"
+            if staging_salt is None
+            else f"v{version}-{staging_salt}.metadata.json"
+        )
+        meta_path = os.path.join(self.meta_dir, meta_name)
         tmp = meta_path + ".tmp"
         json.dump(meta, open(tmp, "w"), indent=1)
         os.replace(tmp, meta_path)
-        with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
-            fh.write(str(version))
+        if staging_salt is None:
+            with open(
+                os.path.join(self.meta_dir, "version-hint.text"), "w"
+            ) as fh:
+                fh.write(str(version))
 
-    def delete_where(self, condition) -> int:
+    def delete_where(self, condition, staging_salt: str | None = None) -> int:
         """Commit a POSITION-delete snapshot removing current rows matching
         ``condition`` (SQL string or Column).  The (file_path, pos)
         identities come from the same executor-side scan the reader uses
@@ -1078,7 +1094,12 @@ class IcebergNativeTable:
             .orderBy("file_path", "pos")
         )
         _, version, _ = self._next_version_seq()
-        out_dir = os.path.join(self.path, "data", f"b{version}_pos_deletes")
+        ddir = (
+            f"b{version}_pos_deletes"
+            if staging_salt is None
+            else f"b{version}_{staging_salt}_pos_deletes"
+        )
+        out_dir = os.path.join(self.path, "data", ddir)
         matches.write.mode("overwrite").parquet(out_dir)
         files = [
             (fp, self.spark.read.parquet(fp).count())
@@ -1089,7 +1110,8 @@ class IcebergNativeTable:
         if n == 0:
             return 0  # nothing matched: no snapshot to commit
         self._commit_delete_snapshot(
-            [f for f in files if f[1] > 0], 1, None, "delete"
+            [f for f in files if f[1] > 0], 1, None, "delete",
+            staging_salt=staging_salt,
         )
         return n
 

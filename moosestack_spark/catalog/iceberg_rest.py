@@ -511,21 +511,29 @@ class IcebergRestTable:
         metadata), then commit it with the same optimistic retry loop as
         append.  Returns the number of deleted positions.
 
-        Staging-collision note: delete staging reuses the directory
-        writer's deterministic file names (no salt), so CONCURRENT delete
-        stagers on one table can collide before commit; appends are
-        salt-isolated.  Single-deleter-per-table is the documented
-        assumption here."""
+        Delete staging gets the SAME salt treatment as appends (_stage):
+        the staged metadata is `v{N}-{salt}.metadata.json` and
+        version-hint.text is untouched, so a delete whose REST commit is
+        rejected on every retry stays invisible to directory-catalog
+        readers of the same path — the staged-write invariant holds for
+        deletes too, and concurrent delete stagers never collide."""
+        import threading
+
         last: Exception | None = None
         for _ in range(max_retries):
             loaded = self.catalog.load_table(self.ns, self.name)
             pinned = _pinned_table_cls(loaded["metadata-location"])(
                 spark, loaded["metadata"]["location"]
             )
-            n = pinned.delete_where(condition)
+            self._attempt = getattr(self, "_attempt", 0) + 1
+            salt = (
+                f"w{os.getpid()}t{threading.get_ident() % 100000}"
+                f"a{self._attempt}"
+            )
+            n = pinned.delete_where(condition, staging_salt=salt)
             if n == 0:
                 return 0  # nothing matched: no snapshot staged, no commit
-            reqs, updates = self._commit_body_from_staged(loaded)
+            reqs, updates = self._commit_body_from_staged(loaded, salt=salt)
             try:
                 self.catalog.commit_table(self.ns, self.name, reqs, updates)
                 return n

@@ -192,6 +192,16 @@ def parse_avi(data: bytes) -> dict:
                                 "MJPEG-in-AVI is decodable without ffmpeg"
                             )
                         fields = strh[2]
+                        # strict container check (same loud-ValueError
+                        # convention as the other malformed-AVI cases):
+                        # rate=0 would ZeroDivisionError in the frame
+                        # samplers, scale=0 would silently sample nothing
+                        if fields[4] == 0 or fields[5] == 0:
+                            raise ValueError(
+                                "malformed AVI: vids strh rate/scale must "
+                                f"be nonzero (scale={fields[4]}, "
+                                f"rate={fields[5]})"
+                            )
                         vids = {
                             "stream_no": stream_no,
                             "scale": fields[4],

@@ -48,6 +48,25 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _unit(v: Column) -> Column:
+    """L2-normalize an array<double> column, norm bound ONCE per row.
+
+    The naive spelling ``F.transform(v, lambda x: x / nrm)`` re-evaluates
+    the 64-element norm fold for EVERY element (higher-order functions run
+    interpreted, no CSE across lambda elements) — measured 9.9 s vs 0.5 s
+    for one pass over 60k x dim-64 vectors.  Binding the norm through a
+    one-element transform (the fmix32_expr let-binding trick) evaluates
+    the fold once; the per-element arithmetic (x / sqrt(fold)) and hence
+    every downstream hash is bit-identical."""
+    nrm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.element_at(
+        F.transform(F.array(nrm), lambda n: F.transform(v, lambda x: x / n)),
+        1,
+    )
+
+
 def brute_force_topk(
     queries_df: DataFrame,
     candidates_df: DataFrame,
@@ -129,11 +148,17 @@ def _plane_coeffs(dim: int, plane: int) -> list[float]:
     return coeffs
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
-    """Sign-bit bucket id from n_planes random hyperplanes (JVM arithmetic)."""
+def lsh_bucket(
+    vec: Column, dim: int, n_planes: int = N_PLANES, plane_base: int = 0
+) -> Column:
+    """Sign-bit bucket id from n_planes random hyperplanes (JVM arithmetic).
+
+    plane_base offsets the plane family so independent bucketings can be
+    drawn from the same deterministic stream (band b uses planes
+    [b*n, (b+1)*n) — the graph_search edge builder's long/short links)."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        coeffs = _plane_coeffs(dim, p)
+        coeffs = _plane_coeffs(dim, plane_base + p)
         proj = F.aggregate(
             F.zip_with(
                 vec,
@@ -487,8 +512,7 @@ def ivf_train_centroids(
     # (euclidean on the unit sphere is monotone in cosine; unnormalized
     # training centers near the data mean rank cosines arbitrarily)
     v = F.col(vec).cast("array<double>")
-    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.transform(v, lambda x: x / nrm)
+    unit = _unit(v)
     data = df.select(array_to_vector(unit).alias("features"))
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(data)
     return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
@@ -687,8 +711,7 @@ def pq_topk(
     )
 
     v = F.col(vec).cast("array<double>")
-    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.transform(v, lambda x: x / nrm)
+    unit = _unit(v)
     c = candidates_df.select(F.col(cand_id), unit.alias("__v"))
     q = queries_df.select(F.col(query_id), unit.alias("__qv"))
 
@@ -732,9 +755,13 @@ def pq_topk(
             Vs = V.reshape(len(pdf), m, sub)
             codes = np.empty((len(pdf), m), dtype=np.int64)
             for mi in range(m):
-                d2 = (
-                    (Vs[:, mi, None, :] - B[None, mi, :, :]) ** 2
-                ).sum(axis=2)
+                # same FP expression as the DuckDB oracle's ranking
+                # (-2*dot(v,c) + ||c||^2; the per-vector ||v||^2 constant
+                # is rank-irrelevant) so near-tie code assignments round
+                # the same way in both engines
+                d2 = -2.0 * (Vs[:, mi, :] @ B[mi].T) + (
+                    B[mi] * B[mi]
+                ).sum(axis=1)
                 codes[:, mi] = d2.argmin(axis=1)
             # ADC estimate for every query at once: est[n, q]
             est = np.zeros((len(pdf), len(qids)), dtype=np.float64)
@@ -941,8 +968,7 @@ def ivf_pq_topk(
     )
 
     v = F.col(vec).cast("array<double>")
-    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.transform(v, lambda x: x / nrm)
+    unit = _unit(v)
     c = candidates_df.select(F.col(cand_id), unit.alias("__v"))
     q = queries_df.select(F.col(query_id), unit.alias("__qv"))
 
@@ -1000,9 +1026,11 @@ def ivf_pq_topk(
                 Vs = V.reshape(len(grp), m, sub)
                 codes = np.empty((len(grp), m), dtype=np.int64)
                 for mi in range(m):
-                    d2 = (
-                        (Vs[:, mi, None, :] - B[None, mi, :, :]) ** 2
-                    ).sum(axis=2)
+                    # oracle-identical FP chain: -2*dot + ||c||^2 (see
+                    # pq_topk's kernel note)
+                    d2 = -2.0 * (Vs[:, mi, :] @ B[mi].T) + (
+                        B[mi] * B[mi]
+                    ).sum(axis=1)
                     codes[:, mi] = d2.argmin(axis=1)
                 est = np.zeros((len(grp), len(qids)), dtype=np.float64)
                 for mi in range(m):
@@ -1273,6 +1301,7 @@ def knn_graph(
     n_planes: int = KNN_PLANES,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    plane_base: int = 0,
 ) -> DataFrame:
     """(q_id, c_id, rnk) — each vector's top-k same-bucket neighbors by
     exact cosine, ties broken by min neighbor id.  Vectors alone in their
@@ -1297,7 +1326,7 @@ def knn_graph(
     side = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec).cast("array<double>").alias("__v"),
-        lsh_bucket(F.col(vec), dim, n_planes).alias("__b"),
+        lsh_bucket(F.col(vec), dim, n_planes, plane_base).alias("__b"),
     )
 
     def topk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1372,3 +1401,325 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-plane bucketed k-NN graph (k=5) over the embeddings table — the
     all-nodes bucket self-join; oracle replays the identical prune."""
     return knn_graph(t(spark, sf_dir, "embeddings"), dim=64, k=5)
+
+
+# --------------------------------------------------------------------------
+# Graph-structured ANN: deterministic NSW-style greedy beam search over a
+# banded k-NN graph (Malkov et al., "Navigable Small World"; the HNSW
+# base-layer search shape).  The one industry-standard ANN family the
+# IVF/PQ/LSH gates don't cover: build a neighborhood graph once, answer
+# queries by walking it — no cells, no codebooks.
+#
+# Determinism/oracle strategy: the graph is the UNION of n_bands
+# independent plane-banded knn_graph builds (band b uses hyperplanes
+# [b*n_planes, (b+1)*n_planes) from the same deterministic stream), which
+# gives the walk cross-bucket navigability a single banding cannot (one
+# band's edges never leave its bucket).  Entry points are the n_entry
+# nodes with the smallest portable fmix32 hash of their id; each hop
+# expands the frontier by its graph neighbors, scores exact cosine on the
+# 2^-30 grid (knn_graph's determinism note), and keeps the top `beam` per
+# query — a FIXED hop count, so DuckDB replays the entire walk with
+# unrolled CTEs.  Frontier refinement is monotone (the frontier is always
+# a candidate next hop), so more hops never lose a found neighbor.
+#
+# Plan shape at 100 TB: the expensive part is the banded graph build
+# (knn_graph's per-bucket Arrow GEMM, occupancy-dialed planes) and one
+# corpus-side vector fetch per hop (broadcast of the model-small frontier
+# against the partitioned candidate scan — queries x beam x graph_k rows,
+# driver-bounded by max_queries).  The walk state itself never exceeds
+# queries x beam rows.
+# --------------------------------------------------------------------------
+
+_SEARCH_GRID = 1073741824.0  # 2^30 — same score grid as knn_graph
+
+
+
+
+def graph_search_topk(
+    queries_df: DataFrame,
+    candidates_df: DataFrame,
+    dim: int,
+    graph_k: int = 5,
+    n_planes: int = KNN_PLANES,
+    n_bands: int = 2,
+    n_hubs: int = 16,
+    n_entry: int = 4,
+    beam: int = 8,
+    hops: int = 3,
+    k: int = 5,
+    query_id: str = "q_id",
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+    max_queries: int = 1024,
+) -> DataFrame:
+    """(q_id, c_id, rnk): greedy beam search over the hub-augmented k-NN
+    graph.  beam is the recall dial (HNSW's ef); hops bounds the walk.
+
+    Graph = three deterministic edge families, symmetrized:
+    - SHORT links: n_bands independent plane-banded knn_graph builds
+      (band b uses hyperplanes [b*n_planes, (b+1)*n_planes)) — each
+      node's true local neighborhood.
+    - LONG links: every node links to its max-cosine hub among the
+      n_hubs nodes with the smallest portable fmix32(id) (hash-elected,
+      corpus-independent), and the hubs form a complete graph among
+      themselves.  This is the navigability NSW gets from insertion-order
+      long links: any node reaches any hub in <= 2 hops, and the hub
+      nearest a query's neighborhood routes the walk there.
+    Entry points are the first n_entry hubs (same hash order), so the
+    walk starts on the long-link layer and descends: hop 1 sees all hubs,
+    hop 2 the best hubs' member sets, hop 3 refines through knn links.
+    Frontier refinement is monotone (the frontier always remains a
+    candidate next hop), so more hops never lose a found neighbor; all
+    scoring is exact cosine on the 2^-30 grid (knn_graph's determinism
+    note), ties to the smaller id — identical in the DuckDB replay.
+
+    Plan shape at 100 TB: the banded builds are per-bucket Arrow GEMMs
+    (occupancy-dialed planes); hub assignment is one shuffle-free
+    ivf_assign projection (hub matrix rides as a task closure, n_hubs
+    driver-bounded); the walk itself joins a broadcast frontier
+    (queries x beam rows, max_queries-capped) against the corpus once
+    per hop."""
+    import numpy as np
+
+    from moosestack_spark.operators.aggregates import fmix32_expr
+
+    if hops < 1:
+        raise ValueError("graph_search_topk: hops must be >= 1")
+    n_q = queries_df.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"graph_search_topk: queries_df exceeds max_queries="
+            f"{max_queries}; batch the query set or raise max_queries"
+        )
+
+    vecs = candidates_df.select(
+        F.col(cand_id).alias("__node"),
+        F.col(vec).cast("array<double>").alias("__v"),
+    ).withColumn("__n", _norm(F.col("__v")))
+    spark = candidates_df.sparkSession
+
+    # hash-elected hubs (driver-bounded: n_hubs rows, the IVF-centroid
+    # collect discipline)
+    hub_rows = (
+        vecs.withColumn("__h", F.expr(fmix32_expr("__node")))
+        .orderBy(F.asc("__h"), F.asc("__node"))
+        .limit(n_hubs)
+        .select("__node", "__v")
+        .collect()
+    )
+    hubs = [(int(r[0]), list(r[1])) for r in hub_rows]
+    hub_ids = [h for h, _ in hubs]
+
+    # SHORT links: banded knn
+    edges = None
+    for band in range(n_bands):
+        e = knn_graph(
+            candidates_df, dim, k=graph_k, n_planes=n_planes,
+            id_col=cand_id, vec=vec, plane_base=band * n_planes,
+        ).select(F.col("q_id").alias("src"), F.col("c_id").alias("dst"))
+        edges = e if edges is None else edges.union(e)
+    # LONG links: node -> nearest hub (shuffle-free Arrow argmax over the
+    # hub matrix — exact ties to the smaller hub id, as in ivf_assign)
+    hub_sorted = sorted(hubs)
+    to_hub = (
+        ivf_assign(vecs.select("__node", "__v"), hub_sorted, vec="__v",
+                   out_col="__hub")
+        .filter(F.col("__node") != F.col("__hub"))
+        .select(
+            F.col("__node").alias("src"),
+            F.col("__hub").cast("long").alias("dst"),
+        )
+    )
+    # LONG links: complete graph among hubs (n_hubs^2 rows, tiny)
+    hubhub = spark.createDataFrame(
+        [(a, b) for a in hub_ids for b in hub_ids if a != b],
+        "src long, dst long",
+    )
+    sym_base = edges.union(to_hub).union(hubhub)
+    sym = (
+        sym_base.union(
+            sym_base.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        # one materialization: the walk joins the graph every hop, and
+        # the banded GEMM build must not re-run per hop (graph_bfs
+        # discipline)
+        .localCheckpoint()
+    )
+
+    ent = spark.createDataFrame(
+        [(h,) for h in hub_ids[:n_entry]], "__node long"
+    )
+    qv = queries_df.select(
+        F.col(query_id), F.col(vec).cast("array<double>").alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv")))
+
+    # frontier_0 = the first n_entry hubs, self excluded (tiny cross:
+    # queries x n_entry, both driver-bounded)
+    frontier = (
+        qv.select(query_id)
+        .crossJoin(F.broadcast(ent))
+        .filter(F.col("__node") != F.col(query_id))
+    )
+
+    ranked = None
+    for _ in range(hops):
+        expanded = sym.join(
+            F.broadcast(frontier), sym["src"] == frontier["__node"]
+        ).select(frontier[query_id], sym["dst"].alias("__node"))
+        cand_h = (
+            frontier.union(expanded)
+            .distinct()
+            .filter(F.col("__node") != F.col(query_id))
+        )
+        scored = (
+            vecs.join(F.broadcast(cand_h), "__node")
+            .join(F.broadcast(qv), query_id)
+            .select(
+                F.col(query_id),
+                F.col("__node"),
+                F.rint(
+                    _dot(F.col("__qv"), F.col("__v"))
+                    / (F.col("__qn") * F.col("__n"))
+                    * F.lit(_SEARCH_GRID)
+                ).alias("__s"),
+            )
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.desc("__s"), F.asc("__node")
+        )
+        ranked = scored.withColumn("__r", F.row_number().over(w))
+        frontier = ranked.filter(F.col("__r") <= beam).select(
+            query_id, "__node"
+        )
+    return ranked.filter(F.col("__r") <= k).select(
+        F.col(query_id),
+        F.col("__node").alias(cand_id),
+        F.col("__r").cast("int").alias("rnk"),
+    )
+
+
+def _graph_search_oracle(
+    dim: int = 64,
+    graph_k: int = 5,
+    n_planes: int = KNN_PLANES,
+    n_bands: int = 2,
+    n_hubs: int = 16,
+    n_entry: int = 4,
+    beam: int = 8,
+    hops: int = 3,
+    k: int = 5,
+) -> str:
+    """Full relational replay of the walk: banded knn edges, fmix32 hub
+    election, nearest-hub + hub-clique long links, `hops` unrolled
+    frontier-expansion rounds, final top-k."""
+    from moosestack_spark.operators.aggregates import fmix32_duckdb_ctes
+
+    band_ctes, edge_sels = [], []
+    for band in range(n_bands):
+        bits = []
+        for p in range(n_planes):
+            lits = ", ".join(
+                repr(c) for c in _plane_coeffs(dim, band * n_planes + p)
+            )
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+            )
+        bucket_sql = " + ".join(bits)
+        band_ctes.append(
+            f"bk{band} AS (SELECT vec_id, v, nrm, {bucket_sql} AS bkt FROM b),\n"
+            f"r{band} AS (\n"
+            f"  SELECT q.vec_id AS src, c.vec_id AS dst,\n"
+            f"         ROW_NUMBER() OVER (\n"
+            f"           PARTITION BY q.vec_id\n"
+            f"           ORDER BY ROUND(list_dot_product(q.v, c.v)\n"
+            f"                    / (q.nrm * c.nrm) * 1073741824.0, 0) DESC,\n"
+            f"                    c.vec_id ASC) AS rnk\n"
+            f"  FROM bk{band} q JOIN bk{band} c\n"
+            f"    ON q.bkt = c.bkt AND q.vec_id != c.vec_id)"
+        )
+        edge_sels.append(f"SELECT src, dst FROM r{band} WHERE rnk <= {graph_k}")
+    edge_sels.append(
+        "SELECT n.vec_id AS src, a.hub AS dst FROM assign a "
+        "JOIN b n ON n.vec_id = a.vec_id WHERE n.vec_id <> a.hub"
+    )
+    edge_sels.append(
+        "SELECT h1.node AS src, h2.node AS dst FROM hubs h1 "
+        "CROSS JOIN hubs h2 WHERE h1.node <> h2.node"
+    )
+    hop_ctes = []
+    prev = "f0"
+    for h in range(1, hops + 1):
+        hop_ctes.append(
+            f"c{h} AS (SELECT q_id, node FROM {prev}\n"
+            f"         UNION\n"
+            f"         SELECT f.q_id, s.dst AS node FROM {prev} f\n"
+            f"         JOIN sym s ON s.src = f.node WHERE s.dst <> f.q_id),\n"
+            f"s{h} AS (SELECT c.q_id, c.node,\n"
+            f"                ROUND(list_dot_product(qq.v, bb.v)\n"
+            f"                / (qq.nrm * bb.nrm) * 1073741824.0, 0) AS sc\n"
+            f"         FROM c{h} c JOIN b bb ON bb.vec_id = c.node\n"
+            f"         JOIN q qq ON qq.q_id = c.q_id),\n"
+            f"f{h} AS (SELECT q_id, node FROM (\n"
+            f"           SELECT q_id, node, ROW_NUMBER() OVER (\n"
+            f"             PARTITION BY q_id ORDER BY sc DESC, node ASC) AS r\n"
+            f"           FROM s{h}) WHERE r <= {beam})"
+        )
+        prev = f"f{h}"
+    bands_sql = ",\n".join(band_ctes)
+    edges_sql = " UNION ".join(f"({s})" for s in edge_sels)
+    hops_sql = ",\n".join(hop_ctes)
+    fmix_sql = fmix32_duckdb_ctes("vec_id", "vec_id", "e")
+    return f"""
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e),
+{bands_sql},
+{fmix_sql},
+hubs AS (SELECT vec_id AS node FROM hashed
+         ORDER BY h32 ASC, vec_id ASC LIMIT {n_hubs}),
+assign AS (
+  SELECT vec_id, hub FROM (
+    SELECT n.vec_id, h.node AS hub,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, hb.v) / (n.nrm * hb.nrm) DESC,
+                      h.node ASC) AS rn
+    FROM b n CROSS JOIN hubs h JOIN b hb ON hb.vec_id = h.node
+  ) WHERE rn = 1
+),
+edges AS ({edges_sql}),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+q AS (SELECT vec_id AS q_id, v, nrm FROM b WHERE vec_id < 8),
+f0 AS (SELECT q.q_id, en.node FROM q CROSS JOIN
+       (SELECT vec_id AS node FROM hashed
+        ORDER BY h32 ASC, vec_id ASC LIMIT {n_entry}) en
+       WHERE en.node <> q.q_id),
+{hops_sql}
+SELECT q_id, node AS c_id, CAST(r AS INT) AS rnk FROM (
+  SELECT q_id, node, ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY sc DESC, node ASC) AS r
+  FROM s{hops}) WHERE r <= {k}
+"""
+
+
+@query("similarity_graph_search", oracle=_graph_search_oracle())
+def similarity_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NSW-style beam search over the hub-augmented 2-band 6-plane k-NN
+    graph: top-5 per query for 8 probe vectors via 16 hash-elected hubs,
+    4 entries, beam 8, 3 hops — ids + ranks hash-matched against the full
+    unrolled-CTE replay."""
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cs = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return graph_search_topk(
+        qs, cs, dim=64, graph_k=5, n_planes=KNN_PLANES, n_bands=2,
+        n_hubs=16, n_entry=4, beam=8, hops=3, k=5,
+    )

@@ -158,17 +158,79 @@ _R1_CANARIES: list[str] = [
     "sql_template_params",
 ]
 
+# Round-10 window: new gates lead (first driver hash on new code), then
+# the 18 remaining r1-only hash-drift canaries (_R1_CANARIES[26:] — round
+# 9 consumed the first 26), then the next-oldest evidence: gates whose
+# only green rows are from round 2.  Computed so each new r10 gate
+# automatically displaces the newest r2 canary while the meta-test's
+# exactly-50 invariant holds.
+_R10_NEW: list[str] = [
+    "similarity_graph_search",
+]
+
+_R10_R1_CANARIES: list[str] = _R1_CANARIES[26:]
+
+# Gates whose latest driver-green row is from round 2 (next-oldest
+# evidence after the r1 set), fixed alphabetical order; only the first
+# (50 - len(_R10_NEW) - 18) get slots this round.
+_R2_CANARIES: list[str] = [
+    "agg_group_array",
+    "agg_salted_skew",
+    "agg_uniq_exact",
+    "decontam_ngram_overlap",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_pruned",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "etl_extract_transform_load",
+    "join_bucketed_colocated",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "multimodal_image_features",
+    "setop_all_variants",
+    "setop_intersect_except",
+    "similarity_bruteforce_topk",
+    "similarity_ivf",
+    "sort_limit_clamp",
+    "sort_multikey_limit",
+    "sort_paginate",
+    "streaming_dlq_envelope",
+    "streaming_dlq_recovery",
+    "streaming_multi_route",
+    "streaming_stateful_user_stats",
+    "streaming_topic_sync",
+    "streaming_zero_or_many_transform",
+    "text_c4_quality_filter",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_quality_bucket",
+    "text_repetition_signals",
+    "text_rolling_fingerprint",
+    "text_stopword_ratio",
+    "text_token_stats",
+    "text_train_val_test_split",
+    "window_first_last",
+    "window_lag",
+    "window_lead_distribution",
+    "window_range_frame",
+    "window_rank_dense",
+    "window_row_number_topk",
+    "window_running_sum",
+]
+
 _WINDOW_PRIORITY = (
-    _R9_NEW
-    + _R9_BACKLOG
-    + _R1_CANARIES[: 50 - len(_R9_NEW) - len(_R9_BACKLOG)]
+    _R10_NEW
+    + _R10_R1_CANARIES
+    + _R2_CANARIES[: 50 - len(_R10_NEW) - len(_R10_R1_CANARIES)]
 )
 
 # The explicit rotation backlog, pinned to positions 51+: oracled queries
 # without a recorded green row that did not fit this round's 50 slots.
 # The registry-window meta-test enforces that ONLY names listed here may
-# lack both a green row and a window slot.  Empty for round 9: the 12
-# never-sampled gates all lead the window.
+# lack both a green row and a window slot.  Empty for round 10: every
+# oracled gate has a green row (union r1-r9), so the window is all
+# re-confirmation except the leading new gates.
 _AFTER_WINDOW: list[str] = []
 
 

@@ -200,7 +200,15 @@ def group_member_loop(
     fencing may have invalidated.  ``insert`` receives (partition, rows)
     and must be idempotent-or-dedupable downstream (at-least-once).
     ``step_hook(step)`` lets a test inject a concurrent join/leave at a
-    chosen step.  Returns the number of insert calls."""
+    chosen step.  Returns the number of insert calls.
+
+    SCOPE: a single-threaded test-harness loop, not a generic daemon
+    consumer — it terminates when the member's OWN assignment is drained
+    (or empty, when members > partitions), and a concurrent leave() of
+    THIS member makes the FencedGeneration re-sync raise out of the loop
+    (the member no longer belongs to the group, so propagating is the
+    honest outcome).  A long-lived consumer would instead re-join and
+    loop forever; see KafkaTableSync.run for that shape."""
     generation, parts = coord.join(member)
     inserts = 0
     step = 0

@@ -342,7 +342,15 @@ class LeaseStore:
                 except ValueError:
                     return False  # unreadable: treat as held, retry later
                 if cur["worker"] == worker and cur["expires"] > self.now():
-                    return True  # already mine and live
+                    # already mine and live: HEARTBEAT — rewrite with a
+                    # fresh expiry so a task that runs longer than
+                    # lease_seconds keeps its lease extended and a peer
+                    # never re-leases it out from under a live holder.
+                    # tmp already holds {worker, now+lease_seconds};
+                    # replace is atomic and we are the live owner.
+                    os.replace(tmp, path)
+                    tmp = None  # consumed by replace; skip finally unlink
+                    return True
                 if cur["expires"] > self.now():
                     return False  # live lease held by someone else
                 # expired: remove and retry the exclusive link — two
@@ -354,10 +362,11 @@ class LeaseStore:
                     pass
             return False
         finally:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+            if tmp is not None:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
 
     def release(self, key: str) -> None:
         import os

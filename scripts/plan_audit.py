@@ -118,6 +118,11 @@ ALLOWED = {
     # so user-key-partitioned SMJ is the correct distributed shape — same
     # argument as the witness-join funnel, tripled by the 3-mode union
     "funnel_modes_compare": {"SMJ"},
+    # NSW walk seeding: the 8-row query set broadcast-crossed with the
+    # n_entry hub ids (both driver-bounded; the cross re-appears once per
+    # unrolled hop in the plan tree).  Every corpus-side join (vector
+    # fetch, graph expansion) is a broadcast HASH join on node id.
+    "similarity_graph_search": {"BNLJ"},
 }
 
 
