@@ -71,6 +71,7 @@ class _CatalogState:
 
     def __init__(self) -> None:
         self.namespaces: set[str] = set()
+        self.ns_props: dict[str, dict] = {}
         self.tables: dict[tuple[str, str], str] = {}
         self.lock = threading.Lock()
 
@@ -152,6 +153,48 @@ def _apply_updates(meta: dict, updates: list[dict]) -> dict:
     return out
 
 
+class _CommitError(Exception):
+    def __init__(self, code: int, msg: str, etype: str) -> None:
+        super().__init__(msg)
+        self.code, self.msg, self.etype = code, msg, etype
+
+
+def _validate_table_change(
+    st: "_CatalogState", ns: str, tbl: str, reqs: list[dict], updates: list[dict]
+) -> tuple[str, dict]:
+    """Phase 1 of a commit (caller holds st.lock): check requirements and
+    compute the new metadata WITHOUT touching disk or pointers.  Returns
+    (current_location, new_metadata); raises _CommitError on any failure —
+    the same code/ordering the single-table route has always used (409
+    before 404: a failed requirement wins over table-missing)."""
+    loc = st.tables.get((ns, tbl))
+    current = json.load(open(loc)) if loc else None
+    fail = _check_requirements(reqs, current)
+    if fail:
+        raise _CommitError(409, f"{ns}.{tbl}: {fail}", "CommitFailedException")
+    if current is None:
+        raise _CommitError(404, f"table {ns}.{tbl}", "NoSuchTableException")
+    try:
+        new_meta = _apply_updates(current, updates)
+    except ValueError as exc:
+        raise _CommitError(400, f"{ns}.{tbl}: {exc}", "BadRequestException")
+    return loc, new_meta
+
+
+def _write_new_version(loc: str, new_meta: dict) -> str:
+    """Phase 2: server authors the next metadata version file next to the
+    table; the pointer swap (phase 3) is the caller's — so a multi-table
+    transaction can write every file before swapping ANY pointer."""
+    out_dir = os.path.join(new_meta["location"], "rest-metadata")
+    os.makedirs(out_dir, exist_ok=True)
+    new_v = _meta_version(loc) + 1
+    new_loc = os.path.join(out_dir, f"v{new_v}.metadata.json")
+    tmp = new_loc + ".tmp"
+    json.dump(new_meta, open(tmp, "w"), indent=1)
+    os.replace(tmp, new_loc)
+    return new_loc
+
+
 class IcebergRestCatalogServer:
     """Loopback REST catalog backed by local metadata files.
 
@@ -218,6 +261,22 @@ class IcebergRestCatalogServer:
                     with st.lock:
                         ns = sorted(st.namespaces)
                     self._send(200, {"namespaces": [[n] for n in ns]})
+                elif (
+                    len(parts) == 4
+                    and parts[:2] == ["v1", server.prefix]
+                    and parts[2] == "namespaces"
+                ):
+                    ns = parts[3]
+                    with st.lock:
+                        if ns not in st.namespaces:
+                            return self._err(
+                                404, f"namespace {ns}",
+                                "NoSuchNamespaceException",
+                            )
+                        props = dict(st.ns_props.get(ns, {}))
+                    self._send(
+                        200, {"namespace": [ns], "properties": props}
+                    )
                 elif (
                     len(parts) == 5
                     and parts[:2] == ["v1", server.prefix]
@@ -317,39 +376,114 @@ class IcebergRestCatalogServer:
                     ns, tbl = parts[3], parts[5]
                     body = self._body()
                     with st.lock:
-                        loc = st.tables.get((ns, tbl))
-                        current = json.load(open(loc)) if loc else None
-                        fail = _check_requirements(
-                            body.get("requirements", []), current
-                        )
-                        if fail:
-                            return self._err(409, fail, "CommitFailedException")
-                        if current is None:
-                            return self._err(
-                                404, f"table {ns}.{tbl}", "NoSuchTableException"
-                            )
                         try:
-                            new_meta = _apply_updates(
-                                current, body.get("updates", [])
+                            loc, new_meta = _validate_table_change(
+                                st, ns, tbl,
+                                body.get("requirements", []),
+                                body.get("updates", []),
                             )
-                        except ValueError as exc:
-                            return self._err(400, str(exc), "BadRequestException")
-                        # server authors the new metadata version
-                        out_dir = os.path.join(
-                            new_meta["location"], "rest-metadata"
-                        )
-                        os.makedirs(out_dir, exist_ok=True)
-                        new_v = _meta_version(loc) + 1
-                        new_loc = os.path.join(
-                            out_dir, f"v{new_v}.metadata.json"
-                        )
-                        tmp = new_loc + ".tmp"
-                        json.dump(new_meta, open(tmp, "w"), indent=1)
-                        os.replace(tmp, new_loc)
+                        except _CommitError as exc:
+                            return self._err(exc.code, exc.msg, exc.etype)
+                        new_loc = _write_new_version(loc, new_meta)
                         st.tables[(ns, tbl)] = new_loc
                     self._send(
                         200,
                         {"metadata-location": new_loc, "metadata": new_meta},
+                    )
+                elif (
+                    len(parts) == 5
+                    and parts[2] == "namespaces"
+                    and parts[4] == "properties"
+                ):
+                    # UpdateNamespacePropertiesRequest (apache/iceberg
+                    # open-api): disjoint removals + updates, reports
+                    # removed/updated/missing
+                    ns = parts[3]
+                    body = self._body()
+                    removals = body.get("removals") or []
+                    updates = body.get("updates") or {}
+                    overlap = set(removals) & set(updates)
+                    if overlap:
+                        return self._err(
+                            400,
+                            f"keys in both removals and updates: "
+                            f"{sorted(overlap)}",
+                            "BadRequestException",
+                        )
+                    with st.lock:
+                        if ns not in st.namespaces:
+                            return self._err(
+                                404, f"namespace {ns}",
+                                "NoSuchNamespaceException",
+                            )
+                        props = st.ns_props.setdefault(ns, {})
+                        removed = [k for k in removals if k in props]
+                        missing = [k for k in removals if k not in props]
+                        for k in removed:
+                            del props[k]
+                        props.update(updates)
+                    self._send(
+                        200,
+                        {
+                            "removed": removed,
+                            "updated": sorted(updates),
+                            "missing": missing,
+                        },
+                    )
+                elif parts == ["v1", server.prefix, "transactions", "commit"]:
+                    # CommitTransactionRequest: ALL-OR-NOTHING across the
+                    # listed tables.  Under the catalog lock: validate
+                    # every change first (any failure -> nothing applied),
+                    # then write every new metadata file, then swap every
+                    # pointer — a reader never observes a partial commit.
+                    body = self._body()
+                    changes = body.get("table-changes", [])
+                    if not changes:
+                        return self._err(
+                            400, "empty table-changes", "BadRequestException"
+                        )
+                    idents = []
+                    for ch in changes:
+                        ident = ch.get("identifier") or {}
+                        ns_list = ident.get("namespace") or [None]
+                        idents.append((ns_list[0], ident.get("name")))
+                    if len(set(idents)) != len(idents):
+                        return self._err(
+                            400,
+                            "duplicate table identifier in transaction",
+                            "BadRequestException",
+                        )
+                    with st.lock:
+                        staged = []
+                        try:
+                            for (ns, tbl), ch in zip(idents, changes):
+                                loc, new_meta = _validate_table_change(
+                                    st, ns, tbl,
+                                    ch.get("requirements", []),
+                                    ch.get("updates", []),
+                                )
+                                staged.append((ns, tbl, loc, new_meta))
+                        except _CommitError as exc:
+                            return self._err(exc.code, exc.msg, exc.etype)
+                        results = []
+                        for ns, tbl, loc, new_meta in staged:
+                            new_loc = _write_new_version(loc, new_meta)
+                            results.append((ns, tbl, new_loc))
+                        for ns, tbl, new_loc in results:
+                            st.tables[(ns, tbl)] = new_loc
+                    self._send(
+                        200,
+                        {
+                            "results": [
+                                {
+                                    "identifier": {
+                                        "namespace": [ns], "name": tbl
+                                    },
+                                    "metadata-location": new_loc,
+                                }
+                                for ns, tbl, new_loc in results
+                            ]
+                        },
                     )
                 else:
                     self._err(404, self.path, "NotFoundException")
@@ -426,6 +560,41 @@ class IcebergRestCatalog:
             "POST",
             self._t(f"/namespaces/{ns}/tables/{name}"),
             {"requirements": requirements, "updates": updates},
+        )
+
+    def load_namespace(self, ns: str) -> dict:
+        return self._req("GET", self._t(f"/namespaces/{ns}"))
+
+    def update_namespace_properties(
+        self,
+        ns: str,
+        updates: Optional[dict] = None,
+        removals: Optional[list[str]] = None,
+    ) -> dict:
+        return self._req(
+            "POST",
+            self._t(f"/namespaces/{ns}/properties"),
+            {"updates": updates or {}, "removals": removals or []},
+        )
+
+    def commit_transaction(
+        self, changes: list[tuple[str, str, list[dict], list[dict]]]
+    ) -> dict:
+        """All-or-nothing multi-table commit (CommitTransactionRequest);
+        changes = [(ns, name, requirements, updates), ...]."""
+        return self._req(
+            "POST",
+            self._t("/transactions/commit"),
+            {
+                "table-changes": [
+                    {
+                        "identifier": {"namespace": [ns], "name": name},
+                        "requirements": reqs,
+                        "updates": ups,
+                    }
+                    for ns, name, reqs, ups in changes
+                ]
+            },
         )
 
 
@@ -609,3 +778,44 @@ class IcebergRestTable:
             },
         ]
         return reqs, updates
+
+
+def multi_table_append(
+    handles_dfs: list[tuple["IcebergRestTable", DataFrame]],
+    max_retries: int = 3,
+) -> dict:
+    """ATOMIC multi-table append through the transaction protocol: stage
+    every table's append on its catalog-loaded metadata, then one
+    transactions/commit carrying assert-ref-snapshot-id for EVERY table —
+    either all tables advance or none do (the server validates all, then
+    swaps all pointers under its lock).  On 409 reload + restage every
+    table and retry: a conflict on ANY table rebases the WHOLE
+    transaction, the all-or-nothing analogue of append()'s loop."""
+    if not handles_dfs:
+        raise ValueError("multi_table_append: nothing to commit")
+    cat = handles_dfs[0][0].catalog
+    for h, _ in handles_dfs:
+        if h.catalog is not cat:
+            raise ValueError(
+                "multi_table_append: all handles must share one catalog"
+            )
+    names = [(h.ns, h.name) for h, _ in handles_dfs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"multi_table_append: duplicate table in transaction: {names}"
+        )
+    last: Exception | None = None
+    for _ in range(max_retries):
+        changes = []
+        for h, df in handles_dfs:
+            loaded = cat.load_table(h.ns, h.name)
+            reqs, updates = h._stage(df, loaded)
+            changes.append((h.ns, h.name, reqs, updates))
+        try:
+            return cat.commit_transaction(changes)
+        except CommitConflict as exc:
+            last = exc
+    raise CommitConflict(
+        f"transaction over {names} lost {max_retries} optimistic races; "
+        f"last server answer: {last}"
+    )

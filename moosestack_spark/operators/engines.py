@@ -1563,3 +1563,97 @@ def source_iceberg_rest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         server.stop()
         _shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "source_iceberg_rest_txn",
+    oracle="""
+SELECT 'a' AS src, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS bal_cents
+FROM supplier
+UNION ALL
+SELECT 'b' AS src, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS bal_cents
+FROM supplier
+""",
+)
+def source_iceberg_rest_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table TRANSACTION through the REST commit protocol
+    (apache/iceberg open-api `POST /v1/{prefix}/transactions/commit`;
+    catalog/iceberg_rest.py): two tables are created with complementary
+    halves of supplier, then ONE atomic transaction appends each table's
+    missing half (assert-ref-snapshot-id on both).  A stale transaction
+    replay must 409 with NEITHER table advancing (all-or-nothing), and
+    the read-after-commit sees both tables holding the full supplier set
+    — the oracle is the full aggregate twice, tagged per table."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from moosestack_spark.catalog.iceberg_rest import (
+        CommitConflict,
+        IcebergRestCatalog,
+        IcebergRestCatalogServer,
+        IcebergRestTable,
+        multi_table_append,
+    )
+
+    src = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    base = _tempfile.mkdtemp(prefix="msk_ice_rest_txn_")
+    server = IcebergRestCatalogServer(prefix="lake")
+    try:
+        server.start()
+        cat = IcebergRestCatalog(f"http://127.0.0.1:{server.port}")
+        cat.create_namespace("tpch")
+        cat.update_namespace_properties("tpch", updates={"owner": "gate"})
+        ha = IcebergRestTable.create(
+            cat, "tpch", "sup_a", src.filter("s_suppkey % 2 = 0"),
+            base + "/sup_a",
+        )
+        hb = IcebergRestTable.create(
+            cat, "tpch", "sup_b", src.filter("s_suppkey % 2 = 1"),
+            base + "/sup_b",
+        )
+        la = cat.load_table("tpch", "sup_a")
+        multi_table_append(
+            [
+                (ha, src.filter("s_suppkey % 2 = 1")),
+                (hb, src.filter("s_suppkey % 2 = 0")),
+            ]
+        )
+        # replaying a transaction based on the PRE-txn snapshot of sup_a
+        # must 409 and advance NEITHER pointer (all-or-nothing)
+        lb_now = cat.load_table("tpch", "sup_b")["metadata-location"]
+        stale = [
+            (
+                "tpch", "sup_a",
+                [{
+                    "type": "assert-ref-snapshot-id", "ref": "main",
+                    "snapshot-id": la["metadata"]["current-snapshot-id"],
+                }],
+                [],
+            ),
+            ("tpch", "sup_b", [], []),
+        ]
+        try:
+            cat.commit_transaction(stale)
+            raise AssertionError("stale transaction did not 409")
+        except CommitConflict:
+            pass
+        assert cat.load_table("tpch", "sup_b")["metadata-location"] == lb_now
+        assert cat.load_namespace("tpch")["properties"]["owner"] == "gate"
+        agg = lambda h, tag: h.read(spark).agg(  # noqa: E731
+            F.lit(tag).alias("src"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_cents").cast("bigint").alias("bal_cents"),
+        ).select("src", "n", "bal_cents")
+        return agg(ha, "a").unionByName(agg(hb, "b")).localCheckpoint()
+    finally:
+        server.stop()
+        _shutil.rmtree(base, ignore_errors=True)

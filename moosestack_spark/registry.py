@@ -166,6 +166,7 @@ _R1_CANARIES: list[str] = [
 # exactly-50 invariant holds.
 _R10_NEW: list[str] = [
     "similarity_graph_search",
+    "source_iceberg_rest_txn",
 ]
 
 _R10_R1_CANARIES: list[str] = _R1_CANARIES[26:]

@@ -241,3 +241,17 @@ def test_motion_sampler_routes_mixed_payloads(spark):
     )
     with pytest.raises(Exception, match="unrecognized motion payload"):
         sample_motion_frames(bad, every_ms=100).collect()
+
+
+def test_zero_rate_or_scale_refused():
+    """rate=0 would ZeroDivisionError in the frame samplers and scale=0
+    would silently sample nothing — both must refuse at parse time, the
+    same loud-ValueError boundary as the other malformed containers."""
+    avi = encode_avi_mjpeg([_flat(1)], 16, 16, rate=4)
+    i = avi.find(b"vids")
+    # strh body layout from 'vids': dwScale at +20, dwRate at +24
+    for off in (20, 24):
+        bad = bytearray(avi)
+        struct.pack_into("<I", bad, i + off, 0)
+        with pytest.raises(ValueError, match="rate/scale"):
+            parse_avi(bytes(bad))

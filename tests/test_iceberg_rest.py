@@ -247,3 +247,161 @@ def test_concurrent_appenders_all_land_exactly_once(spark, cat, warehouse):
     )
     assert ks == want, "rows lost or duplicated across racing commits"
     assert len(h0.snapshots()) == 9
+
+
+def test_failed_delete_commit_invisible_to_directory_readers(
+    spark, cat, warehouse, monkeypatch
+):
+    """The staged-write invariant, delete edition (ADVICE r9): a delete
+    whose REST commit is rejected on every retry must stay INVISIBLE to
+    directory-catalog readers of the same path — staging may not advance
+    version-hint.text."""
+    from moosestack_spark.catalog.iceberg_native import IcebergNativeTable
+    from moosestack_spark.catalog.iceberg_rest import IcebergRestCatalog
+
+    cat.create_namespace("ns")
+    h = IcebergRestTable.create(
+        cat, "ns", "t9", _rows(spark, 0, 40), warehouse + "/t9"
+    )
+
+    def always_conflict(*a, **kw):
+        raise CommitConflict("injected 409")
+
+    monkeypatch.setattr(IcebergRestCatalog, "commit_table", always_conflict)
+    with pytest.raises(CommitConflict, match="lost 3 optimistic"):
+        h.delete_where(spark, "k % 2 = 0")
+    monkeypatch.undo()
+    # directory view of the same path: still ALL 40 rows, no delete
+    assert IcebergNativeTable(spark, warehouse + "/t9").read().count() == 40
+    # catalog view unchanged too
+    assert h.read(spark).count() == 40
+    # and a subsequent healthy delete still commits cleanly
+    assert h.delete_where(spark, "k % 2 = 0") == 20
+    assert h.read(spark).count() == 20
+    assert IcebergNativeTable(spark, warehouse + "/t9").read().count() == 40
+
+
+def test_namespace_properties_roundtrip(cat):
+    from moosestack_spark.catalog.iceberg_rest import IcebergRestCatalog  # noqa
+
+    cat.create_namespace("props")
+    assert cat.load_namespace("props")["properties"] == {}
+    out = cat.update_namespace_properties(
+        "props", updates={"owner": "etl", "retention": "30d"}
+    )
+    assert sorted(out["updated"]) == ["owner", "retention"]
+    out = cat.update_namespace_properties(
+        "props", updates={"owner": "lake"}, removals=["retention", "ghost"]
+    )
+    assert out["removed"] == ["retention"] and out["missing"] == ["ghost"]
+    assert cat.load_namespace("props")["properties"] == {"owner": "lake"}
+    # overlapping removals/updates refused (spec: must be disjoint)
+    with pytest.raises(RuntimeError, match="400"):
+        cat.update_namespace_properties(
+            "props", updates={"k": "1"}, removals=["k"]
+        )
+
+
+def test_multi_table_transaction_commit_and_read(spark, cat, warehouse):
+    """transactions/commit happy path: one transaction appends to BOTH
+    tables; read-after-commit sees both advanced, each by one snapshot."""
+    from moosestack_spark.catalog.iceberg_rest import multi_table_append
+
+    cat.create_namespace("ns")
+    ha = IcebergRestTable.create(
+        cat, "ns", "ta", _rows(spark, 0, 10), warehouse + "/ta"
+    )
+    hb = IcebergRestTable.create(
+        cat, "ns", "tb", _rows(spark, 100, 110), warehouse + "/tb"
+    )
+    out = multi_table_append(
+        [(ha, _rows(spark, 10, 20)), (hb, _rows(spark, 110, 120))]
+    )
+    assert len(out["results"]) == 2
+    assert sorted(r.k for r in ha.read(spark).collect()) == list(range(20))
+    assert sorted(r.k for r in hb.read(spark).collect()) == list(
+        range(100, 120)
+    )
+    assert len(ha.snapshots()) == 2 and len(hb.snapshots()) == 2
+
+
+def test_transaction_all_or_nothing_on_requirement_failure(
+    spark, cat, warehouse
+):
+    """A transaction whose SECOND table carries a stale requirement must
+    apply NEITHER change — validate-all-before-apply under the lock."""
+    cat.create_namespace("ns")
+    ha = IcebergRestTable.create(
+        cat, "ns", "tc", _rows(spark, 0, 10), warehouse + "/tc"
+    )
+    hb = IcebergRestTable.create(
+        cat, "ns", "td", _rows(spark, 0, 10), warehouse + "/td"
+    )
+    la = cat.load_table("ns", "tc")
+    lb = cat.load_table("ns", "td")
+    reqs_a, ups_a = ha._stage(_rows(spark, 10, 20), la)
+    reqs_b, ups_b = hb._stage(_rows(spark, 10, 20), lb)
+    # poison B's requirement: claim a snapshot id the table is not at
+    reqs_b = [{
+        "type": "assert-ref-snapshot-id", "ref": "main",
+        "snapshot-id": 12345,
+    }]
+    with pytest.raises(CommitConflict, match="td"):
+        cat.commit_transaction(
+            [("ns", "tc", reqs_a, ups_a), ("ns", "td", reqs_b, ups_b)]
+        )
+    # neither table advanced — not even the VALID first change
+    assert ha.read(spark).count() == 10
+    assert hb.read(spark).count() == 10
+    assert len(ha.snapshots()) == 1 and len(hb.snapshots()) == 1
+    # duplicate identifiers refused outright
+    with pytest.raises(RuntimeError, match="duplicate"):
+        cat.commit_transaction(
+            [("ns", "tc", reqs_a, ups_a), ("ns", "tc", reqs_a, ups_a)]
+        )
+
+
+def test_racing_transactions_overlapping_tables(spark, cat, warehouse):
+    """Two writers commit transactions over OVERLAPPING table sets
+    ({x, y} vs {y, z}) in parallel: the server lock serializes them, the
+    assert-ref-snapshot-id on the shared table 409s the loser, and the
+    rebase-retry loop restages so every batch lands exactly once on
+    every table."""
+    import threading
+
+    from moosestack_spark.catalog.iceberg_rest import multi_table_append
+
+    cat.create_namespace("ns")
+    hx = IcebergRestTable.create(
+        cat, "ns", "tx", _rows(spark, 0, 5), warehouse + "/tx"
+    )
+    hy = IcebergRestTable.create(
+        cat, "ns", "ty", _rows(spark, 0, 5), warehouse + "/ty"
+    )
+    hz = IcebergRestTable.create(
+        cat, "ns", "tz", _rows(spark, 0, 5), warehouse + "/tz"
+    )
+    errors: list = []
+
+    def writer(pairs, lo):
+        try:
+            multi_table_append(
+                [(h, _rows(spark, lo, lo + 5)) for h in pairs],
+                max_retries=20,
+            )
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    t1 = threading.Thread(target=writer, args=([hx, hy], 100))
+    t2 = threading.Thread(target=writer, args=([hy, hz], 200))
+    t1.start(); t2.start()
+    t1.join(timeout=300); t2.join(timeout=300)
+    assert not errors, errors
+    assert sorted(r.k for r in hx.read(spark).collect()) == \
+        list(range(5)) + list(range(100, 105))
+    assert sorted(r.k for r in hy.read(spark).collect()) == \
+        list(range(5)) + list(range(100, 105)) + list(range(200, 205))
+    assert sorted(r.k for r in hz.read(spark).collect()) == \
+        list(range(5)) + list(range(200, 205))
+    # the shared table saw both transactions: 1 create + 2 txn snapshots
+    assert len(hy.snapshots()) == 3

@@ -273,3 +273,22 @@ def test_worker_crash_lease_expiry_takeover(tmp_path):
     log4: list = []
     assert run_durable(_chain_workflow(log4), jp, input_value=5) == 1
     assert log4 == []  # fully journaled
+
+
+def test_lease_heartbeat_on_reacquire(tmp_path):
+    """A live holder re-acquiring its own lease REFRESHES the expiry
+    (heartbeat): a task running longer than lease_seconds keeps its lease
+    as long as it re-acquires, and a peer can never take over while the
+    holder heartbeats — only after the last heartbeat expires."""
+    from moosestack_spark.workflow import LeaseStore
+
+    clock = {"t": 1000.0}
+    store = LeaseStore(str(tmp_path / "j.jsonl"), now=lambda: clock["t"])
+    assert store.try_acquire("k", "A", lease_seconds=30)
+    clock["t"] = 1025.0  # 5s before expiry: heartbeat
+    assert store.try_acquire("k", "A", lease_seconds=30)
+    clock["t"] = 1045.0  # past the ORIGINAL expiry, inside the refreshed
+    assert not store.try_acquire("k", "B", lease_seconds=30)
+    assert store.try_acquire("k", "A", lease_seconds=30)  # heartbeat again
+    clock["t"] = 1080.0  # past the last heartbeat's expiry
+    assert store.try_acquire("k", "B", lease_seconds=30)
