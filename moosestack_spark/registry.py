@@ -167,6 +167,9 @@ _R1_CANARIES: list[str] = [
 _R10_NEW: list[str] = [
     "similarity_graph_search",
     "source_iceberg_rest_txn",
+    # graduated rows-only -> hard oracle this round (integer-exact power
+    # iteration): needs its first HASH row
+    "embedding_pca_project",
 ]
 
 _R10_R1_CANARIES: list[str] = _R1_CANARIES[26:]

@@ -4,6 +4,7 @@ partitioning-independent projection, reconstruction improving with k."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from moosestack_spark.ops.embedding import project_pca, train_pca
 
@@ -52,3 +53,36 @@ def test_reconstruction_error_shrinks_with_k(spark):
         errs.append(float(((centered - recon) ** 2).mean()))
     assert errs[0] > errs[1] > errs[2]
     assert errs[2] < 0.01 * errs[0]  # 6 comps capture the 6-dim structure
+
+
+def test_integer_pc1_agrees_with_svd(spark, sf_dir):
+    """The graduated integer gate path must point where LAPACK points:
+    cosine between the power-iteration direction and the SVD's first
+    component >= 0.99 on the test corpus (sign-conventions aligned)."""
+    import numpy as np
+
+    from moosestack_spark.ops.embedding import (
+        gram_int,
+        power_iter_pc1_int,
+        train_pca,
+    )
+    from moosestack_spark.tables import t
+
+    e = t(spark, sf_dir, "embeddings")
+    n, S, G = gram_int(e)
+    v, sign = power_iter_pc1_int(n, S, G)
+    vi = sign * np.array(v, dtype=np.float64)
+    _, comps = train_pca(e, k=1)
+    pc1 = comps[0]
+    cos = abs(vi @ pc1) / (np.linalg.norm(vi) * np.linalg.norm(pc1))
+    assert cos >= 0.99, cos
+
+
+def test_pc1_scores_cap_refused(spark):
+    from moosestack_spark.ops.embedding import pca_pc1_scores_int
+
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="int64-exact bound"):
+        pca_pc1_scores_int(df, n=60_000_000, S=[0, 0], v=[1, 1], sign=1)
