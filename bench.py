@@ -367,26 +367,36 @@ def main() -> None:
     # it now runs in its own python+JVM; startup is outside every timer.
     SCALE_FACTOR = 30
     scale_queries: dict = {}
+    scale_queries_100x: dict = {}
     if not headline_only:
         spark.stop()
         import subprocess
 
-        try:
-            proc = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--scale-tier",
-                    sf_dir,
-                ],
-                capture_output=True,
-                text=True,
-                timeout=3600,
-            )
-            sys.stderr.write(proc.stderr[-4000:])
-            scale_queries = json.loads(proc.stdout.strip().splitlines()[-1])
-        except Exception as exc:
-            print(f"BENCH-SCALE-SETUP-ERROR: {exc!r}"[:500], file=sys.stderr)
+        for flag, sink in (
+            ("--scale-tier", scale_queries),
+            ("--scale-tier-100", scale_queries_100x),
+        ):
+            try:
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.abspath(__file__),
+                        flag,
+                        sf_dir,
+                    ],
+                    capture_output=True,
+                    text=True,
+                    timeout=3600,
+                )
+                sys.stderr.write(proc.stderr[-4000:])
+                sink.update(
+                    json.loads(proc.stdout.strip().splitlines()[-1])
+                )
+            except Exception as exc:
+                print(
+                    f"BENCH-SCALE-SETUP-ERROR ({flag}): {exc!r}"[:500],
+                    file=sys.stderr,
+                )
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     # The driver records only a ~2000-char tail of stdout and parses the
@@ -406,6 +416,19 @@ def main() -> None:
     sidecar = {
         "extra_queries": extras,
         "scale_queries": {"factor": SCALE_FACTOR, **scale_queries},
+        "scale_queries_100x": {"factor": 100, **scale_queries_100x},
+        # the scale claim, measured two decades out: per-query growth
+        # 30x -> 100x (corpus grows 3.33x; sub-linear operators stay
+        # under ~3.3x)
+        "scale_growth_100x_over_30x": {
+            k: round(v / scale_queries[k], 2)
+            for k, v in scale_queries_100x.items()
+            if not k.endswith("_raw")
+            and k != "factor"
+            and isinstance(v, (int, float))
+            and isinstance(scale_queries.get(k), (int, float))
+            and scale_queries[k] > 0
+        },
         "sf": sf,
         "calib_sec": calib,
         "loadavg_start": loadavg,
@@ -426,14 +449,13 @@ def main() -> None:
         # MEDIAN is the comparable statistic, and a spread near 1.0 marks
         # queries whose raw numbers can be compared directly
         "scale_spread": {
-            k[: -len("_raw")]: (
-                round(max(v) / min(v), 2)
-                if isinstance(v, list) and v and all(
-                    isinstance(x, (int, float)) and x > 0 for x in v
-                )
-                else None
-            )
+            k[: -len("_raw")]: _spread(v)
             for k, v in scale_queries.items()
+            if k.endswith("_raw")
+        },
+        "scale_spread_100x": {
+            k[: -len("_raw")]: _spread(v)
+            for k, v in scale_queries_100x.items()
             if k.endswith("_raw")
         },
     }
@@ -553,6 +575,26 @@ def _scale_run_cleanup(spark) -> None:
         print(f"BENCH-SCALE-CLEANUP-WARNING: {exc!r}"[:200], file=sys.stderr)
 
 
+def _spread(v) -> float | None:
+    """max/min over the CENTRAL 3 sorted runs — the spread of the
+    median's neighborhood.  When _timed3's escalation took 4-5 runs
+    because a host/GC spike blew the first-3 spread past 1.5x, the spike
+    stays auditable in the *_raw list but no longer defines the spread
+    statistic (VERDICT r9 #3: the median is the comparable number; the
+    spread should say how trustworthy THAT is, not re-report the spike)."""
+    if not (
+        isinstance(v, list)
+        and v
+        and all(isinstance(x, (int, float)) and x > 0 for x in v)
+    ):
+        return None
+    s = sorted(v)
+    if len(s) > 3:
+        lo = (len(s) - 3) // 2
+        s = s[lo : lo + 3]
+    return round(max(s) / min(s), 2)
+
+
 def _timed3(name: str, fn, cleanup=None) -> tuple:
     """Median-of-3 with raw runs (VERDICT r8 #5: the 30x tier's 2.6-3.7x
     run-to-run spread across single-pass records made scale regressions
@@ -565,7 +607,13 @@ def _timed3(name: str, fn, cleanup=None) -> tuple:
     callers persist the raw list next to the median so any reader can
     audit the spread without trusting the median.  Same philosophy as the
     r8 headline warmups: measure the plan, not JIT.  ``cleanup`` (if
-    given) runs between attempts, outside every timer."""
+    given) runs between attempts, outside every timer.
+
+    Spread escalation (VERDICT r9 #3): if the first-3 spread (max/min)
+    exceeds 1.5x — single-run host/GC spikes on this shared VM — up to 2
+    extra timed runs are taken and the median widens to 5.  Extra
+    wall-time is paid ONLY by noisy entries; the raw list keeps every
+    attempt so the escalation is auditable."""
     runs: list = []
     try:
         fn()  # warmup lap: codegen/JIT compile, untimed
@@ -573,7 +621,8 @@ def _timed3(name: str, fn, cleanup=None) -> tuple:
         print(f"BENCH-SCALE-ERROR {name} (warmup): {exc!r}"[:500], file=sys.stderr)
     if cleanup is not None:
         cleanup()
-    for _ in range(3):
+
+    def one_run() -> None:
         start = time.perf_counter()
         try:
             fn()
@@ -583,7 +632,19 @@ def _timed3(name: str, fn, cleanup=None) -> tuple:
             runs.append(None)
         if cleanup is not None:
             cleanup()
-    ok = sorted(r for r in runs if r is not None)
+
+    for _ in range(3):
+        one_run()
+    ok = [r for r in runs if r is not None]
+    while ok and max(ok) / min(ok) > 1.5 and len(runs) < 5:
+        print(
+            f"BENCH-SCALE-SPREAD {name}: {round(max(ok) / min(ok), 2)}x "
+            f"over {runs} — escalating to median-of-{len(runs) + 1}",
+            file=sys.stderr,
+        )
+        one_run()
+        ok = [r for r in runs if r is not None]
+    ok = sorted(ok)
     return (ok[len(ok) // 2] if ok else None), runs
 
 
@@ -821,8 +882,92 @@ def _run_scale_tier(sf_dir: str) -> dict:
     return scale_queries
 
 
+def _run_scale_tier_100(sf_dir: str) -> dict:
+    """100x tier (VERDICT r9 #1): the second decade of the scale story.
+    The 30x tier has shown sub-linear growth three rounds running, but
+    100 TB claims rested on extrapolating TWO decades from it; a 100x
+    point (sf1-equivalent: ~50k docs / 200k embeddings from sf0.1) halves
+    that.  Core curation family only — the six operators whose scale
+    behavior the dedup/ANN claims rest on — same isolated-JVM, load-drain,
+    warmup-lap, median-of-3(+spread escalation) discipline as the 30x
+    tier; the sidecar records per-query 30x->100x growth ratios (linear
+    would be ~3.3x)."""
+    try:
+        waited = 0.0
+        while os.getloadavg()[0] > 1.0 and waited < 240.0:
+            time.sleep(5.0)
+            waited += 5.0
+        if waited:
+            print(
+                f"BENCH-SCALE100-DRAIN: waited {waited:.0f}s for load "
+                f"{os.getloadavg()[0]:.2f}",
+                file=sys.stderr,
+            )
+    except OSError:
+        pass
+    registry.load_all()
+    spark = get_spark("moosestack-spark-bench-scale100")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        spark.range(64, numPartitions=8).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
+    except Exception:
+        pass
+    try:
+        from moosestack_spark.ops.dedup import minhash_lsh_pairs
+
+        tiny = spark.createDataFrame(
+            [(i, "w%d x y z q r s t u v" % (i % 3)) for i in range(20)],
+            "doc_id long, text string",
+        )
+        minhash_lsh_pairs(tiny, "doc_id", "text", n=5, threshold=0.5).count()
+    except Exception:
+        pass
+    scale_queries: dict = {}
+    cleanup = lambda: _scale_run_cleanup(spark)  # noqa: E731
+    try:
+        scaled_dir = _make_scaled_dir(spark, sf_dir, factor=100)
+        for name in [
+            "dedup_exact",
+            "dedup_minhash_lsh",
+            "corpus_curation_pipeline",
+            "dedup_connected_components_hybrid",
+            "similarity_ivf_pq_topk",
+        ]:
+            med, runs = _timed3(
+                name,
+                lambda n=name: registry.QUERIES[n](spark, scaled_dir).count(),
+                cleanup=cleanup,
+            )
+            scale_queries[name] = med
+            scale_queries[name + "_raw"] = runs
+        # occupancy-auto embedding dedup, same call shape as the 30x tier
+        from moosestack_spark.ops.dedup import (
+            embedding_cosine_pairs_pruned_auto,
+        )
+
+        semb = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
+        n_emb = semb.count()
+        med, runs = _timed3(
+            "dedup_embedding_auto_t90",
+            lambda: embedding_cosine_pairs_pruned_auto(
+                semb, "vec_id", "embedding", threshold=0.9, dim=64,
+                n_rows=n_emb,
+            ).count(),
+            cleanup=cleanup,
+        )
+        scale_queries["dedup_embedding_auto_t90"] = med
+        scale_queries["dedup_embedding_auto_t90_raw"] = runs
+    except Exception as exc:
+        print(f"BENCH-SCALE100-SETUP-ERROR: {exc!r}"[:500], file=sys.stderr)
+    return scale_queries
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--scale-tier":
         print(json.dumps(_run_scale_tier(sys.argv[2])))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--scale-tier-100":
+        print(json.dumps(_run_scale_tier_100(sys.argv[2])))
     else:
         main()
