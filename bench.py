@@ -566,10 +566,10 @@ def _scale_run_cleanup(spark) -> None:
     which is memory pressure, not plan shape.  Unpersist everything no
     longer referenced and nudge the JVM GC so each run starts clean."""
     try:
-        jsc = spark.sparkContext._jsc
-        it = jsc.getPersistentRDDs().values().iterator()
-        while it.hasNext():
-            it.next().unpersist(False)
+        # py4j auto-converts the java map to a Python dict (MapConverter),
+        # so iterate Python-side; the values are JavaRDD handles
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
         spark.sparkContext._jvm.System.gc()
     except Exception as exc:  # hygiene must never fail a measurement
         print(f"BENCH-SCALE-CLEANUP-WARNING: {exc!r}"[:200], file=sys.stderr)
@@ -724,6 +724,10 @@ def _run_scale_tier(sf_dir: str) -> dict:
             "corpus_domain_quality_filter",
             # round-9: IVF-PQ — ADC volume is nprobe/n_cells of the corpus
             "similarity_ivf_pq_topk",
+            # round-10: NSW walk — cost is the banded graph build (two
+            # knn_graph passes) + one shuffle-free hub assign; the walk
+            # itself is queries x beam rows per hop
+            "similarity_graph_search",
             # round-7 ML/graph family: k-means is iterations x one scan +
             # model-sized collects; LPA is rounds x (vertex join + argmax
             # groupBy).  knn-graph runs occupancy-targeted below (the

@@ -524,3 +524,99 @@ def agg_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
     )
     return c.select("n1", "n2", "s1", "s2", z.alias("z"))
+
+
+# --------------------------------------------------------------------------
+# mannWhitneyUTest (CH aggregate-functions): the 2-sample rank test the
+# K-group Kruskal-Wallis gate generalizes — same distinct-value-histogram
+# rank scaffold (the only ordered pass is distinct-value-sized), exact
+# half-integer ranks, tie-corrected normal approximation.  Emits both U
+# statistics and the z score (sqrt is IEEE-correctly-rounded, so the
+# DOUBLE output hash-matches); the p-value needs erfc, which the two
+# engines disagree on past the sanctioned FLOAT cast, so the gate stops
+# at z — the caller applies their preferred tail function.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_mann_whitney_utest",
+    oracle="""
+WITH h AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY CAST(round(value * 100) AS BIGINT)
+), r AS (
+  SELECT c1, c2, nt,
+         (COALESCE(SUM(nt) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + CAST(nt + 1 AS DOUBLE) / 2) AS avg_rank
+  FROM h
+), s AS (
+  SELECT
+    CAST(SUM(c1) AS DOUBLE) AS n1,
+    CAST(SUM(c2) AS DOUBLE) AS n2,
+    SUM(c1 * avg_rank) AS r1,
+    CAST(SUM(nt * nt * nt - nt) AS DOUBLE) AS ties
+  FROM r
+)
+SELECT
+  r1 - n1 * (n1 + 1) / 2 AS u1,
+  n1 * n2 - (r1 - n1 * (n1 + 1) / 2) AS u2,
+  ((r1 - n1 * (n1 + 1) / 2) - n1 * n2 / 2)
+    / sqrt(n1 * n2 / 12
+           * ((n1 + n2 + 1) - ties / ((n1 + n2) * (n1 + n2 - 1))))
+    AS z_stat,
+  CAST(n1 AS BIGINT) AS n_purchase,
+  CAST(n2 AS BIGINT) AS n_click
+FROM s
+""",
+)
+def agg_mann_whitney_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``mannWhitneyUTest``: U1/U2 + tie-corrected z between purchase
+    and click event values (cents-quantized, exact half-integer ranks)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    grp = F.col("event_type")
+    h = ev.groupBy(cents.alias("v")).agg(
+        F.sum(F.when(grp == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(grp == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+    )
+    w_below = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = h.withColumn(
+        "avg_rank",
+        F.coalesce(F.sum("nt").over(w_below), F.lit(0))
+        + (F.col("nt") + 1).cast("double") / 2,
+    )
+    s = r.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c2").cast("double").alias("n2"),
+        F.sum(F.col("c1") * F.col("avg_rank")).alias("r1"),
+        F.sum(F.col("nt") * F.col("nt") * F.col("nt") - F.col("nt"))
+        .cast("double")
+        .alias("ties"),
+    )
+    n1, n2, r1, ties = (F.col(c) for c in ("n1", "n2", "r1", "ties"))
+    u1 = r1 - n1 * (n1 + 1) / 2
+    n = n1 + n2
+    z = (u1 - n1 * n2 / 2) / F.sqrt(
+        n1 * n2 / 12 * ((n + 1) - ties / (n * (n - 1)))
+    )
+    return s.select(
+        u1.alias("u1"),
+        (n1 * n2 - u1).alias("u2"),
+        z.alias("z_stat"),
+        n1.cast("bigint").alias("n_purchase"),
+        n2.cast("bigint").alias("n_click"),
+    )

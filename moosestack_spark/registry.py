@@ -170,6 +170,7 @@ _R10_NEW: list[str] = [
     # graduated rows-only -> hard oracle this round (integer-exact power
     # iteration): needs its first HASH row
     "embedding_pca_project",
+    "agg_mann_whitney_utest",
 ]
 
 _R10_R1_CANARIES: list[str] = _R1_CANARIES[26:]
