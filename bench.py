@@ -269,6 +269,25 @@ def main() -> None:
     # over ~2 means another workload (e.g. the correctness sweep) is still
     # draining and every timing below will be inflated — annotate loudly
     # rather than refuse, so the driver's invocation always yields a line.
+    # Headline load-drain (VERDICT r10 #5): the driver's end-of-round
+    # invocation lands right after the correctness sweep, and r10's
+    # committed record ran at loadavg 4.65 -> 76.8 s (2.76x the idle
+    # anchor).  The scale tiers already drain; give the headline suite the
+    # same bounded wait (load < 1.0, cap 4 min), then proceed-with-warning
+    # if the host never cools — the driver must always get a line.
+    try:
+        waited = 0.0
+        while os.getloadavg()[0] > 1.0 and waited < 240.0:
+            time.sleep(5.0)
+            waited += 5.0
+        if waited:
+            print(
+                f"BENCH-HEADLINE-DRAIN: waited {waited:.0f}s for load "
+                f"{os.getloadavg()[0]:.2f}",
+                file=sys.stderr,
+            )
+    except OSError:
+        pass
     try:
         loadavg = round(os.getloadavg()[0], 2)
     except OSError:
@@ -558,21 +577,39 @@ def _make_scaled_dir(spark, sf_dir: str, factor: int) -> str:
 
 
 
-def _scale_run_cleanup(spark) -> None:
+def _scale_run_cleanup(spark, keep=frozenset()) -> None:
     """Between-run hygiene for the 30x tier: the iterative ops
     (k-means/CC/k-core) localCheckpoint per round, and those cached RDD
     blocks accumulate across the 3x loops — the round-9 record showed
     LATER runs degrading (cc_hybrid 20->84 s, embedding prune 33->69 s),
     which is memory pressure, not plan shape.  Unpersist everything no
-    longer referenced and nudge the JVM GC so each run starts clean."""
+    longer referenced and nudge the JVM GC so each run starts clean.
+
+    ``keep`` is a set of RDD ids that must SURVIVE the sweep (VERDICT r10
+    #1): long-lived fixtures like the cc_chain localCheckpoint are created
+    once outside the run loop, and unpersisting a checkpoint's blocks is
+    not recoverable — every later run dies CHECKPOINT_RDD_BLOCK_ID_NOT_
+    FOUND.  Callers that hold a checkpointed fixture pass its RDD ids."""
     try:
         # py4j auto-converts the java map to a Python dict (MapConverter),
-        # so iterate Python-side; the values are JavaRDD handles
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        # so iterate Python-side; keys are RDD ids, values JavaRDD handles
+        for rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+            if rid in keep:
+                continue
             rdd.unpersist(False)
         spark.sparkContext._jvm.System.gc()
     except Exception as exc:  # hygiene must never fail a measurement
         print(f"BENCH-SCALE-CLEANUP-WARNING: {exc!r}"[:200], file=sys.stderr)
+
+
+def _persistent_rdd_ids(spark) -> set:
+    """Snapshot the ids of currently-persisted RDDs (checkpoint blocks
+    included) — diffing before/after a localCheckpoint identifies the
+    fixture's blocks so _scale_run_cleanup can be told to keep them."""
+    try:
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    except Exception:
+        return set()
 
 
 def _spread(v) -> float | None:
@@ -615,10 +652,12 @@ def _timed3(name: str, fn, cleanup=None) -> tuple:
     wall-time is paid ONLY by noisy entries; the raw list keeps every
     attempt so the escalation is auditable."""
     runs: list = []
+    errs: list = []
     try:
         fn()  # warmup lap: codegen/JIT compile, untimed
     except Exception as exc:
         print(f"BENCH-SCALE-ERROR {name} (warmup): {exc!r}"[:500], file=sys.stderr)
+        errs.append(f"warmup: {exc!r}"[:300])
     if cleanup is not None:
         cleanup()
 
@@ -629,6 +668,7 @@ def _timed3(name: str, fn, cleanup=None) -> tuple:
             runs.append(round(time.perf_counter() - start, 3))
         except Exception as exc:
             print(f"BENCH-SCALE-ERROR {name}: {exc!r}"[:500], file=sys.stderr)
+            errs.append(f"{exc!r}"[:300])
             runs.append(None)
         if cleanup is not None:
             cleanup()
@@ -645,7 +685,19 @@ def _timed3(name: str, fn, cleanup=None) -> tuple:
         one_run()
         ok = [r for r in runs if r is not None]
     ok = sorted(ok)
-    return (ok[len(ok) // 2] if ok else None), runs
+    # VERDICT r10 #1: an errored entry must carry its error string in the
+    # sidecar, not a silent null — the last error is the diagnostic one.
+    return (ok[len(ok) // 2] if ok else None), runs, (errs[-1] if errs else None)
+
+
+def _record_timed(scale_queries: dict, name: str, med, runs, err) -> None:
+    """Persist one _timed3 result into the sidecar dict.  An entry that
+    errored carries the error string under ``<name>_error`` (VERDICT r10
+    #1: the r10 record published silent cc_chain nulls)."""
+    scale_queries[name] = med
+    scale_queries[name + "_raw"] = runs
+    if err is not None:
+        scale_queries[name + "_error"] = err
 
 
 def _run_scale_tier(sf_dir: str) -> dict:
@@ -737,15 +789,15 @@ def _run_scale_tier(sf_dir: str) -> dict:
             "graph_label_propagation",
         ]
         for name in scale_names:
-            med, runs = _timed3(
+            med, runs, err = _timed3(
                 name,
                 lambda n=name: registry.QUERIES[n](spark, scaled_dir).count(),
                 cleanup=cleanup,
             )
-            scale_queries[name] = med
-            scale_queries[name + "_raw"] = runs
+            _record_timed(scale_queries, name, med, runs, err)
     except Exception as exc:
         print(f"BENCH-SCALE-SETUP-ERROR: {exc!r}"[:500], file=sys.stderr)
+        scale_queries["setup_error"] = f"{exc!r}"[:300]
 
     # Occupancy-targeted banding vs the fixed gate config, same scaled
     # corpus and a realistic near-dup threshold (t=0.9, recall 0.9).  The
@@ -760,19 +812,19 @@ def _run_scale_tier(sf_dir: str) -> dict:
 
         semb = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
         n_emb = semb.count()
-        med, runs = _timed3(
+        med, runs, err = _timed3(
             "dedup_embedding_auto_t90",
             lambda: embedding_cosine_pairs_pruned_auto(
                 semb, "vec_id", "embedding", threshold=0.9, dim=64, n_rows=n_emb
             ).count(),
             cleanup=cleanup,
         )
-        scale_queries["dedup_embedding_auto_t90"] = med
-        scale_queries["dedup_embedding_auto_t90_raw"] = runs
+        _record_timed(scale_queries, "dedup_embedding_auto_t90", med, runs, err)
     except Exception as exc:
         print(f"BENCH-SCALE-ERROR dedup_embedding_auto_t90: {exc!r}"[:500],
               file=sys.stderr)
         scale_queries["dedup_embedding_auto_t90"] = None
+        scale_queries["dedup_embedding_auto_t90_error"] = f"{exc!r}"[:300]
 
     # k-core peel at 30x vertices: the scaled graph needs 15 peels (vs 11
     # at gate scale), past the gate's 12-iteration oracle unroll — so the
@@ -821,16 +873,16 @@ def _run_scale_tier(sf_dir: str) -> dict:
             )
             .distinct()
         )
-        med, runs = _timed3(
+        med, runs, err = _timed3(
             "graph_kcore",
             lambda: k_core(ue30, k=4, max_iters=25).count(),
             cleanup=cleanup,
         )
-        scale_queries["graph_kcore"] = med
-        scale_queries["graph_kcore_raw"] = runs
+        _record_timed(scale_queries, "graph_kcore", med, runs, err)
     except Exception as exc:
         print(f"BENCH-SCALE-ERROR graph_kcore: {exc!r}"[:500], file=sys.stderr)
         scale_queries["graph_kcore"] = None
+        scale_queries["graph_kcore_error"] = f"{exc!r}"[:300]
 
     # knn-graph at 30x with occupancy-targeted planes: planes =
     # ceil(log2(n / 64)) holds expected bucket occupancy ~64, so the
@@ -844,17 +896,17 @@ def _run_scale_tier(sf_dir: str) -> dict:
         semb = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
         n_emb = semb.count()
         planes = max(6, _math.ceil(_math.log2(max(n_emb, 128) / 64)))
-        med, runs = _timed3(
+        med, runs, err = _timed3(
             "similarity_knn_graph",
             lambda: knn_graph(semb, dim=64, k=5, n_planes=planes).count(),
             cleanup=cleanup,
         )
-        scale_queries["similarity_knn_graph"] = med
-        scale_queries["similarity_knn_graph_raw"] = runs
+        _record_timed(scale_queries, "similarity_knn_graph", med, runs, err)
     except Exception as exc:
         print(f"BENCH-SCALE-ERROR similarity_knn_graph: {exc!r}"[:500],
               file=sys.stderr)
         scale_queries["similarity_knn_graph"] = None
+        scale_queries["similarity_knn_graph_error"] = f"{exc!r}"[:300]
 
     # Chain-heavy CC fixture: 1024 disjoint 64-node chains (diameter 64 —
     # the pathological shape for O(diameter) label propagation, the home
@@ -868,21 +920,30 @@ def _run_scale_tier(sf_dir: str) -> dict:
             connected_components_star,
         )
 
+        # The fixture is checkpointed ONCE, outside the run loop; its
+        # blocks must survive the between-run unpersist sweep (VERDICT
+        # r10 #1: the r10 cleanup swept them, and every subsequent run
+        # died CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — silently nulling the
+        # record).  Diff the persistent-RDD ids around the checkpoint and
+        # pass them as the cleanup's keep-set.
+        before_ids = _persistent_rdd_ids(spark)
         chain = spark.range(1024 * 64).selectExpr(
             "id AS src", "id + 1 AS dst"
         ).where("pmod(id, 64) != 63").localCheckpoint()
+        chain_ids = frozenset(_persistent_rdd_ids(spark) - before_ids)
+        chain_cleanup = lambda: _scale_run_cleanup(spark, keep=chain_ids)  # noqa: E731
         for cname, cfn in [
             ("cc_chain_propagation", lambda e: connected_components(e, max_rounds=70)),
             ("cc_chain_star", connected_components_star),
             ("cc_chain_hybrid", connected_components_auto),
         ]:
-            med, runs = _timed3(
-                cname, lambda f=cfn: f(chain).count(), cleanup=cleanup
+            med, runs, err = _timed3(
+                cname, lambda f=cfn: f(chain).count(), cleanup=chain_cleanup
             )
-            scale_queries[cname] = med
-            scale_queries[cname + "_raw"] = runs
+            _record_timed(scale_queries, cname, med, runs, err)
     except Exception as exc:
         print(f"BENCH-SCALE-SETUP-ERROR chain: {exc!r}"[:500], file=sys.stderr)
+        scale_queries["cc_chain_error"] = f"{exc!r}"[:300]
     return scale_queries
 
 
@@ -939,13 +1000,12 @@ def _run_scale_tier_100(sf_dir: str) -> dict:
             "dedup_connected_components_hybrid",
             "similarity_ivf_pq_topk",
         ]:
-            med, runs = _timed3(
+            med, runs, err = _timed3(
                 name,
                 lambda n=name: registry.QUERIES[n](spark, scaled_dir).count(),
                 cleanup=cleanup,
             )
-            scale_queries[name] = med
-            scale_queries[name + "_raw"] = runs
+            _record_timed(scale_queries, name, med, runs, err)
         # occupancy-auto embedding dedup, same call shape as the 30x tier
         from moosestack_spark.ops.dedup import (
             embedding_cosine_pairs_pruned_auto,
@@ -953,7 +1013,7 @@ def _run_scale_tier_100(sf_dir: str) -> dict:
 
         semb = spark.read.parquet(f"{scaled_dir}/embeddings.parquet")
         n_emb = semb.count()
-        med, runs = _timed3(
+        med, runs, err = _timed3(
             "dedup_embedding_auto_t90",
             lambda: embedding_cosine_pairs_pruned_auto(
                 semb, "vec_id", "embedding", threshold=0.9, dim=64,
@@ -961,10 +1021,10 @@ def _run_scale_tier_100(sf_dir: str) -> dict:
             ).count(),
             cleanup=cleanup,
         )
-        scale_queries["dedup_embedding_auto_t90"] = med
-        scale_queries["dedup_embedding_auto_t90_raw"] = runs
+        _record_timed(scale_queries, "dedup_embedding_auto_t90", med, runs, err)
     except Exception as exc:
         print(f"BENCH-SCALE100-SETUP-ERROR: {exc!r}"[:500], file=sys.stderr)
+        scale_queries["setup_error"] = f"{exc!r}"[:300]
     return scale_queries
 
 

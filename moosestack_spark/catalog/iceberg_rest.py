@@ -339,6 +339,7 @@ class IcebergRestCatalogServer:
                     self._send(200, {"namespace": [ns], "properties": {}})
                 elif (
                     len(parts) == 5
+                    and parts[:2] == ["v1", server.prefix]
                     and parts[2] == "namespaces"
                     and parts[4] == "register"
                 ):
@@ -370,6 +371,7 @@ class IcebergRestCatalogServer:
                     )
                 elif (
                     len(parts) == 6
+                    and parts[:2] == ["v1", server.prefix]
                     and parts[2] == "namespaces"
                     and parts[4] == "tables"
                 ):
@@ -392,6 +394,7 @@ class IcebergRestCatalogServer:
                     )
                 elif (
                     len(parts) == 5
+                    and parts[:2] == ["v1", server.prefix]
                     and parts[2] == "namespaces"
                     and parts[4] == "properties"
                 ):
@@ -471,20 +474,11 @@ class IcebergRestCatalogServer:
                             results.append((ns, tbl, new_loc))
                         for ns, tbl, new_loc in results:
                             st.tables[(ns, tbl)] = new_loc
-                    self._send(
-                        200,
-                        {
-                            "results": [
-                                {
-                                    "identifier": {
-                                        "namespace": [ns], "name": tbl
-                                    },
-                                    "metadata-location": new_loc,
-                                }
-                                for ns, tbl, new_loc in results
-                            ]
-                        },
-                    )
+                    # spec: CommitTransaction responds 204 No Content
+                    # (apache/iceberg open-api); clients re-load tables to
+                    # observe the new metadata locations
+                    self.send_response(204)
+                    self.end_headers()
                 else:
                     self._err(404, self.path, "NotFoundException")
 
@@ -812,7 +806,16 @@ def multi_table_append(
             reqs, updates = h._stage(df, loaded)
             changes.append((h.ns, h.name, reqs, updates))
         try:
-            return cat.commit_transaction(changes)
+            cat.commit_transaction(changes)  # 204 No Content per spec
+            # the server body is empty by spec; build the summary
+            # client-side (identifiers only — metadata locations are one
+            # load_table away for callers that need them)
+            return {
+                "results": [
+                    {"identifier": {"namespace": [ns], "name": name}}
+                    for ns, name in names
+                ]
+            }
         except CommitConflict as exc:
             last = exc
     raise CommitConflict(

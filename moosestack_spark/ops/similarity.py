@@ -1485,6 +1485,8 @@ def graph_search_topk(
 
     if hops < 1:
         raise ValueError("graph_search_topk: hops must be >= 1")
+    if n_bands < 1:
+        raise ValueError("graph_search_topk: n_bands must be >= 1")
     n_q = queries_df.limit(max_queries + 1).count()
     if n_q > max_queries:
         raise ValueError(

@@ -342,15 +342,29 @@ class LeaseStore:
                 except ValueError:
                     return False  # unreadable: treat as held, retry later
                 if cur["worker"] == worker and cur["expires"] > self.now():
-                    # already mine and live: HEARTBEAT — rewrite with a
-                    # fresh expiry so a task that runs longer than
-                    # lease_seconds keeps its lease extended and a peer
-                    # never re-leases it out from under a live holder.
-                    # tmp already holds {worker, now+lease_seconds};
-                    # replace is atomic and we are the live owner.
-                    os.replace(tmp, path)
-                    tmp = None  # consumed by replace; skip finally unlink
-                    return True
+                    # already mine and live: HEARTBEAT — renew via the
+                    # same race-free primitive as acquisition (unlink own
+                    # lease, then exclusive link of the fresh temp).  The
+                    # earlier os.replace spelling could clobber a peer
+                    # that legitimately took over an expired lease in the
+                    # read->replace window; with link, a peer that wins
+                    # the gap surfaces as FileExistsError and we report
+                    # ownership LOST instead of silently usurping it.
+                    # (Residual window: if our lease expires in the
+                    # read->unlink instant and a peer links in that same
+                    # instant, the unlink removes the peer's lease — an
+                    # unavoidable TOCTOU without kernel file locks;
+                    # lease_seconds should exceed worst-case renewal
+                    # latency by a wide margin.)
+                    try:
+                        os.unlink(path)
+                    except FileNotFoundError:
+                        pass
+                    try:
+                        os.link(tmp, path)
+                        return True
+                    except FileExistsError:
+                        return False  # peer acquired in the gap: lost
                 if cur["expires"] > self.now():
                     return False  # live lease held by someone else
                 # expired: remove and retry the exclusive link — two

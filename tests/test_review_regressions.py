@@ -347,3 +347,71 @@ def test_bench_sidecar_guard_branches():
     # prev itself hot: an even hotter run still diverts
     p, _ = tgt({"sf": 0.1, "loadavg_start": 3.0}, 0.1, 5.0, "/r")
     assert p == "/r/BENCH_extras.hot.json"
+
+
+def _load_bench_module():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod2",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py",
+        ),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    return bench
+
+
+def test_scale_cleanup_preserves_kept_checkpoints(spark):
+    """VERDICT r10 #1: _scale_run_cleanup unpersisted the cc_chain
+    fixture's localCheckpoint blocks (created once, outside the run loop),
+    so every later run died CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND and the
+    committed record carried silent nulls.  The keep-set must shield a
+    still-referenced checkpoint while everything else is swept."""
+    bench = _load_bench_module()
+
+    before = bench._persistent_rdd_ids(spark)
+    fixture = spark.range(256).selectExpr("id AS src", "id + 1 AS dst").localCheckpoint()
+    fixture_ids = frozenset(bench._persistent_rdd_ids(spark) - before)
+    assert fixture_ids, "localCheckpoint should register persistent blocks"
+
+    disposable = spark.range(128).cache()
+    disposable.count()
+
+    bench._scale_run_cleanup(spark, keep=fixture_ids)
+    # the fixture must still be readable AFTER the sweep (this is exactly
+    # the call pattern that died in the r10 record)
+    assert fixture.count() == 256
+    assert fixture.where("src < 10").count() == 10
+    # and the sweep still did its job on unprotected blocks
+    surviving = bench._persistent_rdd_ids(spark)
+    assert fixture_ids <= surviving
+
+    # legacy call shape (no keep-set) sweeps everything and must not raise
+    bench._scale_run_cleanup(spark)
+
+
+def test_timed3_reports_error_string_not_silent_null():
+    """VERDICT r10 #1 (second half): an errored tier entry must carry the
+    error string in the sidecar instead of a bare null."""
+    bench = _load_bench_module()
+
+    def boom():
+        raise RuntimeError("CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND repro")
+
+    med, runs, err = bench._timed3("boom_entry", boom)
+    assert med is None
+    assert runs == [None, None, None]
+    assert err is not None and "CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND" in err
+
+    sidecar: dict = {}
+    bench._record_timed(sidecar, "boom_entry", med, runs, err)
+    assert sidecar["boom_entry"] is None
+    assert "CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND" in sidecar["boom_entry_error"]
+
+    ok: dict = {}
+    bench._record_timed(ok, "fine", 1.5, [1.4, 1.5, 1.6], None)
+    assert "fine_error" not in ok
