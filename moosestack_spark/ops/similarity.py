@@ -1339,21 +1339,33 @@ def knn_graph(
         v = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(v, axis=1)
         c = (v @ v.T) / np.outer(nrm, nrm)
-        # 2^-30 quantization grid — see the docstring's determinism note
-        c = np.rint(c * 1073741824.0)
-        np.fill_diagonal(c, -np.inf)
+        # 2^-30 quantization grid — see the docstring's determinism note.
+        # (DESC cos, ASC id) as ONE int64 composite key so the whole
+        # bucket ranks with vectorized argpartition instead of a per-row
+        # Python lexsort loop (the loop dominated the 30x tier: m lexsorts
+        # of m elements per bucket): key = ci * 2^shift + (m-1 - id_rank)
+        # — id_rank (dense rank of the id within the bucket) keeps the
+        # tie-term < 2^shift for any id magnitude, so the key cannot
+        # overflow and equal-ci rows order by ascending id, exactly the
+        # oracle's tie-break.
+        ci = np.rint(c * 1073741824.0).astype(np.int64)
+        shift = int(m).bit_length()
+        id_rank = np.empty(m, dtype=np.int64)
+        id_rank[np.argsort(ids, kind="stable")] = np.arange(m)
+        key = (ci << shift) + (m - 1 - id_rank)[None, :]
+        # negation-safe sentinel: -int64.min wraps back to int64.min, which
+        # would rank SELF first under argpartition(-key); min//2 negates
+        # cleanly and still sits below any real key (|key| < 2^61)
+        np.fill_diagonal(key, np.iinfo(np.int64).min // 2)
         kk = min(k, m - 1)
-        qs, cs, rs = [], [], []
-        for i in range(m):
-            # (-cos, id) order == the oracle's DESC cos, ASC id tie-break
-            order = np.lexsort((ids, -c[i]))[:kk]
-            qs.extend([ids[i]] * kk)
-            cs.extend(ids[order])
-            rs.extend(range(1, kk + 1))
+        part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+        ord2 = np.argsort(np.take_along_axis(-key, part, axis=1),
+                          axis=1, kind="stable")
+        top = np.take_along_axis(part, ord2, axis=1)
         return pd.DataFrame(
-            {"q_id": np.asarray(qs, dtype="int64"),
-             "c_id": np.asarray(cs, dtype="int64"),
-             "rnk": np.asarray(rs, dtype="int32")}
+            {"q_id": np.repeat(ids.astype("int64"), kk),
+             "c_id": ids[top.ravel()].astype("int64"),
+             "rnk": np.tile(np.arange(1, kk + 1, dtype="int32"), m)}
         )
 
     return side.groupBy("__b").applyInPandas(
@@ -1494,10 +1506,19 @@ def graph_search_topk(
             f"{max_queries}; batch the query set or raise max_queries"
         )
 
-    vecs = candidates_df.select(
-        F.col(cand_id).alias("__node"),
-        F.col(vec).cast("array<double>").alias("__v"),
-    ).withColumn("__n", _norm(F.col("__v")))
+    # One materialization of (id, cast vector, norm): every downstream
+    # consumer — hub election, both banded knn builds, hub assignment and
+    # the per-hop exact scoring — re-reads this instead of re-scanning the
+    # source and re-deriving the cast + norm (5+ scans before; model-small
+    # at n x dim doubles, the graph checkpoint discipline below).
+    vecs = (
+        candidates_df.select(
+            F.col(cand_id).alias("__node"),
+            F.col(vec).cast("array<double>").alias("__v"),
+        )
+        .withColumn("__n", _norm(F.col("__v")))
+        .localCheckpoint()
+    )
     spark = candidates_df.sparkSession
 
     # hash-elected hubs (driver-bounded: n_hubs rows, the IVF-centroid
@@ -1512,12 +1533,13 @@ def graph_search_topk(
     hubs = [(int(r[0]), list(r[1])) for r in hub_rows]
     hub_ids = [h for h, _ in hubs]
 
-    # SHORT links: banded knn
+    # SHORT links: banded knn (built from the checkpointed projection, so
+    # each band pays only its own bucketing + per-bucket GEMM)
     edges = None
     for band in range(n_bands):
         e = knn_graph(
-            candidates_df, dim, k=graph_k, n_planes=n_planes,
-            id_col=cand_id, vec=vec, plane_base=band * n_planes,
+            vecs, dim, k=graph_k, n_planes=n_planes,
+            id_col="__node", vec="__v", plane_base=band * n_planes,
         ).select(F.col("q_id").alias("src"), F.col("c_id").alias("dst"))
         edges = e if edges is None else edges.union(e)
     # LONG links: node -> nearest hub (shuffle-free Arrow argmax over the
