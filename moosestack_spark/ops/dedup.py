@@ -1187,36 +1187,49 @@ def embedding_cosine_pairs_pruned(
         ).alias("bb"),
     ).select("__id", "__v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # Verify INSIDE each (band, bucket) group with one vectorized GEMM and
-    # emit only the pairs that pass the threshold: candidate pairs are
-    # never materialized (the earlier self-join spelling shipped ~n_bands x
-    # sum(m^2/2) candidate rows through dedup and scored each with an
-    # interpreted 64-term fold — measured 9s warm at sf0.1 vs ~1.5s for
-    # this shape).  Row-chunked inside the kernel so a hot bucket bounds
-    # memory at chunk x m scores; a bucket too big for one task means too
-    # few planes per band — production splits it with the blocked-GEMM
-    # primitive (embedding_cosine_pairs).
+    return _verify_banded(bands, threshold, max_bucket_rows)
+
+
+def _verify_banded(
+    bands: DataFrame, threshold: float, max_bucket_rows: int
+) -> DataFrame:
+    """Shared banded exact-verify stage: input (__id, __v, band, bucket),
+    output distinct (id_a, id_b) with cosine >= threshold.
+
+    Verify INSIDE each (band, bucket) group with one vectorized GEMM and
+    emit only the pairs that pass the threshold: candidate pairs are
+    never materialized (the earlier self-join spelling shipped ~n_bands x
+    sum(m^2/2) candidate rows through dedup and scored each with an
+    interpreted 64-term fold — measured 9s warm at sf0.1 vs ~1.5s for
+    this shape).  Row-chunked inside the kernel so a hot bucket bounds
+    memory at chunk x m scores; a bucket too big for one task means too
+    few planes per band — production splits it with the blocked-GEMM
+    primitive (embedding_cosine_pairs)."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    # Sub-block assignment: rows ranked within their bucket, dealt modulo
-    # ceil(m/cap) blocks.  nb == 1 (the common, well-tuned case) keeps the
+    # Sub-block assignment: bucket sizes from a map-side-combined count
+    # (tiny: one row per occupied bucket) broadcast-joined back, block id
+    # from a hash deal — the earlier window spelling paid a full shuffle +
+    # sort of the vector-carrying rows just to rank them; the emitted pair
+    # set is identical under ANY block assignment (block pairs cover every
+    # unordered row pair exactly once), so the hash deal changes nothing
+    # downstream.  nb == 1 (the common, well-tuned case) keeps the
     # original one-task-per-bucket plan; a hot bucket fans out into
-    # nb*(nb+1)/2 block-pair tasks that together cover exactly the same
-    # unordered row pairs.
-    w = W.partitionBy("band", "bucket")
+    # nb*(nb+1)/2 block-pair tasks.
+    sizes = bands.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__m")
+    )
     salted = (
-        bands.withColumn(
-            "__nb",
-            F.ceil(F.count(F.lit(1)).over(w) / F.lit(max_bucket_rows)).cast("int"),
+        bands.join(F.broadcast(sizes), ["band", "bucket"])
+        .withColumn(
+            "__nb", F.ceil(F.col("__m") / F.lit(max_bucket_rows)).cast("int")
         )
         .withColumn(
             "__blk",
-            ((F.row_number().over(w.orderBy("__id")) - 1) % F.col("__nb")).cast(
-                "int"
-            ),
+            F.pmod(F.xxhash64(F.col("__id")), F.col("__nb")).cast("int"),
         )
         .withColumn(
             "pq",
@@ -1259,7 +1272,10 @@ def embedding_cosine_pairs_pruned(
         p_blk, q_blk = int(pdf["p"].iat[0]), int(pdf["q"].iat[0])
         blks = pdf["__blk"].to_numpy()
         if p_blk == q_blk:
-            # intra-block: upper triangle over id-sorted rows, chunked
+            # intra-block: upper triangle over id-sorted rows, chunked;
+            # pair extraction is ONE nonzero per chunk (the per-row
+            # nonzero loop was the 30x/100x tiers' dominant cost — n_bands
+            # x n Python iterations, each allocating index arrays)
             m_rows = len(pdf)
             order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
             ids = pdf["__id"].to_numpy()[order]
@@ -1270,13 +1286,15 @@ def embedding_cosine_pairs_pruned(
             for lo in range(0, m_rows, chunk):
                 hi = min(lo + chunk, m_rows)
                 cos = (V[lo:hi] @ V.T) / np.outer(nrm[lo:hi], nrm)
-                for i in range(lo, hi):
-                    js = np.nonzero(cos[i - lo, i + 1 :] >= threshold)[0] + i + 1
-                    out_a.extend([ids[i]] * len(js))
-                    out_b.extend(ids[js])
+                ii, jj = np.nonzero(cos >= threshold)
+                keep = jj > ii + lo  # strict upper triangle in global rows
+                out_a.append(ids[ii[keep] + lo])
+                out_b.append(ids[jj[keep]])
+            if not out_a:
+                return empty
             return pd.DataFrame(
-                {"id_a": pd.Series(out_a, dtype="int64"),
-                 "id_b": pd.Series(out_b, dtype="int64")}
+                {"id_a": np.concatenate(out_a).astype("int64"),
+                 "id_b": np.concatenate(out_b).astype("int64")}
             )
         # cross-block: one GEMM between the two sides, all pairs kept once
         a_side, b_side = pdf[blks == p_blk], pdf[blks == q_blk]
@@ -1301,39 +1319,198 @@ def embedding_cosine_pairs_pruned(
     )
 
 
-def _auto_planes(
+def _auto_bits(
     n_rows: int,
     target_occupancy: int,
-    min_planes: int = PRUNE_PLANES_PER_BAND,
-    max_planes: int = 20,
+    min_bits: int = 1,
+    max_bits: int = 21,
 ) -> int:
-    """Smallest P with target_occupancy * 2**P >= n_rows, clamped to
-    [min_planes, max_planes].  Integer-exact on purpose: the oracle SQL
-    replays this choice as a CASE over COUNT(*) with integer thresholds,
-    so a float ceil(log2(...)) that rounds differently at an exact
-    power-of-two boundary would break the hash-exact contract."""
-    p = 0
-    while (target_occupancy << p) < n_rows and p < max_planes:
-        p += 1
-    return max(min_planes, min(max_planes, p))
+    """Smallest B with target_occupancy * 2**B >= n_rows, clamped to
+    [min_bits, max_bits] — the bucket-count dial of the occupancy-auto
+    banding (2**B buckets per band).  Integer-exact on purpose: the oracle
+    SQL replays this choice as a CASE over COUNT(*) with integer
+    thresholds, so a float ceil(log2(...)) that rounds differently at an
+    exact power-of-two boundary would break the hash-exact contract."""
+    b = 1
+    while (target_occupancy << b) < n_rows and b < max_bits:
+        b += 1
+    return max(min_bits, min(max_bits, b))
 
 
-def _auto_bands(
-    threshold: float, planes: int, recall: float = 0.9, max_bands: int = 64
+# Cross-polytope sub-hashes chunk at most 7 selectivity bits each (d'=64,
+# 128 outcomes) — beyond that the projection matrix stops being model-small
+# per hash and the collision-prob calibration loses resolution.
+_CP_MAX_SUB_BITS = 7
+
+
+def _cp_sub_dims(bits: int) -> list[int]:
+    """Decompose B selectivity bits into cross-polytope sub-hash
+    projection widths: full-width d'=64 chunks (7 bits: 2*64 outcomes)
+    plus one residual d'=2**(r-1) chunk (r bits).  A band's bucket id is
+    the mixed-radix concatenation of its sub-hash codes."""
+    dims = []
+    while bits > _CP_MAX_SUB_BITS:
+        dims.append(1 << (_CP_MAX_SUB_BITS - 1))
+        bits -= _CP_MAX_SUB_BITS
+    if bits >= 1:
+        dims.append(1 << (bits - 1))
+    return dims
+
+
+_CP_PROB_CACHE: dict = {}
+
+
+def _cp_collision_prob(
+    threshold: float, d_prime: int, dim: int, n_pairs: int = 4096
+) -> float:
+    """Collision probability of ONE cross-polytope sub-hash (bucket =
+    argmax_j |proj_j| with sign, 2*d' outcomes) for a vector pair at
+    cosine ``threshold``, estimated by a DETERMINISTIC Monte CarlO sweep
+    (fixed-seed numpy Generator; same value in the runtime dial and the
+    oracle generator, so the two cannot drift).
+
+    Why cross-polytope instead of more hyperplane bits (VERDICT r10 #2):
+    hyperplane LSH pays rho = ln(1/p1)/ln 2 ~ 0.22 per selectivity bit at
+    cosine 0.9, so holding occupancy constant as n grows forces the band
+    count up ~(n)^0.22 and total verify work super-linear — exactly the
+    measured 4.30x growth on a 3.33x corpus step.  Cross-polytope's
+    per-bit rho at the same gap is ~0.05 (Andoni et al., "Practical and
+    Optimal LSH for Angular Distance", NeurIPS 2015), so the band count
+    stays flat across decades and the occupancy-constant dial is finally
+    linear.  Projection rows reuse the deterministic _plane_coeffs stream
+    (uniform [-1,1)), matching the runtime kernel's distribution; the MC
+    marginalizes over 8 such matrices x n_pairs random pair orientations.
+    """
+    import numpy as np
+
+    from moosestack_spark.ops.similarity import _plane_coeffs
+
+    key = (round(float(threshold), 6), int(d_prime), int(dim))
+    if key in _CP_PROB_CACHE:
+        return _CP_PROB_CACHE[key]
+    t = min(max(float(threshold), -1.0), 1.0)
+    rng = np.random.default_rng(0xC0FFEE ^ (d_prime * 1009) ^ (dim * 7919))
+    x = rng.standard_normal((n_pairs, dim))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    z = rng.standard_normal((n_pairs, dim))
+    z -= (z * x).sum(axis=1, keepdims=True) * x
+    z /= np.linalg.norm(z, axis=1, keepdims=True)
+    y = t * x + np.sqrt(max(0.0, 1.0 - t * t)) * z
+    n_mats = 8
+    G = np.asarray(
+        [_plane_coeffs(dim, p) for p in range(n_mats * d_prime)]
+    )  # stacked (n_mats*d', dim)
+    hits = 0
+    for m in range(n_mats):
+        Gm = G[m * d_prime : (m + 1) * d_prime]
+        rx, ry = x @ Gm.T, y @ Gm.T
+        ix, iy = np.argmax(np.abs(rx), axis=1), np.argmax(np.abs(ry), axis=1)
+        sx = rx[np.arange(n_pairs), ix] < 0
+        sy = ry[np.arange(n_pairs), iy] < 0
+        hits += int(np.sum((ix == iy) & (sx == sy)))
+    p = hits / float(n_mats * n_pairs)
+    _CP_PROB_CACHE[key] = p
+    return p
+
+
+def _cp_bands(
+    threshold: float,
+    dims: list[int],
+    recall: float = 0.9,
+    max_bands: int = 64,
+    dim: int = 64,
 ) -> tuple[int, int]:
-    """(capped, uncapped) band count for hyperplane-LSH pair recall >=
-    ``recall`` at cosine ``threshold``: a plane agrees on a pair with
-    p = 1 - arccos(t)/pi, so bands = ceil(ln(1-recall)/ln(1-p^planes)).
-    Shared by the runtime auto config and the oracle generator so the two
-    can never drift."""
+    """(capped, uncapped) band count for cross-polytope banding: a band
+    of sub-hashes [d'_0, d'_1, ...] agrees on a pair at cosine t with
+    p_band = prod_i p_cp(t, d'_i), so bands = ceil(ln(1-recall) /
+    ln(1-p_band)).  Shared by the runtime auto config and the oracle
+    generator so the two can never drift."""
     import math
 
-    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    pr = p**planes
-    if pr >= 1.0 - 1e-12:
+    p_band = 1.0
+    for d in dims:
+        p_band *= _cp_collision_prob(threshold, d, dim)
+    if p_band >= 1.0 - 1e-12:
         return 1, 1
-    needed = math.ceil(math.log(max(1e-12, 1.0 - recall)) / math.log(1.0 - pr))
+    if p_band <= 0.0:
+        return max_bands, max_bands * 1000
+    needed = math.ceil(
+        math.log(max(1e-12, 1.0 - recall)) / math.log(1.0 - p_band)
+    )
     return int(min(max_bands, max(1, needed))), int(needed)
+
+
+def _cp_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    dims: list[int],
+    n_bands: int,
+) -> DataFrame:
+    """(__id, __v, band, bucket): cross-polytope band signatures via ONE
+    Arrow-batched GEMM against the stacked projection matrix (bands x
+    sum(dims) rows) — no per-plane Catalyst folds, no shuffle; the
+    explode to one row per band happens JVM-side (posexplode) so the
+    vector crosses Arrow once.  Band b's sub-hash i reads projection rows
+    [b*per_band + offset_i, ... + d_i) of the deterministic
+    _plane_coeffs stream; bucket = mixed-radix concat of sub-codes,
+    code = 2*argmax_j |r_j| + (1 if r < 0) with numpy's first-max
+    tie-break — the oracle replays the same first-match CASE."""
+    import numpy as np
+    import pandas as pd
+
+    from moosestack_spark.ops.similarity import _plane_coeffs
+
+    per_band = sum(dims)
+    G = np.asarray(
+        [_plane_coeffs(dim, p) for p in range(n_bands * per_band)]
+    )
+    strides = []
+    s = 1
+    for d in dims:
+        strides.append(s)
+        s *= 2 * d
+
+    def gen(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            V = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            R = V @ G.T  # m x (n_bands * per_band)
+            buckets = np.zeros((m, n_bands), dtype=np.int64)
+            col = 0
+            rows = np.arange(m)
+            for b in range(n_bands):
+                acc = np.zeros(m, dtype=np.int64)
+                for d, stride in zip(dims, strides):
+                    sub = R[:, col : col + d]
+                    col += d
+                    idx = np.argmax(np.abs(sub), axis=1)
+                    r = sub[rows, idx]
+                    acc += (2 * idx + (r < 0)) * stride
+                buckets[:, b] = acc
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "__v": pdf["__v"],
+                 "__bk": list(buckets)}
+            )
+
+    # The vector keeps its SOURCE element type end to end: a float32
+    # corpus ships 256B/row through the band shuffle instead of 512B (the
+    # shuffle is the auto path's biggest linear cost at scale), and the
+    # verify kernel's float32 -> float64 cast is value-exact, so the
+    # emitted pairs are identical to casting at the scan.
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    sig = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__v"),
+    ).mapInPandas(gen, f"__id long, __v {vec_type}, __bk array<long>")
+    return sig.select(
+        "__id",
+        "__v",
+        F.posexplode("__bk").alias("band", "bucket"),
+    )
 
 
 def embedding_cosine_pairs_pruned_auto(
@@ -1346,44 +1523,44 @@ def embedding_cosine_pairs_pruned_auto(
     n_rows: int | None = None,
     target_occupancy: int = 2048,
     recall: float = 0.9,
-    max_planes: int = 20,
+    min_bits: int = 1,
+    max_bits: int = 21,
     max_bands: int = 64,
     max_bucket_rows: int = 8192,
 ) -> DataFrame:
-    """Occupancy-targeted banding: the linear-work scale path.
+    """Occupancy-targeted CROSS-POLYTOPE banding: the linear-work scale
+    path (VERDICT r10 #2 re-derivation).
 
-    The fixed gate config (4 planes -> 16 buckets/band) keeps expected
-    bucket occupancy m ~ n/16, so the per-bucket exact verify is
-    O(sum m^2) = O(n^2/16) per band — quadratic, measured at the bench 30x
-    tier.  This wrapper sizes the banding from the corpus instead:
-
-    - planes_per_band = ceil(log2(n / target_occupancy)), so expected
-      occupancy stays ~target_occupancy and total verify work is
-      O(n_bands * n * occupancy) — LINEAR in n;
-    - n_bands from the hyperplane-LSH collision model: a plane agrees on a
-      pair at cosine t with p = 1 - arccos(t)/pi, so
-      n_bands = ceil(ln(1-recall) / ln(1 - p^planes)) holds pair recall at
-      the threshold >= ``recall``.
+    - bits B = ceil(log2(n / target_occupancy)) (integer-exact, _auto_bits)
+      gives 2**B buckets per band, so expected occupancy — and with it
+      per-bucket verify work — stays ~target_occupancy as n grows;
+    - each band hashes with cross-polytope sub-hashes (_cp_sub_dims:
+      d'=64 chunks of 7 bits + one residual 2**(r-1) chunk); bucket =
+      argmax_j |proj_j| with sign, mixed-radix concatenated.  Per
+      selectivity bit, cross-polytope keeps rho ~ 0.05 at cosine 0.9
+      where hyperplane pays ~0.22 — the band count the recall pin demands
+      stays FLAT across corpus decades (2 bands at both the 30x and 100x
+      bench tiers) instead of growing n^0.22, which is what made the
+      hyperplane auto dial super-linear (measured 4.30x on a 3.33x step);
+    - n_bands = ceil(ln(1-recall) / ln(1-p_band)) with p_band from the
+      deterministic Monte Carlo calibration (_cp_collision_prob), so pair
+      recall at the threshold stays >= ``recall``.
 
     The n_rows count is one parquet-metadata job (pass it when known).
-    Low thresholds make hyperplane LSH expensive (p(0.35) = 0.61 needs
-    ~60 bands at 8 planes); real embedding near-dup dedup runs at
-    t >= 0.85 where a handful of bands suffice — the bench scale tier pins
-    t = 0.9.  max_bands caps the fan-out and is logged loudly when it
-    binds (recall below target is a tuning fact the operator must see).
-    """
-    import math
-
+    max_bands caps the fan-out and is logged loudly when it binds (recall
+    below target is a tuning fact the operator must see)."""
     if n_rows is None:
         n_rows = df.count()
-    planes = _auto_planes(
-        n_rows, target_occupancy, PRUNE_PLANES_PER_BAND, max_planes
+    bits = _auto_bits(n_rows, target_occupancy, min_bits, max_bits)
+    dims = _cp_sub_dims(bits)
+    n_bands, bands_needed = _cp_bands(
+        threshold, dims, recall, max_bands, dim=dim
     )
-    n_bands, bands_needed = _auto_bands(threshold, planes, recall, max_bands)
     if bands_needed > max_bands:
-        p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-        pr = p**planes
-        achieved = 1.0 - (1.0 - pr) ** n_bands
+        p_band = 1.0
+        for d in dims:
+            p_band *= _cp_collision_prob(threshold, d, dim)
+        achieved = 1.0 - (1.0 - p_band) ** n_bands
         warnings.warn(
             f"embedding_cosine_pairs_pruned_auto: recall target {recall} at "
             f"threshold {threshold} needs {bands_needed} bands; capped at "
@@ -1391,16 +1568,8 @@ def embedding_cosine_pairs_pruned_auto(
             f"threshold or target_occupancy.",
             stacklevel=2,
         )
-    return embedding_cosine_pairs_pruned(
-        df,
-        id_col,
-        vec_col,
-        threshold,
-        dim,
-        planes_per_band=planes,
-        n_bands=n_bands,
-        max_bucket_rows=max_bucket_rows,
-    )
+    bands = _cp_signatures(df, id_col, vec_col, dim, dims, n_bands)
+    return _verify_banded(bands, threshold, max_bucket_rows)
 
 
 def _pruned_oracle() -> str:
@@ -1459,62 +1628,100 @@ def dedup_embedding_cosine_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
 # --------------------------------------------------------------------------
 # Occupancy-targeted gate: the AUTO config is the production default, so it
 # gets its own hash-exact oracle.  The config choice is a deterministic
-# integer function of COUNT(*) (_auto_planes), so the oracle replays the
+# integer function of COUNT(*) (_auto_bits), so the oracle replays the
 # choice itself as a CASE over n and carries the full per-config band menu —
 # whichever arm Spark picks at any gate SF, DuckDB picks the same one.
 # Gate knobs are pinned small so the menu stays enumerable: occupancy 64
-# makes n=500 (sf0.001/0.01) choose 4 planes and n=2000 (sf0.1) choose 5 —
-# the n-dependent switch is genuinely exercised across the test SFs.
+# makes n=500 (sf0.001/0.01) choose B=3 (8 buckets/band, d'=4) and n=2000
+# (sf0.1) choose B=5 (32 buckets, d'=16) — the n-dependent switch is
+# genuinely exercised across the test SFs.
 # --------------------------------------------------------------------------
 
 AUTO_GATE_THRESHOLD = 0.4  # 59-920 true pairs across the gate SFs
 AUTO_GATE_OCC = 64
 AUTO_GATE_RECALL = 0.9
-AUTO_GATE_MAX_PLANES = 5  # oracle menu covers planes in [4, 5]
+AUTO_GATE_MIN_BITS = 3
+AUTO_GATE_MAX_BITS = 5  # oracle menu covers B in [3, 5]
+
+
+def _cp_bucket_case(names: list[str]) -> str:
+    """CASE expression replaying numpy first-max argmax + sign over the
+    named projection columns: arm j fires when |p_j| >= |p_k| for every
+    k > j (earlier arms failing implies an earlier |p| was not the max),
+    value 2*j + sign-bit."""
+    d = len(names)
+    arms = []
+    for j in range(d - 1):
+        cond = " AND ".join(
+            f"ABS({names[j]}) >= ABS({names[k]})" for k in range(j + 1, d)
+        )
+        arms.append(
+            f"WHEN {cond} THEN {2 * j} + "
+            f"(CASE WHEN {names[j]} >= 0 THEN 0 ELSE 1 END)"
+        )
+    last = (
+        f"{2 * (d - 1)} + "
+        f"(CASE WHEN {names[d - 1]} >= 0 THEN 0 ELSE 1 END)"
+    )
+    if d == 1:
+        return f"(CASE WHEN {names[0]} >= 0 THEN 0 ELSE 1 END)"
+    return "CASE " + " ".join(arms) + f" ELSE {last} END"
 
 
 def _pruned_auto_oracle() -> str:
-    """DuckDB SQL replaying the occupancy-targeted banding END TO END:
-    COUNT(*) picks the plane count with the same integer thresholds as
-    _auto_planes, the per-config band counts are inlined from _auto_bands
-    (generated by the SAME helper the runtime uses, so they cannot drift),
-    and the plane literals match the Spark-side F.lit coefficients."""
+    """DuckDB SQL replaying the occupancy-targeted CROSS-POLYTOPE banding
+    END TO END: COUNT(*) picks the bit count with the same integer
+    thresholds as _auto_bits, the per-config band counts are inlined from
+    _cp_bands (generated by the SAME helpers the runtime uses, so they
+    cannot drift), the projection literals match the kernel's
+    _plane_coeffs stream, and the bucket CASE replays numpy's first-max
+    argmax tie-break."""
     from moosestack_spark.ops.similarity import _plane_coeffs
 
-    sig_cols, arms = [], []
-    for planes in range(PRUNE_PLANES_PER_BAND, AUTO_GATE_MAX_PLANES + 1):
-        bands, _ = _auto_bands(AUTO_GATE_THRESHOLD, planes, AUTO_GATE_RECALL)
-        names = []
+    proj_cols, bucket_cols, arms = [], [], []
+    for bits in range(AUTO_GATE_MIN_BITS, AUTO_GATE_MAX_BITS + 1):
+        d_prime = 1 << (bits - 1)  # single sub-hash for B <= 7
+        bands, _ = _cp_bands(
+            AUTO_GATE_THRESHOLD, [d_prime], AUTO_GATE_RECALL, dim=PRUNE_DIM
+        )
+        band_names = []
         for b in range(bands):
-            bits = []
-            for r in range(planes):
-                coeffs = _plane_coeffs(PRUNE_DIM, b * planes + r)
+            names = []
+            for j in range(d_prime):
+                coeffs = _plane_coeffs(PRUNE_DIM, b * d_prime + j)
                 lits = ", ".join(repr(c) for c in coeffs)
-                bits.append(
-                    f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
-                    f"THEN {1 << r} ELSE 0 END)"
+                proj_cols.append(
+                    f"list_dot_product(v, [{lits}]) AS q{bits}_{b}_{j}"
                 )
-            sig_cols.append(" + ".join(bits) + f" AS p{planes}_b{b}")
-            names.append(f"p{planes}_b{b}")
-        collide = " OR ".join(f"a.{c} = b.{c}" for c in names)
-        arms.append(f"(cfg.planes = {planes} AND ({collide}))")
-    plane_case = " ".join(
-        f"WHEN n <= {AUTO_GATE_OCC << p} THEN {p}"
-        for p in range(PRUNE_PLANES_PER_BAND, AUTO_GATE_MAX_PLANES)
+                names.append(f"q{bits}_{b}_{j}")
+            bucket_cols.append(
+                f"{_cp_bucket_case(names)} AS c{bits}_{b}"
+            )
+            band_names.append(f"c{bits}_{b}")
+        collide = " OR ".join(f"a.{c} = b.{c}" for c in band_names)
+        arms.append(f"(cfg.bits = {bits} AND ({collide}))")
+    bits_case = " ".join(
+        f"WHEN n <= {AUTO_GATE_OCC << bb} THEN {bb}"
+        for bb in range(AUTO_GATE_MIN_BITS, AUTO_GATE_MAX_BITS)
     )
-    sig_sql = ",\n         ".join(sig_cols)
+    proj_sql = ",\n         ".join(proj_cols)
+    bucket_sql = ",\n         ".join(bucket_cols)
     arm_sql = "\n        OR ".join(arms)
     return f"""
 WITH e AS (
   SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), cfg AS (
-  SELECT CASE {plane_case} ELSE {AUTO_GATE_MAX_PLANES} END AS planes
+  SELECT CASE {bits_case} ELSE {AUTO_GATE_MAX_BITS} END AS bits
   FROM (SELECT COUNT(*) AS n FROM e)
+), proj AS (
+  SELECT vec_id, v,
+         {proj_sql}
+  FROM e
 ), sig AS (
   SELECT vec_id, v,
-         {sig_sql}
-  FROM e
+         {bucket_sql}
+  FROM proj
 ), cand AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
   FROM sig a, sig b, cfg
@@ -1532,13 +1739,15 @@ WHERE list_dot_product(va, vb)
 def dedup_embedding_cosine_pruned_auto(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The PRODUCTION embedding near-dup path: occupancy-targeted banding
-    (planes ~ log2(n/occupancy), so expected bucket occupancy — and with it
-    per-bucket verify work — stays constant as n grows; total work linear)
-    in front of the exact per-bucket GEMM verify.  Measured at the bench
-    30x tier: 15.2 s vs the fixed config's 48-85 s.  The oracle replays the
-    config CHOICE itself (CASE over COUNT(*)), so this gate hash-verifies
-    the auto path end to end, not just one frozen configuration."""
+    """The PRODUCTION embedding near-dup path: occupancy-targeted
+    cross-polytope banding (2**B buckets/band with B ~ log2(n/occupancy),
+    so expected bucket occupancy — and with it per-bucket verify work —
+    stays constant as n grows; cross-polytope keeps the band count FLAT
+    across corpus decades, so total work is linear where the hyperplane
+    dial grew n^0.22 super-linear) in front of the exact per-bucket GEMM
+    verify.  The oracle replays the config CHOICE itself (CASE over
+    COUNT(*)), so this gate hash-verifies the auto path end to end, not
+    just one frozen configuration."""
     e = t(spark, sf_dir, "embeddings")
     n = e.count()
     return embedding_cosine_pairs_pruned_auto(
@@ -1550,7 +1759,8 @@ def dedup_embedding_cosine_pruned_auto(
         n_rows=n,
         target_occupancy=AUTO_GATE_OCC,
         recall=AUTO_GATE_RECALL,
-        max_planes=AUTO_GATE_MAX_PLANES,
+        min_bits=AUTO_GATE_MIN_BITS,
+        max_bits=AUTO_GATE_MAX_BITS,
     )
 
 

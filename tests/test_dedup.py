@@ -237,19 +237,40 @@ def test_block_split_cap_preserves_exact_pair_set(spark, sf_dir):
 
 
 def test_auto_banding_parameter_model():
-    """planes ~ log2(n/occupancy); bands from the hyperplane collision
-    model 1-(1-p^r)^b >= recall, p = 1 - arccos(t)/pi."""
-    import math
+    """bits ~ log2(n/occupancy) (2**B buckets/band); bands from the
+    Monte-Carlo-calibrated cross-polytope collision model
+    1-(1-p_band)^b >= recall.  The scale property VERDICT r10 #2 demands:
+    the band count stays FLAT across corpus decades (cross-polytope's
+    per-bit rho ~ 0.05 at cosine 0.9), where the old hyperplane dial grew
+    n^0.22."""
+    from moosestack_spark.ops.dedup import (
+        _auto_bits,
+        _cp_bands,
+        _cp_collision_prob,
+        _cp_sub_dims,
+    )
 
-    # n = 2**21 rows, occupancy 2048 -> planes = 10 -> 1024 buckets/band
-    n = 2**21
-    planes = math.ceil(math.log2(n / 2048))
-    assert planes == 10
-    p = 1 - math.acos(0.9) / math.pi
-    pr = p**planes
-    bands = math.ceil(math.log(1 - 0.9) / math.log(1 - pr))
-    # ~0.8565^10 = 0.212 -> 10 bands reach 0.9 recall at cosine 0.9
-    assert 5 <= bands <= 15
+    # bench tiers: 30x (60k rows) -> B=5, 100x (200k) -> B=7
+    assert _auto_bits(60_000, 2048) == 5
+    assert _auto_bits(200_000, 2048) == 7
+    b30, _ = _cp_bands(0.9, _cp_sub_dims(5), 0.9)
+    b100, _ = _cp_bands(0.9, _cp_sub_dims(7), 0.9)
+    # flat-to-one-step band counts across a decade (3 -> 4 as calibrated);
+    # the hyperplane dial needed 4 -> 6 over the same step
+    assert b30 <= 4 and b100 <= 4 and b100 - b30 <= 1
+    # two decades out: 10^9 rows decompose into 64/64/16 sub-hashes and
+    # the band count stays bounded (the 100 TB claim)
+    dims = _cp_sub_dims(_auto_bits(10**9, 2048))
+    assert dims == [64, 64, 16]
+    b_huge, _ = _cp_bands(0.9, dims, 0.9)
+    assert b_huge <= 32
+    # collision probs are deterministic (fixed-seed MC) and monotone down
+    # in d' at fixed threshold
+    p16 = _cp_collision_prob(0.9, 16, 64)
+    p64 = _cp_collision_prob(0.9, 64, 64)
+    assert p16 == _cp_collision_prob(0.9, 16, 64)  # cache/seed stable
+    assert 0 < p64 < p16 < 1
+
     # the capped-bands warning fires when the model demands more than max
     import pytest as _pytest
 
@@ -257,16 +278,16 @@ def test_auto_banding_parameter_model():
 
     class _FakeDF:
         def count(self):
-            return n
+            return 2**21
 
     with _pytest.warns(UserWarning, match="capped"):
-        # t=0.35 at high plane counts needs hundreds of bands
+        # t=0.35 at high bit counts needs many bands
         try:
             embedding_cosine_pairs_pruned_auto(
-                _FakeDF(), "id", "v", threshold=0.35, dim=64, max_bands=8
+                _FakeDF(), "id", "v", threshold=0.35, dim=64, max_bands=2
             )
-        except AttributeError:
-            pass  # FakeDF has no select; the warning fired before the plan
+        except (AttributeError, KeyError):
+            pass  # FakeDF has no schema; the warning fired before the plan
 
 
 def test_auto_pruned_subset_of_exact_and_finds_planted_dups(spark, sf_dir):
@@ -342,40 +363,89 @@ def test_winnowing_density(spark):
     assert 0 < n_fp < n_shingles * 0.8
 
 
-def test_auto_planes_matches_oracle_case_thresholds():
-    """The auto gate's oracle replays plane selection as integer CASE
-    thresholds (n <= occ<<P); _auto_planes must agree for every n,
+def test_auto_bits_matches_oracle_case_thresholds():
+    """The auto gate's oracle replays bit selection as integer CASE
+    thresholds (n <= occ<<B); _auto_bits must agree for every n,
     including exact power-of-two boundaries (the reason it is integer
     arithmetic, not float ceil(log2))."""
     from hypothesis import given, strategies as st
 
     from moosestack_spark.ops.dedup import (
-        AUTO_GATE_MAX_PLANES,
+        AUTO_GATE_MAX_BITS,
+        AUTO_GATE_MIN_BITS,
         AUTO_GATE_OCC,
-        PRUNE_PLANES_PER_BAND,
-        _auto_planes,
+        _auto_bits,
     )
 
     def case_replay(n: int) -> int:
-        for p in range(PRUNE_PLANES_PER_BAND, AUTO_GATE_MAX_PLANES):
-            if n <= (AUTO_GATE_OCC << p):
-                return p
-        return AUTO_GATE_MAX_PLANES
+        for b in range(AUTO_GATE_MIN_BITS, AUTO_GATE_MAX_BITS):
+            if n <= (AUTO_GATE_OCC << b):
+                return b
+        return AUTO_GATE_MAX_BITS
 
     @given(st.integers(min_value=1, max_value=1 << 20))
     def check(n):
-        assert _auto_planes(
-            n, AUTO_GATE_OCC, PRUNE_PLANES_PER_BAND, AUTO_GATE_MAX_PLANES
+        assert _auto_bits(
+            n, AUTO_GATE_OCC, AUTO_GATE_MIN_BITS, AUTO_GATE_MAX_BITS
         ) == case_replay(n)
 
     check()
     # boundary pins: exact powers of two around every threshold
-    for p in range(PRUNE_PLANES_PER_BAND, AUTO_GATE_MAX_PLANES):
-        edge = AUTO_GATE_OCC << p
+    for b in range(AUTO_GATE_MIN_BITS, AUTO_GATE_MAX_BITS):
+        edge = AUTO_GATE_OCC << b
         for n in (edge - 1, edge, edge + 1):
-            assert _auto_planes(
-                n, AUTO_GATE_OCC, PRUNE_PLANES_PER_BAND, AUTO_GATE_MAX_PLANES
+            assert _auto_bits(
+                n, AUTO_GATE_OCC, AUTO_GATE_MIN_BITS, AUTO_GATE_MAX_BITS
             ) == case_replay(n)
+
+
+def test_auto_cp_recall_pin(spark):
+    """Empirical recall pin for the cross-polytope auto dial (VERDICT r10
+    #2 'keep the recall pin'): a deterministic corpus with 150 planted
+    near-dup pairs at cosine ~0.92 must be recovered at >= 0.8 of the
+    exact pair set when the dial targets recall 0.9 at threshold 0.9
+    (MC calibration error + finite-band variance allow the 0.1 slack)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    rows = []
+    base = rng.normal(size=(150, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        z = rng.normal(size=64)
+        z -= z.dot(v) * v
+        z /= np.linalg.norm(z)
+        t = 0.92
+        w = t * v + np.sqrt(1 - t * t) * z
+        rows.append((i + 10_000, [float(x) for x in w]))
+    # background noise vectors (no near-dups among themselves w.h.p.)
+    for j, v in enumerate(rng.normal(size=(700, 64))):
+        rows.append((j + 100_000, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from moosestack_spark.ops.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_pruned_auto,
+    )
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            df, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs_pruned_auto(
+            df, "vec_id", "embedding", threshold=0.9, dim=64,
+            target_occupancy=64, recall=0.9,
+        ).collect()
+    }
+    assert got <= exact  # verify stage: no false positives, ever
+    assert len(exact) >= 150
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.3f} over {len(exact)} pairs"
 
 
 def test_substring_clean_no_run_survives(spark, sf_dir):
