@@ -299,37 +299,52 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") <= max_shingle_df)
             .drop("__df")
         )
-    # one row per surviving shingle with its (bounded, sorted) doc set; this
-    # small table feeds both pair generation and the per-doc set sizes, so
-    # materialize IT instead of the full exploded shingle table
+    # Per-doc surviving-set sizes are joined onto the SHINGLE table (one
+    # row per surviving occurrence) and carried INLINE through the
+    # per-shingle doc structs, so the candidate-pair table — two orders of
+    # magnitude bigger than the shingle table (sum C(df,2) rows vs sum df)
+    # — is never joined at all.  The earlier shape joined sizes onto the
+    # pair table twice; at the bench 100x tier those were two sort-merge
+    # passes over ~49M pair rows and the dominant super-linear term of
+    # every consumer gate (hybrid CC's pairs stage measured 39.5 s -> the
+    # join-free shape profiles ~3x lower with linear growth).
+    # materialize the pruned occurrence table ONCE: both consumers below
+    # (per-doc sizes, the size join) would otherwise re-run the explode +
+    # df-window sort — the single most expensive subtree of the plan
+    # (disk-backed localCheckpoint, ~16B/occurrence: hashes, not strings)
+    sh = sh.localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
     per_shingle = (
-        sh.groupBy("shingle")
-        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        sh.join(sizes, "doc")
+        .groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct("doc", "set_size"))
+            ).alias("docs")
+        )
         .select("docs")
         .localCheckpoint(eager=True)
     )
-    sizes = (
-        per_shingle.select(F.explode("docs").alias("doc"))
-        .groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("set_size"))
-    )
-    inter = (
+    joined = (
         per_shingle.filter(F.size("docs") >= 2)
         .select(
             F.explode(
                 F.expr(
                     "flatten(transform(docs, (x, i) -> "
                     "transform(slice(docs, i + 2, size(docs)), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                    "y -> struct(x.doc AS doc_a, y.doc AS doc_b, "
+                    "x.set_size AS size_a, y.set_size AS size_b))))"
                 )
             ).alias("p")
         )
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.size_a").alias("size_a"),
+            F.col("p.size_b").alias("size_b"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"))
-    joined = inter.join(sa, "doc_a").join(sb, "doc_b")
     if metric == "jaccard":
         score = F.col("inter").cast("double") / (
             F.col("size_a") + F.col("size_b") - F.col("inter")

@@ -224,18 +224,74 @@ _R2_CANARIES: list[str] = [
     "window_running_sum",
 ]
 
+# Round-11 window (VERDICT r10 #7 + fix-round hygiene): no brand-new
+# operators this round — the leading slots instead go to every gate whose
+# EXECUTION PATH changed in the r11 perf work (cross-polytope auto
+# banding + new oracle; join-free ngram pair generation feeding the CC /
+# triangle / curation gates; vectorized knn ranking; shared banded-verify
+# rewrite; iceberg REST 204 transaction reply), so each gets a fresh
+# driver hash on the new code.  Then the 15 stale canaries the verdict
+# called out (whole text_*/window_* families, last green in r1/r2 —
+# _R2_CANARIES[28:], exactly the slice that missed the r10 window), then
+# the oldest remaining evidence: r3-latest gates, alphabetical.
+_R11_CHANGED: list[str] = [
+    "dedup_embedding_cosine_pruned_auto",
+    "dedup_embedding_cosine_pruned",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_connected_components",
+    "dedup_connected_components_star",
+    "dedup_connected_components_hybrid",
+    "graph_triangle_count",
+    "corpus_curation_pipeline",
+    "similarity_knn_graph",
+    "similarity_graph_search",
+    "source_iceberg_rest_txn",
+]
+
+_R11_STALE_R2: list[str] = _R2_CANARIES[28:]  # the verdict's 15
+
+# Gates whose latest driver-green row is from round 3 (oldest evidence
+# once the r2 tail above is re-confirmed), fixed alphabetical order;
+# only the first (50 - 12 - 15) = 23 get slots this round.
+_R3_CANARIES: list[str] = [
+    "agg_avg_weighted",
+    "agg_bit_ops",
+    "agg_corr_exact",
+    "agg_delta_sum",
+    "agg_histogram_fixed",
+    "agg_min_max_map",
+    "agg_pivot_event_counts",
+    "agg_quantile_weighted",
+    "agg_sequence_match",
+    "agg_sum_map",
+    "agg_top_k",
+    "agg_top_k_weighted",
+    "agg_uniq_up_to",
+    "analytics_idle_customers",
+    "analytics_large_orders",
+    "analytics_market_share",
+    "analytics_promo_revenue",
+    "analytics_returned_items",
+    "analytics_supplier_variety",
+    "analytics_volume_shipping",
+    "corpus_mix_weights",
+    "dedup_substring_runs",
+    "funnel_view_click_purchase",
+]
+
 _WINDOW_PRIORITY = (
-    _R10_NEW
-    + _R10_R1_CANARIES
-    + _R2_CANARIES[: 50 - len(_R10_NEW) - len(_R10_R1_CANARIES)]
+    _R11_CHANGED
+    + _R11_STALE_R2
+    + _R3_CANARIES[: 50 - len(_R11_CHANGED) - len(_R11_STALE_R2)]
 )
 
 # The explicit rotation backlog, pinned to positions 51+: oracled queries
 # without a recorded green row that did not fit this round's 50 slots.
 # The registry-window meta-test enforces that ONLY names listed here may
-# lack both a green row and a window slot.  Empty for round 10: every
-# oracled gate has a green row (union r1-r9), so the window is all
-# re-confirmation except the leading new gates.
+# lack both a green row and a window slot.  Empty for round 11: every
+# oracled gate has a green row (union r1-r10), so the window is all
+# re-confirmation (changed paths first).
 _AFTER_WINDOW: list[str] = []
 
 
