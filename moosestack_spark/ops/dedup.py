@@ -1234,6 +1234,12 @@ def _verify_banded(
     # downstream.  nb == 1 (the common, well-tuned case) keeps the
     # original one-task-per-bucket plan; a hot bucket fans out into
     # nb*(nb+1)/2 block-pair tasks.
+    #
+    # The banded signature subtree feeds BOTH the size count and the join
+    # probe; materialize it once (disk-backed localCheckpoint, sized like
+    # the band shuffle it replaces) — recomputing it doubled the fixed
+    # fold-signature path at the bench 30x tier (26 -> 49 s).
+    bands = bands.localCheckpoint(eager=True)
     sizes = bands.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("__m")
     )
