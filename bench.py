@@ -612,23 +612,38 @@ def _persistent_rdd_ids(spark) -> set:
         return set()
 
 
+def _is_decaying(ok: list) -> bool:
+    """A raw list whose FIRST run is >= 1.5x its LAST is a cold-start
+    decay (JIT compilation, GC heap settling, page-cache fill spanning
+    several runs — the r11 record showed minhash 18.0/24.6/9.1/5.8/4.9
+    and cc_chain_propagation 41.8/46.7/25.5/23.8/24.3), not host noise:
+    the steady state is the TAIL of the sequence, not its center."""
+    return len(ok) >= 3 and ok[0] >= 1.5 * ok[-1]
+
+
 def _spread(v) -> float | None:
-    """max/min over the CENTRAL 3 sorted runs — the spread of the
-    median's neighborhood.  When _timed3's escalation took 4-5 runs
-    because a host/GC spike blew the first-3 spread past 1.5x, the spike
-    stays auditable in the *_raw list but no longer defines the spread
-    statistic (VERDICT r9 #3: the median is the comparable number; the
-    spread should say how trustworthy THAT is, not re-report the spike)."""
+    """max/min over the representative 3-run window: the LAST 3 runs for
+    a cold-start-decaying list (see _is_decaying — the tail is the steady
+    state _timed3's median reports), else the CENTRAL 3 sorted runs — the
+    spread of the median's neighborhood.  When _timed3's escalation took
+    extra runs because a host/GC spike blew the first-3 spread past 1.5x,
+    the spike stays auditable in the *_raw list but no longer defines the
+    spread statistic (VERDICT r9 #3: the median is the comparable number;
+    the spread should say how trustworthy THAT is, not re-report the
+    spike)."""
     if not (
         isinstance(v, list)
         and v
         and all(isinstance(x, (int, float)) and x > 0 for x in v)
     ):
         return None
-    s = sorted(v)
-    if len(s) > 3:
-        lo = (len(s) - 3) // 2
-        s = s[lo : lo + 3]
+    if _is_decaying(v):
+        s = sorted(v[-3:])
+    else:
+        s = sorted(v)
+        if len(s) > 3:
+            lo = (len(s) - 3) // 2
+            s = s[lo : lo + 3]
     return round(max(s) / min(s), 2)
 
 
@@ -684,10 +699,38 @@ def _timed3(name: str, fn, cleanup=None) -> tuple:
         )
         one_run()
         ok = [r for r in runs if r is not None]
-    ok = sorted(ok)
+    # Cold-start decay guard: a monotone-settling raw list (first run
+    # >= 1.5x the last — multi-run JIT/GC/page-cache warm-in, see
+    # _is_decaying) means the MEDIAN of all runs overstates steady state.
+    # Extend until the LAST THREE runs agree within 1.5x (cap 8 total)
+    # and report THEIR median; every attempt stays in the raw list so the
+    # mode is auditable, and _spread applies the same tail-3 window.
+    def _tail3(vals: list) -> list:
+        return sorted(vals[-3:])
+
+    while (
+        ok
+        and _is_decaying(ok)
+        and len(ok) >= 3
+        and _tail3(ok)[-1] / _tail3(ok)[0] > 1.5
+        and len(runs) < 8
+    ):
+        print(
+            f"BENCH-SCALE-SETTLE {name}: decaying raw list {runs} — "
+            f"extending until the last-3 window stabilizes",
+            file=sys.stderr,
+        )
+        one_run()
+        ok = [r for r in runs if r is not None]
+    if ok and _is_decaying(ok):
+        tail = _tail3(ok)
+        med = tail[len(tail) // 2]
+    else:
+        s = sorted(ok)
+        med = s[len(s) // 2] if s else None
     # VERDICT r10 #1: an errored entry must carry its error string in the
     # sidecar, not a silent null — the last error is the diagnostic one.
-    return (ok[len(ok) // 2] if ok else None), runs, (errs[-1] if errs else None)
+    return med, runs, (errs[-1] if errs else None)
 
 
 def _record_timed(scale_queries: dict, name: str, med, runs, err) -> None:

@@ -57,22 +57,24 @@ def _propagate(
 ) -> tuple[DataFrame, bool]:
     """Min-label propagation rounds; returns (labels, converged).  Convergence
     is detected from the label-sum (strictly decreasing until fixpoint), one
-    scalar agg per round instead of an extra diff join."""
+    scalar agg per round instead of an extra diff join.
+
+    Self-loops are appended to the edge list ONCE, so each round is ONE
+    shuffle join + ONE min-agg: min over N(v) ∪ {v} computed in the same
+    aggregate replaces the earlier least(lbl, coalesce(nbr_min)) second
+    join — identical labels (every vertex has a self-loop, so none drops
+    out of the output), one fewer shuffle per round.  On the 64-diameter
+    cc_chain fixture that is ~64 joins saved per run."""
+    selfloops = labels.select(
+        F.col("v").alias("src"), F.col("v").alias("dst")
+    )
+    sym_self = sym.union(selfloops).localCheckpoint()
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_rounds):
-        nbr_min = (
-            sym.join(labels, sym.src == labels.v)
-            .groupBy(F.col("dst").alias("nv"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
         labels = (
-            labels.join(nbr_min, labels.v == F.col("nv"), "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
+            sym_self.join(labels, sym_self.src == labels.v)
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]

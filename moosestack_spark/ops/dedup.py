@@ -1164,45 +1164,72 @@ def embedding_cosine_pairs_pruned(
     (bench.py scale_queries): the fixed 4-plane/16-bucket gate config grows
     quadratically (8.3 s at 10x -> 84.6 s at 30x), the auto config does not.
     """
+    bands = _hp_signatures(
+        df, id_col, vec_col, dim, planes_per_band, n_bands
+    )
+    return _verify_banded(bands, threshold, max_bucket_rows)
+
+
+def _hp_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes_per_band: int,
+    n_bands: int,
+) -> DataFrame:
+    """(__id, __v, band, bucket): hyperplane sign-bit band signatures via
+    ONE Arrow GEMM against the stacked plane matrix (band b, plane r reads
+    _plane_coeffs row b*planes_per_band + r; bit r set when proj >= 0) —
+    the earlier per-plane Catalyst fold was interpreted per element and
+    cost more than the verify GEMMs at the bench 30x tier.  Sign
+    semantics match the oracle's sequential list_dot_product up to
+    summation-order ulp drift, the accepted risk class of every GEMM
+    signature here.  The explode to one row per band is JVM-side
+    (posexplode); the vector keeps its source element type through the
+    band shuffle (float32 corpus: half the bytes, value-exact cast in
+    the kernels)."""
+    import numpy as np
+    import pandas as pd
+
     from moosestack_spark.ops.similarity import _plane_coeffs
 
-    e = df.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    G = np.asarray(
+        [
+            _plane_coeffs(dim, p)
+            for p in range(n_bands * planes_per_band)
+        ]
     )
+    powers = (1 << np.arange(planes_per_band)).astype(np.int64)
 
-    def band_bucket(b: int) -> Column:
-        bucket = F.lit(0)
-        for r in range(planes_per_band):
-            plane = b * planes_per_band + r
-            coeffs = _plane_coeffs(dim, plane)
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col("__v"),
-                    F.array(*[F.lit(c) for c in coeffs]),
-                    lambda x, w: x * w,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+    def gen(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            V = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            signs = (V @ G.T) >= 0.0  # m x (n_bands * planes_per_band)
+            buckets = np.empty((m, n_bands), dtype=np.int64)
+            for b in range(n_bands):
+                buckets[:, b] = (
+                    signs[:, b * planes_per_band : (b + 1) * planes_per_band]
+                    @ powers
+                )
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "__v": pdf["__v"],
+                 "__bk": list(buckets)}
             )
-            bucket = bucket + F.when(proj >= 0, F.lit(1 << r)).otherwise(F.lit(0))
-        return bucket
 
-    bands = e.select(
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    sig = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__v"),
+    ).mapInPandas(gen, f"__id long, __v {vec_type}, __bk array<long>")
+    return sig.select(
         "__id",
         "__v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), band_bucket(b).alias("bucket")
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("__id", "__v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    return _verify_banded(bands, threshold, max_bucket_rows)
+        F.posexplode("__bk").alias("band", "bucket"),
+    )
 
 
 def _verify_banded(

@@ -415,3 +415,34 @@ def test_timed3_reports_error_string_not_silent_null():
     ok: dict = {}
     bench._record_timed(ok, "fine", 1.5, [1.4, 1.5, 1.6], None)
     assert "fine_error" not in ok
+
+
+def test_timed3_cold_start_decay_settles_on_tail():
+    """r11 record: minhash raw [18.0, 24.6, 9.1, 5.8, 4.9] — a monotone
+    cold-start decay whose central-3 median (9.1) overstates steady state
+    by ~2x.  _timed3 must extend a decaying sequence until the last-3
+    window stabilizes and report ITS median; _spread must use the same
+    tail window."""
+    bench = _load_bench_module()
+
+    assert bench._is_decaying([18.0, 24.6, 9.1, 5.8, 4.9])
+    assert not bench._is_decaying([1.4, 1.5, 1.6])
+    assert not bench._is_decaying([14.8, 14.5, 22.5, 21.5, 19.2])  # rising
+
+    # _spread: decaying list -> tail-3 window; stable list -> central-3
+    assert bench._spread([10.0, 9.0, 3.0, 2.9, 2.8]) == round(3.0 / 2.8, 2)
+    assert bench._spread([1.4, 1.5, 1.6]) == round(1.6 / 1.4, 2)
+
+    # live decay: sleeps settle after the first timed runs; the reported
+    # median must come from the settled tail, not the center
+    import time as _time
+
+    sleeps = iter([0.3, 0.45, 0.4, 0.05, 0.05, 0.05, 0.05, 0.05, 0.05])
+
+    def decaying():
+        _time.sleep(next(sleeps))
+
+    med, runs, err = bench._timed3("decay_entry", decaying)
+    assert err is None
+    assert len(runs) >= 4  # extended past the base 3
+    assert med < 0.2, (med, runs)  # settled-tail median, not ~0.4
