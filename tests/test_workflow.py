@@ -292,3 +292,42 @@ def test_lease_heartbeat_on_reacquire(tmp_path):
     assert store.try_acquire("k", "A", lease_seconds=30)  # heartbeat again
     clock["t"] = 1080.0  # past the last heartbeat's expiry
     assert store.try_acquire("k", "B", lease_seconds=30)
+
+
+def test_lease_heartbeat_detects_peer_takeover(tmp_path):
+    """ADVICE r10: the renewal path must use the same race-free primitive
+    as acquisition.  If a peer links its lease into the unlink->link gap
+    of a stalled holder's heartbeat, the holder must observe LOST
+    ownership (FileExistsError) instead of clobbering the peer's live
+    lease and leaving two workers both believing they hold it."""
+    import json
+    import os
+
+    from moosestack_spark.workflow import LeaseStore
+
+    clock = {"t": 1000.0}
+    store = LeaseStore(str(tmp_path / "j.jsonl"), now=lambda: clock["t"])
+    assert store.try_acquire("k", "A", lease_seconds=30)
+
+    # simulate the peer winning the gap: monkeypatch os.unlink so that
+    # immediately after A's heartbeat unlinks its lease, B's lease lands
+    path = store._path("k")
+    real_unlink = os.unlink
+    state = {"raced": False}
+
+    def racing_unlink(p, *a, **kw):
+        real_unlink(p, *a, **kw)
+        if p == path and not state["raced"]:
+            state["raced"] = True
+            with open(path, "w") as fh:
+                json.dump({"worker": "B", "expires": clock["t"] + 30}, fh)
+
+    clock["t"] = 1020.0
+    os.unlink = racing_unlink
+    try:
+        got = store.try_acquire("k", "A", lease_seconds=30)
+    finally:
+        os.unlink = real_unlink
+    assert got is False  # A observed the lost race, did not clobber B
+    with open(path) as fh:
+        assert json.load(fh)["worker"] == "B"  # B's lease survived intact
