@@ -784,7 +784,14 @@ def multi_table_append(
     either all tables advance or none do (the server validates all, then
     swaps all pointers under its lock).  On 409 reload + restage every
     table and retry: a conflict on ANY table rebases the WHOLE
-    transaction, the all-or-nothing analogue of append()'s loop."""
+    transaction, the all-or-nothing analogue of append()'s loop.
+
+    Return contract (changed in r11, ADVICE r11): the server answers a
+    spec-compliant 204 No Content, so the returned summary is synthesized
+    client-side and each ``results`` entry carries ONLY the table
+    ``identifier`` — the pre-r11 ``metadata-location`` key is gone (it
+    reflected a non-spec server body).  Callers that need the committed
+    metadata location should ``load_table`` afterwards."""
     if not handles_dfs:
         raise ValueError("multi_table_append: nothing to commit")
     cat = handles_dfs[0][0].catalog

@@ -230,6 +230,64 @@ def apply_bpe(
     )
 
 
+# The tokenize gate's PINNED merge table: train_bpe_sampled(sf0.001
+# documents, n_merges=10, max_words=200_000), frozen so the DuckDB oracle
+# can replay the identical greedy merges (VERDICT r11 #5).  Counts are
+# training-corpus facts, irrelevant to replay.
+GATE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("e", END_OF_WORD),
+    ("n", END_OF_WORD),
+    ("o", "r"),
+    ("t", END_OF_WORD),
+    ("er", END_OF_WORD),
+    ("o", "w"),
+    ("ow", END_OF_WORD),
+    ("l", "u"),
+    ("i", "n"),
+]
+
+
+def _bpe_tokenize_oracle() -> str:
+    """DuckDB SQL replaying apply_bpe under GATE_MERGES exactly.
+
+    Greedy leftmost non-overlapping pair merge == SQL REPLACE, once the
+    symbol sequence is spelled as a SPACE-WRAPPED string (every symbol
+    carries its own leading+trailing space, so adjacent symbols meet on a
+    double space and a merge of (l, r) is REPLACE(s, ' l  r ', ' lr ')):
+    REPLACE scans left to right, never rescans inserted text, and the
+    wrapping makes cross-symbol false matches impossible (no symbol
+    contains a space).  This is the same semantics as _merge_pair's fold —
+    a freshly merged symbol cannot immediately re-merge within the same
+    pass.  Token count per word = half the remaining space count (each
+    symbol contributes exactly its two wrapping spaces, merges included).
+    """
+    s_expr = (
+        "' ' || array_to_string(string_split(word, ''), '  ') "
+        "|| '  </w> '"
+    )
+    merged = s_expr
+    for left, right in GATE_MERGES:
+        merged = (
+            f"REPLACE({merged}, ' {left}  {right} ', ' {left}{right} ')"
+        )
+    return f"""
+WITH words AS (
+  SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '[^a-z0-9'']+')) AS word
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, word FROM words WHERE word <> ''
+), merged AS (
+  SELECT doc_id, {merged} AS s
+  FROM nonempty
+)
+SELECT doc_id,
+       CAST(SUM((LENGTH(s) - LENGTH(REPLACE(s, ' ', ''))) / 2) AS BIGINT)
+         AS n_bpe_tokens
+FROM merged GROUP BY doc_id
+"""
+
+
 def _register_gate_queries() -> None:
     from moosestack_spark.registry import query
     from moosestack_spark.tables import t
@@ -247,17 +305,21 @@ def _register_gate_queries() -> None:
             rows, "rank int, left string, right string, pair_count bigint"
         )
 
-    @query("text_bpe_tokenize")  # depends on trained merges: rows-only
+    @query("text_bpe_tokenize", oracle=_bpe_tokenize_oracle())
     def text_bpe_tokenize(spark, sf_dir: str) -> DataFrame:
-        """Per-document BPE token counts using corpus-trained merges.
-        Training goes through the SCALE path (train_bpe_sampled: one
-        shuffle + bounded collect + local merge loop — equivalent to the
-        distributed trainer at this vocabulary size, pinned in
-        tests/test_bpe.py) so the gate measures tokenization, not ten
-        sequential driver-side merge jobs."""
+        """Per-document BPE token counts under the PINNED merge table —
+        the production tokenization shape (apply a pretrained vocabulary
+        to a corpus), and since r12 a HARD-oracled gate: tokenization
+        under a fixed merge list is deterministic greedy replay, which
+        DuckDB reproduces exactly with nested REPLACE over a
+        space-wrapped symbol string (see _bpe_tokenize_oracle).  TRAINING
+        stays rows-only by declared contract (text_bpe_train above —
+        sequential merge selection is not SQL-expressible); the merge
+        table here was trained once by train_bpe_sampled on the sf0.001
+        corpus and frozen (GATE_MERGES), so the gate no longer re-trains
+        per call and the oracle can replay the identical merges."""
         d = t(spark, sf_dir, "documents")
-        merges = train_bpe_sampled(d, n_merges=10, max_words=200_000)
-        return apply_bpe(d, merges)
+        return apply_bpe(d, [(l, r, 0) for l, r in GATE_MERGES])
 
 
 _register_gate_queries()

@@ -31,6 +31,39 @@ from pyspark.sql import functions as F
 from moosestack_spark.registry import query
 from moosestack_spark.tables import t
 
+def _est_input_bytes(df: DataFrame) -> int | None:
+    """Cheap (job-free) input-size estimate: sum of the plan's source file
+    sizes via df.inputFiles().  None when the plan has no file sources
+    (in-memory frames) or the files are not local — callers treat unknown
+    as LARGE (the scale-safe default)."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        path = f[7:] if f.startswith("file:///") else f
+        path = path if path.startswith("/") else "/" + path.lstrip("/")
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
+
+
+# Below this input size the two ngram_jaccard_pairs localCheckpoints cost
+# more than the recompute they avoid (VERDICT r11 #3: the eager
+# materializations fixed the 100x tier's super-linear growth but regressed
+# the 30x constants ~40% — a fixed disk-write cost that only amortizes
+# once the pruned occurrence table is tens of MB).  32 MB of source
+# parquet sits between the bench 30x (~18 MB) and 100x (~60 MB) corpora.
+NGRAM_CKPT_MIN_BYTES = 32 << 20
+
+
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Fan a 1-task local scan out across cores before a CPU-heavy
     projection.  The driver test files are single parquet row groups, so
@@ -311,8 +344,17 @@ def ngram_jaccard_pairs(
     # materialize the pruned occurrence table ONCE: both consumers below
     # (per-doc sizes, the size join) would otherwise re-run the explode +
     # df-window sort — the single most expensive subtree of the plan
-    # (disk-backed localCheckpoint, ~16B/occurrence: hashes, not strings)
-    sh = sh.localCheckpoint(eager=True)
+    # (disk-backed localCheckpoint, ~16B/occurrence: hashes, not strings).
+    # SIZE-CONDITIONAL (VERDICT r11 #3): below NGRAM_CKPT_MIN_BYTES of
+    # source input the fixed disk-write cost exceeds the recompute it
+    # avoids (measured +41% on the 30x tier constants), so small inputs
+    # skip both checkpoints; unknown size (no file source) checkpoints —
+    # the scale-safe default.  The emitted pair set is identical either
+    # way: checkpointing only changes materialization, never semantics.
+    est = _est_input_bytes(df)
+    big = est is None or est >= NGRAM_CKPT_MIN_BYTES
+    if big:
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
     per_shingle = (
         sh.join(sizes, "doc")
@@ -323,8 +365,9 @@ def ngram_jaccard_pairs(
             ).alias("docs")
         )
         .select("docs")
-        .localCheckpoint(eager=True)
     )
+    if big:
+        per_shingle = per_shingle.localCheckpoint(eager=True)
     joined = (
         per_shingle.filter(F.size("docs") >= 2)
         .select(
@@ -1170,6 +1213,28 @@ def embedding_cosine_pairs_pruned(
     return _verify_banded(bands, threshold, max_bucket_rows)
 
 
+def _require_integral_id(df: DataFrame, id_col: str) -> None:
+    """The banded GEMM kernels carry ids as int64 (__id long): a silent
+    cast of a non-integral id column (string doc ids, decimals) would NULL
+    every id and the pair set would quietly come back empty (ADVICE r11 —
+    the old pandas kernel at least failed loudly).  Fail at plan-build
+    time instead; callers with string ids hash them first (xxhash64)."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    dtype = df.schema[id_col].dataType
+    if not isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"embedding_cosine_pairs*: id column {id_col!r} must be an "
+            f"integral type, got {dtype.simpleString()} — map string ids "
+            f"to int64 (e.g. F.xxhash64) before calling"
+        )
+
+
 def _hp_signatures(
     df: DataFrame,
     id_col: str,
@@ -1220,6 +1285,7 @@ def _hp_signatures(
                  "__bk": list(buckets)}
             )
 
+    _require_integral_id(df, id_col)
     vec_type = df.schema[vec_col].dataType.simpleString()
     sig = df.select(
         F.col(id_col).cast("long").alias("__id"),
@@ -1317,6 +1383,21 @@ def _verify_banded(
         empty = pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
         if len(pdf) < 2:
             return empty
+        # The hash deal bounds block size only IN EXPECTATION (ADVICE
+        # r11): xxhash64 skew in a hot bucket can overfill one block.
+        # Intra-block memory stays hard-bounded by the 4096-row GEMM
+        # chunking below, but an overfull block still concentrates one
+        # task's WORK — surface it loudly so the dial (planes/bits per
+        # band) gets retuned instead of silently pinning an executor.
+        if len(pdf) > 2 * max_bucket_rows:
+            import sys as _sys
+
+            print(
+                f"DEDUP-SKEW-WARNING: verify block holds {len(pdf)} rows "
+                f"(> 2x max_bucket_rows={max_bucket_rows}) — hash-deal "
+                f"skew in a hot bucket; add planes/bits per band",
+                file=_sys.stderr,
+            )
         p_blk, q_blk = int(pdf["p"].iat[0]), int(pdf["q"].iat[0])
         blks = pdf["__blk"].to_numpy()
         if p_blk == q_blk:
@@ -1425,13 +1506,23 @@ def _cp_collision_prob(
     per-bit rho at the same gap is ~0.05 (Andoni et al., "Practical and
     Optimal LSH for Angular Distance", NeurIPS 2015), so the band count
     stays flat across decades and the occupancy-constant dial is finally
-    linear.  Projection rows reuse the deterministic _plane_coeffs stream
-    (uniform [-1,1)), matching the runtime kernel's distribution; the MC
-    marginalizes over 8 such matrices x n_pairs random pair orientations.
+    linear.
+
+    Projection rows come from the deterministic GAUSSIAN stream
+    (_gauss_coeffs), the same rows the runtime kernel and the oracle
+    generator use.  Gaussian rows make the projection ensemble
+    rotation-invariant, so the collision probability of a pair depends
+    only on its ANGLE, not its absolute orientation (ADVICE r11: the
+    earlier uniform-[-1,1) family was not rotation-invariant, and a
+    corpus concentrated in unfavorable directions could collide below
+    the orientation-averaged calibration).  The MC still marginalizes
+    over 8 matrices x n_pairs pair orientations — under rotation
+    invariance every orientation estimates the SAME p, so the averaging
+    now only shrinks variance instead of hiding direction bias.
     """
     import numpy as np
 
-    from moosestack_spark.ops.similarity import _plane_coeffs
+    from moosestack_spark.ops.similarity import _gauss_coeffs
 
     key = (round(float(threshold), 6), int(d_prime), int(dim))
     if key in _CP_PROB_CACHE:
@@ -1446,7 +1537,7 @@ def _cp_collision_prob(
     y = t * x + np.sqrt(max(0.0, 1.0 - t * t)) * z
     n_mats = 8
     G = np.asarray(
-        [_plane_coeffs(dim, p) for p in range(n_mats * d_prime)]
+        [_gauss_coeffs(dim, p) for p in range(n_mats * d_prime)]
     )  # stacked (n_mats*d', dim)
     hits = 0
     for m in range(n_mats):
@@ -1501,18 +1592,20 @@ def _cp_signatures(
     sum(dims) rows) — no per-plane Catalyst folds, no shuffle; the
     explode to one row per band happens JVM-side (posexplode) so the
     vector crosses Arrow once.  Band b's sub-hash i reads projection rows
-    [b*per_band + offset_i, ... + d_i) of the deterministic
-    _plane_coeffs stream; bucket = mixed-radix concat of sub-codes,
-    code = 2*argmax_j |r_j| + (1 if r < 0) with numpy's first-max
-    tie-break — the oracle replays the same first-match CASE."""
+    [b*per_band + offset_i, ... + d_i) of the deterministic GAUSSIAN
+    stream (_gauss_coeffs — rotation-invariant ensemble, so the
+    calibrated collision prob holds for any corpus orientation); bucket =
+    mixed-radix concat of sub-codes, code = 2*argmax_j |r_j| + (1 if
+    r < 0) with numpy's first-max tie-break — the oracle replays the same
+    first-match CASE."""
     import numpy as np
     import pandas as pd
 
-    from moosestack_spark.ops.similarity import _plane_coeffs
+    from moosestack_spark.ops.similarity import _gauss_coeffs
 
     per_band = sum(dims)
     G = np.asarray(
-        [_plane_coeffs(dim, p) for p in range(n_bands * per_band)]
+        [_gauss_coeffs(dim, p) for p in range(n_bands * per_band)]
     )
     strides = []
     s = 1
@@ -1549,6 +1642,7 @@ def _cp_signatures(
     # shuffle is the auto path's biggest linear cost at scale), and the
     # verify kernel's float32 -> float64 cast is value-exact, so the
     # emitted pairs are identical to casting at the scan.
+    _require_integral_id(df, id_col)
     vec_type = df.schema[vec_col].dataType.simpleString()
     sig = df.select(
         F.col(id_col).cast("long").alias("__id"),
@@ -1721,10 +1815,10 @@ def _pruned_auto_oracle() -> str:
     END TO END: COUNT(*) picks the bit count with the same integer
     thresholds as _auto_bits, the per-config band counts are inlined from
     _cp_bands (generated by the SAME helpers the runtime uses, so they
-    cannot drift), the projection literals match the kernel's
-    _plane_coeffs stream, and the bucket CASE replays numpy's first-max
+    cannot drift), the projection literals match the kernel's Gaussian
+    _gauss_coeffs stream, and the bucket CASE replays numpy's first-max
     argmax tie-break."""
-    from moosestack_spark.ops.similarity import _plane_coeffs
+    from moosestack_spark.ops.similarity import _gauss_coeffs
 
     proj_cols, bucket_cols, arms = [], [], []
     for bits in range(AUTO_GATE_MIN_BITS, AUTO_GATE_MAX_BITS + 1):
@@ -1736,7 +1830,7 @@ def _pruned_auto_oracle() -> str:
         for b in range(bands):
             names = []
             for j in range(d_prime):
-                coeffs = _plane_coeffs(PRUNE_DIM, b * d_prime + j)
+                coeffs = _gauss_coeffs(PRUNE_DIM, b * d_prime + j)
                 lits = ", ".join(repr(c) for c in coeffs)
                 proj_cols.append(
                     f"list_dot_product(v, [{lits}]) AS q{bits}_{b}_{j}"

@@ -299,8 +299,18 @@ def triangle_counts(
     orient_by_degree: bool = False,
 ) -> DataFrame:
     """(v, n_triangles) for every vertex on >= 1 triangle; `pairs` holds
-    each undirected edge once with a_col < b_col."""
-    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    each undirected edge once with a_col < b_col.
+
+    The edge list is checkpointed up front: the wedge join + triangle
+    close embed it THREE times (e1, e2, closing probe), and the near-dup
+    pair generators feeding this gate carry an expensive upstream plan
+    that is no longer always materialized on their side (size-conditional
+    checkpoints, r12).  Edges are tiny next to the upstream occurrence
+    tables, so the pin is cheap at any scale and bounds the upstream plan
+    to one execution."""
+    e = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint()
     if orient_by_degree:
         deg = (
             e.select(F.col("a").alias("v"))

@@ -148,6 +148,37 @@ def _plane_coeffs(dim: int, plane: int) -> list[float]:
     return coeffs
 
 
+def _gauss_coeffs(dim: int, plane: int) -> list[float]:
+    """Deterministic standard-NORMAL projection row: Box-Muller over the
+    same hash-LCG uniform stream as _plane_coeffs (RNG-state-free, so the
+    oracle generator reproduces the exact float64 literals).
+
+    Why a second family exists (ADVICE r11): cross-polytope collision
+    probability under uniform-[-1,1) rows depends on the pair's absolute
+    ORIENTATION, not just its angle — a corpus concentrated in unfavorable
+    directions collides less than an orientation-averaged calibration
+    predicts.  With iid Gaussian rows the projection ensemble is
+    rotation-invariant, so E[collision | pair] is a function of the pair
+    angle alone (up to the LCG's approximation of iid normals) and the
+    Monte-Carlo dial in ops/dedup._cp_collision_prob holds for ANY corpus
+    orientation.  The hyperplane paths keep _plane_coeffs unchanged (sign
+    tests only need a symmetric distribution)."""
+    import math
+
+    vals: list[float] = []
+    x = (plane * 2654435761 + 0x51ED2701) & 0xFFFFFFFF
+    while len(vals) < dim:
+        x = (x * 1664525 + 1013904223) & 0xFFFFFFFF
+        u1 = ((x >> 8) + 1) / float((1 << 24) + 1)  # (0, 1]: log-safe
+        x = (x * 1664525 + 1013904223) & 0xFFFFFFFF
+        u2 = (x >> 8) / float(1 << 24)  # [0, 1)
+        r = math.sqrt(-2.0 * math.log(u1))
+        vals.append(r * math.cos(2.0 * math.pi * u2))
+        if len(vals) < dim:
+            vals.append(r * math.sin(2.0 * math.pi * u2))
+    return vals
+
+
 def lsh_bucket(
     vec: Column, dim: int, n_planes: int = N_PLANES, plane_base: int = 0
 ) -> Column:

@@ -280,19 +280,132 @@ _R3_CANARIES: list[str] = [
     "funnel_view_click_purchase",
 ]
 
-_WINDOW_PRIORITY = (
+_R11_WINDOW = (
     _R11_CHANGED
     + _R11_STALE_R2
     + _R3_CANARIES[: 50 - len(_R11_CHANGED) - len(_R11_STALE_R2)]
 )
 
-# The explicit rotation backlog, pinned to positions 51+: oracled queries
-# without a recorded green row that did not fit this round's 50 slots.
-# The registry-window meta-test enforces that ONLY names listed here may
-# lack both a green row and a window slot.  Empty for round 11: every
-# oracled gate has a green row (union r1-r10), so the window is all
-# re-confirmation (changed paths first).
-_AFTER_WINDOW: list[str] = []
+# Round-12 window (VERDICT r11 #3): changed-execution-path gates first —
+# every gate whose runtime plan or oracle changed in the r12 work
+# (size-conditional ngram checkpoints feeding the pair/CC/triangle/
+# curation family; leaf-peel + single-checkpoint star rounds; Gaussian
+# cross-polytope projections with a regenerated auto oracle; the
+# id-validation/skew-guard touch to the shared banded verify; and
+# text_bpe_tokenize's graduation to a HARD oracle, which needs its first
+# hash row).  Then the stale tail the r11 rotation did not reach: the 23
+# remaining r3-latest gates (the alphabetical tail after _R3_CANARIES'
+# first 23), then the oldest 17 of the 47 r4-latest gates.  The 30 r4
+# gates that do not fit are pinned immediately after the window
+# (_AFTER_WINDOW) as next round's rotation head.
+_R12_CHANGED: list[str] = [
+    "text_bpe_tokenize",
+    "dedup_embedding_cosine_pruned_auto",
+    "dedup_embedding_cosine_pruned",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_connected_components",
+    "dedup_connected_components_star",
+    "dedup_connected_components_hybrid",
+    "graph_triangle_count",
+    "corpus_curation_pipeline",
+]
+
+# Gates whose latest driver-green row is round 3 (oldest evidence in the
+# record; the alphabetical tail that missed r11's 23 slots).
+_R12_STALE_R3: list[str] = [
+    "multimodal_audio_frames",
+    "multimodal_gif_features",
+    "multimodal_jpeg_features",
+    "multimodal_mp4_metadata",
+    "multimodal_mulaw_audio",
+    "multimodal_png_features",
+    "multimodal_resize_features",
+    "retention_weekly",
+    "sample_stratified",
+    "similarity_quantized_topk",
+    "sort_limit_by_group",
+    "source_csv_jsonl_roundtrip",
+    "sql_ch_dialect_extended",
+    "streaming_dedup_exact",
+    "streaming_hopping_agg",
+    "streaming_session_window",
+    "streaming_stream_join",
+    "streaming_upsert_latest",
+    "streaming_windowed_agg",
+    "text_bigram_rarity",
+    "text_keywords_tfdf",
+    "text_top_ngrams",
+    "ts_gap_fill_hourly",
+]
+
+# Gates whose latest driver-green row is round 4, fixed alphabetical
+# order; the first (50 - 10 - 23) = 17 get slots this round, the rest
+# queue in _AFTER_WINDOW for round 13.
+_R12_STALE_R4: list[str] = [
+    "agg_array_combinators",
+    "agg_bitmap_cardinalities",
+    "agg_bounding_ratio",
+    "agg_covar_kurt",
+    "agg_cramers_v",
+    "agg_entropy",
+    "agg_group_uniq_array",
+    "agg_hll_deterministic",
+    "agg_if_combinators",
+    "agg_interval_length_sum",
+    "agg_ks_test",
+    "agg_linreg_exact",
+    "agg_mann_whitney_u",
+    "agg_max_intersections",
+    "agg_moments_exact",
+    "agg_sequence_count",
+    "agg_spearman_corr",
+    "agg_theils_u",
+    "agg_unpivot_stack",
+    "agg_welch_ttest",
+    "agg_with_totals",
+    "analytics_customer_distribution",
+    "analytics_disjunctive_predicates",
+    "analytics_excess_suppliers",
+    "analytics_important_parts",
+    "analytics_min_cost_supplier",
+    "analytics_nation_profit",
+    "analytics_priority_class",
+    "analytics_priority_exists",
+    "analytics_small_quantity_revenue",
+    "analytics_top_supplier",
+    "analytics_waiting_suppliers",
+    "corpus_quality_ensemble",
+    "corpus_temperature_sample",
+    "dedup_cross_doc_lines",
+    "dedup_cross_doc_lines_clean",
+    "dedup_image_dhash_pairs",
+    "dedup_incremental_exact",
+    "funnel_strict_order",
+    "multimodal_image_dhash",
+    "streaming_cdc_apply",
+    "streaming_enrich_static",
+    "streaming_hll_distinct",
+    "streaming_stream_join_outer",
+    "streaming_window_topk",
+    "text_readability",
+    "ts_gap_fill_interpolate",
+]
+
+_WINDOW_PRIORITY = (
+    _R12_CHANGED
+    + _R12_STALE_R3
+    + _R12_STALE_R4[: 50 - len(_R12_CHANGED) - len(_R12_STALE_R3)]
+)
+
+# The explicit rotation backlog, pinned to positions 51+.  Historically
+# this held oracled queries with NO green row anywhere; every gate has
+# one since r11 (union r1-r11), so for round 12 it queues the r4-latest
+# canaries that missed the 50 slots — next round's rotation head, kept
+# directly behind the window so a wider driver check picks them up first.
+_AFTER_WINDOW: list[str] = _R12_STALE_R4[
+    50 - len(_R12_CHANGED) - len(_R12_STALE_R3):
+]
 
 
 def load_all() -> None:

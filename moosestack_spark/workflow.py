@@ -312,6 +312,36 @@ class LeaseStore:
             self.dir, hashlib.md5(key.encode()).hexdigest() + ".lease"
         )
 
+    def _flocked(self, path: str):
+        """Exclusive kernel lock (flock) on a per-key sidecar file held
+        across the read -> unlink -> link critical sections below — this
+        closes the residual heartbeat/takeover TOCTOU ADVICE r11 flagged
+        (holder's lease expires between read and unlink; a peer links in
+        that instant; the unlink then deletes the PEER's live lease).
+        With every mutation serialized under the flock, the read and the
+        unlink are atomic with respect to cooperating workers on the same
+        filesystem.  The link-based protocol inside remains correct on
+        its own terms and is the fallback where fcntl is unavailable
+        (non-POSIX); flock sidecars are never deleted, so there is no
+        unlink race on the lock file itself."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            try:
+                import fcntl
+            except ImportError:  # non-POSIX: fall back to link protocol
+                yield
+                return
+            with open(path + ".lock", "a+") as fh:
+                fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
+
+        return _cm()
+
     def try_acquire(self, key: str, worker: str, lease_seconds: float) -> bool:
         """Atomic acquisition via os.link of a fully-written temp file —
         link fails with EEXIST if any lease is present, so there is no
@@ -328,59 +358,70 @@ class LeaseStore:
                 {"worker": worker, "expires": self.now() + lease_seconds}, fh
             )
         try:
-            for _ in range(3):  # takeover needs one unlink + re-link round
-                try:
-                    os.link(tmp, path)
-                    return True
-                except FileExistsError:
-                    pass
-                try:
-                    with open(path) as fh:
-                        cur = json.load(fh)
-                except FileNotFoundError:
-                    continue  # holder released between link and read: retry
-                except ValueError:
-                    return False  # unreadable: treat as held, retry later
-                if cur["worker"] == worker and cur["expires"] > self.now():
-                    # already mine and live: HEARTBEAT — renew via the
-                    # same race-free primitive as acquisition (unlink own
-                    # lease, then exclusive link of the fresh temp).  The
-                    # earlier os.replace spelling could clobber a peer
-                    # that legitimately took over an expired lease in the
-                    # read->replace window; with link, a peer that wins
-                    # the gap surfaces as FileExistsError and we report
-                    # ownership LOST instead of silently usurping it.
-                    # (Residual window: if our lease expires in the
-                    # read->unlink instant and a peer links in that same
-                    # instant, the unlink removes the peer's lease — an
-                    # unavoidable TOCTOU without kernel file locks;
-                    # lease_seconds should exceed worst-case renewal
-                    # latency by a wide margin.)
-                    try:
-                        os.unlink(path)
-                    except FileNotFoundError:
-                        pass
-                    try:
-                        os.link(tmp, path)
-                        return True
-                    except FileExistsError:
-                        return False  # peer acquired in the gap: lost
-                if cur["expires"] > self.now():
-                    return False  # live lease held by someone else
-                # expired: remove and retry the exclusive link — two
-                # racing takers both unlink (one wins, one ENOENT), then
-                # exactly one link succeeds
-                try:
-                    os.unlink(path)
-                except FileNotFoundError:
-                    pass
-            return False
+            with self._flocked(path):
+                return self._acquire_locked(path, tmp, worker)
         finally:
             if tmp is not None:
                 try:
                     os.unlink(tmp)
                 except OSError:
                     pass
+
+    def _acquire_locked(self, path: str, tmp: str, worker: str) -> bool:
+        """try_acquire's body, run under the per-key flock (or bare on
+        platforms without fcntl — the link protocol is standalone-safe,
+        just with the documented expiry-instant TOCTOU)."""
+        import json
+        import os
+
+        for _ in range(3):  # takeover needs one unlink + re-link round
+            try:
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                pass
+            try:
+                with open(path) as fh:
+                    cur = json.load(fh)
+            except FileNotFoundError:
+                continue  # holder released between link and read: retry
+            except ValueError:
+                return False  # unreadable: treat as held, retry later
+            if cur["worker"] == worker and cur["expires"] > self.now():
+                # already mine and live: HEARTBEAT — renew via the
+                # same race-free primitive as acquisition (unlink own
+                # lease, then exclusive link of the fresh temp).  The
+                # earlier os.replace spelling could clobber a peer
+                # that legitimately took over an expired lease in the
+                # read->replace window; with link, a peer that wins
+                # the gap surfaces as FileExistsError and we report
+                # ownership LOST instead of silently usurping it.
+                # (The old residual window — lease expires in the
+                # read->unlink instant while a peer links — is closed by
+                # the per-key flock this method runs under (ADVICE r11):
+                # a peer cannot interleave its link between our read and
+                # unlink.  Only on platforms without fcntl does the bare
+                # link protocol run, where lease_seconds exceeding
+                # worst-case renewal latency is the remaining guard.)
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+                try:
+                    os.link(tmp, path)
+                    return True
+                except FileExistsError:
+                    return False  # peer acquired in the gap: lost
+            if cur["expires"] > self.now():
+                return False  # live lease held by someone else
+            # expired: remove and retry the exclusive link — two
+            # racing takers both unlink (one wins, one ENOENT), then
+            # exactly one link succeeds
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+        return False
 
     def release(self, key: str) -> None:
         import os

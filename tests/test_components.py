@@ -125,3 +125,49 @@ def test_pagerank_int_orders_by_centrality(spark):
     assert len(prs) == 1
     (v,) = prs
     assert abs(v - SCALE) <= 5  # div truncation loses <=1 unit per iter
+
+
+def _cc_star_peel(spark, edges, peel):
+    from moosestack_spark.ops.components import connected_components_star
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = connected_components_star(df, peel_leaves=peel).collect()
+    return {r["v"]: r["cluster_id"] for r in rows}
+
+
+def test_star_leaf_peel_equivalence(spark):
+    """The degree-1 peel (r12 constant cut) must be invisible in the
+    result: peeled and unpeeled star runs agree on the adversarial shapes
+    the peel touches — pendant leaves (including a leaf that IS the
+    component minimum), isolated K2 pairs, leaf-fringed stars, and plain
+    chains — and both match min-label propagation."""
+    cases = [
+        [(5, 1), (5, 2)],  # star center 5, BOTH leaves smaller: min is a leaf
+        [(1, 2)],  # isolated K2
+        [(1, 2), (3, 4), (10, 3)],  # K2 + a 3-vertex path
+        [(i, i + 1) for i in range(1, 8)],  # chain: endpoints are leaves
+        [(2, 9), (2, 8), (2, 7), (3, 2), (11, 12)],  # leaf-fringed star + K2
+    ]
+    for edges in cases:
+        peeled = _cc_star_peel(spark, edges, True)
+        plain = _cc_star_peel(spark, edges, False)
+        auto = _cc_star(spark, edges)  # None: auto dial (no-peel here)
+        prop = _cc(spark, edges)
+        assert peeled == plain == auto == prop, f"edges {edges}"
+
+
+def test_star_leaf_peel_equivalence_random(spark):
+    import random
+
+    rng = random.Random(123)
+    for trial in range(2):
+        n = 25
+        edges = [
+            (rng.randrange(1, n), rng.randrange(1, n)) for _ in range(18)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert (
+            _cc_star_peel(spark, edges, True)
+            == _cc_star_peel(spark, edges, False)
+            == _cc(spark, edges)
+        ), f"trial {trial}"

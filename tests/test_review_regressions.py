@@ -402,19 +402,22 @@ def test_timed3_reports_error_string_not_silent_null():
     def boom():
         raise RuntimeError("CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND repro")
 
-    med, runs, err = bench._timed3("boom_entry", boom)
+    med, runs, err, mode = bench._timed3("boom_entry", boom)
     assert med is None
     assert runs == [None, None, None]
     assert err is not None and "CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND" in err
+    assert mode is None  # no successful run: no median, no mode
 
     sidecar: dict = {}
-    bench._record_timed(sidecar, "boom_entry", med, runs, err)
+    bench._record_timed(sidecar, "boom_entry", med, runs, err, mode)
     assert sidecar["boom_entry"] is None
     assert "CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND" in sidecar["boom_entry_error"]
+    assert "boom_entry_mode" not in sidecar
 
     ok: dict = {}
-    bench._record_timed(ok, "fine", 1.5, [1.4, 1.5, 1.6], None)
+    bench._record_timed(ok, "fine", 1.5, [1.4, 1.5, 1.6], None, "central")
     assert "fine_error" not in ok
+    assert ok["fine_mode"] == "central"
 
 
 def test_timed3_cold_start_decay_settles_on_tail():
@@ -442,7 +445,40 @@ def test_timed3_cold_start_decay_settles_on_tail():
     def decaying():
         _time.sleep(next(sleeps))
 
-    med, runs, err = bench._timed3("decay_entry", decaying)
+    med, runs, err, mode = bench._timed3("decay_entry", decaying)
     assert err is None
     assert len(runs) >= 4  # extended past the base 3
     assert med < 0.2, (med, runs)  # settled-tail median, not ~0.4
+    assert mode == "settle"
+
+
+def test_timed3_mode_emission_and_force_settle():
+    """VERDICT r11 #1/#2: the sidecar must say WHICH median mode produced
+    each number (<name>_mode), and FORCE_SETTLE entries always take the
+    settle branch so the statistic cannot flip modes between runs of the
+    same code."""
+    bench = _load_bench_module()
+
+    # stable timings -> central mode, recorded in the sidecar
+    import time as _time
+
+    med, runs, err, mode = bench._timed3("stable_entry", lambda: _time.sleep(0.02))
+    assert err is None and mode == "central"
+    sidecar: dict = {}
+    bench._record_timed(sidecar, "stable_entry", med, runs, err, mode)
+    assert sidecar["stable_entry_mode"] == "central"
+
+    # a FORCE_SETTLE name reports settle mode even on a stable list
+    assert "corpus_curation_pipeline" in bench.FORCE_SETTLE
+    assert "dedup_connected_components_hybrid" in bench.FORCE_SETTLE
+    med, runs, err, mode = bench._timed3(
+        "corpus_curation_pipeline", lambda: _time.sleep(0.02)
+    )
+    assert err is None and mode == "settle"
+
+    # _spread honors a recorded mode over re-inference: this list is NOT
+    # decaying (first < 1.5x last), but a settle-moded entry still gets
+    # the tail-3 window
+    v = [1.0, 3.0, 2.0, 1.1, 1.2, 1.3]
+    assert bench._spread(v, "settle") == round(1.3 / 1.1, 2)
+    assert bench._spread(v, "central") == bench._spread(v)
