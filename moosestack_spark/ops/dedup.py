@@ -606,6 +606,25 @@ def minhash_lsh_pairs(
     bucket groupBy, and the pair dedup.
     """
     bands = _minhash_band_rows(df, id_col, text_col, n, n_hashes, n_bands)
+    # Size the band-bucket exchange to the corpus (r12, diagnosed by the
+    # 300x spot tier): the session's fixed shuffle-partition count lets
+    # per-partition sort volume grow LINEARLY with n — the window sorts
+    # fat signature-carrying rows (~400 B each), and at ~375k rows per
+    # partition the sort goes memory-bound (measured: bucket stage 10.9 s
+    # at 100x -> 94.7 s at 300x, an 8.7x jump on a 3x corpus step, while
+    # band generation stayed exactly linear at 9.2 -> 27.6 s).  Hold
+    # ~120k band rows per partition (the comfortable measured operating
+    # point); the doc count is one column-pruned scan, cheap next to the
+    # pipeline at any scale.  An EXPLICIT numPartitions also stops AQE
+    # from coalescing this exchange on its compressed-size estimate.
+    # Window and groupBy below both cluster on (band, bh), which any
+    # hash partitioning on those keys satisfies — the repartition
+    # REPLACES their exchange instead of adding one (exchange count
+    # unchanged; plan-pinned in test_plans).
+    para = df.sparkSession.sparkContext.defaultParallelism
+    n_part = min(4096, (df.select(id_col).count() * n_bands) // 120_000 + 1)
+    if n_part > para:
+        bands = bands.repartition(int(n_part), "band", "bh")
 
     w = W.partitionBy("band", "bh").orderBy(F.col("m.doc"))
     buckets = (
@@ -780,6 +799,17 @@ def minhash_lsh_pairs_incremental(
         "band",
         "bh",
     )
+    # same corpus-sized bucket exchange as the batch path (see
+    # minhash_lsh_pairs): the window sort's per-partition volume must not
+    # grow linearly with the INDEX side — the whole point of the
+    # incremental path is that a 100 TB existing index is in play
+    para = existing.sparkSession.sparkContext.defaultParallelism
+    n_rows = (
+        existing.select(id_col).count() + new.select(id_col).count()
+    ) * n_bands
+    n_part = min(4096, n_rows // 120_000 + 1)
+    if n_part > para:
+        members = members.repartition(int(n_part), "band", "bh")
     # same doc-ordered pre-collect cap as the batch path: identical
     # membership ordering means identical over-full-bucket drop decisions,
     # which is what keeps the filtered-full-corpus equivalence exact
