@@ -454,6 +454,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_HASHES = 32
 N_BANDS = 8  # 4 rows/band; threshold ~ (1/b)^(1/r) ~ 0.59
 
+# Band-bucket exchange sizing (r12).  The LSH bucket stage sorts fat
+# signature-carrying rows (~400 B each) inside one hash exchange on
+# (band, bh); with the session's fixed shuffle-partition count the
+# per-partition sort volume grows linearly with the corpus and goes
+# memory-bound (measured: the 300x spot tier's bucket stage sat for
+# minutes in the 32-partition sort where the explicitly-sized exchange
+# finishes in ~15 s).  BUT an explicit repartition() also suppresses
+# Spark's partial WindowGroupLimit — the map-side bucket-cap pushdown
+# that truncates over-full buckets and keeps singleton rows cheap BEFORE
+# the shuffle (measured: forcing the repartition at the 100x tier, where
+# the default layout is already at the comfortable volume, DOUBLED the
+# query, 15.8 s -> 31.7 s, with the plan diff showing the partial
+# WindowGroupLimit node gone).  So the explicit sizing fires only when
+# the default layout would exceed ~2x the target volume — below that the
+# optimizer's plan (ENSURE_REQUIREMENTS exchange + partial window-group
+# limit + AQE) is strictly better, above it bounded sorts win.
+_BAND_ROWS_PER_PART = 120_000  # rows/partition when we size the exchange
+_BAND_SKIP_EST_BYTES = 32 << 20  # below this input size, skip even the count
+
+
+def _size_band_exchange(bands, src_df, id_col: str, n_bands: int):
+    """Repartition the band-row table on (band, bh) iff the corpus is big
+    enough that the session-default exchange would sort > 2x the target
+    rows per partition.  The row count costs one column-pruned scan, and
+    is itself skipped (via the job-free file-size estimate) when the
+    source is too small for the trigger to be reachable.  The window and
+    groupBy downstream both cluster on (band, bh), so when the
+    repartition fires it REPLACES their exchange rather than adding one
+    (any hash partitioning on those keys satisfies ClusteredDistribution;
+    plan-pinned in test_plans)."""
+    est = _est_input_bytes(src_df)
+    if est is not None and est < _BAND_SKIP_EST_BYTES:
+        return bands
+    sc = src_df.sparkSession.sparkContext
+    para = sc.defaultParallelism
+    n_rows = src_df.select(id_col).count() * n_bands
+    if n_rows <= para * 2 * _BAND_ROWS_PER_PART:
+        return bands
+    n_part = min(max(4096, 8 * para), n_rows // _BAND_ROWS_PER_PART + 1)
+    return bands.repartition(int(n_part), "band", "bh")
+
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, n_hashes: int = N_HASHES
@@ -606,25 +647,7 @@ def minhash_lsh_pairs(
     bucket groupBy, and the pair dedup.
     """
     bands = _minhash_band_rows(df, id_col, text_col, n, n_hashes, n_bands)
-    # Size the band-bucket exchange to the corpus (r12, diagnosed by the
-    # 300x spot tier): the session's fixed shuffle-partition count lets
-    # per-partition sort volume grow LINEARLY with n — the window sorts
-    # fat signature-carrying rows (~400 B each), and at ~375k rows per
-    # partition the sort goes memory-bound (measured: bucket stage 10.9 s
-    # at 100x -> 94.7 s at 300x, an 8.7x jump on a 3x corpus step, while
-    # band generation stayed exactly linear at 9.2 -> 27.6 s).  Hold
-    # ~120k band rows per partition (the comfortable measured operating
-    # point); the doc count is one column-pruned scan, cheap next to the
-    # pipeline at any scale.  An EXPLICIT numPartitions also stops AQE
-    # from coalescing this exchange on its compressed-size estimate.
-    # Window and groupBy below both cluster on (band, bh), which any
-    # hash partitioning on those keys satisfies — the repartition
-    # REPLACES their exchange instead of adding one (exchange count
-    # unchanged; plan-pinned in test_plans).
-    para = df.sparkSession.sparkContext.defaultParallelism
-    n_part = min(4096, (df.select(id_col).count() * n_bands) // 120_000 + 1)
-    if n_part > para:
-        bands = bands.repartition(int(n_part), "band", "bh")
+    bands = _size_band_exchange(bands, df, id_col, n_bands)
 
     w = W.partitionBy("band", "bh").orderBy(F.col("m.doc"))
     buckets = (
@@ -799,17 +822,23 @@ def minhash_lsh_pairs_incremental(
         "band",
         "bh",
     )
-    # same corpus-sized bucket exchange as the batch path (see
-    # minhash_lsh_pairs): the window sort's per-partition volume must not
+    # same corpus-sized bucket exchange discipline as the batch path (see
+    # _size_band_exchange): the window sort's per-partition volume must not
     # grow linearly with the INDEX side — the whole point of the
-    # incremental path is that a 100 TB existing index is in play
-    para = existing.sparkSession.sparkContext.defaultParallelism
-    n_rows = (
-        existing.select(id_col).count() + new.select(id_col).count()
-    ) * n_bands
-    n_part = min(4096, n_rows // 120_000 + 1)
-    if n_part > para:
-        members = members.repartition(int(n_part), "band", "bh")
+    # incremental path is that a 100 TB existing index is in play.  The
+    # trigger/skip conditions are evaluated on the combined input size.
+    est_e = _est_input_bytes(existing)
+    est_n = _est_input_bytes(new)
+    if est_e is None or est_n is None or est_e + est_n >= _BAND_SKIP_EST_BYTES:
+        para = existing.sparkSession.sparkContext.defaultParallelism
+        n_rows = (
+            existing.select(id_col).count() + new.select(id_col).count()
+        ) * n_bands
+        if n_rows > para * 2 * _BAND_ROWS_PER_PART:
+            n_part = min(
+                max(4096, 8 * para), n_rows // _BAND_ROWS_PER_PART + 1
+            )
+            members = members.repartition(int(n_part), "band", "bh")
     # same doc-ordered pre-collect cap as the batch path: identical
     # membership ordering means identical over-full-bucket drop decisions,
     # which is what keeps the filtered-full-corpus equivalence exact

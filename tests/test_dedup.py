@@ -497,3 +497,36 @@ def test_substring_clean_no_run_survives(spark, sf_dir):
     for did, r in rows.items():
         if did not in losers:
             assert r.n_tokens_after == r.n_tokens_before, did
+
+
+def test_size_band_exchange_trigger(spark):
+    """The band-bucket exchange sizing (r12) must fire ONLY when the
+    session-default layout would sort > 2x the target rows per partition:
+    below the trigger an explicit repartition suppresses Spark's partial
+    WindowGroupLimit (the map-side bucket-cap pushdown) and measured 2x
+    slower at the bench 100x tier; above it the sized exchange bounds the
+    reduce-side sort that otherwise goes memory-bound (300x tier)."""
+    from moosestack_spark.ops.dedup import (
+        _BAND_ROWS_PER_PART,
+        _size_band_exchange,
+    )
+
+    para = spark.sparkContext.defaultParallelism
+    bands = spark.range(10).selectExpr(
+        "id AS band", "id AS bh", "named_struct('doc', id, 'sig', array(id)) AS m"
+    )
+
+    # small in-memory source (est None -> count path; count far below the
+    # trigger): the band table must come back UNCHANGED (no added exchange)
+    small_src = spark.range(100).selectExpr("id AS doc_id")
+    out = _size_band_exchange(bands, small_src, "doc_id", 8)
+    assert "RepartitionByExpression" not in out._jdf.queryExecution().analyzed().toString()
+
+    # source past the trigger: repartition fires with the row-derived count
+    big_n = para * 2 * _BAND_ROWS_PER_PART // 8 + 10_000
+    big_src = spark.range(big_n).selectExpr("id AS doc_id")
+    out = _size_band_exchange(bands, big_src, "doc_id", 8)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "RepartitionByExpression" in analyzed
+    want = min(max(4096, 8 * para), (big_n * 8) // _BAND_ROWS_PER_PART + 1)
+    assert str(want) in analyzed
