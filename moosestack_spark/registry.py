@@ -392,19 +392,64 @@ _R12_STALE_R4: list[str] = [
     "ts_gap_fill_interpolate",
 ]
 
+# Round-13 window (VERDICT r12 #2).  Head: every gate whose execution
+# path changed AFTER the r12 window was authored (dedup_minhash_lsh /
+# dedup_minhash_incremental — eebbaf2/cf4a06a landed the sized band
+# exchange post-626e34d, so r12 has no driver-green row for the round's
+# biggest touched path) plus every gate whose path changes in THIS
+# round's commits.  Rule adopted per the verdict: a commit that changes
+# a gate's execution path re-authors this list in the same commit.
+_R13_CHANGED: list[str] = [
+    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
+    # r13 band-row slimming touches the shared banded-LSH verify plan
+    # (ngram/containment/curation reuse it) — pin the family too.
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "corpus_curation_pipeline",
+    # r13 escalating-K propagation rounds (components.py)
+    "dedup_connected_components",
+    "dedup_connected_components_hybrid",
+]
+
+# Then the 30 r4-latest canaries queued in r12's _AFTER_WINDOW, then the
+# oldest r5-latest gates (alphabetical) to fill the 50 slots.
+_R13_STALE_R4: list[str] = _R12_STALE_R4[
+    50 - len(_R12_CHANGED) - len(_R12_STALE_R3):
+]
+
+_R13_STALE_R5: list[str] = [
+    "agg_group_array_sorted",
+    "agg_lttb_downsample",
+    "agg_quantile_approx",
+    "analytics_forecast_revenue",
+    "corpus_dsir_weights",
+    "dedup_semantic_cluster",
+    "dedup_simhash",
+    "join_asof_tolerance",
+    "join_dict_get",
+    "join_paste_positional",
+    "layout_zorder_index",
+    "multimodal_exif_metadata",
+    "profile_table_stats",
+    "sample_hash_mod",
+    "scalar_json_typed_paths",
+    "sessionize_batch",
+    "similarity_lsh_bucketed",
+    "similarity_pq_topk",
+]
+
 _WINDOW_PRIORITY = (
-    _R12_CHANGED
-    + _R12_STALE_R3
-    + _R12_STALE_R4[: 50 - len(_R12_CHANGED) - len(_R12_STALE_R3)]
+    _R13_CHANGED
+    + _R13_STALE_R4
+    + _R13_STALE_R5[: 50 - len(_R13_CHANGED) - len(_R13_STALE_R4)]
 )
 
-# The explicit rotation backlog, pinned to positions 51+.  Historically
-# this held oracled queries with NO green row anywhere; every gate has
-# one since r11 (union r1-r11), so for round 12 it queues the r4-latest
-# canaries that missed the 50 slots — next round's rotation head, kept
+# The explicit rotation backlog, pinned to positions 51+: the r5-latest
+# gates that missed the 50 slots — next round's rotation head, kept
 # directly behind the window so a wider driver check picks them up first.
-_AFTER_WINDOW: list[str] = _R12_STALE_R4[
-    50 - len(_R12_CHANGED) - len(_R12_STALE_R3):
+_AFTER_WINDOW: list[str] = _R13_STALE_R5[
+    50 - len(_R13_CHANGED) - len(_R13_STALE_R4):
 ]
 
 

@@ -482,3 +482,72 @@ def test_timed3_mode_emission_and_force_settle():
     v = [1.0, 3.0, 2.0, 1.1, 1.2, 1.3]
     assert bench._spread(v, "settle") == round(1.3 / 1.1, 2)
     assert bench._spread(v, "central") == bench._spread(v)
+
+
+def test_timed3_rising_list_reports_central_not_tail():
+    """VERDICT r12 #4: FORCE_SETTLE's unconditional tail-3 median was
+    biased UP when the raw list trends upward (accumulating JVM/GC/host
+    state): hybrid-CC 100x read 30.7 s settle-mode where the same-code
+    interleaved A/B measured 21.8 s.  A rising list must (a) stop the
+    settle extension early instead of burning runs on ever-worse laps and
+    (b) report the central median with mode 'central'."""
+    bench = _load_bench_module()
+
+    # _is_rising: tail-3 median > 1.2x central-3 median
+    assert bench._is_rising([1.0, 1.5, 2.2, 3.0, 4.0])
+    assert not bench._is_rising([1.0, 1.1, 1.0, 1.05])
+    assert not bench._is_rising([5.0, 3.0, 1.2, 1.1, 1.0])  # decaying
+    assert not bench._is_rising([1.0, 2.0, 3.0])  # too short to tell
+
+    # live rising FORCE_SETTLE entry: sleeps grow monotonically, so the
+    # old behavior extended to 8 runs and reported the tail-3 median of
+    # the WORST laps; now the extension stops once the rise is detected
+    # and the reported median is the central one.
+    import time as _time
+
+    sleeps = iter([0.02, 0.02, 0.06, 0.14, 0.32, 0.5, 0.7, 0.9, 1.1])
+
+    def rising():
+        _time.sleep(next(sleeps))
+
+    assert "corpus_curation_pipeline" in bench.FORCE_SETTLE
+    med, runs, err, mode = bench._timed3("corpus_curation_pipeline", rising)
+    assert err is None
+    assert mode == "central", (mode, runs)
+    assert len(runs) <= 6, runs  # stopped extending once the rise showed
+    # central median, not the tail-3 median of the worst laps
+    ok = sorted(r for r in runs if r is not None)
+    assert med == ok[len(ok) // 2], (med, runs)
+    assert med < max(ok), (med, runs)
+
+    # a decaying FORCE_SETTLE list still settles on the tail (unchanged)
+    sleeps2 = iter([0.4, 0.3, 0.05, 0.04, 0.05, 0.04, 0.04, 0.04])
+
+    def decaying():
+        _time.sleep(next(sleeps2))
+
+    med2, runs2, err2, mode2 = bench._timed3(
+        "dedup_connected_components_hybrid", decaying
+    )
+    assert err2 is None and mode2 == "settle"
+    assert med2 < 0.2, (med2, runs2)
+
+
+def test_bench_low_core_invocation_is_headline_only():
+    """VERDICT r12 #3: the driver's low-core scaling run (SPARK_GRAFT_CPUS
+    below the host core count) must skip extras + scale tiers so the
+    headline per-query numbers land inside the driver's timeout
+    (BENCH_r12_c8 exited rc 124 and PERF's scaling block came up empty)."""
+    bench = _load_bench_module()
+
+    assert bench._is_low_core_probe("8", 32)
+    assert bench._is_low_core_probe("31", 32)
+    # requested == or > host: the normal full run, tiers included
+    assert not bench._is_low_core_probe("32", 32)
+    assert not bench._is_low_core_probe("64", 32)
+    # unset or garbage env: default full-core run
+    assert not bench._is_low_core_probe(None, 32)
+    assert not bench._is_low_core_probe("", 32)
+    assert not bench._is_low_core_probe("abc", 32)
+    assert not bench._is_low_core_probe("0", 32)
+    assert not bench._is_low_core_probe("-4", 32)
