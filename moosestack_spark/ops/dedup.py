@@ -471,28 +471,65 @@ N_BANDS = 8  # 4 rows/band; threshold ~ (1/b)^(1/r) ~ 0.59
 # optimizer's plan (ENSURE_REQUIREMENTS exchange + partial window-group
 # limit + AQE) is strictly better, above it bounded sorts win.
 _BAND_ROWS_PER_PART = 120_000  # rows/partition when we size the exchange
-_BAND_SKIP_EST_BYTES = 32 << 20  # below this input size, skip even the count
+# Conservative floor on compressed parquet bytes per document: the skip
+# gate estimates a doc-count UPPER BOUND as est_bytes / _MIN_DOC_BYTES, so
+# the count job is only skipped when even a corpus of degenerate 32-byte
+# docs could not reach the row trigger (ADVICE r12: the old flat 32 MB
+# byte gate did not scale with the row-based trigger — a well-compressed
+# small-doc corpus under it could exceed the 2x row trigger silently).
+_MIN_DOC_BYTES = 32
 
 
-def _size_band_exchange(bands, src_df, id_col: str, n_bands: int):
+def _shuffle_parts(df: DataFrame) -> int:
+    """The session's spark.sql.shuffle.partitions — the number that sizes
+    the default ENSURE_REQUIREMENTS exchange the trigger models (ADVICE
+    r12: defaultParallelism matches it in this repo's session but diverges
+    under user overrides or cluster deploys)."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
+def _size_band_exchange(
+    bands,
+    src_df,
+    id_col: str,
+    n_bands: int,
+    est_bytes: int | None = -1,
+    count_rows=None,
+):
     """Repartition the band-row table on (band, bh) iff the corpus is big
     enough that the session-default exchange would sort > 2x the target
     rows per partition.  The row count costs one column-pruned scan, and
-    is itself skipped (via the job-free file-size estimate) when the
-    source is too small for the trigger to be reachable.  The window and
-    groupBy downstream both cluster on (band, bh), so when the
-    repartition fires it REPLACES their exchange rather than adding one
-    (any hash partitioning on those keys satisfies ClusteredDistribution;
-    plan-pinned in test_plans)."""
-    est = _est_input_bytes(src_df)
-    if est is not None and est < _BAND_SKIP_EST_BYTES:
+    is itself skipped (via the job-free file-size estimate and the
+    conservative _MIN_DOC_BYTES doc-count bound) when the trigger is
+    provably unreachable.  The window and groupBy downstream both cluster
+    on (band, bh), so when the repartition fires it REPLACES their
+    exchange rather than adding one (any hash partitioning on those keys
+    satisfies ClusteredDistribution; plan-pinned in test_plans).
+
+    ``est_bytes`` / ``count_rows`` let the incremental path reuse this
+    logic with its combined existing+new estimate and two-sided count
+    (ADVICE r12: the inline copy had already drifted): est_bytes=-1 means
+    "estimate from src_df", None means "unknown — treat as LARGE";
+    count_rows (callable) overrides the source row count, evaluated only
+    past the skip gate."""
+    if est_bytes == -1:
+        est_bytes = _est_input_bytes(src_df)
+    parts = _shuffle_parts(src_df)
+    trigger_rows = parts * 2 * _BAND_ROWS_PER_PART
+    if (
+        est_bytes is not None
+        and (est_bytes // _MIN_DOC_BYTES) * n_bands <= trigger_rows
+    ):
         return bands
-    sc = src_df.sparkSession.sparkContext
-    para = sc.defaultParallelism
-    n_rows = src_df.select(id_col).count() * n_bands
-    if n_rows <= para * 2 * _BAND_ROWS_PER_PART:
+    if count_rows is None:
+        count_rows = lambda: src_df.select(id_col).count()  # noqa: E731
+    n_rows = count_rows() * n_bands
+    if n_rows <= trigger_rows:
         return bands
-    n_part = min(max(4096, 8 * para), n_rows // _BAND_ROWS_PER_PART + 1)
+    n_part = min(max(4096, 8 * parts), n_rows // _BAND_ROWS_PER_PART + 1)
     return bands.repartition(int(n_part), "band", "bh")
 
 
@@ -562,11 +599,18 @@ def _minhash_band_rows(
     rows_per_band = n_hashes // n_bands
     bind = _let
     sh_arr = portable_shingle_hash_array_expr(text_col, n)
+    # Each sig element is (s*a+b) mod 2^31-1, i.e. always in [0, 2^31-2]:
+    # carry it across the bucket exchange as a 32-bit INT, not a 64-bit
+    # BIGINT (guide §2.3 narrower types — the signature array is the band
+    # row's payload and crosses the exchange n_bands times per doc, so the
+    # lossless cast halves the dominant shuffle bytes of the bucket
+    # stage).  Values are unchanged; every downstream comparison and the
+    # DuckDB oracle replay are equality/arithmetic on the same integers.
     sig = (
         f"CASE WHEN size(sa) = 0 THEN NULL ELSE "
         f"transform(sequence(0, {n_hashes - 1}), k -> "
-        f"array_min(transform(sa, s -> "
-        f"(s * ({_PORT_A_SQL}) + ({_PORT_B_SQL})) % {_PORT_M}))) END"
+        f"CAST(array_min(transform(sa, s -> "
+        f"(s * ({_PORT_A_SQL}) + ({_PORT_B_SQL})) % {_PORT_M})) AS INT)) END"
     )
 
     def band_hash(b: int) -> str:
@@ -829,16 +873,15 @@ def minhash_lsh_pairs_incremental(
     # trigger/skip conditions are evaluated on the combined input size.
     est_e = _est_input_bytes(existing)
     est_n = _est_input_bytes(new)
-    if est_e is None or est_n is None or est_e + est_n >= _BAND_SKIP_EST_BYTES:
-        para = existing.sparkSession.sparkContext.defaultParallelism
-        n_rows = (
-            existing.select(id_col).count() + new.select(id_col).count()
-        ) * n_bands
-        if n_rows > para * 2 * _BAND_ROWS_PER_PART:
-            n_part = min(
-                max(4096, 8 * para), n_rows // _BAND_ROWS_PER_PART + 1
-            )
-            members = members.repartition(int(n_part), "band", "bh")
+    members = _size_band_exchange(
+        members,
+        existing,
+        id_col,
+        n_bands,
+        est_bytes=(None if est_e is None or est_n is None else est_e + est_n),
+        count_rows=lambda: existing.select(id_col).count()
+        + new.select(id_col).count(),
+    )
     # same doc-ordered pre-collect cap as the batch path: identical
     # membership ordering means identical over-full-bucket drop decisions,
     # which is what keeps the filtered-full-corpus equivalence exact

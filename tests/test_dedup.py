@@ -508,13 +508,18 @@ def test_size_band_exchange_trigger(spark):
     reduce-side sort that otherwise goes memory-bound (300x tier)."""
     from moosestack_spark.ops.dedup import (
         _BAND_ROWS_PER_PART,
+        _shuffle_parts,
         _size_band_exchange,
     )
 
-    para = spark.sparkContext.defaultParallelism
     bands = spark.range(10).selectExpr(
         "id AS band", "id AS bh", "named_struct('doc', id, 'sig', array(id)) AS m"
     )
+    # the trigger models the DEFAULT exchange, which is sized by
+    # spark.sql.shuffle.partitions (ADVICE r12 — defaultParallelism only
+    # coincidentally matches it in this repo's session)
+    parts = _shuffle_parts(bands)
+    assert parts == int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # small in-memory source (est None -> count path; count far below the
     # trigger): the band table must come back UNCHANGED (no added exchange)
@@ -523,10 +528,34 @@ def test_size_band_exchange_trigger(spark):
     assert "RepartitionByExpression" not in out._jdf.queryExecution().analyzed().toString()
 
     # source past the trigger: repartition fires with the row-derived count
-    big_n = para * 2 * _BAND_ROWS_PER_PART // 8 + 10_000
+    big_n = parts * 2 * _BAND_ROWS_PER_PART // 8 + 10_000
     big_src = spark.range(big_n).selectExpr("id AS doc_id")
     out = _size_band_exchange(bands, big_src, "doc_id", 8)
     analyzed = out._jdf.queryExecution().analyzed().toString()
-    assert "RepartitionByExpression" in analyzed
-    want = min(max(4096, 8 * para), (big_n * 8) // _BAND_ROWS_PER_PART + 1)
-    assert str(want) in analyzed
+    want = min(max(4096, 8 * parts), (big_n * 8) // _BAND_ROWS_PER_PART + 1)
+    # pin the full node text (ADVICE r12: a bare substring match on the
+    # count can hit expression IDs anywhere in the plan string)
+    repart_lines = [
+        ln for ln in analyzed.splitlines() if "RepartitionByExpression" in ln
+    ]
+    assert repart_lines, analyzed
+    assert any(f", {want}" in ln for ln in repart_lines), (want, repart_lines)
+
+    # precomputed-estimate path (the incremental caller's shape): an
+    # unknown combined estimate must be treated as LARGE (count runs),
+    # and the count_rows override must feed the partition sizing
+    out = _size_band_exchange(
+        bands, small_src, "doc_id", 8, est_bytes=None, count_rows=lambda: big_n
+    )
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    repart_lines = [
+        ln for ln in analyzed.splitlines() if "RepartitionByExpression" in ln
+    ]
+    assert repart_lines, analyzed
+    assert any(f", {want}" in ln for ln in repart_lines), (want, repart_lines)
+    # a small known combined estimate skips both the count and the exchange
+    out = _size_band_exchange(
+        bands, small_src, "doc_id", 8, est_bytes=1024,
+        count_rows=lambda: (_ for _ in ()).throw(AssertionError("counted")),
+    )
+    assert "RepartitionByExpression" not in out._jdf.queryExecution().analyzed().toString()
