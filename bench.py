@@ -755,6 +755,11 @@ def _spread(v, mode: str | None = None) -> float | None:
 FORCE_SETTLE = {
     "corpus_curation_pipeline",
     "dedup_connected_components_hybrid",
+    # r12-documented multi-run warm-in (23 -> 40 -> 10 -> 8.3 s at 30x:
+    # numpy/BLAS page-in + GC heap growth for the GEMM kernels); settle
+    # mode reports the steady state, and the r13 trend-aware window keeps
+    # a rising list from inflating it.
+    "dedup_embedding_cosine_pruned",
 }
 
 

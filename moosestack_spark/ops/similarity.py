@@ -1639,7 +1639,8 @@ def graph_search_topk(
     )
 
     ranked = None
-    for _ in range(hops):
+    prev_cp_ids: set = set()
+    for hop in range(hops):
         expanded = sym.join(
             F.broadcast(frontier), sym["src"] == frontier["__node"]
         ).select(frontier[query_id], sym["dst"].alias("__node"))
@@ -1668,6 +1669,34 @@ def graph_search_topk(
         frontier = ranked.filter(F.col("__r") <= beam).select(
             query_id, "__node"
         )
+        # Lineage truncation per hop (guide §5; VERDICT r12 #7): cand_h
+        # references the previous frontier TWICE (union + expansion), so
+        # a lazy walk duplicates each earlier hop's scoring subtree
+        # ~2^hops times in the final plan.  The frontier is tiny
+        # (queries x beam, both driver-bounded), so materializing it
+        # between hops costs one small job and makes every hop's scoring
+        # run exactly once.  The last hop stays lazy — the caller's
+        # action computes it, and a checkpoint here would just run the
+        # same scoring twice.  Frontier blocks from two hops back are
+        # superseded (only the NEXT hop's plan reads a frontier
+        # checkpoint) and unpersisted inside the loop.
+        if hop < hops - 1:
+            sc = spark.sparkContext
+            try:
+                before_ids = set(sc._jsc.getPersistentRDDs().keys())
+            except Exception:
+                before_ids = set()
+            frontier = frontier.localCheckpoint()
+            try:
+                new_ids = (
+                    set(sc._jsc.getPersistentRDDs().keys()) - before_ids
+                )
+                for rid, rdd in sc._jsc.getPersistentRDDs().items():
+                    if rid in prev_cp_ids:
+                        rdd.unpersist(False)
+                prev_cp_ids = new_ids
+            except Exception:
+                prev_cp_ids = set()
     return ranked.filter(F.col("__r") <= k).select(
         F.col(query_id),
         F.col("__node").alias(cand_id),

@@ -400,16 +400,14 @@ _R12_STALE_R4: list[str] = [
 # round's commits.  Rule adopted per the verdict: a commit that changes
 # a gate's execution path re-authors this list in the same commit.
 _R13_CHANGED: list[str] = [
+    # r12 post-window sized exchange + r13 int-sig band rows (dedup.py)
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
-    # r13 band-row slimming touches the shared banded-LSH verify plan
-    # (ngram/containment/curation reuse it) — pin the family too.
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "corpus_curation_pipeline",
-    # r13 escalating-K propagation rounds (components.py)
+    # r13 escalating-K propagation rounds (components.py _propagate)
     "dedup_connected_components",
     "dedup_connected_components_hybrid",
+    # r13 per-hop frontier checkpointing (similarity.py graph_search_topk)
+    "similarity_graph_search",
 ]
 
 # Then the 30 r4-latest canaries queued in r12's _AFTER_WINDOW, then the

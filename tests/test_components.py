@@ -171,3 +171,39 @@ def test_star_leaf_peel_equivalence_random(spark):
             == _cc_star_peel(spark, edges, False)
             == _cc(spark, edges)
         ), f"trial {trial}"
+
+
+def test_propagate_escalating_batches_match_unbatched(spark):
+    """VERDICT r12 #6: past _PROPAGATE_ESCALATE_AFTER rounds the
+    propagation loop batches doubling runs of rounds per checkpoint+check.
+    Labels must be identical to the per-round loop (no-op rounds past the
+    fixpoint cannot change a min-label), the converged flag must still be
+    sound (label-sum is strictly decreasing until fixpoint, so an
+    unchanged sum across a batch means the fixpoint predates it), and a
+    max_rounds cap mid-batch must be honored exactly."""
+    from moosestack_spark.ops.components import (
+        _PROPAGATE_ESCALATE_AFTER,
+        _propagate,
+        _sym_and_labels,
+    )
+
+    # 24-node path: diameter 23 >> the escalation threshold, so the run
+    # crosses several doubled batches before converging.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 24)], ["src", "dst"]
+    )
+    sym, labels = _sym_and_labels(edges, "src", "dst")
+    out, converged = _propagate(sym, labels, max_rounds=64)
+    assert converged
+    got = {r["v"]: r["lbl"] for r in out.collect()}
+    assert got == {i: 1 for i in range(1, 25)}
+
+    # a cap below the diameter stops mid-batch without convergence and
+    # yields exactly the k-round labels: after k rounds node v's label is
+    # max(1, v - k) on a path graph
+    k = _PROPAGATE_ESCALATE_AFTER + 3
+    sym, labels = _sym_and_labels(edges, "src", "dst")
+    out, converged = _propagate(sym, labels, max_rounds=k)
+    assert not converged
+    got = {r["v"]: r["lbl"] for r in out.collect()}
+    assert got == {i: max(1, i - k) for i in range(1, 25)}
