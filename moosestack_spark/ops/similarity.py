@@ -1681,22 +1681,17 @@ def graph_search_topk(
         # superseded (only the NEXT hop's plan reads a frontier
         # checkpoint) and unpersisted inside the loop.
         if hop < hops - 1:
-            sc = spark.sparkContext
-            try:
-                before_ids = set(sc._jsc.getPersistentRDDs().keys())
-            except Exception:
-                before_ids = set()
-            frontier = frontier.localCheckpoint()
-            try:
-                new_ids = (
-                    set(sc._jsc.getPersistentRDDs().keys()) - before_ids
-                )
-                for rid, rdd in sc._jsc.getPersistentRDDs().items():
-                    if rid in prev_cp_ids:
-                        rdd.unpersist(False)
-                prev_cp_ids = new_ids
-            except Exception:
-                prev_cp_ids = set()
+            # LAZY checkpoint: materializes inside the next action's job
+            # (no per-hop blocking barrier), then both of cand_h's
+            # references read the persisted blocks instead of recomputing
+            # the subtree.  The EAGER variant was measured 1.4x SLOWER at
+            # the 30x tier (median 15.9 s vs 11.3 s, spread 3.1x vs 1.4x,
+            # interleaved A/B in BENCH_r13_interleave_graphsearch.json):
+            # its hops-1 synchronous checkpoint jobs serialized the walk
+            # and beat the recompute they saved, since Spark's exchange
+            # reuse already deduplicated most of the lazy plan's repeated
+            # subtrees at execution time.
+            frontier = frontier.localCheckpoint(eager=False)
     return ranked.filter(F.col("__r") <= k).select(
         F.col(query_id),
         F.col("__node").alias(cand_id),
